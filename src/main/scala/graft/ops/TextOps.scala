@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`
+  * (token counting, language ID, quality scoring, fingerprinting).
+  *
+  * Everything here is built from codegen'd `functions._` expressions — no
+  * UDFs — so the whole stage stays inside WholeStageCodegen and scales
+  * embarrassingly parallel (per-row, no shuffle).
+  */
+object TextOps {
+
+  /** Whitespace token count + a BPE-ish regex token estimate
+    * (letters-runs | digit-runs | single other-non-space).
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val trimmed = trim(col("text"))
+    d.select(
+      col("doc_id"),
+      col("n_chars"),
+      length(col("text")).as("n_chars_calc"),
+      when(length(trimmed) === 0, lit(0))
+        .otherwise(size(split(trimmed, "\\s+"))).as("n_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpe_tokens"))
+  }
+
+  private def hits(c: Column, pattern: String): Column =
+    regexp_count(lower(c), lit(pattern))
+
+  /** N-gram/marker-word language ID heuristic: CJK codepoints ⇒ zh, else
+    * argmax of per-language stopword hits with a fixed tie order. The same
+    * arithmetic is replicated in the DuckDB oracle — both engines run RE2/
+    * Java-compatible patterns.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val en = hits(col("text"), "\\b(the|and|of|is|to)\\b")
+    val de = hits(col("text"), "\\b(der|die|und|das|ist)\\b")
+    val fr = hits(col("text"), "\\b(le|et|les|des|est)\\b")
+    val es = hits(col("text"), "\\b(el|los|las|una|es)\\b")
+    val cjk = regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]"))
+    d.select(col("doc_id"), col("lang"),
+        en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"), es.as("es_hits"),
+        cjk.as("cjk_hits"))
+      .withColumn("lang_pred",
+        when(col("cjk_hits") > 0, "zh")
+          .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
+                col("en_hits") >= col("es_hits"), "en")
+          .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits"), "de")
+          .when(col("fr_hits") >= col("es_hits"), "fr")
+          .otherwise("es"))
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
+    * length — combined into a [0,1] score. Deterministic per-row IEEE math,
+    * identical on both engines.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val trimmed  = trim(col("text"))
+    val nChars   = length(col("text")).cast("double")
+    val nTokens  = when(length(trimmed) === 0, lit(0))
+      .otherwise(size(split(trimmed, "\\s+"))).cast("double")
+    val punct    = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
+    val stopHits = hits(col("text"), "\\b(the|a|an|and|or|of|in|to|is)\\b").cast("double")
+    val punctRatio = punct / greatest(nChars, lit(1.0))
+    val stopRatio  = stopHits / greatest(nTokens, lit(1.0))
+    val meanWordLen = nChars / greatest(nTokens, lit(1.0))
+    val lengthOk = (nChars >= 50 && nChars <= 10000).cast("int").cast("double")
+    val score = lengthOk * lit(0.4) +
+      when(stopRatio > 0.02, lit(0.3)).otherwise(lit(0.0)) +
+      when(punctRatio < 0.2, lit(0.3)).otherwise(lit(0.0))
+    d.select(col("doc_id"),
+      nChars.as("n_chars_d"), nTokens.as("n_tokens_d"),
+      punctRatio.as("punct_ratio"), stopRatio.as("stop_ratio"),
+      meanWordLen.as("mean_word_len"), score.as("quality_score"))
+  }
+
+  /** Document fingerprint: md5 over whitespace-collapsed lowercased text —
+    * the exact-dedup key. (A rolling/winnowing fingerprint variant lives in
+    * DedupOps as the minhash path.)
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val normalized = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    d.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("raw_md5"),
+      md5(normalized.cast("binary")).as("norm_fingerprint"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_token_count" ->
+      """SELECT doc_id, n_chars,
+        |  len(text) AS n_chars_calc,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
+    "q_lang_id" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|is|to)\b')) AS en_hits,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS de_hits,
+        |    len(regexp_extract_all(lower(text), '\b(le|et|les|des|est)\b')) AS fr_hits,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|una|es)\b')) AS es_hits,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk_hits
+        |  FROM documents)
+        |SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits, cjk_hits,
+        |  CASE WHEN cjk_hits > 0 THEN 'zh'
+        |       WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+        |       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+        |       WHEN fr_hits >= es_hits THEN 'fr'
+        |       ELSE 'es' END AS lang_pred
+        |FROM h""".stripMargin,
+    "q_quality_score" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(text) AS DOUBLE) AS n_chars_d,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tokens_d,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|in|to|is)\b')) AS DOUBLE) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, n_chars_d, n_tokens_d,
+        |  punct / greatest(n_chars_d, 1.0) AS punct_ratio,
+        |  stop_hits / greatest(n_tokens_d, 1.0) AS stop_ratio,
+        |  n_chars_d / greatest(n_tokens_d, 1.0) AS mean_word_len,
+        |  (CASE WHEN n_chars_d >= 50 AND n_chars_d <= 10000 THEN 1.0 ELSE 0.0 END) * 0.4
+        |    + (CASE WHEN stop_hits / greatest(n_tokens_d, 1.0) > 0.02 THEN 0.3 ELSE 0.0 END)
+        |    + (CASE WHEN punct / greatest(n_chars_d, 1.0) < 0.2 THEN 0.3 ELSE 0.0 END) AS quality_score
+        |FROM m""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(text) AS raw_md5,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_fingerprint
+        |FROM documents""".stripMargin)
+}

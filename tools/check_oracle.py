@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Dev-only self-check that mimics the driver's DuckDB-oracle compare:
+run each oracle_sql.json query in DuckDB over the same parquet tables,
+sort columns by name + rows, and diff against the Spark parquet output.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+"""
+import json, math, sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    # normalize datetimes to strings for cross-engine compare
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def main(out_dir: str, sf_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = canon(con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+            want = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            failures += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            failures += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            failures += 1
+            continue
+        bad = None
+        for c in got.columns:
+            for i, (x, y) in enumerate(zip(got[c], want[c])):
+                xnull, ynull = pd.isna(x), pd.isna(y)
+                if xnull and ynull:
+                    continue
+                if xnull != ynull or not equal(x, y):
+                    bad = (c, i, x, y)
+                    break
+            if bad:
+                break
+        if bad:
+            c, i, x, y = bad
+            print(f"FAIL {name}: col={c} row={i} spark={x!r} duck={y!r}")
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(got)} rows)")
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
