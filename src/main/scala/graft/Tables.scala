@@ -36,9 +36,17 @@ object Tables {
     * fit a double). Session TZ is pinned to UTC everywhere, so the resulting
     * TimestampType column is engine-deterministic.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsRaw(spark, dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Raw view: `ts` stays an epoch-nanosecond long. Watermark predicates go
+    * HERE — a comparison on the raw bigint pushes down to the parquet scan
+    * (row-group pruning), while a predicate on the converted timestamp is an
+    * expression over the column and does not. Asserted in PlanSpec.
+    */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 }

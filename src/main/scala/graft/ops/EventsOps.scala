@@ -19,10 +19,14 @@ object EventsOps {
     * PlanSpec). Epoch millis output keeps the comparison engine-neutral.
     */
   def watermarkScan(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-    e.filter(col("ts") > lit("2024-01-25 00:00:00").cast("timestamp"))
+    // predicate on the RAW nanosecond long: pushes to the parquet scan
+    // (PushedFilters, row-group pruning at scale) and matches an
+    // ns-precision engine's `ts > TIMESTAMP wm` exactly.
+    val wmNs = java.time.Instant.parse("2024-01-25T00:00:00Z").getEpochSecond * 1000000000L
+    Tables.eventsRaw(spark, dir)
+      .filter(col("ts") > lit(wmNs))
       .select(col("event_id"), col("user_id"), col("event_type"),
-        unix_millis(col("ts")).as("ts_ms"), col("value"))
+        expr("ts div 1000000").as("ts_ms"), col("value"))
   }
 
   /** Tumbling 1-hour aggregate (the batch face of the streaming windowed agg).

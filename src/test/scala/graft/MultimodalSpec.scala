@@ -1,0 +1,40 @@
+package graft
+
+import graft.ops.MultimodalOps
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpecBase {
+
+  test("decodeMedia: one output row per document, deterministic, typed fields populated") {
+    val a = MultimodalOps.decodeMedia(spark, sf).collect().sortBy(_.doc_id)
+    val b = MultimodalOps.decodeMedia(spark, sf).collect().sortBy(_.doc_id)
+    assert(a.length === Tables.documents(spark, sf).count())
+    assert(a.toSeq === b.toSeq) // stub decode is deterministic
+    a.foreach { m =>
+      assert(m.byte_len > 0 && m.payload_md5.length === 32)
+      m.media_type match {
+        case "image" => assert(m.width > 0 && m.height > 0 && m.sample_rate === 0)
+        case "audio" => assert(m.sample_rate >= 8000 && m.width === 0)
+        case "video" => assert(m.width > 0 && m.n_frames >= 1)
+      }
+    }
+  }
+
+  test("multimodalMeta: media_type follows doc_id mod 3; byte_len = utf8 length") {
+    val out = MultimodalOps.multimodalMeta(spark, sf)
+    val bad = out.withColumn("expect",
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+      .filter(col("media_type") =!= col("expect"))
+    assert(bad.count() === 0)
+    assert(out.filter(col("byte_len") <= 0).count() === 0)
+  }
+
+  test("metadata projection prunes the payload column at the scan") {
+    val plan = MultimodalOps.mediaTable(spark, sf)
+      .select("doc_id", "media_type")
+      .queryExecution.executedPlan.toString
+    // binary payload (from `text`) must not be read for a metadata-only query
+    assert(!plan.contains("payload"))
+  }
+}

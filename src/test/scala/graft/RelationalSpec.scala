@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops.RelationalOps
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpecBase {
+
+  test("pricingSummary: groups partition the filtered rows exactly") {
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    val agg = RelationalOps.pricingSummary(spark, sf).collect()
+    assert(agg.map(_.getAs[Long]("count_order")).sum === li.count())
+    // every group's avg_qty = sum_qty / count_order
+    agg.foreach { r =>
+      val avg = r.getAs[Double]("sum_qty") / r.getAs[Long]("count_order")
+      assert(math.abs(avg - r.getAs[Double]("avg_qty")) < 1e-9)
+    }
+  }
+
+  test("filterProject: every output row satisfies the predicate") {
+    val out = RelationalOps.filterProject(spark, sf)
+    assert(out.filter(col("ship_date") < "1996-01-01" || col("ship_date") >= "1997-01-01").count() === 0)
+    assert(out.count() > 0)
+  }
+
+  test("denormDocs: one row per order; line counts reconcile to lineitem") {
+    val docs = RelationalOps.denormDocs(spark, sf)
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(docs.count() === nOrders)
+    assert(docs.select(sum("n_lines")).head.getLong(0) === Tables.lineitem(spark, sf).count())
+    // customer enrichment: any order with a customer must carry nation+region
+    assert(docs.filter(col("c_name").isNotNull && col("r_name").isNull).count() === 0)
+  }
+
+  test("filteredCollect: finished_ids only contains finished orders") {
+    val out = RelationalOps.filteredCollect(spark, sf)
+    val nFinished = Tables.orders(spark, sf).filter(col("o_orderstatus") === "F").count()
+    assert(out.select(sum("n_finished")).head.getLong(0) === nFinished)
+    // n_finished == number of ids in the csv (set semantics; keys are unique)
+    assert(out.filter(
+      col("n_finished") =!= when(col("finished_ids") === "", 0)
+        .otherwise(size(split(col("finished_ids"), ",")))).count() === 0)
+  }
+
+  test("topkRevenue: 20 rows, sorted desc, matches recomputed max") {
+    val out = RelationalOps.topkRevenue(spark, sf).collect()
+    assert(out.length === 20)
+    val revs = out.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    val trueMax = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("r"))
+      .select(max("r")).head.getDouble(0)
+    assert(math.abs(revs.head - trueMax) < 1e-6)
+  }
+
+  test("pagination: rows 101..150 in key order, consistent with key-range seek") {
+    val out = RelationalOps.pagination(spark, sf).collect()
+    assert(out.map(_.getAs[Int]("rn")).toSeq === (101 to 150))
+    val keys = out.map(_.getAs[Long]("o_orderkey"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a < b })
+    // key-range variant returns the same page when seeded with row 100's key
+    val all = Tables.orders(spark, sf).orderBy("o_orderkey").limit(100).collect()
+    val page = RelationalOps.pageByKeyRange(spark, sf, all.last.getAs[Long]("o_orderkey"), 50)
+      .collect().map(_.getAs[Long]("o_orderkey"))
+    assert(page.toSeq === keys.toSeq)
+  }
+
+  test("containsSearch: all hits actually match; no false negatives on a sample") {
+    val out = RelationalOps.containsSearch(spark, sf)
+    assert(out.filter(!col("c_name").contains("42") &&
+      !lower(col("c_mktsegment")).contains("auto")).count() === 0)
+    val expected = Tables.customer(spark, sf)
+      .filter(col("c_name").contains("42") || lower(col("c_mktsegment")).contains("auto")).count()
+    assert(out.count() === expected)
+  }
+
+  test("countEnvelope: ceil math") {
+    val r = RelationalOps.countEnvelope(spark, sf).head
+    val cnt = r.getAs[Long]("cnt")
+    assert(r.getAs[Long]("total_pages") === (cnt + 49) / 50)
+  }
+}

