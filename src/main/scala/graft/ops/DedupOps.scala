@@ -26,9 +26,6 @@ object DedupOps {
       i => md5(concat(lit(salt), text.substr(i, lit(k))).cast("binary"))))
   }
 
-  private def signature(text: Column, nHashes: Int): Column =
-    array((1 to nHashes).map(h => minhashCol(text, s"s$h")): _*)
-
   /** Exact dedup: group by content hash, keep min doc_id as canonical. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
@@ -47,26 +44,53 @@ object DedupOps {
       minhashCol(col("text"), "s4").as("mh4"))
   }
 
+  /** Distinct character k-shingles of `text`, materialized ONCE per row —
+    * every downstream hash family reads this array instead of re-slicing the
+    * string (the single biggest cost in a minhash pipeline).
+    */
+  private def shingles(text: Column, k: Int = 5): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => text.substr(i, lit(k))))
+
+  /** Fast int64 minhash signature: hash family h_i(s) = xxhash64(i, s).
+    * Long comparisons instead of md5 hex strings — the hot path for LSH; the
+    * md5 variant above stays only because it is replicable in DuckDB for the
+    * oracle check.
+    */
+  private def fastSignature(sh: Column, nHashes: Int): Column =
+    array((1 to nHashes).map(h => array_min(transform(sh, s => xxhash64(lit(h), s)))): _*)
+
   /** MinHash+LSH near-dup candidates: 8 hashes → 4 bands × 2 rows; docs
     * sharing any band hash become candidates; estimated Jaccard = fraction of
     * the 8 hashes agreeing. Top-50 pairs by estimate (rows-only check — the
     * pair join is not expressible in one portable SQL statement).
+    *
+    * Scale shape: the band self-join only ever sees (band_id, band_hash)
+    * buckets that hold 2..maxBucket docs — singleton buckets (the vast
+    * majority of a real corpus) are dropped before the join, and pathological
+    * boilerplate buckets are capped so one hot key cannot produce O(n²) pairs.
     */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashPairs(spark: SparkSession, dir: String, maxBucket: Int = 64): DataFrame = {
     val nHashes = 8
     val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), signature(col("text"), nHashes).as("sig"))
-      .cache()
+      .select(col("doc_id"), fastSignature(shingles(col("text")), nHashes).as("sig"))
 
     val bands = d.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(nHashes / 2 - 1)),
-          b => md5(concat_ws("|", element_at(col("sig"), b * 2 + 1),
-                                  element_at(col("sig"), b * 2 + 2)).cast("binary")))))
+          b => xxhash64(element_at(col("sig"), b * 2 + 1),
+                        element_at(col("sig"), b * 2 + 2)))))
       .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_hash"))
 
-    val l = bands.select(col("band_id"), col("band_hash"),
+    // skew guard: keep only buckets that can produce pairs and are not hot
+    val useful = bands.groupBy("band_id", "band_hash").count()
+      .filter(col("count") >= 2 && col("count") <= maxBucket)
+      .select("band_id", "band_hash")
+    val b = bands.join(useful, Seq("band_id", "band_hash"))
+
+    val l = b.select(col("band_id"), col("band_hash"),
       col("doc_id").as("left_id"), col("sig").as("left_sig"))
-    val r = bands.select(col("band_id"), col("band_hash"),
+    val r = b.select(col("band_id"), col("band_hash"),
       col("doc_id").as("right_id"), col("sig").as("right_sig"))
 
     l.join(r, Seq("band_id", "band_hash"))
@@ -104,19 +128,35 @@ object DedupOps {
       .withColumn("bucket", shiftrightunsigned(col("simhash"), 48))
   }
 
-  /** Word-trigram Jaccard near-dup over LSH-blocked pairs. */
+  /** Word-trigram Jaccard, exact, over MinHash-LSH-blocked candidate pairs.
+    *
+    * Two-stage scale shape: stage 1 generates candidates from 2 wide LSH
+    * bands (never all pairs — a per-language cross join would be O(n²) per
+    * group and die at corpus scale); stage 2 computes the exact trigram
+    * Jaccard only on candidates. Recall < 1 by construction (LSH), precision
+    * exact.
+    */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val tokens = split(lower(trim(col("text"))), "\\s+")
     val grams = transform(sequence(lit(1), greatest(size(tokens) - 2, lit(1))),
       i => concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1),
                           element_at(tokens, i + 2)))
-    val base = d.select(col("doc_id"), col("lang"),
-      array_distinct(grams).as("grams"))
-    val l = base.select(col("lang"), col("doc_id").as("left_id"), col("grams").as("lg"))
-    val r = base.select(col("lang"), col("doc_id").as("right_id"), col("grams").as("rg"))
-    l.join(r, Seq("lang"))
+    // 8 gram-level minhashes → 2 bands of 4: wide bands = high-similarity bias
+    val base = d.select(col("doc_id"), array_distinct(grams).as("grams"))
+      .withColumn("sig", fastSignature(col("grams"), 8))
+    val bands = base.select(col("doc_id"), col("grams"),
+        posexplode(transform(sequence(lit(0), lit(1)),
+          b => xxhash64(element_at(col("sig"), b * 4 + 1), element_at(col("sig"), b * 4 + 2),
+                        element_at(col("sig"), b * 4 + 3), element_at(col("sig"), b * 4 + 4)))))
+      .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_hash"))
+    val l = bands.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("left_id"), col("grams").as("lg"))
+    val r = bands.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("right_id"), col("grams").as("rg"))
+    l.join(r, Seq("band_id", "band_hash"))
       .filter(col("left_id") < col("right_id"))
+      .dropDuplicates("left_id", "right_id")
       .withColumn("jaccard",
         size(array_intersect(col("lg"), col("rg"))).cast("double") /
         size(array_union(col("lg"), col("rg"))).cast("double"))
