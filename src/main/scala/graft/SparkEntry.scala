@@ -36,6 +36,7 @@ object SparkEntry {
     "q_events_hourly"    -> (EventsOps.eventsHourly(_, _)),
     "q_window_lag"       -> (EventsOps.windowLag(_, _)),
     "q_json_extract"     -> (EventsOps.jsonExtract(_, _)),
+    "q_sessionize"       -> (EventsOps.sessionize(_, _)),
     // Full-text search (ES query surface, SURVEY §3.3 / F10-F14 / A9)
     "q_search_match"     -> ((s, d) => SearchOps.matchQuery(s, d)),
     "q_search_fuzzy"     -> ((s, d) => SearchOps.fuzzyQuery(s, d)),

@@ -72,7 +72,47 @@ object EventsOps {
         max(col("k_val")).as("max_k"))
   }
 
+  /** Gap-based sessionization, batch face (30-min gap): lag → new-session
+    * flag → running sum = session id → per-session aggregate. Semantically
+    * identical to graft.streaming.StreamingOps.sessionize (asserted in
+    * StreamingSpec); this face is the DuckDB-oracled one.
+    * Scale: one shuffle on user_id; both windows share the same partitioning
+    * (single sort, no extra exchange).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapMs = 30L * 60 * 1000
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    e.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("ts_ms", expr("ts_us div 1000"))
+      .withColumn("is_new",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(w) > gapMs ||
+             lag(col("ts_ms"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_ms")).as("session_start"),
+           max(col("ts_ms")).as("session_end"),
+           count(lit(1)).as("n_events"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms,
+        |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         OR lag(epoch_ms(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts_ms,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (SELECT *, epoch_us(ts) AS ts_us FROM flagged) f)
+        |SELECT user_id, session_id,
+        |  MIN(ts_ms) AS session_start, MAX(ts_ms) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
     "q_watermark_scan" ->
       """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
         |FROM events

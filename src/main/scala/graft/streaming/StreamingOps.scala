@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expression of the reference's incremental layer
+  * (SURVEY §2.7): the 10-second poll loop (etl/main.py:357-385) becomes a
+  * trigger-driven stream; the JSON watermark file (etl/models_state.py:22-66)
+  * becomes the checkpoint; at-least-once + idempotent-by-id sink (T7) is
+  * reproduced by `IncrementalDocPipeline`'s dedupe-append.
+  *
+  * Every transform here takes a DataFrame/Dataset and works identically on a
+  * batch or a streaming frame — the streaming-vs-batch decision stays at the
+  * edges (read/write), which is what makes the operators testable with
+  * MemoryStream and runnable as a nightly batch with the same code.
+  */
+/** Mutable-across-batches session accumulator (top-level: encoder codegen
+  * for nested state classes trips Janino).
+  */
+case class SessionState(startMs: Long, endMs: Long, n: Long)
+
+object StreamingOps {
+
+  case class Event(event_id: Long, user_id: Long, event_type: String,
+                   ts: java.sql.Timestamp, value: Double)
+
+  case class SessionSummary(user_id: Long, session_start: Long,
+                            session_end: Long, n_events: Long)
+
+
+  /** T5-analog: event-time tumbling window aggregate with a real watermark —
+    * late data beyond 10 minutes is dropped, state is bounded (the property
+    * the reference's wall-clock poll loop never had).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** T2/T7-analog: exactly-once-effective dedup by event id within the
+    * watermark horizon — the streaming face of idempotent re-delivery.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Custom stateful operator: gap-based sessionization via
+    * flatMapGroupsWithState (KeyValueGroupedDataset), event-time timeout.
+    * Emits a session when the gap since the last event exceeds `gapMs`
+    * (or on state timeout when the watermark passes the session's horizon).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+                (implicit spark: SparkSession): Dataset[SessionSummary] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionSummary(userId, s.startMs, s.endMs, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionSummary]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(SessionState(s.startMs, math.max(s.endMs, t), s.n + 1))
+                case Some(s) =>
+                  out += SessionSummary(userId, s.startMs, s.endMs, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // must be strictly beyond the current watermark or Spark throws;
+              // a session already past the horizon just times out next batch
+              state.setTimeoutTimestamp(
+                math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.streaming.IncrementalDocPipeline
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+class IncrementalPipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val base = "/tmp/graft_incr_test"
+  private val srcPath = s"$base/source"
+
+  private def writeSource(rows: Seq[(Long, String, String)], mode: SaveMode): Unit =
+    rows.toDF("id", "val", "m")
+      .withColumn("modified", col("m").cast("timestamp")).drop("m")
+      .write.mode(mode).parquet(srcPath)
+
+  private def pipeline() = new IncrementalDocPipeline(
+    docBuilder = (s: SparkSession, ids: Seq[Long]) =>
+      s.read.parquet(srcPath)
+        .filter(col("id").isInCollection(ids))
+        .groupBy("id") // full rebuild: latest version per id
+        .agg(max(struct(col("modified"), col("val"))).as("v"))
+        .select(col("id"), upper(col("v.val")).as("doc"), col("v.modified")),
+    changes = (s: SparkSession) => s.read.parquet(srcPath).select("id", "modified"),
+    storePath = s"$base/store",
+    statePath = s"$base/state")
+
+  test("CDC ticks: initial load, incremental rebuild, idempotent upsert, watermark restart") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+
+    // tick 1: initial load
+    writeSource(Seq((1L, "a", "2024-01-01 10:00:00"), (2L, "b", "2024-01-01 10:00:00"),
+      (3L, "c", "2024-01-01 10:00:01")), SaveMode.Overwrite)
+    val p = pipeline()
+    assert(p.tick(spark) === 3L)
+    val store1 = spark.read.parquet(s"$base/store")
+    assert(store1.count() === 3)
+    assert(p.tick(spark) === 0L) // caught up: strictly-greater watermark
+
+    // tick 2: one update (id 3), one insert (id 4) — only dirty ids rebuilt
+    writeSource(Seq((3L, "c2", "2024-01-01 11:00:00"),
+      (4L, "d", "2024-01-01 11:00:00")), SaveMode.Append)
+    assert(p.tick(spark) === 2L)
+    val store2 = spark.read.parquet(s"$base/store").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("doc")).toMap
+    assert(store2 === Map(1L -> "A", 2L -> "B", 3L -> "C2", 4L -> "D"))
+    // no duplicate ids after re-upsert (idempotence)
+    assert(spark.read.parquet(s"$base/store").groupBy("id").count()
+      .filter(col("count") > 1).count() === 0)
+
+    // a fresh pipeline instance restarts from the persisted watermark
+    assert(pipeline().tick(spark) === 0L)
+  }
+
+  test("dirty-ids-first semantics: rebuilt doc reflects ALL rows of the entity, not just changed ones") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    // entity 1 has two source rows; only one changes later — the rebuild
+    // must still see both (the reference's T4 bug rebuilt from changed rows
+    // only; SURVEY flags the corrected design)
+    val multiSrc = s"$base/source"
+    Seq((1L, "x", "2024-01-01 09:00:00"), (1L, "y", "2024-01-01 09:00:00"))
+      .toDF("id", "val", "m").withColumn("modified", col("m").cast("timestamp")).drop("m")
+      .write.mode(SaveMode.Overwrite).parquet(multiSrc)
+    val p = new IncrementalDocPipeline(
+      docBuilder = (s: SparkSession, ids: Seq[Long]) =>
+        s.read.parquet(multiSrc).filter(col("id").isInCollection(ids))
+          .groupBy("id")
+          .agg(concat_ws(",", sort_array(collect_list("val"))).as("doc"),
+               max("modified").as("modified")),
+      changes = (s: SparkSession) => s.read.parquet(multiSrc).select("id", "modified"),
+      storePath = s"$base/store", statePath = s"$base/state")
+    p.tick(spark)
+    // now a third row arrives for entity 1
+    Seq((1L, "z", "2024-01-01 10:00:00"))
+      .toDF("id", "val", "m").withColumn("modified", col("m").cast("timestamp")).drop("m")
+      .write.mode(SaveMode.Append).parquet(multiSrc)
+    p.tick(spark)
+    val doc = spark.read.parquet(s"$base/store").filter(col("id") === 1).head.getAs[String]("doc")
+    assert(doc === "x,y,z") // full rebuild — includes the unchanged rows
+  }
+}

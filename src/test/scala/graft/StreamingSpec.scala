@@ -1,0 +1,114 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Event, SessionSummary}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("hourlyCounts: event-time windows close when the watermark passes") {
+    val input = MemoryStream[Event](spark)
+    val q = StreamingOps.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hc").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, 1, "click", ts("2024-01-01 10:05:00"), 1.0),
+        Event(2, 1, "click", ts("2024-01-01 10:45:00"), 2.0),
+        Event(3, 2, "view",  ts("2024-01-01 10:50:00"), 3.0))
+      q.processAllAvailable()
+      // watermark still inside hour 10 → nothing emitted yet (append mode)
+      assert(spark.table("hc").count() === 0)
+      // an event far ahead pushes the watermark past 11:00 → hour 10 closes
+      input.addData(Event(4, 2, "view", ts("2024-01-01 13:00:00"), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("hc").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toMap
+      assert(rows === Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("dedupEvents: redelivered event ids collapse within the watermark") {
+    val input = MemoryStream[Event](spark)
+    val q = StreamingOps.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      input.addData(
+        Event(10, 1, "click", ts("2024-01-01 10:00:00"), 1.0),
+        Event(10, 1, "click", ts("2024-01-01 10:00:00"), 1.0), // same batch dup
+        Event(11, 1, "click", ts("2024-01-01 10:01:00"), 1.0))
+      q.processAllAvailable()
+      input.addData( // cross-batch redelivery of id 10
+        Event(10, 1, "click", ts("2024-01-01 10:00:00"), 1.0),
+        Event(12, 1, "click", ts("2024-01-01 10:02:00"), 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dd").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(10L, 11L, 12L))
+    } finally q.stop()
+  }
+
+  test("sessionize (streaming): gap splits sessions; timeout flushes the tail") {
+    implicit val s = spark
+    val input = MemoryStream[Event](spark)
+    val q = StreamingOps.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, 7, "c", ts("2024-01-01 10:00:00"), 0),
+        Event(2, 7, "c", ts("2024-01-01 10:10:00"), 0),
+        Event(3, 7, "c", ts("2024-01-01 12:00:00"), 0)) // >30min gap → new session
+      q.processAllAvailable()
+      val first = spark.table("sess").as[SessionSummary].collect()
+      assert(first.length === 1) // first session emitted inline
+      assert(first.head.n_events === 2)
+      assert(first.head.session_start === ts("2024-01-01 10:00:00").getTime)
+      assert(first.head.session_end === ts("2024-01-01 10:10:00").getTime)
+      // push watermark far past the open session → event-time timeout fires
+      input.addData(Event(9, 8, "c", ts("2024-01-01 20:00:00"), 0))
+      q.processAllAvailable()
+      input.addData(Event(10, 8, "c", ts("2024-01-01 23:00:00"), 0))
+      q.processAllAvailable()
+      val all = spark.table("sess").as[SessionSummary].collect()
+      val user7 = all.filter(_.user_id == 7)
+      assert(user7.length === 2)
+      assert(user7.map(_.n_events).sum === 3)
+    } finally q.stop()
+  }
+
+  test("streaming sessionize ≡ batch sessionize on the same data") {
+    implicit val s = spark
+    // batch face over sf0.001 events
+    val batch = graft.ops.EventsOps.sessionize(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+
+    // stream the same events through the stateful operator, flush with a
+    // far-future sentinel, and compare per-user session counts
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event](spark)
+    val q = StreamingOps.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessb").outputMode("append").start()
+    try {
+      input.addData(evs.toSeq)
+      q.processAllAvailable()
+      input.addData(Event(-1, -1, "sentinel",
+        new java.sql.Timestamp(evs.map(_.ts.getTime).max + 24L * 3600 * 1000), 0))
+      q.processAllAvailable()
+      input.addData(Event(-2, -1, "sentinel2",
+        new java.sql.Timestamp(evs.map(_.ts.getTime).max + 48L * 3600 * 1000), 0))
+      q.processAllAvailable()
+      val streamed = spark.table("sessb").as[SessionSummary].collect()
+        .filter(_.user_id >= 0)
+        .groupBy(_.user_id)
+        .map { case (u, ss) => u -> (ss.length.toLong, ss.map(_.n_events).sum) }
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}
