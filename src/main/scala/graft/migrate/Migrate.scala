@@ -1,0 +1,56 @@
+package graft.migrate
+
+import graft.sinks.DedupeAppendSink
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch migration + reconciliation (reference: sqlite_to_postgres/
+  * load_data.py:37-70 table copy loop; my_app/tests/check_consistency/ —
+  * row-count equality test_rows_num.py:34-53, column-set equality
+  * test_column_names.py:34-53, data-shape test_data.py:34-48).
+  *
+  * The copy is a dedupe-append per table (idempotent re-run, like the
+  * reference's ON CONFLICT DO NOTHING makes its loader); reconciliation is
+  * upgraded from the reference's counts-and-names to a full checksum diff.
+  */
+object Migrate {
+
+  final case class ReconcileReport(
+      srcRows: Long, dstRows: Long,
+      srcOnlyKeys: Long, dstOnlyKeys: Long,
+      columnsMatch: Boolean, checksumMatch: Boolean) {
+    def ok: Boolean =
+      srcRows == dstRows && srcOnlyKeys == 0 && dstOnlyKeys == 0 &&
+        columnsMatch && checksumMatch
+  }
+
+  /** Copy one table with insert-if-absent semantics; returns rows appended. */
+  def copyTable(spark: SparkSession, srcPath: String, dstPath: String,
+                key: String): Long =
+    DedupeAppendSink.append(spark.read.parquet(srcPath), dstPath, key)
+
+  /** Source↔sink reconciliation: counts, key anti-joins both ways, column
+    * sets, and an order-independent whole-table checksum (sum of per-row
+    * xxhash64 over canonically-ordered columns). One pass per side.
+    */
+  def reconcile(src: DataFrame, dst: DataFrame, key: String): ReconcileReport = {
+    val srcCols = src.columns.sorted.toSeq
+    val dstCols = dst.columns.sorted.toSeq
+    val columnsMatch = srcCols == dstCols
+
+    def checksum(df: DataFrame): BigDecimal =
+      if (!columnsMatch) BigDecimal(0)
+      // decimal(38) accumulator: ANSI-safe (a long sum overflows at ~4B rows)
+      else df.select(xxhash64(srcCols.map(c => col(c).cast("string")): _*)
+          .cast("decimal(38,0)").as("h"))
+        .agg(sum("h")).head.getDecimal(0)
+
+    ReconcileReport(
+      srcRows = src.count(),
+      dstRows = dst.count(),
+      srcOnlyKeys = src.select(key).join(dst.select(key), Seq(key), "left_anti").count(),
+      dstOnlyKeys = dst.select(key).join(src.select(key), Seq(key), "left_anti").count(),
+      columnsMatch = columnsMatch,
+      checksumMatch = columnsMatch && checksum(src) == checksum(dst))
+  }
+}
