@@ -25,6 +25,7 @@ object SparkEntry {
     "q_pricing_summary"  -> (RelationalOps.pricingSummary(_, _)),
     "q_filter_project"   -> (RelationalOps.filterProject(_, _)),
     "q_denorm_docs"      -> (RelationalOps.denormDocs(_, _)),
+    "q_denorm_nested"    -> (DocumentOps.denormNested(_, _)),
     "q_filtered_collect" -> (RelationalOps.filteredCollect(_, _)),
     "q_scalar_funcs"     -> (RelationalOps.scalarFuncs(_, _)),
     "q_topk_revenue"     -> (RelationalOps.topkRevenue(_, _)),
@@ -66,5 +67,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalOps.oracle ++ EventsOps.oracle ++ TextOps.oracle ++
       DedupOps.oracle ++ SimilarityOps.oracle ++ MultimodalOps.oracle ++
-      SearchOps.oracle
+      SearchOps.oracle ++ DocumentOps.oracle
 }
