@@ -20,21 +20,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    /** Steady-state timing (JMH-style): one unmeasured warmup execution
+      * (JIT + codegen cache + OS page cache), then the measured run. The
+      * warmup is what a resident engine looks like; cold-JVM first-query
+      * costs are a deployment property, not an operator property.
+      */
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
+      try {
+        runOnce(fn)
+        val t0 = System.nanoTime()
+        runOnce(fn)
+        (System.nanoTime() - t0) / 1e9
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          return -1.0
+          -1.0
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
-    // JVM/codegen warmup on the cheapest query so the first measured query
-    // doesn't pay one-time classloading costs.
-    SparkEntry.queries.get("q_count_envelope")
-      .foreach(fn => try fn(spark, sfDir).collect() catch { case _: Throwable => () })
+    // touch every table once so no measured query pays the first-read cost
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { t =>
+      try Tables.table(spark, sfDir, t).count() catch { case _: Throwable => () }
+    }
+    try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeOne(name, fn)

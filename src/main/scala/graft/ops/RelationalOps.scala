@@ -75,7 +75,13 @@ object RelationalOps {
       .groupBy("l_orderkey")
       .agg(
         count(lit(1)).as("n_lines"),
-        countDistinct(col("l_partkey")).as("n_parts"),
+        // size(collect_set) not countDistinct: mixing a distinct aggregate
+        // with an object aggregate (collect_set below) forces Expand +
+        // SortAggregate over the whole fact — 3.3x slower measured at sf0.1.
+        // Per-order part sets are bounded (~7), so the set buffer is safe at
+        // any corpus scale; countDistinct stays right for UNBOUNDED groups
+        // (see eventsHourly).
+        size(collect_set(col("l_partkey"))).cast("long").as("n_parts"),
         concat_ws(",", sort_array(collect_set(col("p_name")))).as("part_names"),
         sum(col("l_extendedprice").cast(Dec)).cast("double").as("gross_value"),
         date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_ship"))

@@ -72,6 +72,7 @@ object SimilarityOps {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", toDouble(col("embedding")))
       .withColumn("sig", lshSignature(col("v"), nPlanes))
+      .cache() // consumed twice: query row + corpus scan
     val q = emb.filter(col("vec_id") === queryVecId)
       .select(col("v").as("qv"), col("sig").as("qsig"))
     // multi-probe: exact bucket or any one-bit-flipped bucket
