@@ -32,6 +32,8 @@ object SparkEntry {
     "q_pagination"       -> (RelationalOps.pagination(_, _)),
     "q_contains_search"  -> (RelationalOps.containsSearch(_, _)),
     "q_count_envelope"   -> (RelationalOps.countEnvelope(_, _)),
+    "q_facet_filter"     -> (RelationalOps.facetFilter(_, _)),
+    "q_approx_distinct"  -> (RelationalOps.approxDistinct(_, _)),
     // Incremental/CDC batch faces + time series (SURVEY §2.7)
     "q_watermark_scan"   -> (EventsOps.watermarkScan(_, _)),
     "q_events_hourly"    -> (EventsOps.eventsHourly(_, _)),
@@ -58,6 +60,7 @@ object SparkEntry {
     // Similarity search
     "q_cosine_topk"      -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
     "q_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(s, d)),
+    "q_embed_neardup"    -> ((s, d) => SimilarityOps.embeddingNearDupPairs(s, d)),
     // Multimodal plumbing
     "q_multimodal_meta"  -> (MultimodalOps.multimodalMeta(_, _)))
 

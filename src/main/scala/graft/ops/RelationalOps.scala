@@ -188,7 +188,41 @@ object RelationalOps {
         lit(50).as("page_size"))
   }
 
+  /** SURVEY P10 — admin list_filter facets: date-range + equality facet
+    * counts (the `list_filter=('created',)`/`('type',)` shape). Both
+    * predicates push to the scan.
+    */
+  def facetFilter(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+             col("o_orderdate") <  lit("1996-01-01").cast("timestamp"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+               col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Approximate distinct-count (HLL++) next to the exact count — the
+    * north-star approx family (SURVEY §2.4 note). No cross-engine oracle:
+    * HLL sketches are engine-specific; RelationalSpec bounds the error
+    * against the exact value instead.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      countDistinct(col("l_orderkey")).as("exact_orders"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_facet_filter" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
+        |  COUNT(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -91,6 +91,46 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: banded sign-LSH candidates +
+    * exact cosine re-rank, top-k by similarity.
+    *
+    * Geometry (sign-LSH bit-agreement p = 1 − θ/π): with 2 bands × 12
+    * planes, a true near-dup at cos 0.99 (p≈0.97 per bit) collides in ≥1
+    * band with ~92% probability, while a random pair (cos≈0, p=0.5) collides
+    * with only 0.05% — the candidate set stays ~linear in corpus size. The
+    * 2..maxBucket census guard caps degenerate buckets exactly like the
+    * text-minhash path.
+    */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val nPlanes = 24
+    val bandBits = 12
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", toDouble(col("embedding")))
+      .withColumn("sig", lshSignature(col("v"), nPlanes))
+      .cache()
+    val mask = (1L << bandBits) - 1
+    val bands = emb.select(col("vec_id"), col("v"),
+        posexplode(array(
+          col("sig").bitwiseAND(lit(mask)),
+          shiftrightunsigned(col("sig"), bandBits).bitwiseAND(lit(mask)))))
+      .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_hash"))
+    val useful = bands.groupBy("band_id", "band_hash").count()
+      .filter(col("count") >= 2 && col("count") <= 64)
+      .select("band_id", "band_hash")
+    val b = bands.join(useful, Seq("band_id", "band_hash"))
+    val l = b.select(col("band_id"), col("band_hash"),
+      col("vec_id").as("left_id"), col("v").as("lv"))
+    val r = b.select(col("band_id"), col("band_hash"),
+      col("vec_id").as("right_id"), col("v").as("rv"))
+    l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("left_id") < col("right_id"))
+      .dropDuplicates("left_id", "right_id")
+      .select(col("left_id"), col("right_id"),
+        round(cosine(col("lv"), col("rv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("left_id"), col("right_id"))
+      .limit(k)
+  }
+
   val oracle: Map[String, String] = Map(
     "q_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)

@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.{RelationalOps, SimilarityOps}
+import org.apache.spark.sql.functions._
+
+class NearDupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("embeddingNearDupPairs: planted exact duplicates are all found with cos≈1") {
+    // 40 deterministic pseudo-random vectors + 3 planted duplicates
+    val rnd = new scala.util.Random(7)
+    val basevecs = (0L until 40L).map(i => i -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val planted = Seq(100L -> basevecs(3)._2, 101L -> basevecs(17)._2, 102L -> basevecs(29)._2)
+    val df = (basevecs ++ planted).map { case (id, v) => (id, v.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+    df.write.mode("overwrite").parquet("/tmp/graft_neardup/embeddings.parquet")
+    val pairs = SimilarityOps.embeddingNearDupPairs(spark, "/tmp/graft_neardup")
+      .collect().map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"),
+        r.getAs[Double]("cos_sim")))
+    val dupPairs = pairs.filter(_._3 > 0.9999).map(p => (p._1, p._2)).toSet
+    assert(dupPairs === Set((3L, 100L), (17L, 101L), (29L, 102L)))
+    // ordered by similarity desc
+    val sims = pairs.map(_._3)
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("embeddingNearDupPairs: non-empty and canonical on real corpus") {
+    val pairs = SimilarityOps.embeddingNearDupPairs(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { r =>
+      val c = r.getAs[Double]("cos_sim")
+      c >= -1.0 && c <= 1.0 && r.getAs[Long]("left_id") < r.getAs[Long]("right_id")
+    })
+  }
+
+  test("approxDistinct: HLL estimates within the configured 2% rsd (5% tolerance)") {
+    val r = RelationalOps.approxDistinct(spark, sf).head
+    def close(a: Long, e: Long): Boolean = math.abs(a - e).toDouble / e < 0.05
+    assert(close(r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts")), r.toString)
+    assert(close(r.getAs[Long]("approx_orders"), r.getAs[Long]("exact_orders")), r.toString)
+  }
+
+  test("facetFilter: counts reconcile with direct filters") {
+    val out = RelationalOps.facetFilter(spark, sf)
+    val total = out.agg(sum("n")).head.getLong(0)
+    val expected = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-01-01").cast("timestamp")).count()
+    assert(total === expected)
+  }
+}
