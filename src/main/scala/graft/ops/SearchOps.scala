@@ -89,7 +89,12 @@ object SearchOps {
     val d = Tables.documents(spark, dir)
     val toks = analyze(col("text"))
     val score = analyzeQuery(q).map { t =>
-      exists(toks, tok => levenshtein(tok, lit(t)) <= autoFuzz(t)).cast("int")
+      val f = autoFuzz(t)
+      // length band prefilter + threshold-bounded levenshtein (early exit,
+      // returns -1 above the bound) — avoids full DP on hopeless tokens
+      exists(toks, tok =>
+        abs(length(tok) - lit(t.length)) <= f &&
+        levenshtein(tok, lit(t), f).between(0, f)).cast("int")
     }.reduce(_ + _)
     d.select(col("doc_id"), col("lang"), score.as("score"))
       .filter(col("score") > 0)
