@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ExpectsInputTypes, Literal, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Native Catalyst expression: k minhash slots over a pre-hashed shingle
+  * array in ONE traversal.
+  *
+  * Semantics are bit-identical to the composed form
+  * `array((1 to k).map(i => array_min(transform(hashes, x => xxhash64(lit(i), x)))))`
+  * (asserted in FunctionsSpec): slot i's hash of element h is Spark's
+  * xxhash64 of the row (int i, long h) with the default seed 42, i.e.
+  * `XXH64.hashLong(h, XXH64.hashInt(i, 42))` — the per-slot seed is
+  * precomputed once at construction.
+  *
+  * Why native instead of the composed built-ins (the (b)-tier choice in the
+  * custom-operator ladder): higher-order lambdas are evaluated per element
+  * with no whole-stage codegen and no CSE, so the composed form walks the
+  * array k times through interpreted lambda frames. This expression is one
+  * tight codegen'd loop — k mins per element, no per-element allocation.
+  *
+  * Null handling: null input → null; null elements are skipped (they cannot
+  * occur from `transform(_, xxhash64)` staging, but skipping matches
+  * array_min's null-ignoring semantics); an empty input array yields all-null
+  * slots exactly like `array_min(empty)`.
+  */
+case class MinHashSlots(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(numHashes >= 1 && numHashes <= 64, "numHashes must be in [1, 64]")
+
+  private val slotSeeds: Array[Long] =
+    (1 to numHashes).map(i => XXH64.hashInt(i, 42L)).toArray
+
+  // return type inferred: AbstractDataType is private[sql] in Spark 4
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_slots"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var any = false
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        any = true
+        val h = arr.getLong(j)
+        var s = 0
+        while (s < numHashes) {
+          val v = XXH64.hashLong(h, slotSeeds(s))
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
+      }
+      j += 1
+    }
+    if (!any) new GenericArrayData(Array.fill[Any](numHashes)(null))
+    else new GenericArrayData(mins.map(Long.box(_): Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("slotSeeds", slotSeeds, "long[]")
+    val xxh = classOf[XXH64].getName
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, arr => {
+      val mins = ctx.freshName("mins")
+      val any = ctx.freshName("any")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |long[] $mins = new long[${numHashes}];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $any = false;
+         |for (int $j = 0; $j < $arr.numElements(); $j++) {
+         |  if (!$arr.isNullAt($j)) {
+         |    $any = true;
+         |    long $h = $arr.getLong($j);
+         |    for (int $s = 0; $s < ${numHashes}; $s++) {
+         |      long $v = $xxh.hashLong($h, $seedsRef[$s]);
+         |      if ($v < $mins[$s]) $mins[$s] = $v;
+         |    }
+         |  }
+         |}
+         |Object[] $boxed = new Object[${numHashes}];
+         |if ($any) {
+         |  for (int $s = 0; $s < ${numHashes}; $s++) $boxed[$s] = $mins[$s];
+         |}
+         |${ev.value} = new $gad($boxed);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSlots =
+    copy(child = newChild)
+}
+
+/** Session-level registration of graft's native expressions (idempotent). */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "minhash_slots",
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 2, "minhash_slots(hashes, k)")
+        val k = exprs(1) match {
+          case Literal(i: Int, IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"minhash_slots k must be an int literal, got $other")
+        }
+        MinHashSlots(exprs.head, k)
+      },
+      "built-in")
+    ()
+  }
+}

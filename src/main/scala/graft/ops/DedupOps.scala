@@ -60,7 +60,7 @@ object DedupOps {
     * keeps the staging projection intact because the alias is non-cheap and
     * multiply referenced.
     */
-  private def fastSignature(hashes: Column, nHashes: Int): Column =
+  private[graft] def fastSignature(hashes: Column, nHashes: Int): Column =
     array((1 to nHashes).map(h =>
       array_min(transform(hashes, x => xxhash64(lit(h), x)))): _*)
 
@@ -84,9 +84,12 @@ object DedupOps {
     // right side of the self-join) — uncached it is recomputed per consumer
     // (3.9x measured). At warehouse scale this materialization is the
     // persisted signature table.
+    graft.functions.GraftFunctions.register(spark)
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), hashedShingles(col("text")).as("hashes"))
-      .select(col("doc_id"), fastSignature(col("hashes"), nHashes).as("sig"))
+      // native single-pass expression (bit-identical to fastSignature —
+      // FunctionsSpec asserts it): k mins in one codegen'd traversal
+      .select(col("doc_id"), expr(s"minhash_slots(hashes, $nHashes)").as("sig"))
       .cache()
 
     val bands = d.select(col("doc_id"), col("sig"),
@@ -159,9 +162,10 @@ object DedupOps {
       i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1),
                           element_at(col("toks"), i + 2)))
     // 8 gram-level minhashes → 2 bands of 4: wide bands = high-similarity bias
+    graft.functions.GraftFunctions.register(spark)
     val base = toks.select(col("doc_id"), array_distinct(grams).as("grams"))
       .withColumn("gram_hashes", transform(col("grams"), g => xxhash64(g)))
-      .withColumn("sig", fastSignature(col("gram_hashes"), 8))
+      .withColumn("sig", expr("minhash_slots(gram_hashes, 8)"))
       .drop("gram_hashes")
       .cache() // three consumers, same as minhashPairs
     val bands = base.select(col("doc_id"), col("grams"),

@@ -208,11 +208,19 @@ object RelationalOps {
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    li.agg(
+    // sketches in ONE pass (HLL aggs are non-distinct); exact counts as
+    // separate single-column distinct plans — two global distinct aggs in
+    // one Aggregate would Expand the fact 2x and re-shuffle it per column
+    // (18.8s -> ~1.5s at sf0.1)
+    val approx = li.agg(
       approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-      countDistinct(col("l_partkey")).as("exact_parts"),
-      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-      countDistinct(col("l_orderkey")).as("exact_orders"))
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+    val exactParts = li.select("l_partkey").distinct()
+      .agg(count(lit(1)).as("exact_parts"))
+    val exactOrders = li.select("l_orderkey").distinct()
+      .agg(count(lit(1)).as("exact_orders"))
+    approx.crossJoin(exactParts).crossJoin(exactOrders)
+      .select("approx_parts", "exact_parts", "approx_orders", "exact_orders")
   }
 
   val oracle: Map[String, String] = Map(
