@@ -31,6 +31,8 @@ object SparkEntry {
     "q_topk_revenue"     -> (RelationalOps.topkRevenue(_, _)),
     "q_pagination"       -> (RelationalOps.pagination(_, _)),
     "q_contains_search"  -> (RelationalOps.containsSearch(_, _)),
+    "q_prefix_search"    -> (RelationalOps.prefixSearch(_, _)),
+    "q_validate"         -> (RelationalOps.validateConstraints(_, _)),
     "q_count_envelope"   -> (RelationalOps.countEnvelope(_, _)),
     "q_facet_filter"     -> (RelationalOps.facetFilter(_, _)),
     "q_approx_distinct"  -> (RelationalOps.approxDistinct(_, _)),

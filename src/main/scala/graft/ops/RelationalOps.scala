@@ -178,6 +178,31 @@ object RelationalOps {
       .select("c_custkey", "c_name", "c_mktsegment")
   }
 
+  /** SURVEY O7 — admin autocomplete: prefix match + implicit order/limit.
+    * Prefix predicates compile to a StartsWith pushed to the scan (range
+    * seek on sorted/bucketed data at scale, unlike contains).
+    */
+  def prefixSearch(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_name").startsWith("Customer#00000012"))
+      .select("c_custkey", "c_name")
+      .orderBy("c_name")
+      .limit(10)
+
+  /** SURVEY F17 — declarative constraint validation (the rating 0..100
+    * validator generalized): per-rule violation counts in one pass.
+    */
+  def validateConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(!col("l_discount").between(0.0, 1.0), lit(1))).as("bad_discount"),
+      count(when(col("l_quantity") <= 0, lit(1))).as("bad_quantity"),
+      count(when(col("l_shipdate").isNull, lit(1))).as("null_shipdate"),
+      count(when(!col("l_returnflag").isInCollection(Seq("A", "N", "R")), lit(1)))
+        .as("bad_flag"))
+  }
+
   /** SURVEY A8 — count + total_pages envelope (Django paginator). */
   def countEnvelope(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
@@ -224,6 +249,17 @@ object RelationalOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_prefix_search" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_name LIKE 'Customer#00000012%'
+        |ORDER BY c_name LIMIT 10""".stripMargin,
+    "q_validate" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 END) AS bad_discount,
+        |  COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) AS bad_quantity,
+        |  COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS null_shipdate,
+        |  COUNT(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 END) AS bad_flag
+        |FROM lineitem""".stripMargin,
     "q_facet_filter" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
         |  COUNT(*) AS n
