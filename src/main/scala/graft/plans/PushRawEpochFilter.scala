@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Optimizer rule: rewrite timestamp comparisons on a µs-from-ns conversion
+  * column back onto the raw epoch-nanosecond long, and push the Filter below
+  * the converting Project — so the predicate reaches the parquet scan
+  * (PushedFilters + row-group pruning).
+  *
+  * Motivation: `Tables.events` exposes `ts = timestamp_micros(raw div 1000)`
+  * because Spark 4 refuses parquet timestamp[ns]. A user's natural
+  * `df.filter($"ts" > lit)` is then an expression-over-column predicate that
+  * CANNOT push down — at 100 TB that is a full scan per watermark poll. This
+  * rule restores pushdown for the natural spelling instead of requiring
+  * every call site to hand-translate to nanos (as EventsOps.watermarkScan
+  * does defensively).
+  *
+  * Rewrite (floor-division algebra, exact — no boundary rows gained/lost):
+  *   raw div 1000 >  L  ⟺  raw ≥ (L+1)·1000
+  *   raw div 1000 ≥  L  ⟺  raw ≥ L·1000
+  *   raw div 1000 <  L  ⟺  raw < L·1000
+  *   raw div 1000 ≤  L  ⟺  raw < (L+1)·1000
+  *   raw div 1000 =  L  ⟺  L·1000 ≤ raw < (L+1)·1000
+  * where L is the literal's internal micros value. Null semantics are
+  * preserved (null raw ⇒ null on both forms ⇒ row dropped).
+  *
+  * Installed either via `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (cluster config) or `GraftExtensions.install(spark)` (running session,
+  * uses experimental.extraOptimizations).
+  */
+object PushRawEpochFilter extends Rule[LogicalPlan] {
+
+  /** Matches the conversion expression `timestamp_micros(raw div 1000)` and
+    * yields the raw ns column. By the time this rule runs (final batch),
+    * Spark's own PushPredicateThroughNonJoin has already substituted the
+    * `ts` alias into the Filter condition, so we match the substituted
+    * expression form — not the Project alias.
+    */
+  private object TsFromNanos {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case MicrosToTimestamp(d: IntegralDivide) if divisorIs1000(d) => Some(d.left)
+      case _ => None
+    }
+  }
+
+  private def divisorIs1000(d: IntegralDivide): Boolean = d.right match {
+    case Literal(1000L, LongType) => true
+    case Cast(Literal(1000, _), LongType, _, _) => true
+    case _ => false
+  }
+
+  private val MaxSafeMicros = Long.MaxValue / 1000 - 1000
+
+  private def safe(l: Literal): Boolean =
+    math.abs(l.value.asInstanceOf[Long]) < MaxSafeMicros
+  private def us(l: Literal): Long = l.value.asInstanceOf[Long]
+
+  private def rewrite(cond: Expression): Expression = cond.transformUp {
+    case GreaterThan(TsFromNanos(raw), l @ Literal(_, TimestampType)) if safe(l) =>
+      GreaterThanOrEqual(raw, Literal((us(l) + 1) * 1000L, LongType))
+    case GreaterThanOrEqual(TsFromNanos(raw), l @ Literal(_, TimestampType)) if safe(l) =>
+      GreaterThanOrEqual(raw, Literal(us(l) * 1000L, LongType))
+    case LessThan(TsFromNanos(raw), l @ Literal(_, TimestampType)) if safe(l) =>
+      LessThan(raw, Literal(us(l) * 1000L, LongType))
+    case LessThanOrEqual(TsFromNanos(raw), l @ Literal(_, TimestampType)) if safe(l) =>
+      LessThan(raw, Literal((us(l) + 1) * 1000L, LongType))
+    case EqualTo(TsFromNanos(raw), l @ Literal(_, TimestampType)) if safe(l) =>
+      And(GreaterThanOrEqual(raw, Literal(us(l) * 1000L, LongType)),
+          LessThan(raw, Literal((us(l) + 1) * 1000L, LongType)))
+    // mirrored literal-first spellings
+    case LessThan(l @ Literal(_, TimestampType), TsFromNanos(raw)) if safe(l) =>
+      GreaterThanOrEqual(raw, Literal((us(l) + 1) * 1000L, LongType))
+    case LessThanOrEqual(l @ Literal(_, TimestampType), TsFromNanos(raw)) if safe(l) =>
+      GreaterThanOrEqual(raw, Literal(us(l) * 1000L, LongType))
+    case GreaterThan(l @ Literal(_, TimestampType), TsFromNanos(raw)) if safe(l) =>
+      LessThan(raw, Literal(us(l) * 1000L, LongType))
+    case GreaterThanOrEqual(l @ Literal(_, TimestampType), TsFromNanos(raw)) if safe(l) =>
+      LessThan(raw, Literal((us(l) + 1) * 1000L, LongType))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // Filter conditions only: rewriting the conversion inside projections
+    // would change output VALUES; inside a boolean predicate it is an exact
+    // equivalence, and the raw-column comparison is source-pushable.
+    case f @ Filter(cond, _) =>
+      val newCond = rewrite(cond)
+      if (newCond fastEquals cond) f else f.copy(condition = newCond)
+  }
+}
+
+/** SparkSessionExtensions entry point (`spark.sql.extensions`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => PushRawEpochFilter)
+}
+
+object GraftExtensions {
+  /** Install on an already-running session (extraOptimizations runs as a
+    * final optimizer batch — after constant folding, which our matcher
+    * relies on). Idempotent.
+    */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(PushRawEpochFilter))
+      spark.experimental.extraOptimizations = cur :+ PushRawEpochFilter
+  }
+}
