@@ -104,6 +104,75 @@ case class MinHashSlots(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Native SimHash-64: bit j of the result is the sign of the vote
+  * Σ over elements h of (+1 if bit j of h set, else −1). Replaces 64
+  * separate interpreted `aggregate()` folds (one per bit) with a single
+  * codegen'd traversal keeping 64 counters.
+  *
+  * Semantics identical to the composed form in DedupOps (FunctionsSpec
+  * asserts it); null elements are skipped; empty/all-null input → 0L
+  * (matches the composed fold over an empty array: every vote 0, no bit
+  * set); null input → null.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < arr.numElements()) {
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $j = 0; $j < $arr.numElements(); $j++) {
+         |  if (!$arr.isNullAt($j)) {
+         |    long $h = $arr.getLong($j);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) != 0L) $votes[$b]++; else $votes[$b]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** Session-level registration of graft's native expressions (idempotent). */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
@@ -118,6 +187,13 @@ object GraftFunctions {
             s"minhash_slots k must be an int literal, got $other")
         }
         MinHashSlots(exprs.head, k)
+      },
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "simhash64",
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "simhash64(hashes)")
+        SimHash64(exprs.head)
       },
       "built-in")
     ()

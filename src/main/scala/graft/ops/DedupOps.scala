@@ -122,25 +122,33 @@ object DedupOps {
       .limit(50)
   }
 
-  /** SimHash-64 per doc from xxhash64(token) bit votes; bucket = top 16 bits
-    * (near-dups collide in-bucket with high probability at hamming ≤ 3).
+  /** Composed (built-ins-only) simhash — retained as the reference
+    * implementation the native SimHash64 expression is equality-tested
+    * against in FunctionsSpec.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val tokens = split(trim(col("text")), "\\s+")
-    // hash once per token, then 64 bit-vote folds (bit positions are
-    // plan-time constants, so masks unroll into pure codegen'd expressions)
-    val hashed = d.select(col("doc_id"),
-      transform(tokens, t => xxhash64(t)).as("hashes"))
-    val votes: Seq[org.apache.spark.sql.Column] = (0 until 64).map { j =>
+  private[graft] def simhashComposed(hashes: Column): Column = {
+    val votes: Seq[Column] = (0 until 64).map { j =>
       val mask = 1L << j
-      aggregate(col("hashes"), lit(0L),
+      aggregate(hashes, lit(0L),
         (acc, h) => acc + when(h.bitwiseAND(lit(mask)) =!= 0, lit(1L)).otherwise(lit(-1L)))
     }
-    val sim = votes.zipWithIndex.map { case (v, j) =>
+    votes.zipWithIndex.map { case (v, j) =>
       when(v > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    hashed.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash-64 per doc from xxhash64(token) bit votes; bucket = top 16 bits
+    * (near-dups collide in-bucket with high probability at hamming ≤ 3).
+    * Native single-traversal expression — the composed form walks the token
+    * hash array 64 times (once per bit) through interpreted folds.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = Tables.documents(spark, dir)
+    val tokens = split(trim(col("text")), "\\s+")
+    val hashed = d.select(col("doc_id"),
+      transform(tokens, t => xxhash64(t)).as("hashes"))
+    hashed.select(col("doc_id"), expr("simhash64(hashes)").as("simhash"))
       .withColumn("bucket", shiftrightunsigned(col("simhash"), 48))
   }
 

@@ -47,6 +47,31 @@ class FunctionsSpec extends SparkSpecBase {
     assert(run("CODEGEN_ONLY") === run("NO_CODEGEN"))
   }
 
+  test("simhash64 ≡ composed 64-fold bit-vote form — bit-identical") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 200).map(i => (i.toLong, Seq.fill(rnd.nextInt(60) + 1)(rnd.nextLong())))
+      .toDF("id", "hashes")
+    val both = df.select(col("id"),
+        expr("simhash64(hashes)").as("native"),
+        graft.ops.DedupOps.simhashComposed(col("hashes")).as("ref"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) === r.getLong(2), s"row ${r.getLong(0)}"))
+  }
+
+  test("simhash64 agrees under interpreted and codegen paths; empty → 0") {
+    GraftFunctions.register(spark)
+    val df = Seq((1L, Seq(5L, 9L, 5L)), (2L, Seq.empty[Long])).toDF("id", "hashes")
+    def run(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(expr("simhash64(hashes)")).collect().map(_.getLong(0)).toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val a = run("CODEGEN_ONLY"); val b = run("NO_CODEGEN")
+    assert(a === b)
+    assert(a(1) === 0L)
+  }
+
   test("minhash_slots survives dup detection end-to-end (same text ⇒ same sig)") {
     GraftFunctions.register(spark)
     val df = Seq((1L, "identical shingle text"), (2L, "identical shingle text"),
