@@ -93,10 +93,28 @@ object PushRawEpochFilter extends Rule[LogicalPlan] {
   }
 }
 
-/** SparkSessionExtensions entry point (`spark.sql.extensions`). */
+/** SparkSessionExtensions entry point (`spark.sql.extensions`): the
+  * optimizer rule plus graft's native expressions as SQL functions.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PushRawEpochFilter)
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_slots"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSlots].getName, "minhash_slots"),
+      { exprs: Seq[Expression] =>
+        val k = exprs(1) match {
+          case Literal(i: Int, _) => i
+          case other => throw new IllegalArgumentException(
+            s"minhash_slots k must be an int literal, got $other")
+        }
+        graft.functions.MinHashSlots(exprs.head, k)
+      }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
+      { exprs: Seq[Expression] => graft.functions.SimHash64(exprs.head) }))
+  }
 }
 
 object GraftExtensions {
