@@ -13,6 +13,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -24,19 +25,22 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     /** Steady-state timing (JMH-style): two unmeasured warmup executions
-      * (JIT + codegen cache + OS page cache), then the measured run. Two,
-      * not one: object-aggregate paths (collect_set/sort_array) run through
-      * interpreted expression eval whose C2 warm-up takes >1 full pass at
-      * sf0.1 (measured 54s → 18s → 5.6s → 5.0s on the same query in one
-      * JVM). Cold-JVM first-query cost is a deployment property, not an
-      * operator property.
+      * (JIT + codegen cache + OS page cache), then MIN of three measured
+      * runs. Two warmups, not one: object-aggregate paths
+      * (collect_set/sort_array) run through interpreted expression eval whose
+      * C2 warm-up takes >1 full pass at sf0.1 (measured 54s → 18s → 5.6s →
+      * 5.0s on the same query in one JVM). Min-of-3 measured: a contended
+      * machine can inflate any single run ~9x (round-1 driver recorded 252s
+      * vs 28s reproduced); min is the standard contention-robust statistic.
       */
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       try {
         runOnce(fn); runOnce(fn)
-        val t0 = System.nanoTime()
-        runOnce(fn)
-        (System.nanoTime() - t0) / 1e9
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          runOnce(fn)
+          (System.nanoTime() - t0) / 1e9
+        }.min
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

@@ -173,10 +173,17 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
     copy(child = newChild)
 }
 
-/** Session-level registration of graft's native expressions (idempotent). */
+/** Session-level registration of graft's native expressions for sessions
+  * built WITHOUT `spark.sql.extensions=graft.plans.GraftExtensions` (the
+  * preferred path — Bench/Verify/tests all use the extension). Quiet no-op
+  * when the functions are already present, so calling it never produces
+  * SimpleFunctionRegistry replace-warnings.
+  */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
+    if (registry.functionExists(FunctionIdentifier("minhash_slots")) &&
+        registry.functionExists(FunctionIdentifier("simhash64"))) return
     registry.createOrReplaceTempFunction(
       "minhash_slots",
       { exprs: Seq[Expression] =>

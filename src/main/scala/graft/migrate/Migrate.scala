@@ -40,8 +40,12 @@ object Migrate {
 
     def checksum(df: DataFrame): BigDecimal =
       if (!columnsMatch) BigDecimal(0)
-      // decimal(38) accumulator: ANSI-safe (a long sum overflows at ~4B rows)
-      else df.select(xxhash64(srcCols.map(c => col(c).cast("string")): _*)
+      // decimal(38) accumulator: ANSI-safe (a long sum overflows at ~4B rows).
+      // Null-sentinel each column: xxhash64 skips null children, so ('x',null)
+      // and (null,'x') would otherwise collide — a value drifting between
+      // columns must fail the checksum.
+      else df.select(xxhash64(srcCols.map(c =>
+            coalesce(col(c).cast("string"), lit("\u0000null"))): _*)
           .cast("decimal(38,0)").as("h"))
         .agg(sum("h")).head.getDecimal(0)
 

@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   *  - SimHash is again pure per-row expressions over xxhash64 tokens.
   */
 object DedupOps {
+  /** Materialize the bounded (≤k-row) result eagerly via localCheckpoint,
+    * then release the big intermediate cache: a long-lived session must not
+    * accumulate executor storage across operator calls, and re-invocations
+    * must not hit "already cached" plan collisions. localCheckpoint keeps
+    * the materialization distributed (no driver funnel).
+    */
+  private[ops] def releasing(intermediate: DataFrame)(result: DataFrame): DataFrame = {
+    val out = result.localCheckpoint()
+    intermediate.unpersist()
+    out
+  }
   /** Exact dedup: group by content hash, keep min doc_id as canonical. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
@@ -83,8 +94,7 @@ object DedupOps {
     // cache: the signature stage feeds THREE consumers (bucket census, left,
     // right side of the self-join) — uncached it is recomputed per consumer
     // (3.9x measured). At warehouse scale this materialization is the
-    // persisted signature table.
-    graft.functions.GraftFunctions.register(spark)
+    // persisted signature table. Released via `releasing` before return.
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), hashedShingles(col("text")).as("hashes"))
       // native single-pass expression (bit-identical to fastSignature —
@@ -109,7 +119,7 @@ object DedupOps {
     val r = b.select(col("band_id"), col("band_hash"),
       col("doc_id").as("right_id"), col("sig").as("right_sig"))
 
-    l.join(r, Seq("band_id", "band_hash"))
+    releasing(d)(l.join(r, Seq("band_id", "band_hash"))
       .filter(col("left_id") < col("right_id"))
       .select("left_id", "right_id", "left_sig", "right_sig")
       .dropDuplicates("left_id", "right_id")
@@ -119,7 +129,7 @@ object DedupOps {
           lit(0), (acc, x) => acc + x).cast("double") / nHashes)
       .select(col("left_id"), col("right_id"), col("est_jaccard"))
       .orderBy(col("est_jaccard").desc, col("left_id"), col("right_id"))
-      .limit(50)
+      .limit(50))
   }
 
   /** Composed (built-ins-only) simhash — retained as the reference
@@ -143,7 +153,6 @@ object DedupOps {
     * hash array 64 times (once per bit) through interpreted folds.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
     val d = Tables.documents(spark, dir)
     val tokens = split(trim(col("text")), "\\s+")
     val hashed = d.select(col("doc_id"),
@@ -170,12 +179,11 @@ object DedupOps {
       i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1),
                           element_at(col("toks"), i + 2)))
     // 8 gram-level minhashes → 2 bands of 4: wide bands = high-similarity bias
-    graft.functions.GraftFunctions.register(spark)
     val base = toks.select(col("doc_id"), array_distinct(grams).as("grams"))
       .withColumn("gram_hashes", transform(col("grams"), g => xxhash64(g)))
       .withColumn("sig", expr("minhash_slots(gram_hashes, 8)"))
       .drop("gram_hashes")
-      .cache() // three consumers, same as minhashPairs
+      .cache() // three consumers, same as minhashPairs; released before return
     val bands = base.select(col("doc_id"), col("grams"),
         posexplode(transform(sequence(lit(0), lit(1)),
           b => xxhash64(element_at(col("sig"), b * 4 + 1), element_at(col("sig"), b * 4 + 2),
@@ -191,7 +199,7 @@ object DedupOps {
       col("doc_id").as("left_id"), col("grams").as("lg"))
     val r = b.select(col("band_id"), col("band_hash"),
       col("doc_id").as("right_id"), col("grams").as("rg"))
-    l.join(r, Seq("band_id", "band_hash"))
+    releasing(base)(l.join(r, Seq("band_id", "band_hash"))
       .filter(col("left_id") < col("right_id"))
       .dropDuplicates("left_id", "right_id")
       .withColumn("jaccard",
@@ -200,7 +208,7 @@ object DedupOps {
       .filter(col("jaccard") >= 0.2)
       .select(col("left_id"), col("right_id"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("left_id"), col("right_id"))
-      .limit(50)
+      .limit(50))
   }
 
   val oracle: Map[String, String] = Map(

@@ -56,8 +56,18 @@ object PushRawEpochFilter extends Rule[LogicalPlan] {
 
   private val MaxSafeMicros = Long.MaxValue / 1000 - 1000
 
-  private def safe(l: Literal): Boolean =
-    math.abs(l.value.asInstanceOf[Long]) < MaxSafeMicros
+  /** Rewrite only for overflow-safe, strictly POSITIVE literals. The algebra
+    * below assumes floor division, but Spark's IntegralDivide truncates
+    * toward zero — the two diverge for negative raw (pre-1970 ns). With a
+    * positive literal L (≥ 1 µs) every comparison evaluates identically under
+    * trunc and floor for ALL raw (negative raw falls strictly on one side of
+    * any positive bound either way), so the rewrite stays exact; literals at
+    * or before the epoch simply don't get pushdown.
+    */
+  private def safe(l: Literal): Boolean = {
+    val v = l.value.asInstanceOf[Long]
+    v > 0 && v < MaxSafeMicros
+  }
   private def us(l: Literal): Long = l.value.asInstanceOf[Long]
 
   private def rewrite(cond: Expression): Expression = cond.transformUp {

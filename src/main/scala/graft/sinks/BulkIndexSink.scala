@@ -41,10 +41,13 @@ object BulkIndexSink {
             batchSize: Int = 1000): Long = {
     bootstrapIndex(outDir, indexName, df.schema)
     val counter = df.sparkSession.sparkContext.longAccumulator("bulk_docs")
-    // one pass: (action, doc) built with codegen'd to_json, no driver funnel
+    // one pass: (action, doc) built with codegen'd to_json, no driver funnel.
+    // The action line goes through to_json too (not string concat) so an id
+    // containing a quote/backslash is escaped instead of corrupting the line.
     val payload = df.select(
-      concat(lit(s"""{"index":{"_index":"$indexName","_id":""""),
-        col(idCol).cast("string"), lit("\"}}")).as("action"),
+      to_json(struct(struct(
+        lit(indexName).as("_index"),
+        col(idCol).cast("string").as("_id")).as("index"))).as("action"),
       to_json(struct(df.columns.map(col): _*)).as("doc"))
     payload.foreachPartition { rows: Iterator[Row] =>
       val pid = org.apache.spark.TaskContext.getPartitionId()

@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
   * etl/json/storage.json); a Structured Streaming deployment would let the
   * checkpoint do this — kept explicit here so the batch driver, the test
   * harness, and a foreachBatch stream all share one code path.
+  *
+  * Scale shape: the dirty-id set stays a DataFrame end to end — `docBuilder`
+  * receives it and left-semi-joins the fact side on it, so a million-id
+  * backfill is a shuffle (or broadcast, when small — AQE decides), never a
+  * driver collect / giant in-list. The only driver-side value per tick is the
+  * 1-row (count, max(modified)) aggregate.
   */
 class IncrementalDocPipeline(
-    docBuilder: (SparkSession, Seq[Long]) => DataFrame, // dirty ids → full docs
+    docBuilder: (SparkSession, DataFrame) => DataFrame, // dirty-ids DF ("id") → full docs
     changes: SparkSession => DataFrame,                 // (id, modified) change feed
     storePath: String,
     statePath: String) {
@@ -32,46 +38,68 @@ class IncrementalDocPipeline(
       if (r.isNullAt(0)) Epoch else r.getTimestamp(0)
     } catch { case _: Exception => Epoch }
 
-  /** One tick. Returns number of docs rebuilt (0 = caught up). */
+  /** One tick. Returns number of distinct dirty ids rebuilt (0 = caught up). */
   def tick(spark: SparkSession): Long = {
     val wm = currentWatermark(spark)
-    // strictly-greater + id-ordered: the reference's T3 predicate with the
-    // equal-timestamp starvation quirk fixed by advancing to max(modified)
+    // strictly-greater + advance-to-max(modified): the reference's T3
+    // predicate with the equal-timestamp starvation quirk fixed
     val dirty = changes(spark).filter(col("modified") > lit(wm))
-    if (dirty.isEmpty) return 0L
-    val ids = dirty.select("id").distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
-    val newWm = dirty.agg(max("modified")).head.getTimestamp(0)
+    // ONE detection job: emptiness check, new watermark, and rebuild count
+    // come from the same 1-row aggregate (a separate isEmpty would be a
+    // second scan of the change feed per tick)
+    val head = dirty.agg(
+      count(lit(1)).as("n_changes"),
+      max("modified").as("new_wm"),
+      countDistinct("id").as("n_ids")).head
+    if (head.getLong(0) == 0L) return 0L
+    val newWm = head.getTimestamp(1)
+    val nIds = head.getLong(2)
 
-    val docs = docBuilder(spark, ids)
+    val docs = docBuilder(spark, dirty.select("id").distinct())
     upsert(spark, docs)
     // commit watermark AFTER the sink write (reference commits after es.bulk)
     import spark.implicits._
     Seq(newWm).toDF("wm").write.mode(SaveMode.Overwrite).parquet(statePath)
-    ids.size.toLong
+    nIds
   }
 
   /** Idempotent by-id upsert: replace existing versions of the incoming ids,
     * keep everything else. At warehouse scale this is a MERGE / partition
     * overwrite; the read-filter-rewrite here is the same semantics for a
     * plain-parquet store.
+    *
+    * Crash safety: the swap is write-staging → rename-live-aside →
+    * rename-staging-in → drop-old. A crash can leave `store.old` and/or
+    * `store.staging` behind, but never a missing-or-half-written live store
+    * except in the instant between the two renames — and THAT state is
+    * recovered on the next call (staging is complete by construction when the
+    * live dir is absent, so it is promoted before reading). The previous
+    * delete-then-rename left a window where a crash lost the whole store and
+    * the next tick silently rebuilt it from the dirty docs alone.
     */
   private def upsert(spark: SparkSession, docs: DataFrame): Unit = {
-    val incoming = docs.cache()
-    val merged =
-      try {
-        val existing = spark.read.parquet(storePath)
-        existing.join(incoming.select("id"), Seq("id"), "left_anti")
-          .unionByName(incoming)
-      } catch { case _: Exception => incoming }
-    // two-phase write via staging dir: the store must never be half-written
-    val staging = storePath + ".staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(storePath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    val dst     = new org.apache.hadoop.fs.Path(storePath)
+    val staging = new org.apache.hadoop.fs.Path(storePath + ".staging")
+    val old     = new org.apache.hadoop.fs.Path(storePath + ".old")
+
+    // recover from a crash between the two renames: staging was complete and
+    // the live dir is gone — promote it instead of treating this as first-run
+    if (!fs.exists(dst) && fs.exists(staging)) fs.rename(staging, dst)
+
+    val incoming = docs.cache()
+    val merged =
+      if (fs.exists(dst))
+        spark.read.parquet(storePath)
+          .join(incoming.select("id"), Seq("id"), "left_anti")
+          .unionByName(incoming)
+      else incoming
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fs.delete(old, true)
+    if (fs.exists(dst)) fs.rename(dst, old) // keep the live store recoverable
+    fs.rename(staging, dst)
+    fs.delete(old, true)
     incoming.unpersist()
     ()
   }

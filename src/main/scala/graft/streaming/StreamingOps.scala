@@ -75,8 +75,15 @@ object StreamingOps {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
+                // out-of-order cross-batch arrival more than a gap BEFORE the
+                // stored session: its own (earlier) session, not a merge
+                case Some(s) if t < s.startMs - gapMs =>
+                  out += SessionSummary(userId, t, t, 1)
                 case Some(s) if t - s.endMs <= gapMs =>
-                  cur = Some(SessionState(s.startMs, math.max(s.endMs, t), s.n + 1))
+                  // min() start: a late within-watermark event may precede the
+                  // stored session start (cross-batch out-of-order)
+                  cur = Some(SessionState(math.min(s.startMs, t),
+                    math.max(s.endMs, t), s.n + 1))
                 case Some(s) =>
                   out += SessionSummary(userId, s.startMs, s.endMs, s.n)
                   cur = Some(SessionState(t, t, 1))

@@ -16,9 +16,11 @@ class IncrementalPipelineSpec extends SparkSpecBase {
       .write.mode(mode).parquet(srcPath)
 
   private def pipeline() = new IncrementalDocPipeline(
-    docBuilder = (s: SparkSession, ids: Seq[Long]) =>
+    // dirty ids arrive as a DataFrame: rebuild = left-semi join, shuffle-side
+    // at any scale (no driver collect, no in-list predicate)
+    docBuilder = (s: SparkSession, ids: DataFrame) =>
       s.read.parquet(srcPath)
-        .filter(col("id").isInCollection(ids))
+        .join(ids, Seq("id"), "left_semi")
         .groupBy("id") // full rebuild: latest version per id
         .agg(max(struct(col("modified"), col("val"))).as("v"))
         .select(col("id"), upper(col("v.val")).as("doc"), col("v.modified")),
@@ -65,8 +67,8 @@ class IncrementalPipelineSpec extends SparkSpecBase {
       .toDF("id", "val", "m").withColumn("modified", col("m").cast("timestamp")).drop("m")
       .write.mode(SaveMode.Overwrite).parquet(multiSrc)
     val p = new IncrementalDocPipeline(
-      docBuilder = (s: SparkSession, ids: Seq[Long]) =>
-        s.read.parquet(multiSrc).filter(col("id").isInCollection(ids))
+      docBuilder = (s: SparkSession, ids: DataFrame) =>
+        s.read.parquet(multiSrc).join(ids, Seq("id"), "left_semi")
           .groupBy("id")
           .agg(concat_ws(",", sort_array(collect_list("val"))).as("doc"),
                max("modified").as("modified")),
@@ -80,5 +82,38 @@ class IncrementalPipelineSpec extends SparkSpecBase {
     p.tick(spark)
     val doc = spark.read.parquet(s"$base/store").filter(col("id") === 1).head.getAs[String]("doc")
     assert(doc === "x,y,z") // full rebuild — includes the unchanged rows
+  }
+
+  test("rebuild plan is a semi-join on the dirty-id frame — no driver collect, no in-list") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    writeSource(Seq((1L, "a", "2024-01-01 10:00:00")), SaveMode.Overwrite)
+    val ids = Seq(1L).toDF("id")
+    val plan = spark.read.parquet(srcPath).join(ids, Seq("id"), "left_semi")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.toLowerCase.contains(" in ("), plan) // no giant in-list predicate
+  }
+
+  test("crash between swap renames: complete staging dir is promoted, store not lost") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    writeSource(Seq((1L, "a", "2024-01-01 10:00:00"), (2L, "b", "2024-01-01 10:00:00")),
+      SaveMode.Overwrite)
+    val p = pipeline()
+    assert(p.tick(spark) === 2L)
+    // simulate a crash in the swap window: live store renamed away (gone),
+    // staging holds the complete merged table
+    val store = new org.apache.hadoop.fs.Path(s"$base/store")
+    val staging = new org.apache.hadoop.fs.Path(s"$base/store.staging")
+    fs.rename(store, staging)
+    assert(!fs.exists(store) && fs.exists(staging))
+    // next tick must recover from staging, not rebuild the store from the
+    // dirty docs alone (the pre-fix behavior silently dropped ids 1 and 2)
+    writeSource(Seq((3L, "c", "2024-01-01 11:00:00")), SaveMode.Append)
+    assert(p.tick(spark) === 1L)
+    val ids = spark.read.parquet(s"$base/store").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 3L))
   }
 }
