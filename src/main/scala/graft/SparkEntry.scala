@@ -66,8 +66,11 @@ object SparkEntry {
     // Multimodal plumbing
     "q_multimodal_meta"  -> (MultimodalOps.multimodalMeta(_, _)))
 
-  /** DuckDB equivalents (driver's correctness gate). Keys absent here are
-    * non-SQL-expressible (LSH pair joins, simhash bit votes) → rows-only.
+  /** DuckDB equivalents (driver's correctness gate) — one per query, no
+    * rows-only entries. The LSH/simhash pipelines are oracled as exact
+    * algorithm replays: portable hash families (md5-prefix + affine-mod-p)
+    * and inlined hyperplane literals make DuckDB reproduce the Spark output
+    * value-for-value, banding and census guards included.
     */
   def oracleSql: Map[String, String] =
     RelationalOps.oracle ++ EventsOps.oracle ++ TextOps.oracle ++

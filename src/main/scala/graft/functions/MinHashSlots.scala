@@ -3,20 +3,37 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ExpectsInputTypes, Literal, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ExpectsInputTypes, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** The minhash slot-hash family: affine universal hashing
+  * `h_i(m) = ((m % P) * A(i) + B(i)) % P` over the Mersenne prime
+  * P = 2^31 − 1, with fixed per-slot coefficients drawn once from a seeded
+  * PRNG.
+  *
+  * Chosen over xxhash64-per-slot deliberately: the family is pure integer
+  * arithmetic any engine computes bit-identically (remainder semantics,
+  * no 64-bit overflow — |m % P| < 2^31 and A(i) < 2^31 keep every product
+  * under 2^62), so the DuckDB oracle can replay the exact signature and the
+  * driver's hash-compare gate covers the whole LSH pipeline, not just a
+  * rows-only count. Min-wise quality is the standard (a·x+b) mod p guarantee.
+  */
+object MinHashFamily {
+  val P: Long = 2147483647L // 2^31 - 1
+  private val rnd = new scala.util.Random(8191)
+  val A: Array[Long] = Array.fill(64)(1L + rnd.nextInt((P - 1).toInt).toLong)
+  val B: Array[Long] = Array.fill(64)(rnd.nextInt(P.toInt).toLong)
+  def slotHash(m: Long, i: Int): Long = ((m % P) * A(i) + B(i)) % P
+}
 
 /** Native Catalyst expression: k minhash slots over a pre-hashed shingle
   * array in ONE traversal.
   *
   * Semantics are bit-identical to the composed form
-  * `array((1 to k).map(i => array_min(transform(hashes, x => xxhash64(lit(i), x)))))`
-  * (asserted in FunctionsSpec): slot i's hash of element h is Spark's
-  * xxhash64 of the row (int i, long h) with the default seed 42, i.e.
-  * `XXH64.hashLong(h, XXH64.hashInt(i, 42))` — the per-slot seed is
-  * precomputed once at construction.
+  * `array((0 until k).map(i => array_min(transform(ms, x => ((x % P) * A(i) + B(i)) % P))))`
+  * with the [[MinHashFamily]] coefficients (asserted in FunctionsSpec).
   *
   * Why native instead of the composed built-ins (the (b)-tier choice in the
   * custom-operator ladder): higher-order lambdas are evaluated per element
@@ -25,17 +42,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * tight codegen'd loop — k mins per element, no per-element allocation.
   *
   * Null handling: null input → null; null elements are skipped (they cannot
-  * occur from `transform(_, xxhash64)` staging, but skipping matches
-  * array_min's null-ignoring semantics); an empty input array yields all-null
-  * slots exactly like `array_min(empty)`.
+  * occur from the md5-prefix staging, but skipping matches array_min's
+  * null-ignoring semantics); an empty input array yields all-null slots
+  * exactly like `array_min(empty)`.
   */
 case class MinHashSlots(child: Expression, numHashes: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(numHashes >= 1 && numHashes <= 64, "numHashes must be in [1, 64]")
-
-  private val slotSeeds: Array[Long] =
-    (1 to numHashes).map(i => XXH64.hashInt(i, 42L)).toArray
 
   // return type inferred: AbstractDataType is private[sql] in Spark 4
   override def inputTypes = Seq(ArrayType(LongType))
@@ -46,15 +60,18 @@ case class MinHashSlots(child: Expression, numHashes: Int)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    val a = MinHashFamily.A
+    val b = MinHashFamily.B
+    val p = MinHashFamily.P
     var any = false
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
         any = true
-        val h = arr.getLong(j)
+        val m = arr.getLong(j) % p
         var s = 0
         while (s < numHashes) {
-          val v = XXH64.hashLong(h, slotSeeds(s))
+          val v = (m * a(s) + b(s)) % p
           if (v < mins(s)) mins(s) = v
           s += 1
         }
@@ -66,8 +83,8 @@ case class MinHashSlots(child: Expression, numHashes: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val seedsRef = ctx.addReferenceObj("slotSeeds", slotSeeds, "long[]")
-    val xxh = classOf[XXH64].getName
+    val aRef = ctx.addReferenceObj("slotA", MinHashFamily.A, "long[]")
+    val bRef = ctx.addReferenceObj("slotB", MinHashFamily.B, "long[]")
     val gad = classOf[GenericArrayData].getName
     nullSafeCodeGen(ctx, ev, arr => {
       val mins = ctx.freshName("mins")
@@ -84,9 +101,9 @@ case class MinHashSlots(child: Expression, numHashes: Int)
          |for (int $j = 0; $j < $arr.numElements(); $j++) {
          |  if (!$arr.isNullAt($j)) {
          |    $any = true;
-         |    long $h = $arr.getLong($j);
+         |    long $h = $arr.getLong($j) % ${MinHashFamily.P}L;
          |    for (int $s = 0; $s < ${numHashes}; $s++) {
-         |      long $v = $xxh.hashLong($h, $seedsRef[$s]);
+         |      long $v = ($h * $aRef[$s] + $bRef[$s]) % ${MinHashFamily.P}L;
          |      if ($v < $mins[$s]) $mins[$s] = $v;
          |    }
          |  }

@@ -60,9 +60,26 @@ object DedupOps {
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => text.substr(i, lit(k))))
 
-  /** Fast int64 minhash signature from a PRE-HASHED shingle array (longs):
-    * hash family h_i(x) = xxhash64(i, x) — rehashing longs is cheap; the
-    * expensive string pass happens once, in the staging projection.
+  /** Portable 60-bit string hash: the first 15 hex digits of md5, read as an
+    * integer. md5 is the one hash every engine computes identically over
+    * UTF-8 bytes, and 15 hex digits (< 2^60) fit a signed 64-bit lane in all
+    * of them — this is what lets the DuckDB oracle replay the whole LSH
+    * pipeline value-for-value (`CAST('0x' || substr(md5(s),1,15) AS BIGINT)`).
+    */
+  private[graft] def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** SQL fragment computing hash60 in DuckDB — must stay in lockstep with
+    * [[hash60]] (cross-engine equality is what the oracles stand on).
+    */
+  private def sql60(e: String): String =
+    s"CAST('0x' || substr(md5($e),1,15) AS BIGINT)"
+
+  /** Fast minhash signature from a PRE-HASHED shingle array (longs), using
+    * the portable affine family [[graft.functions.MinHashFamily]]:
+    * h_i(m) = ((m % P) * A(i) + B(i)) % P — pure integer arithmetic, so the
+    * string pass (md5) happens once in the staging projection and the oracle
+    * can replay the signature exactly.
     *
     * IMPORTANT plan shape: the input must be a bare column reference to a
     * staged `hashes` array. Inlining the shingle expression here would make
@@ -71,13 +88,23 @@ object DedupOps {
     * keeps the staging projection intact because the alias is non-cheap and
     * multiply referenced.
     */
-  private[graft] def fastSignature(hashes: Column, nHashes: Int): Column =
-    array((1 to nHashes).map(h =>
-      array_min(transform(hashes, x => xxhash64(lit(h), x)))): _*)
+  private[graft] def fastSignature(hashes: Column, nHashes: Int): Column = {
+    import graft.functions.MinHashFamily.{A, B, P}
+    array((0 until nHashes).map(i =>
+      array_min(transform(hashes, x => ((x % P) * A(i) + B(i)) % P))): _*)
+  }
 
-  /** Staging projection: distinct shingles hashed once to longs. */
+  /** Staging projection: distinct shingles hashed once to portable longs. */
   private def hashedShingles(text: Column): Column =
-    transform(shingles(text), s => xxhash64(s))
+    transform(shingles(text), s => hash60(s))
+
+  /** Slot-list SQL for the oracle: the same affine family, one list_min per
+    * slot over the staged `m` array.
+    */
+  private def slotSql(i: Int): String = {
+    import graft.functions.MinHashFamily.{A, B, P}
+    s"list_min([((x % $P) * ${A(i)} + ${B(i)}) % $P for x in m])"
+  }
 
   /** MinHash+LSH near-dup candidates: 8 hashes → 4 bands × 2 rows; docs
     * sharing any band hash become candidates; estimated Jaccard = fraction of
@@ -102,24 +129,28 @@ object DedupOps {
       .select(col("doc_id"), expr(s"minhash_slots(hashes, $nHashes)").as("sig"))
       .cache()
 
+    // band key = the raw slot pair (a 2-long struct), not a re-hash of it:
+    // identical bucket semantics, and the oracle can replay membership
+    // exactly. At 100 TB you'd optionally compress the struct to one
+    // xxhash64 — equality semantics are the same modulo 2^-64 collisions.
     val bands = d.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(nHashes / 2 - 1)),
-          b => xxhash64(element_at(col("sig"), b * 2 + 1),
-                        element_at(col("sig"), b * 2 + 2)))))
-      .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_hash"))
+          b => struct(element_at(col("sig"), b * 2 + 1).as("h1"),
+                      element_at(col("sig"), b * 2 + 2).as("h2")))))
+      .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_key"))
 
     // skew guard: keep only buckets that can produce pairs and are not hot
-    val useful = bands.groupBy("band_id", "band_hash").count()
+    val useful = bands.groupBy("band_id", "band_key").count()
       .filter(col("count") >= 2 && col("count") <= maxBucket)
-      .select("band_id", "band_hash")
-    val b = bands.join(useful, Seq("band_id", "band_hash"))
+      .select("band_id", "band_key")
+    val b = bands.join(useful, Seq("band_id", "band_key"))
 
-    val l = b.select(col("band_id"), col("band_hash"),
+    val l = b.select(col("band_id"), col("band_key"),
       col("doc_id").as("left_id"), col("sig").as("left_sig"))
-    val r = b.select(col("band_id"), col("band_hash"),
+    val r = b.select(col("band_id"), col("band_key"),
       col("doc_id").as("right_id"), col("sig").as("right_sig"))
 
-    releasing(d)(l.join(r, Seq("band_id", "band_hash"))
+    releasing(d)(l.join(r, Seq("band_id", "band_key"))
       .filter(col("left_id") < col("right_id"))
       .select("left_id", "right_id", "left_sig", "right_sig")
       .dropDuplicates("left_id", "right_id")
@@ -155,8 +186,11 @@ object DedupOps {
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val tokens = split(trim(col("text")), "\\s+")
+    // hash60 tokens (not xxhash64): bits 60-63 are structurally 0, which
+    // costs 4 of 64 simhash bits — acceptable, and it buys an exact DuckDB
+    // oracle over the identical token hashes
     val hashed = d.select(col("doc_id"),
-      transform(tokens, t => xxhash64(t)).as("hashes"))
+      transform(tokens, t => hash60(t)).as("hashes"))
     hashed.select(col("doc_id"), expr("simhash64(hashes)").as("simhash"))
       .withColumn("bucket", shiftrightunsigned(col("simhash"), 48))
   }
@@ -175,31 +209,35 @@ object DedupOps {
     // element_at inside the gram lambda (3 evals per gram per row)
     val toks = d.select(col("doc_id"),
       split(lower(trim(col("text"))), "\\s+").as("toks"))
+    // try_element_at: 1-2-token docs index past the array end — null-skip
+    // (concat_ws drops nulls) matches the oracle instead of an ANSI error
     val grams = transform(sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
-      i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1),
-                          element_at(col("toks"), i + 2)))
+      i => concat_ws(" ", try_element_at(col("toks"), i), try_element_at(col("toks"), i + 1),
+                          try_element_at(col("toks"), i + 2)))
     // 8 gram-level minhashes → 2 bands of 4: wide bands = high-similarity bias
     val base = toks.select(col("doc_id"), array_distinct(grams).as("grams"))
-      .withColumn("gram_hashes", transform(col("grams"), g => xxhash64(g)))
+      .withColumn("gram_hashes", transform(col("grams"), g => hash60(g)))
       .withColumn("sig", expr("minhash_slots(gram_hashes, 8)"))
       .drop("gram_hashes")
       .cache() // three consumers, same as minhashPairs; released before return
     val bands = base.select(col("doc_id"), col("grams"),
         posexplode(transform(sequence(lit(0), lit(1)),
-          b => xxhash64(element_at(col("sig"), b * 4 + 1), element_at(col("sig"), b * 4 + 2),
-                        element_at(col("sig"), b * 4 + 3), element_at(col("sig"), b * 4 + 4)))))
-      .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_hash"))
+          b => struct(element_at(col("sig"), b * 4 + 1).as("h1"),
+                      element_at(col("sig"), b * 4 + 2).as("h2"),
+                      element_at(col("sig"), b * 4 + 3).as("h3"),
+                      element_at(col("sig"), b * 4 + 4).as("h4")))))
+      .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_key"))
     // same skew guard as minhashPairs: only pair-capable, non-hot buckets
     // join (without it, template-heavy corpora go quadratic in the join)
-    val useful = bands.groupBy("band_id", "band_hash").count()
+    val useful = bands.groupBy("band_id", "band_key").count()
       .filter(col("count") >= 2 && col("count") <= 64)
-      .select("band_id", "band_hash")
-    val b = bands.join(useful, Seq("band_id", "band_hash"))
-    val l = b.select(col("band_id"), col("band_hash"),
+      .select("band_id", "band_key")
+    val b = bands.join(useful, Seq("band_id", "band_key"))
+    val l = b.select(col("band_id"), col("band_key"),
       col("doc_id").as("left_id"), col("grams").as("lg"))
-    val r = b.select(col("band_id"), col("band_hash"),
+    val r = b.select(col("band_id"), col("band_key"),
       col("doc_id").as("right_id"), col("grams").as("rg"))
-    releasing(base)(l.join(r, Seq("band_id", "band_hash"))
+    releasing(base)(l.join(r, Seq("band_id", "band_key"))
       .filter(col("left_id") < col("right_id"))
       .dropDuplicates("left_id", "right_id")
       .withColumn("jaccard",
@@ -211,7 +249,100 @@ object DedupOps {
       .limit(50))
   }
 
+  /** DuckDB replay of the full MinHash+LSH pipeline (shingles → portable
+    * hashes → affine signature → banding → census guard → pair join →
+    * signature-agreement estimate). Exact-match oracle, not a brute-force
+    * approximation: the banded candidate set itself is part of the contract.
+    */
+  private def minhashPairsOracle: String = {
+    val slots = (0 until 8).map(slotSql).mkString(",\n    ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct([substr(text, CAST(i AS INT), 5)
+       |    for i in range(1, greatest(len(text)-4, 1)+1)]) AS shs
+       |  FROM documents),
+       |ms AS (SELECT doc_id, [${sql60("s")} for s in shs] AS m FROM sh),
+       |sg AS (SELECT doc_id, [
+       |    $slots] AS sig FROM ms),
+       |bands AS (
+       |  SELECT doc_id, sig, b AS band_id, [sig[2*b+1], sig[2*b+2]] AS bk
+       |  FROM sg, (SELECT unnest(range(4)) AS b) bs),
+       |useful AS (
+       |  SELECT band_id, bk FROM bands GROUP BY band_id, bk
+       |  HAVING count(*) BETWEEN 2 AND 64),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+       |         l.sig AS lsig, r.sig AS rsig
+       |  FROM bands l
+       |  JOIN useful u ON l.band_id = u.band_id AND l.bk = u.bk
+       |  JOIN bands r ON l.band_id = r.band_id AND l.bk = r.bk
+       |             AND l.doc_id < r.doc_id)
+       |SELECT left_id, right_id,
+       |  CAST(len([i for i in range(1,9) if lsig[i] = rsig[i]]) AS DOUBLE) / 8
+       |    AS est_jaccard
+       |FROM cand
+       |ORDER BY est_jaccard DESC, left_id, right_id
+       |LIMIT 50""".stripMargin
+  }
+
+  /** DuckDB replay of the LSH-blocked exact word-trigram Jaccard. */
+  private def ngramJaccardOracle: String = {
+    val slots = (0 until 8).map(slotSql).mkString(",\n    ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+       |    for i in range(1, greatest(len(toks)-2, 1)+1)]) AS grams
+       |  FROM tk),
+       |ms AS (SELECT doc_id, grams, [${sql60("s")} for s in grams] AS m FROM g),
+       |sg AS (SELECT doc_id, grams, [
+       |    $slots] AS sig FROM ms),
+       |bands AS (
+       |  SELECT doc_id, grams, b AS band_id,
+       |         [sig[4*b+1], sig[4*b+2], sig[4*b+3], sig[4*b+4]] AS bk
+       |  FROM sg, (SELECT unnest(range(2)) AS b) bs),
+       |useful AS (
+       |  SELECT band_id, bk FROM bands GROUP BY band_id, bk
+       |  HAVING count(*) BETWEEN 2 AND 64),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+       |         l.grams AS lg, r.grams AS rg
+       |  FROM bands l
+       |  JOIN useful u ON l.band_id = u.band_id AND l.bk = u.bk
+       |  JOIN bands r ON l.band_id = r.band_id AND l.bk = r.bk
+       |             AND l.doc_id < r.doc_id)
+       |SELECT * FROM (
+       |  SELECT left_id, right_id,
+       |    CAST(len(list_intersect(lg, rg)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(lg, rg))) AS jaccard
+       |  FROM cand)
+       |WHERE jaccard >= 0.2
+       |ORDER BY jaccard DESC, left_id, right_id
+       |LIMIT 50""".stripMargin
+  }
+
+  /** DuckDB replay of simhash64 over hash60 tokens: per-bit sign votes.
+    * Bits 60-63 are structurally zero (hash60 < 2^60), so the sum stops at
+    * bit 59 — identical to the native expression's output on these inputs.
+    */
+  private def simhashOracle: String = {
+    val terms = (0 until 60).map { j =>
+      s"""(CASE WHEN list_sum([CASE WHEN ((x >> $j) & 1) = 1 THEN 1 ELSE -1 END
+         | for x in h]) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+        .stripMargin.replace("\n", "")
+    }.mkString("\n    + ")
+    s"""WITH hs AS (
+       |  SELECT doc_id,
+       |    [${sql60("t")} for t in string_split_regex(trim(text), '\\s+')] AS h
+       |  FROM documents),
+       |v AS (SELECT doc_id, $terms AS simhash FROM hs)
+       |SELECT doc_id, simhash, simhash >> 48 AS bucket FROM v""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_minhash_pairs" -> minhashPairsOracle,
+    "q_ngram_jaccard" -> ngramJaccardOracle,
+    "q_simhash" -> simhashOracle,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,

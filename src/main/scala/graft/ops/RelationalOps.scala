@@ -227,9 +227,12 @@ object RelationalOps {
   }
 
   /** Approximate distinct-count (HLL++) next to the exact count — the
-    * north-star approx family (SURVEY §2.4 note). No cross-engine oracle:
-    * HLL sketches are engine-specific; RelationalSpec bounds the error
-    * against the exact value instead.
+    * north-star approx family (SURVEY §2.4 note). HLL sketches are
+    * engine-specific, so the raw estimate can't be hash-compared; the output
+    * is the CONTRACT instead — "the rsd=0.02 estimate lands within 2.5σ
+    * (5%) of the exact count" — which a cross-engine oracle CAN assert
+    * (`TRUE` + the exact counts). A wildly-off sketch flips the boolean and
+    * fails the gate.
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -245,10 +248,22 @@ object RelationalOps {
     val exactOrders = li.select("l_orderkey").distinct()
       .agg(count(lit(1)).as("exact_orders"))
     approx.crossJoin(exactParts).crossJoin(exactOrders)
-      .select("approx_parts", "exact_parts", "approx_orders", "exact_orders")
+      .select(
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * 0.05).as("parts_within_rsd"),
+        col("exact_parts"),
+        (abs(col("approx_orders") - col("exact_orders"))
+          <= col("exact_orders") * 0.05).as("orders_within_rsd"),
+        col("exact_orders"))
   }
 
   val oracle: Map[String, String] = Map(
+    "q_approx_distinct" ->
+      """SELECT TRUE AS parts_within_rsd,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  TRUE AS orders_within_rsd,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+        |FROM lineitem""".stripMargin,
     "q_prefix_search" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_name LIKE 'Customer#00000012%'

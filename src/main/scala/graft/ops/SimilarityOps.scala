@@ -132,7 +132,64 @@ object SimilarityOps {
       .limit(k))
   }
 
+  /** The sign-LSH signature as DuckDB SQL: one CASE per hyperplane, with the
+    * plane coefficients inlined as double literals from the SAME deterministic
+    * generator the Spark path uses (Scala's Double.toString round-trips, so
+    * both engines see bit-identical planes). This lets the oracle replay the
+    * exact bucket assignment, probe set, and candidate join — an exact-match
+    * oracle over the whole ANN/near-dup pipeline, not a brute-force stand-in
+    * (which provably differs: this corpus has no high-cosine planted pairs,
+    * so LSH top-k ≠ global top-k by construction).
+    */
+  private def sigSql(vExpr: String, nPlanes: Int): String = {
+    val planes = hyperplanes(nPlanes, 64)
+    (0 until nPlanes).map { j =>
+      s"(CASE WHEN list_dot_product($vExpr, ${planes(j).mkString("[", ", ", "]")}) >= 0" +
+        s" THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("\n    + ")
+  }
+
+  private def annLshOracle: String = {
+    val flips = (0 until 12).map(j => s", xor(qsig, CAST(${1L << j} AS BIGINT))").mkString
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id, label, v,
+       |    ${sigSql("v", 12)} AS sig FROM e),
+       |q AS (SELECT v AS qv, sig AS qsig FROM s WHERE vec_id = 0),
+       |probes AS (SELECT qv, unnest([qsig$flips]) AS psig FROM q)
+       |SELECT s.vec_id, s.label, round(list_cosine_similarity(s.v, p.qv), 6) AS cos_sim
+       |FROM s JOIN probes p ON s.sig = p.psig
+       |ORDER BY list_cosine_similarity(s.v, p.qv) DESC, s.vec_id ASC
+       |LIMIT 10""".stripMargin
+  }
+
+  private def embedNearDupOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id, v,
+       |    ${sigSql("v", 24)} AS sig FROM e),
+       |bands AS (
+       |  SELECT vec_id, v, 0 AS band_id, sig & 4095 AS bh FROM s
+       |  UNION ALL
+       |  SELECT vec_id, v, 1 AS band_id, (sig >> 12) & 4095 AS bh FROM s),
+       |useful AS (
+       |  SELECT band_id, bh FROM bands GROUP BY band_id, bh
+       |  HAVING count(*) BETWEEN 2 AND 64),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS right_id,
+       |         l.v AS lv, r.v AS rv
+       |  FROM bands l
+       |  JOIN useful u ON l.band_id = u.band_id AND l.bh = u.bh
+       |  JOIN bands r ON l.band_id = r.band_id AND l.bh = r.bh
+       |             AND l.vec_id < r.vec_id)
+       |SELECT left_id, right_id, cos_sim FROM (
+       |  SELECT left_id, right_id,
+       |         round(list_cosine_similarity(lv, rv), 6) AS cos_sim
+       |  FROM cand)
+       |ORDER BY cos_sim DESC, left_id, right_id
+       |LIMIT 50""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_ann_lsh" -> annLshOracle,
+    "q_embed_neardup" -> embedNearDupOracle,
     "q_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id, e.label,

@@ -9,7 +9,7 @@ class FunctionsSpec extends SparkSpecBase {
   private def composed(hashes: org.apache.spark.sql.Column, k: Int) =
     graft.ops.DedupOps.fastSignature(hashes, k)
 
-  test("minhash_slots ≡ composed array_min(transform(xxhash64)) — bit-identical") {
+  test("minhash_slots ≡ composed array_min(transform(affine-mod-p)) — bit-identical") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(11)
     val df = (1 to 200).map(i => (i.toLong, Seq.fill(rnd.nextInt(50) + 1)(rnd.nextLong())))
