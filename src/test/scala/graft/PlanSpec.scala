@@ -29,6 +29,20 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast dim joins in:\n$p")
   }
 
+  test("denormDocs: numeric aggs stay in codegen'd HashAggregate, split from the set side") {
+    val p = plan(RelationalOps.denormDocs(spark, sf))
+    // the sum/max numeric side must NOT ride in the ObjectHashAggregate —
+    // that was the round-1 5x plan gap (whole fact through interpreted
+    // set-insert buffers)
+    val objAggLines = p.linesIterator.filter(_.contains("ObjectHashAggregate")).toSeq
+    assert(objAggLines.nonEmpty, s"expected an object agg for collect_set in:\n$p")
+    assert(!objAggLines.exists(l => l.contains("partial_sum") || l.contains("partial_max")),
+      s"numeric aggs leaked into ObjectHashAggregate:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && !l.contains("Object") && l.contains("partial_sum")),
+      s"expected codegen HashAggregate carrying partial_sum in:\n$p")
+  }
+
   test("topkRevenue: partial top-k (TakeOrderedAndProject), not a global sort") {
     val p = plan(RelationalOps.topkRevenue(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
