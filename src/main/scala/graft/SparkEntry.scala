@@ -44,6 +44,7 @@ object SparkEntry {
     "q_sessionize"       -> (EventsOps.sessionize(_, _)),
     // Full-text search (ES query surface, SURVEY §3.3 / F10-F14 / A9)
     "q_search_match"     -> ((s, d) => SearchOps.matchQuery(s, d)),
+    "q_search_match_ru"  -> ((s, d) => SearchOps.matchQueryRu(s, d)),
     "q_search_fuzzy"     -> ((s, d) => SearchOps.fuzzyQuery(s, d)),
     "q_search_nested"    -> (SearchOps.nestedQuery(_, _)),
     "q_term_lookup"      -> ((s, d) => SearchOps.termLookup(s, d)),

@@ -23,8 +23,8 @@ import org.apache.spark.sql.functions._
   */
 object SearchOps {
 
-  /** Lucene/ES "english" stopword list (the `stop` filter in the reference's
-    * ru_en analyzer, es_movies.json:12-16).
+  /** Lucene/ES "english" stopword list (the `english_stop` filter in the
+    * reference's ru_en analyzer, es_movies.json:6-9).
     */
   val Stopwords: Seq[String] = Seq(
     "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
@@ -32,31 +32,75 @@ object SearchOps {
     "the", "their", "then", "there", "these", "they", "this", "to", "was",
     "will", "with")
 
-  /** Light two-rule stemmer (possessive + plural), the codegen-friendly,
-    * RE2-portable stand-in for the reference's porter/possessive_english
-    * stemmers (es_movies.json:22-33). No lookbehind — RE2 (DuckDB) has none.
+  /** Lucene/ES `_russian_` (snowball) stopword list — the `russian_stop`
+    * filter of the same ru_en analyzer (es_movies.json:18-21). The reference
+    * indexes a Russian-language catalog; dropping this half silently loses
+    * every Cyrillic token (round-1 F10 gap).
+    */
+  val RuStopwords: Seq[String] = Seq(
+    "и", "в", "во", "не", "что", "он", "на", "я", "с", "со", "как", "а",
+    "то", "все", "она", "так", "его", "но", "да", "ты", "к", "у", "же",
+    "вы", "за", "бы", "по", "только", "ее", "мне", "было", "вот", "от",
+    "меня", "еще", "нет", "о", "из", "ему", "теперь", "когда", "даже",
+    "ну", "вдруг", "ли", "если", "уже", "или", "ни", "быть", "был",
+    "него", "до", "вас", "нибудь", "опять", "уж", "вам", "ведь", "там",
+    "потом", "себя", "ничего", "ей", "может", "они", "тут", "где",
+    "есть", "надо", "ней", "для", "мы", "тебя", "их", "чем", "была",
+    "сам", "чтоб", "без", "будто", "чего", "раз", "тоже", "себе", "под",
+    "будет", "ж", "тогда", "кто", "этот", "того", "потому", "этого",
+    "какой", "совсем", "ним", "здесь", "этом", "один", "почти", "мой",
+    "тем", "чтобы", "нее", "сейчас", "были", "куда", "зачем", "всех",
+    "никогда", "можно", "при", "наконец", "два", "об", "другой", "хоть",
+    "после", "над", "больше", "тот", "через", "эти", "нас", "про",
+    "всего", "них", "какая", "много", "разве", "три", "эту", "моя",
+    "впрочем", "хорошо", "свою", "этой", "перед", "иногда", "лучше",
+    "чуть", "том", "нельзя", "такой", "им", "более", "всегда", "конечно",
+    "всю", "между")
+
+  private val AllStops: Seq[String] = Stopwords ++ RuStopwords
+
+  /** Light two-rule English stemmer (possessive + plural), the
+    * codegen-friendly, RE2-portable stand-in for the reference's
+    * porter/possessive_english stemmers (es_movies.json:10-17). No
+    * lookbehind — RE2 (DuckDB) has none. Only touches [a-z] tokens, so it
+    * composes with the Russian rule below in either order.
     */
   private def stem(t: Column): Column =
     regexp_replace(regexp_replace(t, "'s$", ""), "([a-z]{2,}[^suoi])s$", "$1")
 
-  /** ES `ru_en`-analyzer analog: standard-ish tokenize → lowercase →
-    * stopword removal → stem. Keeps duplicate tokens (TF is meaningful).
+  /** Longest-suffix light Russian stemmer (russian_stemmer analog,
+    * es_movies.json:22-25): the LAZY stem capture `{2,}?` makes the regex
+    * engine try the shortest stem first, i.e. strip the LONGEST listed
+    * suffix — same leftmost-first semantics in Java regex (Spark) and RE2
+    * (DuckDB), which is what keeps the oracle bit-identical.
+    */
+  private[ops] val RuSuffixes =
+    "иями|ями|ами|ыми|ими|иях|иям|ях|ах|ам|ям|ией|ием|ия|ие|ии|ию|ья|ье|ью|" +
+    "его|ого|ему|ому|ых|их|ую|юю|ая|яя|ое|ее|ые|ый|ий|ой|ею|ей|ов|ев|ом|ем|" +
+    "а|е|и|й|о|у|ы|ь|ю|я"
+  private def stemRu(t: Column): Column =
+    regexp_replace(t, s"^([а-яё]{2,}?)($RuSuffixes)$$", "$1")
+
+  /** ES `ru_en`-analyzer analog: standard-ish tokenize (Latin + Cyrillic) →
+    * lowercase → ё-normalize → en+ru stopword removal → en+ru stem. Keeps
+    * duplicate tokens (TF is meaningful).
     */
   def analyze(text: Column): Column =
     transform(
       filter(
-        transform(split(lower(text), "[^a-z0-9']+"),
-          t => regexp_replace(t, "^'+|'+$", "")),
-        t => t =!= "" && !t.isInCollection(Stopwords)),
-      t => stem(t))
+        transform(split(lower(text), "[^a-z0-9а-яё']+"),
+          t => translate(regexp_replace(t, "^'+|'+$", ""), "ё", "е")),
+        t => t =!= "" && !t.isInCollection(AllStops)),
+      t => stemRu(stem(t)))
 
   /** Analyze a query string at plan time (driver-side, same rules). */
   def analyzeQuery(q: String): Seq[String] = {
-    val stops = Stopwords.toSet
-    q.toLowerCase.split("[^a-z0-9']+").toSeq
-      .map(_.replaceAll("^'+|'+$", ""))
+    val stops = AllStops.toSet
+    q.toLowerCase.split("[^a-z0-9а-яё']+").toSeq
+      .map(_.replaceAll("^'+|'+$", "").replace('ё', 'е'))
       .filter(t => t.nonEmpty && !stops(t))
-      .map(_.replaceAll("'s$", "").replaceAll("([a-z]{2,}[^suoi])s$", "$1"))
+      .map(_.replaceAll("'s$", "").replaceAll("([a-z]{2,}[^suoi])s$", "$1")
+            .replaceAll(s"^([а-яё]{2,}?)($RuSuffixes)$$", "$1"))
   }
 
   /** ES fuzziness:auto ladder: 0 edits for len≤2, 1 for 3–5, 2 above. */
@@ -96,6 +140,33 @@ object SearchOps {
         abs(length(tok) - lit(t.length)) <= f &&
         levenshtein(tok, lit(t), f).between(0, f)).cast("int")
     }.reduce(_ + _)
+    d.select(col("doc_id"), col("lang"), score.as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** The Russian half of the ru_en analyzer under the driver's hash gate.
+    * The test corpus is English-only, so the query derives a deterministic
+    * mixed-language column (fixed token→Russian substitutions, including a
+    * `_russian_` stopword) and then runs the full Cyrillic
+    * tokenize→stop→stem pipeline over it. The oracle applies the identical
+    * derivation + analyzer replica, so every Cyrillic rule is value-checked,
+    * not just spec-asserted.
+    */
+  def matchQueryRu(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val ru = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      "\\bstream\\b", "потоки и ручьи"),
+      "\\bdata\\b", "данные"),
+      "\\bwindow\\b", "окна")
+    val toks = analyze(ru)
+    // "поток данных окно" analyzes to (поток, данн, окн); the derived text's
+    // потоки/данные/окна stem to the same forms — stemmer-level match, not
+    // a literal string match
+    val score = analyzeQuery("поток данных окно")
+      .map(t => array_contains(toks, t).cast("int"))
+      .reduce(_ + _)
     d.select(col("doc_id"), col("lang"), score.as("score"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -158,16 +229,19 @@ object SearchOps {
       .limit(k)
   }
 
-  // ---- DuckDB oracles: same tokenizer/stopwords/stemmer, replicated in SQL.
+  // ---- DuckDB oracles: same tokenizer/stopwords/stemmers, replicated in SQL.
   private val duckStops =
-    Stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
-  /** DuckDB expression producing exactly `analyze(text)`. */
-  private val duckToks =
+    AllStops.map(s => s"'$s'").mkString("(", ", ", ")")
+  /** DuckDB expression producing exactly `analyze(<textExpr>)`. */
+  private def duckToksOf(textExpr: String): String =
     "list_transform(" +
       "list_filter(" +
-      "list_transform(string_split_regex(lower(text), '[^a-z0-9'']+'), t -> regexp_replace(t, '^''+|''+$', '')), " +
+      s"list_transform(string_split_regex(lower($textExpr), '[^a-z0-9а-яё'']+'), " +
+      "t -> replace(regexp_replace(t, '^''+|''+$', ''), 'ё', 'е')), " +
       s"t -> t <> '' AND t NOT IN $duckStops), " +
-      "t -> regexp_replace(regexp_replace(t, '''s$', ''), '([a-z]{2,}[^suoi])s$', '\\1'))"
+      "t -> regexp_replace(regexp_replace(regexp_replace(t, '''s$', ''), " +
+      s"'([a-z]{2,}[^suoi])s$$', '\\1'), '^([а-яё]{2,}?)($RuSuffixes)$$', '\\1'))"
+  private val duckToks = duckToksOf("text")
 
   val oracle: Map[String, String] = Map(
     "q_search_match" ->
@@ -187,6 +261,21 @@ object SearchOps {
          |  FROM documents)
          |SELECT doc_id, lang, score FROM scored WHERE score > 0
          |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q_search_match_ru" -> {
+      val ruText = "regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'\\bstream\\b', 'потоки и ручьи', 'g'), " +
+        "'\\bdata\\b', 'данные', 'g'), " +
+        "'\\bwindow\\b', 'окна', 'g')"
+      val toks = duckToksOf(ruText)
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    CAST(list_contains($toks, 'поток') AS INT)
+         |    + CAST(list_contains($toks, 'данн') AS INT)
+         |    + CAST(list_contains($toks, 'окн') AS INT) AS score
+         |  FROM documents)
+         |SELECT doc_id, lang, score FROM scored WHERE score > 0
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
     "q_search_nested" ->
       """SELECT c.c_custkey, c.c_name,
         |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders

@@ -18,6 +18,34 @@ class SearchSpec extends SparkSpecBase {
     assert(got(2) === Seq.empty[String])
   }
 
+  test("analyze: Cyrillic tokens survive, Russian stopwords drop, suffixes stem") {
+    val df = Seq(
+      "Потоки данных и окна",         // и is a _russian_ stopword
+      "ёлки Ёлки elki",               // ё-normalization + case fold
+      "смешанный text stream models"  // mixed-language row
+    ).toDF("text")
+    val got = df.select(SearchOps.analyze(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq("поток", "данн", "окн"))   // stopword и dropped
+    assert(got(1) === Seq("елк", "елк", "elki"))     // ёлки → елк both cases
+    assert(got(2) === Seq("смешанн", "text", "stream", "model"))
+  }
+
+  test("analyze: Russian stemmer strips the LONGEST listed suffix (lazy stem)") {
+    val got = Seq("словами данными операциями").toDF("text")
+      .select(SearchOps.analyze(col("text"))).head.getSeq[String](0)
+    assert(got === Seq("слов", "данн", "операц"))
+  }
+
+  test("matchQueryRu: Russian query terms hit the derived mixed-language rows") {
+    val out = SearchOps.matchQueryRu(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Int]("score") >= 1 && r.getAs[Int]("score") <= 3))
+    // the corpus derivation replaces stream/data/window, so top rows must
+    // match all three stems
+    assert(out.head.getAs[Int]("score") === 3)
+  }
+
   test("analyzeQuery mirrors the column analyzer") {
     val viaCol = Seq("The Model's trainings DATA").toDF("text")
       .select(SearchOps.analyze(col("text"))).head.getSeq[String](0)
