@@ -146,6 +146,53 @@ object SearchOps {
       .limit(k)
   }
 
+  /** Multi-field multi_match with fuzziness=auto and per-field boosts — the
+    * reference's golden fuzzy query shape (ETLTests-2.json:94-131: "camp"
+    * over actors_names/writers_names/title/description/genre, asserting the
+    * top-1 hit). ES best_fields semantics: a term's contribution is the MAX
+    * field weight among fields it fuzzy-matches; the doc score sums terms.
+    *
+    * Field derivations over the driver tables: title = leading slice of
+    * text (boost 2.0), description = full text (1.0), names = a 3-customer
+    * panel attached by key range — the actors_names analog (1.5), lang =
+    * keyword field (1.0).
+    */
+  def multiFieldFuzzy(spark: SparkSession, dir: String,
+                      q: String = "custommer streem windoe", k: Int = 20): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val names = Tables.customer(spark, dir)
+      .groupBy(floor((col("c_custkey") - 1) / 3).cast("long").as("doc_id"))
+      .agg(concat_ws(" ", sort_array(collect_set(col("c_name")))).as("names_text"))
+    val joined = d.join(names, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("text"),
+        coalesce(col("names_text"), lit("")).as("names_text"))
+      // stage the four analyzed token arrays ONCE; every query term reads
+      // them (multi-referenced non-cheap aliases survive CollapseProject)
+      .select(col("doc_id"), col("lang"),
+        analyze(substring(col("text"), 1, 48)).as("title_toks"),
+        analyze(col("text")).as("body_toks"),
+        analyze(col("names_text")).as("names_toks"))
+
+    def fieldMatch(toks: Column, t: String): Column = {
+      val f = autoFuzz(t)
+      exists(toks, tok =>
+        abs(length(tok) - lit(t.length)) <= f &&
+        levenshtein(tok, lit(t), f).between(0, f)).cast("int")
+    }
+    val score = analyzeQuery(q).map { t =>
+      greatest(
+        fieldMatch(col("title_toks"), t) * lit(2.0),
+        fieldMatch(col("names_toks"), t) * lit(1.5),
+        fieldMatch(col("body_toks"), t) * lit(1.0),
+        (col("lang") === t).cast("int") * lit(1.0))
+    }.reduce(_ + _)
+
+    joined.select(col("doc_id"), col("lang"), score.as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** The Russian half of the ru_en analyzer under the driver's hash gate.
     * The test corpus is English-only, so the query derives a deterministic
     * mixed-language column (fixed token→Russian substitutions, including a
@@ -243,7 +290,37 @@ object SearchOps {
       s"'([a-z]{2,}[^suoi])s$$', '\\1'), '^([а-яё]{2,}?)($RuSuffixes)$$', '\\1'))"
   private val duckToks = duckToksOf("text")
 
+  private def multiFieldOracle: String = {
+    val terms = analyzeQuery("custommer streem windoe").map { t =>
+      val f = autoFuzz(t)
+      def m(toks: String) =
+        s"CAST(len(list_filter($toks, x -> levenshtein(x, '$t') <= $f)) > 0 AS INT)"
+      s"""greatest(
+         |      ${m("title_toks")} * 2.0,
+         |      ${m("names_toks")} * 1.5,
+         |      ${m("body_toks")} * 1.0,
+         |      CAST(lang = '$t' AS INT) * 1.0)""".stripMargin
+    }.mkString("\n    + ")
+    s"""WITH nm AS (
+       |  SELECT CAST(floor((c_custkey - 1) / 3) AS BIGINT) AS doc_id,
+       |         string_agg(DISTINCT c_name, ' ' ORDER BY c_name) AS names_text
+       |  FROM customer GROUP BY 1),
+       |base AS (
+       |  SELECT d.doc_id, d.lang,
+       |    ${duckToksOf("substr(d.text, 1, 48)")} AS title_toks,
+       |    ${duckToksOf("d.text")} AS body_toks,
+       |    ${duckToksOf("coalesce(nm.names_text, '')")} AS names_toks
+       |  FROM documents d LEFT JOIN nm ON d.doc_id = nm.doc_id),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    $terms AS score
+       |  FROM base)
+       |SELECT doc_id, lang, score FROM scored WHERE score > 0
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_search_multifield" -> multiFieldOracle,
     "q_search_match" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang,

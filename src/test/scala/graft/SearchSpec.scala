@@ -77,6 +77,29 @@ class SearchSpec extends SparkSpecBase {
     }
   }
 
+  test("multiFieldFuzzy golden: field boosts pick a known top-1 doc (reference top-1 _id shape)") {
+    val dir = "/tmp/graft_mf_fixture"
+    // doc 0: query terms only in BODY past the 48-char title cut (weight 1.0)
+    // doc 1: 'stream' inside the title slice (weight 2.0) → must win
+    // doc 2: no match at all → filtered out
+    Seq(
+      (0L, "x y z pad pad pad pad pad pad pad pad pad pad stream window customer", "en"),
+      (1L, "stream window pad pad pad pad pad pad pad pad pad pad pad customer", "en"),
+      (2L, "nothing relevant here at all", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1L, "Customer#000000001"), (2L, "Customer#000000002"))
+      .toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SearchOps.multiFieldFuzzy(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("doc_id") === 1L, out.mkString("; "))
+    assert(!out.exists(_.getAs[Long]("doc_id") == 2L))
+    // title boost really is the separator: doc 1 outranks doc 0
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(byId(1L) > byId(0L))
+  }
+
   test("nestedQuery: every hit really has a qualifying order; n_orders correct") {
     val out = SearchOps.nestedQuery(spark, sf)
     val recheck = Tables.orders(spark, sf)
