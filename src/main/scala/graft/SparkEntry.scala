@@ -26,6 +26,8 @@ object SparkEntry {
     "q_filter_project"   -> (RelationalOps.filterProject(_, _)),
     "q_denorm_docs"      -> (RelationalOps.denormDocs(_, _)),
     "q_denorm_nested"    -> (DocumentOps.denormNested(_, _)),
+    "q_genre_docs"       -> (DocumentOps.genreDocs(_, _)),
+    "q_person_docs"      -> (DocumentOps.personDocs(_, _)),
     "q_filtered_collect" -> (RelationalOps.filteredCollect(_, _)),
     "q_scalar_funcs"     -> (RelationalOps.scalarFuncs(_, _)),
     "q_topk_revenue"     -> (RelationalOps.topkRevenue(_, _)),

@@ -105,7 +105,115 @@ object DocumentOps {
       size(col("lines")).cast("long").as("n_distinct_lines"),
       col("returned_part_names"), col("n_lines"))
 
+  // ---------------------------------------------------------------------
+  // Dim-keyed document pipelines (J2/J3 proper): the reference rebuilds
+  // THREE documents per tick, not one — movies (fact-keyed, above) plus
+  // genres and persons (dimension-keyed, aggregating fact references UNDER
+  // the dim row; etl/main.py:40-49 and :51-60). Re-expressed on the star
+  // schema: part plays genre (ids list), supplier plays person (array of
+  // {film_id, role} structs).
+  // ---------------------------------------------------------------------
+
+  case class GenreDoc(id: Long, name: String, brand: String, film_ids: Seq[String])
+  case class FilmRef(film_id: Long, role: String)
+  case class PersonDoc(id: Long, full_name: String, films: Seq[FilmRef])
+
+  /** Genre-style pipeline (etl/main.py:40-49): dim LEFT JOIN bridge,
+    * `STRING_AGG(DISTINCT fact_id::text)` split into an id array (the
+    * reference splits on load, etl/main.py:101).
+    *
+    * Scale: the bridge aggregates FIRST (one shuffle on l_partkey, map-side
+    * partial collect_set), then joins the dim — never fact×dim before the
+    * group. The per-dim id list is unbounded at 100 TB (a hot part appears in
+    * millions of orders) — same semantics as the reference's STRING_AGG; a
+    * real deployment caps it (`slice`) or keeps the posting-list form
+    * (SearchOps.invertedIndex) instead of one giant row.
+    */
+  private[ops] def genreDocsDF(spark: SparkSession, dir: String): DataFrame = {
+    val bridge = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sort_array(collect_set(col("l_orderkey").cast("string"))).as("film_ids"))
+    Tables.part(spark, dir)
+      .join(bridge, col("p_partkey") === col("l_partkey"), "left")
+      .select(
+        col("p_partkey").as("id"),
+        col("p_name").as("name"),
+        col("p_brand").as("brand"),
+        coalesce(col("film_ids"), array()).as("film_ids"))
+  }
+
+  /** Typed face — the array form the loader ships (main.py:101 post-split). */
+  def genreDocuments(spark: SparkSession, dir: String): Dataset[GenreDoc] = {
+    import spark.implicits._
+    genreDocsDF(spark, dir).as[GenreDoc]
+  }
+
+  /** Oracle face: the STRING_AGG string + the array length, deterministic on
+    * both engines (string-sorted ids, the exact wire form before the split).
+    */
+  def genreDocs(spark: SparkSession, dir: String): DataFrame =
+    genreDocsDF(spark, dir).select(
+      col("id"), col("name"), col("brand"),
+      array_join(col("film_ids"), ",").as("film_ids"),
+      size(col("film_ids")).cast("long").as("n_films"))
+
+  /** Person-style pipeline (etl/main.py:51-60):
+    * `json_agg(DISTINCT jsonb_build_object('film_id', …, 'role', …))` ≡
+    * distinct struct array. Role analog: the lineitem return flag. Same
+    * aggregate-bridge-first scale shape as genreDocs.
+    */
+  private[ops] def personDocsDF(spark: SparkSession, dir: String): DataFrame = {
+    val films = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(sort_array(collect_set(struct(
+        col("l_orderkey").as("film_id"),
+        col("l_returnflag").as("role")))).as("films"))
+    Tables.supplier(spark, dir)
+      .join(films, col("s_suppkey") === col("l_suppkey"), "left")
+      .select(
+        col("s_suppkey").as("id"),
+        col("s_name").as("full_name"),
+        coalesce(col("films"), array()).as("films"))
+  }
+
+  def personDocuments(spark: SparkSession, dir: String): Dataset[PersonDoc] = {
+    import spark.implicits._
+    personDocsDF(spark, dir).as[PersonDoc]
+  }
+
+  /** Oracle face: string-flattened film refs (sorted as strings so both
+    * engines order identically) + distinct-struct count.
+    */
+  def personDocs(spark: SparkSession, dir: String): DataFrame =
+    personDocsDF(spark, dir).select(
+      col("id"), col("full_name"),
+      concat_ws(";", sort_array(transform(col("films"),
+        f => concat_ws(":", f("film_id"), f("role"))))).as("films_flat"),
+      size(col("films")).cast("long").as("n_films"))
+
   val oracle: Map[String, String] = Map(
+    "q_genre_docs" ->
+      """WITH b AS (
+        |  SELECT l_partkey,
+        |    string_agg(DISTINCT CAST(l_orderkey AS VARCHAR), ','
+        |      ORDER BY CAST(l_orderkey AS VARCHAR)) AS film_ids,
+        |    COUNT(DISTINCT l_orderkey) AS n_films
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p.p_partkey AS id, p.p_name AS name, p.p_brand AS brand,
+        |  COALESCE(b.film_ids, '') AS film_ids,
+        |  COALESCE(b.n_films, 0) AS n_films
+        |FROM part p LEFT JOIN b ON p.p_partkey = b.l_partkey""".stripMargin,
+    "q_person_docs" ->
+      """WITH f AS (
+        |  SELECT l_suppkey,
+        |    string_agg(DISTINCT CAST(l_orderkey AS VARCHAR) || ':' || l_returnflag, ';'
+        |      ORDER BY CAST(l_orderkey AS VARCHAR) || ':' || l_returnflag) AS films_flat,
+        |    COUNT(DISTINCT (l_orderkey, l_returnflag)) AS n_films
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT s.s_suppkey AS id, s.s_name AS full_name,
+        |  COALESCE(f.films_flat, '') AS films_flat,
+        |  COALESCE(f.n_films, 0) AS n_films
+        |FROM supplier s LEFT JOIN f ON s.s_suppkey = f.l_suppkey""".stripMargin,
     "q_denorm_nested" ->
       """WITH li AS (
         |  SELECT l_orderkey,

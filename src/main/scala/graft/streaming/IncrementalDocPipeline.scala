@@ -28,7 +28,8 @@ class IncrementalDocPipeline(
     docBuilder: (SparkSession, DataFrame) => DataFrame, // dirty-ids DF ("id") → full docs
     changes: SparkSession => DataFrame,                 // (id, modified) change feed
     storePath: String,
-    statePath: String) {
+    statePath: String,
+    stampTimestamps: Boolean = false) { // F16: created/modified sink columns
 
   private val Epoch = java.sql.Timestamp.valueOf("1000-01-01 00:00:00")
 
@@ -88,13 +89,22 @@ class IncrementalDocPipeline(
     // the live dir is gone — promote it instead of treating this as first-run
     if (!fs.exists(dst) && fs.exists(staging)) fs.rename(staging, dst)
 
-    val incoming = docs.cache()
-    val merged =
-      if (fs.exists(dst))
-        spark.read.parquet(storePath)
-          .join(incoming.select("id"), Seq("id"), "left_anti")
+    val existing = if (fs.exists(dst)) Some(spark.read.parquet(storePath)) else None
+    // F16 (models.py:9-17): auto_now_add/auto_now stamped at the sink — the
+    // created-preserving join keys on the same id the merge shuffles on
+    val stamped =
+      if (!stampTimestamps) docs
+      else existing match {
+        case Some(ex) => graft.sinks.IngestDefaults.stampUpsert(docs, ex)
+        case None     => graft.sinks.IngestDefaults.stampInsert(docs)
+      }
+    val incoming = stamped.cache()
+    val merged = existing match {
+      case Some(ex) =>
+        ex.join(incoming.select("id"), Seq("id"), "left_anti")
           .unionByName(incoming)
-      else incoming
+      case None => incoming
+    }
     merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     fs.delete(old, true)
     if (fs.exists(dst)) fs.rename(dst, old) // keep the live store recoverable
