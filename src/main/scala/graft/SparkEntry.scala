@@ -52,6 +52,7 @@ object SparkEntry {
     "q_search_nested"    -> (SearchOps.nestedQuery(_, _)),
     "q_term_lookup"      -> ((s, d) => SearchOps.termLookup(s, d)),
     "q_terms_agg"        -> ((s, d) => SearchOps.termsAgg(s, d)),
+    "q_inverted_search"  -> ((s, d) => SearchOps.invertedSearch(s, d)),
     // Text analysis (training-data pipeline)
     "q_token_count"      -> (TextOps.tokenCount(_, _)),
     "q_lang_id"          -> (TextOps.langId(_, _)),
@@ -61,11 +62,13 @@ object SparkEntry {
     "q_dedup_exact"      -> (DedupOps.dedupExact(_, _)),
     "q_minhash_sig"      -> (DedupOps.minhashSignature(_, _)),
     "q_minhash_pairs"    -> (DedupOps.minhashPairs(_, _)),
+    "q_dup_clusters"     -> (DedupOps.dupClusters(_, _)),
     "q_simhash"          -> (DedupOps.simhash(_, _)),
     "q_ngram_jaccard"    -> (DedupOps.ngramJaccard(_, _)),
     // Similarity search
     "q_cosine_topk"      -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
     "q_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(s, d)),
+    "q_ann_ivf"          -> ((s, d) => SimilarityOps.annIvf(s, d)),
     "q_embed_neardup"    -> ((s, d) => SimilarityOps.embeddingNearDupPairs(s, d)),
     // Multimodal plumbing
     "q_multimodal_meta"  -> (MultimodalOps.multimodalMeta(_, _)))

@@ -117,6 +117,18 @@ object DedupOps {
     * boilerplate buckets are capped so one hot key cannot produce O(n²) pairs.
     */
   def minhashPairs(spark: SparkSession, dir: String, maxBucket: Int = 64): DataFrame = {
+    val (d, pairs) = bandedCandidatePairs(spark, dir, maxBucket)
+    releasing(d)(pairs
+      .orderBy(col("est_jaccard").desc, col("left_id"), col("right_id"))
+      .limit(50))
+  }
+
+  /** The banded candidate generator shared by [[minhashPairs]] (top-k face)
+    * and [[dupClusters]] (graph face). Returns (cached signature frame to
+    * release, unbounded candidate pairs with estimates).
+    */
+  private def bandedCandidatePairs(spark: SparkSession, dir: String,
+                                   maxBucket: Int): (DataFrame, DataFrame) = {
     val nHashes = 8
     // cache: the signature stage feeds THREE consumers (bucket census, left,
     // right side of the self-join) — uncached it is recomputed per consumer
@@ -150,7 +162,7 @@ object DedupOps {
     val r = b.select(col("band_id"), col("band_key"),
       col("doc_id").as("right_id"), col("sig").as("right_sig"))
 
-    releasing(d)(l.join(r, Seq("band_id", "band_key"))
+    val pairs = l.join(r, Seq("band_id", "band_key"))
       .filter(col("left_id") < col("right_id"))
       .select("left_id", "right_id", "left_sig", "right_sig")
       .dropDuplicates("left_id", "right_id")
@@ -159,8 +171,58 @@ object DedupOps {
             (a, b) => (a === b).cast("int")),
           lit(0), (acc, x) => acc + x).cast("double") / nHashes)
       .select(col("left_id"), col("right_id"), col("est_jaccard"))
-      .orderBy(col("est_jaccard").desc, col("left_id"), col("right_id"))
-      .limit(50))
+    (d, pairs)
+  }
+
+  /** Duplicate-cluster resolution: connected components over the near-dup
+    * pair graph — the step a dedup pipeline runs AFTER pair generation
+    * (pick one canonical doc per cluster, drop the rest). Output: one row
+    * per clustered doc with its cluster id (= min doc_id in the component)
+    * and the cluster size.
+    *
+    * Algorithm: min-label propagation (Pregel-style) — every node starts
+    * labeled with itself; each round takes the min of its own and its
+    * neighbors' labels; converged when no label changes. O(component
+    * diameter) rounds; near-dup clusters are dense (diameter 1-3), and the
+    * LSH maxBucket census upstream caps star blowups, so rounds stay few at
+    * any corpus size. Each round is one shuffle join keyed on doc id;
+    * `localCheckpoint` truncates lineage so plans don't grow with rounds
+    * (the standard iterative-algorithm hygiene — without it round N
+    * re-derives rounds 1..N-1).
+    *
+    * The driver-side loop is CONTROL FLOW only (a convergence count per
+    * round, one scalar) — all data stays distributed.
+    */
+  def dupClusters(spark: SparkSession, dir: String,
+                  threshold: Double = 0.5, maxRounds: Int = 20): DataFrame = {
+    val (d, pairs) = bandedCandidatePairs(spark, dir, maxBucket = 64)
+    val edges = pairs.filter(col("est_jaccard") >= threshold)
+      .select("left_id", "right_id").localCheckpoint()
+    d.unpersist()
+
+    val bi = edges.select(col("left_id").as("src"), col("right_id").as("dst"))
+      .union(edges.select(col("right_id").as("src"), col("left_id").as("dst")))
+    var labels = bi.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val nmin = bi.join(labels, bi("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("label").as("nlabel"))
+      val updated = labels.join(nmin, labels("id") === nmin("src"), "left")
+        .select(labels("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = updated
+      round += 1
+    }
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
   /** Composed (built-ins-only) simhash — retained as the reference
@@ -254,9 +316,12 @@ object DedupOps {
     * signature-agreement estimate). Exact-match oracle, not a brute-force
     * approximation: the banded candidate set itself is part of the contract.
     */
-  private def minhashPairsOracle: String = {
+  /** Shared CTE chain: shingles → portable hashes → affine signature →
+    * banding → census guard → candidate pairs (lsig/rsig attached).
+    */
+  private def candCtes: String = {
     val slots = (0 until 8).map(slotSql).mkString(",\n    ")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id, list_distinct([substr(text, CAST(i AS INT), 5)
        |    for i in range(1, greatest(len(text)-4, 1)+1)]) AS shs
        |  FROM documents),
@@ -275,14 +340,41 @@ object DedupOps {
        |  FROM bands l
        |  JOIN useful u ON l.band_id = u.band_id AND l.bk = u.bk
        |  JOIN bands r ON l.band_id = r.band_id AND l.bk = r.bk
-       |             AND l.doc_id < r.doc_id)
+       |             AND l.doc_id < r.doc_id)""".stripMargin
+  }
+
+  private def minhashPairsOracle: String =
+    s"""WITH $candCtes
        |SELECT left_id, right_id,
        |  CAST(len([i for i in range(1,9) if lsig[i] = rsig[i]]) AS DOUBLE) / 8
        |    AS est_jaccard
        |FROM cand
        |ORDER BY est_jaccard DESC, left_id, right_id
        |LIMIT 50""".stripMargin
-  }
+
+  /** Recursive-CTE replay of the connected-components step: transitive
+    * closure of reachable labels, min per node — exactly the fixpoint the
+    * Spark label propagation converges to.
+    */
+  private def dupClustersOracle: String =
+    s"""WITH RECURSIVE $candCtes,
+       |p AS (
+       |  SELECT left_id, right_id FROM (
+       |    SELECT left_id, right_id,
+       |      CAST(len([i for i in range(1,9) if lsig[i] = rsig[i]]) AS DOUBLE) / 8 AS est
+       |    FROM cand)
+       |  WHERE est >= 0.5),
+       |edges AS (SELECT left_id AS src, right_id AS dst FROM p
+       |          UNION ALL SELECT right_id, left_id FROM p),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+       |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size
+       |FROM comp c
+       |JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp
+       |      GROUP BY cluster_id) s USING (cluster_id)""".stripMargin
 
   /** DuckDB replay of the LSH-blocked exact word-trigram Jaccard. */
   private def ngramJaccardOracle: String = {
@@ -341,6 +433,7 @@ object DedupOps {
 
   val oracle: Map[String, String] = Map(
     "q_minhash_pairs" -> minhashPairsOracle,
+    "q_dup_clusters" -> dupClustersOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
     "q_simhash" -> simhashOracle,
     "q_dedup_exact" ->

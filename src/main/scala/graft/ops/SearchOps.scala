@@ -276,6 +276,15 @@ object SearchOps {
       .limit(k)
   }
 
+  /** Driver-gate face of the postings path: build-then-search in one plan.
+    * The token IN-list prunes the postings BEFORE the (token, doc_id) group —
+    * at scale the index is a materialized token-bucketed table and this
+    * becomes a 3-bucket read, but the operator chain is identical.
+    */
+  def invertedSearch(spark: SparkSession, dir: String,
+                     q: String = "data stream window", k: Int = 20): DataFrame =
+    postingsSearch(postingsIndex(spark, dir), q, k)
+
   // ---- DuckDB oracles: same tokenizer/stopwords/stemmers, replicated in SQL.
   private val duckStops =
     AllStops.map(s => s"'$s'").mkString("(", ", ", ")")
@@ -362,6 +371,18 @@ object SearchOps {
         |    AND o.o_orderstatus = 'F' AND o.o_totalprice > 200000)""".stripMargin,
     "q_term_lookup" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 42",
+    "q_inverted_search" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, unnest($duckToks) AS token FROM documents),
+         |pp AS (
+         |  SELECT token, doc_id, COUNT(*) AS tf FROM p
+         |  WHERE token IN ('data', 'stream', 'window')
+         |  GROUP BY token, doc_id)
+         |SELECT doc_id,
+         |  CAST(COUNT(DISTINCT token) AS BIGINT) AS score,
+         |  CAST(SUM(tf) AS BIGINT) AS tf_total
+         |FROM pp GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_terms_agg" ->
       s"""SELECT token, COUNT(*) AS n
          |FROM (SELECT unnest($duckToks) AS token FROM documents)

@@ -92,6 +92,56 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
   }
 
+  /** IVF-style ANN: coarse-quantize every vector to its nearest codebook
+    * centroid (argmax cosine), probe only the `nprobe` cells nearest the
+    * query, exact re-rank inside them — the inverted-file counterpart to
+    * the LSH probe above.
+    *
+    * Codebook: the first `nlist` vectors by id — a deterministic,
+    * oracle-replayable stand-in for a trained k-means codebook (training
+    * is offline model-fitting; everything this operator owns — broadcast
+    * codebook, assignment expression, cell-pruned probe join — is identical
+    * under a trained codebook, which would simply replace `codebook()`).
+    *
+    * Scale shape: the codebook is driver-held and broadcast inside literal
+    * expressions (nlist ≈ 2^10..2^14 at 100 TB — k-means codebooks are
+    * small by design; the 16 here is test-scale). Assignment is one
+    * codegen'd projection, no shuffle. With the vector store partitioned by
+    * `cell`, the probe join prunes to `nprobe` partitions — same
+    * read-only-the-buckets story as annLsh, but with data-adaptive cells
+    * instead of data-oblivious hyperplanes.
+    */
+  def annIvf(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+             nlist: Int = 16, nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", toDouble(col("embedding")))
+    // the codebook "broadcast": nlist rows to the driver, inlined as
+    // literals (this is a model artifact, not data movement — same class as
+    // the hyperplane constants above)
+    val codebook: Array[(Int, Array[Double])] = emb
+      .filter(col("vec_id") < nlist)
+      .select(col("vec_id").cast("int"), col("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    def cellScores(v: Column): Column = array(codebook.map { case (cid, cv) =>
+      struct(cosine(v, planeLit(cv)).as("sim"), lit(cid).as("cid"))
+    }: _*)
+    // argmax by (sim, cid): struct ordering gives the deterministic
+    // tie-break the oracle replays (sim DESC, cid DESC)
+    val assigned = emb.withColumn("cell",
+      array_max(cellScores(col("v"))).getField("cid"))
+    val probes = assigned.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"),
+        explode(slice(sort_array(cellScores(col("v")), asc = false), 1, nprobe)).as("pc"))
+      .select(col("qv"), col("pc").getField("cid").as("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .select(col("vec_id"), col("label"),
+        cosine(col("v"), col("qv")).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: banded sign-LSH candidates +
     * exact cosine re-rank, top-k by similarity.
     *
@@ -187,8 +237,28 @@ object SimilarityOps {
        |ORDER BY cos_sim DESC, left_id, right_id
        |LIMIT 50""".stripMargin
 
+  private def annIvfOracle: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT e.vec_id, e.label, e.v, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid DESC) AS rn
+       |  FROM e CROSS JOIN c),
+       |cells AS (SELECT vec_id, label, v, cid AS cell FROM assign WHERE rn = 1),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |qc AS (SELECT c.cid AS cell, q.qv,
+       |    row_number() OVER (ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid DESC) AS rn
+       |  FROM c CROSS JOIN q),
+       |probe AS (SELECT cell, qv FROM qc WHERE rn <= 2)
+       |SELECT s.vec_id, s.label, round(list_cosine_similarity(s.v, p.qv), 6) AS cos_sim
+       |FROM cells s JOIN probe p ON s.cell = p.cell
+       |ORDER BY list_cosine_similarity(s.v, p.qv) DESC, s.vec_id ASC
+       |LIMIT 10""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_ann_lsh" -> annLshOracle,
+    "q_ann_ivf" -> annIvfOracle,
     "q_embed_neardup" -> embedNearDupOracle,
     "q_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)

@@ -49,7 +49,11 @@ object BulkIndexSink {
         lit(indexName).as("_index"),
         col(idCol).cast("string").as("_id")).as("index"))).as("action"),
       to_json(struct(df.columns.map(col): _*)).as("doc"))
-    payload.foreachPartition { rows: Iterator[Row] =>
+    // T6: the whole bulk action retries with expo backoff (reference:
+    // @backoff on save_movies, etl/main.py:156-158); file names are
+    // deterministic per (partition, batch), so a re-run overwrites rather
+    // than duplicates — idempotent at-least-once.
+    Retry.withBackoff() { payload.foreachPartition { rows: Iterator[Row] =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var batch = 0
       val grouped = rows.grouped(batchSize)
@@ -62,7 +66,7 @@ object BulkIndexSink {
         counter.add(chunk.size)
         batch += 1
       }
-    }
+    } }
     counter.value
   }
 }

@@ -30,7 +30,11 @@ object DedupeAppendSink {
     // count once, write once: cache the delta (small by construction)
     toWrite.cache()
     val n = toWrite.count()
-    if (n > 0) toWrite.write.mode(SaveMode.Append).parquet(targetPath)
+    // T6: retry the append action (a failed parquet write never commits
+    // files, so re-running cannot double-append)
+    if (n > 0) Retry.withBackoff() {
+      toWrite.write.mode(SaveMode.Append).parquet(targetPath)
+    }
     toWrite.unpersist()
     n
   }

@@ -1,0 +1,47 @@
+package graft.sinks
+
+import scala.util.control.NonFatal
+
+/** T6: driver-side retry with exponential backoff — the analog of the
+  * reference's `@backoff.on_exception(backoff.expo, …)` wrappers around every
+  * extract/transform/save coroutine (etl/main.py:141-143,156-158,200,216,256,272).
+  *
+  * Division of labor with Spark: per-TASK failures (one executor, one
+  * partition) are already retried by the scheduler (`spark.task.maxFailures`);
+  * what Spark does NOT retry is a whole failed ACTION — the case the
+  * reference's decorator exists for (sink endpoint down, transient FS error).
+  * This wrapper re-runs the full action; it must therefore only wrap
+  * idempotent sinks (bulk `_id` upsert, key'd anti-join append, two-phase
+  * swap — all of this package), which is the same at-least-once + idempotent
+  * contract the pipeline already relies on (T7).
+  *
+  * Backoff is exponential with full jitter (decorrelates a retry stampede
+  * from many concurrent drivers — at fleet scale a synchronized retry wave
+  * is its own outage); `NonFatal` only, so OOM/interrupt still propagate.
+  */
+object Retry {
+
+  /** Run `op`, retrying up to `maxRetries` times on non-fatal failure.
+    * `sleeper` is injectable for tests; delays are
+    * `uniform(0, baseDelayMs * 2^attempt)` capped at `maxDelayMs`.
+    */
+  def withBackoff[T](
+      maxRetries: Int = 5,
+      baseDelayMs: Long = 100,
+      maxDelayMs: Long = 30000,
+      sleeper: Long => Unit = Thread.sleep)(op: => T): T = {
+    val rnd = new java.util.Random()
+    var attempt = 0
+    while (true) {
+      try return op
+      catch {
+        case NonFatal(e) =>
+          if (attempt >= maxRetries) throw e
+          val cap = math.min(maxDelayMs, baseDelayMs << attempt)
+          sleeper(math.floorMod(rnd.nextLong(), math.max(cap, 1L)))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -105,7 +105,12 @@ class IncrementalDocPipeline(
           .unionByName(incoming)
       case None => incoming
     }
-    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // T6: staging write retries with backoff (overwrite => idempotent);
+    // the rename swap below is not retried — it's metadata-only and its
+    // crash states are recovered on the next call instead
+    graft.sinks.Retry.withBackoff() {
+      merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    }
     fs.delete(old, true)
     if (fs.exists(dst)) fs.rename(dst, old) // keep the live store recoverable
     fs.rename(staging, dst)

@@ -31,6 +31,26 @@ class DedupSpec extends SparkSpecBase {
     })
   }
 
+  test("dupClusters: cluster_id is the component min; edges never straddle clusters") {
+    val clusters = DedupOps.dupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toMap
+    assert(clusters.nonEmpty, "sf corpus has planted dups; clusters must exist")
+    // every member's cluster_id is the min doc_id of its cluster
+    clusters.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min === cid)
+      // and size matches membership
+      assert(members.head._2._2 === members.size.toLong)
+    }
+    // transitivity: both endpoints of every strong pair share a cluster
+    DedupOps.minhashPairs(spark, sf).filter(col("est_jaccard") >= 0.5)
+      .collect().foreach { r =>
+        val (l, rr) = (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"))
+        assert(clusters(l)._1 === clusters(rr)._1,
+          s"pair ($l,$rr) must be in one cluster")
+      }
+  }
+
   test("simhash: identical token multisets get identical simhash; near texts near hash") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
                  (3L, "completely unrelated words here")).toDF("doc_id", "text")

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.SkewJoin
+import graft.sources.BucketedLayout
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** The 100 TB layout utilities: bucketed co-located joins (zero exchanges)
+  * and salted skew joins (hot key spread over reducers, same results).
+  */
+class ScaleLayoutSpec extends SparkSpecBase {
+
+  private def collectShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case s: ShuffleExchangeExec => s }.size
+  }
+
+  test("colocatedJoin of co-bucketed tables has zero shuffle exchanges") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      BucketedLayout.writeBucketed(
+        Tables.orders(spark, sf), "b_orders", "o_orderkey", 4)
+      BucketedLayout.writeBucketed(
+        Tables.lineitem(spark, sf)
+          .groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(count(lit(1)).as("n_lines")),
+        "b_lines", "o_orderkey", 4)
+      val joined = BucketedLayout.colocatedJoin(spark, "b_orders", "b_lines", "o_orderkey")
+        .select("o_orderkey", "o_custkey", "n_lines")
+      assert(collectShuffles(joined) === 0,
+        "bucketed join must not shuffle either side")
+      // and it computes the same thing as the plain join
+      val plain = Tables.orders(spark, sf).join(
+        Tables.lineitem(spark, sf).groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(count(lit(1)).as("n_lines")), Seq("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "n_lines")
+      assert(joined.count() === plain.count())
+      assert(joined.except(plain).isEmpty && plain.except(joined).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lines")
+    }
+  }
+
+  test("salted join: identical results to the plain join on a skewed corpus") {
+    import spark.implicits._
+    // 10k rows of hot key 1, sprinkle of others — the straggler shape
+    val large = (Seq.fill(10000)(1L) ++ (2L to 100L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (50L, "b")).toDF("k", "name")
+    val salted = SkewJoin.salted(large, small, "k", salts = 8)
+      .select("k", "v", "name")
+    val plain = large.join(small, Seq("k")).select("k", "v", "name")
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("salted join: left join keeps unmatched large rows exactly once") {
+    import spark.implicits._
+    val large = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val small = Seq((1L, "one")).toDF("k", "name")
+    val out = SkewJoin.salted(large, small, "k", salts = 4, joinType = "left")
+    assert(out.count() === 3)
+    assert(out.filter(col("name").isNull).count() === 2)
+  }
+}

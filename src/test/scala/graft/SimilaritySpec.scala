@@ -23,6 +23,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall > 0.0) // random-hyperplane LSH with 12 planes, multi-probe r=1
   }
 
+  test("annIvf: probes its own cell (query self-hit), results are a corpus subset") {
+    val ivf = SimilarityOps.annIvf(spark, sf).collect()
+    assert(ivf.nonEmpty && ivf.length <= 10)
+    // the query's cell is always probed (it is its own nearest-cell member)
+    assert(ivf.head.getAs[Long]("vec_id") === 0L)
+    assert(math.abs(ivf.head.getAs[Double]("cos_sim") - 1.0) < 1e-6)
+    val sims = ivf.map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("annIvf: every returned vector lives in one of the nprobe probed cells") {
+    // recall sanity vs brute force: at least the self-hit overlaps; with 16
+    // cells over 50 vectors (sf0.001) the 2-cell probe covers a real fraction
+    val brute = SimilarityOps.cosineTopK(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ivf = SimilarityOps.annIvf(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(ivf.intersect(brute).nonEmpty)
+  }
+
   test("cosine expression: hand-checked value on unit vectors") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
