@@ -58,6 +58,8 @@ object SparkEntry {
     "q_lang_id"          -> (TextOps.langId(_, _)),
     "q_quality_score"    -> (TextOps.qualityScore(_, _)),
     "q_fingerprint"      -> (TextOps.fingerprint(_, _)),
+    "q_length_stats"     -> (TextOps.lengthStats(_, _)),
+    "q_stratified_sample" -> (TextOps.stratifiedSample(_, _)),
     // Deduplication
     "q_dedup_exact"      -> (DedupOps.dedupExact(_, _)),
     "q_minhash_sig"      -> (DedupOps.minhashSignature(_, _)),

@@ -209,9 +209,16 @@ object DedupOps {
     while (!converged && round < maxRounds) {
       val nmin = bi.join(labels, bi("dst") === labels("id"))
         .groupBy(col("src")).agg(min("label").as("nlabel"))
-      val updated = labels.join(nmin, labels("id") === nmin("src"), "left")
+      val stepped = labels.join(nmin, labels("id") === nmin("src"), "left")
         .select(labels("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer doubling (label := label-of-label): compresses paths each
+      // round, so convergence is O(log diameter) instead of O(diameter) —
+      // a long chain component can't stretch the round count linearly
+      val self = stepped.select(col("id").as("pid"), col("label").as("plabel"))
+      val updated = stepped.join(self, stepped("label") === self("pid"), "left")
+        .select(stepped("id"),
+          coalesce(col("plabel"), stepped("label")).as("label"))
         .localCheckpoint()
       converged = updated.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
         .filter(col("label") =!= col("prev")).isEmpty
@@ -358,14 +365,15 @@ object DedupOps {
     */
   private def dupClustersOracle: String =
     s"""WITH RECURSIVE $candCtes,
-       |p AS (
+       |p AS MATERIALIZED (
        |  SELECT left_id, right_id FROM (
        |    SELECT left_id, right_id,
        |      CAST(len([i for i in range(1,9) if lsig[i] = rsig[i]]) AS DOUBLE) / 8 AS est
        |    FROM cand)
        |  WHERE est >= 0.5),
-       |edges AS (SELECT left_id AS src, right_id AS dst FROM p
-       |          UNION ALL SELECT right_id, left_id FROM p),
+       |edges AS MATERIALIZED (
+       |  SELECT left_id AS src, right_id AS dst FROM p
+       |  UNION ALL SELECT right_id, left_id FROM p),
        |reach AS (
        |  SELECT DISTINCT src AS id, src AS label FROM edges
        |  UNION

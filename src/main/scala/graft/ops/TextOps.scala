@@ -92,7 +92,60 @@ object TextOps {
       md5(normalized.cast("binary")).as("norm_fingerprint"))
   }
 
+  /** Corpus length statistics per language: exact linear-interpolation
+    * percentiles (the curation dashboard's length histogram). Exact
+    * `percentile`, not `percentile_approx`: t-digest/GK sketches are
+    * engine-specific, while both engines compute the same
+    * `p·(n−1)`-interpolated order statistic bit-for-bit — so the oracle can
+    * hash-match. Scale: one shuffle on lang (5 groups); exact percentile
+    * sorts within-group — at 100 TB switch to `percentile_approx` (same
+    * call shape) and trade the hash gate for an error-bound contract like
+    * q_approx_distinct's.
+    */
+  def lengthStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      min("n_chars").as("min_chars"),
+      max("n_chars").as("max_chars"),
+      avg(col("n_chars")).as("avg_chars"),
+      expr("percentile(n_chars, 0.5)").as("p50"),
+      expr("percentile(n_chars, 0.9)").as("p90"),
+      expr("percentile(n_chars, 0.99)").as("p99"))
+  }
+
+  /** Deterministic stratified sampling: per-language Bernoulli rates keyed
+    * on the portable 60-bit doc-id hash — the training-mix downsampler
+    * (keep all low-resource languages, thin the dominant one). Hash-gated
+    * (`hash60(id) % 100 < rate`), NOT `rand()`: the sample is reproducible
+    * across runs, engines, and task retries, and adding documents never
+    * flips the membership of existing ones. Pure per-row filter — no
+    * shuffle, pushes nothing but computes nothing heavier than one md5.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val rate = when(col("lang") === "en", lit(25))
+      .when(col("lang") === "zh", lit(50))
+      .otherwise(lit(100))
+    d.filter(pmod(DedupOps.hash60(col("doc_id").cast("string")), lit(100)) < rate)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_length_stats" ->
+      """SELECT lang,
+        |  COUNT(*) AS n_docs,
+        |  MIN(n_chars) AS min_chars,
+        |  MAX(n_chars) AS max_chars,
+        |  AVG(n_chars) AS avg_chars,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.9) AS p90,
+        |  quantile_cont(n_chars, 0.99) AS p99
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 100
+        |      < (CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 50 ELSE 100 END)""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, n_chars,
         |  len(text) AS n_chars_calc,

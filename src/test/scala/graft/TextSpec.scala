@@ -35,6 +35,30 @@ class TextSpec extends SparkSpecBase {
     assert(out.filter(col("punct_ratio") < 0 || col("stop_ratio") < 0).count() === 0)
   }
 
+  test("lengthStats: percentiles ordered and bounded; doc counts reconcile") {
+    val out = TextOps.lengthStats(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      val (mn, mx) = (r.getAs[Long]("min_chars").toDouble, r.getAs[Long]("max_chars").toDouble)
+      val (p50, p90, p99) = (r.getAs[Double]("p50"), r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+      assert(mn <= p50 && p50 <= p90 && p90 <= p99 && p99 <= mx)
+      assert(r.getAs[Double]("avg_chars") >= mn && r.getAs[Double]("avg_chars") <= mx)
+    }
+  }
+
+  test("stratifiedSample: deterministic, keeps all 100%-rate strata, thins en") {
+    val a = TextOps.stratifiedSample(spark, sf).collect().map(_.getLong(0)).sorted.toSeq
+    val b = TextOps.stratifiedSample(spark, sf).collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b) // hash-gated, not rand(): stable across runs
+    val total = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextOps.stratifiedSample(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("de", "fr", "es").foreach(l => assert(kept.getOrElse(l, 0L) === total(l)))
+    assert(kept("en") < total("en")) // 25% gate must drop most of the majority class
+  }
+
   test("fingerprint: whitespace/case-normalized texts collide, distinct texts don't") {
     val df = Seq(
       (1L, "The quick  brown fox"),
