@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{EventsOps, RelationalOps}
+import graft.ops.{DocumentOps, EventsOps, RelationalOps, SearchOps, SimilarityOps}
 
 /** Physical-plan assertions: the properties that make these queries survive a
   * 100× scale-up — filter pushdown, column pruning, broadcast joins, partial
@@ -53,5 +53,40 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"), p)
     // partial_ functions appear only when map-side combine is planned
     assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
+  }
+
+  test("genreDocs: bridge aggregates BEFORE the dim join (no fact×dim pre-group)") {
+    val qe = DocumentOps.genreDocs(spark, sf).queryExecution
+    // in the optimized logical plan the Aggregate must sit below the Join —
+    // aggregating after the join would re-group the joined fact at scale
+    val opt = qe.optimizedPlan
+    val join = opt.collectFirst { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(join.isDefined, s"expected a join in:\n$opt")
+    assert(join.get.right.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined || join.get.left.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined, s"expected the bridge Aggregate under the join, not above it:\n$opt")
+    assert(opt.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.collectFirst { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.isDefined => a
+    }.isEmpty, s"found an Aggregate ABOVE a join (post-join regroup):\n$opt")
+  }
+
+  test("invertedSearch: the query-term filter prunes the postings below the tf group") {
+    val p = plan(SearchOps.invertedSearch(spark, sf))
+    // the IN-filter on token must run before the (token, doc_id) aggregate —
+    // i.e. inside the generate/scan stage, not between the two aggregates
+    val lines = p.linesIterator.toSeq
+    val filterIdx = lines.lastIndexWhere(l => l.contains("Filter") && l.contains("token"))
+    val aggIdx = lines.indexWhere(l => l.contains("HashAggregate") || l.contains("ObjectHashAggregate"))
+    assert(filterIdx > aggIdx && filterIdx >= 0 && aggIdx >= 0,
+      s"token filter (line $filterIdx) should be BELOW (printed after) the first aggregate (line $aggIdx):\n$p")
+  }
+
+  test("annIvf: candidate probe is a broadcast join on cell, no corpus-wide sort before limit") {
+    val p = plan(SimilarityOps.annIvf(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe join in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k re-rank in:\n$p")
   }
 }
