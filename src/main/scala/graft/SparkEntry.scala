@@ -44,6 +44,8 @@ object SparkEntry {
     "q_window_lag"       -> (EventsOps.windowLag(_, _)),
     "q_json_extract"     -> (EventsOps.jsonExtract(_, _)),
     "q_sessionize"       -> (EventsOps.sessionize(_, _)),
+    "q_asof_join"        -> (EventsOps.asofJoin(_, _)),
+    "q_range_join"       -> ((s, d) => EventsOps.rangeJoin(s, d)),
     // Full-text search (ES query surface, SURVEY §3.3 / F10-F14 / A9)
     "q_search_match"     -> ((s, d) => SearchOps.matchQuery(s, d)),
     "q_search_match_ru"  -> ((s, d) => SearchOps.matchQueryRu(s, d)),

@@ -96,7 +96,108 @@ object EventsOps {
            count(lit(1)).as("n_events"))
   }
 
+  /** As-of join core over a (event_id, user_id, event_type, ts_us) frame:
+    * attribute every `leftType` row to the most recent `rightType` row of
+    * the same user at-or-before it.
+    *
+    * Spark has no native ASOF JOIN; the scale-correct form is the
+    * union-sort-window trick — tag both sides, union, ONE shuffle on the
+    * key, one within-partition sort on (ts, side, id), then a running
+    * last-non-null carries each right row forward to the left rows that
+    * follow it. Never the naive per-user range join (O(L×R) per key) and
+    * never a per-row lookup. Ties are pinned by the (ts, side, id) total
+    * order — right-before-left at equal ts gives the inclusive `<=`
+    * semantics of DuckDB's native ASOF JOIN, which the oracle replays with
+    * the identical window so both engines agree even on exact-tie rows.
+    */
+  private[graft] def asofAttribution(tagged: DataFrame,
+                                   leftType: String, rightType: String): DataFrame = {
+    val sided = tagged
+      .filter(col("event_type").isInCollection(Seq(leftType, rightType)))
+      .withColumn("side", when(col("event_type") === rightType, 0).otherwise(1))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sided
+      .withColumn("r_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("r_ts",
+        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"),
+        expr("ts_us div 1000").as("ts_ms"),
+        coalesce(col("r_id"), lit(-1L)).as("purchase_event_id"),
+        coalesce(expr("r_ts div 1000"), lit(-1L)).as("purchase_ts_ms"),
+        coalesce(expr("(ts_us - r_ts) div 1000"), lit(-1L)).as("ms_since_purchase"))
+  }
+
+  /** Purchase-attribution face: each click joined as-of to the user's most
+    * recent purchase (-1 sentinels when none precedes it).
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofAttribution(
+      Tables.events(spark, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us")),
+      leftType = "click", rightType = "purchase")
+
+  /** Range (interval) join: every (purchase, error) pair — ACROSS users —
+    * where the error lands within `windowUs` after the purchase. With no
+    * equi-key, Spark's planner falls back to BroadcastNestedLoopJoin
+    * (O(L×R) compares, driver-bounded broadcast) — the classic range-join
+    * trap. The scale-correct decomposition is BUCKETIZE-then-equi-join:
+    * quantize time into window-width buckets, join on the bucket key (each
+    * left row probes its own bucket and the next — every qualifying pair
+    * shares one of the two), then apply the exact range predicate. Cost is
+    * one shuffle on a time key and pairs-per-bucket work, not |L|×|R|; a hot
+    * bucket (traffic spike) is the usual skew hazard and AQE/salting
+    * applies as with any equi-join.
+    */
+  def rangeJoin(spark: SparkSession, dir: String,
+                windowUs: Long = 60L * 1000 * 1000): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts_us").as("p_ts"))
+      // probe own bucket and the next: a window straddles at most 2 buckets
+      .withColumn("bucket", explode(array(
+        expr(s"p_ts div $windowUs"), expr(s"p_ts div $windowUs") + 1)))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts_us").as("e_ts"),
+        expr(s"ts_us div $windowUs").as("bucket"))
+    purchases.join(errors, Seq("bucket"))
+      .filter(col("e_ts") >= col("p_ts") && col("e_ts") - col("p_ts") <= windowUs)
+      .select(col("purchase_id"), col("error_id"),
+        expr("(e_ts - p_ts) div 1000").as("lag_ms"))
+      .dropDuplicates("purchase_id", "error_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_range_join" ->
+      """SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+        |  (epoch_us(e.ts) - epoch_us(p.ts)) // 1000 AS lag_ms
+        |FROM events p, events e
+        |WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+        |  AND epoch_us(e.ts) >= epoch_us(p.ts)
+        |  AND epoch_us(e.ts) - epoch_us(p.ts) <= 60000000""".stripMargin,
+    "q_asof_join" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |      OVER win AS r_id,
+        |    last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS)
+        |      OVER win AS r_ts
+        |  FROM t
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts_us // 1000 AS ts_ms,
+        |  COALESCE(r_id, -1) AS purchase_event_id,
+        |  COALESCE(r_ts // 1000, -1) AS purchase_ts_ms,
+        |  COALESCE((ts_us - r_ts) // 1000, -1) AS ms_since_purchase
+        |FROM w WHERE side = 1""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms,

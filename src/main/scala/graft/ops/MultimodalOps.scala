@@ -72,6 +72,65 @@ object MultimodalOps {
       }
   }
 
+  case class ResizedMedia(
+      doc_id: Long, media_type: String, payload: Array[Byte],
+      width: Int, height: Int)
+
+  case class Frame(doc_id: Long, frame_idx: Int, frame_md5: String, byte_len: Long)
+
+  /** Resize stage: decode → scale to a fixed training shape (the 224×224
+    * vision-model preprocessing step). The pixel transform is stubbed (a
+    * deterministic byte truncation standing in for a real scaler); the Spark
+    * shape is real — map-side `mapPartitions`, payload never shuffled, output
+    * payload bounded by `targetW*targetH` regardless of input size (the
+    * property that keeps a 100 TB image crawl from doubling in flight).
+    */
+  def resizeStage(spark: SparkSession, dir: String,
+                  targetW: Int = 224, targetH: Int = 224): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("doc_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, mt, payload) =>
+          // ??? <- real scaler goes here; deterministic stub: clamp payload
+          // to the target raster size
+          val resized = java.util.Arrays.copyOf(payload,
+            math.min(payload.length, targetW * targetH))
+          ResizedMedia(id, mt, resized, targetW, targetH)
+        }
+      }
+  }
+
+  /** Frame-sampling stage: one video row fans out to every `every`-th frame
+    * (the contact-sheet / keyframe extraction step). Stubbed frame bytes
+    * (md5 of payload+index); the real part is the bounded fan-out shape —
+    * an iterator `flatMap` inside `mapPartitions`, so a 2-hour video's
+    * frames stream out without materializing the whole list, and the output
+    * row count is n_frames/every, never n_frames.
+    */
+  def frameSample(spark: SparkSession, dir: String, every: Int = 10): Dataset[Frame] = {
+    import spark.implicits._
+    require(every > 0)
+    mediaTable(spark, dir)
+      .filter(col("media_type") === "video")
+      .select("doc_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, mt, payload) =>
+          val (_, _, _, nFrames) = stubDecode(payload, mt)
+          Iterator.range(0, nFrames, every).map { i =>
+            // ??? <- real frame grab goes here; deterministic stub digest
+            val md = java.security.MessageDigest.getInstance("MD5")
+            md.update(payload)
+            md.update(java.nio.ByteBuffer.allocate(4).putInt(i).array())
+            val hex = md.digest().map("%02x".format(_)).mkString
+            Frame(id, i, hex, payload.length.toLong)
+          }
+        }
+      }
+  }
+
   /** Oracle-checkable face: metadata extraction that needs no codec at all —
     * byte length, content hash, deterministic type/width assignment. Proves
     * the binary-column plumbing (cast, octet length, md5-over-bytes) matches

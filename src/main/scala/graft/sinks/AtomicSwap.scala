@@ -1,0 +1,73 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Crash-safe whole-directory replacement for plain-parquet stores:
+  * write-staging → rename-live-aside → rename-staging-in → drop-old.
+  *
+  * Crash states and their recovery (all handled by `recover`, which callers
+  * run before reading):
+  *  - crash during staging write → staging is garbage, live store intact →
+  *    next write overwrites staging;
+  *  - crash between the two renames → live dir absent but staging complete
+  *    by construction → staging is promoted;
+  *  - crash after the swap → a stale `.old` remains → dropped on next swap.
+  *
+  * This is the same discipline a table format (Iceberg/Delta) gets from
+  * metadata commits; for plain parquet the rename pair is the atom.
+  * Extracted from IncrementalDocPipeline so compaction and any other
+  * rewrite-in-place sink share one audited implementation.
+  */
+object AtomicSwap {
+
+  private def fs(spark: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** Promote a completed staging dir if a crash left the live dir missing. */
+  def recover(spark: SparkSession, livePath: String): Unit = {
+    val f = fs(spark)
+    val dst = new org.apache.hadoop.fs.Path(livePath)
+    val staging = new org.apache.hadoop.fs.Path(livePath + ".staging")
+    if (!f.exists(dst) && f.exists(staging)) f.rename(staging, dst)
+    ()
+  }
+
+  /** Write `df` as the new content of `livePath` via the staged swap.
+    * The write itself retries with backoff (overwrite ⇒ idempotent).
+    */
+  def replace(spark: SparkSession, df: DataFrame, livePath: String): Unit = {
+    val f = fs(spark)
+    val dst     = new org.apache.hadoop.fs.Path(livePath)
+    val staging = new org.apache.hadoop.fs.Path(livePath + ".staging")
+    val old     = new org.apache.hadoop.fs.Path(livePath + ".old")
+    Retry.withBackoff() {
+      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    }
+    f.delete(old, true)
+    if (f.exists(dst)) f.rename(dst, old) // keep the live store recoverable
+    f.rename(staging, dst)
+    f.delete(old, true)
+    ()
+  }
+
+  /** Small-files compaction: rewrite a store into ~`targetFileBytes` files
+    * (computed from the store's current on-disk size) and swap it in
+    * atomically. The chronic failure mode of an incremental pipeline is a
+    * store of ten thousand tick-sized files — NameNode/listing pressure and
+    * tiny scan tasks; periodic compaction is the standard fix. Returns the
+    * file count written.
+    */
+  def compact(spark: SparkSession, livePath: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    recover(spark, livePath)
+    val f = fs(spark)
+    val dst = new org.apache.hadoop.fs.Path(livePath)
+    val bytes = f.getContentSummary(dst).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    // coalesce, not repartition: compaction must not pay a full shuffle —
+    // it only narrows the file count (at 100 TB run it per partition)
+    val df = spark.read.parquet(livePath).coalesce(nFiles)
+    replace(spark, df, livePath)
+    nFiles
+  }
+}

@@ -35,4 +35,14 @@ object BucketedLayout {
   def colocatedJoin(spark: SparkSession, left: String, right: String,
                     key: String, joinType: String = "inner"): DataFrame =
     spark.table(left).join(spark.table(right), Seq(key), joinType)
+
+  /** Date/key-partitioned layout — the other half of the physical story
+    * (events by day, orders by month; Tables.scala scale note made real).
+    * Partition values become directory keys, so an equality/range filter on
+    * the partition column prunes whole directories at PLANNING time: a
+    * one-month query over a 100 TB fact touches one directory, not the
+    * table. Verified in ScaleLayoutSpec via the scan's PartitionFilters.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 }

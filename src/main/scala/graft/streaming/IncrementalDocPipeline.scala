@@ -79,15 +79,13 @@ class IncrementalDocPipeline(
     * the next tick silently rebuilt it from the dirty docs alone.
     */
   private def upsert(spark: SparkSession, docs: DataFrame): Unit = {
+    // recover from a crash between AtomicSwap's two renames: staging was
+    // complete and the live dir is gone — promote it instead of treating
+    // this as first-run
+    graft.sinks.AtomicSwap.recover(spark, storePath)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val dst     = new org.apache.hadoop.fs.Path(storePath)
-    val staging = new org.apache.hadoop.fs.Path(storePath + ".staging")
-    val old     = new org.apache.hadoop.fs.Path(storePath + ".old")
-
-    // recover from a crash between the two renames: staging was complete and
-    // the live dir is gone — promote it instead of treating this as first-run
-    if (!fs.exists(dst) && fs.exists(staging)) fs.rename(staging, dst)
+    val dst = new org.apache.hadoop.fs.Path(storePath)
 
     val existing = if (fs.exists(dst)) Some(spark.read.parquet(storePath)) else None
     // F16 (models.py:9-17): auto_now_add/auto_now stamped at the sink — the
@@ -105,16 +103,9 @@ class IncrementalDocPipeline(
           .unionByName(incoming)
       case None => incoming
     }
-    // T6: staging write retries with backoff (overwrite => idempotent);
-    // the rename swap below is not retried — it's metadata-only and its
-    // crash states are recovered on the next call instead
-    graft.sinks.Retry.withBackoff() {
-      merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    }
-    fs.delete(old, true)
-    if (fs.exists(dst)) fs.rename(dst, old) // keep the live store recoverable
-    fs.rename(staging, dst)
-    fs.delete(old, true)
+    // staged write + rename swap (retry/backoff and crash recovery live in
+    // AtomicSwap — shared with the compaction utility)
+    graft.sinks.AtomicSwap.replace(spark, merged, storePath)
     incoming.unpersist()
     ()
   }

@@ -41,4 +41,59 @@ class EventsSpec extends SparkSpecBase {
     val out = EventsOps.jsonExtract(spark, sf)
     assert(out.select(sum("n")).head.getLong(0) === Tables.events(spark, sf).count())
   }
+
+  test("asofAttribution: planted semantics — none-before, inclusive tie, carry-forward") {
+    import spark.implicits._
+    val tagged = Seq(
+      // user 1: click before any purchase → -1 sentinels
+      (10L, 1L, "click",    5000L),
+      (11L, 1L, "purchase", 10000L),
+      (12L, 1L, "click",    15000L), // → purchase 11
+      (13L, 1L, "purchase", 20000L),
+      (14L, 1L, "click",    25000L), // → purchase 13 (latest wins)
+      (15L, 1L, "click",    20000L), // exact tie with purchase 13 → inclusive
+      // user 2: only clicks → -1; other event types are ignored
+      (20L, 2L, "click",    7000L),
+      (21L, 2L, "view",     1000L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = EventsOps.asofAttribution(tagged, "click", "purchase")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("purchase_event_id"), r.getAs[Long]("ms_since_purchase"))).toMap
+    assert(out(10L) === (-1L, -1L))
+    assert(out(12L) === (11L, 5L))
+    assert(out(14L) === (13L, 5L))
+    assert(out(15L) === (13L, 0L)) // ts_r <= ts_l inclusive (ASOF semantics)
+    assert(out(20L) === (-1L, -1L))
+    assert(!out.contains(21L)) // non-click left rows are not emitted
+  }
+
+  test("rangeJoin: bucket decomposition ≡ the direct non-equi join") {
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("ts_us").as("pts"))
+    val er = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("eid"), col("ts_us").as("ets"))
+    // 30-minute window: sf0.001 is sparse enough that 60s yields zero pairs —
+    // the equality must be exercised on a non-empty candidate set
+    val windowUs = 30L * 60 * 1000 * 1000
+    val naive = p.crossJoin(er)
+      .filter(col("ets") >= col("pts") && col("ets") - col("pts") <= windowUs)
+      .select("pid", "eid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = EventsOps.rangeJoin(spark, sf, windowUs).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("error_id"))).toSet
+    assert(got === naive)
+    assert(got.nonEmpty)
+  }
+
+  test("asofJoin: one output row per click; attribution never in the future") {
+    val out = EventsOps.asofJoin(spark, sf)
+    val nClicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(out.count() === nClicks)
+    assert(out.filter(col("ms_since_purchase") < -1).count() === 0)
+    assert(out.filter(col("purchase_event_id") =!= -1 &&
+      col("purchase_ts_ms") > col("ts_ms")).count() === 0)
+  }
 }

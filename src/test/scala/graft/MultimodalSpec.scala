@@ -30,6 +30,33 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.filter(col("byte_len") <= 0).count() === 0)
   }
 
+  test("resizeStage: payload bounded by target raster, dims set, deterministic") {
+    val out = MultimodalOps.resizeStage(spark, sf, targetW = 32, targetH = 32).collect()
+    assert(out.length === Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      assert(r.payload.length <= 32 * 32)
+      assert(r.width === 32 && r.height === 32)
+    }
+    val again = MultimodalOps.resizeStage(spark, sf, targetW = 32, targetH = 32).collect()
+    assert(out.sortBy(_.doc_id).map(_.payload.toSeq).toSeq ===
+      again.sortBy(_.doc_id).map(_.payload.toSeq).toSeq)
+  }
+
+  test("frameSample: every k-th frame of videos only; count = ceil(n_frames/k)") {
+    val every = 7
+    val frames = MultimodalOps.frameSample(spark, sf, every).collect()
+    val videos = MultimodalOps.decodeMedia(spark, sf).collect()
+      .filter(_.media_type == "video")
+    val expected = videos.map(v => (v.n_frames + every - 1) / every).sum
+    assert(frames.length === expected)
+    // frame indices are the sampled grid, md5s are well-formed and distinct
+    // per (doc, frame)
+    frames.groupBy(_.doc_id).foreach { case (_, fs) =>
+      assert(fs.map(_.frame_idx).sorted.toSeq === fs.map(_.frame_idx).sorted.distinct.toSeq)
+      assert(fs.forall(f => f.frame_idx % every === 0 && f.frame_md5.length === 32))
+    }
+  }
+
   test("metadata projection prunes the payload column at the scan") {
     val plan = MultimodalOps.mediaTable(spark, sf)
       .select("doc_id", "media_type")

@@ -62,6 +62,51 @@ class ScaleLayoutSpec extends SparkSpecBase {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("partitioned layout: partition-column filter prunes at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/orders_by_month"
+    BucketedLayout.writePartitioned(
+      Tables.orders(spark, sf).withColumn("month",
+        date_format(col("o_orderdate"), "yyyy-MM")),
+      dir, "month")
+    val q = spark.read.parquet(dir).filter(col("month") === "1995-06")
+      .select("o_orderkey", "o_totalprice")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("month"),
+      s"expected a partition filter on month in:\n$plan")
+    // pruned read returns exactly the month's rows
+    val expected = Tables.orders(spark, sf)
+      .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1995-06").count()
+    assert(q.count() === expected && expected > 0)
+  }
+
+  test("AtomicSwap.compact: many small files become few, data unchanged") {
+    import graft.sinks.AtomicSwap
+    val store = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/store"
+    Tables.orders(spark, sf).repartition(17)
+      .write.parquet(store)
+    // decimal sum: order-independent (compaction reorders rows)
+    val chk = sum(col("o_totalprice").cast("decimal(18,2)"))
+    val before = spark.read.parquet(store).agg(count(lit(1)), chk).head
+    val filesBefore = new java.io.File(store).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(filesBefore === 17)
+    val n = AtomicSwap.compact(spark, store)
+    val filesAfter = new java.io.File(store).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(filesAfter === n && filesAfter < filesBefore)
+    val after = spark.read.parquet(store).agg(count(lit(1)), chk).head
+    assert(after === before)
+  }
+
+  test("AtomicSwap.recover promotes a complete staging when the live dir is gone") {
+    import graft.sinks.AtomicSwap
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-swap").toString
+    val live = s"$base/store"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(live + ".staging")
+    // simulate the crash window: staging complete, live never created
+    AtomicSwap.recover(spark, live)
+    assert(spark.read.parquet(live).count() === 1)
+  }
+
   test("salted join: left join keeps unmatched large rows exactly once") {
     import spark.implicits._
     val large = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
