@@ -37,6 +37,8 @@ object SparkEntry {
     "q_validate"         -> (RelationalOps.validateConstraints(_, _)),
     "q_count_envelope"   -> (RelationalOps.countEnvelope(_, _)),
     "q_facet_filter"     -> (RelationalOps.facetFilter(_, _)),
+    "q_facet_rollup"     -> (RelationalOps.facetRollup(_, _)),
+    "q_topk_per_group"   -> ((s, d) => RelationalOps.topkPerGroup(s, d)),
     "q_approx_distinct"  -> (RelationalOps.approxDistinct(_, _)),
     // Incremental/CDC batch faces + time series (SURVEY §2.7)
     "q_watermark_scan"   -> (EventsOps.watermarkScan(_, _)),

@@ -268,7 +268,63 @@ object RelationalOps {
         col("exact_orders"))
   }
 
+  /** Multi-level facet via ROLLUP (admin dashboard subtotals): per
+    * (month, status), per month, and grand total in ONE pass — Spark plans
+    * a single Expand + hash aggregate instead of three scans. `grouping()`
+    * flags disambiguate real NULLs from subtotal rows, exactly as the
+    * GROUPING() bit does in ANSI SQL.
+    */
+  def facetRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+             col("o_orderdate") <  lit("1996-01-01").cast("timestamp"))
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .rollup(col("month"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast(Dec)).cast("double").as("total"),
+           grouping(col("month")).cast("int").as("g_month"),
+           grouping(col("o_orderstatus")).cast("int").as("g_status"))
+      .select(
+        coalesce(col("month"), lit("ALL")).as("month"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("g_month"), col("g_status"), col("n"), col("total"))
+  }
+
+  /** Top-k per group (each customer's 3 largest orders): rank window with a
+    * deterministic tie-break, filtered to k. Scale: one shuffle on the
+    * group key; within-partition sort only — no global sort, and at 100 TB
+    * a pre-aggregation (max-k sketch) or group-limit optimization applies;
+    * Catalyst already pushes the rank filter into the window via
+    * LimitPushDownThroughWindow when shapes allow.
+    */
+  def topkPerGroup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_facet_rollup" ->
+      """SELECT COALESCE(strftime(o_orderdate, '%Y-%m'), 'ALL') AS month,
+        |  COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  CAST(GROUPING(strftime(o_orderdate, '%Y-%m')) AS INT) AS g_month,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY ROLLUP (strftime(o_orderdate, '%Y-%m'), o_orderstatus)""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3""".stripMargin,
     "q_approx_distinct" ->
       """SELECT TRUE AS parts_within_rsd,
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,

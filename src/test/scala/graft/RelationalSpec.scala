@@ -79,4 +79,33 @@ class RelationalSpec extends SparkSpecBase {
     val cnt = r.getAs[Long]("cnt")
     assert(r.getAs[Long]("total_pages") === (cnt + 49) / 50)
   }
+
+  test("facetRollup: subtotal levels reconcile — months sum to grand total") {
+    val rows = RelationalOps.facetRollup(spark, sf).collect()
+    val leaf = rows.filter(r => r.getAs[Int]("g_month") == 0 && r.getAs[Int]("g_status") == 0)
+    val monthly = rows.filter(r => r.getAs[Int]("g_month") == 0 && r.getAs[Int]("g_status") == 1)
+    val grand = rows.filter(r => r.getAs[Int]("g_month") == 1 && r.getAs[Int]("g_status") == 1)
+    assert(grand.length === 1)
+    assert(leaf.map(_.getAs[Long]("n")).sum === grand.head.getAs[Long]("n"))
+    assert(monthly.map(_.getAs[Long]("n")).sum === grand.head.getAs[Long]("n"))
+    // grouping flags, not string sentinels, distinguish subtotal rows
+    assert(monthly.forall(_.getAs[String]("o_orderstatus") === "ALL"))
+  }
+
+  test("topkPerGroup: at most k rows per group, ordered, true maxima") {
+    val out = RelationalOps.topkPerGroup(spark, sf).collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    assert(out.nonEmpty)
+    out.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val prices = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("o_totalprice"))
+      assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    }
+    // spot check one customer against a direct sort
+    val (ck, rs) = out.head
+    val direct = Tables.orders(spark, sf).filter(col("o_custkey") === ck)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(3)
+      .collect().map(_.getAs[Long]("o_orderkey")).toSeq
+    assert(rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("o_orderkey")).toSeq === direct)
+  }
 }
