@@ -190,6 +190,99 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
     copy(child = newChild)
 }
 
+/** Native md5 minhash over a raw text column: character `shingleLen`-grams
+  * are enumerated, salted, md5'd, and min-reduced per salt in ONE traversal
+  * of the string — the fused form of the composed pipeline
+  * `array_min(transform(array_distinct(shingles(text)), s => md5(concat(salt, s))))`
+  * per salt (bit-identical; FunctionsSpec asserts it on real and edge-case
+  * rows). The fusion wins come from what the composed plan cannot avoid:
+  *  - `array_distinct` is pure overhead under a min-reduce (min over
+  *    duplicates = min over distinct) — skipped entirely;
+  *  - per-salt `transform` passes walk the shingle array k times through
+  *    interpreted lambda frames with a fresh UTF8String concat + hex string
+  *    per element — here each shingle's bytes feed a reused thread-local
+  *    MessageDigest (salt bytes first, no concat), and candidates compare
+  *    as raw 16-byte digests (unsigned byte order == lowercase-hex order),
+  *    so hex formatting happens k times per ROW, not per element.
+  *
+  * Empty/short texts follow the composed form's `greatest(len-4, 1)`
+  * convention: at least one (possibly short or empty) shingle is always
+  * hashed, so the output never contains nulls; null input → null.
+  */
+case class Md5MinHash(child: Expression, shingleLen: Int, salts: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(shingleLen >= 1 && salts.nonEmpty)
+
+  override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StringType,
+    containsNull = false)
+  override def prettyName: String = "md5_minhash"
+
+  private lazy val saltBytes: Array[Array[Byte]] =
+    salts.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    Md5MinHash.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      shingleLen, saltBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltsRef = ctx.addReferenceObj("salts", saltBytes, "byte[][]")
+    val cls = Md5MinHash.getClass.getName.stripSuffix("$") // companion static fwd
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = $cls.compute($t, $shingleLen, $saltsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHash =
+    copy(child = newChild)
+}
+
+object Md5MinHash {
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Hot loop shared by interpreted eval and codegen (called as a static). */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+              shingleLen: Int, saltBytes: Array[Array[Byte]]): ArrayData = {
+    val md = mdLocal.get()
+    val nSalts = saltBytes.length
+    val nChars = text.numChars()
+    val count = math.max(nChars - (shingleLen - 1), 1)
+    val mins = new Array[Array[Byte]](nSalts)
+    var i = 1
+    while (i <= count) {
+      // SQL SUBSTR semantics (codepoint-based) — identical to Column.substr
+      val sub = text.substringSQL(i, shingleLen).getBytes
+      var s = 0
+      while (s < nSalts) {
+        md.reset()
+        md.update(saltBytes(s))
+        md.update(sub)
+        val d = md.digest()
+        if (mins(s) == null || java.util.Arrays.compareUnsigned(d, mins(s)) < 0)
+          mins(s) = d
+        s += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](nSalts)
+    var s = 0
+    while (s < nSalts) {
+      val d = mins(s)
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(b * 2) = HexDigits((d(b) >> 4) & 0xf)
+        hex(b * 2 + 1) = HexDigits(d(b) & 0xf)
+        b += 1
+      }
+      out(s) = org.apache.spark.unsafe.types.UTF8String.fromString(new String(hex))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Session-level registration of graft's native expressions for sessions
   * built WITHOUT `spark.sql.extensions=graft.plans.GraftExtensions` (the
   * preferred path — Bench/Verify/tests all use the extension). Quiet no-op
@@ -200,7 +293,9 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     if (registry.functionExists(FunctionIdentifier("minhash_slots")) &&
-        registry.functionExists(FunctionIdentifier("simhash64"))) return
+        registry.functionExists(FunctionIdentifier("simhash64")) &&
+        registry.functionExists(FunctionIdentifier("md5_minhash")) &&
+        registry.functionExists(FunctionIdentifier("ru_en_analyze"))) return
     registry.createOrReplaceTempFunction(
       "minhash_slots",
       { exprs: Seq[Expression] =>
@@ -218,6 +313,20 @@ object GraftFunctions {
       { exprs: Seq[Expression] =>
         require(exprs.size == 1, "simhash64(hashes)")
         SimHash64(exprs.head)
+      },
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "md5_minhash",
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "md5_minhash(text)")
+        Md5MinHash(exprs.head, shingleLen = 5, salts = Seq("s1", "s2", "s3", "s4"))
+      },
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "ru_en_analyze",
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "ru_en_analyze(text)")
+        RuEnAnalyze(exprs.head)
       },
       "built-in")
     ()

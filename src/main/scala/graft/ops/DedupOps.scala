@@ -37,11 +37,25 @@ object DedupOps {
   }
 
   /** 4-hash MinHash signature per doc — oracle-checked column by column.
-    * Shingles are staged once (distinct-before-hash is min-preserving), then
-    * each salt makes one md5 pass over the staged array — not four re-slices
-    * of the text (same CollapseProject staging trick as fastSignature).
+    * Uses the native fused [[graft.functions.Md5MinHash]] expression: one
+    * traversal of the text computes all 4 salted mins (reused digest, raw
+    * 16-byte comparisons, hex only at the end). Bit-identical to the
+    * composed form below — FunctionsSpec asserts equality; the DuckDB
+    * oracle replays the composed semantics.
     */
   def minhashSignature(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"), expr("md5_minhash(text)").as("sig"))
+      .select(col("doc_id"),
+        element_at(col("sig"), 1).as("mh1"), element_at(col("sig"), 2).as("mh2"),
+        element_at(col("sig"), 3).as("mh3"), element_at(col("sig"), 4).as("mh4"))
+  }
+
+  /** Composed built-ins form (the (b)-tier): staged distinct shingles, one
+    * md5 transform pass per salt. Retained as the equality reference for
+    * the native expression (FunctionsSpec) — this IS the specification.
+    */
+  private[graft] def minhashSignatureComposed(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     def mh(salt: String): Column =
       array_min(transform(col("sh"), s => md5(concat(lit(salt), s).cast("binary"))))

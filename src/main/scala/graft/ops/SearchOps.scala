@@ -24,38 +24,18 @@ import org.apache.spark.sql.functions._
 object SearchOps {
 
   /** Lucene/ES "english" stopword list (the `english_stop` filter in the
-    * reference's ru_en analyzer, es_movies.json:6-9).
+    * reference's ru_en analyzer, es_movies.json:6-9). Canonical data lives
+    * in [[graft.functions.RuEnAnalyzerDef]], shared with the native
+    * expression.
     */
-  val Stopwords: Seq[String] = Seq(
-    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
-    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such", "that",
-    "the", "their", "then", "there", "these", "they", "this", "to", "was",
-    "will", "with")
+  val Stopwords: Seq[String] = graft.functions.RuEnAnalyzerDef.Stopwords
 
   /** Lucene/ES `_russian_` (snowball) stopword list — the `russian_stop`
     * filter of the same ru_en analyzer (es_movies.json:18-21). The reference
     * indexes a Russian-language catalog; dropping this half silently loses
     * every Cyrillic token (round-1 F10 gap).
     */
-  val RuStopwords: Seq[String] = Seq(
-    "и", "в", "во", "не", "что", "он", "на", "я", "с", "со", "как", "а",
-    "то", "все", "она", "так", "его", "но", "да", "ты", "к", "у", "же",
-    "вы", "за", "бы", "по", "только", "ее", "мне", "было", "вот", "от",
-    "меня", "еще", "нет", "о", "из", "ему", "теперь", "когда", "даже",
-    "ну", "вдруг", "ли", "если", "уже", "или", "ни", "быть", "был",
-    "него", "до", "вас", "нибудь", "опять", "уж", "вам", "ведь", "там",
-    "потом", "себя", "ничего", "ей", "может", "они", "тут", "где",
-    "есть", "надо", "ней", "для", "мы", "тебя", "их", "чем", "была",
-    "сам", "чтоб", "без", "будто", "чего", "раз", "тоже", "себе", "под",
-    "будет", "ж", "тогда", "кто", "этот", "того", "потому", "этого",
-    "какой", "совсем", "ним", "здесь", "этом", "один", "почти", "мой",
-    "тем", "чтобы", "нее", "сейчас", "были", "куда", "зачем", "всех",
-    "никогда", "можно", "при", "наконец", "два", "об", "другой", "хоть",
-    "после", "над", "больше", "тот", "через", "эти", "нас", "про",
-    "всего", "них", "какая", "много", "разве", "три", "эту", "моя",
-    "впрочем", "хорошо", "свою", "этой", "перед", "иногда", "лучше",
-    "чуть", "том", "нельзя", "такой", "им", "более", "всегда", "конечно",
-    "всю", "между")
+  val RuStopwords: Seq[String] = graft.functions.RuEnAnalyzerDef.RuStopwords
 
   private val AllStops: Seq[String] = Stopwords ++ RuStopwords
 
@@ -74,18 +54,25 @@ object SearchOps {
     * suffix — same leftmost-first semantics in Java regex (Spark) and RE2
     * (DuckDB), which is what keeps the oracle bit-identical.
     */
-  private[ops] val RuSuffixes =
-    "иями|ями|ами|ыми|ими|иях|иям|ях|ах|ам|ям|ией|ием|ия|ие|ии|ию|ья|ье|ью|" +
-    "его|ого|ему|ому|ых|их|ую|юю|ая|яя|ое|ее|ые|ый|ий|ой|ею|ей|ов|ев|ом|ем|" +
-    "а|е|и|й|о|у|ы|ь|ю|я"
+  private[ops] val RuSuffixes = graft.functions.RuEnAnalyzerDef.RuSuffixes
   private def stemRu(t: Column): Column =
     regexp_replace(t, s"^([а-яё]{2,}?)($RuSuffixes)$$", "$1")
 
   /** ES `ru_en`-analyzer analog: standard-ish tokenize (Latin + Cyrillic) →
     * lowercase → ё-normalize → en+ru stopword removal → en+ru stem. Keeps
     * duplicate tokens (TF is meaningful).
+    *
+    * Dispatches to the native fused [[graft.functions.RuEnAnalyze]]
+    * expression (one pass, compiled patterns, hash stopword probe) —
+    * bit-identical to [[analyzeComposed]], which FunctionsSpec asserts and
+    * the DuckDB oracles replay.
     */
-  def analyze(text: Column): Column =
+  def analyze(text: Column): Column = call_function("ru_en_analyze", text)
+
+  /** The composed built-ins form — the specification the native expression
+    * is equality-tested against (and the shape the DuckDB oracle mirrors).
+    */
+  private[graft] def analyzeComposed(text: Column): Column =
     transform(
       filter(
         transform(split(lower(text), "[^a-z0-9а-яё']+"),

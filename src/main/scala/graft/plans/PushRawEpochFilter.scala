@@ -124,6 +124,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
       { exprs: Seq[Expression] => graft.functions.SimHash64(exprs.head) }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("md5_minhash"),
+      new ExpressionInfo(classOf[graft.functions.Md5MinHash].getName, "md5_minhash"),
+      { exprs: Seq[Expression] =>
+        graft.functions.Md5MinHash(exprs.head, shingleLen = 5,
+          salts = Seq("s1", "s2", "s3", "s4")) }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("ru_en_analyze"),
+      new ExpressionInfo(classOf[graft.functions.RuEnAnalyze].getName, "ru_en_analyze"),
+      { exprs: Seq[Expression] => graft.functions.RuEnAnalyze(exprs.head) }))
   }
 }
 

@@ -72,6 +72,75 @@ class FunctionsSpec extends SparkSpecBase {
     assert(a(1) === 0L)
   }
 
+  test("md5_minhash ≡ composed shingle/md5/min pipeline on the real corpus") {
+    val native = graft.ops.DedupOps.minhashSignature(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val ref = graft.ops.DedupOps.minhashSignatureComposed(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(native.keySet === ref.keySet)
+    native.foreach { case (id, sig) => assert(sig === ref(id), s"doc $id") }
+  }
+
+  test("md5_minhash edge cases match the composed form: empty, short, cyrillic, null") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Some("")),                 // empty: md5(salt) per slot
+      (2L, Some("ab")),               // shorter than the shingle length
+      (3L, Some("привет мир тест")),  // multi-byte codepoint slicing
+      (4L, None),                     // null text → null
+      (5L, Some("aaaaaaaaaa")))       // duplicate shingles: distinct-free min
+      .toDF("doc_id", "text")
+    def mh(salt: String) =
+      array_min(transform(
+        array_distinct(transform(
+          sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+          i => col("text").substr(i, lit(5)))),
+        s => md5(concat(lit(salt), s).cast("binary"))))
+    val rows = df.select(col("doc_id"),
+        expr("md5_minhash(text)").as("native"),
+        array(mh("s1"), mh("s2"), mh("s3"), mh("s4")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2) || r.getSeq[String](2).forall(_ == null))
+      else assert(r.getSeq[String](1) === r.getSeq[String](2), s"doc ${r.getLong(0)}")
+    }
+    // null input → null output specifically
+    assert(rows.find(_.getLong(0) == 4L).get.isNullAt(1))
+  }
+
+  test("ru_en_analyze ≡ composed analyzer pipeline on the real corpus") {
+    GraftFunctions.register(spark)
+    val both = Tables.documents(spark, sf).select(col("doc_id"),
+        expr("ru_en_analyze(text)").as("native"),
+        graft.ops.SearchOps.analyzeComposed(col("text")).as("ref"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("ru_en_analyze edge cases match composed: possessives, ё, stopwords, empty, null") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Some("The cat's toys are 'quoted' and the dogs run")), // possessive+plural+stops+quotes
+      (2L, Some("Актёр играет роли в фильмах")),                  // ё + ru stems + ru stopword
+      (3L, Some("")),                                             // empty → empty array
+      (4L, None),                                                 // null → null
+      (5L, Some("'''")),                                          // quotes only → empty
+      (6L, Some("Data2024 mixed-случай x")))                      // digits + mixed scripts
+      .toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+        expr("ru_en_analyze(text)").as("native"),
+        graft.ops.SearchOps.analyzeComposed(col("text")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2))
+      else assert(r.getSeq[String](1) === r.getSeq[String](2), s"doc ${r.getLong(0)}")
+    }
+    assert(rows.find(_.getLong(0) == 4L).get.isNullAt(1))
+  }
+
   test("minhash_slots survives dup detection end-to-end (same text ⇒ same sig)") {
     GraftFunctions.register(spark)
     val df = Seq((1L, "identical shingle text"), (2L, "identical shingle text"),
