@@ -42,8 +42,29 @@ object DocumentOps {
     orderDocsDF(spark, dir).as[OrderDoc]
   }
 
-  private[ops] def orderDocsDF(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+  /** Semi-join prune: restrict `df` to rows whose `key` is in the dirty-id
+    * frame (column `id`). This runs BEFORE any aggregate, so an incremental
+    * rebuild scans only the dirty entities' rows — the shuffle-side
+    * equivalent of the reference's `WHERE modified > %s` pushdown, never a
+    * rebuild-everything-then-filter.
+    */
+  private def pruneTo(df: DataFrame, key: String, only: Option[DataFrame]): DataFrame =
+    only match {
+      case Some(ids) => df.join(ids.select(col("id").as(key)), Seq(key), "left_semi")
+      case None => df
+    }
+
+  private[graft] def orderDocsDF(spark: SparkSession, dir: String,
+                                 only: Option[DataFrame] = None): DataFrame = {
+    val liBase = pruneTo(Tables.lineitem(spark, dir), "l_orderkey", only)
+    // split aggregation (same pattern as denormDocs): the count must not
+    // ride in the ObjectHashAggregate that carries the struct-set buffers —
+    // the numeric side stays a codegen'd HashAggregate over the bare fact
+    // (and needs no part join at all); both sides shuffle on
+    // hash(l_orderkey), so the 1:1 join below is co-partitioned.
+    val numeric = liBase.groupBy(col("l_orderkey").as("n_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+    val structs = liBase
       .join(broadcast(Tables.part(spark, dir)),
         col("l_partkey") === col("p_partkey"), "left")
       .groupBy(col("l_orderkey"))
@@ -55,15 +76,16 @@ object DocumentOps {
           struct(col("l_linenumber").as("line_no"),
                  col("l_partkey").as("part_id"),
                  col("p_name").as("part_name"),
-                 col("l_returnflag").as("flag"))))).as("lines"),
-        count(lit(1)).as("n_lines"))
+                 col("l_returnflag").as("flag"))))).as("lines"))
+    val li = structs.join(numeric, col("l_orderkey") === col("n_orderkey"))
+      .drop("n_orderkey")
 
     val cust = Tables.customer(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"), "left")
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"), "left")
       .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
 
-    Tables.orders(spark, dir)
+    pruneTo(Tables.orders(spark, dir), "o_orderkey", only)
       .join(li, col("o_orderkey") === col("l_orderkey"), "left")
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
       .select(
@@ -129,11 +151,12 @@ object DocumentOps {
     * real deployment caps it (`slice`) or keeps the posting-list form
     * (SearchOps.invertedIndex) instead of one giant row.
     */
-  private[ops] def genreDocsDF(spark: SparkSession, dir: String): DataFrame = {
-    val bridge = Tables.lineitem(spark, dir)
+  private[graft] def genreDocsDF(spark: SparkSession, dir: String,
+                                 only: Option[DataFrame] = None): DataFrame = {
+    val bridge = pruneTo(Tables.lineitem(spark, dir), "l_partkey", only)
       .groupBy(col("l_partkey"))
       .agg(sort_array(collect_set(col("l_orderkey").cast("string"))).as("film_ids"))
-    Tables.part(spark, dir)
+    pruneTo(Tables.part(spark, dir), "p_partkey", only)
       .join(bridge, col("p_partkey") === col("l_partkey"), "left")
       .select(
         col("p_partkey").as("id"),
@@ -162,13 +185,14 @@ object DocumentOps {
     * distinct struct array. Role analog: the lineitem return flag. Same
     * aggregate-bridge-first scale shape as genreDocs.
     */
-  private[ops] def personDocsDF(spark: SparkSession, dir: String): DataFrame = {
-    val films = Tables.lineitem(spark, dir)
+  private[graft] def personDocsDF(spark: SparkSession, dir: String,
+                                  only: Option[DataFrame] = None): DataFrame = {
+    val films = pruneTo(Tables.lineitem(spark, dir), "l_suppkey", only)
       .groupBy(col("l_suppkey"))
       .agg(sort_array(collect_set(struct(
         col("l_orderkey").as("film_id"),
         col("l_returnflag").as("role")))).as("films"))
-    Tables.supplier(spark, dir)
+    pruneTo(Tables.supplier(spark, dir), "s_suppkey", only)
       .join(films, col("s_suppkey") === col("l_suppkey"), "left")
       .select(
         col("s_suppkey").as("id"),
@@ -183,13 +207,28 @@ object DocumentOps {
 
   /** Oracle face: string-flattened film refs (sorted as strings so both
     * engines order identically) + distinct-struct count.
+    *
+    * Computed at the STRING level directly (the "ref" encodes both struct
+    * fields, so distinct strings ≡ distinct structs): one collect_set of
+    * flat strings and one sort, instead of aggregating struct sets and then
+    * re-sorting their string projections per row. DimDocsSpec proves this
+    * face equal to the typed [[personDocuments]] build — the same
+    * flat-face-optimized-separately pattern as denormDocs.
     */
-  def personDocs(spark: SparkSession, dir: String): DataFrame =
-    personDocsDF(spark, dir).select(
-      col("id"), col("full_name"),
-      concat_ws(";", sort_array(transform(col("films"),
-        f => concat_ws(":", f("film_id"), f("role"))))).as("films_flat"),
-      size(col("films")).cast("long").as("n_films"))
+  def personDocs(spark: SparkSession, dir: String): DataFrame = {
+    val refs = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        concat_ws(":", col("l_orderkey"), col("l_returnflag")).as("ref"))
+      .groupBy(col("l_suppkey"))
+      .agg(sort_array(collect_set(col("ref"))).as("refs"))
+    Tables.supplier(spark, dir)
+      .join(refs, col("s_suppkey") === col("l_suppkey"), "left")
+      .select(
+        col("s_suppkey").as("id"),
+        col("s_name").as("full_name"),
+        concat_ws(";", coalesce(col("refs"), array())).as("films_flat"),
+        size(coalesce(col("refs"), array())).cast("long").as("n_films"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q_genre_docs" ->

@@ -43,6 +43,17 @@ class PlanSpec extends SparkSpecBase {
       s"expected codegen HashAggregate carrying partial_sum in:\n$p")
   }
 
+  test("denormNested: line count split out of the struct ObjectHashAggregate") {
+    val p = plan(DocumentOps.denormNested(spark, sf))
+    val objAggLines = p.linesIterator.filter(_.contains("ObjectHashAggregate")).toSeq
+    assert(objAggLines.nonEmpty, s"expected an object agg for collect_set in:\n$p")
+    assert(!objAggLines.exists(_.contains("partial_count")),
+      s"count leaked into ObjectHashAggregate:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && !l.contains("Object") && l.contains("partial_count")),
+      s"expected codegen HashAggregate carrying partial_count in:\n$p")
+  }
+
   test("topkRevenue: partial top-k (TakeOrderedAndProject), not a global sort") {
     val p = plan(RelationalOps.topkRevenue(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
