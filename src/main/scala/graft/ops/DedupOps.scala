@@ -332,11 +332,6 @@ object DedupOps {
       .limit(50))
   }
 
-  /** DuckDB replay of the full MinHash+LSH pipeline (shingles → portable
-    * hashes → affine signature → banding → census guard → pair join →
-    * signature-agreement estimate). Exact-match oracle, not a brute-force
-    * approximation: the banded candidate set itself is part of the contract.
-    */
   /** Shared CTE chain: shingles → portable hashes → affine signature →
     * banding → census guard → candidate pairs (lsig/rsig attached).
     */
@@ -364,6 +359,11 @@ object DedupOps {
        |             AND l.doc_id < r.doc_id)""".stripMargin
   }
 
+  /** DuckDB replay of the full MinHash+LSH pipeline (shingles → portable
+    * hashes → affine signature → banding → census guard → pair join →
+    * signature-agreement estimate). Exact-match oracle, not a brute-force
+    * approximation: the banded candidate set itself is part of the contract.
+    */
   private def minhashPairsOracle: String =
     s"""WITH $candCtes
        |SELECT left_id, right_id,

@@ -164,11 +164,14 @@ object EventsOps {
     val errors = e.filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("ts_us").as("e_ts"),
         expr(s"ts_us div $windowUs").as("bucket"))
+    // no dedup needed: a qualifying pair shares exactly ONE bucket (the
+    // error's single bucket vs the purchase's two distinct probes), so the
+    // equi-join emits it once — a dropDuplicates here would only add a
+    // second full shuffle
     purchases.join(errors, Seq("bucket"))
       .filter(col("e_ts") >= col("p_ts") && col("e_ts") - col("p_ts") <= windowUs)
       .select(col("purchase_id"), col("error_id"),
         expr("(e_ts - p_ts) div 1000").as("lag_ms"))
-      .dropDuplicates("purchase_id", "error_id")
   }
 
   val oracle: Map[String, String] = Map(

@@ -117,13 +117,18 @@ object MultimodalOps {
       .select("doc_id", "media_type", "payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
+        // one digest + index buffer per partition, reset per frame — not
+        // per-frame allocation in the hot fan-out loop
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val idx = java.nio.ByteBuffer.allocate(4)
         rows.flatMap { case (id, mt, payload) =>
           val (_, _, _, nFrames) = stubDecode(payload, mt)
           Iterator.range(0, nFrames, every).map { i =>
             // ??? <- real frame grab goes here; deterministic stub digest
-            val md = java.security.MessageDigest.getInstance("MD5")
+            md.reset()
             md.update(payload)
-            md.update(java.nio.ByteBuffer.allocate(4).putInt(i).array())
+            idx.clear(); idx.putInt(i)
+            md.update(idx.array())
             val hex = md.digest().map("%02x".format(_)).mkString
             Frame(id, i, hex, payload.length.toLong)
           }

@@ -21,9 +21,21 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Join types preserving correctness under small-side replication: an
+    * unmatched small-side row exists `salts` times, so any join type that
+    * emits unmatched RIGHT rows (right/full outer) would duplicate them.
+    */
+  private val SafeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+        "left_anti", "leftanti")
+
   def salted(large: DataFrame, small: DataFrame, key: String,
              salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(SafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")) ||
+            SafeJoinTypes.contains(joinType.toLowerCase),
+      s"salted join supports $SafeJoinTypes; '$joinType' would emit each " +
+      "unmatched small-side row once per salt")
     val saltedLarge = large.withColumn("__salt",
       pmod(hash(large.columns.map(col): _*), lit(salts)))
     val saltedSmall = small.withColumn("__salt",

@@ -23,12 +23,23 @@ object AtomicSwap {
   private def fs(spark: SparkSession) =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
+  /** Hadoop rename reports failure by RETURNING FALSE, not throwing — an
+    * unchecked rename can silently leave the old store live (or none at
+    * all) while the caller commits its watermark past the lost write.
+    * Every swap-critical rename goes through this.
+    */
+  private def mustRename(f: org.apache.hadoop.fs.FileSystem,
+                         src: org.apache.hadoop.fs.Path,
+                         dst: org.apache.hadoop.fs.Path): Unit =
+    if (!f.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
   /** Promote a completed staging dir if a crash left the live dir missing. */
   def recover(spark: SparkSession, livePath: String): Unit = {
     val f = fs(spark)
     val dst = new org.apache.hadoop.fs.Path(livePath)
     val staging = new org.apache.hadoop.fs.Path(livePath + ".staging")
-    if (!f.exists(dst) && f.exists(staging)) f.rename(staging, dst)
+    if (!f.exists(dst) && f.exists(staging)) mustRename(f, staging, dst)
     ()
   }
 
@@ -44,9 +55,9 @@ object AtomicSwap {
       df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     }
     f.delete(old, true)
-    if (f.exists(dst)) f.rename(dst, old) // keep the live store recoverable
-    f.rename(staging, dst)
-    f.delete(old, true)
+    if (f.exists(dst)) mustRename(f, dst, old) // keep the live store recoverable
+    mustRename(f, staging, dst)
+    f.delete(old, true) // best-effort: a stale .old is dropped next swap
     ()
   }
 

@@ -40,7 +40,6 @@ object BulkIndexSink {
   def write(df: DataFrame, outDir: String, indexName: String, idCol: String,
             batchSize: Int = 1000): Long = {
     bootstrapIndex(outDir, indexName, df.schema)
-    val counter = df.sparkSession.sparkContext.longAccumulator("bulk_docs")
     // one pass: (action, doc) built with codegen'd to_json, no driver funnel.
     // The action line goes through to_json too (not string concat) so an id
     // containing a quote/backslash is escaped instead of corrupting the line.
@@ -52,8 +51,12 @@ object BulkIndexSink {
     // T6: the whole bulk action retries with expo backoff (reference:
     // @backoff on save_movies, etl/main.py:156-158); file names are
     // deterministic per (partition, batch), so a re-run overwrites rather
-    // than duplicates — idempotent at-least-once.
-    Retry.withBackoff() { payload.foreachPartition { rows: Iterator[Row] =>
+    // than duplicates — idempotent at-least-once. The doc counter is created
+    // INSIDE the retried block: a failed attempt's partial task updates
+    // would otherwise survive into the retry and inflate the returned count.
+    Retry.withBackoff() {
+      val counter = df.sparkSession.sparkContext.longAccumulator("bulk_docs")
+      payload.foreachPartition { rows: Iterator[Row] =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var batch = 0
       val grouped = rows.grouped(batchSize)
@@ -66,7 +69,8 @@ object BulkIndexSink {
         counter.add(chunk.size)
         batch += 1
       }
-    } }
-    counter.value
+      }
+      counter.value
+    }
   }
 }

@@ -71,14 +71,27 @@ object StreamingOps {
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var cur = state.getOption
+            // accumulator for out-of-order arrivals landing BEFORE the stored
+            // session: consecutive within-gap late events chain into ONE
+            // session here (emitting each immediately would fragment them
+            // into 1-event sessions)
+            var early: Option[SessionState] = None
             val out = Seq.newBuilder[SessionSummary]
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                // out-of-order cross-batch arrival more than a gap BEFORE the
-                // stored session: its own (earlier) session, not a merge
+                // cross-batch arrival more than a gap BEFORE the stored
+                // session: chain it with other early arrivals, not a merge
                 case Some(s) if t < s.startMs - gapMs =>
-                  out += SessionSummary(userId, t, t, 1)
+                  early match {
+                    case Some(es) if t - es.endMs <= gapMs =>
+                      early = Some(SessionState(es.startMs, math.max(es.endMs, t), es.n + 1))
+                    case Some(es) =>
+                      out += SessionSummary(userId, es.startMs, es.endMs, es.n)
+                      early = Some(SessionState(t, t, 1))
+                    case None =>
+                      early = Some(SessionState(t, t, 1))
+                  }
                 case Some(s) if t - s.endMs <= gapMs =>
                   // min() start: a late within-watermark event may precede the
                   // stored session start (cross-batch out-of-order)
@@ -89,6 +102,18 @@ object StreamingOps {
                   cur = Some(SessionState(t, t, 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
+              }
+            }
+            // flush the early chain: if it grew to within a gap of the
+            // current session's start, it IS the same session — merge; else
+            // emit it as its own completed (earlier) session
+            early.foreach { es =>
+              cur match {
+                case Some(s) if s.startMs - es.endMs <= gapMs =>
+                  cur = Some(SessionState(math.min(es.startMs, s.startMs),
+                    math.max(es.endMs, s.endMs), es.n + s.n))
+                case _ =>
+                  out += SessionSummary(userId, es.startMs, es.endMs, es.n)
               }
             }
             cur.foreach { s =>

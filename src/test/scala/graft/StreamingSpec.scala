@@ -89,6 +89,7 @@ class StreamingSpec extends SparkSpecBase {
 
     // stream the same events through the stateful operator, flush with a
     // far-future sentinel, and compare per-user session counts
+    // (see also the dedicated late-chain test below)
     val evs = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
       .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
@@ -109,6 +110,41 @@ class StreamingSpec extends SparkSpecBase {
         .groupBy(_.user_id)
         .map { case (u, ss) => u -> (ss.length.toLong, ss.map(_.n_events).sum) }
       assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("sessionize: consecutive out-of-order late events chain into ONE earlier session") {
+    implicit val s = spark
+    // the out-of-order branch is reachable only when the session gap is
+    // SMALLER than the watermark delay (10 min): older events are dropped
+    // by the watermark before the operator sees them
+    val gapMs = 5L * 60 * 1000
+    val input = MemoryStream[Event](spark)
+    val q = StreamingOps.sessionize(input.toDS(), gapMs)
+      .writeStream.format("memory").queryName("sess_late").outputMode("append").start()
+    try {
+      // batch 1: a session at 10:00 establishes state; watermark → 09:50
+      input.addData(Event(1, 7L, "click", ts("2024-01-01 10:00:00"), 0))
+      q.processAllAvailable()
+      // batch 2: two within-watermark late events 1 min apart, both more
+      // than a gap BEFORE the stored session — they must form one 2-event
+      // session, not two fragments
+      input.addData(
+        Event(2, 7L, "click", ts("2024-01-01 09:51:00"), 0),
+        Event(3, 7L, "click", ts("2024-01-01 09:52:00"), 0))
+      q.processAllAvailable()
+      // flush the stored session via timeout sentinels
+      input.addData(Event(-1, -1L, "s1", ts("2024-01-03 00:00:00"), 0))
+      q.processAllAvailable()
+      input.addData(Event(-2, -1L, "s2", ts("2024-01-05 00:00:00"), 0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_late").as[SessionSummary].collect()
+        .filter(_.user_id == 7L).sortBy(_.session_start)
+      assert(sessions.length === 2, sessions.mkString(", "))
+      assert(sessions(0).n_events === 2) // the chained early pair
+      assert(sessions(0).session_start === ts("2024-01-01 09:51:00").getTime)
+      assert(sessions(0).session_end === ts("2024-01-01 09:52:00").getTime)
+      assert(sessions(1).n_events === 1) // the original 10:00 session
     } finally q.stop()
   }
 }
