@@ -64,6 +64,8 @@ object SparkEntry {
     "q_fingerprint"      -> (TextOps.fingerprint(_, _)),
     "q_length_stats"     -> (TextOps.lengthStats(_, _)),
     "q_stratified_sample" -> (TextOps.stratifiedSample(_, _)),
+    "q_decontaminate"    -> ((s, d) => TextOps.decontaminate(s, d)),
+    "q_pii_scrub"        -> (TextOps.piiScrub(_, _)),
     // Deduplication
     "q_dedup_exact"      -> (DedupOps.dedupExact(_, _)),
     "q_minhash_sig"      -> (DedupOps.minhashSignature(_, _)),

@@ -131,7 +131,78 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * 8-gram with an "eval set" (here: doc_ids < 20 stand in for a held-out
+    * benchmark). The standard contamination check run before training.
+    *
+    * Scale shape: the eval side is SMALL by definition (benchmarks are
+    * thousands of rows, not billions) — its distinct gram hashes broadcast,
+    * so the corpus side is a map-only scan + broadcast semi-join per gram
+    * with a final per-doc count: no shuffle of the corpus, no all-pairs.
+    * Grams hash through the portable [[DedupOps.hash60]] so DuckDB replays
+    * membership exactly.
+    */
+  def decontaminate(spark: SparkSession, dir: String, nGram: Int = 8,
+                    evalMaxId: Long = 20L): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    def grams(c: Column): Column = {
+      val toks = split(lower(trim(c)), "\\s+")
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - (nGram - 1), lit(1))),
+        i => DedupOps.hash60(concat_ws(" ",
+          (0 until nGram).map(k => try_element_at(toks, i + k)): _*))))
+    }
+    val evalGrams = d.filter(col("doc_id") < evalMaxId)
+      .select(explode(grams(col("text"))).as("g")).distinct()
+    d.filter(col("doc_id") >= evalMaxId)
+      .select(col("doc_id"), explode(grams(col("text"))).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+  }
+
+  /** PII scrubbing: redact emails and long digit runs (phone/ID shapes),
+    * reporting per-row hit counts — the masking pass a curation pipeline
+    * runs before publication. Patterns are RE2-compatible (no lookaround)
+    * so the oracle replays them verbatim; per-row codegen, no shuffle.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val emailP = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneP = "[0-9][0-9 ()+.-]{7,}[0-9]"
+    d.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailP)).as("n_emails"),
+      regexp_count(col("text"), lit(phoneP)).as("n_phonelike"),
+      md5(regexp_replace(regexp_replace(col("text"),
+        emailP, "<EMAIL>"), phoneP, "<NUMBER>").cast("binary")).as("scrubbed_md5"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_decontaminate" -> {
+      val g = (i: String) =>
+        s"""list_distinct([CAST('0x' || substr(md5(concat_ws(' ',
+           |    toks[$i], toks[$i+1], toks[$i+2], toks[$i+3],
+           |    toks[$i+4], toks[$i+5], toks[$i+6], toks[$i+7])),1,15) AS BIGINT)
+           |  for $i in range(1, greatest(len(toks)-7, 1)+1)])""".stripMargin
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents),
+         |gr AS (SELECT doc_id, ${g("i")} AS gs FROM tk),
+         |ev AS (SELECT DISTINCT unnest(gs) AS g FROM gr WHERE doc_id < 20),
+         |corpus AS (SELECT doc_id, unnest(gs) AS g FROM gr WHERE doc_id >= 20)
+         |SELECT c.doc_id, COUNT(*) AS n_contaminated_grams
+         |FROM corpus c JOIN ev ON c.g = ev.g
+         |GROUP BY c.doc_id""".stripMargin
+    },
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '[0-9][0-9 ()+.-]{7,}[0-9]')) AS n_phonelike,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9][0-9 ()+.-]{7,}[0-9]', '<NUMBER>', 'g')) AS scrubbed_md5
+        |FROM documents""".stripMargin,
     "q_length_stats" ->
       """SELECT lang,
         |  COUNT(*) AS n_docs,

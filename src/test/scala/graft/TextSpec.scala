@@ -59,6 +59,44 @@ class TextSpec extends SparkSpecBase {
     assert(kept("en") < total("en")) // 25% gate must drop most of the majority class
   }
 
+  test("decontaminate: planted eval overlap is flagged, clean docs are not") {
+    // eval doc 0 shares an 8-gram run with corpus doc 100; doc 101 is clean
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (0L, evalText),
+      (100L, "prefix words " + evalText + " suffix words"),
+      (101L, "entirely different content with no overlapping gram runs at all here"))
+      .toDF("doc_id", "text")
+    df.write.mode("overwrite").parquet("/tmp/graft_decon_docs/documents.parquet")
+    val out = TextOps.decontaminate(spark, "/tmp/graft_decon_docs")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_contaminated_grams")).toMap
+    assert(out.contains(100L) && out(100L) >= 1L)
+    assert(!out.contains(101L))
+    assert(!out.contains(0L)) // eval side never reports itself
+  }
+
+  test("piiScrub: emails and phone-like runs counted and masked deterministically") {
+    val df = Seq(
+      (1L, "contact me at jane.doe+x@example.org or +1 (555) 123-4567 thanks"),
+      (2L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    df.write.mode("overwrite").parquet("/tmp/graft_pii_docs/documents.parquet")
+    val out = TextOps.piiScrub(spark, "/tmp/graft_pii_docs")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n_emails") === 1)
+    assert(out(1L).getAs[Int]("n_phonelike") === 1)
+    assert(out(2L).getAs[Int]("n_emails") === 0 && out(2L).getAs[Int]("n_phonelike") === 0)
+    // masking is deterministic and changes the content hash only when PII hit
+    val again = TextOps.piiScrub(spark, "/tmp/graft_pii_docs")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("scrubbed_md5")).toMap
+    assert(out(1L).getAs[String]("scrubbed_md5") === again(1L))
+    val rawMd5 = Tables.documents(spark, "/tmp/graft_pii_docs")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L).getAs[String]("scrubbed_md5") !== rawMd5(1L))
+    assert(out(2L).getAs[String]("scrubbed_md5") === rawMd5(2L))
+  }
+
   test("fingerprint: whitespace/case-normalized texts collide, distinct texts don't") {
     val df = Seq(
       (1L, "The quick  brown fox"),
