@@ -144,18 +144,21 @@ object TextOps {
     */
   def decontaminate(spark: SparkSession, dir: String, nGram: Int = 8,
                     evalMaxId: Long = 20L): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    def grams(c: Column): Column = {
-      val toks = split(lower(trim(c)), "\\s+")
+    // STAGE the token array as a column before the gram lambda references
+    // it 8 times per gram — inlined, the split() re-runs per
+    // try_element_at (same trap ngramJaccard documents; inlining measured
+    // 22s vs 1.5s at sf0.1)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val grams: Column =
       array_distinct(transform(
-        sequence(lit(1), greatest(size(toks) - (nGram - 1), lit(1))),
+        sequence(lit(1), greatest(size(col("toks")) - (nGram - 1), lit(1))),
         i => DedupOps.hash60(concat_ws(" ",
-          (0 until nGram).map(k => try_element_at(toks, i + k)): _*))))
-    }
-    val evalGrams = d.filter(col("doc_id") < evalMaxId)
-      .select(explode(grams(col("text"))).as("g")).distinct()
-    d.filter(col("doc_id") >= evalMaxId)
-      .select(col("doc_id"), explode(grams(col("text"))).as("g"))
+          (0 until nGram).map(k => try_element_at(col("toks"), i + k)): _*))))
+    val evalGrams = toks.filter(col("doc_id") < evalMaxId)
+      .select(explode(grams).as("g")).distinct()
+    toks.filter(col("doc_id") >= evalMaxId)
+      .select(col("doc_id"), explode(grams).as("g"))
       .join(broadcast(evalGrams), Seq("g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_contaminated_grams"))
