@@ -295,7 +295,10 @@ object GraftFunctions {
     if (registry.functionExists(FunctionIdentifier("minhash_slots")) &&
         registry.functionExists(FunctionIdentifier("simhash64")) &&
         registry.functionExists(FunctionIdentifier("md5_minhash")) &&
-        registry.functionExists(FunctionIdentifier("ru_en_analyze"))) return
+        registry.functionExists(FunctionIdentifier("ru_en_analyze")) &&
+        registry.functionExists(FunctionIdentifier("lsh_sig")) &&
+        registry.functionExists(FunctionIdentifier("vec_cosine")) &&
+        registry.functionExists(FunctionIdentifier("ivf_assign"))) return
     registry.createOrReplaceTempFunction(
       "minhash_slots",
       { exprs: Seq[Expression] =>
@@ -328,6 +331,18 @@ object GraftFunctions {
         require(exprs.size == 1, "ru_en_analyze(text)")
         RuEnAnalyze(exprs.head)
       },
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "lsh_sig",
+      { exprs: Seq[Expression] => VectorFunctionBuilders.lshSig(exprs) },
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "vec_cosine",
+      { exprs: Seq[Expression] => VectorFunctionBuilders.vecCosine(exprs) },
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "ivf_assign",
+      { exprs: Seq[Expression] => VectorFunctionBuilders.ivfAssign(exprs) },
       "built-in")
     ()
   }

@@ -24,10 +24,18 @@ object SimilarityOps {
   private def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  /** cosine(v, q) as a pure column expression (sequential fold ⇒ the result
-    * is deterministic and engine-portable).
+  /** cosine(v, q) — native fused single-traversal expression
+    * ([[graft.functions.VecCosine]]; sequential fold ⇒ deterministic and
+    * engine-portable, bit-identical to [[cosineComposed]] per FunctionsSpec).
     */
-  def cosine(v: Column, q: Column): Column = dot(v, q) / (norm(v) * norm(q))
+  def cosine(v: Column, q: Column): Column = call_function("vec_cosine", v, q)
+
+  /** The built-in-HOF form of [[cosine]] — kept as the semantic reference
+    * the native expression is asserted against (FunctionsSpec). Interpreted
+    * lambdas: 3 array walks per call, no codegen — don't use in hot paths.
+    */
+  def cosineComposed(v: Column, q: Column): Column =
+    dot(v, q) / (norm(v) * norm(q))
 
   /** Brute-force cosine top-10 against the vector of vec_id=0. */
   def cosineTopK(spark: SparkSession, dir: String, queryVecId: Long = 0L, k: Int = 10): DataFrame = {
@@ -43,17 +51,28 @@ object SimilarityOps {
   }
 
   /** Deterministic pseudo-random hyperplanes (fixed seed — same planes every
-    * run and every round).
+    * run and every round; shared with the native [[graft.functions.LshSig]]
+    * expression and inlined into the DuckDB oracle by [[sigSql]]).
     */
-  private def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-  }
+  private def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    graft.functions.Hyperplanes.planes(nPlanes, dim)
 
   private def planeLit(p: Array[Double]): Column = array(p.map(lit(_)): _*)
 
-  /** Sign-bit LSH signature: bit j = sign(v · plane_j). */
-  def lshSignature(v: Column, nPlanes: Int = 12, dim: Int = 64): Column = {
+  /** Sign-bit LSH signature: bit j = sign(v · plane_j) — native fused
+    * expression ([[graft.functions.LshSig]]): all nPlanes dot products in one
+    * codegen'd traversal. Bit-identical to [[lshSignatureComposed]]
+    * (FunctionsSpec) and to the oracle's inlined-literal replay.
+    */
+  def lshSignature(v: Column, nPlanes: Int = 12): Column =
+    call_function("lsh_sig", v, lit(nPlanes))
+
+  /** The built-in-HOF form of [[lshSignature]] — the semantic reference for
+    * the native expression (FunctionsSpec). nPlanes interpreted
+    * aggregate/zip_with walks per row — don't use in hot paths (this exact
+    * shape was round 2's one weak component: q_embed_neardup at ~17× DuckDB).
+    */
+  def lshSignatureComposed(v: Column, nPlanes: Int = 12, dim: Int = 64): Column = {
     val planes = hyperplanes(nPlanes, dim)
     planes.zipWithIndex.map { case (p, j) =>
       when(dot(v, planeLit(p)) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
@@ -111,6 +130,25 @@ object SimilarityOps {
     * read-only-the-buckets story as annLsh, but with data-adaptive cells
     * instead of data-oblivious hyperplanes.
     */
+  /** (cid, centroid) codebook = the first `nlist` vectors by id; sorted so
+    * index == cid (required by the native assigner, asserted below).
+    */
+  def collectCodebook(emb: DataFrame, nlist: Int): Array[(Int, Array[Double])] =
+    emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").cast("int"), col("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** array<struct<sim,cid>> of cosines against every centroid — the composed
+    * form kept for the (cheap) single-row probe ranking and as FunctionsSpec's
+    * semantic reference for `ivf_assign`.
+    */
+  def cellScores(v: Column, codebook: Array[(Int, Array[Double])]): Column =
+    array(codebook.map { case (cid, cv) =>
+      struct(cosine(v, planeLit(cv)).as("sim"), lit(cid).as("cid"))
+    }: _*)
+
   def annIvf(spark: SparkSession, dir: String, queryVecId: Long = 0L,
              nlist: Int = 16, nprobe: Int = 2, k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -118,21 +156,18 @@ object SimilarityOps {
     // the codebook "broadcast": nlist rows to the driver, inlined as
     // literals (this is a model artifact, not data movement — same class as
     // the hyperplane constants above)
-    val codebook: Array[(Int, Array[Double])] = emb
-      .filter(col("vec_id") < nlist)
-      .select(col("vec_id").cast("int"), col("v"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    def cellScores(v: Column): Column = array(codebook.map { case (cid, cv) =>
-      struct(cosine(v, planeLit(cv)).as("sim"), lit(cid).as("cid"))
-    }: _*)
-    // argmax by (sim, cid): struct ordering gives the deterministic
-    // tie-break the oracle replays (sim DESC, cid DESC)
+    val codebook = collectCodebook(emb, nlist)
+    require(codebook.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      s"codebook cids must be exactly 0..${nlist - 1}")
+    // argmax by (sim, cid) via the native single-traversal assigner
+    // (ivf_assign ≡ array_max(cellScores).cid — the struct ordering's
+    // deterministic tie-break the oracle replays; FunctionsSpec asserts it)
     val assigned = emb.withColumn("cell",
-      array_max(cellScores(col("v"))).getField("cid"))
+      call_function("ivf_assign", col("v"),
+        typedlit(codebook.map(_._2.toSeq).toSeq)))
     val probes = assigned.filter(col("vec_id") === queryVecId)
       .select(col("v").as("qv"),
-        explode(slice(sort_array(cellScores(col("v")), asc = false), 1, nprobe)).as("pc"))
+        explode(slice(sort_array(cellScores(col("v"), codebook), asc = false), 1, nprobe)).as("pc"))
       .select(col("qv"), col("pc").getField("cid").as("cell"))
     assigned.join(broadcast(probes), Seq("cell"))
       .select(col("vec_id"), col("label"),

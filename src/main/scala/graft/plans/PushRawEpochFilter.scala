@@ -134,6 +134,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("ru_en_analyze"),
       new ExpressionInfo(classOf[graft.functions.RuEnAnalyze].getName, "ru_en_analyze"),
       { exprs: Seq[Expression] => graft.functions.RuEnAnalyze(exprs.head) }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("lsh_sig"),
+      new ExpressionInfo(classOf[graft.functions.LshSig].getName, "lsh_sig"),
+      { exprs: Seq[Expression] => graft.functions.VectorFunctionBuilders.lshSig(exprs) }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[graft.functions.VecCosine].getName, "vec_cosine"),
+      { exprs: Seq[Expression] => graft.functions.VectorFunctionBuilders.vecCosine(exprs) }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("ivf_assign"),
+      new ExpressionInfo(classOf[graft.functions.IvfAssign].getName, "ivf_assign"),
+      { exprs: Seq[Expression] => graft.functions.VectorFunctionBuilders.ivfAssign(exprs) }))
   }
 }
 

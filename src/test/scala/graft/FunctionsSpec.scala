@@ -141,6 +141,120 @@ class FunctionsSpec extends SparkSpecBase {
     assert(rows.find(_.getLong(0) == 4L).get.isNullAt(1))
   }
 
+  test("lsh_sig ≡ composed per-plane aggregate/zip_with form — bit-identical on real vectors") {
+    GraftFunctions.register(spark)
+    val emb = graft.Tables.embeddings(spark, sf)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    for (nPlanes <- Seq(12, 24)) {
+      val rows = emb.select(col("vec_id"),
+          graft.ops.SimilarityOps.lshSignature(col("v"), nPlanes).as("native"),
+          graft.ops.SimilarityOps.lshSignatureComposed(col("v"), nPlanes).as("ref"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(1) === r.getLong(2),
+        s"vec ${r.getLong(0)} nPlanes=$nPlanes"))
+    }
+  }
+
+  test("lsh_sig edge cases: malformed vector → 0; null input → 0 (composed when/otherwise parity)") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Some(Seq.fill(64)(0.5))),          // well-formed
+      (2L, Some(Seq(1.0, 2.0))),              // wrong length → composed dots null → 0
+      (3L, Some(Seq.empty[Double])),          // empty → 0
+      (4L, None))                              // null input → otherwise(0) → 0
+      .toDF("id", "v")
+    val rows = df.select(col("id"),
+        expr("lsh_sig(v, 12)").as("native"),
+        graft.ops.SimilarityOps.lshSignatureComposed(col("v"), 12).as("ref"))
+      .collect().sortBy(_.getLong(0))
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2), s"row ${r.getLong(0)}"))
+    assert(rows(0).getLong(1) !== 0L)
+    assert(rows(1).getLong(1) === 0L)
+    assert(rows(2).getLong(1) === 0L)
+    assert(rows(3).getLong(1) === 0L)
+  }
+
+  test("vec_cosine ≡ composed dot/(norm·norm) — bit-identical on real vector pairs") {
+    GraftFunctions.register(spark)
+    val emb = graft.Tables.embeddings(spark, sf)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val q = emb.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+    val rows = emb.crossJoin(broadcast(q)).select(col("vec_id"),
+        graft.ops.SimilarityOps.cosine(col("v"), col("qv")).as("native"),
+        graft.ops.SimilarityOps.cosineComposed(col("v"), col("qv")).as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // bit-compare doubles (also handles a hypothetical NaN identically)
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("vec_cosine edge cases: length mismatch / null element → null; zero vector → NaN") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Some(Seq(1.0, 2.0)), Some(Seq(1.0, 2.0, 3.0))), // mismatch → null
+      (2L, Some(Seq(0.0, 0.0)), Some(Seq(1.0, 1.0))),      // zero vec → 0/0 = NaN
+      (3L, None, Some(Seq(1.0))),                          // null input → null
+      (4L, Some(Seq(3.0, 4.0)), Some(Seq(3.0, 4.0))))      // plain → 1.0
+      .toDF("id", "a", "b")
+    val out = df.select(col("id"), expr("vec_cosine(a, b)").as("c")).collect()
+      .sortBy(_.getLong(0))
+    assert(out(0).isNullAt(1))
+    assert(out(1).getDouble(1).isNaN) // documented divergence: ANSI Divide raises here
+    assert(out(2).isNullAt(1))
+    assert(math.abs(out(3).getDouble(1) - 1.0) < 1e-12)
+    // composed parity on the rows where composed is defined (ANSI mode turns
+    // the zero-norm division into DIVIDE_BY_ZERO, so row 2 is native-only)
+    val ref = df.filter(col("id") =!= 2L)
+      .select(col("id"), expr("vec_cosine(a, b)").as("c"),
+        graft.ops.SimilarityOps.cosineComposed(col("a"), col("b")).as("ref"))
+      .collect().sortBy(_.getLong(0))
+    ref.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2))
+      else assert(r.getDouble(1) === r.getDouble(2))
+    }
+  }
+
+  test("lsh_sig / vec_cosine agree under interpreted and codegen paths") {
+    GraftFunctions.register(spark)
+    val emb = graft.Tables.embeddings(spark, sf)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("qv", expr("v")) // self-cosine ⇒ deterministic 1.0-ish values
+    def run(codegen: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try emb.select(expr("lsh_sig(v, 24)"), expr("vec_cosine(v, qv)"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(run("CODEGEN_ONLY") === run("NO_CODEGEN"))
+  }
+
+  test("ivf_assign ≡ composed array_max(struct(sim,cid)).cid — including tie/NaN ordering") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.typedlit
+    val emb = graft.Tables.embeddings(spark, sf)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val codebook = graft.ops.SimilarityOps.collectCodebook(emb, 16)
+    val composedRef = array_max(array(codebook.map { case (cid, cv) =>
+      struct(graft.ops.SimilarityOps.cosineComposed(col("v"), typedlit(cv.toSeq)).as("sim"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
+    val cbLit = typedlit(codebook.map(_._2.toSeq).toSeq)
+    val rows = emb.select(col("vec_id"),
+        call_function("ivf_assign", col("v"), cbLit).as("native"),
+        composedRef.as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(1) === r.getInt(2), s"vec ${r.getLong(0)}"))
+    // malformed vector: every composed sim NULL ⇒ tie on cid ⇒ last cell
+    val edge = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v")
+      .select(call_function("ivf_assign", col("v"), cbLit)).collect()
+    assert(edge.head.getInt(0) === 15)
+  }
+
   test("minhash_slots survives dup detection end-to-end (same text ⇒ same sig)") {
     GraftFunctions.register(spark)
     val df = Seq((1L, "identical shingle text"), (2L, "identical shingle text"),
