@@ -239,6 +239,14 @@ object DedupOps {
       labels = updated
       round += 1
     }
+    // a silent non-converged exit would break the contract that cluster_id
+    // is the component min (and the oracle's transitive closure would then
+    // hash-mismatch for an untraceable reason) — make it loud
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dupClusters: label propagation NOT converged after $maxRounds rounds; " +
+        "cluster_id may not be the component min — raise maxRounds " +
+        "(pointer doubling needs O(log diameter) rounds)")
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

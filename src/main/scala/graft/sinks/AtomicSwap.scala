@@ -7,10 +7,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Crash states and their recovery (all handled by `recover`, which callers
   * run before reading):
-  *  - crash during staging write → staging is garbage, live store intact →
-  *    next write overwrites staging;
-  *  - crash between the two renames → live dir absent but staging complete
-  *    by construction → staging is promoted;
+  *  - crash during staging write → staging is garbage (no `_SUCCESS` job
+  *    marker) → recover ignores it, next write overwrites staging. This
+  *    includes the first-run case where no live dir exists yet: a partial
+  *    staging (committed task files, no job commit) must NOT be promoted —
+  *    recover checks the marker, not mere existence;
+  *  - crash between the two renames → live dir absent and staging carries
+  *    `_SUCCESS` (the write fully committed before any rename started) →
+  *    staging is promoted;
   *  - crash after the swap → a stale `.old` remains → dropped on next swap.
   *
   * This is the same discipline a table format (Iceberg/Delta) gets from
@@ -34,12 +38,18 @@ object AtomicSwap {
     if (!f.rename(src, dst))
       throw new java.io.IOException(s"rename failed: $src -> $dst")
 
-  /** Promote a completed staging dir if a crash left the live dir missing. */
+  /** Promote a completed staging dir if a crash left the live dir missing.
+    * "Completed" is proven by parquet's `_SUCCESS` job-commit marker — a
+    * staging dir without it is a partial write (crash mid-job on a first
+    * run) and promoting it would install a silently truncated store.
+    */
   def recover(spark: SparkSession, livePath: String): Unit = {
     val f = fs(spark)
     val dst = new org.apache.hadoop.fs.Path(livePath)
     val staging = new org.apache.hadoop.fs.Path(livePath + ".staging")
-    if (!f.exists(dst) && f.exists(staging)) mustRename(f, staging, dst)
+    val marker = new org.apache.hadoop.fs.Path(staging, "_SUCCESS")
+    if (!f.exists(dst) && f.exists(staging) && f.exists(marker))
+      mustRename(f, staging, dst)
     ()
   }
 

@@ -55,6 +55,15 @@ object BulkIndexSink {
     // INSIDE the retried block: a failed attempt's partial task updates
     // would otherwise survive into the retry and inflate the returned count.
     Retry.withBackoff() {
+      // overwrite-CLEAN, not just name-overlap-clean: if a retry plans fewer
+      // partitions/batches than the failed attempt (AQE coalescing, upstream
+      // change), stale bulk-*.ndjson from the wider grid would survive as
+      // duplicate documents — drop every bulk file before each attempt
+      // (the mapping file is kept: it's create-if-absent bootstrap state)
+      Option(new java.io.File(outDir).listFiles()).foreach(_.foreach { f =>
+        if (f.getName.startsWith("bulk-") && f.getName.endsWith(".ndjson"))
+          f.delete()
+      })
       val counter = df.sparkSession.sparkContext.longAccumulator("bulk_docs")
       payload.foreachPartition { rows: Iterator[Row] =>
       val pid = org.apache.spark.TaskContext.getPartitionId()

@@ -37,7 +37,13 @@ object Retry {
       catch {
         case NonFatal(e) =>
           if (attempt >= maxRetries) throw e
-          val cap = math.min(maxDelayMs, baseDelayMs << attempt)
+          // clamp the exponent: an unguarded `base << attempt` overflows Long
+          // past attempt ~56, collapsing the cap (and the backoff) to ~1ms —
+          // a tight retry loop exactly when the endpoint is down longest
+          val exp = math.min(attempt, 30)
+          val grown = if (baseDelayMs > (Long.MaxValue >> exp)) Long.MaxValue
+                      else baseDelayMs << exp
+          val cap = math.min(maxDelayMs, grown)
           sleeper(math.floorMod(rnd.nextLong(), math.max(cap, 1L)))
           attempt += 1
       }

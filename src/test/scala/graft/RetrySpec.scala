@@ -53,4 +53,19 @@ class RetrySpec extends AnyFunSuite {
     assert(delays.size === 10)
     assert(delays.forall(d => d >= 0 && d < 400))
   }
+
+  test("no shift overflow: backoff never collapses to ~0 at high attempt counts") {
+    // pre-fix, baseDelayMs << attempt overflowed Long past attempt ~56,
+    // turning the cap negative and the sleep into a ~1ms tight loop
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    intercept[RuntimeException] {
+      Retry.withBackoff(maxRetries = 70, baseDelayMs = 100, maxDelayMs = 30000,
+          sleeper = delays.append(_)) { sys.error("always") }
+    }
+    assert(delays.size === 70)
+    assert(delays.forall(d => d >= 0 && d < 30000))
+    // attempts past the old overflow point still draw from the full cap
+    // (20 uniform draws from [0, 30000) are all ≤ 1 with p ≈ 1e-83)
+    assert(delays.takeRight(20).exists(_ > 1))
+  }
 }

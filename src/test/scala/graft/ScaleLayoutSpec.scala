@@ -107,6 +107,40 @@ class ScaleLayoutSpec extends SparkSpecBase {
     assert(spark.read.parquet(live).count() === 1)
   }
 
+  test("AtomicSwap.recover refuses a partial staging (no _SUCCESS): first-run crash mid-write") {
+    import graft.sinks.AtomicSwap
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-swap-partial").toString
+    val live = s"$base/store"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(live + ".staging")
+    // simulate a crash BEFORE job commit: task files exist, no _SUCCESS
+    val marker = new java.io.File(live + ".staging", "_SUCCESS")
+    assert(marker.exists()); assert(marker.delete())
+    AtomicSwap.recover(spark, live)
+    assert(!new java.io.File(live).exists(),
+      "a truncated staging dir must never be promoted to live")
+    // the incomplete staging stays parked for the next write to overwrite
+    assert(new java.io.File(live + ".staging").exists())
+  }
+
+  test("salted join: byte-identical hot rows spread over multiple reducers") {
+    import spark.implicits._
+    // the motivating skew shape: the SAME row repeated — a pure content-hash
+    // salt would assign all copies one salt and re-create the straggler
+    val large = Seq.fill(8000)((1L, "same-payload")).toDF("k", "v")
+      .union(Seq((2L, "other")).toDF("k", "v"))
+    val small = Seq((1L, "hot"), (2L, "a")).toDF("k", "name")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // keep reducer layout observable
+    try {
+      val out = SkewJoin.salted(large, small, "k", salts = 8)
+      val partSizes = out.rdd.mapPartitions(it => Iterator(it.size)).collect()
+      assert(partSizes.sum === 8001)
+      assert(partSizes.max < 8000, s"hot key must not land one reducer: ${partSizes.toSeq}")
+      assert(partSizes.count(_ > 0) >= 2)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("salted join: left join keeps unmatched large rows exactly once") {
     import spark.implicits._
     val large = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")

@@ -38,6 +38,26 @@ class SinksSpec extends SparkSpecBase {
     assert(!BulkIndexSink.bootstrapIndex(out, "docs", df.schema))
   }
 
+  test("BulkIndexSink: stale bulk files from a wider failed attempt are dropped, mapping kept") {
+    val out = "/tmp/graft_bulk_stale"
+    cleanDir(out)
+    new java.io.File(out).mkdirs()
+    // a leftover from a hypothetical earlier attempt that planned MORE
+    // (partition, batch) pairs than this run will — deterministic names
+    // alone would never overwrite it, leaving duplicate documents
+    val stale = java.nio.file.Paths.get(out, "bulk-99998-00099.ndjson")
+    java.nio.file.Files.writeString(stale, "{\"index\":{}}\n{\"old\":true}\n")
+    val df = (1 to 5).map(i => (i.toLong, s"doc $i")).toDF("id", "body").coalesce(1)
+    val n = BulkIndexSink.write(df, out, "docs", "id", batchSize = 10)
+    assert(n === 5)
+    assert(!java.nio.file.Files.exists(stale), "stale bulk file must be removed")
+    val lines = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".ndjson"))
+      .flatMap(f => java.nio.file.Files.readAllLines(f.toPath).toArray(Array.empty[String]))
+    assert(lines.length === 10) // exactly this run's 5 docs, no stale rows
+    assert(new java.io.File(out, "docs.mapping.json").exists())
+  }
+
   test("DedupeAppendSink: ON CONFLICT DO NOTHING semantics, idempotent re-run") {
     val target = "/tmp/graft_dedupe_sink"
     cleanDir(target)
