@@ -57,6 +57,7 @@ object SparkEntry {
     "q_term_lookup"      -> ((s, d) => SearchOps.termLookup(s, d)),
     "q_terms_agg"        -> ((s, d) => SearchOps.termsAgg(s, d)),
     "q_inverted_search"  -> ((s, d) => SearchOps.invertedSearch(s, d)),
+    "q_search_ranked"    -> ((s, d) => SearchOps.rankedSearch(s, d)),
     // Text analysis (training-data pipeline)
     "q_token_count"      -> (TextOps.tokenCount(_, _)),
     "q_lang_id"          -> (TextOps.langId(_, _)),

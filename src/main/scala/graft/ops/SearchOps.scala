@@ -272,6 +272,62 @@ object SearchOps {
                      q: String = "data stream window", k: Int = 20): DataFrame =
     postingsSearch(postingsIndex(spark, dir), q, k)
 
+  /** BM25-lite relevance ranking: `score(d) = Σ_t tf(t,d) · ln(N / df(t))` —
+    * the deterministic, oracle-replayable counterpart of ES's BM25 order
+    * (the reference's golden tests assert the top-1 `_id` of a relevance
+    * query, reference etl/json/ETLTests-2.json:94-140, which match-count
+    * scoring cannot reproduce on ties). Raw tf and pure ln-idf, no
+    * saturation/length normalization: rank-equivalent to BM25 at the
+    * reference corpus's short-field shapes, and every factor is a closed
+    * IEEE expression both engines compute identically.
+    *
+    * Float determinism is by construction, not luck: the per-term partial
+    * `sum(when(token = t, tf·idf))` aggregates AT MOST ONE row per doc
+    * (postings are unique on (token, doc_id)) so no cross-partition
+    * accumulation order exists, and the term partials fold in one FIXED
+    * lexicographic order written into the plan — the oracle writes the same
+    * fold. A bare `sum(tf·idf)` per doc would be order-nondeterministic in
+    * both engines and could flip last-ulp bits run to run.
+    *
+    * Scale shape: the IN-list prunes postings before anything groups (token-
+    * bucketed index ⇒ k-bucket read); df/idf is a ≤|terms|-row aggregate
+    * broadcast back; one hash-agg by doc_id; TakeOrderedAndProject for the
+    * top-k. N rides along as a 1-row broadcast, not a driver scalar.
+    */
+  def rankedSearch(spark: SparkSession, dir: String,
+                   q: String = "data stream window", k: Int = 20): DataFrame =
+    rankedPostingsSearch(
+      postingsIndex(spark, dir),
+      Tables.documents(spark, dir)
+        .agg(count(lit(1)).cast("double").as("n_docs")),
+      q, k)
+
+  /** Ranking over an existing postings relation (token, doc_id, tf) and a
+    * 1-row `n_docs` frame — the materialized-index face of [[rankedSearch]].
+    */
+  def rankedPostingsSearch(postings: DataFrame, nDocs: DataFrame,
+                           q: String, k: Int = 20): DataFrame = {
+    val terms = analyzeQuery(q).distinct.sorted // FIXED fold order, oracle-shared
+    require(terms.nonEmpty, s"query '$q' analyzed to no terms")
+    val matched = postings.filter(col("token").isInCollection(terms))
+    val idfs = matched.groupBy("token")
+      .agg(count(lit(1)).as("df")) // postings unique on (token, doc_id) ⇒ count = df
+      .crossJoin(broadcast(nDocs))
+      .select(col("token"), log(col("n_docs") / col("df").cast("double")).as("idf"))
+    val partials = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, col("tf").cast("double") * col("idf"))).as(s"_s$i")
+    }
+    val total = terms.indices
+      .map(i => coalesce(col(s"_s$i"), lit(0.0)))
+      .reduce(_ + _) // left fold in term order — same associativity as the SQL
+    matched.join(broadcast(idfs), Seq("token"))
+      .groupBy("doc_id")
+      .agg(partials.head, partials.tail: _*)
+      .select(col("doc_id"), round(total, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   // ---- DuckDB oracles: same tokenizer/stopwords/stemmers, replicated in SQL.
   private val duckStops =
     AllStops.map(s => s"'$s'").mkString("(", ", ", ")")
@@ -373,5 +429,34 @@ object SearchOps {
     "q_terms_agg" ->
       s"""SELECT token, COUNT(*) AS n
          |FROM (SELECT unnest($duckToks) AS token FROM documents)
-         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin)
+         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
+    "q_search_ranked" -> rankedOracle)
+
+  /** Exact replay of [[rankedSearch]]: same analyzed postings, same ln-idf,
+    * and the SAME fixed-order term fold (sorted terms, left-associative `+`)
+    * so the double arithmetic is bit-identical. `ln` in DuckDB is natural log
+    * (its `log` is log10 — do not swap).
+    */
+  private def rankedOracle: String = {
+    val terms = analyzeQuery("data stream window").distinct.sorted
+    val inList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val fold = terms.map(t =>
+      s"coalesce(sum(CASE WHEN token = '$t' THEN CAST(tf AS DOUBLE) * idf END), 0)")
+      .mkString("\n    + ")
+    s"""WITH p AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+       |pp AS (
+       |  SELECT token, doc_id, COUNT(*) AS tf FROM p
+       |  WHERE token IN $inList
+       |  GROUP BY token, doc_id),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+       |idfs AS (
+       |  SELECT token, ln(n_docs / CAST(COUNT(*) AS DOUBLE)) AS idf
+       |  FROM pp, n GROUP BY token, n_docs),
+       |scored AS (
+       |  SELECT doc_id,
+       |    $fold AS s
+       |  FROM pp JOIN idfs USING (token) GROUP BY doc_id)
+       |SELECT doc_id, round(s, 6) AS score FROM scored
+       |ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
 }

@@ -119,6 +119,32 @@ class SearchSpec extends SparkSpecBase {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
+  test("rankedSearch golden: rare-term doc outranks the higher-raw-tf common-term doc") {
+    val dir = "/tmp/graft_ranked_docs"
+    Seq((1L, "alpha beta beta"),              // rare 'beta' ×2 + common 'alpha'
+        (2L, "alpha alpha alpha alpha"),      // most raw matches, all common
+        (3L, "gamma delta"))                  // no query terms
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val rows = SearchOps.rankedSearch(spark, dir, "alpha beta", 10).collect()
+    // ES-flavored relevance: idf demotes 'alpha' (df=2) vs 'beta' (df=1), so
+    // doc 1 wins despite doc 2's higher raw term count — exactly the ordering
+    // a match-count score cannot produce
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val expected1 = math.log(3.0 / 2.0) + 2.0 * math.log(3.0 / 1.0)
+    val expected2 = 4.0 * math.log(3.0 / 2.0)
+    assert(math.abs(rows(0).getDouble(1) - expected1) < 1e-6)
+    assert(math.abs(rows(1).getDouble(1) - expected2) < 1e-6)
+  }
+
+  test("rankedSearch on the real corpus: top-k, descending, strictly positive scores") {
+    val rows = SearchOps.rankedSearch(spark, sf).collect()
+    assert(rows.length === 20)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ > 0.0))
+  }
+
   test("postingsSearch ≡ matchQuery on distinct-term scoring") {
     val postings = SearchOps.postingsIndex(spark, sf).cache()
     val viaIndex = SearchOps.postingsSearch(postings, "data stream window", 20)
