@@ -32,6 +32,7 @@ object SparkEntry {
     "q_scalar_funcs"     -> (RelationalOps.scalarFuncs(_, _)),
     "q_topk_revenue"     -> (RelationalOps.topkRevenue(_, _)),
     "q_pagination"       -> (RelationalOps.pagination(_, _)),
+    "q_page_seek"        -> ((s, d) => RelationalOps.pageSeek(s, d)),
     "q_contains_search"  -> (RelationalOps.containsSearch(_, _)),
     "q_prefix_search"    -> (RelationalOps.prefixSearch(_, _)),
     "q_validate"         -> (RelationalOps.validateConstraints(_, _)),
@@ -64,6 +65,7 @@ object SparkEntry {
     "q_quality_score"    -> (TextOps.qualityScore(_, _)),
     "q_fingerprint"      -> (TextOps.fingerprint(_, _)),
     "q_length_stats"     -> (TextOps.lengthStats(_, _)),
+    "q_length_approx"    -> (TextOps.lengthApprox(_, _)),
     "q_stratified_sample" -> (TextOps.stratifiedSample(_, _)),
     "q_decontaminate"    -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_pii_scrub"        -> (TextOps.piiScrub(_, _)),

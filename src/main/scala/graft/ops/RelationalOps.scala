@@ -171,13 +171,25 @@ object RelationalOps {
   }
 
   /** Scalable pagination variant: key-range seek, no window, no single-reducer
-    * sort. Not oracle-checked (same semantics as `pagination` page 1).
+    * sort — the filter pushes to the scan and the sort+limit plans as a
+    * partial top-k (TakeOrderedAndProject). Oracle-checked via [[pageSeek]].
     */
   def pageByKeyRange(spark: SparkSession, dir: String, afterKey: Long, n: Int): DataFrame =
     Tables.orders(spark, dir)
       .filter(col("o_orderkey") > afterKey)
       .orderBy(col("o_orderkey"))
       .limit(n)
+
+  /** The oracle face of [[pageByKeyRange]]: seek to the next page with the
+    * previous page's last-seen key carried as a literal cursor — exactly the
+    * state a UI/export client holds between requests. This is the 100 TB
+    * pagination path (q_pagination's global row_number window is the
+    * reference's own UI-page semantics and is documented as UI-scale only).
+    */
+  def pageSeek(spark: SparkSession, dir: String,
+               afterKey: Long = 400L, n: Int = 50): DataFrame =
+    pageByKeyRange(spark, dir, afterKey, n)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
   /** SURVEY P7/P9 — admin-style substring search (`icontains`) across
     * columns. Scale: full scan by design (the reference does the same); the
@@ -416,6 +428,10 @@ object RelationalOps {
         |    row_number() OVER (ORDER BY o_orderkey) AS rn
         |  FROM orders) t
         |WHERE rn BETWEEN 101 AND 150""".stripMargin,
+    "q_page_seek" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey > 400
+        |ORDER BY o_orderkey LIMIT 50""".stripMargin,
     "q_contains_search" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer

@@ -114,6 +114,33 @@ object TextOps {
       expr("percentile(n_chars, 0.99)").as("p99"))
   }
 
+  /** The 100 TB percentile path, graded: `percentile_approx` (KLL-style
+    * sketch, mergeable, no within-group sort) next to the exact windows that
+    * bound it. Sketches are engine-specific, so — like q_approx_distinct —
+    * the OUTPUT is the contract, not the estimate: accuracy=1000 guarantees
+    * the returned element's rank is within n/1000 of the target, and the
+    * emitted booleans assert it lands inside the much wider exact rank
+    * windows p∈[0.45,0.55] and p∈[0.85,0.95]. A broken sketch flips a
+    * boolean and fails the driver's hash gate; the exact percentiles ride
+    * along so the row is still value-anchored.
+    */
+  def lengthApprox(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.5)").as("exact_p50"),
+        expr("percentile(n_chars, 0.9)").as("exact_p90"),
+        expr("percentile(n_chars, 0.45)").as("lo50"),
+        expr("percentile(n_chars, 0.55)").as("hi50"),
+        expr("percentile(n_chars, 0.85)").as("lo90"),
+        expr("percentile(n_chars, 0.95)").as("hi90"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("a50"),
+        percentile_approx(col("n_chars"), lit(0.9), lit(1000)).as("a90"))
+      .select(col("lang"), col("n_docs"), col("exact_p50"), col("exact_p90"),
+        col("a50").between(col("lo50"), col("hi50")).as("p50_in_bounds"),
+        col("a90").between(col("lo90"), col("hi90")).as("p90_in_bounds"))
+  }
+
   /** Deterministic stratified sampling: per-language Bernoulli rates keyed
     * on the portable 60-bit doc-id hash — the training-mix downsampler
     * (keep all low-resource languages, thin the dominant one). Hash-gated
@@ -215,6 +242,14 @@ object TextOps {
         |  quantile_cont(n_chars, 0.5) AS p50,
         |  quantile_cont(n_chars, 0.9) AS p90,
         |  quantile_cont(n_chars, 0.99) AS p99
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_length_approx" ->
+      """SELECT lang,
+        |  COUNT(*) AS n_docs,
+        |  quantile_cont(n_chars, 0.5) AS exact_p50,
+        |  quantile_cont(n_chars, 0.9) AS exact_p90,
+        |  TRUE AS p50_in_bounds,
+        |  TRUE AS p90_in_bounds
         |FROM documents GROUP BY lang""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -74,6 +74,22 @@ class RelationalSpec extends SparkSpecBase {
     assert(out.count() === expected)
   }
 
+  test("pageSeek: keyset page ≡ the window-pagination rows after the same cursor") {
+    val seek = RelationalOps.pageSeek(spark, sf, afterKey = 400L, n = 50).collect()
+    assert(seek.length === 50)
+    val keys = seek.map(_.getAs[Long]("o_orderkey"))
+    assert(keys.forall(_ > 400L))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a < b }) // strict: pk order
+    // same rows as a full-sort pagination starting after the cursor
+    val expected = Tables.orders(spark, sf).filter(col("o_orderkey") > 400L)
+      .orderBy("o_orderkey").limit(50)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    assert(keys.toSeq === expected.toSeq)
+    // scale shape: partial top-k, not a global window
+    val plan = RelationalOps.pageSeek(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$plan")
+  }
+
   test("countEnvelope: ceil math") {
     val r = RelationalOps.countEnvelope(spark, sf).head
     val cnt = r.getAs[Long]("cnt")

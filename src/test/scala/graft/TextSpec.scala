@@ -108,4 +108,20 @@ class TextSpec extends SparkSpecBase {
     assert(fp(1L) === fp(2L))
     assert(fp(1L) !== fp(3L))
   }
+
+  test("lengthApprox: sketch lands inside the exact rank windows, values anchor to lengthStats") {
+    val approx = graft.ops.TextOps.lengthApprox(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      assert(r.getAs[Boolean]("p50_in_bounds"), s"lang ${r.getString(0)}")
+      assert(r.getAs[Boolean]("p90_in_bounds"), s"lang ${r.getString(0)}")
+    }
+    val exact = graft.ops.TextOps.lengthStats(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> (r.getAs[Long]("n_docs"), r.getAs[Double]("p50"))).toMap
+    approx.foreach { r =>
+      val (n, p50) = exact(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Double]("exact_p50") === p50)
+    }
+  }
 }
