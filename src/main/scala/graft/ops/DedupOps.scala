@@ -140,9 +140,11 @@ object DedupOps {
   /** The banded candidate generator shared by [[minhashPairs]] (top-k face)
     * and [[dupClusters]] (graph face). Returns (cached signature frame to
     * release, unbounded candidate pairs with estimates).
+    * `private[graft]` so DedupSpec can assert the census guard's skew bound
+    * on the UNCAPPED pair stream.
     */
-  private def bandedCandidatePairs(spark: SparkSession, dir: String,
-                                   maxBucket: Int): (DataFrame, DataFrame) = {
+  private[graft] def bandedCandidatePairs(spark: SparkSession, dir: String,
+                                          maxBucket: Int): (DataFrame, DataFrame) = {
     val nHashes = 8
     // cache: the signature stage feeds THREE consumers (bucket census, left,
     // right side of the self-join) — uncached it is recomputed per consumer

@@ -68,4 +68,60 @@ class DedupSpec extends SparkSpecBase {
       j >= 0.2 && j <= 1.0 && r.getAs[Long]("left_id") < r.getAs[Long]("right_id")
     })
   }
+
+  test("LSH band join under boilerplate skew: census guard bounds pairs, no straggler task") {
+    // the 100 TB nightmare corpus: one boilerplate family far over the
+    // bucket cap (would be C(1000,2) ≈ 500k pairs unguarded), one family
+    // exactly AT the cap, one genuine near-dup pair
+    val dir = "/tmp/graft_skew_docs"
+    val boiler = (1L to 1000L).map((_, "the same boilerplate disclaimer text repeated on every page"))
+    val atCap  = (2001L to 2064L).map((_, "an identical template family sized exactly at the bucket cap"))
+    val planted = Seq((3001L, "a genuinely unique document about rivers and mountains"),
+                      (3002L, "a genuinely unique document about rivers and mountains"))
+    (boiler ++ atCap ++ planted).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+
+    // straggler watch: the unguarded blowup lands in the pair join's
+    // downstream shuffle (dropDuplicates over ~500k pair rows → one ~250k-
+    // record task); guarded, the largest shuffle read is the census itself
+    // (~4k band rows of the hot family)
+    val maxShuffleRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null)
+          maxShuffleRead.updateAndGet(x => math.max(x, m.shuffleReadMetrics.recordsRead))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val rows =
+      try {
+        val (d, pairs) = DedupOps.bandedCandidatePairs(spark, "/tmp/graft_skew_docs", maxBucket = 64)
+        val out = pairs.collect()
+        d.unpersist()
+        // listener events are async; wait until the metric stops moving
+        var prev = -1L
+        var spins = 0
+        while (prev != maxShuffleRead.get() && spins < 20) {
+          prev = maxShuffleRead.get(); Thread.sleep(250); spins += 1
+        }
+        out
+      } finally spark.sparkContext.removeSparkListener(listener)
+
+    def inFam(r: org.apache.spark.sql.Row, lo: Long, hi: Long) =
+      r.getLong(0) >= lo && r.getLong(0) <= hi
+    // over-cap family: dropped by the census BEFORE the join — zero pairs
+    assert(!rows.exists(inFam(_, 1L, 1000L)),
+      "boilerplate family over maxBucket must produce no candidate pairs")
+    // at-cap family: exactly C(64,2) — the per-bucket ceiling is tight
+    assert(rows.count(inFam(_, 2001L, 2064L)) === 64 * 63 / 2)
+    // the guard must not eat real signal: the planted near-dup pair survives
+    assert(rows.exists(r => r.getLong(0) === 3001L && r.getLong(1) === 3002L &&
+      r.getAs[Double]("est_jaccard") === 1.0))
+    assert(rows.length === 64 * 63 / 2 + 1) // nothing else joins
+    assert(maxShuffleRead.get() < 10000,
+      s"straggler task: max shuffle-read ${maxShuffleRead.get()} records " +
+      "(unguarded boilerplate blowup reads ~250k)")
+  }
 }

@@ -71,4 +71,82 @@ class ReferenceEtlSpec extends SparkSpecBase {
     // caught up: all three watermarks independent and persistent
     assert(etl().tickAll(spark) === Map("movies" -> 0L, "genres" -> 0L, "persons" -> 0L))
   }
+
+  test("streaming face: crash BETWEEN pipelines mid-batch, restart from checkpoint converges") {
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    import org.apache.spark.sql.types._
+    val sbase = "/tmp/graft_refetl_stream"
+    val (src, ckpt) = (s"$sbase/feed_stream", s"$sbase/ckpt")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(sbase), true)
+
+    val lines = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey").limit(3).collect()
+    def feedRow(i: Int, ts: String) =
+      (lines(i).getLong(0), lines(i).getLong(1), lines(i).getLong(2), ts)
+    def writeFeedFile(rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.toDF("order_id", "part_id", "supp_id", "m")
+        .withColumn("modified", col("m").cast("timestamp")).drop("m")
+        .write.mode(SaveMode.Append).parquet(src)
+
+    val feedSchema = StructType(Seq(
+      StructField("order_id", LongType), StructField("part_id", LongType),
+      StructField("supp_id", LongType), StructField("modified", TimestampType)))
+
+    // crash injection: die AFTER movies committed its store+watermark but
+    // BEFORE genres/persons ran — the worst tick boundary (reference analog:
+    // SIGKILL between the three state-key queries of the forever loop)
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def run(): Unit = {
+      val q = spark.readStream.schema(feedSchema).parquet(src)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val e = new ReferenceEtl(sf, sbase, _ => batch)
+          e.movies.tick(spark)
+          if (crashOnce.getAndSet(false))
+            throw new RuntimeException("injected crash between pipelines")
+          e.genres.tick(spark)
+          e.persons.tick(spark)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    writeFeedFile(Seq(feedRow(0, "2024-01-01 10:00:00"), feedRow(1, "2024-01-01 10:00:01")))
+    intercept[StreamingQueryException](run()) // batch NOT committed: genres/persons never ran
+    // partial state on disk: movies store exists, genres/persons don't yet
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$sbase/movies_store")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$sbase/genres_store")))
+
+    run() // restart: checkpoint re-delivers the batch; movies re-tick is a
+          // watermark no-op, genres/persons catch up — at-least-once + idempotent
+    def assertStore(name: String, full: DataFrame, keys: Set[Long]): Unit = {
+      val store = spark.read.parquet(s"$sbase/${name}_store")
+      assert(store.count() === keys.size, s"$name store size")
+      assert(store.select("id").distinct().count() === keys.size, s"$name dup ids")
+      keys.foreach { k =>
+        val got = store.filter(col("id") === k).collect()
+        val want = full.filter(col("id") === k).collect()
+        assert(got.length === 1 && want.length === 1 && got.head.toSeq === want.head.toSeq,
+          s"$name doc $k diverges from full rebuild")
+      }
+    }
+    val (os, ps, ss) = (Set(lines(0).getLong(0), lines(1).getLong(0)),
+                        Set(lines(0).getLong(1), lines(1).getLong(1)),
+                        Set(lines(0).getLong(2), lines(1).getLong(2)))
+    assertStore("movies", DocumentOps.orderDocsDF(spark, sf), os)
+    assertStore("genres", DocumentOps.genreDocsDF(spark, sf), ps)
+    assertStore("persons", DocumentOps.personDocsDF(spark, sf), ss)
+
+    // post-recovery increment: a NEW file streams through the same checkpoint
+    writeFeedFile(Seq(feedRow(2, "2024-01-01 11:00:00")))
+    run()
+    assertStore("movies", DocumentOps.orderDocsDF(spark, sf), os + lines(2).getLong(0))
+    assertStore("genres", DocumentOps.genreDocsDF(spark, sf), ps + lines(2).getLong(1))
+    assertStore("persons", DocumentOps.personDocsDF(spark, sf), ss + lines(2).getLong(2))
+  }
 }
