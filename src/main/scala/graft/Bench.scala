@@ -60,7 +60,41 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val baseline = readBaseline(sfDir)
+    val baselineJson = baseline match {
+      case Some((meta, bq)) =>
+        val bTotal = results.collect { case (k, v) if v >= 0 && bq.contains(k) => bq(k) }.sum
+        val bqs = results.collect { case (k, _) if bq.contains(k) =>
+          "\"" + k + "\":" + bq(k) }.mkString("{", ",", "}")
+        val ratio = if (bTotal > 0) total / bTotal else -1.0
+        s""","baseline_total":$bTotal,"baseline_queries":$bqs,""" +
+          s""""ratio_vs_duckdb":${"%.4f".format(ratio)},"baseline_meta":"$meta""""
+      case None => ""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$baselineJson}""")
     spark.stop()
+  }
+
+  /** DUCKDB_BASELINE.json (written by tools/duckdb_baseline.py — sequential
+    * min-of-3 DuckDB timings of every oracle statement on the same parquet)
+    * folded into the bench line when it was measured at THIS sf, so each
+    * BENCH_r{N}.json carries its own baseline ratio. Flat JSON, parsed with
+    * a pair-regex — no JSON library in the unmanaged classpath.
+    */
+  private def readBaseline(sfDir: String): Option[(String, Map[String, Double])] = {
+    val f = java.nio.file.Paths.get("DUCKDB_BASELINE.json")
+    if (!java.nio.file.Files.exists(f)) return None
+    val text = java.nio.file.Files.readString(f)
+    val strPair = """"([^"]+)"\s*:\s*"([^"]*)"""".r
+    val numPair = """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r
+    val strs = strPair.findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap
+    if (!strs.get("sf").contains(sfDir)) return None // stale/foreign baseline: omit
+    val nums = numPair.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val queries = nums.collect { case (k, v) if k.startsWith("q::") =>
+      k.stripPrefix("q::") -> v }
+    val meta = s"${strs.getOrElse("engine", "duckdb")} ${strs.getOrElse("generated", "")} " +
+      strs.getOrElse("protocol", "")
+    Some((meta, queries))
   }
 }
