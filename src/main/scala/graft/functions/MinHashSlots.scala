@@ -283,6 +283,97 @@ object Md5MinHash {
   }
 }
 
+/** Native word-n-gram hash60 array: the fused form of the composed
+  * decontamination gram stage
+  * `array_distinct(transform(sequence(1, greatest(size(toks)-(n-1), 1)),
+  *    i => hash60(concat_ws(" ", try_element_at(toks, i), …,
+  *                               try_element_at(toks, i+n-1)))))`
+  * where `hash60(s) = conv(substring(md5(s),1,15),16,10)` — bit-identical
+  * (FunctionsSpec asserts it on the real corpus and edge shapes):
+  *  - `try_element_at` past the end yields null and `concat_ws` skips nulls,
+  *    so a doc shorter than n produces ONE partial gram — replicated by
+  *    clipping the window;
+  *  - the 15-hex-digit prefix of the md5 is the digest's first 60 bits —
+  *    computed directly from the raw bytes (`b[0..6]·16 + b[7]>>>4`), no
+  *    hex string, no base-16 re-parse;
+  *  - `array_distinct` keeps first-occurrence order — replicated with an
+  *    insertion-ordered set.
+  *
+  * Why native: the composed transform is an interpreted lambda allocating a
+  * concat string + hex string + BigInt parse PER GRAM (~tokens per doc).
+  * Here each token's UTF-8 bytes are fetched once and fed to a reused
+  * thread-local MessageDigest per window — no per-gram string allocation at
+  * all. Null input → null; null elements are skipped exactly like concat_ws.
+  */
+case class GramHash60(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "n must be >= 1")
+
+  override def inputTypes = Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hash60"
+
+  override def nullSafeEval(input: Any): Any =
+    GramHash60.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = GramHash60.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $cls.compute($t, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramHash60 =
+    copy(child = newChild)
+}
+
+object GramHash60 {
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val Space = Array[Byte](' ')
+
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    val md = mdLocal.get()
+    val size = toks.numElements()
+    // token bytes fetched once; null elements stay null (concat_ws skips)
+    val bytes = new Array[Array[Byte]](size)
+    var i = 0
+    while (i < size) {
+      if (!toks.isNullAt(i))
+        bytes(i) = toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val nGrams = math.max(size - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](nGrams * 2)
+    var g = 0
+    while (g < nGrams) {
+      md.reset()
+      var first = true
+      var k = g
+      val end = math.min(g + n, size) // try_element_at beyond size → null → skipped
+      while (k < end) {
+        if (bytes(k) != null) {
+          if (!first) md.update(Space)
+          md.update(bytes(k))
+          first = false
+        }
+        k += 1
+      }
+      val d = md.digest()
+      // first 15 hex digits = 60 bits: 7 full bytes then the high nibble
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((d(7) & 0xffL) >>> 4)
+      seen.add(v)
+      g += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Session-level registration of graft's native expressions for sessions
   * built WITHOUT `spark.sql.extensions=graft.plans.GraftExtensions` (the
   * preferred path — Bench/Verify/tests all use the extension). Quiet no-op
@@ -298,7 +389,8 @@ object GraftFunctions {
         registry.functionExists(FunctionIdentifier("ru_en_analyze")) &&
         registry.functionExists(FunctionIdentifier("lsh_sig")) &&
         registry.functionExists(FunctionIdentifier("vec_cosine")) &&
-        registry.functionExists(FunctionIdentifier("ivf_assign"))) return
+        registry.functionExists(FunctionIdentifier("ivf_assign")) &&
+        registry.functionExists(FunctionIdentifier("gram_hash60"))) return
     registry.createOrReplaceTempFunction(
       "minhash_slots",
       { exprs: Seq[Expression] =>
@@ -343,6 +435,18 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "ivf_assign",
       { exprs: Seq[Expression] => VectorFunctionBuilders.ivfAssign(exprs) },
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "gram_hash60",
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 2, "gram_hash60(toks, n)")
+        val n = exprs(1) match {
+          case Literal(i: Int, IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"gram_hash60 n must be an int literal, got $other")
+        }
+        GramHash60(exprs.head, n)
+      },
       "built-in")
     ()
   }

@@ -169,19 +169,28 @@ object TextOps {
     * Grams hash through the portable [[DedupOps.hash60]] so DuckDB replays
     * membership exactly.
     */
+  /** The composed gram stage — the semantic reference `gram_hash60` is
+    * bit-equality-tested against in FunctionsSpec. Interpreted lambda with a
+    * concat + md5-hex + base-16 parse PER GRAM — don't use in hot paths.
+    */
+  private[graft] def gramHash60Composed(toks: Column, nGram: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (nGram - 1), lit(1))),
+      i => DedupOps.hash60(concat_ws(" ",
+        (0 until nGram).map(k => try_element_at(toks, i + k)): _*))))
+
   def decontaminate(spark: SparkSession, dir: String, nGram: Int = 8,
                     evalMaxId: Long = 20L): DataFrame = {
-    // STAGE the token array as a column before the gram lambda references
+    // STAGE the token array as a column before the gram stage references
     // it 8 times per gram — inlined, the split() re-runs per
     // try_element_at (same trap ngramJaccard documents; inlining measured
     // 22s vs 1.5s at sf0.1)
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
-    val grams: Column =
-      array_distinct(transform(
-        sequence(lit(1), greatest(size(col("toks")) - (nGram - 1), lit(1))),
-        i => DedupOps.hash60(concat_ws(" ",
-          (0 until nGram).map(k => try_element_at(col("toks"), i + k)): _*))))
+    // native fused sliding-window md5 (GramHash60): one thread-local digest
+    // per window, token bytes fetched once per doc, no per-gram strings —
+    // ≡ gramHash60Composed per FunctionsSpec, ≡ the oracle's hash60 replay
+    val grams: Column = expr(s"gram_hash60(toks, $nGram)")
     val evalGrams = toks.filter(col("doc_id") < evalMaxId)
       .select(explode(grams).as("g")).distinct()
     toks.filter(col("doc_id") >= evalMaxId)

@@ -146,6 +146,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("ivf_assign"),
       new ExpressionInfo(classOf[graft.functions.IvfAssign].getName, "ivf_assign"),
       { exprs: Seq[Expression] => graft.functions.VectorFunctionBuilders.ivfAssign(exprs) }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("gram_hash60"),
+      new ExpressionInfo(classOf[graft.functions.GramHash60].getName, "gram_hash60"),
+      { exprs: Seq[Expression] =>
+        val n = exprs(1) match {
+          case Literal(i: Int, _) => i
+          case other => throw new IllegalArgumentException(
+            s"gram_hash60 n must be an int literal, got $other")
+        }
+        graft.functions.GramHash60(exprs.head, n) }))
   }
 }
 

@@ -255,6 +255,44 @@ class FunctionsSpec extends SparkSpecBase {
     assert(edge.head.getInt(0) === 15)
   }
 
+  test("gram_hash60 ≡ composed sliding-window hash60 grams — bit-identical incl. order") {
+    GraftFunctions.register(spark)
+    val real = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val edge = Seq(
+      (90001L, Seq("one")),                         // shorter than n → 1 partial gram
+      (90002L, Seq.fill(8)("tok")),                  // exactly n
+      (90003L, (1 to 9).map(i => s"t$i")),           // n+1 → 2 grams
+      (90004L, Seq("")),                             // split("") shape
+      (90005L, Seq("a", "b", "a", "b", "a", "b", "a", "b", "a", "b"))) // duplicate grams
+      .toDF("doc_id", "toks")
+    for (df <- Seq(real, edge)) {
+      val rows = df.select(col("doc_id"),
+          expr("gram_hash60(toks, 8)").as("native"),
+          graft.ops.TextOps.gramHash60Composed(col("toks"), 8).as("ref"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}"))
+    }
+    // null input → null, matching the composed transform-over-null
+    val nulls = Seq((1L, Option.empty[Seq[String]])).toDF("doc_id", "toks")
+      .select(expr("gram_hash60(toks, 8)").as("g")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("gram_hash60 agrees under interpreted and codegen paths") {
+    GraftFunctions.register(spark)
+    val df = graft.Tables.documents(spark, sf)
+      .select(split(lower(trim(col("text"))), "\\s+").as("toks"))
+    def run(codegen: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try df.select(expr("gram_hash60(toks, 8)")).collect().map(_.getSeq[Long](0).toSeq).toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(run("CODEGEN_ONLY") === run("NO_CODEGEN"))
+  }
+
   test("minhash_slots survives dup detection end-to-end (same text ⇒ same sig)") {
     GraftFunctions.register(spark)
     val df = Seq((1L, "identical shingle text"), (2L, "identical shingle text"),

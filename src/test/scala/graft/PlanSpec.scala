@@ -108,4 +108,45 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe join in:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k re-rank in:\n$p")
   }
+
+  test("vector math runs as native expressions inside codegen — no HOF lambdas in hot paths") {
+    // the round-2 weak spot: lshSignature/cellScores expanded to interpreted
+    // aggregate(zip_with(...)) lambdas (no codegen, no CSE). The native
+    // expressions must appear in the plan; the interpreted shapes must not.
+    // (embeddingNearDupPairs is excluded: `releasing` localCheckpoints the
+    // result, so its returned plan is an opaque Scan ExistingRDD — its
+    // signature and re-rank stages are the same lshSignature/cosine columns
+    // asserted here through annLsh/cosineTopK)
+    for ((name, df) <- Seq(
+        "annLsh" -> SimilarityOps.annLsh(spark, sf),
+        "cosineTopK" -> SimilarityOps.cosineTopK(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("vec_cosine") || p.contains("lsh_sig"),
+        s"$name: expected native vector expressions in:\n$p")
+      assert(!p.contains("zip_with") && !p.contains("lambdafunction"),
+        s"$name: interpreted HOF lambda resurfaced in the hot path:\n$p")
+    }
+    // IVF assignment: one native ivf_assign per row, not nlist struct-cosines
+    val pIvf = plan(SimilarityOps.annIvf(spark, sf))
+    assert(pIvf.contains("ivf_assign"), s"expected native IVF assigner in:\n$pIvf")
+  }
+
+  test("pageSeek: cursor filter pushes to the scan; partial top-k, no window") {
+    val p = plan(RelationalOps.pageSeek(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(o_orderkey"),
+      s"expected the cursor predicate at the parquet scan in:\n$p")
+    assert(!p.contains("Window"), s"keyset path must not plan a window:\n$p")
+  }
+
+  test("rankedSearch: postings pruned by the term IN-list below the tf group; idf join broadcast") {
+    val p = plan(SearchOps.rankedSearch(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast idf join in:\n$p")
+    val lines = p.linesIterator.toSeq
+    val filterIdx = lines.lastIndexWhere(l => l.contains("Filter") && l.contains("token"))
+    val aggIdx = lines.indexWhere(l => l.contains("HashAggregate") || l.contains("ObjectHashAggregate"))
+    assert(filterIdx > aggIdx && filterIdx >= 0 && aggIdx >= 0,
+      s"term filter (line $filterIdx) should sit BELOW the first aggregate (line $aggIdx):\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+  }
 }
