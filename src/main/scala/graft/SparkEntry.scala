@@ -67,6 +67,8 @@ object SparkEntry {
     "q_length_stats"     -> (TextOps.lengthStats(_, _)),
     "q_length_approx"    -> (TextOps.lengthApprox(_, _)),
     "q_stratified_sample" -> (TextOps.stratifiedSample(_, _)),
+    "q_repetition"       -> (TextOps.repetition(_, _)),
+    "q_corpus_mix"       -> (TextOps.corpusMix(_, _)),
     "q_decontaminate"    -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_pii_scrub"        -> (TextOps.piiScrub(_, _)),
     // Deduplication
@@ -81,6 +83,7 @@ object SparkEntry {
     "q_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(s, d)),
     "q_ann_ivf"          -> ((s, d) => SimilarityOps.annIvf(s, d)),
     "q_embed_neardup"    -> ((s, d) => SimilarityOps.embeddingNearDupPairs(s, d)),
+    "q_semdedup"         -> ((s, d) => SimilarityOps.semDedup(s, d)),
     // Multimodal plumbing
     "q_multimodal_meta"  -> (MultimodalOps.multimodalMeta(_, _)))
 

@@ -215,7 +215,31 @@ object DedupOps {
     val edges = pairs.filter(col("est_jaccard") >= threshold)
       .select("left_id", "right_id").localCheckpoint()
     d.unpersist()
+    val labels = connectedComponents(edges, maxRounds)
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
 
+  /** Connected components over an undirected pair graph (`left_id`,
+    * `right_id` columns; caller should pass a lineage-truncated frame, e.g.
+    * `localCheckpoint`ed) → one `(id, label)` row per node, label = the
+    * component minimum. Shared by [[dupClusters]] (text near-dup graph) and
+    * [[SimilarityOps.semDedup]] (embedding near-dup graph).
+    *
+    * Min-label propagation (Pregel-style) — every node starts labeled with
+    * itself; each round takes the min of its own and its neighbors' labels;
+    * converged when no label changes. O(component diameter) rounds; near-dup
+    * clusters are dense (diameter 1-3) and the LSH census guards upstream cap
+    * star blowups, so rounds stay few at any corpus size. Each round is one
+    * shuffle join keyed on node id; `localCheckpoint` truncates lineage so
+    * plans don't grow with rounds (without it round N re-derives rounds
+    * 1..N-1). The driver-side loop is CONTROL FLOW only (one convergence
+    * scalar per round) — all data stays distributed.
+    */
+  private[ops] def connectedComponents(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     val bi = edges.select(col("left_id").as("src"), col("right_id").as("dst"))
       .union(edges.select(col("right_id").as("src"), col("left_id").as("dst")))
     var labels = bi.select(col("src").as("id")).distinct()
@@ -241,19 +265,15 @@ object DedupOps {
       labels = updated
       round += 1
     }
-    // a silent non-converged exit would break the contract that cluster_id
-    // is the component min (and the oracle's transitive closure would then
+    // a silent non-converged exit would break the contract that the label
+    // is the component min (and a transitive-closure oracle would then
     // hash-mismatch for an untraceable reason) — make it loud
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"dupClusters: label propagation NOT converged after $maxRounds rounds; " +
-        "cluster_id may not be the component min — raise maxRounds " +
+        s"connectedComponents: label propagation NOT converged after $maxRounds " +
+        "rounds; label may not be the component min — raise maxRounds " +
         "(pointer doubling needs O(log diameter) rounds)")
-    val sizes = labels.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .join(sizes, Seq("cluster_id"))
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    labels
   }
 
   /** Composed (built-ins-only) simhash — retained as the reference

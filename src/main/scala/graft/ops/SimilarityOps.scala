@@ -188,6 +188,18 @@ object SimilarityOps {
     * text-minhash path.
     */
   def embeddingNearDupPairs(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val (emb, pairs) = bandedVecPairs(spark, dir)
+    DedupOps.releasing(emb)(pairs
+      .orderBy(col("cos_sim").desc, col("left_id"), col("right_id"))
+      .limit(k))
+  }
+
+  /** The banded sign-LSH candidate generator shared by
+    * [[embeddingNearDupPairs]] (top-k face) and [[semDedup]] (graph face).
+    * Returns (cached signature frame to release, unbounded candidate pairs
+    * with exact cosines rounded to 6 — the cross-engine-stable grain).
+    */
+  private[graft] def bandedVecPairs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val nPlanes = 24
     val bandBits = 12
     val emb = Tables.embeddings(spark, dir)
@@ -208,13 +220,41 @@ object SimilarityOps {
       col("vec_id").as("left_id"), col("v").as("lv"))
     val r = b.select(col("band_id"), col("band_hash"),
       col("vec_id").as("right_id"), col("v").as("rv"))
-    DedupOps.releasing(emb)(l.join(r, Seq("band_id", "band_hash"))
+    val pairs = l.join(r, Seq("band_id", "band_hash"))
       .filter(col("left_id") < col("right_id"))
       .dropDuplicates("left_id", "right_id")
       .select(col("left_id"), col("right_id"),
         round(cosine(col("lv"), col("rv")), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("left_id"), col("right_id"))
-      .limit(k))
+    (emb, pairs)
+  }
+
+  /** SemDedup-style embedding-cluster pruning (Abbas et al. 2023 shape):
+    * connected components over the near-dup pair graph at a cosine
+    * threshold, keep ONE representative per cluster (the min vec_id) and
+    * mark the rest for dropping. Output: one row per clustered vector with
+    * its cluster id, cluster size, and keep/drop verdict — vectors in no
+    * cluster are trivially kept and not emitted (same contract as
+    * [[DedupOps.dupClusters]]).
+    *
+    * Scale shape: candidates come from the banded sign-LSH generator (never
+    * all pairs, census-guarded), the component resolution is
+    * [[DedupOps.connectedComponents]] (pointer-doubled min-label
+    * propagation, O(log diameter) rounds, lineage-truncated), and the
+    * threshold filter runs on the rounded cosine so the DuckDB oracle
+    * replays edge membership exactly.
+    */
+  def semDedup(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    val (emb, pairs) = bandedVecPairs(spark, dir)
+    val edges = pairs.filter(col("cos_sim") >= threshold)
+      .select("left_id", "right_id").localCheckpoint()
+    emb.unpersist()
+    val labels = DedupOps.connectedComponents(edges)
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("id").as("vec_id"), col("label").as("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        (col("vec_id") === col("cluster_id")).as("kept"))
   }
 
   /** The sign-LSH signature as DuckDB SQL: one CASE per hyperplane, with the
@@ -247,8 +287,12 @@ object SimilarityOps {
        |LIMIT 10""".stripMargin
   }
 
-  private def embedNearDupOracle: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** Shared CTE chain for the banded sign-LSH candidate pipeline (signature
+    * → 2×12-bit bands → census guard → pair join) — the SQL twin of
+    * [[bandedVecPairs]], used by both vector-graph oracles.
+    */
+  private def vecCandCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |s AS (SELECT vec_id, v,
        |    ${sigSql("v", 24)} AS sig FROM e),
        |bands AS (
@@ -264,13 +308,42 @@ object SimilarityOps {
        |  FROM bands l
        |  JOIN useful u ON l.band_id = u.band_id AND l.bh = u.bh
        |  JOIN bands r ON l.band_id = r.band_id AND l.bh = r.bh
-       |             AND l.vec_id < r.vec_id)
+       |             AND l.vec_id < r.vec_id)""".stripMargin
+
+  private def embedNearDupOracle: String =
+    s"""WITH $vecCandCtes
        |SELECT left_id, right_id, cos_sim FROM (
        |  SELECT left_id, right_id,
        |         round(list_cosine_similarity(lv, rv), 6) AS cos_sim
        |  FROM cand)
        |ORDER BY cos_sim DESC, left_id, right_id
        |LIMIT 50""".stripMargin
+
+  /** Recursive-CTE replay of semDedup: threshold the rounded cosines, take
+    * the transitive closure of reachable labels, min per node — exactly the
+    * fixpoint the Spark label propagation converges to (the q_dup_clusters
+    * oracle pattern over the embedding graph).
+    */
+  private def semDedupOracle: String =
+    s"""WITH RECURSIVE $vecCandCtes,
+       |p AS MATERIALIZED (
+       |  SELECT left_id, right_id FROM (
+       |    SELECT left_id, right_id,
+       |           round(list_cosine_similarity(lv, rv), 6) AS cos_sim
+       |    FROM cand)
+       |  WHERE cos_sim >= 0.2),
+       |edges AS MATERIALIZED (
+       |  SELECT left_id AS src, right_id AS dst FROM p
+       |  UNION ALL SELECT right_id, left_id FROM p),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM edges
+       |  UNION
+       |  SELECT e2.src AS id, r.label FROM edges e2 JOIN reach r ON e2.dst = r.id),
+       |comp AS (SELECT id AS vec_id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+       |SELECT c.vec_id, c.cluster_id, s2.cluster_size, c.vec_id = c.cluster_id AS kept
+       |FROM comp c
+       |JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp
+       |      GROUP BY cluster_id) s2 USING (cluster_id)""".stripMargin
 
   private def annIvfOracle: String =
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -295,6 +368,7 @@ object SimilarityOps {
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_embed_neardup" -> embedNearDupOracle,
+    "q_semdedup" -> semDedupOracle,
     "q_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id, e.label,

@@ -200,6 +200,78 @@ object TextOps {
       .agg(count(lit(1)).as("n_contaminated_grams"))
   }
 
+  /** Gopher-style repetition metrics per document: the fraction of word
+    * bigram occurrences claimed by the single most frequent bigram, and the
+    * fraction of trigram occurrences whose trigram appears more than once —
+    * the two classic "templated/spammy document" signals a quality filter
+    * thresholds on (Rae et al. 2021, table of repetition filters).
+    *
+    * Scale shape: ONE shuffle total. Tokens are staged and repartitioned by
+    * doc_id up front; both gram aggregations then satisfy their clustering
+    * requirement from that partitioning (`HashPartitioning(doc_id)` satisfies
+    * `ClusteredDistribution(doc_id, gram)`), the branch re-reading the staged
+    * exchange is deduped by ReuseExchange, and the final bigram⋈trigram join
+    * is co-partitioned — asserted in TextSpec (exactly one
+    * ShuffleExchangeExec). Gram counting never builds a per-doc hash map in
+    * driver or UDF space; it is plain explode + two-level hash aggregation,
+    * so a single giant document degrades to partial aggregation, not OOM.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = d
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .repartition(col("doc_id"))
+    // same partial-gram edge handling as decontaminate/ngramJaccard: short
+    // docs yield one truncated gram (concat_ws drops the null tail), which
+    // the oracle replays with identical range/NULL semantics
+    def grams(n: Int): Column =
+      transform(sequence(lit(1), greatest(size(col("toks")) - (n - 1), lit(1))),
+        i => concat_ws(" ", (0 until n).map(k => try_element_at(col("toks"), i + k)): _*))
+    val big = toks.select(col("doc_id"), explode(grams(2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_bigrams"),
+        max("c").as("top_bigram_n"))
+    val tri = toks.select(col("doc_id"), explode(grams(3)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_trigrams"),
+        sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_trigram_occ"))
+    big.join(tri, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+        col("n_trigrams"), col("dup_trigram_occ"),
+        (col("dup_trigram_occ").cast("double") / col("n_trigrams")).as("dup_trigram_frac"))
+  }
+
+  /** Corpus-mix dashboard: per (lang, source) document/token/char totals and
+    * each cell's share of the global token budget — the table a training-mix
+    * designer reads before setting sampling weights (and the denominator the
+    * stratified sampler's rates come from).
+    *
+    * Scale shape: one hash aggregation over the corpus (map-side partial,
+    * ~langs×sources result rows), then the tiny aggregate is materialized
+    * once (`localCheckpoint`, so the corpus is scanned exactly once) and the
+    * global-total scalar joins back by broadcast — no single-partition
+    * window, no second corpus scan, no driver round-trip of data rows.
+    */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val trimmed = trim(col("text"))
+    val nTokens = when(length(trimmed) === 0, lit(0))
+      .otherwise(size(split(trimmed, "\\s+")))
+    val cells = d.groupBy("lang", "source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTokens).as("n_tokens"),
+        sum("n_chars").as("n_chars_sum"))
+      .localCheckpoint()
+    val total = cells.agg(sum("n_tokens").as("total_tokens"))
+    cells.crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars_sum"),
+        (col("n_tokens").cast("double") / col("total_tokens")).as("token_share"))
+  }
+
   /** PII scrubbing: redact emails and long digit runs (phone/ID shapes),
     * reporting per-row hit counts — the masking pass a curation pipeline
     * runs before publication. Patterns are RE2-compatible (no lookaround)
@@ -234,6 +306,39 @@ object TextOps {
          |FROM corpus c JOIN ev ON c.g = ev.g
          |GROUP BY c.doc_id""".stripMargin
     },
+    "q_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, unnest([concat_ws(' ', toks[i], toks[i+1])
+        |    for i in range(1, greatest(len(toks)-1, 1)+1)]) AS g FROM tk),
+        |t AS (
+        |  SELECT doc_id, unnest([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        |    for i in range(1, greatest(len(toks)-2, 1)+1)]) AS g FROM tk),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g),
+        |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |         max(c) AS top_bigram_n FROM bc GROUP BY doc_id),
+        |tc AS (SELECT doc_id, g, count(*) AS c FROM t GROUP BY doc_id, g),
+        |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+        |         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_occ
+        |       FROM tc GROUP BY doc_id)
+        |SELECT bs.doc_id, n_bigrams, top_bigram_n,
+        |  CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac,
+        |  n_trigrams, dup_trigram_occ,
+        |  CAST(dup_trigram_occ AS DOUBLE) / n_trigrams AS dup_trigram_frac
+        |FROM bs JOIN ts ON bs.doc_id = ts.doc_id""".stripMargin,
+    "q_corpus_mix" ->
+      """WITH m AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |             ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+        |  FROM documents GROUP BY lang, source)
+        |SELECT lang, source, n_docs, n_tokens, n_chars_sum,
+        |  CAST(n_tokens AS DOUBLE) / (SELECT CAST(sum(n_tokens) AS BIGINT) FROM m)
+        |    AS token_share
+        |FROM m""".stripMargin,
     "q_pii_scrub" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,

@@ -43,6 +43,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ivf.intersect(brute).nonEmpty)
   }
 
+  test("semDedup: planted duplicate clusters resolve to min-id representatives") {
+    import spark.implicits._
+    // two planted clusters on disjoint support (cosine across clusters = 0,
+    // so no threshold-crossing edge can merge them even if buckets collide);
+    // 20/21 are an antipodal pair (cos = −1 ⇒ never an edge) and band apart
+    val a = Array.tabulate(64)(i => if (i < 32) ((i * 7) % 5 - 2).toFloat else 0f)
+    val b = Array.tabulate(64)(i => if (i >= 32) ((i * 5) % 7 - 3).toFloat else 0f)
+    val c = a.map(-_)
+    Seq((0L, a.toSeq, 0), (1L, a.toSeq, 0), (2L, a.toSeq, 0),
+        (10L, b.toSeq, 1), (11L, b.toSeq, 1),
+        (20L, c.toSeq, 2), (21L, a.toSeq, 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("/tmp/graft_semdedup/embeddings.parquet")
+    val out = SimilarityOps.semDedup(spark, "/tmp/graft_semdedup").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // cluster {0,1,2,21} (21 duplicates vector a) and cluster {10,11}
+    assert(out.keySet === Set(0L, 1L, 2L, 10L, 11L, 21L)) // 20 is unclustered
+    Seq(0L, 1L, 2L, 21L).foreach { id =>
+      assert(out(id).getAs[Long]("cluster_id") === 0L)
+      assert(out(id).getAs[Long]("cluster_size") === 4L)
+      assert(out(id).getAs[Boolean]("kept") === (id == 0L))
+    }
+    Seq(10L, 11L).foreach { id =>
+      assert(out(id).getAs[Long]("cluster_id") === 10L)
+      assert(out(id).getAs[Long]("cluster_size") === 2L)
+      assert(out(id).getAs[Boolean]("kept") === (id == 10L))
+    }
+  }
+
   test("cosine expression: hand-checked value on unit vectors") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))

@@ -109,6 +109,48 @@ class TextSpec extends SparkSpecBase {
     assert(fp(1L) !== fp(3L))
   }
 
+  test("repetition: planted repeats produce exact gram fractions") {
+    val df = Seq(
+      (1L, "x y x y x y"),  // bigrams: "x y"×3, "y x"×2; trigrams all duplicated
+      (2L, "a b c d"),      // no repeated grams at all
+      (3L, "solo"))         // 1 token: one truncated bigram and trigram
+      .toDF("doc_id", "text")
+    df.write.mode("overwrite").parquet("/tmp/graft_rep_docs/documents.parquet")
+    val out = graft.ops.TextOps.repetition(spark, "/tmp/graft_rep_docs")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_bigrams") === 5L)
+    assert(out(1L).getAs[Long]("top_bigram_n") === 3L)
+    assert(out(1L).getAs[Double]("top_bigram_frac") === 0.6)
+    assert(out(1L).getAs[Long]("n_trigrams") === 4L)
+    assert(out(1L).getAs[Long]("dup_trigram_occ") === 4L)
+    assert(out(1L).getAs[Double]("dup_trigram_frac") === 1.0)
+    assert(out(2L).getAs[Long]("top_bigram_n") === 1L)
+    assert(out(2L).getAs[Double]("dup_trigram_frac") === 0.0)
+    assert(out(3L).getAs[Long]("n_bigrams") === 1L) // partial-gram edge rule
+  }
+
+  test("repetition: single shuffle — both gram aggregations reuse the doc_id exchange") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = graft.ops.TextOps.repetition(spark, sf)
+      out.collect()
+      val plan = out.queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s }
+      assert(shuffles.size === 1,
+        s"expected the single doc_id repartition (reused by both branches), got:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("corpusMix: shares sum to 1 and totals reconcile with the corpus") {
+    val out = TextOps.corpusMix(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === Tables.documents(spark, sf).count())
+    val shareSum = out.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+    out.foreach(r => assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_docs")))
+  }
+
   test("lengthApprox: sketch lands inside the exact rank windows, values anchor to lengthStats") {
     val approx = graft.ops.TextOps.lengthApprox(spark, sf).collect()
     assert(approx.nonEmpty)
