@@ -69,6 +69,8 @@ object SparkEntry {
     "q_stratified_sample" -> (TextOps.stratifiedSample(_, _)),
     "q_repetition"       -> (TextOps.repetition(_, _)),
     "q_corpus_mix"       -> (TextOps.corpusMix(_, _)),
+    "q_pack"             -> ((s, d) => TextOps.packChunks(s, d)),
+    "q_filter_chain"     -> (TextOps.filterChain(_, _)),
     "q_decontaminate"    -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_pii_scrub"        -> (TextOps.piiScrub(_, _)),
     // Deduplication

@@ -272,6 +272,59 @@ object TextOps {
         (col("n_tokens").cast("double") / col("total_tokens")).as("token_share"))
   }
 
+  /** Context-window packing: assign documents to fixed-token-budget chunks —
+    * the step that turns a curated corpus into training sequences. Greedy
+    * running-sum packing: a document joins the chunk its starting token
+    * offset falls in, so chunks can overflow by at most one document (the
+    * standard concat-then-split packing contract).
+    *
+    * Scale shape: packing is embarrassingly parallel ACROSS shards — the
+    * window is partitioned by `shard = hash60(doc_id) % nShards`, never
+    * global (no single-partition WindowExec), and the shard hash is
+    * deterministic and retry-stable, like the stratified sampler's gate. The
+    * within-shard `ORDER BY doc_id` sort is the honest cost of a
+    * deterministic packing order; at 100 TB, nShards scales with the cluster
+    * and each shard sorts independently. chunk_id = shard·2³² + local index
+    * is globally unique without any cross-shard coordination.
+    */
+  def packChunks(spark: SparkSession, dir: String, nShards: Int = 8,
+                 ctxTokens: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+    val trimmed = trim(col("text"))
+    val nTokens = when(length(trimmed) === 0, lit(0))
+      .otherwise(size(split(trimmed, "\\s+")))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    d.select(col("doc_id"), nTokens.as("n_tokens"),
+        pmod(DedupOps.hash60(col("doc_id").cast("string")), lit(nShards)).as("shard"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("cum_tokens"),
+        (col("shard") * lit(1L << 32) +
+          floor((col("cum_tokens") - col("n_tokens")) / lit(ctxTokens.toDouble)))
+          .as("chunk_id"))
+  }
+
+  /** The curation filter chain, composed end-to-end: language-ID agreement,
+    * quality score, and repetition caps fold into one keep/drop verdict with
+    * a deterministic first-failed-rule reason — the C4/Gopher-style gate a
+    * corpus passes through before packing. Demonstrates that the per-doc
+    * metric operators compose as plain DataFrames: one co-partitioned join
+    * of the repetition aggregate onto the per-row metrics, no extra scans.
+    */
+  def filterChain(spark: SparkSession, dir: String): DataFrame = {
+    val metrics = qualityScore(spark, dir)
+      .join(langId(spark, dir).select("doc_id", "lang", "lang_pred"), Seq("doc_id"))
+      .join(repetition(spark, dir)
+        .select("doc_id", "top_bigram_frac", "dup_trigram_frac"), Seq("doc_id"))
+    val reason = when(col("quality_score") < 0.7, "low_quality")
+      .when(col("lang_pred") =!= col("lang"), "lang_mismatch")
+      .when(col("top_bigram_frac") > 0.1, "repetitive_bigram")
+      .when(col("dup_trigram_frac") > 0.5, "repetitive_trigram")
+      .otherwise("kept")
+    metrics.select(col("doc_id"), col("lang"), reason.as("reason"),
+      (reason === "kept").as("keep"))
+  }
+
   /** PII scrubbing: redact emails and long digit runs (phone/ID shapes),
     * reporting per-row hit counts — the masking pass a curation pipeline
     * runs before publication. Patterns are RE2-compatible (no lookaround)
@@ -328,6 +381,83 @@ object TextOps {
         |  n_trigrams, dup_trigram_occ,
         |  CAST(dup_trigram_occ AS DOUBLE) / n_trigrams AS dup_trigram_frac
         |FROM bs JOIN ts ON bs.doc_id = ts.doc_id""".stripMargin,
+    "q_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 8 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens, cum_tokens,
+        |  shard * 4294967296 + CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT)
+        |    AS chunk_id
+        |FROM c""".stripMargin,
+    "q_filter_chain" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(text) AS DOUBLE) AS n_chars_d,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS n_tokens_d,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|in|to|is)\b')) AS DOUBLE) AS stop_hits
+        |  FROM documents),
+        |qs AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN n_chars_d >= 50 AND n_chars_d <= 10000 THEN 1.0 ELSE 0.0 END) * 0.4
+        |      + (CASE WHEN stop_hits / greatest(n_tokens_d, 1.0) > 0.02 THEN 0.3 ELSE 0.0 END)
+        |      + (CASE WHEN punct / greatest(n_chars_d, 1.0) < 0.2 THEN 0.3 ELSE 0.0 END) AS quality_score
+        |  FROM q),
+        |lh AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|is|to)\b')) AS en_hits,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS de_hits,
+        |    len(regexp_extract_all(lower(text), '\b(le|et|les|des|est)\b')) AS fr_hits,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|una|es)\b')) AS es_hits,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk_hits
+        |  FROM documents),
+        |lp AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN cjk_hits > 0 THEN 'zh'
+        |         WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+        |         WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+        |         WHEN fr_hits >= es_hits THEN 'fr'
+        |         ELSE 'es' END AS lang_pred
+        |  FROM lh),
+        |tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, unnest([concat_ws(' ', toks[i], toks[i+1])
+        |    for i in range(1, greatest(len(toks)-1, 1)+1)]) AS g FROM tk),
+        |t AS (
+        |  SELECT doc_id, unnest([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        |    for i in range(1, greatest(len(toks)-2, 1)+1)]) AS g FROM tk),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g),
+        |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |         max(c) AS top_bigram_n FROM bc GROUP BY doc_id),
+        |tc AS (SELECT doc_id, g, count(*) AS c FROM t GROUP BY doc_id, g),
+        |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+        |         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_occ
+        |       FROM tc GROUP BY doc_id),
+        |r AS (
+        |  SELECT bs.doc_id,
+        |    CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac,
+        |    CAST(dup_trigram_occ AS DOUBLE) / n_trigrams AS dup_trigram_frac
+        |  FROM bs JOIN ts ON bs.doc_id = ts.doc_id),
+        |v AS (
+        |  SELECT qs.doc_id, lp.lang,
+        |    CASE WHEN quality_score < 0.7 THEN 'low_quality'
+        |         WHEN lang_pred <> lang THEN 'lang_mismatch'
+        |         WHEN top_bigram_frac > 0.1 THEN 'repetitive_bigram'
+        |         WHEN dup_trigram_frac > 0.5 THEN 'repetitive_trigram'
+        |         ELSE 'kept' END AS reason
+        |  FROM qs JOIN lp ON qs.doc_id = lp.doc_id JOIN r ON qs.doc_id = r.doc_id)
+        |SELECT doc_id, lang, reason, reason = 'kept' AS keep FROM v""".stripMargin,
     "q_corpus_mix" ->
       """WITH m AS (
         |  SELECT lang, source, count(*) AS n_docs,

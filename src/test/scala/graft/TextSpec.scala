@@ -151,6 +151,53 @@ class TextSpec extends SparkSpecBase {
     out.foreach(r => assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_docs")))
   }
 
+  test("packChunks: greedy running-sum packing on a hand-checked fixture") {
+    val df = Seq(
+      (1L, Seq.fill(10)("w").mkString(" ")),
+      (2L, Seq.fill(10)("w").mkString(" ")),
+      (3L, Seq.fill(10)("w").mkString(" ")),
+      (4L, Seq.fill(10)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    df.write.mode("overwrite").parquet("/tmp/graft_pack_docs/documents.parquet")
+    // single shard, ctx=25: starts at 0,10,20,30 → chunks 0,0,0,1
+    val out = graft.ops.TextOps.packChunks(spark, "/tmp/graft_pack_docs",
+        nShards = 1, ctxTokens = 25)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("chunk_id")).toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("packChunks: chunk overflow bounded by one document; ids unique per shard") {
+    val out = graft.ops.TextOps.packChunks(spark, sf, nShards = 4, ctxTokens = 512)
+    val byChunk = out.groupBy("chunk_id")
+      .agg(sum("n_tokens").as("chunk_tokens"), max("n_tokens").as("max_doc"))
+      .collect()
+    // greedy start-offset packing: a chunk holds ≤ ctx + (its largest doc)
+    byChunk.foreach { r =>
+      assert(r.getAs[Long]("chunk_tokens") <= 512L + r.getAs[Int]("max_doc"),
+        s"chunk ${r.get(0)} overflows beyond the one-document bound")
+    }
+    // shard encoded in the id: no collisions across shards
+    assert(out.select("chunk_id", "shard").distinct().count() ===
+      out.select("chunk_id").distinct().count())
+  }
+
+  test("filterChain: planted docs hit each rule in priority order") {
+    val clean = "the cat sat on the mat and looked out of the window at the rain"
+    val repetitive = Seq.fill(30)("the").mkString(" ") // long, stopword-rich, but one bigram
+    val short = "hi"
+    val df = Seq(
+      (1L, clean, "en"), (2L, repetitive, "en"), (3L, short, "en"),
+      (4L, clean, "fr")) // english text labeled fr → lang_mismatch
+      .toDF("doc_id", "text", "lang")
+    df.write.mode("overwrite").parquet("/tmp/graft_filter_docs/documents.parquet")
+    val out = graft.ops.TextOps.filterChain(spark, "/tmp/graft_filter_docs")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("reason") === "kept" && out(1L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[String]("reason") === "repetitive_bigram")
+    assert(out(3L).getAs[String]("reason") === "low_quality")
+    assert(out(4L).getAs[String]("reason") === "lang_mismatch" && !out(4L).getAs[Boolean]("keep"))
+  }
+
   test("lengthApprox: sketch lands inside the exact rank windows, values anchor to lengthStats") {
     val approx = graft.ops.TextOps.lengthApprox(spark, sf).collect()
     assert(approx.nonEmpty)
