@@ -139,6 +139,28 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"keyset path must not plan a window:\n$p")
   }
 
+  test("packChunks: window is shard-partitioned — never a global-order single partition") {
+    // sparkPlan, not executedPlan: pre-execution the AQE wrapper is an
+    // opaque leaf and collect() would see nothing
+    val qe = graft.ops.TextOps.packChunks(spark, sf).queryExecution
+    val windows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, s"expected a WindowExec in:\n${qe.sparkPlan}")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"packing window lost its shard partitioning (global sort at scale):\n${qe.sparkPlan}"))
+  }
+
+  test("corpusMix: global share comes from a broadcast scalar, not a window or rescan") {
+    val p = plan(graft.ops.TextOps.corpusMix(spark, sf))
+    assert(!p.contains("Window"), s"corpus share must not plan a window:\n$p")
+    assert(p.contains("Broadcast"), s"expected broadcast of the totals scalar in:\n$p")
+    // the corpus is scanned exactly once: the cells aggregate is
+    // localCheckpoint-materialized, so the totals branch reads the tiny
+    // cached frame, not documents.parquet again
+    assert(!p.contains("documents.parquet"),
+      s"final plan re-scans the corpus instead of the checkpointed cells:\n$p")
+  }
+
   test("rankedSearch: postings pruned by the term IN-list below the tf group; idf join broadcast") {
     val p = plan(SearchOps.rankedSearch(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast idf join in:\n$p")
