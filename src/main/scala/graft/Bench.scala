@@ -63,12 +63,23 @@ object Bench {
     val baseline = readBaseline(sfDir)
     val baselineJson = baseline match {
       case Some((meta, bq)) =>
-        val bTotal = results.collect { case (k, v) if v >= 0 && bq.contains(k) => bq(k) }.sum
-        val bqs = results.collect { case (k, _) if bq.contains(k) =>
+        // ratio over the INTERSECTION only (queries that both ran in Spark
+        // and exist in the baseline file): a stale baseline missing a new
+        // query must shrink both sides of the division, not just one —
+        // otherwise the headline ratio silently compares unequal sets
+        val common = results.filter { case (k, v) => v >= 0 && bq.contains(k) }
+        val sTotal = common.map(_._2).sum
+        val bTotal = common.map { case (k, _) => bq(k) }.sum
+        val bqs = common.map { case (k, _) =>
           "\"" + k + "\":" + bq(k) }.mkString("{", ",", "}")
-        val ratio = if (bTotal > 0) total / bTotal else -1.0
-        s""","baseline_total":$bTotal,"baseline_queries":$bqs,""" +
-          s""""ratio_vs_duckdb":${"%.4f".format(ratio)},"baseline_meta":"$meta""""
+        val ratio = if (bTotal > 0) sTotal / bTotal else -1.0
+        val uncovered = results.collect { case (k, v) if v >= 0 && !bq.contains(k) => k }
+        // Locale.ROOT: a comma-decimal default locale would break the JSON
+        val ratioStr = String.format(java.util.Locale.ROOT, "%.4f", Double.box(ratio))
+        s""","baseline_total":$bTotal,"baseline_spark_total":$sTotal,""" +
+          s""""baseline_queries":$bqs,"ratio_vs_duckdb":$ratioStr,""" +
+          s""""baseline_uncovered":[${uncovered.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""baseline_meta":"$meta""""
       case None => ""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$baselineJson}""")

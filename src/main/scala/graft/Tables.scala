@@ -16,8 +16,15 @@ import org.apache.spark.sql.types._
   * test scale — query code marks them with `broadcast()` explicitly.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every operator loads through here, so this is the one chokepoint that
+    // guarantees graft's native SQL functions resolve even on a session
+    // built WITHOUT spark.sql.extensions=GraftExtensions (library consumers
+    // with their own session). Idempotent and warn-free: a registry probe,
+    // then an early return when the extensions path already registered them.
+    graft.functions.GraftFunctions.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")

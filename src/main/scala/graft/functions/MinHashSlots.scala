@@ -380,6 +380,49 @@ object GramHash60 {
   * when the functions are already present, so calling it never produces
   * SimpleFunctionRegistry replace-warnings.
   */
+/** The ONE builder per SQL-surfaced native function — shared verbatim by
+  * both registration paths (GraftExtensions' injectFunction and
+  * GraftFunctions.register) so arity/argument validation can never drift
+  * between them. Every builder validates arity with a named-signature
+  * message before touching exprs(i).
+  */
+object TextFunctionBuilders {
+  def minhashSlots(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2, "minhash_slots(hashes, k)")
+    val k = exprs(1) match {
+      case Literal(i: Int, IntegerType) => i
+      case other => throw new IllegalArgumentException(
+        s"minhash_slots k must be an int literal, got $other")
+    }
+    MinHashSlots(exprs.head, k)
+  }
+
+  def simhash64(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 1, "simhash64(hashes)")
+    SimHash64(exprs.head)
+  }
+
+  def md5MinHash(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 1, "md5_minhash(text)")
+    Md5MinHash(exprs.head, shingleLen = 5, salts = Seq("s1", "s2", "s3", "s4"))
+  }
+
+  def ruEnAnalyze(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 1, "ru_en_analyze(text)")
+    RuEnAnalyze(exprs.head)
+  }
+
+  def gramHash60(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2, "gram_hash60(toks, n)")
+    val n = exprs(1) match {
+      case Literal(i: Int, IntegerType) => i
+      case other => throw new IllegalArgumentException(
+        s"gram_hash60 n must be an int literal, got $other")
+    }
+    GramHash60(exprs.head, n)
+  }
+}
+
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -392,62 +435,21 @@ object GraftFunctions {
         registry.functionExists(FunctionIdentifier("ivf_assign")) &&
         registry.functionExists(FunctionIdentifier("gram_hash60"))) return
     registry.createOrReplaceTempFunction(
-      "minhash_slots",
-      { exprs: Seq[Expression] =>
-        require(exprs.size == 2, "minhash_slots(hashes, k)")
-        val k = exprs(1) match {
-          case Literal(i: Int, IntegerType) => i
-          case other => throw new IllegalArgumentException(
-            s"minhash_slots k must be an int literal, got $other")
-        }
-        MinHashSlots(exprs.head, k)
-      },
-      "built-in")
+      "minhash_slots", TextFunctionBuilders.minhashSlots _, "built-in")
     registry.createOrReplaceTempFunction(
-      "simhash64",
-      { exprs: Seq[Expression] =>
-        require(exprs.size == 1, "simhash64(hashes)")
-        SimHash64(exprs.head)
-      },
-      "built-in")
+      "simhash64", TextFunctionBuilders.simhash64 _, "built-in")
     registry.createOrReplaceTempFunction(
-      "md5_minhash",
-      { exprs: Seq[Expression] =>
-        require(exprs.size == 1, "md5_minhash(text)")
-        Md5MinHash(exprs.head, shingleLen = 5, salts = Seq("s1", "s2", "s3", "s4"))
-      },
-      "built-in")
+      "md5_minhash", TextFunctionBuilders.md5MinHash _, "built-in")
     registry.createOrReplaceTempFunction(
-      "ru_en_analyze",
-      { exprs: Seq[Expression] =>
-        require(exprs.size == 1, "ru_en_analyze(text)")
-        RuEnAnalyze(exprs.head)
-      },
-      "built-in")
+      "ru_en_analyze", TextFunctionBuilders.ruEnAnalyze _, "built-in")
     registry.createOrReplaceTempFunction(
-      "lsh_sig",
-      { exprs: Seq[Expression] => VectorFunctionBuilders.lshSig(exprs) },
-      "built-in")
+      "lsh_sig", VectorFunctionBuilders.lshSig _, "built-in")
     registry.createOrReplaceTempFunction(
-      "vec_cosine",
-      { exprs: Seq[Expression] => VectorFunctionBuilders.vecCosine(exprs) },
-      "built-in")
+      "vec_cosine", VectorFunctionBuilders.vecCosine _, "built-in")
     registry.createOrReplaceTempFunction(
-      "ivf_assign",
-      { exprs: Seq[Expression] => VectorFunctionBuilders.ivfAssign(exprs) },
-      "built-in")
+      "ivf_assign", VectorFunctionBuilders.ivfAssign _, "built-in")
     registry.createOrReplaceTempFunction(
-      "gram_hash60",
-      { exprs: Seq[Expression] =>
-        require(exprs.size == 2, "gram_hash60(toks, n)")
-        val n = exprs(1) match {
-          case Literal(i: Int, IntegerType) => i
-          case other => throw new IllegalArgumentException(
-            s"gram_hash60 n must be an int literal, got $other")
-        }
-        GramHash60(exprs.head, n)
-      },
-      "built-in")
+      "gram_hash60", TextFunctionBuilders.gramHash60 _, "built-in")
     ()
   }
 }

@@ -12,23 +12,27 @@ import org.apache.spark.sql.functions._
   * is replicated `salts` times; the join key becomes (key, salt), so the
   * hot key's rows spread over `salts` reducers.
   *
-  * Salt = hash(row content, monotonically_increasing_id()). Content alone
-  * is not enough: the motivating skew case is often millions of
-  * BYTE-IDENTICAL rows of the hot key (the repeated default/null-pattern
-  * row), and a pure content hash gives them all one salt — the hot key
-  * lands back on a single reducer. The id mixes in (partition, position),
-  * spreading identical rows. Two properties make this safe where a plain
-  * `rand()` salt is not:
-  *  - the OUTPUT never depends on the salt value — the small side carries
-  *    every salt, so each large row matches exactly the same rows whatever
-  *    salt it draws; only the reducer placement changes;
-  *  - under task retry the id is recomputed from the same (partition,
-  *    position) for deterministically-ordered inputs (file scans — the
-  *    normal large side). If the input is itself a shuffle with
-  *    nondeterministic order, a recomputed partition may re-salt rows, but
-  *    by the first property the join result is still correct — unlike
-  *    rand(), which Spark must treat as nondeterministic and which blocks
-  *    pushdown around it.
+  * Salt = hash(row content [+ caller-named discriminator columns]) —
+  * STRICTLY deterministic per row value. Never `rand()` and never
+  * `monotonically_increasing_id()`: both assign salts by execution
+  * position, so a partial stage retry over a nondeterministically-ordered
+  * upstream shuffle can re-salt a recomputed row into a DIFFERENT reducer
+  * than the one that already consumed its first copy — the row is then
+  * joined twice or zero times. A value-deterministic salt recomputes
+  * identically on any retry.
+  *
+  * Known limitation of the default (content-only) salt: millions of rows
+  * byte-identical across EVERY column — the repeated default/null-pattern
+  * row — all hash to ONE salt and still land a single reducer (a table
+  * with any unique column never hits this; its content hash already
+  * spreads). For that case pass `spread`: extra discriminator
+  * expression(s) mixed into the hash. The caller owns its determinism —
+  * sound choices are value-derived only (a computed offset, a lineage
+  * column added before a checkpoint); `monotonically_increasing_id()` is
+  * sound ONLY directly over a deterministically-ordered file scan, never
+  * above a shuffle. Fully indistinguishable rows with no sound
+  * discriminator cannot be spread safely by ANY salting scheme —
+  * pre-aggregate them (count per key) instead of joining row-by-row.
   *
   * Cost: `salts ×` replication of the small side — use for dim-sized
   * right sides only; for fact×fact skew, prefer AQE or isolate the hot
@@ -45,15 +49,15 @@ object SkewJoin {
         "left_anti", "leftanti")
 
   def salted(large: DataFrame, small: DataFrame, key: String,
-             salts: Int, joinType: String = "inner"): DataFrame = {
+             salts: Int, joinType: String = "inner",
+             spread: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     require(salts > 0, "salts must be positive")
     require(SafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")) ||
             SafeJoinTypes.contains(joinType.toLowerCase),
       s"salted join supports $SafeJoinTypes; '$joinType' would emit each " +
       "unmatched small-side row once per salt")
     val saltedLarge = large.withColumn("__salt",
-      pmod(hash(large.columns.map(col) :+ monotonically_increasing_id(): _*),
-        lit(salts)))
+      pmod(hash(large.columns.map(col) ++ spread: _*), lit(salts)))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLarge.join(saltedSmall, Seq(key, "__salt"), joinType).drop("__salt")

@@ -55,12 +55,28 @@ object TextOps {
           .otherwise("es"))
   }
 
-  /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
-    * length — combined into a [0,1] score. Deterministic per-row IEEE math,
-    * identical on both engines.
+  /** The argmax CASE of [[langId]] as a single expression over `text` —
+    * shared by [[filterChain]] so the gate never rescans for a second
+    * metric frame. Must stay in lockstep with langId's column form.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  private def langPredCol: Column = {
+    val en = hits(col("text"), "\\b(the|and|of|is|to)\\b")
+    val de = hits(col("text"), "\\b(der|die|und|das|ist)\\b")
+    val fr = hits(col("text"), "\\b(le|et|les|des|est)\\b")
+    val es = hits(col("text"), "\\b(el|los|las|una|es)\\b")
+    val cjk = regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]"))
+    when(cjk > 0, "zh")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** The quality sub-expressions over `text`, shared by [[qualityScore]]
+    * (the metric table) and [[filterChain]] (the gate): (punct_ratio,
+    * stop_ratio, mean_word_len, quality_score).
+    */
+  private def qualityParts: (Column, Column, Column, Column) = {
     val trimmed  = trim(col("text"))
     val nChars   = length(col("text")).cast("double")
     val nTokens  = when(length(trimmed) === 0, lit(0))
@@ -74,6 +90,20 @@ object TextOps {
     val score = lengthOk * lit(0.4) +
       when(stopRatio > 0.02, lit(0.3)).otherwise(lit(0.0)) +
       when(punctRatio < 0.2, lit(0.3)).otherwise(lit(0.0))
+    (punctRatio, stopRatio, meanWordLen, score)
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
+    * length — combined into a [0,1] score. Deterministic per-row IEEE math,
+    * identical on both engines.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val trimmed  = trim(col("text"))
+    val nChars   = length(col("text")).cast("double")
+    val nTokens  = when(length(trimmed) === 0, lit(0))
+      .otherwise(size(split(trimmed, "\\s+"))).cast("double")
+    val (punctRatio, stopRatio, meanWordLen, score) = qualityParts
     d.select(col("doc_id"),
       nChars.as("n_chars_d"), nTokens.as("n_tokens_d"),
       punctRatio.as("punct_ratio"), stopRatio.as("stop_ratio"),
@@ -217,10 +247,22 @@ object TextOps {
     * so a single giant document degrades to partial aggregation, not OOM.
     */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val toks = d
+    val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .repartition(col("doc_id"))
+    repetitionStats(toks)
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+        col("top_bigram_frac"), col("n_trigrams"), col("dup_trigram_occ"),
+        col("dup_trigram_frac"))
+  }
+
+  /** The gram-aggregation core over a staged frame carrying (doc_id, toks)
+    * that is ALREADY hash-partitioned by doc_id — shared by [[repetition]]
+    * and [[filterChain]] (which stages extra per-row columns through the
+    * same exchange). Output keeps the input's doc_id partitioning, so
+    * callers join it back exchange-free.
+    */
+  private def repetitionStats(toks: DataFrame): DataFrame = {
     // same partial-gram edge handling as decontaminate/ngramJaccard: short
     // docs yield one truncated gram (concat_ws drops the null tail), which
     // the oracle replays with identical range/NULL semantics
@@ -238,10 +280,10 @@ object TextOps {
         sum("c").as("n_trigrams"),
         sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_trigram_occ"))
     big.join(tri, Seq("doc_id"))
-      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
-        (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
-        col("n_trigrams"), col("dup_trigram_occ"),
-        (col("dup_trigram_occ").cast("double") / col("n_trigrams")).as("dup_trigram_frac"))
+      .withColumn("top_bigram_frac",
+        col("top_bigram_n").cast("double") / col("n_bigrams"))
+      .withColumn("dup_trigram_frac",
+        col("dup_trigram_occ").cast("double") / col("n_trigrams"))
   }
 
   /** Corpus-mix dashboard: per (lang, source) document/token/char totals and
@@ -256,20 +298,36 @@ object TextOps {
     * window, no second corpus scan, no driver round-trip of data rows.
     */
   def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val (cells, out) = corpusMixStaged(spark, dir)
+    // materialize the tiny (langs×sources) result and release the cells
+    // cache — the releasing() hygiene every cached-intermediate operator
+    // follows, so repeated invocations never accumulate executor storage
+    DedupOps.releasing(cells)(out)
+  }
+
+  /** The pre-materialization shape (cached cells, lazy result) — exposed
+    * `private[graft]` so PlanSpec can assert the broadcast/no-window/
+    * cache-reuse properties before `releasing` collapses the plan into an
+    * opaque checkpoint scan.
+    */
+  private[graft] def corpusMixStaged(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = Tables.documents(spark, dir)
     val trimmed = trim(col("text"))
     val nTokens = when(length(trimmed) === 0, lit(0))
       .otherwise(size(split(trimmed, "\\s+")))
+    // cache: the cells aggregate feeds both the global-total scalar and the
+    // final share projection — uncached, each would rescan the corpus
     val cells = d.groupBy("lang", "source").agg(
         count(lit(1)).as("n_docs"),
         sum(nTokens).as("n_tokens"),
         sum("n_chars").as("n_chars_sum"))
-      .localCheckpoint()
+      .cache()
     val total = cells.agg(sum("n_tokens").as("total_tokens"))
-    cells.crossJoin(broadcast(total))
+    val out = cells.crossJoin(broadcast(total))
       .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
         col("n_chars_sum"),
         (col("n_tokens").cast("double") / col("total_tokens")).as("token_share"))
+    (cells, out)
   }
 
   /** Context-window packing: assign documents to fixed-token-budget chunks —
@@ -307,15 +365,24 @@ object TextOps {
   /** The curation filter chain, composed end-to-end: language-ID agreement,
     * quality score, and repetition caps fold into one keep/drop verdict with
     * a deterministic first-failed-rule reason — the C4/Gopher-style gate a
-    * corpus passes through before packing. Demonstrates that the per-doc
-    * metric operators compose as plain DataFrames: one co-partitioned join
-    * of the repetition aggregate onto the per-row metrics, no extra scans.
+    * corpus passes through before packing.
+    *
+    * Scale shape: ONE corpus scan, ONE shuffle. The staged frame carries
+    * (doc_id, lang, text, toks) through a single doc_id repartition; the
+    * per-row metrics (quality score, lang pred) are one projection over it,
+    * the gram aggregates ([[repetitionStats]]) reuse the same exchange, and
+    * the metrics⋈repetition join is co-partitioned — so the whole gate adds
+    * no data movement beyond what repetition alone pays.
     */
   def filterChain(spark: SparkSession, dir: String): DataFrame = {
-    val metrics = qualityScore(spark, dir)
-      .join(langId(spark, dir).select("doc_id", "lang", "lang_pred"), Seq("doc_id"))
-      .join(repetition(spark, dir)
-        .select("doc_id", "top_bigram_frac", "dup_trigram_frac"), Seq("doc_id"))
+    val staged = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .repartition(col("doc_id"))
+    val perRow = staged.select(col("doc_id"), col("lang"),
+      qualityParts._4.as("quality_score"), langPredCol.as("lang_pred"))
+    val metrics = perRow.join(repetitionStats(staged)
+      .select("doc_id", "top_bigram_frac", "dup_trigram_frac"), Seq("doc_id"))
     val reason = when(col("quality_score") < 0.7, "low_quality")
       .when(col("lang_pred") =!= col("lang"), "lang_mismatch")
       .when(col("top_bigram_frac") > 0.1, "repetitive_bigram")

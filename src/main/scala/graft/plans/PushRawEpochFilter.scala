@@ -109,31 +109,25 @@ object PushRawEpochFilter extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PushRawEpochFilter)
+    // one shared builder per function (TextFunctionBuilders /
+    // VectorFunctionBuilders) — the same closures GraftFunctions.register
+    // uses, so validation can never drift between the two paths
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_slots"),
       new ExpressionInfo(classOf[graft.functions.MinHashSlots].getName, "minhash_slots"),
-      { exprs: Seq[Expression] =>
-        val k = exprs(1) match {
-          case Literal(i: Int, _) => i
-          case other => throw new IllegalArgumentException(
-            s"minhash_slots k must be an int literal, got $other")
-        }
-        graft.functions.MinHashSlots(exprs.head, k)
-      }))
+      { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.minhashSlots(exprs) }))
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
-      { exprs: Seq[Expression] => graft.functions.SimHash64(exprs.head) }))
+      { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.simhash64(exprs) }))
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("md5_minhash"),
       new ExpressionInfo(classOf[graft.functions.Md5MinHash].getName, "md5_minhash"),
-      { exprs: Seq[Expression] =>
-        graft.functions.Md5MinHash(exprs.head, shingleLen = 5,
-          salts = Seq("s1", "s2", "s3", "s4")) }))
+      { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.md5MinHash(exprs) }))
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("ru_en_analyze"),
       new ExpressionInfo(classOf[graft.functions.RuEnAnalyze].getName, "ru_en_analyze"),
-      { exprs: Seq[Expression] => graft.functions.RuEnAnalyze(exprs.head) }))
+      { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.ruEnAnalyze(exprs) }))
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("lsh_sig"),
       new ExpressionInfo(classOf[graft.functions.LshSig].getName, "lsh_sig"),
@@ -149,13 +143,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("gram_hash60"),
       new ExpressionInfo(classOf[graft.functions.GramHash60].getName, "gram_hash60"),
-      { exprs: Seq[Expression] =>
-        val n = exprs(1) match {
-          case Literal(i: Int, _) => i
-          case other => throw new IllegalArgumentException(
-            s"gram_hash60 n must be an int literal, got $other")
-        }
-        graft.functions.GramHash60(exprs.head, n) }))
+      { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.gramHash60(exprs) }))
   }
 }
 

@@ -100,7 +100,15 @@ class DedupSpec extends SparkSpecBase {
         val (d, pairs) = DedupOps.bandedCandidatePairs(spark, "/tmp/graft_skew_docs", maxBucket = 64)
         val out = pairs.collect()
         d.unpersist()
-        // listener events are async; wait until the metric stops moving
+        // listener events are async; the pair pipeline ALWAYS shuffles
+        // (bands → census → join), so first wait for a nonzero metric —
+        // exiting on "stable at 0" would pass the straggler assertion
+        // vacuously when events drain slowly — then for stability
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        while (maxShuffleRead.get() == 0 && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        assert(maxShuffleRead.get() > 0,
+          "no shuffle-read metrics observed within 15s — listener wiring broken")
         var prev = -1L
         var spins = 0
         while (prev != maxShuffleRead.get() && spins < 20) {

@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
 class FunctionsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("operators self-register natives: a session missing the functions still resolves them") {
+    // simulate a library consumer's vanilla session: same context, fresh
+    // session state, graft functions force-dropped from its registry
+    val vanilla = spark.newSession()
+    val reg = vanilla.sessionState.functionRegistry
+    Seq("minhash_slots", "simhash64", "md5_minhash", "ru_en_analyze",
+        "lsh_sig", "vec_cosine", "ivf_assign", "gram_hash60")
+      .foreach(n => reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
+    // cosineTopK needs vec_cosine; Tables.table must re-register on the way in
+    val top = graft.ops.SimilarityOps.cosineTopK(vanilla, sf).collect()
+    assert(top.nonEmpty && top.head.getAs[Long]("vec_id") === 0L)
+  }
+
   private def composed(hashes: org.apache.spark.sql.Column, k: Int) =
     graft.ops.DedupOps.fastSignature(hashes, k)
 

@@ -151,14 +151,17 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("corpusMix: global share comes from a broadcast scalar, not a window or rescan") {
-    val p = plan(graft.ops.TextOps.corpusMix(spark, sf))
-    assert(!p.contains("Window"), s"corpus share must not plan a window:\n$p")
-    assert(p.contains("Broadcast"), s"expected broadcast of the totals scalar in:\n$p")
-    // the corpus is scanned exactly once: the cells aggregate is
-    // localCheckpoint-materialized, so the totals branch reads the tiny
-    // cached frame, not documents.parquet again
-    assert(!p.contains("documents.parquet"),
-      s"final plan re-scans the corpus instead of the checkpointed cells:\n$p")
+    // assert on the staged (pre-releasing) shape — the public method
+    // checkpoints the tiny result, which collapses the plan to a scan
+    val (cells, out) = graft.ops.TextOps.corpusMixStaged(spark, sf)
+    try {
+      val p = plan(out)
+      assert(!p.contains("Window"), s"corpus share must not plan a window:\n$p")
+      assert(p.contains("Broadcast"), s"expected broadcast of the totals scalar in:\n$p")
+      // single corpus scan: both consumers read the cells CACHE
+      assert(p.contains("InMemoryTableScan"),
+        s"expected the totals/share branches to reuse the cached cells:\n$p")
+    } finally cells.unpersist()
   }
 
   test("rankedSearch: postings pruned by the term IN-list below the tf group; idf join broadcast") {
