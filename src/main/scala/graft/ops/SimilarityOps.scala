@@ -177,6 +177,70 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
   }
 
+  /** Lloyd-iteration k-means codebook TRAINING, expressed as DataFrame ops —
+    * the offline model-fitting step [[annIvf]]'s docstring defers to; after
+    * this, the IVF codebook is a trained artifact, not a stand-in. Output:
+    * one row per (cid, dim) of the trained codebook plus the cell's final
+    * member count.
+    *
+    * Exact cross-engine determinism (the property that lets a DuckDB oracle
+    * replay TRAINING, not just inference):
+    *  - init: centroids = the first `nlist` vectors by id (the same
+    *    deterministic seed the static codebook used);
+    *  - assign: the native `ivf_assign` argmax-cosine — tie-break to the
+    *    highest cid, replayed in SQL as row_number ORDER BY cosine DESC,
+    *    cid DESC (the q_ann_ivf oracle's proven equivalence);
+    *  - update: element-wise mean in FIXED-POINT — components are scaled by
+    *    2^20 and rounded to longs BEFORE the grouped sum, so the sum is
+    *    exact and order-independent. A float sum would differ in low bits
+    *    across engines and partition orders, and one ulp in a centroid can
+    *    flip a borderline assignment next round and cascade;
+    *  - empty cells keep their previous centroid (both engines replay the
+    *    same rule; memberships are identical so emptiness is too).
+    *
+    * Scale shape: each round is one codegen'd assignment projection + one
+    * (cell, dim) grouped sum — explode to nlist·dim partial sums,
+    * map-side-combined, never a per-partition vector buffer in driver
+    * space. Only the codebook itself (nlist×dim longs — a model artifact,
+    * same class as the hyperplane constants) crosses to the driver between
+    * rounds. At 100 TB you'd sample the training split first (stratified
+    * sampler) — the per-round plan is unchanged.
+    */
+  def ivfTrain(spark: SparkSession, dir: String, nlist: Int = 16,
+               rounds: Int = 2, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val scale = 1048576.0 // 2^20 fixed-point grain
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", toDouble(col("embedding")))
+      .cache() // rounds+1 consumers; released before return
+    var cb: Array[Array[Double]] = collectCodebook(emb, nlist).map(_._2)
+    var members: Map[Int, Long] = Map.empty
+    for (_ <- 1 to rounds) {
+      val assigned = emb.withColumn("cell",
+        call_function("ivf_assign", col("v"), typedlit(cb.map(_.toSeq).toSeq)))
+      val sums = assigned.select(col("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos")
+        .agg(sum(round(col("col") * lit(scale)).cast("long")).as("s"),
+             count(lit(1)).as("n"))
+        .collect() // nlist×dim model-artifact rows, never data rows
+      val byCell = sums.groupBy(_.getAs[Int]("cell"))
+      members = byCell.map { case (c, rs) => c -> rs.head.getAs[Long]("n") }
+      cb = Array.tabulate(nlist) { c =>
+        byCell.get(c) match {
+          case Some(rs) =>
+            val byPos = rs.map(r => r.getAs[Int]("pos") ->
+              (r.getAs[Long]("s").toDouble / r.getAs[Long]("n") / scale)).toMap
+            Array.tabulate(dim)(byPos(_))
+          case None => cb(c) // empty cell: keep previous centroid
+        }
+      }
+    }
+    emb.unpersist()
+    (for { c <- 0 until nlist; d <- 0 until dim }
+      yield (c, d + 1, cb(c)(d), members.getOrElse(c, 0L)))
+      .toDF("cid", "dim", "val", "n_members")
+  }
+
   /** Embedding-cosine near-duplicate pairs: banded sign-LSH candidates +
     * exact cosine re-rank, top-k by similarity.
     *
@@ -345,6 +409,42 @@ object SimilarityOps {
        |JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp
        |      GROUP BY cluster_id) s2 USING (cluster_id)""".stripMargin
 
+  /** One unrolled Lloyd round as SQL CTEs: assignment (argmax cosine,
+    * highest-cid tie-break — the proven q_ann_ivf equivalence), fixed-point
+    * grouped sums, and the empty-cell-keeps-previous centroid update.
+    * `inCent` is the (cid, v) relation the round assigns against.
+    */
+  private def kmeansRoundSql(inCent: String, r: Int): String =
+    s"""a$r AS (
+       |  SELECT e.vec_id, e.v, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cid DESC) AS rn
+       |  FROM e CROSS JOIN $inCent c),
+       |s$r AS (
+       |  SELECT a.cell, d.i,
+       |    SUM(CAST(round(a.v[d.i] * 1048576.0) AS BIGINT)) AS s,
+       |    COUNT(*) AS n
+       |  FROM a$r a CROSS JOIN dims d WHERE a.rn = 1 GROUP BY a.cell, d.i),
+       |cd$r AS (
+       |  SELECT p.cid, p.i,
+       |    CASE WHEN s.s IS NULL THEN p.val
+       |         ELSE (CAST(s.s AS DOUBLE) / s.n) / 1048576.0 END AS val
+       |  FROM (SELECT c.cid, d.i, c.v[d.i] AS val
+       |        FROM $inCent c CROSS JOIN dims d) p
+       |  LEFT JOIN s$r s ON s.cell = p.cid AND s.i = p.i),
+       |c$r AS (SELECT cid, list(val ORDER BY i) AS v FROM cd$r GROUP BY cid)"""
+      .stripMargin
+
+  private def ivfTrainOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dims AS (SELECT unnest(range(1, 65)) AS i),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v FROM e WHERE vec_id < 16),
+       |${kmeansRoundSql("c0", 1)},
+       |${kmeansRoundSql("c1", 2)}
+       |SELECT cd2.cid, cd2.i AS dim, cd2.val, coalesce(n2.n, 0) AS n_members
+       |FROM cd2
+       |LEFT JOIN (SELECT cell, n FROM s2 WHERE i = 1) n2 ON n2.cell = cd2.cid""".stripMargin
+
   private def annIvfOracle: String =
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 16),
@@ -367,6 +467,7 @@ object SimilarityOps {
   val oracle: Map[String, String] = Map(
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_ivf_train" -> ivfTrainOracle,
     "q_embed_neardup" -> embedNearDupOracle,
     "q_semdedup" -> semDedupOracle,
     "q_cosine_topk" ->

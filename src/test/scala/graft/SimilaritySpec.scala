@@ -72,6 +72,28 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("ivfTrain: full codebook emitted, memberships reconcile, training moves centroids") {
+    val out = SimilarityOps.ivfTrain(spark, sf).collect()
+    assert(out.length === 16 * 64)
+    // every vector lands in exactly one cell each round
+    val corpus = Tables.embeddings(spark, sf).count()
+    val byCell = out.filter(_.getAs[Int]("dim") === 1)
+      .map(r => r.getAs[Int]("cid") -> r.getAs[Long]("n_members")).toMap
+    assert(byCell.values.sum === corpus)
+    // training moved at least one centroid off its init vector
+    val init = SimilarityOps.collectCodebook(
+      Tables.embeddings(spark, sf).withColumn("v",
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>")), 16)
+      .map { case (c, v) => c -> v }.toMap
+    val trained = out.groupBy(_.getAs[Int]("cid")).map { case (c, rs) =>
+      c -> rs.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("val")) }
+    assert((0 until 16).exists(c => !java.util.Arrays.equals(trained(c).toArray, init(c))),
+      "two Lloyd rounds left every centroid exactly at its init vector")
+    // deterministic end to end (fixed-point sums, no rand): bit-identical rerun
+    val again = SimilarityOps.ivfTrain(spark, sf).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("cosine expression: hand-checked value on unit vectors") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
