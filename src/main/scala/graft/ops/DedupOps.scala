@@ -249,20 +249,21 @@ object DedupOps {
     while (!converged && round < maxRounds) {
       val nmin = bi.join(labels, bi("dst") === labels("id"))
         .groupBy(col("src")).agg(min("label").as("nlabel"))
+      // carry the pre-step label as `prev` so convergence is a filter over
+      // the checkpointed frame, not an extra shuffle join per round
       val stepped = labels.join(nmin, labels("id") === nmin("src"), "left")
-        .select(labels("id"),
+        .select(labels("id"), labels("label").as("prev"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // pointer doubling (label := label-of-label): compresses paths each
       // round, so convergence is O(log diameter) instead of O(diameter) —
       // a long chain component can't stretch the round count linearly
       val self = stepped.select(col("id").as("pid"), col("label").as("plabel"))
       val updated = stepped.join(self, stepped("label") === self("pid"), "left")
-        .select(stepped("id"),
+        .select(stepped("id"), col("prev"),
           coalesce(col("plabel"), stepped("label")).as("label"))
         .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev")).isEmpty
-      labels = updated
+      converged = updated.filter(col("label") =!= col("prev")).isEmpty
+      labels = updated.select(col("id"), col("label"))
       round += 1
     }
     // a silent non-converged exit would break the contract that the label
