@@ -374,6 +374,82 @@ object GramHash60 {
   }
 }
 
+/** Native character-k-shingle hash60 array: the fused form of the minhash
+  * staging projection
+  * `transform(array_distinct(transform(sequence(1, greatest(length(text)-(k-1), 1)),
+  *    i => text.substr(i, k))), s => hash60(s))`
+  * — bit-identical (FunctionsSpec asserts it on the corpus and edge shapes):
+  *  - dedup happens on the SHINGLE STRINGS before hashing, exactly like the
+  *    composed `array_distinct(shingles)` (dedup-by-hash would diverge from
+  *    the composed form — and the oracle — on a 60-bit prefix collision);
+  *  - first-occurrence order is preserved (insertion-ordered set), matching
+  *    `array_distinct` + order-preserving `transform`;
+  *  - windows use SQL SUBSTR codepoint semantics via `substringSQL`, so
+  *    short/empty texts yield the composed form's single (possibly empty)
+  *    clipped shingle; null input → null.
+  *
+  * Why native: the composed staging walks the text through TWO interpreted
+  * lambda passes allocating a substring, an md5 hex string, and a base-16
+  * conv parse per shingle (~chars per doc) — the dominant cost of every
+  * minhash pipeline (the signature itself is already native). Here each
+  * distinct shingle feeds a reused thread-local MessageDigest and the 60-bit
+  * prefix is read straight from the digest bytes.
+  */
+case class ShingleHash60(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, "k must be >= 1")
+
+  override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash60"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHash60.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = ShingleHash60.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $cls.compute($t, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash60 =
+    copy(child = newChild)
+}
+
+object ShingleHash60 {
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    val md = mdLocal.get()
+    val nChars = text.numChars()
+    val count = math.max(nChars - (k - 1), 1)
+    // distinct on the shingle STRINGS, first-occurrence order — UTF8String
+    // equals/hashCode are binary-based, so set semantics == array_distinct
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String](count * 2)
+    var i = 1
+    while (i <= count) {
+      seen.add(text.substringSQL(i, k))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      md.reset()
+      md.update(it.next().getBytes)
+      val d = md.digest()
+      // first 15 hex digits = 60 bits: 7 full bytes then the high nibble
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((d(7) & 0xffL) >>> 4)
+      out(j) = v
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Session-level registration of graft's native expressions for sessions
   * built WITHOUT `spark.sql.extensions=graft.plans.GraftExtensions` (the
   * preferred path — Bench/Verify/tests all use the extension). Quiet no-op
@@ -421,6 +497,16 @@ object TextFunctionBuilders {
     }
     GramHash60(exprs.head, n)
   }
+
+  def shingleHash60(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2, "shingle_hash60(text, k)")
+    val k = exprs(1) match {
+      case Literal(i: Int, IntegerType) => i
+      case other => throw new IllegalArgumentException(
+        s"shingle_hash60 k must be an int literal, got $other")
+    }
+    ShingleHash60(exprs.head, k)
+  }
 }
 
 object GraftFunctions {
@@ -433,7 +519,8 @@ object GraftFunctions {
         registry.functionExists(FunctionIdentifier("lsh_sig")) &&
         registry.functionExists(FunctionIdentifier("vec_cosine")) &&
         registry.functionExists(FunctionIdentifier("ivf_assign")) &&
-        registry.functionExists(FunctionIdentifier("gram_hash60"))) return
+        registry.functionExists(FunctionIdentifier("gram_hash60")) &&
+        registry.functionExists(FunctionIdentifier("shingle_hash60"))) return
     registry.createOrReplaceTempFunction(
       "minhash_slots", TextFunctionBuilders.minhashSlots _, "built-in")
     registry.createOrReplaceTempFunction(
@@ -450,6 +537,8 @@ object GraftFunctions {
       "ivf_assign", VectorFunctionBuilders.ivfAssign _, "built-in")
     registry.createOrReplaceTempFunction(
       "gram_hash60", TextFunctionBuilders.gramHash60 _, "built-in")
+    registry.createOrReplaceTempFunction(
+      "shingle_hash60", TextFunctionBuilders.shingleHash60 _, "built-in")
     ()
   }
 }

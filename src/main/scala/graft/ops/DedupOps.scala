@@ -108,8 +108,21 @@ object DedupOps {
       array_min(transform(hashes, x => ((x % P) * A(i) + B(i)) % P))): _*)
   }
 
-  /** Staging projection: distinct shingles hashed once to portable longs. */
+  /** Staging projection: distinct shingles hashed once to portable longs —
+    * native fused [[graft.functions.ShingleHash60]] (one traversal, reused
+    * digest, 60-bit prefix read from raw bytes). Bit-identical to
+    * [[hashedShinglesComposed]] per FunctionsSpec; the oracle replays the
+    * composed semantics.
+    */
   private def hashedShingles(text: Column): Column =
+    call_function("shingle_hash60", text, lit(5))
+
+  /** The composed built-ins form — the semantic reference the native
+    * expression is asserted against (FunctionsSpec). Two interpreted lambda
+    * passes with a substring + md5-hex + base-16 parse per shingle — don't
+    * use in hot paths.
+    */
+  private[graft] def hashedShinglesComposed(text: Column): Column =
     transform(shingles(text), s => hash60(s))
 
   /** Slot-list SQL for the oracle: the same affine family, one list_min per

@@ -12,7 +12,7 @@ class FunctionsSpec extends SparkSpecBase {
     val vanilla = spark.newSession()
     val reg = vanilla.sessionState.functionRegistry
     Seq("minhash_slots", "simhash64", "md5_minhash", "ru_en_analyze",
-        "lsh_sig", "vec_cosine", "ivf_assign", "gram_hash60")
+        "lsh_sig", "vec_cosine", "ivf_assign", "gram_hash60", "shingle_hash60")
       .foreach(n => reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
     // cosineTopK needs vec_cosine; Tables.table must re-register on the way in
     val top = graft.ops.SimilarityOps.cosineTopK(vanilla, sf).collect()
@@ -119,6 +119,43 @@ class FunctionsSpec extends SparkSpecBase {
     }
     // null input → null output specifically
     assert(rows.find(_.getLong(0) == 4L).get.isNullAt(1))
+  }
+
+  test("shingle_hash60 ≡ composed distinct-shingles/hash60 staging on the real corpus") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sf)
+    val rows = d.select(col("doc_id"),
+        expr("shingle_hash60(text, 5)").as("native"),
+        graft.ops.DedupOps.hashedShinglesComposed(col("text")).as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"doc ${r.getLong(0)}"))
+  }
+
+  test("shingle_hash60 edge cases match composed: empty, short, cyrillic, dup shingles, null") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Some("")),                 // empty: one empty shingle
+      (2L, Some("ab")),               // shorter than k: one clipped shingle
+      (3L, Some("привет мир тест")),  // multi-byte codepoint slicing
+      (4L, None),                     // null text → null
+      (5L, Some("aaaaaaaaaa")))       // heavy duplicates: distinct-by-string
+      .toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+        expr("shingle_hash60(text, 5)").as("native"),
+        graft.ops.DedupOps.hashedShinglesComposed(col("text")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      // null text: native → null; composed → [null] (greatest() skips the
+      // null length) — same accepted divergence as md5_minhash's null case
+      if (r.isNullAt(1))
+        assert(r.isNullAt(2) || r.getSeq[java.lang.Long](2).forall(_ == null))
+      else assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+    assert(rows.find(_.getLong(0) == 4L).get.isNullAt(1))
+    // "aaaaaaaaaa" has exactly one distinct 5-shingle
+    assert(rows.find(_.getLong(0) == 5L).get.getSeq[Long](1).length === 1)
   }
 
   test("ru_en_analyze ≡ composed analyzer pipeline on the real corpus") {
