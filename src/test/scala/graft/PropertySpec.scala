@@ -1,0 +1,127 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY §5 plan): ScalaCheck generators drive adversarial
+  * inputs through every native-expression ≡ composed-form equality and the
+  * fuzzy ladder. Table-driven, not per-case forAll: generating hundreds of
+  * cases into ONE DataFrame keeps each property at one Spark job instead of
+  * one job per sample. Fixed seed ⇒ reproducible failures.
+  */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Deterministic sample list from a generator (retry across seed steps
+    * because Gen can discard).
+    */
+  private def samples[A](gen: Gen[A], n: Int): List[A] = {
+    var seed = Seed(42L)
+    val out = List.newBuilder[A]
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach { a => out += a; i += 1 }
+      seed = seed.next
+    }
+    out.result()
+  }
+
+  /** Adversarial text: mixes latin/cyrillic words, digits, punctuation runs,
+    * exotic whitespace, repeats, and boundary lengths around the 5-char
+    * shingle window.
+    */
+  private val textGen: Gen[String] = {
+    val word = Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(8)),
+      Gen.oneOf("данные", "поток", "окно", "тест", "ёжик", "стримы"),
+      Gen.numStr.map(_.take(6)),
+      Gen.oneOf("a", "ab", "abc", "abcd", "abcde", "", "the", "and", "и", "в"),
+      Gen.oneOf("!!!", "a.b,c", "x--y", "...", "co-op's"))
+    val sep = Gen.oneOf(" ", "  ", "\t", " \n ", " ")
+    for {
+      k <- Gen.chooseNum(0, 12)
+      ws <- Gen.listOfN(k, word)
+      ss <- Gen.listOfN(math.max(k - 1, 0), sep)
+    } yield ws.zipAll(ss, "", "").map { case (w, s) => w + s }.mkString
+  }
+
+  test("property: shingle_hash60 ≡ composed on generated adversarial text") {
+    GraftFunctions.register(spark)
+    val df = samples(textGen, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val bad = df.select(col("id"),
+        expr("shingle_hash60(text, 5)").as("native"),
+        graft.ops.DedupOps.hashedShinglesComposed(col("text")).as("ref"))
+      .filter(not(col("native") <=> col("ref")))
+      .collect()
+    assert(bad.isEmpty, s"diverging rows: ${bad.take(3).mkString("; ")}")
+  }
+
+  test("property: ru_en_analyze ≡ composed analyzer on generated mixed text") {
+    GraftFunctions.register(spark)
+    val df = samples(textGen, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val bad = df.select(col("id"),
+        graft.ops.SearchOps.analyze(col("text")).as("native"),
+        graft.ops.SearchOps.analyzeComposed(col("text")).as("ref"))
+      .filter(not(col("native") <=> col("ref")))
+      .collect()
+    assert(bad.isEmpty, s"diverging rows: ${bad.take(3).mkString("; ")}")
+  }
+
+  test("property: md5_minhash ≡ composed shingle/md5/min on generated text") {
+    GraftFunctions.register(spark)
+    val df = samples(textGen, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    def mh(salt: String) =
+      array_min(transform(
+        array_distinct(transform(
+          sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+          i => col("text").substr(i, lit(5)))),
+        s => md5(concat(lit(salt), s).cast("binary"))))
+    val bad = df.select(col("id"),
+        expr("md5_minhash(text)").as("native"),
+        array(mh("s1"), mh("s2"), mh("s3"), mh("s4")).as("ref"))
+      .filter(not(col("native") <=> col("ref")))
+      .collect()
+    assert(bad.isEmpty, s"diverging rows: ${bad.take(3).mkString("; ")}")
+  }
+
+  test("property: gram_hash60 ≡ composed sliding grams on generated token arrays") {
+    GraftFunctions.register(spark)
+    val toksGen = Gen.chooseNum(0, 15).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "bb", "ccc", "данные", "", "x1", "the")))
+    val df = samples(toksGen, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "toks")
+    val bad = df.select(col("id"),
+        expr("gram_hash60(toks, 8)").as("native"),
+        graft.ops.TextOps.gramHash60Composed(col("toks"), 8).as("ref"))
+      .filter(not(col("native") <=> col("ref")))
+      .collect()
+    assert(bad.isEmpty, s"diverging rows: ${bad.take(3).mkString("; ")}")
+  }
+
+  test("property: minhash_slots ≡ composed affine family on generated hash arrays") {
+    GraftFunctions.register(spark)
+    val hashesGen = Gen.chooseNum(1, 40).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(0L, (1L << 60) - 1)))
+    val df = samples(hashesGen, 300).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }.toDF("id", "hashes")
+    val bad = df.select(col("id"),
+        expr("minhash_slots(hashes, 8)").as("native"),
+        graft.ops.DedupOps.fastSignature(col("hashes"), 8).as("ref"))
+      .filter(not(col("native") <=> col("ref")))
+      .collect()
+    assert(bad.isEmpty, s"diverging rows: ${bad.take(3).mkString("; ")}")
+  }
+
+  test("property: autoFuzz ladder matches ES fuzziness:auto on generated tokens") {
+    // pure function — per-sample checks are free, no Spark involved
+    samples(Gen.alphaLowerStr.map(_.take(12)), 500).foreach { t =>
+      val expected = if (t.length < 3) 0 else if (t.length <= 5) 1 else 2
+      assert(graft.ops.SearchOps.autoFuzz(t) === expected, s"token '$t'")
+    }
+  }
+}
