@@ -255,8 +255,15 @@ object DedupOps {
   private[ops] def connectedComponents(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     val bi = edges.select(col("left_id").as("src"), col("right_id").as("dst"))
       .union(edges.select(col("right_id").as("src"), col("left_id").as("dst")))
-    var labels = bi.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
+    // seed = min(self, neighbors): the first propagation round fused into
+    // initialization (same cost as the plain distinct — one groupBy over the
+    // edge list). Near-dup components are dense (diameter 1-2), so this
+    // seeding alone converges isolated pairs and stars; the loop's first
+    // iteration then verifies the fixpoint instead of discovering it
+    var labels = bi.groupBy(col("src"))
+      .agg(min(col("dst")).as("ndst"))
+      .select(col("src").as("id"), least(col("src"), col("ndst")).as("label"))
+      .localCheckpoint()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
