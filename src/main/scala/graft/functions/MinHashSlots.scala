@@ -507,6 +507,11 @@ object TextFunctionBuilders {
     }
     ShingleHash60(exprs.head, k)
   }
+
+  def textMetrics(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 1, "text_metrics(text)")
+    TextMetrics(exprs.head)
+  }
 }
 
 object GraftFunctions {
@@ -520,7 +525,8 @@ object GraftFunctions {
         registry.functionExists(FunctionIdentifier("vec_cosine")) &&
         registry.functionExists(FunctionIdentifier("ivf_assign")) &&
         registry.functionExists(FunctionIdentifier("gram_hash60")) &&
-        registry.functionExists(FunctionIdentifier("shingle_hash60"))) return
+        registry.functionExists(FunctionIdentifier("shingle_hash60")) &&
+        registry.functionExists(FunctionIdentifier("text_metrics"))) return
     registry.createOrReplaceTempFunction(
       "minhash_slots", TextFunctionBuilders.minhashSlots _, "built-in")
     registry.createOrReplaceTempFunction(
@@ -539,6 +545,8 @@ object GraftFunctions {
       "gram_hash60", TextFunctionBuilders.gramHash60 _, "built-in")
     registry.createOrReplaceTempFunction(
       "shingle_hash60", TextFunctionBuilders.shingleHash60 _, "built-in")
+    registry.createOrReplaceTempFunction(
+      "text_metrics", TextFunctionBuilders.textMetrics _, "built-in")
     ()
   }
 }

@@ -13,19 +13,46 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** The fused single-traversal metrics struct
+    * ([[graft.functions.TextMetrics]]): every counter the token-count /
+    * quality / language-ID operators read, computed in one pass instead of
+    * six regex passes. Bit-identical to [[textMetricsComposed]]
+    * (FunctionsSpec + PropertySpec).
+    */
+  private def metrics: Column = call_function("text_metrics", col("text"))
+
+  /** The composed (regexp_count/split) form of the metrics struct — the
+    * semantic reference the native expression is equality-tested against.
+    * Six Java-regex passes per row — don't use in hot paths.
+    */
+  private[graft] def textMetricsComposed: Column = {
+    val trimmed = trim(col("text"))
+    struct(
+      length(col("text")).as("n_chars"),
+      when(length(trimmed) === 0, lit(0))
+        .otherwise(size(split(trimmed, "\\s+"))).as("n_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpe_tokens"),
+      regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).as("punct"),
+      hits(col("text"), "\\b(the|a|an|and|or|of|in|to|is)\\b").as("stop_hits"),
+      hits(col("text"), "\\b(the|and|of|is|to)\\b").as("en_hits"),
+      hits(col("text"), "\\b(der|die|und|das|ist)\\b").as("de_hits"),
+      hits(col("text"), "\\b(le|et|les|des|est)\\b").as("fr_hits"),
+      hits(col("text"), "\\b(el|los|las|una|es)\\b").as("es_hits"),
+      regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).as("cjk_hits"))
+  }
+
   /** Whitespace token count + a BPE-ish regex token estimate
     * (letters-runs | digit-runs | single other-non-space).
     */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val trimmed = trim(col("text"))
+    val m = metrics
     d.select(
       col("doc_id"),
       col("n_chars"),
-      length(col("text")).as("n_chars_calc"),
-      when(length(trimmed) === 0, lit(0))
-        .otherwise(size(split(trimmed, "\\s+"))).as("n_tokens"),
-      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpe_tokens"))
+      m.getField("n_chars").as("n_chars_calc"),
+      m.getField("n_tokens").as("n_tokens"),
+      m.getField("bpe_tokens").as("bpe_tokens"))
   }
 
   private def hits(c: Column, pattern: String): Column =
@@ -38,14 +65,11 @@ object TextOps {
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val en = hits(col("text"), "\\b(the|and|of|is|to)\\b")
-    val de = hits(col("text"), "\\b(der|die|und|das|ist)\\b")
-    val fr = hits(col("text"), "\\b(le|et|les|des|est)\\b")
-    val es = hits(col("text"), "\\b(el|los|las|una|es)\\b")
-    val cjk = regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]"))
+    val m = metrics
     d.select(col("doc_id"), col("lang"),
-        en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"), es.as("es_hits"),
-        cjk.as("cjk_hits"))
+        m.getField("en_hits").as("en_hits"), m.getField("de_hits").as("de_hits"),
+        m.getField("fr_hits").as("fr_hits"), m.getField("es_hits").as("es_hits"),
+        m.getField("cjk_hits").as("cjk_hits"))
       .withColumn("lang_pred",
         when(col("cjk_hits") > 0, "zh")
           .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
@@ -60,12 +84,12 @@ object TextOps {
     * metric frame. Must stay in lockstep with langId's column form.
     */
   private def langPredCol: Column = {
-    val en = hits(col("text"), "\\b(the|and|of|is|to)\\b")
-    val de = hits(col("text"), "\\b(der|die|und|das|ist)\\b")
-    val fr = hits(col("text"), "\\b(le|et|les|des|est)\\b")
-    val es = hits(col("text"), "\\b(el|los|las|una|es)\\b")
-    val cjk = regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]"))
-    when(cjk > 0, "zh")
+    val m = metrics
+    val en = m.getField("en_hits")
+    val de = m.getField("de_hits")
+    val fr = m.getField("fr_hits")
+    val es = m.getField("es_hits")
+    when(m.getField("cjk_hits") > 0, "zh")
       .when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")
       .when(fr >= es, "fr")
@@ -77,12 +101,11 @@ object TextOps {
     * stop_ratio, mean_word_len, quality_score).
     */
   private def qualityParts: (Column, Column, Column, Column) = {
-    val trimmed  = trim(col("text"))
-    val nChars   = length(col("text")).cast("double")
-    val nTokens  = when(length(trimmed) === 0, lit(0))
-      .otherwise(size(split(trimmed, "\\s+"))).cast("double")
-    val punct    = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
-    val stopHits = hits(col("text"), "\\b(the|a|an|and|or|of|in|to|is)\\b").cast("double")
+    val m = metrics
+    val nChars   = m.getField("n_chars").cast("double")
+    val nTokens  = m.getField("n_tokens").cast("double")
+    val punct    = m.getField("punct").cast("double")
+    val stopHits = m.getField("stop_hits").cast("double")
     val punctRatio = punct / greatest(nChars, lit(1.0))
     val stopRatio  = stopHits / greatest(nTokens, lit(1.0))
     val meanWordLen = nChars / greatest(nTokens, lit(1.0))
@@ -99,13 +122,11 @@ object TextOps {
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val trimmed  = trim(col("text"))
-    val nChars   = length(col("text")).cast("double")
-    val nTokens  = when(length(trimmed) === 0, lit(0))
-      .otherwise(size(split(trimmed, "\\s+"))).cast("double")
+    val m = metrics
     val (punctRatio, stopRatio, meanWordLen, score) = qualityParts
     d.select(col("doc_id"),
-      nChars.as("n_chars_d"), nTokens.as("n_tokens_d"),
+      m.getField("n_chars").cast("double").as("n_chars_d"),
+      m.getField("n_tokens").cast("double").as("n_tokens_d"),
       punctRatio.as("punct_ratio"), stopRatio.as("stop_ratio"),
       meanWordLen.as("mean_word_len"), score.as("quality_score"))
   }
@@ -312,9 +333,7 @@ object TextOps {
     */
   private[graft] def corpusMixStaged(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = Tables.documents(spark, dir)
-    val trimmed = trim(col("text"))
-    val nTokens = when(length(trimmed) === 0, lit(0))
-      .otherwise(size(split(trimmed, "\\s+")))
+    val nTokens = metrics.getField("n_tokens")
     // cache: the cells aggregate feeds both the global-total scalar and the
     // final share projection — uncached, each would rescan the corpus
     val cells = d.groupBy("lang", "source").agg(
@@ -349,9 +368,7 @@ object TextOps {
                  ctxTokens: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(spark, dir)
-    val trimmed = trim(col("text"))
-    val nTokens = when(length(trimmed) === 0, lit(0))
-      .otherwise(size(split(trimmed, "\\s+")))
+    val nTokens = metrics.getField("n_tokens")
     val w = Window.partitionBy("shard").orderBy("doc_id")
     d.select(col("doc_id"), nTokens.as("n_tokens"),
         pmod(DedupOps.hash60(col("doc_id").cast("string")), lit(nShards)).as("shard"))

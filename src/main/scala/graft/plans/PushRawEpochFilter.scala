@@ -148,6 +148,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hash60"),
       new ExpressionInfo(classOf[graft.functions.ShingleHash60].getName, "shingle_hash60"),
       { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.shingleHash60(exprs) }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("text_metrics"),
+      new ExpressionInfo(classOf[graft.functions.TextMetrics].getName, "text_metrics"),
+      { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.textMetrics(exprs) }))
   }
 }
 

@@ -12,7 +12,8 @@ class FunctionsSpec extends SparkSpecBase {
     val vanilla = spark.newSession()
     val reg = vanilla.sessionState.functionRegistry
     Seq("minhash_slots", "simhash64", "md5_minhash", "ru_en_analyze",
-        "lsh_sig", "vec_cosine", "ivf_assign", "gram_hash60", "shingle_hash60")
+        "lsh_sig", "vec_cosine", "ivf_assign", "gram_hash60", "shingle_hash60",
+        "text_metrics")
       .foreach(n => reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
     // cosineTopK needs vec_cosine; Tables.table must re-register on the way in
     val top = graft.ops.SimilarityOps.cosineTopK(vanilla, sf).collect()
@@ -156,6 +157,39 @@ class FunctionsSpec extends SparkSpecBase {
     assert(rows.find(_.getLong(0) == 4L).get.isNullAt(1))
     // "aaaaaaaaaa" has exactly one distinct 5-shingle
     assert(rows.find(_.getLong(0) == 5L).get.getSeq[Long](1).length === 1)
+  }
+
+  test("text_metrics ≡ composed six-regex struct on the real corpus") {
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sf)
+    val bad = d.select(col("doc_id"),
+        expr("text_metrics(text)").as("native"),
+        graft.ops.TextOps.textMetricsComposed.as("ref"))
+      .filter(not(col("native") <=> col("ref")))
+      .collect()
+    assert(bad.isEmpty, s"diverging docs: ${bad.take(3).mkString("; ")}")
+  }
+
+  test("text_metrics edge cases: empty, ws-only, cjk, digits-in-words, underscores, null") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Some("")),
+      (2L, Some("   \t  ")),
+      (3L, Some("the 中文 test 中")),          // cjk chars count as punct AND cjk
+      (4L, Some("the1 the _the the_ THE tHe")), // \b run semantics + case folding
+      (5L, Some("ab12cd34 1a2b !!x__y!!")),     // bpe alpha/digit runs vs \b runs
+      (6L, Some("a-the,of.is to")),             // punctuation boundaries
+      (7L, None))
+      .toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+        expr("text_metrics(text)").as("native"),
+        graft.ops.TextOps.textMetricsComposed.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.getLong(0) === 7L)
+      else assert(r.getStruct(1).toSeq === r.getStruct(2).toSeq, s"doc ${r.getLong(0)}")
+    }
+    assert(rows.find(_.getLong(0) == 7L).get.isNullAt(1))
   }
 
   test("ru_en_analyze ≡ composed analyzer pipeline on the real corpus") {

@@ -117,6 +117,18 @@ class PropertySpec extends SparkSpecBase {
     assert(bad.isEmpty, s"diverging rows: ${bad.take(3).mkString("; ")}")
   }
 
+  test("property: text_metrics ≡ composed six-regex struct on generated adversarial text") {
+    GraftFunctions.register(spark)
+    val df = samples(textGen, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val bad = df.select(col("id"),
+        expr("text_metrics(text)").as("native"),
+        graft.ops.TextOps.textMetricsComposed.as("ref"))
+      .filter(not(col("native") <=> col("ref")))
+      .collect()
+    assert(bad.isEmpty, s"diverging rows: ${bad.take(3).mkString("; ")}")
+  }
+
   test("property: autoFuzz ladder matches ES fuzziness:auto on generated tokens") {
     // pure function — per-sample checks are free, no Spark involved
     samples(Gen.alphaLowerStr.map(_.take(12)), 500).foreach { t =>
