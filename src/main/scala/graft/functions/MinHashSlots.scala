@@ -512,6 +512,11 @@ object TextFunctionBuilders {
     require(exprs.size == 1, "text_metrics(text)")
     TextMetrics(exprs.head)
   }
+
+  def gramStats(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 1, "gram_stats(toks)")
+    GramStats(exprs.head)
+  }
 }
 
 object GraftFunctions {
@@ -526,7 +531,8 @@ object GraftFunctions {
         registry.functionExists(FunctionIdentifier("ivf_assign")) &&
         registry.functionExists(FunctionIdentifier("gram_hash60")) &&
         registry.functionExists(FunctionIdentifier("shingle_hash60")) &&
-        registry.functionExists(FunctionIdentifier("text_metrics"))) return
+        registry.functionExists(FunctionIdentifier("text_metrics")) &&
+        registry.functionExists(FunctionIdentifier("gram_stats"))) return
     registry.createOrReplaceTempFunction(
       "minhash_slots", TextFunctionBuilders.minhashSlots _, "built-in")
     registry.createOrReplaceTempFunction(
@@ -547,6 +553,8 @@ object GraftFunctions {
       "shingle_hash60", TextFunctionBuilders.shingleHash60 _, "built-in")
     registry.createOrReplaceTempFunction(
       "text_metrics", TextFunctionBuilders.textMetrics _, "built-in")
+    registry.createOrReplaceTempFunction(
+      "gram_stats", TextFunctionBuilders.gramStats _, "built-in")
     ()
   }
 }

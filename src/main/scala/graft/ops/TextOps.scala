@@ -257,33 +257,40 @@ object TextOps {
     * the two classic "templated/spammy document" signals a quality filter
     * thresholds on (Rae et al. 2021, table of repetition filters).
     *
-    * Scale shape: ONE shuffle total. Tokens are staged and repartitioned by
-    * doc_id up front; both gram aggregations then satisfy their clustering
-    * requirement from that partitioning (`HashPartitioning(doc_id)` satisfies
-    * `ClusteredDistribution(doc_id, gram)`), the branch re-reading the staged
-    * exchange is deduped by ReuseExchange, and the final bigram⋈trigram join
-    * is co-partitioned — asserted in TextSpec (exactly one
-    * ShuffleExchangeExec). Gram counting never builds a per-doc hash map in
-    * driver or UDF space; it is plain explode + two-level hash aggregation,
-    * so a single giant document degrades to partial aggregation, not OOM.
+    * Scale shape: shuffle-FREE. All four counters are PER-DOCUMENT
+    * quantities (no cross-document state exists), so the native fused
+    * [[graft.functions.GramStats]] expression computes them row-locally in
+    * one token-array traversal — the round-3 explode + two
+    * `groupBy(doc_id, gram)` aggregations + join paid a full doc_id
+    * repartition for metrics that never needed one. Bit-identical to
+    * [[repetitionStatsComposed]] (FunctionsSpec + PropertySpec); TextSpec
+    * pins the plan at ZERO exchanges. The per-row count map is bounded by
+    * the document's own token count — the same bound the exploded gram
+    * array already materialized.
     */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
-      .repartition(col("doc_id"))
-    repetitionStats(toks)
-      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
-        col("top_bigram_frac"), col("n_trigrams"), col("dup_trigram_occ"),
-        col("dup_trigram_frac"))
+    val gs = call_function("gram_stats",
+      split(lower(trim(col("text"))), "\\s+"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), gs.as("gs"))
+      .select(col("doc_id"),
+        col("gs.n_bigrams").as("n_bigrams"),
+        col("gs.top_bigram_n").as("top_bigram_n"),
+        (col("gs.top_bigram_n").cast("double") / col("gs.n_bigrams"))
+          .as("top_bigram_frac"),
+        col("gs.n_trigrams").as("n_trigrams"),
+        col("gs.dup_trigram_occ").as("dup_trigram_occ"),
+        (col("gs.dup_trigram_occ").cast("double") / col("gs.n_trigrams"))
+          .as("dup_trigram_frac"))
   }
 
-  /** The gram-aggregation core over a staged frame carrying (doc_id, toks)
-    * that is ALREADY hash-partitioned by doc_id — shared by [[repetition]]
-    * and [[filterChain]] (which stages extra per-row columns through the
-    * same exchange). Output keeps the input's doc_id partitioning, so
-    * callers join it back exchange-free.
+  /** The composed (explode + double groupBy + join) gram-aggregation core
+    * over a staged (doc_id, toks) frame — the semantic reference the native
+    * `gram_stats` expression is equality-tested against (FunctionsSpec +
+    * PropertySpec). Pays a doc_id shuffle for per-document quantities —
+    * don't use in hot paths.
     */
-  private def repetitionStats(toks: DataFrame): DataFrame = {
+  private[graft] def repetitionStatsComposed(toks: DataFrame): DataFrame = {
     // same partial-gram edge handling as decontaminate/ngramJaccard: short
     // docs yield one truncated gram (concat_ws drops the null tail), which
     // the oracle replays with identical range/NULL semantics
@@ -384,28 +391,29 @@ object TextOps {
     * a deterministic first-failed-rule reason — the C4/Gopher-style gate a
     * corpus passes through before packing.
     *
-    * Scale shape: ONE corpus scan, ONE shuffle. The staged frame carries
-    * (doc_id, lang, text, toks) through a single doc_id repartition; the
-    * per-row metrics (quality score, lang pred) are one projection over it,
-    * the gram aggregates ([[repetitionStats]]) reuse the same exchange, and
-    * the metrics⋈repetition join is co-partitioned — so the whole gate adds
-    * no data movement beyond what repetition alone pays.
+    * Scale shape: ONE corpus scan, ZERO shuffles. Every rule input is
+    * per-row — `text_metrics` (quality + lang pred) and `gram_stats`
+    * (repetition fractions) are both single-traversal native expressions —
+    * so the whole gate is one codegen'd projection. The round-3 form
+    * repartitioned by doc_id and joined the gram aggregates back; both are
+    * gone (TextSpec pins zero exchanges).
     */
   def filterChain(spark: SparkSession, dir: String): DataFrame = {
+    val gs = call_function("gram_stats",
+      split(lower(trim(col("text"))), "\\s+"))
     val staged = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text"),
-        split(lower(trim(col("text"))), "\\s+").as("toks"))
-      .repartition(col("doc_id"))
-    val perRow = staged.select(col("doc_id"), col("lang"),
-      qualityParts._4.as("quality_score"), langPredCol.as("lang_pred"))
-    val metrics = perRow.join(repetitionStats(staged)
-      .select("doc_id", "top_bigram_frac", "dup_trigram_frac"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        qualityParts._4.as("quality_score"), langPredCol.as("lang_pred"),
+        (gs.getField("top_bigram_n").cast("double") / gs.getField("n_bigrams"))
+          .as("top_bigram_frac"),
+        (gs.getField("dup_trigram_occ").cast("double") / gs.getField("n_trigrams"))
+          .as("dup_trigram_frac"))
     val reason = when(col("quality_score") < 0.7, "low_quality")
       .when(col("lang_pred") =!= col("lang"), "lang_mismatch")
       .when(col("top_bigram_frac") > 0.1, "repetitive_bigram")
       .when(col("dup_trigram_frac") > 0.5, "repetitive_trigram")
       .otherwise("kept")
-    metrics.select(col("doc_id"), col("lang"), reason.as("reason"),
+    staged.select(col("doc_id"), col("lang"), reason.as("reason"),
       (reason === "kept").as("keep"))
   }
 

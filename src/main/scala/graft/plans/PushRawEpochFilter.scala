@@ -152,6 +152,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("text_metrics"),
       new ExpressionInfo(classOf[graft.functions.TextMetrics].getName, "text_metrics"),
       { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.textMetrics(exprs) }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("gram_stats"),
+      new ExpressionInfo(classOf[graft.functions.GramStats].getName, "gram_stats"),
+      { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.gramStats(exprs) }))
   }
 }
 

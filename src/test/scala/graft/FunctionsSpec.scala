@@ -13,7 +13,7 @@ class FunctionsSpec extends SparkSpecBase {
     val reg = vanilla.sessionState.functionRegistry
     Seq("minhash_slots", "simhash64", "md5_minhash", "ru_en_analyze",
         "lsh_sig", "vec_cosine", "ivf_assign", "gram_hash60", "shingle_hash60",
-        "text_metrics")
+        "text_metrics", "gram_stats")
       .foreach(n => reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
     // cosineTopK needs vec_cosine; Tables.table must re-register on the way in
     val top = graft.ops.SimilarityOps.cosineTopK(vanilla, sf).collect()
@@ -190,6 +190,58 @@ class FunctionsSpec extends SparkSpecBase {
       else assert(r.getStruct(1).toSeq === r.getStruct(2).toSeq, s"doc ${r.getLong(0)}")
     }
     assert(rows.find(_.getLong(0) == 7L).get.isNullAt(1))
+  }
+
+  test("gram_stats ≡ composed explode/double-groupBy/join aggregation on the real corpus") {
+    GraftFunctions.register(spark)
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val native = toks.select(col("doc_id"), expr("gram_stats(toks)").as("gs"))
+      .select(col("doc_id"),
+        col("gs.n_bigrams").as("n_bigrams"), col("gs.top_bigram_n").as("top_bigram_n"),
+        col("gs.n_trigrams").as("n_trigrams"), col("gs.dup_trigram_occ").as("dup_trigram_occ"))
+    val ref = graft.ops.TextOps.repetitionStatsComposed(toks)
+      .select(col("doc_id"),
+        col("n_bigrams").as("rb"), col("top_bigram_n").as("rt"),
+        col("n_trigrams").as("rn"), col("dup_trigram_occ").as("rd"))
+    val joined = native.join(ref, Seq("doc_id")).collect()
+    assert(joined.length.toLong === toks.count())
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") === r.getAs[Long]("rb"), s"doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("top_bigram_n") === r.getAs[Long]("rt"), s"doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("n_trigrams") === r.getAs[Long]("rn"), s"doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("dup_trigram_occ") === r.getAs[Long]("rd"), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("gram_stats edge cases: empty array, 1-2 tokens, null elements, null input") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Some(Seq[Option[String]]())),                       // empty: one "" gram each
+      (2L, Some(Seq(Option("solo")))),                         // truncated bi+tri gram
+      (3L, Some(Seq(Option("a"), Option("b")))),               // one real bigram
+      (4L, Some(Seq(Option("a"), None, Option("a")))),         // concat_ws null-drop
+      (5L, Some(Seq(Option("x"), Option("y"), Option("x"), Option("y"), Option("x")))),
+      (6L, None))                                              // null input → null
+      .toDF("doc_id", "toks")
+    val out = df.select(col("doc_id"), expr("gram_stats(toks)").as("gs")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getStruct(1))).toMap
+    assert(out(6L) === null)
+    assert(out(1L).toSeq === Seq(1L, 1L, 1L, 0L))
+    assert(out(2L).toSeq === Seq(1L, 1L, 1L, 0L))
+    assert(out(3L).toSeq === Seq(1L, 1L, 1L, 0L))
+    // doc 4: bigrams ("a", "a") — both null-dropped to "a" → top=2;
+    // trigram window is "a a" once → no dup
+    assert(out(4L).toSeq === Seq(2L, 2L, 1L, 0L))
+    // doc 5: bigrams x y, y x, x y, y x → top 2 of 4; trigrams x y x (×2), y x y → dup 2 of 3
+    assert(out(5L).toSeq === Seq(4L, 2L, 3L, 2L))
+    // and the same frame agrees with the composed aggregation wherever it's defined
+    val toks = df.filter(col("toks").isNotNull)
+    val ref = graft.ops.TextOps.repetitionStatsComposed(toks)
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getAs[Long]("n_bigrams"), r.getAs[Long]("top_bigram_n"),
+            r.getAs[Long]("n_trigrams"), r.getAs[Long]("dup_trigram_occ"))).toMap
+    ref.foreach { case (id, counters) => assert(out(id).toSeq === counters, s"doc $id") }
   }
 
   test("ru_en_analyze ≡ composed analyzer pipeline on the real corpus") {

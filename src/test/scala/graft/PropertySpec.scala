@@ -117,6 +117,26 @@ class PropertySpec extends SparkSpecBase {
     assert(bad.isEmpty, s"diverging rows: ${bad.take(3).mkString("; ")}")
   }
 
+  test("property: gram_stats ≡ composed gram aggregation on generated token arrays") {
+    GraftFunctions.register(spark)
+    val toksGen = Gen.chooseNum(0, 15).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "bb", "ccc", "данные", "", "x1", "the")))
+    val df = samples(toksGen, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "toks")
+    val native = df.select(col("doc_id"), expr("gram_stats(toks)").as("gs"))
+      .select(col("doc_id"),
+        col("gs.n_bigrams").as("n_bigrams"), col("gs.top_bigram_n").as("top_bigram_n"),
+        col("gs.n_trigrams").as("n_trigrams"), col("gs.dup_trigram_occ").as("dup_trigram_occ"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val ref = graft.ops.TextOps.repetitionStatsComposed(df)
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+        col("n_trigrams"), col("dup_trigram_occ"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(native.keySet === ref.keySet)
+    val bad = native.collect { case (id, v) if ref(id) != v => (id, v, ref(id)) }
+    assert(bad.isEmpty, s"diverging rows: ${bad.take(3).mkString("; ")}")
+  }
+
   test("property: text_metrics ≡ composed six-regex struct on generated adversarial text") {
     GraftFunctions.register(spark)
     val df = samples(textGen, 300).zipWithIndex

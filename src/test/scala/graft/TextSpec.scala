@@ -129,17 +129,19 @@ class TextSpec extends SparkSpecBase {
     assert(out(3L).getAs[Long]("n_bigrams") === 1L) // partial-gram edge rule
   }
 
-  test("repetition: single shuffle — both gram aggregations reuse the doc_id exchange") {
+  test("repetition + filterChain: shuffle-FREE — per-doc gram stats never repartition") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val out = graft.ops.TextOps.repetition(spark, sf)
-      out.collect()
-      val plan = out.queryExecution.executedPlan
-      val shuffles = plan.collect {
-        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s }
-      assert(shuffles.size === 1,
-        s"expected the single doc_id repartition (reused by both branches), got:\n$plan")
+      Seq(graft.ops.TextOps.repetition(spark, sf),
+          graft.ops.TextOps.filterChain(spark, sf)).foreach { out =>
+        out.collect()
+        val plan = out.queryExecution.executedPlan
+        val shuffles = plan.collect {
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s }
+        assert(shuffles.isEmpty,
+          s"per-document metrics must not shuffle, got:\n$plan")
+      }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
