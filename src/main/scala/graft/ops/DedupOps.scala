@@ -225,10 +225,15 @@ object DedupOps {
   def dupClusters(spark: SparkSession, dir: String,
                   threshold: Double = 0.5, maxRounds: Int = 20): DataFrame = {
     val (d, pairs) = bandedCandidatePairs(spark, dir, maxBucket = 64)
+    // edges flow straight into connectedComponents, whose persisted edge RDD
+    // materializes the banded pipeline in its FIRST round job — the round-3
+    // separate eager checkpoint paid one extra full-pipeline job for nothing.
+    // The signature cache is released after the loop (every round reads the
+    // persisted edge RDD, not the pipeline).
     val edges = pairs.filter(col("est_jaccard") >= threshold)
-      .select("left_id", "right_id").localCheckpoint()
-    d.unpersist()
+      .select("left_id", "right_id")
     val labels = connectedComponents(edges, maxRounds)
+    d.unpersist()
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -237,55 +242,110 @@ object DedupOps {
   }
 
   /** Connected components over an undirected pair graph (`left_id`,
-    * `right_id` columns; caller should pass a lineage-truncated frame, e.g.
-    * `localCheckpoint`ed) → one `(id, label)` row per node, label = the
+    * `right_id` columns) → one `(id, label)` row per node, label = the
     * component minimum. Shared by [[dupClusters]] (text near-dup graph) and
     * [[SimilarityOps.semDedup]] (embedding near-dup graph).
     *
     * Min-label propagation (Pregel-style) — every node starts labeled with
-    * itself; each round takes the min of its own and its neighbors' labels;
-    * converged when no label changes. O(component diameter) rounds; near-dup
-    * clusters are dense (diameter 1-3) and the LSH census guards upstream cap
-    * star blowups, so rounds stay few at any corpus size. Each round is one
-    * shuffle join keyed on node id; `localCheckpoint` truncates lineage so
-    * plans don't grow with rounds (without it round N re-derives rounds
-    * 1..N-1). The driver-side loop is CONTROL FLOW only (one convergence
-    * scalar per round) — all data stays distributed.
+    * itself; each round takes the min of its own and its neighbors' labels,
+    * then pointer-doubles (label := label-of-label), so convergence is
+    * O(log diameter) rounds; converged when no label changes.
+    *
+    * WHY AN RDD LOOP (the one deliberate RDD use in this library): an
+    * iterative fixpoint with a data-dependent round count is the documented
+    * case where a declarative re-plan loses. The round-3 DataFrame loop
+    * spent ~0.2 s of DRIVER time per round re-running the analyzer/
+    * optimizer/planner on every join (profiled at sf0.1: the four
+    * convergence-count jobs cost 0.22 s while the loop wall-clock was
+    * 1.29 s — Catalyst planning, not execution, dominated), which is pure
+    * fixed cost at any scale. RDD operators construct in O(1); this is
+    * exactly the Pregel/GraphX execution shape for CC. The shuffle
+    * structure is unchanged and scale-correct: every reduceByKey/join is
+    * keyed by node id under ONE shared HashPartitioner, so after the
+    * initial partitionBy the per-round joins are narrow (no re-shuffle of
+    * the persisted sides); each round materializes and persists its label
+    * RDD (the RDD-level lineage truncation), intermediates are unpersisted
+    * before return, and the driver sees one convergence scalar per round —
+    * all data stays distributed.
     */
   private[ops] def connectedComponents(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val bi = edges.select(col("left_id").as("src"), col("right_id").as("dst"))
-      .union(edges.select(col("right_id").as("src"), col("left_id").as("dst")))
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    // toRdd (no encoder round-trip); longs are copied out of the row before
+    // it is reused by the next iterator element
+    val raw = edges
+      .select(col("left_id").cast("long"), col("right_id").cast("long"))
+      .queryExecution.toRdd
+    val part = new HashPartitioner(math.max(raw.getNumPartitions, 1))
+    // symmetric adjacency entries (labelOwner, recipient): for edge {l, r}
+    // both (r, l) and (l, r) — keyed by the node whose label a message
+    // reads, which by symmetry also enumerates each node's neighbors
+    val adj = raw.flatMap { row =>
+      val l = row.getLong(0); val r = row.getLong(1)
+      Iterator((r, l), (l, r))
+    }.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var persisted: List[RDD[_]] = List(adj)
+
     // seed = min(self, neighbors): the first propagation round fused into
-    // initialization (same cost as the plain distinct — one groupBy over the
-    // edge list). Near-dup components are dense (diameter 1-2), so this
+    // initialization. Near-dup components are dense (diameter 1-2), so the
     // seeding alone converges isolated pairs and stars; the loop's first
     // iteration then verifies the fixpoint instead of discovering it
-    var labels = bi.groupBy(col("src"))
-      .agg(min(col("dst")).as("ndst"))
-      .select(col("src").as("id"), least(col("src"), col("ndst")).as("label"))
-      .localCheckpoint()
+    var labels: RDD[(Long, Long)] = adj.reduceByKey(part, math.min(_, _))
+      .mapPartitions(_.map { case (id, nm) => (id, math.min(id, nm)) },
+        preservesPartitioning = true)
+
+    var backing: RDD[_] = null // the persisted RDD the final labels read
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val nmin = bi.join(labels, bi("dst") === labels("id"))
-        .groupBy(col("src")).agg(min("label").as("nlabel"))
-      // carry the pre-step label as `prev` so convergence is a filter over
-      // the checkpointed frame, not an extra shuffle join per round
-      val stepped = labels.join(nmin, labels("id") === nmin("src"), "left")
-        .select(labels("id"), labels("label").as("prev"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      // pointer doubling (label := label-of-label): compresses paths each
-      // round, so convergence is O(log diameter) instead of O(diameter) —
-      // a long chain component can't stretch the round count linearly
-      val self = stepped.select(col("id").as("pid"), col("label").as("plabel"))
-      val updated = stepped.join(self, stepped("label") === self("pid"), "left")
-        .select(stepped("id"), col("prev"),
-          coalesce(col("plabel"), stepped("label")).as("label"))
-        .localCheckpoint()
-      converged = updated.filter(col("label") =!= col("prev")).isEmpty
-      labels = updated.select(col("id"), col("label"))
+      val nmin = adj.join(labels, part)
+        .map { case (_, (rcpt, l)) => (rcpt, l) }
+        .reduceByKey(part, math.min(_, _))
+      // carry the pre-step label so convergence is a filter over the
+      // persisted step output — the materializing count IS the round's only
+      // job (round-3 paid a separate probe job on top of the checkpoint).
+      // (Packing two propagation steps per round was tried and measured
+      // SLOWER at sf0.1 — post-seed round counts are already 2-3, so the
+      // second message join outweighed the saved verify job.)
+      val paired = labels.leftOuterJoin(nmin, part)
+        .mapValues { case (l, n) => (l, math.min(l, n.getOrElse(l))) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      persisted ::= paired
+      val changed = paired.filter { case (_, (prev, l)) => prev != l }.count()
+      if (changed == 0L) {
+        // step fixpoint ⇒ GLOBAL fixpoint, so skip the doubling join on the
+        // final round: stability under one propagation step means
+        // label(x) ≤ label(y) along every edge in both directions, i.e. the
+        // label is constant per component; combined with the invariants
+        // label(x) ≤ x and label(x) ∈ component(x), that constant is the
+        // component min — exactly what convergence promises. (The round-3
+        // check ran AFTER doubling; this one is equivalent and cheaper.)
+        converged = true
+        backing = paired
+        labels = paired.mapValues(_._2)
+      } else {
+        // pointer doubling (label := label-of-label): compresses paths each
+        // round, so convergence is O(log diameter) instead of O(diameter) —
+        // a long chain component can't stretch the round count linearly
+        val cur = paired.mapPartitions(
+          _.map { case (id, (_, l)) => (id, l) }, preservesPartitioning = true)
+        labels = cur.map { case (id, l) => (l, id) }
+          .leftOuterJoin(cur, part)
+          .map { case (l, (id, ll)) => (id, ll.getOrElse(l)) }
+      }
       round += 1
     }
+    if (!converged) {
+      // maxRounds exit: materialize + persist the last doubled labels so
+      // unpersisting the intermediates below cannot cascade a recompute
+      val last = labels.persist(StorageLevel.MEMORY_AND_DISK)
+      last.count()
+      backing = last
+      labels = last
+    }
+    persisted.foreach { r => if (r ne backing) r.unpersist(blocking = false) }
     // a silent non-converged exit would break the contract that the label
     // is the component min (and a transitive-closure oracle would then
     // hash-mismatch for an untraceable reason) — make it loud
@@ -294,7 +354,8 @@ object DedupOps {
         s"connectedComponents: label propagation NOT converged after $maxRounds " +
         "rounds; label may not be the component min — raise maxRounds " +
         "(pointer doubling needs O(log diameter) rounds)")
-    labels
+    import spark.implicits._
+    spark.createDataset(labels).toDF("id", "label")
   }
 
   /** Composed (built-ins-only) simhash — retained as the reference

@@ -309,10 +309,13 @@ object SimilarityOps {
     */
   def semDedup(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
     val (emb, pairs) = bandedVecPairs(spark, dir)
+    // no separate checkpoint job: connectedComponents' persisted edge RDD
+    // materializes the banded pipeline inside its first round (the
+    // signature cache is still live for that job, released right after)
     val edges = pairs.filter(col("cos_sim") >= threshold)
-      .select("left_id", "right_id").localCheckpoint()
-    emb.unpersist()
+      .select("left_id", "right_id")
     val labels = DedupOps.connectedComponents(edges)
+    emb.unpersist()
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("id").as("vec_id"), col("label").as("cluster_id"))

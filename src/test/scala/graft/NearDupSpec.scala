@@ -33,6 +33,41 @@ class NearDupSpec extends SparkSpecBase {
     })
   }
 
+  test("semDedup: fixed-cost floor pinned — whole pipeline in a bounded number of Spark jobs") {
+    // q_semdedup's remaining gap to DuckDB at bench scale is per-JOB fixed
+    // cost (scheduling + one tiny shuffle), not data work: the banded
+    // pipeline runs inside the first CC round's job, each further round is
+    // exactly one job (the RDD loop pays no per-round Catalyst re-plan),
+    // and the sizes/join finish is one more. This pin fails if the loop
+    // regresses to multiple jobs per round (round-3 shape: eager checkpoint
+    // + isEmpty probe = 2×) or a separate edges-checkpoint job reappears.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def settle(): Int = {
+      var prev = -1; var cur = jobs.get(); var i = 0
+      while (cur != prev && i < 50) { Thread.sleep(100); prev = cur; cur = jobs.get(); i += 1 }
+      cur
+    }
+    // AQE off for a stable count: adaptive execution materializes every
+    // query stage as its own job, which would swamp the loop signal
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SimilarityOps.semDedup(spark, sf).write.format("noop").mode("overwrite").save()
+      val n = settle()
+      assert(n <= 8, s"semDedup ran $n Spark jobs — the fixed-cost budget " +
+        "(1 pipeline+seed+round job, ≤6 further round jobs, 1 finish) regressed")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+  }
+
   test("approxDistinct: HLL estimates within the configured 2% rsd (5% tolerance)") {
     val r = RelationalOps.approxDistinct(spark, sf).head
     assert(r.getAs[Boolean]("parts_within_rsd"), r.toString)
