@@ -120,7 +120,8 @@ object SimilarityOps {
     * oracle-replayable stand-in for a trained k-means codebook (training
     * is offline model-fitting; everything this operator owns — broadcast
     * codebook, assignment expression, cell-pruned probe join — is identical
-    * under a trained codebook, which would simply replace `codebook()`).
+    * under a trained codebook, PROVEN by [[annIvfTrained]]/q_ann_ivf_trained
+    * serving the same `ivfProbe` plan from [[trainCodebook]]'s output).
     *
     * Scale shape: the codebook is driver-held and broadcast inside literal
     * expressions (nlist ≈ 2^10..2^14 at 100 TB — k-means codebooks are
@@ -159,6 +160,17 @@ object SimilarityOps {
     val codebook = collectCodebook(emb, nlist)
     require(codebook.zipWithIndex.forall { case ((cid, _), i) => cid == i },
       s"codebook cids must be exactly 0..${nlist - 1}")
+    ivfProbe(emb, codebook, queryVecId, nprobe, k)
+  }
+
+  /** Assignment + cell-pruned probe against a given (cid, centroid)
+    * codebook — the serving plan shared by [[annIvf]] (deterministic
+    * stand-in codebook) and [[annIvfTrained]] (Lloyd-trained codebook).
+    * Identical under either artifact, which is the whole point: training
+    * swaps the model, never the plan.
+    */
+  private def ivfProbe(emb: DataFrame, codebook: Array[(Int, Array[Double])],
+                       queryVecId: Long, nprobe: Int, k: Int): DataFrame = {
     // argmax by (sim, cid) via the native single-traversal assigner
     // (ivf_assign ≡ array_max(cellScores).cid — the struct ordering's
     // deterministic tie-break the oracle replays; FunctionsSpec asserts it)
@@ -175,6 +187,25 @@ object SimilarityOps {
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
       .limit(k)
       .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
+  /** IVF ANN served from the TRAINED codebook: run [[trainCodebook]] (the
+    * same two Lloyd rounds q_ivf_train oracles bit-for-bit), then assign +
+    * probe with the trained centroids — the train→serve loop closed, the
+    * relational analog of the reference bootstrapping its index and then
+    * serving from it (/root/reference/etl/main.py:297-311). The oracle
+    * replays TRAINING AND SERVING in one statement: the q_ivf_train CTE
+    * chain composed with the q_ann_ivf probe, so the trained-centroid
+    * floats, the assignment tie-break, and the probe ranking are all
+    * hash-gated end to end.
+    */
+  def annIvfTrained(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+                    nlist: Int = 16, rounds: Int = 2, nprobe: Int = 2,
+                    k: Int = 10): DataFrame = {
+    val (cb, _) = trainCodebook(spark, dir, nlist, rounds)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", toDouble(col("embedding")))
+    ivfProbe(emb, cb.zipWithIndex.map { case (v, i) => (i, v) }, queryVecId, nprobe, k)
   }
 
   /** Lloyd-iteration k-means codebook TRAINING, expressed as DataFrame ops —
@@ -209,6 +240,20 @@ object SimilarityOps {
   def ivfTrain(spark: SparkSession, dir: String, nlist: Int = 16,
                rounds: Int = 2, dim: Int = 64): DataFrame = {
     import spark.implicits._
+    val (cb, members) = trainCodebook(spark, dir, nlist, rounds, dim)
+    (for { c <- 0 until nlist; d <- 0 until dim }
+      yield (c, d + 1, cb(c)(d), members.getOrElse(c, 0L)))
+      .toDF("cid", "dim", "val", "n_members")
+  }
+
+  /** The Lloyd loop itself — returns (trained codebook, final per-cell
+    * member counts). Shared by [[ivfTrain]] (model-artifact face) and
+    * [[annIvfTrained]] (serving face), so training can never drift between
+    * the oracled artifact and what the probe actually serves from.
+    */
+  private[graft] def trainCodebook(spark: SparkSession, dir: String,
+      nlist: Int = 16, rounds: Int = 2,
+      dim: Int = 64): (Array[Array[Double]], Map[Int, Long]) = {
     val scale = 1048576.0 // 2^20 fixed-point grain
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", toDouble(col("embedding")))
@@ -236,9 +281,7 @@ object SimilarityOps {
       }
     }
     emb.unpersist()
-    (for { c <- 0 until nlist; d <- 0 until dim }
-      yield (c, d + 1, cb(c)(d), members.getOrElse(c, 0L)))
-      .toDF("cid", "dim", "val", "n_members")
+    (cb, members)
   }
 
   /** Embedding-cosine near-duplicate pairs: banded sign-LSH candidates +
@@ -448,6 +491,33 @@ object SimilarityOps {
        |FROM cd2
        |LEFT JOIN (SELECT cell, n FROM s2 WHERE i = 1) n2 ON n2.cell = cd2.cid""".stripMargin
 
+  /** Training AND serving replayed in one statement: two unrolled Lloyd
+    * rounds (the q_ivf_train CTE chain) feed the q_ann_ivf probe as its
+    * codebook — the oracle twin of [[annIvfTrained]].
+    */
+  private def annIvfTrainedOracle: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dims AS (SELECT unnest(range(1, 65)) AS i),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v FROM e WHERE vec_id < 16),
+       |${kmeansRoundSql("c0", 1)},
+       |${kmeansRoundSql("c1", 2)},
+       |cb AS (SELECT cid, v AS cv FROM c2),
+       |assign AS (
+       |  SELECT e.vec_id, e.label, e.v, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid DESC) AS rn
+       |  FROM e CROSS JOIN cb c),
+       |cells AS (SELECT vec_id, label, v, cid AS cell FROM assign WHERE rn = 1),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |qc AS (SELECT c.cid AS cell, q.qv,
+       |    row_number() OVER (ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid DESC) AS rn
+       |  FROM cb c CROSS JOIN q),
+       |probe AS (SELECT cell, qv FROM qc WHERE rn <= 2)
+       |SELECT s.vec_id, s.label, round(list_cosine_similarity(s.v, p.qv), 6) AS cos_sim
+       |FROM cells s JOIN probe p ON s.cell = p.cell
+       |ORDER BY list_cosine_similarity(s.v, p.qv) DESC, s.vec_id ASC
+       |LIMIT 10""".stripMargin
+
   private def annIvfOracle: String =
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 16),
@@ -470,6 +540,7 @@ object SimilarityOps {
   val oracle: Map[String, String] = Map(
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_ann_ivf_trained" -> annIvfTrainedOracle,
     "q_ivf_train" -> ivfTrainOracle,
     "q_embed_neardup" -> embedNearDupOracle,
     "q_semdedup" -> semDedupOracle,

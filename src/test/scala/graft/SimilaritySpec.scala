@@ -94,6 +94,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("annIvfTrained: serves from the TRAINED codebook, self-hit first, ordered") {
+    val out = SimilarityOps.annIvfTrained(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    // the query is its own nearest neighbor and its cell is always probed
+    assert(out.head.getAs[Long]("vec_id") === 0L)
+    assert(math.abs(out.head.getAs[Double]("cos_sim") - 1.0) < 1e-6)
+    val sims = out.map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    // the serving codebook is trainCodebook's output, which ivfTrain's spec
+    // proves differs from the stand-in init — cross-check the two probes
+    // still agree on the self-hit but are allowed to differ on the tail
+    val standIn = SimilarityOps.annIvf(spark, sf).collect()
+    assert(standIn.head.getAs[Long]("vec_id") === 0L)
+    // deterministic end to end: bit-identical rerun (trained floats included)
+    val again = SimilarityOps.annIvfTrained(spark, sf).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("cosine expression: hand-checked value on unit vectors") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
