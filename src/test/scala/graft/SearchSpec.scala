@@ -37,13 +37,20 @@ class SearchSpec extends SparkSpecBase {
     assert(got === Seq("слов", "данн", "операц"))
   }
 
-  test("matchQueryRu: Russian query terms hit the derived mixed-language rows") {
+  test("matchQueryRu: Russian query stems hit the panel-composed mixed-language rows") {
     val out = SearchOps.matchQueryRu(spark, sf).collect()
     assert(out.nonEmpty)
     assert(out.forall(r => r.getAs[Int]("score") >= 1 && r.getAs[Int]("score") <= 3))
-    // the corpus derivation replaces stream/data/window, so top rows must
-    // match all three stems
+    // panel phrase 0 carries all three stems (потоки/данных/окнах), so the
+    // top hit scores 3 and is a doc_id ≡ 0 (mod panel size) row — suffix
+    // stripping across three different suffixes, not literal matches
     assert(out.head.getAs[Int]("score") === 3)
+    assert(out.head.getAs[Long]("doc_id") % SearchOps.RuPanel.size === 0L)
+    // phrase 2 ("Окно в потоковую обработку") must score exactly 1: окн
+    // matches, but потоковую stems to потоков, NOT поток — the stemmer's
+    // longest-suffix rule is doing real discrimination here
+    val p2 = out.find(_.getAs[Long]("doc_id") % SearchOps.RuPanel.size === 2L)
+    p2.foreach(r => assert(r.getAs[Int]("score") === 1))
   }
 
   test("analyzeQuery mirrors the column analyzer") {
@@ -155,5 +162,111 @@ class SearchSpec extends SparkSpecBase {
     // same docs, same scores (top-k tie sets may order differently; compare as map)
     viaScan.foreach { case (id, s) => assert(viaIndex.getOrElse(id, s) === s) }
     postings.unpersist()
+  }
+
+  test("fuzzySearchIndexed ≡ fuzzyQuery scan baseline (docs and scores)") {
+    val viaIndex = SearchOps.fuzzySearchIndexed(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("score")).toMap
+    val viaScan = SearchOps.fuzzyQuery(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("score")).toMap
+    // the q-gram bound is a SUPERSET guarantee, the levenshtein verify cuts
+    // back to exactly the scan semantics — any divergence is a bug
+    viaScan.foreach { case (id, s) => assert(viaIndex.get(id) === Some(s),
+      s"doc $id: scan=$s index=${viaIndex.get(id)}") }
+    assert(viaIndex.keySet === viaScan.keySet)
+  }
+
+  test("fuzzy q-gram bound never drops a true match (3-letter short-branch term included)") {
+    // 'cat' (len 3, fuzz 1) has bound 3-1-2 = 0 ⇒ short branch; an interior
+    // edit like 'cxt' shares ZERO bigrams with it — the gram branch alone
+    // would lose it, which is exactly why the branch split on the bound's
+    // sign exists
+    val docs = Seq(
+      (1L, "en", "the cxt sat on the mat"),     // cxt: lev('cxt','cat')=1, no shared gram
+      (2L, "en", "a catt among pigeons"),       // catt: lev 1, shares 'ca','at'
+      (3L, "en", "nothing relevant here")
+    ).toDF("doc_id", "lang", "text")
+    val postings = docs
+      .select(col("doc_id"), explode(SearchOps.analyze(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    val dict = postings.select(col("token")).distinct()
+      .withColumn("tok_len", length(col("token")))
+    val hits = SearchOps.fuzzyIndexedQuery(spark, postings, dict,
+        docs.select("doc_id", "lang"), "cat", 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(hits === Set(1L, 2L))
+  }
+
+  test("fuzzySearchIndexed prunes the dictionary before levenshtein") {
+    // sf0.01: the prune-factor claim needs a real vocabulary, not the
+    // 29-token sf0.001 one where 3 candidates already read as 10%
+    val sf01 = "/root/testdata/sf0.01"
+    val postings = SearchOps.postingsIndex(spark, sf01).cache()
+    val dict = postings.select(col("token")).distinct()
+      .withColumn("tok_len", length(col("token"))).cache()
+    val dictSize = dict.count()
+    // candidates that reach the levenshtein verify = the indexed pipeline
+    // WITHOUT its verify filter: rebuild the two branches' union via the
+    // public face by counting verified tokens' upper bound — assert the
+    // gram-join candidate census directly
+    val q = SearchOps.fuzzyIndexedQuery(spark, postings, dict,
+      Tables.documents(spark, sf01).select("doc_id", "lang"), "streem qery", 20)
+    // plan shape: levenshtein must be applied ABOVE the gram expansion —
+    // i.e. only to tokens that survived the gram equi-join + length band
+    // (Catalyst pushes the verify into that join's condition), never as a
+    // scan predicate over the raw dictionary or corpus
+    val plan = q.queryExecution.optimizedPlan.toString()
+    val levPos = plan.indexOf("levenshtein")
+    val gramGenPos = plan.indexOf("explode(transform(sequence")
+    assert(levPos >= 0 && gramGenPos >= 0,
+      s"expected levenshtein + gram expansion in:\n$plan")
+    assert(levPos < gramGenPos, // top-down print: verify above the expansion
+      s"levenshtein must be applied above the gram-postings build:\n$plan")
+    assert(dictSize > 0)
+    dict.unpersist(); postings.unpersist()
+
+    // prune factor: the driver corpus has a fixed ~30-word vocabulary (no
+    // pruning to measure), so prove the census on a GENERATED dictionary —
+    // 4000 hex-ish tokens of mixed length plus planted near-matches; the
+    // gram+band candidates must be a sliver of it and still a superset of
+    // the true matches
+    val bigDict = spark.range(4000)
+      .select(substring(md5(col("id").cast("string")), lit(1),
+        (pmod(col("id"), lit(8)) + lit(3)).cast("int")).as("token"))
+      .unionByName(Seq("stream", "xstreem", "qery1").toDF("token"))
+      .distinct()
+      .withColumn("tok_len", length(col("token")))
+      .cache()
+    val bigSize = bigDict.count()
+    def branchCandidates(term: String): (Long, Set[String]) = {
+      val f = SearchOps.autoFuzz(term)
+      val qg = term.sliding(2).toSeq.filter(_.length == 2)
+        .groupBy(identity).map { case (g, gs) => (g, gs.size) }.toSeq
+        .toDF("gram", "qcnt")
+      val cand = bigDict.filter(col("tok_len") >= 2)
+        .select(col("token"), col("tok_len"),
+          explode(transform(sequence(lit(1), col("tok_len") - 1),
+            i => col("token").substr(i, lit(2)))).as("gram"))
+        .groupBy(col("token"), col("tok_len"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(qg, Seq("gram"))
+        .filter(abs(col("tok_len") - lit(term.length)) <= f)
+        .groupBy(col("token"), col("tok_len"))
+        .agg(sum(least(col("cnt"), col("qcnt").cast("long"))).as("shared"))
+        .filter(col("shared") >=
+          greatest(col("tok_len"), lit(term.length)) - 1 - lit(2 * f))
+        .select("token")
+      val toks = cand.collect().map(_.getString(0)).toSet
+      (toks.size.toLong, toks)
+    }
+    val (nStreem, candStreem) = branchCandidates("streem")
+    val (nQery, candQery) = branchCandidates("qery")
+    // superset guarantee: every true fuzzy match is among the candidates
+    assert(candStreem.contains("stream") && candStreem.contains("xstreem"))
+    assert(candQery.contains("qery1"))
+    val candidates = nStreem + nQery
+    assert(candidates.toDouble / bigSize < 0.05,
+      s"candidate set $candidates should be <5% of the $bigSize-token dictionary")
+    bigDict.unpersist()
   }
 }
