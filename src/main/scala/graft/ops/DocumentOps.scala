@@ -173,12 +173,28 @@ object DocumentOps {
 
   /** Oracle face: the STRING_AGG string + the array length, deterministic on
     * both engines (string-sorted ids, the exact wire form before the split).
+    *
+    * Computed at the STRING level directly (same flat-face treatment as
+    * [[personDocs]]): the aggregation collects the already-cast id strings
+    * with only the two needed columns in flight, and the wire string +
+    * count are derived once per dim row from that set — no intermediate
+    * array face re-projected on top. DimDocsSpec proves this face equal to
+    * the typed [[genreDocuments]] build.
     */
-  def genreDocs(spark: SparkSession, dir: String): DataFrame =
-    genreDocsDF(spark, dir).select(
-      col("id"), col("name"), col("brand"),
-      array_join(col("film_ids"), ",").as("film_ids"),
-      size(col("film_ids")).cast("long").as("n_films"))
+  def genreDocs(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_orderkey").cast("string").as("fid"))
+      .groupBy(col("l_partkey"))
+      .agg(sort_array(collect_set(col("fid"))).as("fids"))
+    Tables.part(spark, dir)
+      .join(ids, col("p_partkey") === col("l_partkey"), "left")
+      .select(
+        col("p_partkey").as("id"),
+        col("p_name").as("name"),
+        col("p_brand").as("brand"),
+        concat_ws(",", coalesce(col("fids"), array())).as("film_ids"),
+        size(coalesce(col("fids"), array())).cast("long").as("n_films"))
+  }
 
   /** Person-style pipeline (etl/main.py:51-60):
     * `json_agg(DISTINCT jsonb_build_object('film_id', …, 'role', …))` ≡

@@ -27,13 +27,20 @@ class DimDocsSpec extends SparkSpecBase {
     assert(doc.brand === dim.getAs[String]("p_brand"))
   }
 
-  test("genreDocs oracle face: string is the joined array, n_films its size") {
+  test("genreDocs oracle face matches the typed face") {
     val flat = DocumentOps.genreDocs(spark, sf)
     val row = flat.filter(col("n_films") > 1).orderBy("id").head()
     assert(row.getAs[String]("film_ids").split(",").length ===
       row.getAs[Long]("n_films"))
     // empty-reference dims (if any) get '' / 0, never null
     assert(flat.filter(col("film_ids").isNull || col("n_films").isNull).count() === 0)
+    // the string-level aggregation is the same document the typed build ships
+    val typed = DocumentOps.genreDocuments(spark, sf).collect()
+      .map(d => d.id -> d.film_ids.mkString(","))
+      .toMap
+    flat.collect().foreach { r =>
+      assert(r.getAs[String]("film_ids") === typed(r.getAs[Long]("id")))
+    }
   }
 
   test("personDocuments: films hold distinct (order, role) pairs of the supplier") {
