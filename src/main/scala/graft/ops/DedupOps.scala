@@ -234,10 +234,13 @@ object DedupOps {
       .select("left_id", "right_id")
     val labels = connectedComponents(edges, maxRounds)
     d.unpersist()
-    val sizes = labels.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
+    // cluster size as a window count over the label exchange — one shuffle
+    // on cluster_id instead of groupBy + join-back (two exchanges + a join);
+    // the per-partition state is one counter per cluster, same key
+    // distribution the groupBy would shuffle on
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .join(sizes, Seq("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 

@@ -359,10 +359,11 @@ object SimilarityOps {
       .select("left_id", "right_id")
     val labels = DedupOps.connectedComponents(edges)
     emb.unpersist()
-    val sizes = labels.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
+    // window count over one cluster_id exchange, not groupBy + join-back —
+    // same trim as dupClusters' tail
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     labels.select(col("id").as("vec_id"), col("label").as("cluster_id"))
-      .join(sizes, Seq("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
       .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
         (col("vec_id") === col("cluster_id")).as("kept"))
   }
