@@ -56,8 +56,17 @@ object Bench {
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
 
     // dev loop: SPARK_GRAFT_ONLY=q_a,q_b times a subset (the baseline ratio
-    // then covers just the intersection — already handled above)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // then covers just the intersection — already handled above). Empty
+    // fragments are dropped and unknown names warn loudly: an empty or
+    // typo'd value must not silently bench zero queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) => name -> timeOne(name, fn) }
@@ -85,7 +94,14 @@ object Bench {
           s""""baseline_meta":"$meta""""
       case None => ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$baselineJson}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$baselineJson}"""
+    // the driver captures only the last N bytes of stdout and the line has
+    // outgrown it before — persist the full artifact so each round's bench
+    // is self-contained even under tail truncation
+    val out = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, line + "\n")
+    println(line)
     spark.stop()
   }
 
