@@ -28,7 +28,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    word-alternation pattern matches exactly when a MAXIMAL ASCII-word run
   *    equals one of the alternatives — replicated by accumulating runs of
   *    [A-Za-z0-9_] and set-matching on run end (ASCII-lowered, so it equals
-  *    the composed `lower(text)` semantics for these ASCII-only sets);
+  *    the composed `lower(text)` semantics for these ASCII-only sets).
+  *    ACCEPTED DIVERGENCE (the md5_minhash-null kind): code points whose
+  *    UNICODE lowercase is ASCII — U+212A KELVIN SIGN → 'k', U+0130 İ → 'i' —
+  *    are word characters after the composed form's `lower(text)` but
+  *    non-word here ("Kis" with a Kelvin K: composed sees word "kis",
+  *    native sees punct + word "is"). The native ASCII-only word model is
+  *    the pinned behavior (FunctionsSpec Kelvin-sign case) — consistent
+  *    with `\b`/`\w` being ASCII-defined in the very patterns this
+  *    replicates, and no real curation corpus spells Kelvin with U+212A;
   *  - n_tokens replicates Spark's exact split semantics: `trim` strips
   *    SPACES only (not tabs/newlines) and `split(.., "\s+")` uses limit -1,
   *    which KEEPS leading/trailing empty strings — so the size is

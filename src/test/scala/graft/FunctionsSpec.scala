@@ -192,6 +192,33 @@ class FunctionsSpec extends SparkSpecBase {
     assert(rows.find(_.getLong(0) == 7L).get.isNullAt(1))
   }
 
+  test("text_metrics Kelvin-sign divergence is pinned: ASCII word model, not Unicode lower()") {
+    GraftFunctions.register(spark)
+    // U+212A KELVIN SIGN: Unicode-lowercases to 'k', so the composed form's
+    // lower(text) sees the word "kis" while the native ASCII word model
+    // sees a punct char + the word "is" (stop/en hit). This is the accepted
+    // divergence documented on TextMetrics — pin the NATIVE values so any
+    // accidental behavior change trips here, not in a correctness run.
+    val kelvin = "\u212Ais" // "Kis" with a Kelvin K (U+212A)
+    val r = Seq(kelvin).toDF("text")
+      .select(expr("text_metrics(text)").as("m"))
+      .head.getStruct(0)
+    assert(r.getAs[Int]("n_chars") === 3)
+    assert(r.getAs[Int]("n_tokens") === 1)
+    assert(r.getAs[Int]("bpe_tokens") === 2) // Kelvin single + "is" run
+    assert(r.getAs[Int]("punct") === 1)      // Kelvin is non-ASCII-alnum
+    assert(r.getAs[Int]("stop_hits") === 1)  // standalone run "is"
+    assert(r.getAs[Int]("en_hits") === 1)
+    // and the composed form indeed disagrees — the divergence is real, not
+    // a stale comment (if Spark's lower() ever stops folding U+212A, this
+    // guard will say so)
+    val composed = Seq(kelvin).toDF("text")
+      .select(graft.ops.TextOps.textMetricsComposed.as("m"))
+      .head.getStruct(0)
+    assert(composed.getAs[Int]("en_hits") === 0)
+    assert(composed.getAs[Int]("stop_hits") === 0)
+  }
+
   test("gram_stats ≡ composed explode/double-groupBy/join aggregation on the real corpus") {
     GraftFunctions.register(spark)
     val toks = Tables.documents(spark, sf)

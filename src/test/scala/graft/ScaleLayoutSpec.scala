@@ -123,22 +123,43 @@ class ScaleLayoutSpec extends SparkSpecBase {
     assert(new java.io.File(live + ".staging").exists())
   }
 
-  test("salted join: byte-identical hot rows spread over multiple reducers") {
+  test("salted join: content salt alone cannot spread byte-identical rows; a spread discriminator does") {
     import spark.implicits._
-    // the motivating skew shape: the SAME row repeated — a pure content-hash
-    // salt would assign all copies one salt and re-create the straggler
+    // the motivating skew shape: the SAME row repeated — a content-only
+    // salt hashes every copy to ONE salt (the documented limitation); a
+    // caller-supplied `spread` discriminator is what spreads them. Both
+    // halves need a REAL shuffle join: with broadcast (the default at this
+    // size) no (key, salt) exchange is planned and partition sizes would
+    // reflect input partitioning, asserting nothing.
     val large = Seq.fill(8000)((1L, "same-payload")).toDF("k", "v")
       .union(Seq((2L, "other")).toDF("k", "v"))
     val small = Seq((1L, "hot"), (2L, "a")).toDF("k", "name")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false") // keep reducer layout observable
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
     try {
-      val out = SkewJoin.salted(large, small, "k", salts = 8)
+      // WITHOUT spread: all identical copies hash to one salt → one reducer.
+      // This pins the limitation loudly; if a future salt change fixes it,
+      // this assertion should be flipped, not deleted.
+      val unspread = SkewJoin.salted(large, small, "k", salts = 8)
+      val unspreadSizes = unspread.rdd.mapPartitions(it => Iterator(it.size)).collect()
+      assert(unspreadSizes.sum === 8001)
+      assert(unspreadSizes.max >= 8000,
+        s"content-only salt was expected to keep identical rows on one reducer: ${unspreadSizes.toSeq}")
+      // WITH spread: a value-derived discriminator (mii over a deterministic
+      // local-collection scan — the docstring's "sound ONLY directly over a
+      // deterministically-ordered scan" case) spreads the hot key.
+      val out = SkewJoin.salted(large, small, "k", salts = 8,
+        spread = Seq(monotonically_increasing_id()))
       val partSizes = out.rdd.mapPartitions(it => Iterator(it.size)).collect()
       assert(partSizes.sum === 8001)
       assert(partSizes.max < 8000, s"hot key must not land one reducer: ${partSizes.toSeq}")
       assert(partSizes.count(_ > 0) >= 2)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
   }
 
   test("salted join: left join keeps unmatched large rows exactly once") {
