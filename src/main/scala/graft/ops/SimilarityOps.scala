@@ -284,6 +284,122 @@ object SimilarityOps {
     (cb, members)
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid: "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011) — the compressed-domain ANN tier
+  // above IVF: vectors are split into `m` subspaces, each subspace gets its
+  // own trained codebook, and a vector is stored as m small codes. Search
+  // scans CODES, not floats: the asymmetric distance computation (ADC)
+  // scores each vector as a fixed-order sum of per-subspace similarities
+  // between the RAW query subvector and the centroid its code names, then
+  // an exact re-rank of the shortlist restores true cosine order. At 100 TB
+  // this is the difference between scanning 256 GB of codes and 25 TB of
+  // floats; codes also ride in memory where floats cannot.
+  //
+  // Subquantizers here are SPHERICAL (cosine) k-means — the same geometry,
+  // native `ivf_assign` argmax, deterministic tie-break, and fixed-point
+  // Lloyd update the IVF codebook training already proved cross-engine
+  // (q_ivf_train), applied per subvector slice. The ADC surrogate (sum of
+  // per-subspace cosines of the quantized subvectors) drives only the
+  // shortlist; the exact re-rank owns the final order, and the oracle
+  // replays training, encoding, ADC, and re-rank in ONE statement.
+  // ---------------------------------------------------------------------
+
+  /** Per-subspace Lloyd training: `m` codebooks of `ksub` centroids over
+    * `dim/m`-dim slices. ONE pass per round trains ALL subspaces: a single
+    * projection assigns every subspace's cell natively, one posexplode +
+    * (sub, cell, spos) grouped fixed-point sum computes every centroid
+    * update, and only m×ksub×(dim/m) longs — the model artifact — reach
+    * the driver between rounds. Seed rule: subvector slices of the first
+    * `ksub` vectors by id (the q_ivf_train seed, per subspace).
+    */
+  private[graft] def trainPqCodebooks(spark: SparkSession, dir: String,
+      m: Int = 4, ksub: Int = 16, rounds: Int = 2,
+      dim: Int = 64): Array[Array[Array[Double]]] = {
+    val sub = dim / m
+    val scale = 1048576.0 // 2^20 — the q_ivf_train fixed-point grain
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", toDouble(col("embedding")))
+      .cache() // rounds+1 consumers; released before return
+    val seed = emb.filter(col("vec_id") < ksub)
+      .select(col("vec_id").cast("int").as("cid"), col("v"))
+      .collect().sortBy(_.getInt(0))
+    require(seed.length == ksub, s"need $ksub seed vectors, got ${seed.length}")
+    var cbs: Array[Array[Array[Double]]] = Array.tabulate(m) { i =>
+      seed.map(_.getSeq[Double](1).slice(i * sub, (i + 1) * sub).toArray)
+    }
+    for (_ <- 1 to rounds) {
+      val cells = (0 until m).map { i =>
+        call_function("ivf_assign", slice(col("v"), i * sub + 1, sub),
+          typedlit(cbs(i).map(_.toSeq).toSeq)).as(s"cell_$i")
+      }
+      val subOf = (col("pos") / sub).cast("int")
+      val sums = emb.select(col("v") +: cells: _*)
+        .select(array((0 until m).map(i => col(s"cell_$i")): _*).as("cells"),
+          posexplode(col("v")))
+        .select(subOf.as("sub"),
+          element_at(col("cells"), subOf + 1).as("cell"),
+          pmod(col("pos"), lit(sub)).as("spos"),
+          col("col"))
+        .groupBy("sub", "cell", "spos")
+        .agg(sum(round(col("col") * lit(scale)).cast("long")).as("s"),
+             count(lit(1)).as("n"))
+        .collect() // m×ksub×sub model-artifact rows, never data rows
+      val bySub = sums.groupBy(_.getAs[Int]("sub"))
+      cbs = Array.tabulate(m) { i =>
+        val byCell = bySub.getOrElse(i, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getAs[Int]("cell"))
+        Array.tabulate(ksub) { c =>
+          byCell.get(c) match {
+            case Some(rs) =>
+              val byPos = rs.map(r => r.getAs[Int]("spos") ->
+                (r.getAs[Long]("s").toDouble / r.getAs[Long]("n") / scale)).toMap
+              Array.tabulate(sub)(byPos(_))
+            case None => cbs(i)(c) // empty cell: keep previous centroid
+          }
+        }
+      }
+    }
+    emb.unpersist()
+    cbs
+  }
+
+  /** PQ ANN end to end: train the subquantizers (2 Lloyd rounds each),
+    * encode the corpus (m native assignments, one projection, no shuffle),
+    * ADC-score against the raw query with a FIXED left-fold over subspaces
+    * (engine-portable float order, same reason as rankedSearch's term
+    * fold), shortlist by the surrogate, exact-cosine re-rank for the final
+    * top-k. Both top-k cuts are TakeOrderedAndProject — no global sort.
+    */
+  def annPq(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+            m: Int = 4, ksub: Int = 16, rounds: Int = 2,
+            shortlist: Int = 100, k: Int = 10): DataFrame = {
+    val dim = 64
+    val sub = dim / m
+    val cbs = trainPqCodebooks(spark, dir, m, ksub, rounds, dim)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", toDouble(col("embedding")))
+    val codes = (0 until m).map { i =>
+      call_function("ivf_assign", slice(col("v"), i * sub + 1, sub),
+        typedlit(cbs(i).map(_.toSeq).toSeq)).as(s"code_$i")
+    }
+    val encoded = emb.select(col("vec_id") +: col("label") +: col("v") +: codes: _*)
+    val q = emb.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    val adc = (0 until m).map { i =>
+      cosine(slice(col("qv"), i * sub + 1, sub),
+        element_at(typedlit(cbs(i).map(_.toSeq).toSeq), col(s"code_$i") + 1))
+    }.reduce(_ + _) // left fold in subspace order — the oracle writes the same
+    encoded.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("v"), col("qv"), adc.as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(shortlist)
+      .select(col("vec_id"), col("label"),
+        cosine(col("v"), col("qv")).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: banded sign-LSH candidates +
     * exact cosine re-rank, top-k by similarity.
     *
@@ -459,35 +575,82 @@ object SimilarityOps {
   /** One unrolled Lloyd round as SQL CTEs: assignment (argmax cosine,
     * highest-cid tie-break — the proven q_ann_ivf equivalence), fixed-point
     * grouped sums, and the empty-cell-keeps-previous centroid update.
-    * `inCent` is the (cid, v) relation the round assigns against.
+    * `inCent` is the (cid, v) relation the round assigns against; `eRel`
+    * the (vec_id, v) relation being clustered (a subvector slice for PQ)
+    * and `dimsRel` its 1..dim index relation. CTE names are a/s/cd/c +
+    * `tag`, so several chains (one per PQ subspace) compose in one WITH.
     */
-  private def kmeansRoundSql(inCent: String, r: Int): String =
-    s"""a$r AS (
+  private def kmeansRoundSql(inCent: String, tag: String,
+                             eRel: String = "e", dimsRel: String = "dims"): String =
+    s"""a$tag AS (
        |  SELECT e.vec_id, e.v, c.cid AS cell,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cid DESC) AS rn
-       |  FROM e CROSS JOIN $inCent c),
-       |s$r AS (
+       |  FROM $eRel e CROSS JOIN $inCent c),
+       |s$tag AS (
        |  SELECT a.cell, d.i,
        |    SUM(CAST(round(a.v[d.i] * 1048576.0) AS BIGINT)) AS s,
        |    COUNT(*) AS n
-       |  FROM a$r a CROSS JOIN dims d WHERE a.rn = 1 GROUP BY a.cell, d.i),
-       |cd$r AS (
+       |  FROM a$tag a CROSS JOIN $dimsRel d WHERE a.rn = 1 GROUP BY a.cell, d.i),
+       |cd$tag AS (
        |  SELECT p.cid, p.i,
        |    CASE WHEN s.s IS NULL THEN p.val
        |         ELSE (CAST(s.s AS DOUBLE) / s.n) / 1048576.0 END AS val
        |  FROM (SELECT c.cid, d.i, c.v[d.i] AS val
-       |        FROM $inCent c CROSS JOIN dims d) p
-       |  LEFT JOIN s$r s ON s.cell = p.cid AND s.i = p.i),
-       |c$r AS (SELECT cid, list(val ORDER BY i) AS v FROM cd$r GROUP BY cid)"""
+       |        FROM $inCent c CROSS JOIN $dimsRel d) p
+       |  LEFT JOIN s$tag s ON s.cell = p.cid AND s.i = p.i),
+       |c$tag AS (SELECT cid, list(val ORDER BY i) AS v FROM cd$tag GROUP BY cid)"""
       .stripMargin
+
+  /** Exact replay of [[annPq]] in one statement: four independent two-round
+    * Lloyd chains (one per subspace slice), per-subspace code assignment,
+    * the ADC sum in the SAME left-fold order, shortlist cut, exact re-rank.
+    */
+  private def annPqOracle: String = {
+    val m = 4; val sub = 16; val ksub = 16; val shortlist = 100; val k = 10
+    val subCtes = (0 until m).map { i =>
+      val lo = i * sub + 1; val hi = (i + 1) * sub
+      s"""e$i AS (SELECT vec_id, list_slice(v, $lo, $hi) AS v FROM e),
+         |c${i}r0 AS (SELECT CAST(vec_id AS INT) AS cid, list_slice(v, $lo, $hi) AS v
+         |        FROM e WHERE vec_id < $ksub),
+         |${kmeansRoundSql(s"c${i}r0", s"p${i}r1", s"e$i", "sdims")},
+         |${kmeansRoundSql(s"cp${i}r1", s"p${i}r2", s"e$i", "sdims")},
+         |x$i AS (
+         |  SELECT s.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY s.vec_id
+         |      ORDER BY list_cosine_similarity(s.v, c.v) DESC, c.cid DESC) AS rn
+         |  FROM e$i s CROSS JOIN cp${i}r2 c),
+         |code$i AS (SELECT vec_id, cid AS code FROM x$i WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val lutJoins = (0 until m).map { i =>
+      s"JOIN code$i ON code$i.vec_id = e.vec_id " +
+        s"JOIN cp${i}r2 cb$i ON cb$i.cid = code$i.code"
+    }.mkString("\n  ")
+    val adcSum = (0 until m).map { i =>
+      val lo = i * sub + 1; val hi = (i + 1) * sub
+      s"list_cosine_similarity(list_slice(q.qv, $lo, $hi), cb$i.v)"
+    }.mkString("(", "\n    + ", ")")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sdims AS (SELECT unnest(range(1, ${sub + 1})) AS i),
+       |$subCtes,
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |adc AS (
+       |  SELECT e.vec_id, e.label, e.v, q.qv,
+       |    $adcSum AS score
+       |  FROM e CROSS JOIN q
+       |  $lutJoins),
+       |short AS (SELECT * FROM adc ORDER BY score DESC, vec_id ASC LIMIT $shortlist)
+       |SELECT vec_id, label, round(list_cosine_similarity(v, qv), 6) AS cos_sim
+       |FROM short
+       |ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC LIMIT $k""".stripMargin
+  }
 
   private def ivfTrainOracle: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |dims AS (SELECT unnest(range(1, 65)) AS i),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v FROM e WHERE vec_id < 16),
-       |${kmeansRoundSql("c0", 1)},
-       |${kmeansRoundSql("c1", 2)}
+       |${kmeansRoundSql("c0", "1")},
+       |${kmeansRoundSql("c1", "2")}
        |SELECT cd2.cid, cd2.i AS dim, cd2.val, coalesce(n2.n, 0) AS n_members
        |FROM cd2
        |LEFT JOIN (SELECT cell, n FROM s2 WHERE i = 1) n2 ON n2.cell = cd2.cid""".stripMargin
@@ -500,8 +663,8 @@ object SimilarityOps {
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |dims AS (SELECT unnest(range(1, 65)) AS i),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v FROM e WHERE vec_id < 16),
-       |${kmeansRoundSql("c0", 1)},
-       |${kmeansRoundSql("c1", 2)},
+       |${kmeansRoundSql("c0", "1")},
+       |${kmeansRoundSql("c1", "2")},
        |cb AS (SELECT cid, v AS cv FROM c2),
        |assign AS (
        |  SELECT e.vec_id, e.label, e.v, c.cid,
@@ -545,6 +708,7 @@ object SimilarityOps {
     "q_ivf_train" -> ivfTrainOracle,
     "q_embed_neardup" -> embedNearDupOracle,
     "q_semdedup" -> semDedupOracle,
+    "q_ann_pq" -> annPqOracle,
     "q_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id, e.label,

@@ -112,6 +112,48 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("annPq: trained subquantizers, full-rank ADC shortlist, exact re-rank, deterministic") {
+    val out = SimilarityOps.annPq(spark, sf).collect()
+    assert(out.length === 10)
+    // the query's own codes reconstruct it best-in-class: its ADC score is
+    // the per-subspace maximum of its own cells, so it survives the
+    // shortlist, and the exact re-rank then puts cos(q,q)=1 first
+    assert(out.head.getAs[Long]("vec_id") === 0L)
+    assert(math.abs(out.head.getAs[Double]("cos_sim") - 1.0) < 1e-6)
+    val sims = out.map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    // recall@10 vs the brute-force baseline: the 50-deep ADC shortlist over
+    // this corpus must recover most of the true top-10 (deterministic for
+    // the fixed dataset — this pins the compression quality, not luck)
+    val brute = SimilarityOps.cosineTopK(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = out.count(r => brute(r.getAs[Long]("vec_id"))).toDouble / brute.size
+    assert(recall >= 0.5, s"PQ recall@10 fell to $recall")
+    // bit-identical rerun, trained floats included
+    val again = SimilarityOps.annPq(spark, sf).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("trainPqCodebooks: m codebooks of ksub centroids, training moves them off the seed") {
+    val cbs = SimilarityOps.trainPqCodebooks(spark, sf)
+    assert(cbs.length === 4)
+    assert(cbs.forall(_.length === 16))
+    assert(cbs.forall(_.forall(_.length === 16)))
+    // after two Lloyd rounds at least one subspace centroid moved off its
+    // seed slice (identical would mean the update never ran)
+    val emb = Tables.embeddings(spark, sf)
+    val seed = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").cast("array<double>").as("v"))
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    val moved = (0 until 4).exists { i =>
+      (0 until 16).exists { c =>
+        val s = seed(c).slice(i * 16, (i + 1) * 16)
+        !java.util.Arrays.equals(cbs(i)(c), s)
+      }
+    }
+    assert(moved)
+  }
+
   test("cosine expression: hand-checked value on unit vectors") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
