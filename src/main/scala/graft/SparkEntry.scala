@@ -72,6 +72,7 @@ object SparkEntry {
     "q_corpus_mix"       -> (TextOps.corpusMix(_, _)),
     "q_pack"             -> ((s, d) => TextOps.packChunks(s, d)),
     "q_filter_chain"     -> (TextOps.filterChain(_, _)),
+    "q_unigram_logprob"  -> (TextOps.unigramLogprob(_, _)),
     "q_decontaminate"    -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_pii_scrub"        -> (TextOps.piiScrub(_, _)),
     // Deduplication

@@ -417,6 +417,48 @@ object TextOps {
       (reason === "kept").as("keep"))
   }
 
+  /** Unigram language-model quality score (the CCNet/quality-filter signal:
+    * documents whose tokens are IMPROBABLE under a corpus-fitted LM are
+    * boilerplate/garble candidates): fit P(t) = cnt(t)/total on the corpus
+    * itself, score each doc as the mean ln P(t) over its tokens. Higher
+    * (closer to 0) = more typical text; a perplexity gate is
+    * exp(-avg_logprob) ≤ threshold.
+    *
+    * Determinism: per-token ln P is rounded to 2^20 fixed-point BEFORE the
+    * per-doc sum (the q_ivf_train trick), so the aggregation is an exact
+    * integer sum — order-independent across partitions and engines; the
+    * one float division happens once per output row.
+    *
+    * Scale shape: two token-stage scans (model fit + scoring) — a rescan
+    * of the corpus projection beats caching the exploded token stream
+    * (measured: cache + checkpoint jobs cost more than the scan they
+    * save, and at 100 TB an exploded-token cache is corpus-sized anyway).
+    * The `total` aggregate reads the counts EXCHANGE, not the corpus
+    * (ReusedExchange). The fitted model is a (token, logp) relation joined
+    * back — broadcast here; at a 100 TB vocabulary the hint drops and it
+    * becomes a sort-merge join on token with the same deterministic sum.
+    * Model rows are an artifact, like the IVF codebook.
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    def toks = d.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").cast("double").as("total"))
+    val model = counts.crossJoin(broadcast(total))
+      .select(col("token"),
+        log(col("cnt").cast("double") / col("total")).as("logp"))
+    val scale = 1048576.0 // 2^20 fixed-point grain, shared with ivfTrain
+    toks.join(broadcast(model), Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+           sum(round(col("logp") * lit(scale)).cast("long")).as("s"))
+      .select(col("doc_id"), col("n_toks"),
+        round((col("s").cast("double") / col("n_toks")) / lit(scale), 6)
+          .as("avg_logprob"))
+  }
+
   /** PII scrubbing: redact emails and long digit runs (phone/ID shapes),
     * reporting per-row hit counts — the masking pass a curation pipeline
     * runs before publication. Patterns are RE2-compatible (no lookaround)
@@ -435,6 +477,21 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_unigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tt AS (SELECT doc_id, token FROM t WHERE len(token) > 0),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM tt GROUP BY token),
+        |n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+        |lp AS (SELECT token, ln(CAST(cnt AS DOUBLE) / total) AS logp FROM c, n),
+        |s AS (
+        |  SELECT tt.doc_id, COUNT(*) AS n_toks,
+        |    SUM(CAST(round(lp.logp * 1048576.0) AS BIGINT)) AS s
+        |  FROM tt JOIN lp USING (token) GROUP BY tt.doc_id)
+        |SELECT doc_id, n_toks,
+        |  round((CAST(s AS DOUBLE) / n_toks) / 1048576.0, 6) AS avg_logprob
+        |FROM s""".stripMargin,
     "q_decontaminate" -> {
       val g = (i: String) =>
         s"""list_distinct([CAST('0x' || substr(md5(concat_ws(' ',

@@ -215,4 +215,33 @@ class TextSpec extends SparkSpecBase {
       assert(r.getAs[Double]("exact_p50") === p50)
     }
   }
+
+  test("unigramLogprob: one doc's score recomputed independently; probable text scores higher") {
+    val out = graft.ops.TextOps.unigramLogprob(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Double]("avg_logprob"))).toMap
+    assert(out.nonEmpty)
+    // ln P is always negative (no token has P=1 in a multi-token corpus)
+    out.values.foreach { case (n, lp) => assert(n > 0 && lp < 0.0) }
+    // independent recompute of doc 0 from raw text (driver-side replica of
+    // the whole fit + fixed-point fold)
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def toks(s: String): Seq[String] =
+      s.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    val all = texts.values.flatMap(toks).toSeq
+    val cnt = all.groupBy(identity).map { case (t, ts) => t -> ts.size.toLong }
+    val total = all.size.toDouble
+    val t0 = toks(texts(0L))
+    // half-away-from-zero, matching Spark/DuckDB round (math.round is
+    // half-toward-positive-infinity and would diverge on negative .5s)
+    def rnd(x: Double): Long =
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    val s0 = t0.map(t => rnd(math.log(cnt(t) / total) * 1048576.0)).sum
+    val expected = BigDecimal((s0.toDouble / t0.size) / 1048576.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L)._1 === t0.size.toLong)
+    assert(out(0L)._2 === expected)
+  }
 }
