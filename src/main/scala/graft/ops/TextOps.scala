@@ -433,30 +433,40 @@ object TextOps {
     * of the corpus projection beats caching the exploded token stream
     * (measured: cache + checkpoint jobs cost more than the scan they
     * save, and at 100 TB an exploded-token cache is corpus-sized anyway).
-    * The `total` aggregate reads the counts EXCHANGE, not the corpus
-    * (ReusedExchange). The fitted model is a (token, logp) relation joined
-    * back — broadcast here; at a 100 TB vocabulary the hint drops and it
-    * becomes a sort-merge join on token with the same deterministic sum.
-    * Model rows are an artifact, like the IVF codebook.
+    * The vocabulary-sized COUNTS are cached instead (a model artifact,
+    * like the IVF codebook), so the total and the logp projection read one
+    * materialization, never a third corpus scan. The fitted model is a
+    * (token, logp) relation joined back — broadcast here; at a 100 TB
+    * vocabulary the hint drops and it becomes a sort-merge join on token
+    * with the same deterministic sum.
     */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val (counts, out) = unigramStaged(spark, dir)
+    DedupOps.releasing(counts)(out)
+  }
+
+  /** Pre-materialization shape (cached counts, lazy result) — exposed for
+    * PlanSpec's scan-count and broadcast pins, like corpusMixStaged.
+    */
+  private[graft] def unigramStaged(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = Tables.documents(spark, dir)
     def toks = d.select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
-    val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt")).cache()
     val total = counts.agg(sum("cnt").cast("double").as("total"))
     val model = counts.crossJoin(broadcast(total))
       .select(col("token"),
         log(col("cnt").cast("double") / col("total")).as("logp"))
     val scale = 1048576.0 // 2^20 fixed-point grain, shared with ivfTrain
-    toks.join(broadcast(model), Seq("token"))
+    val out = toks.join(broadcast(model), Seq("token"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"),
            sum(round(col("logp") * lit(scale)).cast("long")).as("s"))
       .select(col("doc_id"), col("n_toks"),
         round((col("s").cast("double") / col("n_toks")) / lit(scale), 6)
           .as("avg_logprob"))
+    (counts, out)
   }
 
   /** PII scrubbing: redact emails and long digit runs (phone/ID shapes),

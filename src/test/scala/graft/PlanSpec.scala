@@ -174,4 +174,43 @@ class PlanSpec extends SparkSpecBase {
       s"term filter (line $filterIdx) should sit BELOW the first aggregate (line $aggIdx):\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
   }
+
+  test("fuzzySearchIndexed: broadcast query-gram and verified-token joins, no cartesian, partial top-k") {
+    val p = plan(SearchOps.fuzzySearchIndexed(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy index path must never plan a product join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+  }
+
+  test("annPq: encode + ADC are projections over a broadcast query — single corpus pass, partial top-k") {
+    val p = plan(SimilarityOps.annPq(spark, sf))
+    // encoding and ADC ride in projections (ivf_assign / vec_cosine are
+    // per-row expressions); the only joins are the 1-row query broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected the 1-row query broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k shortlist in:\n$p")
+    // exactly two Exchange-free corpus consumers: no shuffle of the vectors
+    assert(!p.contains("Exchange hashpartitioning(vec_id"),
+      s"PQ scan must not shuffle the vector store:\n$p")
+  }
+
+  test("unigramLogprob: model joined by broadcast; total/logp read the cached counts, not a rescan") {
+    val (counts, out) = graft.ops.TextOps.unigramStaged(spark, sf)
+    try {
+      val p = plan(out)
+      assert(p.contains("BroadcastHashJoin"), s"expected broadcast model join in:\n$p")
+      // both the total and the logp branch read the counts CACHE (an
+      // InMemoryTableScan each); the only LIVE corpus scan in this plan is
+      // the scoring pass, which reads (doc_id, text) — the cache-build scan
+      // (text only) appears solely inside the printed InMemoryRelation
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"expected total AND logp to reuse the cached counts:\n$p")
+      val liveScans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet [doc_id") && l.contains("documents.parquet"))
+      assert(liveScans == 1,
+        s"expected exactly one live (doc_id, text) scoring scan, got $liveScans:\n$p")
+    } finally counts.unpersist()
+  }
 }
