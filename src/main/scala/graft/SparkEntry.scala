@@ -88,6 +88,7 @@ object SparkEntry {
     "q_ann_ivf"          -> ((s, d) => SimilarityOps.annIvf(s, d)),
     "q_ann_ivf_trained"  -> ((s, d) => SimilarityOps.annIvfTrained(s, d)),
     "q_ann_pq"           -> ((s, d) => SimilarityOps.annPq(s, d)),
+    "q_ann_ivfpq"        -> ((s, d) => SimilarityOps.annIvfPq(s, d)),
     "q_ivf_train"        -> ((s, d) => SimilarityOps.ivfTrain(s, d)),
     "q_embed_neardup"    -> ((s, d) => SimilarityOps.embeddingNearDupPairs(s, d)),
     "q_semdedup"         -> ((s, d) => SimilarityOps.semDedup(s, d)),

