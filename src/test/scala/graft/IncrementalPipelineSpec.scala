@@ -116,4 +116,46 @@ class IncrementalPipelineSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet
     assert(ids === Set(1L, 2L, 3L))
   }
+
+  test("IncrementalPostings: maintained store ≡ from-scratch index, ghosts dropped, idempotent") {
+    import spark.implicits._
+    import graft.streaming.IncrementalPostings
+    val base = java.nio.file.Files.createTempDirectory("graft-postings").toString
+    val store = s"$base/postings"
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      df.collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tf"))).toSet
+
+    // v1 corpus → initial build
+    val v1 = Seq((1L, "data streams and windows"),
+                 (2L, "models train on data")).toDF("doc_id", "text")
+    IncrementalPostings.upsert(spark, store, v1)
+    assert(canon(IncrementalPostings.load(spark, store)) ===
+      canon(IncrementalPostings.postingsOf(v1)))
+
+    // doc 1 rewritten: loses 'stream'/'window', gains 'quality' — the stale
+    // postings must disappear (ghost tokens are the classic append-only bug)
+    val v2doc = Seq((1L, "data quality gates")).toDF("doc_id", "text")
+    IncrementalPostings.upsert(spark, store, v2doc)
+    val expected = Seq((1L, "data quality gates"),
+                       (2L, "models train on data")).toDF("doc_id", "text")
+    assert(canon(IncrementalPostings.load(spark, store)) ===
+      canon(IncrementalPostings.postingsOf(expected)))
+    val tokensOf1 = IncrementalPostings.load(spark, store)
+      .filter(col("doc_id") === 1L).select("token")
+      .collect().map(_.getString(0)).toSet
+    assert(!tokensOf1.contains("stream") && !tokensOf1.contains("window"))
+
+    // at-least-once redelivery: same batch twice → same store
+    IncrementalPostings.upsert(spark, store, v2doc)
+    assert(canon(IncrementalPostings.load(spark, store)) ===
+      canon(IncrementalPostings.postingsOf(expected)))
+
+    // the search faces run unchanged over the maintained store
+    val hits = graft.ops.SearchOps.postingsSearch(
+        IncrementalPostings.load(spark, store), "data quality", 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+    assert(hits(1L) === 2L) // data + quality
+    assert(hits(2L) === 1L) // data only
+  }
 }
