@@ -20,6 +20,23 @@ class ScaleLayoutSpec extends SparkSpecBase {
     plan.collect { case s: ShuffleExchangeExec => s }.size
   }
 
+  test("token-bucketed postings store: a term search reads only its terms' buckets") {
+    // the claim every search docstring makes — "at scale the index is a
+    // materialized token-bucketed table and the IN-list becomes a k-bucket
+    // read" — proven: Spark's bucket pruning keeps non-matching buckets
+    // out of the scan entirely
+    graft.sources.BucketedLayout.writeBucketed(
+      graft.ops.SearchOps.postingsIndex(spark, sf), "b_postings", "token", 8)
+    val q = graft.ops.SearchOps.postingsSearch(
+      spark.table("b_postings"), "data stream window", 20)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"expected bucket pruning in the postings scan:\n$plan")
+    assert(m.get.group(1).toInt <= 3 && m.get.group(2).toInt == 8,
+      s"3 query terms must select at most 3 of 8 buckets:\n$plan")
+  }
+
   test("colocatedJoin of co-bucketed tables has zero shuffle exchanges") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
