@@ -20,6 +20,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 case class SessionState(startMs: Long, endMs: Long, n: Long)
 
+/** LSH bucket membership carried across batches (top-level for the same
+  * encoder reason as SessionState).
+  */
+case class BucketMember(doc_id: Long, sig: Seq[Long])
+case class BucketState(members: List[BucketMember])
+
 object StreamingOps {
 
   case class Event(event_id: Long, user_id: Long, event_type: String,
@@ -49,6 +55,72 @@ object StreamingOps {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  case class DupHit(left_id: Long, right_id: Long, est_jaccard: Double)
+
+  /** Streaming near-duplicate detection — ingestion-time dedup, the
+    * stateful-stream face of [[graft.ops.DedupOps.minhashPairs]]: each
+    * incoming document's 8-slot minhash signature is banded exactly like
+    * the batch generator (4 bands × 2 raw slots, same native
+    * `shingle_hash60` → `minhash_slots` pipeline), each band row routes to
+    * its bucket's state, and a new arrival is compared ONLY against its
+    * buckets' members — never the corpus. A hit is emitted the moment the
+    * second copy arrives, in whatever batch that is; a batch pipeline only
+    * finds pairs that co-exist in one run.
+    *
+    * State bound: an ADMISSION CAP of `maxBucket` members per bucket — the
+    * streaming analog of the batch census guard. Divergence, documented: the
+    * batch guard drops a hot bucket retroactively (it sees the final
+    * census); a stream cannot retract, so the first `maxBucket` members of
+    * a hot bucket still pair while later arrivals are skipped. A pair
+    * sharing several bands is emitted once per shared band — dedup at the
+    * sink (`dropDuplicates(left_id, right_id)` or DedupeAppendSink), same
+    * as any at-least-once source.
+    */
+  def streamingNearDup(docs: DataFrame, threshold: Double = 0.5,
+                       maxBucket: Int = 64)
+                      (implicit spark: SparkSession): Dataset[DupHit] = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val nHashes = 8
+    val banded = docs
+      .select(col("doc_id"),
+        call_function("minhash_slots",
+          call_function("shingle_hash60", col("text"), lit(5)),
+          lit(nHashes)).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(nHashes / 2 - 1)),
+          b => concat_ws(":",
+            element_at(col("sig"), b * 2 + 1),
+            element_at(col("sig"), b * 2 + 2)))))
+      .select(concat_ws("#", col("pos"), col("col")).as("bucket"),
+        col("doc_id"), col("sig"))
+      .as[(String, Long, Seq[Long])]
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, DupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = List.newBuilder[DupHit]
+          // doc_id order inside the batch: deterministic pair emission no
+          // matter how the micro-batch interleaved the rows
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
+            if (!members.exists(_.doc_id == id) && members.size < maxBucket) {
+              members.foreach { m =>
+                val est = sig.iterator.zip(m.sig.iterator)
+                  .count { case (a, b) => a == b }.toDouble / nHashes
+                if (est >= threshold) {
+                  val (l, r) = if (m.doc_id < id) (m.doc_id, id) else (id, m.doc_id)
+                  out += DupHit(l, r, est)
+                }
+              }
+              members = BucketMember(id, sig) :: members
+            }
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+      }
+  }
 
   /** Custom stateful operator: gap-based sessionization via
     * flatMapGroupsWithState (KeyValueGroupedDataset), event-time timeout.

@@ -147,4 +147,47 @@ class StreamingSpec extends SparkSpecBase {
       assert(sessions(1).n_events === 1) // the original 10:00 session
     } finally q.stop()
   }
+
+  test("streamingNearDup: cross-batch detection, streaming ≡ batch, est matches the slot agreement") {
+    implicit val s = spark
+    val a  = "the quick brown fox jumps over the lazy dog again and again"
+    val a2 = a + " extra" // near-dup of a
+    val b  = "completely different content about database systems and indexes"
+    val c  = "unrelated third text talking about mountains rivers and weather"
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.streamingNearDup(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("nd").outputMode("append").start()
+    val streamed =
+      try {
+        input.addData((1L, a), (2L, b))
+        q.processAllAvailable()
+        assert(spark.table("nd").count() === 0, "no duplicate exists yet")
+        // the near-dup arrives in a LATER micro-batch — the case a batch
+        // pipeline only catches if both copies co-exist in one run
+        input.addData((3L, a2), (4L, c))
+        q.processAllAvailable()
+        spark.table("nd").collect()
+          .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"),
+            r.getAs[Double]("est_jaccard"))).toSet
+      } finally q.stop()
+    assert(streamed.map(h => (h._1, h._2)) === Set((1L, 3L)))
+
+    // the SAME operator over the whole corpus as one batch finds the same
+    // pairs with the same estimates (multi-band duplicates deduped — the
+    // documented at-least-once contract)
+    val batch = StreamingOps.streamingNearDup(
+        Seq((1L, a), (2L, b), (3L, a2), (4L, c)).toDF("doc_id", "text"))
+      .collect().map(h => (h.left_id, h.right_id, h.est_jaccard)).toSet
+    assert(batch === streamed)
+
+    // the emitted estimate IS the minhash slot-agreement fraction
+    val sigs = Seq((1L, a), (3L, a2)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        call_function("minhash_slots",
+          call_function("shingle_hash60", col("text"), lit(5)), lit(8)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val est = sigs(1L).zip(sigs(3L)).count { case (x, y) => x == y } / 8.0
+    assert(est >= 0.5, s"planted near-dup must clear the threshold, got $est")
+    streamed.foreach { case (_, _, e) => assert(e === est) }
+  }
 }
