@@ -344,6 +344,41 @@ object SearchOps {
       .limit(k)
   }
 
+  /** TF-IDF keyword extraction: the top-`k` most characteristic tokens per
+    * document (score = tf · ln(N/df) over the postings relation) — the
+    * classic document-profiling signal (tagging, clustering features,
+    * near-dup triage). Cross-engine float safety is structural: each score
+    * is ONE multiplication of exactly-counted quantities — no accumulation
+    * order exists — and ties break on the token itself.
+    *
+    * Scale shape: ONE analyze pass — df comes from a count window over the
+    * token exchange of the postings themselves (a groupBy + join-back would
+    * re-derive the postings subtree and analyze the corpus twice; a cache
+    * was measured slower than either at this size). N rides along as a
+    * column-pruned count-only broadcast. Then the rank window partitioned
+    * by doc_id — the same key distribution the postings grouping used,
+    * never a global window.
+    */
+  def keywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val postings = postingsIndex(spark, dir)
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val byToken = org.apache.spark.sql.expressions.Window.partitionBy("token")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score_raw").desc, col("token").asc)
+    postings
+      .withColumn("df", count(lit(1)).over(byToken)) // postings unique on (token, doc_id)
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"),
+        (col("tf").cast("double") *
+          log(col("n_docs") / col("df").cast("double"))).as("score_raw"))
+      .withColumn("rank", row_number().over(byDoc))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("token"), round(col("score_raw"), 6).as("score"))
+  }
+
   /** Fuzzy-candidate index: character-bigram postings over the TERM
     * DICTIONARY — the relational analog of ES's Levenshtein-automaton walk
     * over the term dict (the reference's fuzzy multi_match golden,
@@ -559,7 +594,22 @@ object SearchOps {
          |FROM (SELECT unnest($duckToks) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
     "q_search_ranked" -> rankedOracle,
-    "q_search_fuzzy_idx" -> fuzzyIdxOracle())
+    "q_search_fuzzy_idx" -> fuzzyIdxOracle(),
+    "q_keywords" ->
+      s"""WITH p AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+         |pp AS (SELECT token, doc_id, COUNT(*) AS tf FROM p GROUP BY token, doc_id),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+         |idf AS (
+         |  SELECT token, ln(n_docs / CAST(COUNT(*) AS DOUBLE)) AS idf
+         |  FROM pp, n GROUP BY token, n_docs),
+         |scored AS (
+         |  SELECT pp.doc_id, pp.token,
+         |    CAST(pp.tf AS DOUBLE) * idf.idf AS sc,
+         |    row_number() OVER (PARTITION BY pp.doc_id
+         |      ORDER BY CAST(pp.tf AS DOUBLE) * idf.idf DESC, pp.token ASC) AS rank
+         |  FROM pp JOIN idf USING (token))
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, round(sc, 6) AS score
+         |FROM scored WHERE rank <= 3""".stripMargin)
 
   /** Exact replay of [[fuzzySearchIndexed]]: same dictionary, same bigram
     * multiset counts, same Gravano bound with the same branch split on the

@@ -164,6 +164,31 @@ class SearchSpec extends SparkSpecBase {
     postings.unpersist()
   }
 
+  test("keywords: top-k per doc by tf·idf, recomputed independently for one doc") {
+    val out = SearchOps.keywords(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(out.nonEmpty)
+    // every doc emits ranks 1..k with non-increasing scores
+    out.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq === (1L to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // independent recompute for one doc: the winner IS the max tf·ln(N/df)
+    val postings = SearchOps.postingsIndex(spark, sf).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("doc_id"), r.getAs[Long]("tf")))
+    val n = Tables.documents(spark, sf).count().toDouble
+    val df = postings.groupBy(_._1).map { case (t, rs) => t -> rs.length }
+    val docId = out.keys.min
+    val expected = postings.filter(_._2 == docId)
+      .map { case (t, _, tf) => (t, tf * math.log(n / df(t))) }
+      .sortBy { case (t, s) => (-s, t) }.take(3)
+    val got = out(docId).sortBy(_.getAs[Long]("rank"))
+      .map(r => r.getAs[String]("token")).toSeq
+    assert(got === expected.map(_._1).toSeq)
+  }
+
   test("fuzzySearchIndexed ≡ fuzzyQuery scan baseline (docs and scores)") {
     val viaIndex = SearchOps.fuzzySearchIndexed(spark, sf)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("score")).toMap
