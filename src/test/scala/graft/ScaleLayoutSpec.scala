@@ -25,16 +25,30 @@ class ScaleLayoutSpec extends SparkSpecBase {
     // materialized token-bucketed table and the IN-list becomes a k-bucket
     // read" — proven: Spark's bucket pruning keeps non-matching buckets
     // out of the scan entirely
-    graft.sources.BucketedLayout.writeBucketed(
-      graft.ops.SearchOps.postingsIndex(spark, sf), "b_postings", "token", 8)
-    val q = graft.ops.SearchOps.postingsSearch(
-      spark.table("b_postings"), "data stream window", 20)
-    q.collect()
-    val plan = q.queryExecution.executedPlan.toString
-    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
-    assert(m.isDefined, s"expected bucket pruning in the postings scan:\n$plan")
-    assert(m.get.group(1).toInt <= 3 && m.get.group(2).toInt == 8,
-      s"3 query terms must select at most 3 of 8 buckets:\n$plan")
+    // a previous JVM's leaked warehouse dir blocks saveAsTable even with
+    // Overwrite (the in-memory catalog forgot the table, the dir remained)
+    spark.sql("DROP TABLE IF EXISTS b_postings")
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), "b_postings")
+    if (wh.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(wh)
+    }
+    try {
+      graft.sources.BucketedLayout.writeBucketed(
+        graft.ops.SearchOps.postingsIndex(spark, sf), "b_postings", "token", 8)
+      val q = graft.ops.SearchOps.postingsSearch(
+        spark.table("b_postings"), "data stream window", 20)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(m.isDefined, s"expected bucket pruning in the postings scan:\n$plan")
+      assert(m.get.group(1).toInt <= 3 && m.get.group(2).toInt == 8,
+        s"3 query terms must select at most 3 of 8 buckets:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS b_postings")
   }
 
   test("colocatedJoin of co-bucketed tables has zero shuffle exchanges") {
