@@ -94,7 +94,8 @@ object SparkEntry {
     "q_embed_neardup"    -> ((s, d) => SimilarityOps.embeddingNearDupPairs(s, d)),
     "q_semdedup"         -> ((s, d) => SimilarityOps.semDedup(s, d)),
     // Multimodal plumbing
-    "q_multimodal_meta"  -> (MultimodalOps.multimodalMeta(_, _)))
+    "q_multimodal_meta"  -> (MultimodalOps.multimodalMeta(_, _)),
+    "q_media_ann"        -> ((s, d) => MultimodalOps.mediaAnn(s, d)))
 
   /** DuckDB equivalents (driver's correctness gate) — one per query, no
     * rows-only entries. The LSH/simhash pipelines are oracled as exact

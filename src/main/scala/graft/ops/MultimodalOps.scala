@@ -152,6 +152,39 @@ object MultimodalOps {
       (lit(64) + pmod(col("doc_id") * 7, lit(1024))).cast("int").as("stub_width"))
   }
 
+  /** STUB media encoder: a deterministic 64-dim embedding derived from the
+    * payload's content hash — md5-chained per-dimension values in [-1, 1).
+    * A real encoder (CLIP image tower, an audio embedder) replaces ONLY
+    * this expression; everything downstream — map-side encode (the payload
+    * never shuffles), the embedding column shape, ANN retrieval — is the
+    * real pipeline. Expression-level (not mapPartitions) so the DuckDB
+    * oracle replays the bytes→vector derivation exactly.
+    */
+  private[graft] def stubEncode(payloadMd5: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(1), lit(64)), j =>
+      (conv(substring(md5(concat(payloadMd5, lit(":"), j.cast("string"))), 1, 15),
+        16, 10).cast("long") % 2000000L).cast("double") / 1000000.0 - 1.0)
+
+  /** Media similarity retrieval — the multimodal tier ending in a real
+    * query instead of metadata: payload → stub embedding → cosine top-k
+    * against doc 0's media vector (the brute-force ANN baseline; the
+    * LSH/IVF/PQ paths above it apply unchanged to this embedding column).
+    */
+  def mediaAnn(spark: SparkSession, dir: String, queryDocId: Long = 0L,
+               k: Int = 10): DataFrame = {
+    val m = mediaTable(spark, dir)
+      .select(col("doc_id"), col("media_type"),
+        stubEncode(md5(col("payload"))).as("v"))
+    val q = m.filter(col("doc_id") === queryDocId).select(col("v").as("qv"))
+    m.crossJoin(broadcast(q))
+      .select(col("doc_id"), col("media_type"),
+        SimilarityOps.cosine(col("v"), col("qv")).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("media_type"),
+        round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q_multimodal_meta" ->
       """SELECT doc_id,
@@ -159,5 +192,19 @@ object MultimodalOps {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS payload_md5,
         |  CAST(64 + (doc_id * 7) % 1024 AS INT) AS stub_width
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "q_media_ann" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    list_transform(range(1, 65), j ->
+        |      CAST(CAST('0x' || substr(md5(md5(text) || ':' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT)
+        |           % 2000000 AS DOUBLE) / 1000000.0 - 1.0) AS v
+        |  FROM documents),
+        |q AS (SELECT v AS qv FROM m WHERE doc_id = 0)
+        |SELECT doc_id, media_type,
+        |  round(list_cosine_similarity(v, qv), 6) AS cos_sim
+        |FROM m CROSS JOIN q
+        |ORDER BY list_cosine_similarity(v, qv) DESC, doc_id ASC
+        |LIMIT 10""".stripMargin)
 }

@@ -64,4 +64,23 @@ class MultimodalSpec extends SparkSpecBase {
     // binary payload (from `text`) must not be read for a metadata-only query
     assert(!plan.contains("payload"))
   }
+
+  test("mediaAnn: payload → stub embedding → retrieval; self-hit first; bounded values") {
+    val out = MultimodalOps.mediaAnn(spark, sf).collect()
+    assert(out.length === 10)
+    // cos(q, q) = 1: the query doc's own media ranks first
+    assert(out.head.getAs[Long]("doc_id") === 0L)
+    assert(math.abs(out.head.getAs[Double]("cos_sim") - 1.0) < 1e-6)
+    val sims = out.map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    // embedding derivation: deterministic, in [-1, 1), identical rerun
+    import org.apache.spark.sql.functions._
+    val v = MultimodalOps.mediaTable(spark, sf)
+      .select(MultimodalOps.stubEncode(md5(col("payload"))).as("v"))
+      .head.getSeq[Double](0)
+    assert(v.length === 64)
+    assert(v.forall(x => x >= -1.0 && x < 1.0))
+    val again = MultimodalOps.mediaAnn(spark, sf).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }
