@@ -230,6 +230,14 @@ object DocumentOps {
     * re-sorting their string projections per row. DimDocsSpec proves this
     * face equal to the typed [[personDocuments]] build — the same
     * flat-face-optimized-separately pattern as denormDocs.
+    *
+    * Measured cost floor (round 4, sf0.1): the collect_set itself IS the
+    * time — scan+concat 0.22 s, codegen count 0.20 s, collect_set 0.68 s,
+    * and sort_array + concat_ws add <2% on top, so a fused native
+    * sorted-concat aggregate has nothing to save; a codegen'd
+    * dedup-then-collect_list two-stage was measured 30% SLOWER (second
+    * shuffle). The remaining ~2× vs DuckDB's string_agg DISTINCT is the
+    * per-row cost of Spark's object-hash aggregate, not plan structure.
     */
   def personDocs(spark: SparkSession, dir: String): DataFrame = {
     val refs = Tables.lineitem(spark, dir)
