@@ -202,10 +202,15 @@ object SimilarityOps {
   def annIvfTrained(spark: SparkSession, dir: String, queryVecId: Long = 0L,
                     nlist: Int = 16, rounds: Int = 2, nprobe: Int = 2,
                     k: Int = 10): DataFrame = {
-    val (cb, _) = trainCodebook(spark, dir, nlist, rounds)
+    // ONE cached vector frame feeds training rounds AND the probe — the
+    // train→serve loop reads the store once, released after the bounded
+    // probe result materializes
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", toDouble(col("embedding")))
-    ivfProbe(emb, cb.zipWithIndex.map { case (v, i) => (i, v) }, queryVecId, nprobe, k)
+      .cache()
+    val (cb, _) = trainCodebookOn(emb, nlist, rounds)
+    DedupOps.releasing(emb)(
+      ivfProbe(emb, cb.zipWithIndex.map { case (v, i) => (i, v) }, queryVecId, nprobe, k))
   }
 
   /** Lloyd-iteration k-means codebook TRAINING, expressed as DataFrame ops —
@@ -254,10 +259,22 @@ object SimilarityOps {
   private[graft] def trainCodebook(spark: SparkSession, dir: String,
       nlist: Int = 16, rounds: Int = 2,
       dim: Int = 64): (Array[Array[Double]], Map[Int, Long]) = {
-    val scale = 1048576.0 // 2^20 fixed-point grain
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", toDouble(col("embedding")))
       .cache() // rounds+1 consumers; released before return
+    try trainCodebookOn(emb, nlist, rounds, dim)
+    finally { emb.unpersist(); () }
+  }
+
+  /** The Lloyd rounds over a CALLER-cached (vec_id, …, v) frame — split out
+    * so a serving pipeline (annIvfTrained, annIvfPq) can share one cache
+    * between training and the probe instead of materializing the store
+    * per stage.
+    */
+  private[graft] def trainCodebookOn(emb: DataFrame,
+      nlist: Int = 16, rounds: Int = 2,
+      dim: Int = 64): (Array[Array[Double]], Map[Int, Long]) = {
+    val scale = 1048576.0 // 2^20 fixed-point grain
     var cb: Array[Array[Double]] = collectCodebook(emb, nlist).map(_._2)
     var members: Map[Int, Long] = Map.empty
     for (_ <- 1 to rounds) {
@@ -280,7 +297,6 @@ object SimilarityOps {
         }
       }
     }
-    emb.unpersist()
     (cb, members)
   }
 
@@ -316,11 +332,20 @@ object SimilarityOps {
   private[graft] def trainPqCodebooks(spark: SparkSession, dir: String,
       m: Int = 4, ksub: Int = 16, rounds: Int = 2,
       dim: Int = 64): Array[Array[Array[Double]]] = {
-    val sub = dim / m
-    val scale = 1048576.0 // 2^20 — the q_ivf_train fixed-point grain
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", toDouble(col("embedding")))
       .cache() // rounds+1 consumers; released before return
+    try trainPqCodebooksOn(emb, m, ksub, rounds, dim)
+    finally { emb.unpersist(); () }
+  }
+
+  /** The per-subspace Lloyd rounds over a CALLER-cached frame — the
+    * trainCodebookOn split, PQ edition. */
+  private[graft] def trainPqCodebooksOn(emb: DataFrame,
+      m: Int = 4, ksub: Int = 16, rounds: Int = 2,
+      dim: Int = 64): Array[Array[Array[Double]]] = {
+    val sub = dim / m
+    val scale = 1048576.0 // 2^20 — the q_ivf_train fixed-point grain
     val seed = emb.filter(col("vec_id") < ksub)
       .select(col("vec_id").cast("int").as("cid"), col("v"))
       .collect().sortBy(_.getInt(0))
@@ -360,7 +385,6 @@ object SimilarityOps {
         }
       }
     }
-    emb.unpersist()
     cbs
   }
 
@@ -376,9 +400,12 @@ object SimilarityOps {
             shortlist: Int = 100, k: Int = 10): DataFrame = {
     val dim = 64
     val sub = dim / m
-    val cbs = trainPqCodebooks(spark, dir, m, ksub, rounds, dim)
+    // one cached vector frame for training rounds + encode + query —
+    // released after the bounded top-k materializes
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", toDouble(col("embedding")))
+      .cache()
+    val cbs = trainPqCodebooksOn(emb, m, ksub, rounds, dim)
     val codes = (0 until m).map { i =>
       call_function("ivf_assign", slice(col("v"), i * sub + 1, sub),
         typedlit(cbs(i).map(_.toSeq).toSeq)).as(s"code_$i")
@@ -389,7 +416,7 @@ object SimilarityOps {
       cosine(slice(col("qv"), i * sub + 1, sub),
         element_at(typedlit(cbs(i).map(_.toSeq).toSeq), col(s"code_$i") + 1))
     }.reduce(_ + _) // left fold in subspace order — the oracle writes the same
-    encoded.crossJoin(broadcast(q))
+    DedupOps.releasing(emb)(encoded.crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"), col("v"), col("qv"), adc.as("adc"))
       .orderBy(col("adc").desc, col("vec_id").asc)
       .limit(shortlist)
@@ -397,7 +424,7 @@ object SimilarityOps {
         cosine(col("v"), col("qv")).as("cos_raw"))
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
       .limit(k)
-      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
+      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim")))
   }
 
   /** IVF+PQ — the full inverted-file-with-product-quantization serving
@@ -419,11 +446,14 @@ object SimilarityOps {
                rounds: Int = 2, shortlist: Int = 50, k: Int = 10): DataFrame = {
     val dim = 64
     val sub = dim / m
-    val (coarse, _) = trainCodebook(spark, dir, nlist, rounds)
-    val coarseIdx = coarse.zipWithIndex.map { case (v, i) => (i, v) }
-    val cbs = trainPqCodebooks(spark, dir, m, ksub, rounds, dim)
+    // BOTH trainings and the probe share one cached vector frame (three
+    // separate materializations otherwise), released after the top-k
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", toDouble(col("embedding")))
+      .cache()
+    val (coarse, _) = trainCodebookOn(emb, nlist, rounds)
+    val coarseIdx = coarse.zipWithIndex.map { case (v, i) => (i, v) }
+    val cbs = trainPqCodebooksOn(emb, m, ksub, rounds, dim)
     val codes = (0 until m).map { i =>
       call_function("ivf_assign", slice(col("v"), i * sub + 1, sub),
         typedlit(cbs(i).map(_.toSeq).toSeq)).as(s"code_$i")
@@ -441,7 +471,7 @@ object SimilarityOps {
       cosine(slice(col("qv"), i * sub + 1, sub),
         element_at(typedlit(cbs(i).map(_.toSeq).toSeq), col(s"code_$i") + 1))
     }.reduce(_ + _) // left fold in subspace order, shared with the oracle
-    encoded.join(broadcast(probes), Seq("cell")) // the cell prune
+    DedupOps.releasing(emb)(encoded.join(broadcast(probes), Seq("cell")) // the cell prune
       .select(col("vec_id"), col("label"), col("v"), col("qv"), adc.as("adc"))
       .orderBy(col("adc").desc, col("vec_id").asc)
       .limit(shortlist)
@@ -449,7 +479,7 @@ object SimilarityOps {
         cosine(col("v"), col("qv")).as("cos_raw"))
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
       .limit(k)
-      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
+      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim")))
   }
 
   /** Embedding-cosine near-duplicate pairs: banded sign-LSH candidates +
