@@ -398,6 +398,16 @@ object SimilarityOps {
   def annPq(spark: SparkSession, dir: String, queryVecId: Long = 0L,
             m: Int = 4, ksub: Int = 16, rounds: Int = 2,
             shortlist: Int = 100, k: Int = 10): DataFrame = {
+    val (emb, out) = annPqStaged(spark, dir, queryVecId, m, ksub, rounds, shortlist, k)
+    DedupOps.releasing(emb)(out)
+  }
+
+  /** Pre-release shape (cached vector frame, lazy top-k) — exposed for
+    * PlanSpec's broadcast/no-shuffle pins, like corpusMixStaged.
+    */
+  private[graft] def annPqStaged(spark: SparkSession, dir: String,
+      queryVecId: Long = 0L, m: Int = 4, ksub: Int = 16, rounds: Int = 2,
+      shortlist: Int = 100, k: Int = 10): (DataFrame, DataFrame) = {
     val dim = 64
     val sub = dim / m
     // one cached vector frame for training rounds + encode + query —
@@ -416,7 +426,7 @@ object SimilarityOps {
       cosine(slice(col("qv"), i * sub + 1, sub),
         element_at(typedlit(cbs(i).map(_.toSeq).toSeq), col(s"code_$i") + 1))
     }.reduce(_ + _) // left fold in subspace order — the oracle writes the same
-    DedupOps.releasing(emb)(encoded.crossJoin(broadcast(q))
+    val out = encoded.crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"), col("v"), col("qv"), adc.as("adc"))
       .orderBy(col("adc").desc, col("vec_id").asc)
       .limit(shortlist)
@@ -424,7 +434,8 @@ object SimilarityOps {
         cosine(col("v"), col("qv")).as("cos_raw"))
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
       .limit(k)
-      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim")))
+      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
+    (emb, out)
   }
 
   /** IVF+PQ — the full inverted-file-with-product-quantization serving

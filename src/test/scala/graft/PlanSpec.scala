@@ -184,7 +184,10 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("annPq: encode + ADC are projections over a broadcast query — single corpus pass, partial top-k") {
-    val p = plan(SimilarityOps.annPq(spark, sf))
+    // pre-release shape: the shipped annPq wraps this in a localCheckpoint
+    // (opaque RDD scan), so the pins read the staged plan
+    val (embCache, staged) = SimilarityOps.annPqStaged(spark, sf)
+    val p = try plan(staged) finally embCache.unpersist()
     // encoding and ADC ride in projections (ivf_assign / vec_cosine are
     // per-row expressions); the only joins are the 1-row query broadcast
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
