@@ -61,3 +61,50 @@ object IncrementalPostings {
     spark.read.parquet(storePath)
   }
 }
+
+/** The watermark-driven face of [[IncrementalPostings]] — the reference's
+  * search half of the tick as a pipeline: detect documents changed since
+  * the persisted watermark, merge their recomputed postings into the store,
+  * commit the watermark AFTER the sink (the same T2/T3 ordering
+  * [[IncrementalDocPipeline]] uses; a crash between sink and commit
+  * re-merges the batch, which the ghost-safe upsert absorbs — effectively
+  * once). With this, `ReferenceEtl`'s document rebuilds and the search
+  * index share one operational model: poll, prune to dirty, rebuild, swap.
+  */
+class IncrementalSearchPipeline(
+    changes: SparkSession => DataFrame, // (doc_id, text, modified)
+    storePath: String,
+    statePath: String) {
+
+  private val Epoch = java.sql.Timestamp.valueOf("1000-01-01 00:00:00")
+
+  def currentWatermark(spark: SparkSession): java.sql.Timestamp =
+    try {
+      val r = spark.read.parquet(statePath).agg(max("wm")).head
+      if (r.isNullAt(0)) Epoch else r.getTimestamp(0)
+    } catch { case _: Exception => Epoch }
+
+  /** One tick. Returns the number of distinct re-indexed doc ids. */
+  def tick(spark: SparkSession): Long = {
+    val wm = currentWatermark(spark)
+    val dirty = changes(spark).filter(col("modified") > lit(wm))
+    val head = dirty.agg(
+      count(lit(1)).as("n_changes"),
+      max("modified").as("new_wm"),
+      countDistinct("doc_id").as("n_ids")).head
+    if (head.getLong(0) == 0L) return 0L
+    // a doc changed twice in one batch: index its LATEST text — max by
+    // (modified, text) struct so equal-timestamp ties are still
+    // deterministic, the strictly-greater analog of the reference's
+    // last-row-wins bulk ordering
+    val latest = dirty
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("modified"), col("text"))).as("m"))
+      .select(col("doc_id"), col("m").getField("text").as("text"))
+    IncrementalPostings.upsert(spark, storePath, latest)
+    import spark.implicits._
+    Seq(head.getTimestamp(1)).toDF("wm")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(statePath)
+    head.getLong(2)
+  }
+}

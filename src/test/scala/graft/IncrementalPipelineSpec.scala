@@ -158,4 +158,43 @@ class IncrementalPipelineSpec extends SparkSpecBase {
     assert(hits(1L) === 2L) // data + quality
     assert(hits(2L) === 1L) // data only
   }
+
+  test("IncrementalSearchPipeline: watermark-driven re-index, latest-text-wins, search stays fresh") {
+    import spark.implicits._
+    import graft.streaming.{IncrementalPostings, IncrementalSearchPipeline}
+    val base = java.nio.file.Files.createTempDirectory("graft-searchpipe").toString
+    val (src, store, state) = (s"$base/src", s"$base/postings", s"$base/state")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeSrc(rows: Seq[(Long, String, java.sql.Timestamp)],
+                 mode: org.apache.spark.sql.SaveMode): Unit =
+      rows.toDF("doc_id", "text", "modified").write.mode(mode).parquet(src)
+    val p = new IncrementalSearchPipeline(
+      s => s.read.parquet(src), store, state)
+
+    writeSrc(Seq(
+      (1L, "data streams in windows", ts("2024-01-01 10:00:00")),
+      (2L, "models and training", ts("2024-01-01 10:00:00"))),
+      org.apache.spark.sql.SaveMode.Overwrite)
+    assert(p.tick(spark) === 2L)
+    assert(p.tick(spark) === 0L) // caught up: nothing re-indexed
+    def search(q: String): Map[Long, Long] =
+      graft.ops.SearchOps.postingsSearch(
+          IncrementalPostings.load(spark, store), q, 10)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+    assert(search("data stream").keySet === Set(1L))
+
+    // doc 1 rewritten TWICE in one batch — the later text must win, the
+    // old tokens must vanish, doc 2 must be untouched
+    writeSrc(Seq(
+      (1L, "interim version", ts("2024-01-01 11:00:00")),
+      (1L, "quality gates for corpora", ts("2024-01-01 12:00:00"))),
+      org.apache.spark.sql.SaveMode.Append)
+    assert(p.tick(spark) === 1L)
+    assert(search("quality gate").keySet === Set(1L))
+    assert(search("data stream").keySet === Set.empty[Long]) // ghosts gone
+    assert(search("interim").keySet === Set.empty[Long])     // latest wins
+    assert(search("model training").keySet === Set(2L))
+    // watermark advanced: nothing to do
+    assert(p.tick(spark) === 0L)
+  }
 }
