@@ -436,9 +436,11 @@ object TextOps {
     * The vocabulary-sized COUNTS are cached instead (a model artifact,
     * like the IVF codebook), so the total and the logp projection read one
     * materialization, never a third corpus scan. The fitted model is a
-    * (token, logp) relation joined back — broadcast here; at a 100 TB
-    * vocabulary the hint drops and it becomes a sort-merge join on token
-    * with the same deterministic sum.
+    * (token, logp) relation joined back — broadcast here. NOTE the hint is
+    * unconditional (Catalyst never demotes an explicit `broadcast()`): at a
+    * vocabulary too large to broadcast, the caller drops the hint and lets
+    * the planner pick a shuffled hash join on token — the fixed-point sum
+    * is deterministic either way.
     */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val (counts, out) = unigramStaged(spark, dir)

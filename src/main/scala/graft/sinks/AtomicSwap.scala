@@ -24,8 +24,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object AtomicSwap {
 
-  private def fs(spark: SparkSession) =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  /** Resolve the filesystem FROM the store path, not the default FS: a
+    * scheme-qualified store (s3a://bucket/store, hdfs://nn/store) must land
+    * its renames on ITS filesystem — `FileSystem.get(conf)` would silently
+    * operate on fs.defaultFS and "succeed" against the wrong tree.
+    */
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Hadoop rename reports failure by RETURNING FALSE, not throwing — an
     * unchecked rename can silently leave the old store live (or none at
@@ -44,7 +50,7 @@ object AtomicSwap {
     * run) and promoting it would install a silently truncated store.
     */
   def recover(spark: SparkSession, livePath: String): Unit = {
-    val f = fs(spark)
+    val f = fs(spark, livePath)
     val dst = new org.apache.hadoop.fs.Path(livePath)
     val staging = new org.apache.hadoop.fs.Path(livePath + ".staging")
     val marker = new org.apache.hadoop.fs.Path(staging, "_SUCCESS")
@@ -57,7 +63,7 @@ object AtomicSwap {
     * The write itself retries with backoff (overwrite ⇒ idempotent).
     */
   def replace(spark: SparkSession, df: DataFrame, livePath: String): Unit = {
-    val f = fs(spark)
+    val f = fs(spark, livePath)
     val dst     = new org.apache.hadoop.fs.Path(livePath)
     val staging = new org.apache.hadoop.fs.Path(livePath + ".staging")
     val old     = new org.apache.hadoop.fs.Path(livePath + ".old")
@@ -81,7 +87,7 @@ object AtomicSwap {
   def compact(spark: SparkSession, livePath: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     recover(spark, livePath)
-    val f = fs(spark)
+    val f = fs(spark, livePath)
     val dst = new org.apache.hadoop.fs.Path(livePath)
     val bytes = f.getContentSummary(dst).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)

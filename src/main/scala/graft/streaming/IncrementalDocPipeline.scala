@@ -83,9 +83,9 @@ class IncrementalDocPipeline(
     // complete and the live dir is gone — promote it instead of treating
     // this as first-run
     graft.sinks.AtomicSwap.recover(spark, storePath)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the FS from the store path so s3a://-style stores work
     val dst = new org.apache.hadoop.fs.Path(storePath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     val existing = if (fs.exists(dst)) Some(spark.read.parquet(storePath)) else None
     // F16 (models.py:9-17): auto_now_add/auto_now stamped at the sink — the

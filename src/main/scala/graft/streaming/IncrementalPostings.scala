@@ -41,9 +41,10 @@ object IncrementalPostings {
   def upsert(spark: SparkSession, storePath: String, dirtyDocs: DataFrame): Unit = {
     val fresh = postingsOf(dirtyDocs)
     graft.sinks.AtomicSwap.recover(spark, storePath)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(new org.apache.hadoop.fs.Path(storePath))
+    // resolve the FS from the store path so s3a://-style stores work
+    val storeP = new org.apache.hadoop.fs.Path(storePath)
+    val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(storeP)
     val merged =
       if (!exists) fresh
       else {
