@@ -1,12 +1,70 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 
 /** Benchmark main: times every SparkEntry query end-to-end (full plan
   * execution into a no-op sink, so scan/shuffle/codegen costs all count and
   * no rows funnel back to the driver) and prints one JSON line.
+  *
+  * Besides wall time, each query carries self-diagnosis fields so an outlier
+  * in the official artifact is attributable without a re-run (three rounds of
+  * bench artifacts carried unexplainable host-contention outliers — e.g. the
+  * round-5 driver recorded q_json_extract at 1.40s where a same-day re-run on
+  * identical code measured 0.34s):
+  *   - jobs:    Spark job count of the min-wall measured run. A 5-row query
+  *              at 97x DuckDB with jobs=2 is host noise; with jobs=40 it's a
+  *              plan problem.
+  *   - cpuSec:  summed executor CPU time of that run. cpuSec >> wall means
+  *              the query really computed that long (parallelism hides it);
+  *              wall >> cpuSec on a multi-job query means scheduling /
+  *              contention, not compute.
+  *   - runSec:  summed task run time (CPU + I/O + scheduler delay inside
+  *              tasks); runSec - cpuSec is the blocked-in-task component.
+  *   - walls:   all three measured wall times. max/min > 1.3 flags a
+  *              contended measurement window — quote the min, distrust the
+  *              rest.
   */
 object Bench {
+
+  /** Counters fed by the listener bus. Events are delivered asynchronously,
+    * so reads go through [[quiesce]] which polls until the counters stop
+    * moving — the poll sits OUTSIDE the timed section and costs one idle
+    * interval (~30ms) per measured run.
+    */
+  private final class DiagListener extends SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    override def onJobStart(ev: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    override def onTaskEnd(ev: SparkListenerTaskEnd): Unit = {
+      val m = ev.taskMetrics
+      if (m != null) { cpuNs.addAndGet(m.executorCpuTime); runMs.addAndGet(m.executorRunTime) }
+    }
+    def snapshot: (Long, Long, Long) = (jobs.get, cpuNs.get, runMs.get)
+    /** Wait until no counter has moved for one interval (bus drained). */
+    def quiesce(): Unit = {
+      var prev = snapshot
+      var spins = 0
+      while (spins < 100) { // cap 3s; the bus drains in one tick in practice
+        Thread.sleep(30)
+        val cur = snapshot
+        if (cur == prev) return
+        prev = cur
+        spins += 1
+      }
+    }
+  }
+
+  private final case class QueryDiag(
+      wall: Double, jobs: Long, cpuSec: Double, runSec: Double, walls: Seq[Double]) {
+    def json: String = {
+      def f(d: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+      s"""{"jobs":$jobs,"cpuSec":${f(cpuSec)},"runSec":${f(runSec)},""" +
+        s""""walls":[${walls.map(f).mkString(",")}]}"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -20,6 +78,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val diag = new DiagListener
+    spark.sparkContext.addSparkListener(diag)
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -33,18 +93,25 @@ object Bench {
       * machine can inflate any single run ~9x (round-1 driver recorded 252s
       * vs 28s reproduced); min is the standard contention-robust statistic.
       */
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[QueryDiag] = {
       try {
         runOnce(fn); runOnce(fn)
-        (1 to 3).map { _ =>
+        val runs = (1 to 3).map { _ =>
+          diag.quiesce()
+          val (j0, c0, r0) = diag.snapshot
           val t0 = System.nanoTime()
           runOnce(fn)
-          (System.nanoTime() - t0) / 1e9
-        }.min
+          val wall = (System.nanoTime() - t0) / 1e9
+          diag.quiesce()
+          val (j1, c1, r1) = diag.snapshot
+          QueryDiag(wall, j1 - j0, (c1 - c0) / 1e9, (r1 - r0) / 1e3, Nil)
+        }
+        val best = runs.minBy(_.wall)
+        Some(best.copy(walls = runs.map(_.wall)))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
+          None
       }
     }
 
@@ -67,10 +134,13 @@ object Bench {
       if (unknown.nonEmpty)
         System.err.println(s"[bench] SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val diags = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) => name -> timeOne(name, fn) }
+    val results = diags.map { case (k, d) => k -> d.map(_.wall).getOrElse(-1.0) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val diagJson = diags.collect { case (k, Some(d)) => "\"" + k + "\":" + d.json }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val baseline = readBaseline(sfDir)
     val baselineJson = baseline match {
@@ -94,7 +164,7 @@ object Bench {
           s""""baseline_meta":"$meta""""
       case None => ""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$baselineJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diag":$diagJson,"sf":"$sfDir"$baselineJson}"""
     // the driver captures only the last N bytes of stdout and the line has
     // outgrown it before — persist the full artifact so each round's bench
     // is self-contained even under tail truncation
