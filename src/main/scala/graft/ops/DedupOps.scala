@@ -28,6 +28,20 @@ object DedupOps {
     intermediate.unpersist()
     out
   }
+
+  /** [[releasing]] for BOUNDED (top-k) results: the ≤k rows (k ≤ 50 across
+    * all callers — a model-serving answer, not data) come back to the driver
+    * and re-enter the plan as a LocalRelation. One job where
+    * localCheckpoint's distributed materialization costs two, and the
+    * downstream consumer reads a LocalTableScan instead of a checkpoint
+    * RDD. Unbounded faces (semDedup's pruned corpus) keep [[releasing]].
+    */
+  private[ops] def releasingBounded(intermediate: DataFrame)(result: DataFrame): DataFrame = {
+    val spark = result.sparkSession
+    val rows = java.util.Arrays.asList(result.collect(): _*)
+    intermediate.unpersist()
+    spark.createDataFrame(rows, result.schema)
+  }
   /** Exact dedup: group by content hash, keep min doc_id as canonical. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)

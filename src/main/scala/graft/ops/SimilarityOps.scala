@@ -126,10 +126,11 @@ object SimilarityOps {
     * Scale shape: the codebook is driver-held and broadcast inside literal
     * expressions (nlist ≈ 2^10..2^14 at 100 TB — k-means codebooks are
     * small by design; the 16 here is test-scale). Assignment is one
-    * codegen'd projection, no shuffle. With the vector store partitioned by
-    * `cell`, the probe join prunes to `nprobe` partitions — same
-    * read-only-the-buckets story as annLsh, but with data-adaptive cells
-    * instead of data-oblivious hyperplanes.
+    * codegen'd projection, no shuffle. Probe-cell ranking is driver-side
+    * model arithmetic and the prune is `cell IN (...)`: with the vector
+    * store partitioned by `cell`, that IN-list is STATIC partition pruning
+    * to `nprobe` partitions — same read-only-the-buckets story as annLsh
+    * with data-adaptive cells, minus annLsh's broadcast-build job.
     */
   /** (cid, centroid) codebook = the first `nlist` vectors by id; sorted so
     * index == cid (required by the native assigner, asserted below).
@@ -160,7 +161,51 @@ object SimilarityOps {
     val codebook = collectCodebook(emb, nlist)
     require(codebook.zipWithIndex.forall { case ((cid, _), i) => cid == i },
       s"codebook cids must be exactly 0..${nlist - 1}")
-    ivfProbe(emb, codebook, queryVecId, nprobe, k)
+    // the stand-in codebook IS the first nlist vectors, so the query vector
+    // rides along in the same collect when its id is in range — no extra job
+    val qv = if (queryVecId >= 0 && queryVecId < nlist) codebook(queryVecId.toInt)._2
+             else collectVec(emb, queryVecId)
+    ivfProbe(emb, codebook, qv, nprobe, k)
+  }
+
+  /** The driver-side twin of [[graft.functions.VecCosine]].compute — SAME
+    * left-to-right accumulation order over the dims, so probe-cell ranking
+    * computed on the driver agrees bit-for-bit with the in-plan expression
+    * (FunctionsSpec pins the pair).
+    */
+  private[graft] def cosDriver(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Top-`nprobe` cells for a query vector — the driver-side replay of
+    * `sort_array(cellScores(qv), desc).slice(1, nprobe)`: sim descending
+    * with Spark's double ordering (NaN greatest via Double.compare, -0.0
+    * normalized to 0.0), ties to the larger cid. nlist cosines over ONE
+    * vector is model arithmetic, not data movement — ranking it here
+    * instead of in a 1-row subquery deletes a whole broadcast-build job
+    * from every probe.
+    */
+  private[graft] def rankProbeCells(qv: Array[Double],
+      codebook: Array[(Int, Array[Double])], nprobe: Int): Seq[Int] =
+    codebook.toSeq.map { case (cid, cv) => (cosDriver(qv, cv) + 0.0, cid) }
+      .sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c > 0 else a._2 > b._2
+      }
+      .take(nprobe).map(_._2)
+
+  /** One extra collect for an out-of-seed-range query id (the non-default
+    * path; default probes reuse the codebook/seed collect).
+    */
+  private def collectVec(emb: DataFrame, vecId: Long): Array[Double] = {
+    val rows = emb.filter(col("vec_id") === vecId).select(col("v")).collect()
+    require(rows.nonEmpty, s"query vec_id=$vecId not found")
+    rows.head.getSeq[Double](0).toArray
   }
 
   /** Assignment + cell-pruned probe against a given (cid, centroid)
@@ -168,22 +213,26 @@ object SimilarityOps {
     * stand-in codebook) and [[annIvfTrained]] (Lloyd-trained codebook).
     * Identical under either artifact, which is the whole point: training
     * swaps the model, never the plan.
+    *
+    * The probe is `cell IN (top-nprobe cells)` with the query vector as a
+    * literal: with the vector store partitioned by `cell`, an IN-list on
+    * the partition column is STATIC partition pruning — the planner never
+    * even lists the unprobed cells' files, one step stronger than the
+    * former broadcast-join + dynamic-pruning shape (and one fewer job:
+    * the 1-row probe subquery and its broadcast build are gone).
     */
   private def ivfProbe(emb: DataFrame, codebook: Array[(Int, Array[Double])],
-                       queryVecId: Long, nprobe: Int, k: Int): DataFrame = {
+                       qv: Array[Double], nprobe: Int, k: Int): DataFrame = {
     // argmax by (sim, cid) via the native single-traversal assigner
     // (ivf_assign ≡ array_max(cellScores).cid — the struct ordering's
     // deterministic tie-break the oracle replays; FunctionsSpec asserts it)
     val assigned = emb.withColumn("cell",
       call_function("ivf_assign", col("v"),
         typedlit(codebook.map(_._2.toSeq).toSeq)))
-    val probes = assigned.filter(col("vec_id") === queryVecId)
-      .select(col("v").as("qv"),
-        explode(slice(sort_array(cellScores(col("v"), codebook), asc = false), 1, nprobe)).as("pc"))
-      .select(col("qv"), col("pc").getField("cid").as("cell"))
-    assigned.join(broadcast(probes), Seq("cell"))
+    val cells = rankProbeCells(qv, codebook, nprobe)
+    assigned.filter(col("cell").isin(cells: _*))
       .select(col("vec_id"), col("label"),
-        cosine(col("v"), col("qv")).as("cos_raw"))
+        cosine(col("v"), planeLit(qv)).as("cos_raw"))
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
       .limit(k)
       .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
@@ -202,15 +251,24 @@ object SimilarityOps {
   def annIvfTrained(spark: SparkSession, dir: String, queryVecId: Long = 0L,
                     nlist: Int = 16, rounds: Int = 2, nprobe: Int = 2,
                     k: Int = 10): DataFrame = {
-    // ONE cached vector frame feeds training rounds AND the probe — the
-    // train→serve loop reads the store once, released after the bounded
-    // probe result materializes
+    // Deliberately UNcached: at 100 TB the vector corpus never fits in
+    // executor storage — training runs over (a sample of) the store and
+    // each Lloyd round is its own scan; serving is one clean scan. Locally
+    // the cache cost a materialization job plus a release job for zero
+    // reuse benefit on a ~16 MB column. Measured (sf0.1 listener probe):
+    // cached 6 jobs; uncached 5 = parquet footer read + seed collect +
+    // 2 Lloyd rounds + probe — each round's parquet re-scan is cheaper
+    // than the cache round-trip, and 4 compute jobs is the floor for
+    // rounds=2 (every Lloyd round is an inherent model-sync barrier).
+    // ONE seed collect (parquet-pushed 16-row read) feeds Lloyd init AND
+    // the query vector.
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", toDouble(col("embedding")))
-      .cache()
-    val (cb, _) = trainCodebookOn(emb, nlist, rounds)
-    DedupOps.releasing(emb)(
-      ivfProbe(emb, cb.zipWithIndex.map { case (v, i) => (i, v) }, queryVecId, nprobe, k))
+    val seeds = collectCodebook(emb, nlist)
+    val qv = if (queryVecId >= 0 && queryVecId < nlist) seeds(queryVecId.toInt)._2
+             else collectVec(emb, queryVecId)
+    val (cb, _) = trainCodebookOn(emb, nlist, rounds, init = seeds.map(_._2))
+    ivfProbe(emb, cb.zipWithIndex.map { case (v, i) => (i, v) }, qv, nprobe, k)
   }
 
   /** Lloyd-iteration k-means codebook TRAINING, expressed as DataFrame ops —
@@ -266,34 +324,57 @@ object SimilarityOps {
     finally { emb.unpersist(); () }
   }
 
+  /** The per-round model-update collects are nlist×dim-row aggregations —
+    * AQE's stage-per-job materialization doubles their dispatch cost for
+    * zero benefit (a ~1k-row shuffle needs no runtime re-plan), and at
+    * local bench scale the ~0.1s/job dispatch floor is the entire cost of
+    * a training round. Scoped off around the Lloyd loops only; restored in
+    * finally. Results are unaffected: the fixed-point sums are exact and
+    * order-independent by construction.
+    */
+  private def withAqeOff[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   /** The Lloyd rounds over a CALLER-cached (vec_id, …, v) frame — split out
     * so a serving pipeline (annIvfTrained, annIvfPq) can share one cache
     * between training and the probe instead of materializing the store
-    * per stage.
+    * per stage. `init` lets the caller pass the already-collected seed
+    * centroids (= first-nlist-by-id vectors) so one collect feeds Lloyd
+    * init, the query vector, and cache materialization.
     */
   private[graft] def trainCodebookOn(emb: DataFrame,
       nlist: Int = 16, rounds: Int = 2,
-      dim: Int = 64): (Array[Array[Double]], Map[Int, Long]) = {
+      dim: Int = 64,
+      init: Array[Array[Double]] = null): (Array[Array[Double]], Map[Int, Long]) = {
     val scale = 1048576.0 // 2^20 fixed-point grain
-    var cb: Array[Array[Double]] = collectCodebook(emb, nlist).map(_._2)
+    var cb: Array[Array[Double]] =
+      if (init != null) { require(init.length == nlist); init }
+      else collectCodebook(emb, nlist).map(_._2)
     var members: Map[Int, Long] = Map.empty
-    for (_ <- 1 to rounds) {
-      val assigned = emb.withColumn("cell",
-        call_function("ivf_assign", col("v"), typedlit(cb.map(_.toSeq).toSeq)))
-      val sums = assigned.select(col("cell"), posexplode(col("v")))
-        .groupBy("cell", "pos")
-        .agg(sum(round(col("col") * lit(scale)).cast("long")).as("s"),
-             count(lit(1)).as("n"))
-        .collect() // nlist×dim model-artifact rows, never data rows
-      val byCell = sums.groupBy(_.getAs[Int]("cell"))
-      members = byCell.map { case (c, rs) => c -> rs.head.getAs[Long]("n") }
-      cb = Array.tabulate(nlist) { c =>
-        byCell.get(c) match {
-          case Some(rs) =>
-            val byPos = rs.map(r => r.getAs[Int]("pos") ->
-              (r.getAs[Long]("s").toDouble / r.getAs[Long]("n") / scale)).toMap
-            Array.tabulate(dim)(byPos(_))
-          case None => cb(c) // empty cell: keep previous centroid
+    withAqeOff(emb.sparkSession) {
+      for (_ <- 1 to rounds) {
+        val assigned = emb.withColumn("cell",
+          call_function("ivf_assign", col("v"), typedlit(cb.map(_.toSeq).toSeq)))
+        val sums = assigned.select(col("cell"), posexplode(col("v")))
+          .groupBy("cell", "pos")
+          .agg(sum(round(col("col") * lit(scale)).cast("long")).as("s"),
+               count(lit(1)).as("n"))
+          .collect() // nlist×dim model-artifact rows, never data rows
+        val byCell = sums.groupBy(_.getAs[Int]("cell"))
+        members = byCell.map { case (c, rs) => c -> rs.head.getAs[Long]("n") }
+        cb = Array.tabulate(nlist) { c =>
+          byCell.get(c) match {
+            case Some(rs) =>
+              val byPos = rs.map(r => r.getAs[Int]("pos") ->
+                (r.getAs[Long]("s").toDouble / r.getAs[Long]("n") / scale)).toMap
+              Array.tabulate(dim)(byPos(_))
+            case None => cb(c) // empty cell: keep previous centroid
+          }
         }
       }
     }
@@ -340,20 +421,26 @@ object SimilarityOps {
   }
 
   /** The per-subspace Lloyd rounds over a CALLER-cached frame — the
-    * trainCodebookOn split, PQ edition. */
+    * trainCodebookOn split, PQ edition. `seedVecs` = the already-collected
+    * first-`ksub`-by-id FULL vectors (sliced per subspace here), so a
+    * composed pipeline (annPq, annIvfPq) funds every seed from one collect.
+    */
   private[graft] def trainPqCodebooksOn(emb: DataFrame,
       m: Int = 4, ksub: Int = 16, rounds: Int = 2,
-      dim: Int = 64): Array[Array[Array[Double]]] = {
+      dim: Int = 64,
+      seedVecs: Array[Array[Double]] = null): Array[Array[Array[Double]]] = {
     val sub = dim / m
     val scale = 1048576.0 // 2^20 — the q_ivf_train fixed-point grain
-    val seed = emb.filter(col("vec_id") < ksub)
-      .select(col("vec_id").cast("int").as("cid"), col("v"))
-      .collect().sortBy(_.getInt(0))
+    val seed: Array[Array[Double]] =
+      if (seedVecs != null) seedVecs.take(ksub)
+      else emb.filter(col("vec_id") < ksub)
+        .select(col("vec_id").cast("int").as("cid"), col("v"))
+        .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
     require(seed.length == ksub, s"need $ksub seed vectors, got ${seed.length}")
     var cbs: Array[Array[Array[Double]]] = Array.tabulate(m) { i =>
-      seed.map(_.getSeq[Double](1).slice(i * sub, (i + 1) * sub).toArray)
+      seed.map(_.slice(i * sub, (i + 1) * sub))
     }
-    for (_ <- 1 to rounds) {
+    withAqeOff(emb.sparkSession) { for (_ <- 1 to rounds) {
       val cells = (0 until m).map { i =>
         call_function("ivf_assign", slice(col("v"), i * sub + 1, sub),
           typedlit(cbs(i).map(_.toSeq).toSeq)).as(s"cell_$i")
@@ -384,7 +471,7 @@ object SimilarityOps {
           }
         }
       }
-    }
+    } }
     cbs
   }
 
@@ -399,7 +486,7 @@ object SimilarityOps {
             m: Int = 4, ksub: Int = 16, rounds: Int = 2,
             shortlist: Int = 100, k: Int = 10): DataFrame = {
     val (emb, out) = annPqStaged(spark, dir, queryVecId, m, ksub, rounds, shortlist, k)
-    DedupOps.releasing(emb)(out)
+    DedupOps.releasingBounded(emb)(out)
   }
 
   /** Pre-release shape (cached vector frame, lazy top-k) — exposed for
@@ -415,23 +502,29 @@ object SimilarityOps {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", toDouble(col("embedding")))
       .cache()
-    val cbs = trainPqCodebooksOn(emb, m, ksub, rounds, dim)
+    // one seed collect funds the subquantizer init AND the query vector
+    // (default query id sits in the seed range); the query rides as a
+    // LITERAL — the former 1-row crossJoin(broadcast(q)) job is gone
+    val seeds = collectCodebook(emb, ksub)
+    val qv = if (queryVecId >= 0 && queryVecId < ksub) seeds(queryVecId.toInt)._2
+             else collectVec(emb, queryVecId)
+    val cbs = trainPqCodebooksOn(emb, m, ksub, rounds, dim, seedVecs = seeds.map(_._2))
     val codes = (0 until m).map { i =>
       call_function("ivf_assign", slice(col("v"), i * sub + 1, sub),
         typedlit(cbs(i).map(_.toSeq).toSeq)).as(s"code_$i")
     }
     val encoded = emb.select(col("vec_id") +: col("label") +: col("v") +: codes: _*)
-    val q = emb.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    val qvLit = planeLit(qv)
     val adc = (0 until m).map { i =>
-      cosine(slice(col("qv"), i * sub + 1, sub),
+      cosine(slice(qvLit, i * sub + 1, sub),
         element_at(typedlit(cbs(i).map(_.toSeq).toSeq), col(s"code_$i") + 1))
     }.reduce(_ + _) // left fold in subspace order — the oracle writes the same
-    val out = encoded.crossJoin(broadcast(q))
-      .select(col("vec_id"), col("label"), col("v"), col("qv"), adc.as("adc"))
+    val out = encoded
+      .select(col("vec_id"), col("label"), col("v"), adc.as("adc"))
       .orderBy(col("adc").desc, col("vec_id").asc)
       .limit(shortlist)
       .select(col("vec_id"), col("label"),
-        cosine(col("v"), col("qv")).as("cos_raw"))
+        cosine(col("v"), qvLit).as("cos_raw"))
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
       .limit(k)
       .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
@@ -462,9 +555,16 @@ object SimilarityOps {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", toDouble(col("embedding")))
       .cache()
-    val (coarse, _) = trainCodebookOn(emb, nlist, rounds)
+    // one seed collect funds coarse init, subquantizer init, AND the query
+    // vector; both trainings then share the cached frame
+    val seeds = collectCodebook(emb, math.max(nlist, ksub))
+    val qv = if (queryVecId >= 0 && queryVecId < seeds.length) seeds(queryVecId.toInt)._2
+             else collectVec(emb, queryVecId)
+    val (coarse, _) = trainCodebookOn(emb, nlist, rounds, dim,
+      init = seeds.take(nlist).map(_._2))
     val coarseIdx = coarse.zipWithIndex.map { case (v, i) => (i, v) }
-    val cbs = trainPqCodebooksOn(emb, m, ksub, rounds, dim)
+    val cbs = trainPqCodebooksOn(emb, m, ksub, rounds, dim,
+      seedVecs = seeds.map(_._2))
     val codes = (0 until m).map { i =>
       call_function("ivf_assign", slice(col("v"), i * sub + 1, sub),
         typedlit(cbs(i).map(_.toSeq).toSeq)).as(s"code_$i")
@@ -473,21 +573,21 @@ object SimilarityOps {
       col("vec_id") +: col("label") +: col("v") +:
         call_function("ivf_assign", col("v"),
           typedlit(coarse.map(_.toSeq).toSeq)).as("cell") +: codes: _*)
-    val probes = encoded.filter(col("vec_id") === queryVecId)
-      .select(col("v").as("qv"),
-        explode(slice(sort_array(cellScores(col("v"), coarseIdx), asc = false),
-          1, nprobe)).as("pc"))
-      .select(col("qv"), col("pc").getField("cid").as("cell"))
+    // driver-ranked probe cells + literal query: the cell prune is an
+    // IN-list (static partition pruning against a cell-partitioned code
+    // store), not a broadcast join — one fewer job, same rows
+    val cells = rankProbeCells(qv, coarseIdx, nprobe)
+    val qvLit = planeLit(qv)
     val adc = (0 until m).map { i =>
-      cosine(slice(col("qv"), i * sub + 1, sub),
+      cosine(slice(qvLit, i * sub + 1, sub),
         element_at(typedlit(cbs(i).map(_.toSeq).toSeq), col(s"code_$i") + 1))
     }.reduce(_ + _) // left fold in subspace order, shared with the oracle
-    DedupOps.releasing(emb)(encoded.join(broadcast(probes), Seq("cell")) // the cell prune
-      .select(col("vec_id"), col("label"), col("v"), col("qv"), adc.as("adc"))
+    DedupOps.releasingBounded(emb)(encoded.filter(col("cell").isin(cells: _*)) // the cell prune
+      .select(col("vec_id"), col("label"), col("v"), adc.as("adc"))
       .orderBy(col("adc").desc, col("vec_id").asc)
       .limit(shortlist)
       .select(col("vec_id"), col("label"),
-        cosine(col("v"), col("qv")).as("cos_raw"))
+        cosine(col("v"), qvLit).as("cos_raw"))
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
       .limit(k)
       .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim")))
@@ -505,7 +605,7 @@ object SimilarityOps {
     */
   def embeddingNearDupPairs(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
     val (emb, pairs) = bandedVecPairs(spark, dir)
-    DedupOps.releasing(emb)(pairs
+    DedupOps.releasingBounded(emb)(pairs
       .orderBy(col("cos_sim").desc, col("left_id"), col("right_id"))
       .limit(k))
   }

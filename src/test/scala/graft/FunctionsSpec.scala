@@ -355,6 +355,34 @@ class FunctionsSpec extends SparkSpecBase {
     }
   }
 
+  test("cosDriver ≡ vec_cosine — the driver-side probe ranking replays the plan bit-for-bit") {
+    GraftFunctions.register(spark)
+    val emb = graft.Tables.embeddings(spark, sf)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val qv = emb.filter(col("vec_id") === 0L).select(col("v"))
+      .collect().head.getSeq[Double](0).toArray
+    val rows = emb.select(col("vec_id"), col("v"),
+        graft.ops.SimilarityOps.cosine(col("v"),
+          array(qv.map(lit(_)): _*)).as("native"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val driver = graft.ops.SimilarityOps.cosDriver(r.getSeq[Double](1).toArray, qv)
+      assert(java.lang.Double.doubleToLongBits(driver) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"vec ${r.getLong(0)}")
+    }
+    // and the full probe-cell ranking agrees with the in-plan
+    // sort_array(cellScores, desc) ordering it replaced, at every nprobe
+    val codebook = graft.ops.SimilarityOps.collectCodebook(emb, 16)
+    val planRank = emb.filter(col("vec_id") === 0L)
+      .select(explode(sort_array(
+        graft.ops.SimilarityOps.cellScores(col("v"), codebook), asc = false)).as("pc"))
+      .select(col("pc.cid")).collect().map(_.getInt(0)).toSeq
+    for (nprobe <- Seq(1, 2, 4, 16))
+      assert(graft.ops.SimilarityOps.rankProbeCells(qv, codebook, nprobe) ===
+        planRank.take(nprobe), s"nprobe=$nprobe")
+  }
+
   test("vec_cosine edge cases: length mismatch / null element → null; zero vector → NaN") {
     GraftFunctions.register(spark)
     val df = Seq(

@@ -103,9 +103,18 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("bit_count"), s"corpus-wide hamming filter resurfaced:\n$p")
   }
 
-  test("annIvf: candidate probe is a broadcast join on cell, no corpus-wide sort before limit") {
+  test("annIvf: candidate probe is a cell IN-list filter — no join, no corpus-wide sort before limit") {
+    // the probe cells are ranked on the driver (model arithmetic) and the
+    // query vector rides as a literal: the plan must be filter → project →
+    // partial top-k with NO join at all (the former broadcast-probe shape
+    // cost a whole broadcast-build job for a 1-row subquery). An IN-list on
+    // `cell` is static partition pruning against a cell-partitioned store.
     val p = plan(SimilarityOps.annIvf(spark, sf))
-    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe join in:\n$p")
+    assert(!p.contains("Join"), s"probe must not join — cell IN-list expected in:\n$p")
+    // Catalyst collapses the `cell` alias: the filter reads as a direct
+    // `ivf_assign(v, codebook) IN (probed cells)` — one codegen'd stage
+    assert(p.contains("ivf_assign") && p.contains(" IN ("),
+      s"expected assignment IN-list prune in:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k re-rank in:\n$p")
   }
 
@@ -183,16 +192,17 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
   }
 
-  test("annPq: encode + ADC are projections over a broadcast query — single corpus pass, partial top-k") {
+  test("annPq: encode + ADC are pure projections — single joinless corpus pass, partial top-k") {
     // pre-release shape: the shipped annPq wraps this in a localCheckpoint
     // (opaque RDD scan), so the pins read the staged plan
     val (embCache, staged) = SimilarityOps.annPqStaged(spark, sf)
     val p = try plan(staged) finally embCache.unpersist()
     // encoding and ADC ride in projections (ivf_assign / vec_cosine are
-    // per-row expressions); the only joins are the 1-row query broadcast
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"expected the 1-row query broadcast in:\n$p")
-    assert(!p.contains("CartesianProduct"), s"no cartesian allowed in:\n$p")
+    // per-row expressions) with the query vector as a LITERAL — the former
+    // 1-row crossJoin(broadcast(q)) shape cost a broadcast-build job; the
+    // plan must now contain no join of any kind
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"PQ scan must be joinless (query vector is a literal) in:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k shortlist in:\n$p")
     // exactly two Exchange-free corpus consumers: no shuffle of the vectors
     assert(!p.contains("Exchange hashpartitioning(vec_id"),
