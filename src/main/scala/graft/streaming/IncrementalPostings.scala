@@ -56,10 +56,14 @@ object IncrementalPostings {
     graft.sinks.AtomicSwap.replace(spark, merged, storePath)
   }
 
-  /** The maintained store as a postings DataFrame for the search faces. */
+  /** The maintained store as a postings DataFrame for the search faces.
+    * Schema-cached read: (token, doc_id, tf) is the store's contract, so
+    * repeat queries skip the footer-inference job (ticks rewrite content,
+    * never the schema).
+    */
   def load(spark: SparkSession, storePath: String): DataFrame = {
     graft.sinks.AtomicSwap.recover(spark, storePath)
-    spark.read.parquet(storePath)
+    graft.Tables.parquetCached(spark, storePath)
   }
 }
 

@@ -84,15 +84,17 @@ class PlanSpec extends SparkSpecBase {
     }.isEmpty, s"found an Aggregate ABOVE a join (post-join regroup):\n$opt")
   }
 
-  test("invertedSearch: the query-term filter prunes the postings below the tf group") {
+  test("invertedSearch: served from the postings STORE — term IN-list pushed into the scan, no re-analysis") {
     val p = plan(SearchOps.invertedSearch(spark, sf))
-    // the IN-filter on token must run before the (token, doc_id) aggregate —
-    // i.e. inside the generate/scan stage, not between the two aggregates
-    val lines = p.linesIterator.toSeq
-    val filterIdx = lines.lastIndexWhere(l => l.contains("Filter") && l.contains("token"))
-    val aggIdx = lines.indexWhere(l => l.contains("HashAggregate") || l.contains("ObjectHashAggregate"))
-    assert(filterIdx > aggIdx && filterIdx >= 0 && aggIdx >= 0,
-      s"token filter (line $filterIdx) should be BELOW (printed after) the first aggregate (line $aggIdx):\n$p")
+    // the query reads the maintained (token, doc_id, tf) store: the plan
+    // must contain NO analyzer/explode subtree (that pass was paid once at
+    // store build), and the term IN-list must reach the parquet scan as a
+    // pushed filter — at scale with a token-bucketed store this is the
+    // read-only-your-terms'-buckets shape
+    assert(!p.contains("ru_en_analyze"),
+      s"store-served search must not re-analyze the corpus:\n$p")
+    assert(p.contains("PushedFilters: [In(token"),
+      s"expected the term IN-list pushed into the store scan:\n$p")
   }
 
   test("annLsh: probe is an equi-join on sig — no corpus-wide hamming filter") {
@@ -173,15 +175,26 @@ class PlanSpec extends SparkSpecBase {
     } finally cells.unpersist()
   }
 
-  test("rankedSearch: postings pruned by the term IN-list below the tf group; idf join broadcast") {
+  test("rankedSearch: served from the postings STORE — pushed term IN-list, broadcast idf join, partial top-k") {
     val p = plan(SearchOps.rankedSearch(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast idf join in:\n$p")
-    val lines = p.linesIterator.toSeq
-    val filterIdx = lines.lastIndexWhere(l => l.contains("Filter") && l.contains("token"))
-    val aggIdx = lines.indexWhere(l => l.contains("HashAggregate") || l.contains("ObjectHashAggregate"))
-    assert(filterIdx > aggIdx && filterIdx >= 0 && aggIdx >= 0,
-      s"term filter (line $filterIdx) should sit BELOW the first aggregate (line $aggIdx):\n$p")
+    assert(!p.contains("ru_en_analyze"),
+      s"store-served search must not re-analyze the corpus:\n$p")
+    assert(p.contains("PushedFilters: [In(token"),
+      s"expected the term IN-list pushed into the store scan:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+  }
+
+  test("keywords: served from the postings STORE — one store scan, df window on the token exchange") {
+    val p = plan(SearchOps.keywords(spark, sf))
+    assert(!p.contains("ru_en_analyze"),
+      s"keywords must read the maintained store, not re-analyze the corpus:\n$p")
+    // df = count over Window.partitionBy(token): exactly one exchange on
+    // token feeding the window — a groupBy+join-back shape would scan the
+    // store twice and show a join here
+    assert(p.contains("Window"), s"expected the df count window in:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"df must come from the window, not a join-back:\n$p")
   }
 
   test("fuzzySearchIndexed: broadcast query-gram and verified-token joins, no cartesian, partial top-k") {
