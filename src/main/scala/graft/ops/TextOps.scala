@@ -471,21 +471,38 @@ object TextOps {
     (counts, out)
   }
 
-  /** PII scrubbing: redact emails and long digit runs (phone/ID shapes),
-    * reporting per-row hit counts — the masking pass a curation pipeline
-    * runs before publication. Patterns are RE2-compatible (no lookaround)
-    * so the oracle replays them verbatim; per-row codegen, no shuffle.
+  /** PII scrubbing: redact emails, IPv4-shaped dotted quads, credit-card-
+    * shaped digit groups, and long digit runs (phone/ID shapes), reporting
+    * per-CLASS hit counts — the masking pass a curation pipeline runs
+    * before publication.
+    *
+    * Classes are applied most-specific-first (email → ip → card → number),
+    * and each class is counted on the text with the EARLIER classes already
+    * masked — that makes every count well-defined (an IPv4 is digits+dots
+    * and would otherwise also count as phone-like; a 16-digit card run
+    * would otherwise also be a digit run) and the whole cascade a single
+    * deterministic rewrite both engines replay in the same order. No
+    * lookaround and no \b (Java's is Unicode-aware, RE2's is ASCII — a
+    * digit touching a Cyrillic letter would diverge), so the patterns are
+    * RE2-portable verbatim; per-row codegen, no shuffle.
     */
   def piiScrub(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val emailP = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipP = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val cardP = "[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}"
     val phoneP = "[0-9][0-9 ()+.-]{7,}[0-9]"
+    val t1 = regexp_replace(col("text"), emailP, "<EMAIL>")
+    val t2 = regexp_replace(t1, ipP, "<IP>")
+    val t3 = regexp_replace(t2, cardP, "<CARD>")
+    val scrubbed = regexp_replace(t3, phoneP, "<NUMBER>")
     d.select(
       col("doc_id"),
       regexp_count(col("text"), lit(emailP)).as("n_emails"),
-      regexp_count(col("text"), lit(phoneP)).as("n_phonelike"),
-      md5(regexp_replace(regexp_replace(col("text"),
-        emailP, "<EMAIL>"), phoneP, "<NUMBER>").cast("binary")).as("scrubbed_md5"))
+      regexp_count(t1, lit(ipP)).as("n_ips"),
+      regexp_count(t2, lit(cardP)).as("n_cards"),
+      regexp_count(t3, lit(phoneP)).as("n_phonelike"),
+      md5(scrubbed.cast("binary")).as("scrubbed_md5"))
   }
 
   val oracle: Map[String, String] = Map(
@@ -631,13 +648,22 @@ object TextOps {
         |    AS token_share
         |FROM m""".stripMargin,
     "q_pii_scrub" ->
-      """SELECT doc_id,
+      """WITH s1 AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM documents),
+        |s2 AS (SELECT *, regexp_replace(t1,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t2 FROM s1),
+        |s3 AS (SELECT *, regexp_replace(t2,
+        |    '[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}', '<CARD>', 'g') AS t3 FROM s2)
+        |SELECT doc_id,
         |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        |  len(regexp_extract_all(text, '[0-9][0-9 ()+.-]{7,}[0-9]')) AS n_phonelike,
-        |  md5(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '[0-9][0-9 ()+.-]{7,}[0-9]', '<NUMBER>', 'g')) AS scrubbed_md5
-        |FROM documents""".stripMargin,
+        |  len(regexp_extract_all(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
+        |  len(regexp_extract_all(t2, '[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}')) AS n_cards,
+        |  len(regexp_extract_all(t3, '[0-9][0-9 ()+.-]{7,}[0-9]')) AS n_phonelike,
+        |  md5(regexp_replace(t3, '[0-9][0-9 ()+.-]{7,}[0-9]', '<NUMBER>', 'g')) AS scrubbed_md5
+        |FROM s3""".stripMargin,
     "q_length_stats" ->
       """SELECT lang,
         |  COUNT(*) AS n_docs,

@@ -97,6 +97,39 @@ class TextSpec extends SparkSpecBase {
     assert(out(2L).getAs[String]("scrubbed_md5") === rawMd5(2L))
   }
 
+  test("piiScrub: ip / card / phone classes are disjoint via the progressive cascade") {
+    // each class counted on text with earlier classes masked: the IPv4 must
+    // NOT also count as phone-like (digits+dots would match the digit-run
+    // pattern), the card must not count as phone-like, and separated card
+    // spellings (spaces, dashes, contiguous) all land in n_cards
+    val df = Seq(
+      (1L, "server at 10.0.255.31 answered"),             // ip only
+      (2L, "pay with 4111 1111 1111 1111 today"),         // spaced card
+      (3L, "or 4111-1111-1111-1111 and 4000123456789010"), // dashed + contiguous
+      (4L, "call +7 (495) 123-45-67 now"),                // phone only
+      (5L, "jane@example.org from 192.168.1.1 card 5500 0000 0000 0004 tel 8 800 2000 600"),
+      (6L, "version 1.2.3 is not an ip, 3.14 is not pii"))
+      .toDF("doc_id", "text")
+    df.write.mode("overwrite").parquet("/tmp/graft_pii_docs2/documents.parquet")
+    val out = TextOps.piiScrub(spark, "/tmp/graft_pii_docs2")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def counts(id: Long) = (out(id).getAs[Int]("n_emails"), out(id).getAs[Int]("n_ips"),
+      out(id).getAs[Int]("n_cards"), out(id).getAs[Int]("n_phonelike"))
+    assert(counts(1L) === ((0, 1, 0, 0)))
+    assert(counts(2L) === ((0, 0, 1, 0)))
+    assert(counts(3L) === ((0, 0, 2, 0)))
+    assert(counts(4L) === ((0, 0, 0, 1)))
+    assert(counts(5L) === ((1, 1, 1, 1)))
+    assert(counts(6L) === ((0, 0, 0, 0)))
+    // no-PII rows keep their raw hash; every class masks when present
+    val rawMd5 = Tables.documents(spark, "/tmp/graft_pii_docs2")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Seq(1L, 2L, 3L, 4L, 5L).foreach(id =>
+      assert(out(id).getAs[String]("scrubbed_md5") !== rawMd5(id), s"doc $id"))
+    assert(out(6L).getAs[String]("scrubbed_md5") === rawMd5(6L))
+  }
+
   test("fingerprint: whitespace/case-normalized texts collide, distinct texts don't") {
     val df = Seq(
       (1L, "The quick  brown fox"),
