@@ -174,6 +174,60 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  // ---- recall sweeps (sf0.01 = the driver's correctness scale: 500 vectors,
+  // 16 cells — large enough that pruning is real). Ground truth is
+  // cosineTopK; every number below is DETERMINISTIC (fixed data, fixed-point
+  // Lloyd training, literal-seeded hyperplanes), so these pin measured
+  // serving quality, not luck. Measured 2026-08-13 on sf0.01:
+  //   annIvf        nprobe 1,2,4,8,16 → 0.9, 1.0, 1.0, 1.0, 1.0
+  //   annIvfTrained nprobe 1,2,4,8,16 → 0.7, 0.9, 0.9, 1.0, 1.0
+  //   annIvfPq (shortlist=25·nprobe)  → 0.7, 0.9, 0.9, 1.0, 1.0
+  //   annPq ksub=16, shortlist 12,25,50,100 → 0.3, 0.4, 0.6, 0.8
+  // Negative control, also measured: with the shortlist FIXED at 50, IVFPQ
+  // recall peaks at nprobe=2 (0.9) and FALLS to 0.6 by nprobe=16 — more
+  // probed cells flood the fixed-depth ADC shortlist and crowd out true
+  // neighbors. The serving rule this suite pins: scale the re-rank depth
+  // with the probe width. (recall-vs-ksub is NOT monotone on this corpus —
+  // ksub 4,8,16 at shortlist=25 → 0.6, 0.6, 0.4 — so the PQ knob asserted
+  // here is the re-rank depth, the knob a deployment actually turns.)
+
+  private val sf01 = "/root/testdata/sf0.01"
+  private lazy val brute01: Set[Long] =
+    SimilarityOps.cosineTopK(spark, sf01).collect().map(_.getAs[Long]("vec_id")).toSet
+  private def recall01(df: org.apache.spark.sql.DataFrame): Double =
+    df.collect().map(_.getAs[Long]("vec_id")).count(brute01).toDouble / brute01.size
+
+  test("recall sweep: annIvf and annIvfTrained improve monotonically in nprobe, to 1.0 at full probe") {
+    for (ann <- Seq(
+        (np: Int) => SimilarityOps.annIvf(spark, sf01, nprobe = np),
+        (np: Int) => SimilarityOps.annIvfTrained(spark, sf01, nprobe = np))) {
+      val recalls = Seq(1, 2, 4, 8, 16).map(np => recall01(ann(np)))
+      assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+        s"recall not monotone in nprobe: $recalls")
+      assert(recalls.head >= 0.5, s"single-cell probe recall collapsed: $recalls")
+      // nprobe = nlist probes every cell — the prune is gone, so serving
+      // MUST equal brute force exactly, not approximately
+      assert(recalls.last === 1.0, s"full probe must be exhaustive: $recalls")
+    }
+  }
+
+  test("recall sweep: annIvfPq with re-rank depth scaled to probe width is monotone to 1.0") {
+    val recalls = Seq(1, 2, 4, 8, 16).map(np =>
+      recall01(SimilarityOps.annIvfPq(spark, sf01, nprobe = np, shortlist = 25 * np)))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in (nprobe, shortlist): $recalls")
+    assert(recalls.last === 1.0,
+      s"full probe + 400-deep exact re-rank recovered the whole true top-10 when measured; regression: $recalls")
+  }
+
+  test("recall sweep: annPq recall is monotone in re-rank depth, ≥0.8 at shortlist=100") {
+    val recalls = Seq(12, 25, 50, 100).map(sl =>
+      recall01(SimilarityOps.annPq(spark, sf01, shortlist = sl)))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in shortlist: $recalls")
+    assert(recalls.last >= 0.8, s"PQ recall@10 at shortlist=100 fell: $recalls")
+  }
+
   test("cosine expression: hand-checked value on unit vectors") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
