@@ -72,6 +72,116 @@ class ReferenceEtlSpec extends SparkSpecBase {
     assert(etl().tickAll(spark) === Map("movies" -> 0L, "genres" -> 0L, "persons" -> 0L))
   }
 
+  test("composed loop: one CDC sequence rebuilds docs, freshens the search index, flags a near-dup") {
+    // the reference's whole operating loop (etl/main.py:357-385) as one
+    // assertion: poll changes → rebuild documents → re-index for search —
+    // plus the ingestion-time near-dup screen a curation deployment bolts
+    // onto the same tick. Three maintained faces, one change feed.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{IncrementalSearchPipeline, StreamingOps}
+    import graft.ops.SearchOps
+    implicit val s: SparkSession = spark
+
+    val cbase = "/tmp/graft_composed_loop"
+    val cfeed = s"$cbase/feed"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(cbase), true)
+
+    // plant the near-dup INSIDE the real data: two orders by the same
+    // customer with the same status have identical doc text under the
+    // text projection below (customer/nation/region/status all match)
+    val pair = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_custkey", "o_orderstatus")
+      .agg(min("l_partkey").as("p"), min("l_suppkey").as("su"))
+      .groupBy("o_custkey", "o_orderstatus")
+      .agg(sort_array(collect_set(struct(col("o_orderkey"), col("p"), col("su")))).as("m"))
+      .filter(size(col("m")) >= 2)
+      .orderBy(col("o_custkey"), col("o_orderstatus")).limit(1)
+      .select(explode(slice(col("m"), 1, 2))).collect()
+    val Array(r1, r2) = pair.map(_.getStruct(0))
+    val (o1, o2) = (r1.getLong(0), r2.getLong(0))
+
+    def writeCFeed(r: org.apache.spark.sql.Row, ts: String): Unit =
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2), ts))
+        .toDF("order_id", "part_id", "supp_id", "m")
+        .withColumn("modified", col("m").cast("timestamp")).drop("m")
+        .write.mode(SaveMode.Append).parquet(cfeed)
+
+    val etl = new ReferenceEtl(sf, cbase, s => s.read.parquet(cfeed))
+    // search face: index the REBUILT documents — text is a projection of
+    // the movies store, modified rides in from the same change feed
+    def docText(df: DataFrame): DataFrame = df.select(col("id").as("doc_id"),
+      concat_ws(" ", col("customer"), col("nation"), col("region"), col("status")).as("text"))
+    val search = new IncrementalSearchPipeline(
+      changes = s => docText(s.read.parquet(s"$cbase/movies_store"))
+        .join(s.read.parquet(cfeed).select(col("order_id").as("doc_id"), col("modified")),
+          Seq("doc_id")),
+      storePath = s"$cbase/postings_store",
+      statePath = s"$cbase/postings_state")
+    // near-dup face: the tick's rebuilt docs stream through the stateful
+    // LSH screen — micro-batch per tick, detection across ticks
+    val nd = MemoryStream[(Long, String)](spark)
+    val ndq = StreamingOps.streamingNearDup(nd.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("composed_nd").outputMode("append").start()
+    try {
+      def tickedDocs(ids: Seq[Long]): Seq[(Long, String)] =
+        docText(spark.read.parquet(s"$cbase/movies_store"))
+          .filter(col("doc_id").isin(ids: _*)).as[(Long, String)].collect().toSeq
+
+      // tick 1: first order changes — doc store rebuilds it, index learns
+      // its tokens, near-dup screen admits it silently
+      writeCFeed(r1, "2024-01-01 10:00:00")
+      assert(etl.tickAll(spark)("movies") === 1L)
+      assert(search.tick(spark) === 1L)
+      nd.addData(tickedDocs(Seq(o1)): _*)
+      ndq.processAllAvailable()
+      assert(spark.table("composed_nd").count() === 0, "no duplicate exists yet")
+
+      // tick 2: the same-customer order changes — rebuilt, indexed, FLAGGED
+      writeCFeed(r2, "2024-01-01 11:00:00")
+      assert(etl.tickAll(spark)("movies") === 1L)
+      assert(search.tick(spark) === 1L)
+      nd.addData(tickedDocs(Seq(o2)): _*)
+      ndq.processAllAvailable()
+
+      // docs: both rebuilt docs converged to the full build
+      val store = storeRowsAt(s"$cbase/movies_store")
+      Seq(o1, o2).foreach { k =>
+        val got = store.filter(col("id") === k).collect()
+        val want = DocumentOps.orderDocsDF(spark, sf).filter(col("id") === k).collect()
+        assert(got.length === 1 && want.length === 1 && got.head.toSeq === want.head.toSeq)
+      }
+      // search: the maintained postings serve both docs for the shared
+      // tokens — identical text ⇒ identical token sets
+      val postings = graft.streaming.IncrementalPostings.load(spark, s"$cbase/postings_store")
+      val byDoc = postings.filter(col("doc_id").isin(o1, o2))
+        .collect().groupBy(_.getAs[Long]("doc_id"))
+        .map { case (d, rs) => d -> rs.map(r => (r.getAs[String]("token"), r.getAs[Long]("tf"))).toSet }
+      assert(byDoc.keySet === Set(o1, o2))
+      assert(byDoc(o1) === byDoc(o2), "identical text must index identically")
+      assert(byDoc(o1).nonEmpty)
+      // and the search face finds BOTH through the store
+      val hits = SearchOps.postingsSearch(postings, byDoc(o1).head._1)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(Set(o1, o2).subsetOf(hits))
+      // near-dup: the cross-tick pair surfaced with full signature agreement
+      val dups = spark.table("composed_nd").collect()
+        .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"),
+          r.getAs[Double]("est_jaccard"))).toSet
+      assert(dups === Set((math.min(o1, o2), math.max(o1, o2), 1.0)))
+
+      // watermarks: every face is caught up — the next tick is a no-op
+      assert(etl.tickAll(spark) === Map("movies" -> 0L, "genres" -> 0L, "persons" -> 0L))
+      assert(search.tick(spark) === 0L)
+    } finally ndq.stop()
+  }
+
+  private def storeRowsAt(path: String): DataFrame = spark.read.parquet(path)
+
   test("streaming face: crash BETWEEN pipelines mid-batch, restart from checkpoint converges") {
     import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
     import org.apache.spark.sql.types._
