@@ -239,4 +239,19 @@ class PlanSpec extends SparkSpecBase {
         s"expected exactly one live (doc_id, text) scoring scan, got $liveScans:\n$p")
     } finally counts.unpersist()
   }
+
+  test("unigramLogprob: scoring SERVES the model store — one corpus scan, no re-fit in the plan") {
+    val p = plan(graft.ops.TextOps.unigramLogprob(spark, sf))
+    // the (token, logp) model rides in from the per-dir store (parquet
+    // under graft-unigram-*), broadcast to the scoring scan; the corpus is
+    // read exactly once (the token projection) and the fit's count/total
+    // aggregates appear nowhere — they ran once at store build
+    assert(p.contains("graft-unigram-"),
+      s"expected the served model store scan in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast model join in:\n$p")
+    val corpusScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet"))
+    assert(corpusScans == 1,
+      s"expected exactly one corpus scan in the scoring plan, got $corpusScans:\n$p")
+  }
 }
