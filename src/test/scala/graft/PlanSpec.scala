@@ -240,6 +240,19 @@ class PlanSpec extends SparkSpecBase {
     } finally counts.unpersist()
   }
 
+  test("mediaAnn: retrieval SERVES the embedding store — joinless scan, no per-query encode") {
+    val p = plan(graft.ops.MultimodalOps.mediaAnn(spark, sf))
+    // encode-once serving: the plan reads the materialized (doc_id,
+    // media_type, v) store and never re-derives bytes→vector (no md5
+    // chain), never joins (query vector is a literal), and finishes with
+    // a partial top-k
+    assert(p.contains("graft-media-"),
+      s"expected the served media-embedding store scan in:\n$p")
+    assert(!p.contains("md5"), s"per-query re-encode leaked into the plan:\n$p")
+    assert(!p.contains("Join"), s"retrieval must be joinless (literal query vector):\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+  }
+
   test("unigramLogprob: scoring SERVES the model store — one corpus scan, no re-fit in the plan") {
     val p = plan(graft.ops.TextOps.unigramLogprob(spark, sf))
     // the (token, logp) model rides in from the per-dir store (parquet
