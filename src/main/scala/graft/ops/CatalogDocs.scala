@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object CatalogDocs {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.Tables.parquetCached(spark, s"$dir/$name.parquet")
 
   /** Django writes either verbose role names or 2-letter codes
     * (my_app/movies/models.py:37-42) — the reference's doc builder accepts

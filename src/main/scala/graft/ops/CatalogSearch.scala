@@ -76,7 +76,10 @@ object CatalogSearch {
     */
   def analyzeQuery(q: String): Seq[String] = {
     val stops = AllStops.toSet
-    q.toLowerCase.split(TokSplit).toSeq
+    // Locale.ROOT: the plan side lowercases with Spark's locale-independent
+    // Lower; a default-locale toLowerCase would diverge on e.g. tr_TR
+    // (I → dotless ı) and silently miss every index term
+    q.toLowerCase(java.util.Locale.ROOT).split(TokSplit).toSeq
       .map(_.replaceAll("^'+|'+$", "").replace('ё', 'е'))
       .filter(t => t.nonEmpty && !stops(t))
       .map(stem1Str)
@@ -113,13 +116,18 @@ object CatalogSearch {
   def queryString(docs: DataFrame, q: String): DataFrame = {
     val toks = analyzeQuery(q.replace("//", "/"))
     require(toks.nonEmpty, s"query_string '$q' analyzed to nothing")
-    val qArr = lit(toks.toArray)
     val perTerm = toks.map { t =>
       val one = lit(Array(t))
-      (TextScalarFields.map(f => arrays_overlap(catalogAnalyze(col(f)), one)) ++
-       TextArrayFields.map(f =>
-         exists(col(f), v => arrays_overlap(catalogAnalyze(v), one))))
-        .reduce(_ || _).cast("int")
+      // coalesce to false: a NULL text field (description is nullable)
+      // makes its overlap NULL, and `false || NULL` is NULL — without the
+      // guard one missing field poisons the whole term sum and drops docs
+      // that matched on OTHER fields (ES treats a missing field as
+      // simply not matching)
+      coalesce(
+        (TextScalarFields.map(f => arrays_overlap(catalogAnalyze(col(f)), one)) ++
+         TextArrayFields.map(f =>
+           exists(col(f), v => arrays_overlap(catalogAnalyze(v), one))))
+          .reduce(_ || _), lit(false)).cast("int")
     }
     docs.select(col("id"), col("title"), perTerm.reduce(_ + _).as("score"))
       .filter(col("score") > 0)

@@ -83,7 +83,7 @@ object SearchOps {
   /** Analyze a query string at plan time (driver-side, same rules). */
   def analyzeQuery(q: String): Seq[String] = {
     val stops = AllStops.toSet
-    q.toLowerCase.split("[^a-z0-9а-яё']+").toSeq
+    q.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9а-яё']+").toSeq
       .map(_.replaceAll("^'+|'+$", "").replace('ё', 'е'))
       .filter(t => t.nonEmpty && !stops(t))
       .map(_.replaceAll("'s$", "").replaceAll("([a-z]{2,}[^suoi])s$", "$1")
@@ -285,14 +285,18 @@ object SearchOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def servedPostings(spark: SparkSession, dir: String): DataFrame = {
-    val path = servedStores.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft-postings-")
-        .resolve("postings").toString
-      graft.streaming.IncrementalPostings.upsert(spark, p,
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      p
+    // version-stamped path: a rewritten documents table yields a NEW store
+    // location, so a stale index is never served (it is never read again)
+    val p = Tables.derivedStorePath(spark, "postings", dir, "documents.parquet")
+    servedStores.computeIfAbsent(p, path => {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+        graft.streaming.IncrementalPostings.upsert(spark, path,
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      path
     })
-    graft.streaming.IncrementalPostings.load(spark, path)
+    graft.streaming.IncrementalPostings.load(spark, p)
   }
 
   /** Search via the postings index instead of a corpus scan. */

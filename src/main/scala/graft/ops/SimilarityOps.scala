@@ -135,12 +135,21 @@ object SimilarityOps {
   /** (cid, centroid) codebook = the first `nlist` vectors by id; sorted so
     * index == cid (required by the native assigner, asserted below).
     */
-  def collectCodebook(emb: DataFrame, nlist: Int): Array[(Int, Array[Double])] =
-    emb.filter(col("vec_id") < nlist)
+  def collectCodebook(emb: DataFrame, nlist: Int): Array[(Int, Array[Double])] = {
+    val cb = emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").cast("int"), col("v"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    // dense-id contract, enforced HERE so every consumer inherits it: the
+    // trained paths index the seed array positionally (seeds(queryVecId))
+    // and the native assigner requires cid == array index — a duplicate or
+    // gapped vec_id below nlist would silently serve the wrong query
+    // vector / mis-labeled cells otherwise
+    require(cb.length == nlist && cb.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      s"codebook seed ids must be exactly 0..${nlist - 1} (got ${cb.map(_._1).mkString(",")})")
+    cb
+  }
 
   /** array<struct<sim,cid>> of cosines against every centroid — the composed
     * form kept for the (cheap) single-row probe ranking and as FunctionsSpec's
@@ -158,9 +167,7 @@ object SimilarityOps {
     // the codebook "broadcast": nlist rows to the driver, inlined as
     // literals (this is a model artifact, not data movement — same class as
     // the hyperplane constants above)
-    val codebook = collectCodebook(emb, nlist)
-    require(codebook.zipWithIndex.forall { case ((cid, _), i) => cid == i },
-      s"codebook cids must be exactly 0..${nlist - 1}")
+    val codebook = collectCodebook(emb, nlist) // dense 0..nlist-1, enforced there
     // the stand-in codebook IS the first nlist vectors, so the query vector
     // rides along in the same collect when its id is in range — no extra job
     val qv = if (queryVecId >= 0 && queryVecId < nlist) codebook(queryVecId.toInt)._2
@@ -330,7 +337,11 @@ object SimilarityOps {
     * local bench scale the ~0.1s/job dispatch floor is the entire cost of
     * a training round. Scoped off around the Lloyd loops only; restored in
     * finally. Results are unaffected: the fixed-point sums are exact and
-    * order-independent by construction.
+    * order-independent by construction. NOT thread-safe: the toggle is a
+    * session-level conf, so concurrent queries on the SAME session during a
+    * training loop would plan without AQE (and two concurrent trainings
+    * could race the restore) — training is a driver-sequential model fit
+    * here and in any sane deployment; use separate sessions otherwise.
     */
   private def withAqeOff[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.adaptive.enabled"

@@ -52,8 +52,8 @@ object SkewJoin {
              salts: Int, joinType: String = "inner",
              spread: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     require(salts > 0, "salts must be positive")
-    require(SafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")) ||
-            SafeJoinTypes.contains(joinType.toLowerCase),
+    require(SafeJoinTypes.contains(joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")) ||
+            SafeJoinTypes.contains(joinType.toLowerCase(java.util.Locale.ROOT)),
       s"salted join supports $SafeJoinTypes; '$joinType' would emit each " +
       "unmatched small-side row once per salt")
     val saltedLarge = large.withColumn("__salt",

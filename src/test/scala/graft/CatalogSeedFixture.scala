@@ -16,11 +16,15 @@ object CatalogSeedFixture {
 
   /** pg COPY text-format unescape: \N is SQL NULL; \\, \t, \n, \r are the
     * only escapes this dump uses (verified: no \b \f \v or octal present).
+    * Split on the doubled backslash FIRST (chained replaces would decode
+    * the `\t` inside `...\\t...` as a tab instead of backslash + 't'),
+    * unescape the single-char escapes per segment, rejoin with `\`.
     */
   private def unescape(v: String): String =
     if (v == "\\N") null
-    else v.replace("\\t", "\t").replace("\\n", "\n")
-          .replace("\\r", "\r").replace("\\\\", "\\")
+    else v.split("""\\\\""", -1)
+      .map(_.replace("\\t", "\t").replace("\\n", "\n").replace("\\r", "\r"))
+      .mkString("\\")
 
   private def parseCopyBlocks(): Map[String, (Seq[String], Vector[Array[String]])] = {
     val src = scala.io.Source.fromFile(InitSql, "UTF-8")
