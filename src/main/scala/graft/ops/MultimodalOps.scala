@@ -179,16 +179,21 @@ object MultimodalOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def servedMediaEmbeddings(spark: SparkSession, dir: String): DataFrame = {
-    val path = mediaStores.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft-media-")
-        .resolve("embeddings").toString
-      mediaTable(spark, dir)
-        .select(col("doc_id"), col("media_type"),
-          stubEncode(md5(col("payload"))).as("v"))
-        .write.parquet(p)
-      p
+    // version-stamped path (see Tables.derivedStorePath): a rewritten
+    // corpus re-encodes instead of serving stale vectors
+    val p = graft.Tables.derivedStorePath(spark, "media", dir, "documents.parquet")
+    mediaStores.computeIfAbsent(p, path => {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+        graft.sinks.AtomicSwap.replace(spark,
+          mediaTable(spark, dir)
+            .select(col("doc_id"), col("media_type"),
+              stubEncode(md5(col("payload"))).as("v")),
+          path)
+      path
     })
-    graft.Tables.parquetCached(spark, path)
+    graft.Tables.parquetCached(spark, p)
   }
 
   /** Media similarity retrieval — the multimodal tier ending in a real

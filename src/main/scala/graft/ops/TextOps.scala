@@ -460,15 +460,20 @@ object TextOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def servedUnigramModel(spark: SparkSession, dir: String): DataFrame = {
-    val path = unigramStores.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft-unigram-")
-        .resolve("model").toString
-      val (counts, model) = fitUnigram(spark, dir)
-      model.write.parquet(p)
-      counts.unpersist()
-      p
+    // version-stamped path (see Tables.derivedStorePath): a rewritten
+    // corpus refits the model instead of serving a stale one
+    val p = Tables.derivedStorePath(spark, "unigram", dir, "documents.parquet")
+    unigramStores.computeIfAbsent(p, path => {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+        val (counts, model) = fitUnigram(spark, dir)
+        graft.sinks.AtomicSwap.replace(spark, model, path)
+        counts.unpersist()
+      }
+      path
     })
-    Tables.parquetCached(spark, path)
+    Tables.parquetCached(spark, p)
   }
 
   /** One-pass LM fit: cached vocabulary-sized counts + the (token, logp)

@@ -152,6 +152,25 @@ class SearchSpec extends SparkSpecBase {
     assert(scores.forall(_ > 0.0))
   }
 
+  test("servedPostings: a rewritten corpus rebuilds the store — never serves stale hits") {
+    import spark.implicits._
+    val dir = "/tmp/graft_staleness_docs"
+    Seq((1L, "gamma ray burst")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val first = SearchOps.invertedSearch(spark, dir, "gamma").collect()
+    assert(first.map(_.getAs[Long]("doc_id")).toSet === Set(1L))
+    // rewrite the SOURCE with different content: the version-stamped store
+    // path changes, so the next query rebuilds instead of serving the old
+    // index (the silent-staleness trap of a dir-keyed cache)
+    Thread.sleep(5) // mtime tick (version also keys on bytes/file count)
+    Seq((2L, "solar flare event"), (3L, "gamma burst again"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val second = SearchOps.invertedSearch(spark, dir, "gamma").collect()
+    assert(second.map(_.getAs[Long]("doc_id")).toSet === Set(3L),
+      "store served results from the pre-rewrite corpus")
+  }
+
   test("postingsSearch ≡ matchQuery on distinct-term scoring") {
     val postings = SearchOps.postingsIndex(spark, sf).cache()
     val viaIndex = SearchOps.postingsSearch(postings, "data stream window", 20)
