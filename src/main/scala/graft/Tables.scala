@@ -101,24 +101,37 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events.ts` arrives as parquet timestamp[ns], which Spark 4 refuses to
-    * map to TimestampType ([PARQUET_TYPE_ILLEGAL]). Read it as a raw
-    * nanosecond long (legacy escape hatch) and convert explicitly — integer
-    * `div` so no precision is lost on epoch-nano magnitudes (~1.7e18 doesn't
-    * fit a double). Session TZ is pinned to UTC everywhere, so the resulting
-    * TimestampType column is engine-deterministic.
+  /** `events.ts` is parquet timestamp[us] (inferred as TIMESTAMP_NTZ — the
+    * stream source's wall-clock grain, no zone). Session TZ is pinned to UTC
+    * everywhere, so converting the raw micros to TimestampType is
+    * engine-deterministic. (Earlier generations of the testdata stored
+    * timestamp[ns]; the loaders read the PHYSICAL int64 and carry the unit
+    * explicitly, so a regenerated file changes two lines here, not the
+    * operator tier.)
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     eventsRaw(spark, dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr("timestamp_micros(ts)"))
 
-  /** Raw view: `ts` stays an epoch-nanosecond long. Watermark predicates go
-    * HERE — a comparison on the raw bigint pushes down to the parquet scan
-    * (row-group pruning), while a predicate on the converted timestamp is an
-    * expression over the column and does not. Asserted in PlanSpec.
+  /** Raw view: `ts` as the epoch-MICROsecond long — the file's physical
+    * int64, requested via an explicit schema (LongType over timestamp[us]
+    * reads the stored values verbatim, no conversion kernel). Watermark
+    * predicates go HERE — a long-vs-long comparison pushes down to the
+    * parquet scan (row-group pruning), while a predicate on the converted
+    * timestamp is an expression over the column and does not. Asserted in
+    * PlanSpec; the natural timestamp spelling is rescued by
+    * [[graft.plans.PushRawEpochFilter]].
     */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    graft.functions.GraftFunctions.register(spark)
+    val path = s"$dir/events.parquet"
+    val inferred = schemaCache.computeIfAbsent(
+      s"$path@${contentVersion(spark, path)}",
+      _ => spark.read.parquet(path).schema)
+    val raw = StructType(inferred.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    spark.read.schema(raw).parquet(path)
   }
 }

@@ -19,14 +19,14 @@ object EventsOps {
     * PlanSpec). Epoch millis output keeps the comparison engine-neutral.
     */
   def watermarkScan(spark: SparkSession, dir: String): DataFrame = {
-    // predicate on the RAW nanosecond long: pushes to the parquet scan
-    // (PushedFilters, row-group pruning at scale) and matches an
-    // ns-precision engine's `ts > TIMESTAMP wm` exactly.
-    val wmNs = java.time.Instant.parse("2024-01-25T00:00:00Z").getEpochSecond * 1000000000L
+    // predicate on the RAW microsecond long: pushes to the parquet scan
+    // (PushedFilters, row-group pruning at scale) and matches the oracle's
+    // `ts > TIMESTAMP wm` exactly at the file's full precision.
+    val wmUs = java.time.Instant.parse("2024-01-25T00:00:00Z").getEpochSecond * 1000000L
     Tables.eventsRaw(spark, dir)
-      .filter(col("ts") > lit(wmNs))
+      .filter(col("ts") > lit(wmUs))
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000000").as("ts_ms"), col("value"))
+        expr("ts div 1000").as("ts_ms"), col("value"))
   }
 
   /** Tumbling 1-hour aggregate (the batch face of the streaming windowed agg).

@@ -7,20 +7,30 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
-/** Optimizer rule: rewrite timestamp comparisons on a µs-from-ns conversion
-  * column back onto the raw epoch-nanosecond long, and push the Filter below
-  * the converting Project — so the predicate reaches the parquet scan
+/** Optimizer rule: rewrite timestamp comparisons on an epoch-long-to-
+  * timestamp conversion column back onto the raw long, and push the Filter
+  * below the converting Project — so the predicate reaches the parquet scan
   * (PushedFilters + row-group pruning).
   *
-  * Motivation: `Tables.events` exposes `ts = timestamp_micros(raw div 1000)`
-  * because Spark 4 refuses parquet timestamp[ns]. A user's natural
-  * `df.filter($"ts" > lit)` is then an expression-over-column predicate that
-  * CANNOT push down — at 100 TB that is a full scan per watermark poll. This
-  * rule restores pushdown for the natural spelling instead of requiring
-  * every call site to hand-translate to nanos (as EventsOps.watermarkScan
-  * does defensively).
+  * Motivation: `Tables.events` exposes `ts = timestamp_micros(raw)` so that
+  * watermark predicates compare long-vs-long on the file's physical int64.
+  * A user's natural `df.filter($"ts" > lit)` is then an
+  * expression-over-column predicate that CANNOT push down — at 100 TB that
+  * is a full scan per watermark poll. This rule restores pushdown for the
+  * natural spelling instead of requiring every call site to hand-translate
+  * to the raw epoch unit (as EventsOps.watermarkScan does defensively).
   *
-  * Rewrite (floor-division algebra, exact — no boundary rows gained/lost):
+  * Two conversion shapes are matched:
+  *
+  *   1. `timestamp_micros(raw)` — a raw epoch-µs store (the current events
+  *      table). TimestampType's internal value IS epoch micros, so the map
+  *      is a monotone bijection Long↔Timestamp and every comparison rewrites
+  *      1:1: `timestamp_micros(raw) cmp TS_LIT ⟺ raw cmp micros(TS_LIT)`.
+  *
+  *   2. `timestamp_micros(raw div 1000)` — a raw epoch-NANOsecond store
+  *      (how earlier generations of the events table arrived; any ns-grain
+  *      source hits this). The division is lossy, so the rewrite needs
+  *      floor-division algebra (exact — no boundary rows gained/lost):
   *   raw div 1000 >  L  ⟺  raw ≥ (L+1)·1000
   *   raw div 1000 ≥  L  ⟺  raw ≥ L·1000
   *   raw div 1000 <  L  ⟺  raw < L·1000
@@ -48,6 +58,19 @@ object PushRawEpochFilter extends Rule[LogicalPlan] {
     }
   }
 
+  /** Matches the direct conversion `timestamp_micros(raw)` (no division) —
+    * the raw column already carries epoch micros. Excludes the divide shape
+    * so the two patterns stay disjoint (the divide needs offset algebra; a
+    * direct rewrite would leave the division in the predicate, unpushable).
+    */
+  private object TsFromMicros {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case MicrosToTimestamp(d: IntegralDivide) if divisorIs1000(d) => None
+      case MicrosToTimestamp(raw) if raw.dataType == LongType => Some(raw)
+      case _ => None
+    }
+  }
+
   private def divisorIs1000(d: IntegralDivide): Boolean = d.right match {
     case Literal(1000L, LongType) => true
     case Cast(Literal(1000, _), LongType, _, _) => true
@@ -71,6 +94,12 @@ object PushRawEpochFilter extends Rule[LogicalPlan] {
   private def us(l: Literal): Long = l.value.asInstanceOf[Long]
 
   private def rewrite(cond: Expression): Expression = cond.transformUp {
+    // direct µs store: bijection, every comparator maps 1:1 (mirrors too)
+    case cmp @ BinaryComparison(TsFromMicros(raw), l @ Literal(_, TimestampType)) =>
+      cmp.withNewChildren(Seq(raw, Literal(us(l), LongType)))
+    case cmp @ BinaryComparison(l @ Literal(_, TimestampType), TsFromMicros(raw)) =>
+      cmp.withNewChildren(Seq(Literal(us(l), LongType), raw))
+    // ns store behind a div-to-µs conversion: floor-division algebra
     case GreaterThan(TsFromNanos(raw), l @ Literal(_, TimestampType)) if safe(l) =>
       GreaterThanOrEqual(raw, Literal((us(l) + 1) * 1000L, LongType))
     case GreaterThanOrEqual(TsFromNanos(raw), l @ Literal(_, TimestampType)) if safe(l) =>

@@ -5,14 +5,23 @@ import org.apache.spark.sql.functions._
 
 class EventsSpec extends SparkSpecBase {
 
-  test("events loader: ns → timestamp conversion is order-preserving and lossless to micros") {
+  test("events loader: raw micros ↔ timestamp conversion is lossless") {
     val e = Tables.events(spark, sf)
     val n = e.count()
     assert(n > 0)
-    // conversion must preserve distinct-ordering vs the raw nanos column
-    val raw = spark.read.parquet(s"$sf/events.parquet").selectExpr("ts as ts_ns")
-    assert(raw.select(countDistinct(expr("ts_ns div 1000"))).head.getLong(0) ===
+    // the raw long view must round-trip the converted timestamp exactly:
+    // same row count, same distinct count, and value-identity µs-for-µs
+    val raw = Tables.eventsRaw(spark, sf)
+    assert(raw.count() === n)
+    assert(raw.select(countDistinct(col("ts"))).head.getLong(0) ===
       e.select(countDistinct(unix_micros(col("ts")))).head.getLong(0))
+    // and against the file's own inferred (timestamp_ntz) reading: equal
+    // epoch-micros values on every row
+    val ntz = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "unix_micros(cast(ts as timestamp)) as us")
+    val joined = raw.selectExpr("event_id", "ts as raw_us")
+      .join(ntz, "event_id")
+    assert(joined.filter(col("raw_us") =!= col("us")).count() === 0)
   }
 
   test("watermarkScan: strictly-greater semantics") {

@@ -18,7 +18,7 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("l_comment"), "scan reads columns the query never uses")
   }
 
-  test("watermarkScan: raw-nanos watermark predicate is pushed down") {
+  test("watermarkScan: raw-epoch watermark predicate is pushed down") {
     val p = plan(EventsOps.watermarkScan(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"),
       s"watermark predicate not pushed to scan:\n$p")

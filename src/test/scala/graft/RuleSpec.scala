@@ -13,22 +13,17 @@ class RuleSpec extends SparkSpecBase {
   test("PushRawEpochFilter: natural ts predicate reaches the parquet scan") {
     GraftExtensions.install(spark)
     val p = naturalQuery("2024-01-25 00:00:00").queryExecution.executedPlan.toString
-    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"),
       s"rule did not push the rewritten raw predicate:\n$p")
   }
 
   test("PushRawEpochFilter: rewritten results identical to unoptimized (all comparators)") {
     // results with the rule installed must match a session-independent
-    // recomputation done on the raw column by hand
+    // recomputation done by hand on the raw epoch-micros column
     GraftExtensions.install(spark)
     val cutUs = java.time.Instant.parse("2024-01-25T00:00:00Z").getEpochSecond * 1000000L
     val raw = Tables.eventsRaw(spark, sf)
-    def handCount(op: String): Long = op match {
-      case ">"  => raw.filter(expr(s"ts div 1000 > $cutUs")).count()
-      case ">=" => raw.filter(expr(s"ts div 1000 >= $cutUs")).count()
-      case "<"  => raw.filter(expr(s"ts div 1000 < $cutUs")).count()
-      case "<=" => raw.filter(expr(s"ts div 1000 <= $cutUs")).count()
-    }
+    def handCount(op: String): Long = raw.filter(expr(s"ts $op $cutUs")).count()
     val ts = lit("2024-01-25 00:00:00").cast("timestamp")
     val e = Tables.events(spark, sf)
     assert(e.filter(col("ts") > ts).count() === handCount(">"))
@@ -45,14 +40,45 @@ class RuleSpec extends SparkSpecBase {
       .filter(col("ts") > lit("2024-01-25 00:00:00").cast("timestamp") &&
               col("event_type") === "click")
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("GreaterThanOrEqual(ts,"), p)
+    assert(p.contains("GreaterThan(ts,"), p)
     // (scan metadata strings truncate at 100 chars, so assert the predicate
     // survived somewhere in the plan rather than inside PushedFilters)
     assert(p.contains("event_type"), p)
     // correctness against a hand-built equivalent
-    val cutNs = java.time.Instant.parse("2024-01-25T00:00:00Z").getEpochSecond * 1000000000L
+    val cutUs = java.time.Instant.parse("2024-01-25T00:00:00Z").getEpochSecond * 1000000L
     val expected = Tables.eventsRaw(spark, sf)
-      .filter(col("ts") > lit(cutNs) && col("event_type") === "click").count()
+      .filter(col("ts") > lit(cutUs) && col("event_type") === "click").count()
     assert(df.count() === expected)
+  }
+
+  test("PushRawEpochFilter: ns-store shape (raw div 1000) — floor-division algebra exact") {
+    // an epoch-NANOsecond source behind timestamp_micros(raw div 1000): the
+    // division is lossy, so each comparator needs the offset algebra. Build
+    // the ns frame synthetically (the testdata's events file is µs-grain now)
+    // with values straddling every boundary case: exact-second, mid-micro
+    // (sub-µs remainder), and the cutoff itself.
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    val cutUs = 1000000L * 100 // 100s after epoch... strictly positive (rule guard)
+    val nsValues = Seq(
+      cutUs * 1000 - 1, cutUs * 1000, cutUs * 1000 + 1, cutUs * 1000 + 999,
+      cutUs * 1000 + 1000, (cutUs - 1) * 1000, (cutUs + 5) * 1000 + 123)
+    // write through parquet: a LocalRelation would be constant-folded before
+    // the rule runs, proving nothing about the scan-adjacent rewrite
+    val dir = java.nio.file.Files.createTempDirectory("graft-nsstore").toString
+    nsValues.toDF("ts_ns").write.mode("overwrite").parquet(dir)
+    val rawNs = spark.read.parquet(dir)
+    val conv = rawNs.withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    for (op <- Seq("=", ">", ">=", "<", "<=")) {
+      val viaRule = conv.filter(expr(s"ts $op timestamp_micros($cutUs)")).count()
+      val byHand = rawNs.filter(expr(s"ts_ns div 1000 $op $cutUs")).count()
+      assert(viaRule === byHand, s"comparator $op diverged under the ns rewrite")
+    }
+    // and the rewrite actually fired: the predicate reaches the parquet scan
+    // as a raw-long comparison
+    val p = conv.filter(col("ts") > expr(s"timestamp_micros($cutUs)"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(ts_ns), GreaterThanOrEqual(ts_ns,"),
+      s"ns-store predicate not pushed to scan:\n$p")
   }
 }
