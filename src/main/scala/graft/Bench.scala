@@ -165,13 +165,26 @@ object Bench {
       case None => ""
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diag":$diagJson,"sf":"$sfDir"$baselineJson}"""
-    // the driver captures only the last N bytes of stdout and the line has
-    // outgrown it before — persist the full artifact so each round's bench
-    // is self-contained even under tail truncation
+    // Full artifact (diag + per-query baseline) goes to target/bench.json;
+    // stdout gets a COMPACT line. The driver captures only the last ~4KB of
+    // stdout and parses the JSON line out of it — rounds 3-6 all recorded
+    // "parsed": null because the full line (~9KB once diag and
+    // baseline_queries joined it) overflowed that buffer and truncated to
+    // unparseable JSON. The compact line keeps the original contract fields
+    // (metric/value/unit/queries/sf) plus the headline ratio, at ~2KB.
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, line + "\n")
-    println(line)
+    def f4(d: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + f4(v) }
+      .mkString("{", ",", "}")
+    val ratioCompact = baseline.map { case (_, bq) =>
+      val common = results.filter { case (k, v) => v >= 0 && bq.contains(k) }
+      val bTotal = common.map { case (k, _) => bq(k) }.sum
+      val sTotal = common.map(_._2).sum
+      s""","baseline_total":${f4(bTotal)},"ratio_vs_duckdb":${f4(if (bTotal > 0) sTotal / bTotal else -1.0)}"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir"$ratioCompact,"detail":"target/bench.json"}""")
     spark.stop()
   }
 
