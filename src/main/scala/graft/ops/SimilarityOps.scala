@@ -614,45 +614,53 @@ object SimilarityOps {
     * 2..maxBucket census guard caps degenerate buckets exactly like the
     * text-minhash path.
     */
-  def embeddingNearDupPairs(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
-    val (emb, pairs) = bandedVecPairs(spark, dir)
-    DedupOps.releasingBounded(emb)(pairs
+  def embeddingNearDupPairs(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    bandedVecPairs(spark, dir)
       .orderBy(col("cos_sim").desc, col("left_id"), col("right_id"))
-      .limit(k))
-  }
+      .limit(k)
 
   /** The banded sign-LSH candidate generator shared by
     * [[embeddingNearDupPairs]] (top-k face) and [[semDedup]] (graph face).
-    * Returns (cached signature frame to release, unbounded candidate pairs
-    * with exact cosines rounded to 6 — the cross-engine-stable grain).
+    * Returns unbounded candidate pairs with exact cosines rounded to 6 —
+    * the cross-engine-stable grain.
+    *
+    * Plan shape (this path was 12 jobs / 1.8 s wall at sf0.1, almost all
+    * job-dispatch floor): the census skew guard is a COUNT window over the
+    * same (band_id, band_hash) exchange the self-join consumes — one
+    * shuffle funds both, and the two join sides are identical subtrees so
+    * the exchange is planned once and reused. No signature cache (nothing
+    * reads the frame twice anymore) and no groupBy census + join-back.
+    * The one remaining pair-keyed shuffle is dropDuplicates, which cannot
+    * fold into a cheap ownership filter: "collided in the earlier band"
+    * alone does not imply the earlier band's bucket passed the census
+    * guard, so band-ownership would need each partner's OTHER bucket size
+    * — a second exchange anyway.
     */
-  private[graft] def bandedVecPairs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def bandedVecPairs(spark: SparkSession, dir: String): DataFrame = {
     val nPlanes = 24
     val bandBits = 12
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", toDouble(col("embedding")))
       .withColumn("sig", lshSignature(col("v"), nPlanes))
-      .cache() // bands feed census + both join sides; released before return
     val mask = (1L << bandBits) - 1
     val bands = emb.select(col("vec_id"), col("v"),
         posexplode(array(
           col("sig").bitwiseAND(lit(mask)),
           shiftrightunsigned(col("sig"), bandBits).bitwiseAND(lit(mask)))))
       .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_hash"))
-    val useful = bands.groupBy("band_id", "band_hash").count()
-      .filter(col("count") >= 2 && col("count") <= 64)
-      .select("band_id", "band_hash")
-    val b = bands.join(useful, Seq("band_id", "band_hash"))
+    val bucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_id", "band_hash")
+    val b = bands.withColumn("bucket_n", count(lit(1)).over(bucket))
+      .filter(col("bucket_n").between(2, 64)) // census skew guard
     val l = b.select(col("band_id"), col("band_hash"),
       col("vec_id").as("left_id"), col("v").as("lv"))
     val r = b.select(col("band_id"), col("band_hash"),
       col("vec_id").as("right_id"), col("v").as("rv"))
-    val pairs = l.join(r, Seq("band_id", "band_hash"))
+    l.join(r, Seq("band_id", "band_hash"))
       .filter(col("left_id") < col("right_id"))
       .dropDuplicates("left_id", "right_id")
       .select(col("left_id"), col("right_id"),
         round(cosine(col("lv"), col("rv")), 6).as("cos_sim"))
-    (emb, pairs)
   }
 
   /** SemDedup-style embedding-cluster pruning (Abbas et al. 2023 shape):
@@ -671,14 +679,12 @@ object SimilarityOps {
     * replays edge membership exactly.
     */
   def semDedup(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
-    val (emb, pairs) = bandedVecPairs(spark, dir)
+    val pairs = bandedVecPairs(spark, dir)
     // no separate checkpoint job: connectedComponents' persisted edge RDD
-    // materializes the banded pipeline inside its first round (the
-    // signature cache is still live for that job, released right after)
+    // materializes the banded pipeline inside its first round
     val edges = pairs.filter(col("cos_sim") >= threshold)
       .select("left_id", "right_id")
     val labels = DedupOps.connectedComponents(edges)
-    emb.unpersist()
     // window count over one cluster_id exchange, not groupBy + join-back —
     // same trim as dupClusters' tail
     val byCluster = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
