@@ -95,7 +95,10 @@ object SparkEntry {
     "q_semdedup"         -> ((s, d) => SimilarityOps.semDedup(s, d)),
     // Multimodal plumbing
     "q_multimodal_meta"  -> (MultimodalOps.multimodalMeta(_, _)),
-    "q_media_ann"        -> ((s, d) => MultimodalOps.mediaAnn(s, d)))
+    "q_media_ann"        -> ((s, d) => MultimodalOps.mediaAnn(s, d)),
+    // Corpus curation (hashed-ngram models)
+    "q_dsir_weight"      -> ((s, d) => CurationOps.dsirWeights(s, d)),
+    "q_source_overlap"   -> ((s, d) => CurationOps.sourceOverlap(s, d)))
 
   /** DuckDB equivalents (driver's correctness gate) — one per query, no
     * rows-only entries. The LSH/simhash pipelines are oracled as exact
@@ -106,5 +109,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalOps.oracle ++ EventsOps.oracle ++ TextOps.oracle ++
       DedupOps.oracle ++ SimilarityOps.oracle ++ MultimodalOps.oracle ++
-      SearchOps.oracle ++ DocumentOps.oracle
+      SearchOps.oracle ++ DocumentOps.oracle ++ CurationOps.oracle
 }

@@ -1,0 +1,194 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators over hashed n-gram features: DSIR-style
+  * importance weighting (data selection toward a target distribution) and
+  * the pairwise source-vocabulary overlap matrix (mirror/near-duplicate
+  * source detection). Both run on the `documents` table and replay exactly
+  * in the DuckDB oracle.
+  *
+  * Reference scope: the reference app curates one catalog (films) with
+  * hand-written filters; these are the corpus-level curation faces a
+  * training-data pipeline adds on top (SURVEY §2.8 extension tier), in the
+  * shape of Xie et al. 2023 (DSIR) — hashed unigram+bigram bag-of-words
+  * models, importance weight = target/raw log-likelihood ratio.
+  */
+object CurationOps {
+
+  private val Buckets = 4096
+  private val Scale = 1048576.0 // 2^20 fixed-point grain, shared with ivfTrain
+
+  /** Unigram + adjacent-bigram hash60 values per doc, one row per gram
+    * OCCURRENCE, via the native [[graft.functions.GramBuckets]] expression
+    * (one codegen'd traversal per n — empty tokens filtered before
+    * windowing, no clipped partial window, so unigram and bigram arrays
+    * concatenate without overlap). `m > 0` reduces each hash mod m (the
+    * hashed-feature bucket space); `m = 0` keeps the raw 60-bit gram
+    * identity. DuckDB replays the hash as
+    * `CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)` over the same
+    * filtered token lists — the decontamination tier's proven portable
+    * hash60.
+    */
+  private def gramFrame(spark: SparkSession, dir: String, m: Long): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(concat(
+          call_function("gram_buckets", col("toks"), lit(1), lit(m)),
+          call_function("gram_buckets", col("toks"), lit(2), lit(m)))).as("gram"))
+
+  /** DSIR importance weight per document (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): fit two hashed
+    * bag-of-ngrams models — the TARGET distribution (here: the corpus's
+    * `lang = targetLang` slice, standing in for a curated target set) and
+    * the RAW distribution (the whole corpus) — and score each document with
+    * log w(x) = Σ_grams [ln p_target(bucket) − ln p_raw(bucket)]
+    * with add-1/B smoothing — ONE unit of pseudo-mass spread over the B
+    * buckets (p = (cnt + 1/B) / (total + 1)), not add-1: with add-1 the
+    * B pseudo-counts swamp any corpus smaller than the bucket space, and
+    * because the target is a subset of raw (tgt_cnt ≤ raw_cnt per bucket)
+    * every ratio would collapse to ≤ 0. Selection is then
+    * top-k / Gumbel resampling on `log_ratio`, which composes with the
+    * existing topkPerGroup / stratifiedSample operators.
+    *
+    * Determinism: both totals are exact integer sums; each bucket's log
+    * ratio is rounded to 2^20 fixed point BEFORE the per-doc sum (the
+    * q_ivf_train trick), so aggregation order can never change the result
+    * and the DuckDB oracle replays fit AND scoring bit-for-bit.
+    *
+    * Scale shape: the model is [[Buckets]] rows no matter the corpus size —
+    * fit is one shuffle on a 4096-key space (partial aggregation does
+    * nearly all the work map-side), the global totals ride a single-
+    * partition window over those 4096 rows (constant-sized by
+    * construction), and scoring is a map-side broadcast join + one shuffle
+    * on doc_id. Two corpus gram passes total (fit, score); the gram stream
+    * is corpus-sized and deliberately NOT cached (same measurement as the
+    * unigram LM: caching the exploded stream costs more than the scan it
+    * saves).
+    */
+  def dsirWeights(spark: SparkSession, dir: String,
+                  targetLang: String = "en"): DataFrame = {
+    val g = gramFrame(spark, dir, Buckets).withColumnRenamed("gram", "bucket")
+    val counts = g.groupBy("bucket").agg(
+      count(lit(1)).as("raw_cnt"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tgt_cnt"))
+    val all = Window.partitionBy() // 4096 rows by construction: safe single partition
+    val model = counts
+      .withColumn("raw_total", sum("raw_cnt").over(all).cast("double"))
+      .withColumn("tgt_total", sum("tgt_cnt").over(all).cast("double"))
+      .select(col("bucket"),
+        round((log((col("tgt_cnt").cast("double") + lit(1.0 / Buckets)) / (col("tgt_total") + 1)) -
+               log((col("raw_cnt").cast("double") + lit(1.0 / Buckets)) / (col("raw_total") + 1))) *
+          lit(Scale)).cast("long").as("w_fx"))
+    g.join(broadcast(model), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("w_fx").as("s"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("s").cast("double") / lit(Scale), 6).as("log_ratio"))
+  }
+
+  /** Pairwise source-vocabulary overlap: Jaccard similarity between each
+    * pair of sources' distinct gram sets — the curation signal for mirror
+    * domains / syndicated content (two "different" sources whose
+    * vocabularies coincide are one source for dedup purposes).
+    *
+    * Scale shape: the expensive step is the per-gram self-join — a gram
+    * present in s sources emits s² pair rows. `maxShare` is the df guard
+    * (the census-guard idea from the LSH paths): grams present in more
+    * than maxShare·|S| sources are stop-gram noise that costs s² work and
+    * carries no discrimination signal, so they are dropped BEFORE the
+    * join; vocabulary counts then use the same guarded gram set so the
+    * Jaccard stays internally consistent. The default 1.0 keeps every gram
+    * (exact, oracle-replayed); at warehouse scale 0.5 is a sane setting.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String,
+                    maxShare: Double = 1.0): DataFrame = {
+    val v0 = gramFrame(spark, dir, m = 0).select(col("source"), col("gram")).distinct()
+    val v =
+      if (maxShare >= 1.0) v0
+      else {
+        val nSources = v0.select(countDistinct("source").as("n_sources"))
+        val perGram = Window.partitionBy("gram")
+        v0.withColumn("df_s", count(lit(1)).over(perGram))
+          .crossJoin(broadcast(nSources))
+          .filter(col("df_s") <= ceil(lit(maxShare) * col("n_sources")))
+          .select("source", "gram")
+      }
+    val vocab = v.groupBy("source").agg(count(lit(1)).as("vocab"))
+    val pairs = v.select(col("gram"), col("source").as("src_a"))
+      .join(v.select(col("gram"), col("source").as("src_b")), Seq("gram"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(vocab.select(col("source").as("src_a"), col("vocab").as("v_a"))), Seq("src_a"))
+      .join(broadcast(vocab.select(col("source").as("src_b"), col("vocab").as("v_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared"), col("v_a"), col("v_b"),
+        round(col("shared").cast("double") / (col("v_a") + col("v_b") - col("shared")), 6)
+          .as("jaccard"))
+  }
+
+  /** Shared CTE chain: tokenize → unigram+bigram gram STRINGS → portable
+    * hash60 (identical index spaces to the native expression — empties
+    * filtered before windowing, no clipped partial window).
+    */
+  private val gramCtes: String =
+    """tk AS (
+      |  SELECT doc_id, lang, source,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |gs AS (
+      |  SELECT doc_id, lang, source,
+      |    unnest(list_concat(toks,
+      |      [toks[i] || ' ' || toks[i+1]
+      |       for i in range(1, greatest(len(toks), 1))])) AS gram_s
+      |  FROM tk),
+      |gr AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST('0x' || substr(md5(gram_s), 1, 15) AS BIGINT) AS gram
+      |  FROM gs)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_dsir_weight" ->
+      s"""WITH $gramCtes,
+         |b AS (SELECT doc_id, lang, gram % 4096 AS bucket FROM gr),
+         |c AS (
+         |  SELECT bucket, COUNT(*) AS raw_cnt,
+         |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_cnt
+         |  FROM b GROUP BY bucket),
+         |m AS (
+         |  SELECT bucket,
+         |    CAST(round((ln((CAST(tgt_cnt AS DOUBLE) + 1.0/4096) /
+         |                   (CAST(SUM(tgt_cnt) OVER () AS DOUBLE) + 1)) -
+         |                ln((CAST(raw_cnt AS DOUBLE) + 1.0/4096) /
+         |                   (CAST(SUM(raw_cnt) OVER () AS DOUBLE) + 1)))
+         |               * 1048576.0) AS BIGINT) AS w_fx
+         |  FROM c),
+         |s AS (
+         |  SELECT b.doc_id, COUNT(*) AS n_grams, SUM(m.w_fx) AS s
+         |  FROM b JOIN m USING (bucket) GROUP BY b.doc_id)
+         |SELECT doc_id, n_grams,
+         |  round(CAST(s AS DOUBLE) / 1048576.0, 6) AS log_ratio
+         |FROM s""".stripMargin,
+    "q_source_overlap" ->
+      s"""WITH $gramCtes,
+         |v AS (SELECT DISTINCT source, gram FROM gr),
+         |vs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab
+         |       FROM v GROUP BY source),
+         |p AS (
+         |  SELECT a.source AS src_a, b.source AS src_b
+         |  FROM v a JOIN v b ON a.gram = b.gram AND a.source < b.source),
+         |sh AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS shared
+         |       FROM p GROUP BY src_a, src_b)
+         |SELECT src_a, src_b, shared, va.vocab AS v_a, vb.vocab AS v_b,
+         |  round(CAST(shared AS DOUBLE) / (va.vocab + vb.vocab - shared), 6)
+         |    AS jaccard
+         |FROM sh
+         |JOIN vs va ON sh.src_a = va.source
+         |JOIN vs vb ON sh.src_b = vb.source""".stripMargin)
+}

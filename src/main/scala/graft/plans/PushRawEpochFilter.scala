@@ -174,6 +174,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.GramHash60].getName, "gram_hash60"),
       { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.gramHash60(exprs) }))
     ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("gram_buckets"),
+      new ExpressionInfo(classOf[graft.functions.GramBuckets].getName, "gram_buckets"),
+      { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.gramBuckets(exprs) }))
+    ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hash60"),
       new ExpressionInfo(classOf[graft.functions.ShingleHash60].getName, "shingle_hash60"),
       { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.shingleHash60(exprs) }))

@@ -472,6 +472,61 @@ class FunctionsSpec extends SparkSpecBase {
     assert(nulls.head.isNullAt(0))
   }
 
+  /** Composed built-ins form of gram_buckets: filter empties, n-windows
+    * joined by single spaces (empty when fewer than n tokens), hash60 via
+    * md5-prefix conv, optional mod. This IS the specification the native
+    * expression must match.
+    */
+  private def gramBucketsComposed(n: Int, m: Long): org.apache.spark.sql.Column = {
+    val win = (0 until n).map(j => s"element_at(ft, i + $j)").mkString(", ")
+    val hash = s"cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)"
+    expr(
+      s"""transform(
+         |  CASE WHEN size(ft) < $n THEN array()
+         |       ELSE transform(sequence(1, size(ft) - ${n - 1}),
+         |                      i -> concat_ws(' ', $win)) END,
+         |  g -> ${if (m > 0) s"$hash % $m" else hash})""".stripMargin)
+  }
+
+  test("gram_buckets ≡ composed filter→window→hash60[→mod] — bit-identical incl. order") {
+    GraftFunctions.register(spark)
+    val real = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val edge = Seq(
+      (90001L, Seq("one")),                         // fewer than n=2 → empty bigrams
+      (90002L, Seq("a", "b")),                       // exactly one bigram
+      (90003L, Seq("", "a", "", "b", "")),           // empties filtered BEFORE windowing
+      (90004L, Seq("")),                             // split("") shape → zero grams
+      (90005L, Seq("a", "b", "a", "b", "a")))        // repeated grams stay per-occurrence
+      .toDF("doc_id", "toks")
+    for (df <- Seq(real, edge); (n, m) <- Seq((1, 4096L), (2, 4096L), (2, 0L))) {
+      val rows = df.withColumn("ft", expr("filter(toks, t -> length(t) > 0)"))
+        .select(col("doc_id"),
+          expr(s"gram_buckets(toks, $n, $m)").as("native"),
+          gramBucketsComposed(n, m).as("ref"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"doc ${r.getLong(0)} n=$n m=$m"))
+    }
+    val nulls = Seq((1L, Option.empty[Seq[String]])).toDF("doc_id", "toks")
+      .select(expr("gram_buckets(toks, 2, 4096)").as("g")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("gram_buckets agrees under interpreted and codegen paths") {
+    GraftFunctions.register(spark)
+    val df = graft.Tables.documents(spark, sf)
+      .select(split(lower(trim(col("text"))), "\\s+").as("toks"))
+    def run(codegen: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try df.select(expr("gram_buckets(toks, 2, 4096)")).collect()
+        .map(_.getSeq[Long](0).toSeq).toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(run("CODEGEN_ONLY") === run("NO_CODEGEN"))
+  }
+
   test("gram_hash60 agrees under interpreted and codegen paths") {
     GraftFunctions.register(spark)
     val df = graft.Tables.documents(spark, sf)
