@@ -27,6 +27,16 @@ object RelationalOps {
     * Scale: map-side partial aggregation + 6-group final agg; the shipdate
     * predicate is pushed to parquet row-group pruning. No shuffle concerns at
     * any scale (group cardinality is tiny and fixed).
+    *
+    * Cost note (measured, sf0.1): ~0.8 executor-CPU-s, nearly all in the
+    * decimal partial aggregation — sum over DECIMAL(18,2) promotes to
+    * DECIMAL(28,2), past the compact-long representation, so each row adds
+    * through BigDecimal while DuckDB runs vectorized int128 (0.06 s). This
+    * is a constant factor on the map-side stage, not a plan defect, and
+    * decimal is the deliberate choice: the tempting fixed-point-long sum
+    * (cents × discount basis points) OVERFLOWS Long at warehouse scale —
+    * ~1e9 per row × ~6e11 rows at 100 TB ≈ 6e20 ≫ 2^63 — and Spark's
+    * non-ANSI long sum wraps silently. Exactness gates throughput here.
     */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{DocumentOps, EventsOps, RelationalOps, SearchOps, SimilarityOps}
+import graft.ops.{CurationOps, DocumentOps, EventsOps, RelationalOps, SearchOps, SimilarityOps}
 
 /** Physical-plan assertions: the properties that make these queries survive a
   * 100× scale-up — filter pushdown, column pruning, broadcast joins, partial
@@ -195,6 +195,15 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Window"), s"expected the df count window in:\n$p")
     assert(!p.contains("BroadcastHashJoin"),
       s"df must come from the window, not a join-back:\n$p")
+  }
+
+  test("dsirWeights: scoring is served from the model STORE — broadcast model join, no fit subtree") {
+    val p = plan(CurationOps.dsirWeights(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast model join in:\n$p")
+    // the fit's single-partition totals window must never ride in a scoring
+    // plan — its presence means the model was re-derived inline instead of
+    // read from the served store
+    assert(!p.contains("Window"), s"fit subtree leaked into the scoring plan:\n$p")
   }
 
   test("fuzzySearchIndexed: broadcast query-gram and verified-token joins, no cartesian, partial top-k") {
