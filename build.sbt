@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output goes STRAIGHT to the console instead of through
+// sbt's logger: graft.Bench's one-line JSON contract must reach the driver's
+// stdout parser bare — the default LoggedOutput prefixes every line with
+// "[info] ", which is what left BENCH_r07 "parsed": null even after the
+// line itself was shrunk to fit the driver's tail buffer.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

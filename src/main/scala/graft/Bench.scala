@@ -184,7 +184,13 @@ object Bench {
       val sTotal = common.map(_._2).sum
       s""","baseline_total":${f4(bTotal)},"ratio_vs_duckdb":${f4(if (bTotal > 0) sTotal / bTotal else -1.0)}"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir"$ratioCompact,"detail":"target/bench.json"}""")
+    val compact = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir"$ratioCompact,"detail":"target/bench.json"}"""
+    // sidecar copy at a fixed path: if the driver's stdout tail parser still
+    // misses the line (sbt decoration, interleaved Spark warnings), the
+    // artifact survives on disk
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target", "bench_compact.json"), compact + "\n")
+    println(compact)
     spark.stop()
   }
 

@@ -475,8 +475,11 @@ object ShingleHash60 {
   *    `list_filter` runs before its bigram comprehension, so both engines
   *    window over identical index spaces);
   *  - no clipped partial window: fewer than n tokens yields an EMPTY array
-  *    (the comprehension `range(1, greatest(len-(n-1), 1))` form), so
-  *    unigrams and bigrams can be concatenated without double-counting.
+  *    (the oracle's bigram comprehension is
+  *    `range(1, greatest(len(toks), 1))` — exclusive end, so the final
+  *    `toks[i] || ' ' || toks[i+1]` window always has both tokens in
+  *    range; see [[graft.ops.CurationOps]].gramCtes), so unigrams and
+  *    bigrams can be concatenated without double-counting.
   * `m > 0` reduces each 60-bit hash mod m (hashed-feature buckets; both
   * operands non-negative, so `%` agrees across engines); `m = 0` keeps the
   * raw 60-bit value (vocabulary identity for the overlap matrix).

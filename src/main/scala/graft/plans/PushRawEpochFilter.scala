@@ -94,10 +94,16 @@ object PushRawEpochFilter extends Rule[LogicalPlan] {
   private def us(l: Literal): Long = l.value.asInstanceOf[Long]
 
   private def rewrite(cond: Expression): Expression = cond.transformUp {
-    // direct µs store: bijection, every comparator maps 1:1 (mirrors too)
-    case cmp @ BinaryComparison(TsFromMicros(raw), l @ Literal(_, TimestampType)) =>
+    // direct µs store: bijection, every comparator maps 1:1 (mirrors too).
+    // The null guard is load-bearing even though NullPropagation normally
+    // folds `ts cmp NULL` away first: with that rule excluded via
+    // spark.sql.optimizer.excludedRules, us(null) would unbox to 0L and
+    // rewrite a never-true predicate into a row-selecting `raw cmp 0`.
+    case cmp @ BinaryComparison(TsFromMicros(raw), l @ Literal(_, TimestampType))
+        if l.value != null =>
       cmp.withNewChildren(Seq(raw, Literal(us(l), LongType)))
-    case cmp @ BinaryComparison(l @ Literal(_, TimestampType), TsFromMicros(raw)) =>
+    case cmp @ BinaryComparison(l @ Literal(_, TimestampType), TsFromMicros(raw))
+        if l.value != null =>
       cmp.withNewChildren(Seq(Literal(us(l), LongType), raw))
     // ns store behind a div-to-µs conversion: floor-division algebra
     case GreaterThan(TsFromNanos(raw), l @ Literal(_, TimestampType)) if safe(l) =>

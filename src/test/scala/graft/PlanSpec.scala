@@ -97,9 +97,15 @@ class PlanSpec extends SparkSpecBase {
       s"expected the term IN-list pushed into the store scan:\n$p")
   }
 
-  test("annLsh: probe is an equi-join on sig — no corpus-wide hamming filter") {
+  test("annLsh: probe is a literal sig IN-list — no join, no corpus-wide hamming filter") {
+    // the probe signature is driver-side model arithmetic; the plan must be
+    // scan → `lsh_sig(v) IN (13 literals)` filter → partial top-k, with no
+    // broadcast-build job for a 1-row probe frame (the round-7 shape)
     val p = plan(SimilarityOps.annLsh(spark, sf))
-    assert(p.contains("BroadcastHashJoin"), s"expected sig-keyed probe join in:\n$p")
+    assert(!p.contains("Join"), s"probe must not join — sig IN-list expected in:\n$p")
+    assert(p.contains("lsh_sig") && (p.contains(" INSET ") || p.contains(" IN (")),
+      s"expected the literal sig IN-list prune in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k re-rank in:\n$p")
     // the round-1 shape computed bit_count(sig ^ qsig) against EVERY corpus
     // row and filtered — the scan-and-filter probe the judge flagged
     assert(!p.contains("bit_count"), s"corpus-wide hamming filter resurfaced:\n$p")
@@ -161,18 +167,14 @@ class PlanSpec extends SparkSpecBase {
       s"packing window lost its shard partitioning (global sort at scale):\n${qe.sparkPlan}"))
   }
 
-  test("corpusMix: global share comes from a broadcast scalar, not a window or rescan") {
-    // assert on the staged (pre-releasing) shape — the public method
-    // checkpoints the tiny result, which collapses the plan to a scan
-    val (cells, out) = graft.ops.TextOps.corpusMixStaged(spark, sf)
-    try {
-      val p = plan(out)
-      assert(!p.contains("Window"), s"corpus share must not plan a window:\n$p")
-      assert(p.contains("Broadcast"), s"expected broadcast of the totals scalar in:\n$p")
-      // single corpus scan: both consumers read the cells CACHE
-      assert(p.contains("InMemoryTableScan"),
-        s"expected the totals/share branches to reuse the cached cells:\n$p")
-    } finally cells.unpersist()
+  test("corpusMix: result is a collected model artifact — local relation, no window, no rescan") {
+    // the langs×sources aggregate is collected once; the returned frame
+    // must be a LOCAL relation (zero further cluster work per consumer)
+    val p = plan(graft.ops.TextOps.corpusMix(spark, sf))
+    assert(!p.contains("Window"), s"corpus share must not plan a window:\n$p")
+    assert(!p.contains("Exchange"), s"shares must be precomputed, not re-shuffled:\n$p")
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      s"expected a local-relation scan of the collected cells:\n$p")
   }
 
   test("rankedSearch: served from the postings STORE — pushed term IN-list, broadcast idf join, partial top-k") {

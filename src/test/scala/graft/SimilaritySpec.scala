@@ -23,6 +23,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall > 0.0) // random-hyperplane LSH with 12 planes, multi-probe r=1
   }
 
+  test("sigDriver: bit-identical to the in-plan lsh_sig expression over the corpus") {
+    // the literal-probe plan only works if the driver-computed query sig
+    // lands in the same bucket the corpus-side expression assigns — assert
+    // equality over EVERY corpus vector, not just the default query
+    val rows = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        SimilarityOps.lshSignature(col("embedding").cast("array<double>"), 12).as("sig"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      assert(SimilarityOps.sigDriver(v, 12) === r.getAs[Long]("sig"),
+        s"vec_id=${r.getLong(0)}")
+    }
+  }
+
   test("annIvf: probes its own cell (query self-hit), results are a corpus subset") {
     val ivf = SimilarityOps.annIvf(spark, sf).collect()
     assert(ivf.nonEmpty && ivf.length <= 10)
