@@ -98,7 +98,9 @@ object SparkEntry {
     "q_media_ann"        -> ((s, d) => MultimodalOps.mediaAnn(s, d)),
     // Corpus curation (hashed-ngram models)
     "q_dsir_weight"      -> ((s, d) => CurationOps.dsirWeights(s, d)),
-    "q_source_overlap"   -> ((s, d) => CurationOps.sourceOverlap(s, d)))
+    "q_dsir_resample"    -> ((s, d) => CurationOps.dsirResample(s, d)),
+    "q_source_overlap"   -> ((s, d) => CurationOps.sourceOverlap(s, d)),
+    "q_source_overlap_guarded" -> ((s, d) => CurationOps.sourceOverlap(s, d, maxShare = 0.5)))
 
   /** DuckDB equivalents (driver's correctness gate) — one per query, no
     * rows-only entries. The LSH/simhash pipelines are oracled as exact

@@ -78,6 +78,35 @@ object CurationOps {
                   targetLang: String = "en"): DataFrame =
     scoreDsir(spark, dir, servedDsirModel(spark, dir, targetLang))
 
+  /** DSIR selection — the operator users actually run over the weights
+    * (Xie et al. 2023 §3): sample `n` documents WITHOUT replacement,
+    * proportionally to exp(log w(x)), via the Gumbel-top-k identity
+    * (top-n of log w(x) + Gumbel(0,1) noise IS such a sample).
+    *
+    * Determinism (both engines replay the draw bit-for-bit):
+    *  - the uniform is hash-derived, not generated: u = (hash60(doc_id)
+    *    + 0.5) / 2^60 ∈ (0,1) — the stratified sampler's retry-stable gate,
+    *    with the division by an exact power of two (exponent shift only);
+    *  - the perturbed key is rounded to the shared 2^20 fixed-point grain
+    *    BEFORE ordering (the ivfTrain trick), so a last-ulp ln() divergence
+    *    between engines cannot flip the order;
+    *  - ties break on doc_id.
+    *
+    * Scale shape: scoring is the served-model pass ([[dsirWeights]]); the
+    * selection adds one codegen'd projection and a TakeOrderedAndProject —
+    * a partial top-n, never a global sort.
+    */
+  def dsirResample(spark: SparkSession, dir: String,
+                   targetLang: String = "en", n: Int = 100): DataFrame = {
+    val u = (DedupOps.hash60(col("doc_id").cast("string")).cast("double") +
+      lit(0.5)) / lit(1.152921504606846976e18) // 2^60
+    val key = round((col("log_ratio") - log(-log(u))) * lit(Scale)).cast("long")
+    dsirWeights(spark, dir, targetLang)
+      .select(col("doc_id"), col("log_ratio"), key.as("gumbel_fx"))
+      .orderBy(col("gumbel_fx").desc, col("doc_id").asc)
+      .limit(n)
+  }
+
   /** One-pass model fit: bucket counts for raw and target in a single
     * aggregation, totals via a single-partition window over the
     * constant-sized bucket space.
@@ -191,42 +220,75 @@ object CurationOps {
       |    CAST('0x' || substr(md5(gram_s), 1, 15) AS BIGINT) AS gram
       |  FROM gs)""".stripMargin
 
+  /** Fit + scoring chain shared by the weight and resample oracles: ends at
+    * `w(doc_id, n_grams, log_ratio)` — the exact q_dsir_weight relation.
+    */
+  private val dsirCtes: String =
+    s"""$gramCtes,
+       |b AS (SELECT doc_id, lang, gram % 4096 AS bucket FROM gr),
+       |c AS (
+       |  SELECT bucket, COUNT(*) AS raw_cnt,
+       |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_cnt
+       |  FROM b GROUP BY bucket),
+       |m AS (
+       |  SELECT bucket,
+       |    CAST(round((ln((CAST(tgt_cnt AS DOUBLE) + 1.0/4096) /
+       |                   (CAST(SUM(tgt_cnt) OVER () AS DOUBLE) + 1)) -
+       |                ln((CAST(raw_cnt AS DOUBLE) + 1.0/4096) /
+       |                   (CAST(SUM(raw_cnt) OVER () AS DOUBLE) + 1)))
+       |               * 1048576.0) AS BIGINT) AS w_fx
+       |  FROM c),
+       |s AS (
+       |  SELECT b.doc_id, COUNT(*) AS n_grams, SUM(m.w_fx) AS s
+       |  FROM b JOIN m USING (bucket) GROUP BY b.doc_id),
+       |w AS (
+       |  SELECT doc_id, n_grams,
+       |    round(CAST(s AS DOUBLE) / 1048576.0, 6) AS log_ratio
+       |  FROM s)""".stripMargin
+
+  /** The overlap tail (vocab counts → pair join → Jaccard) over a guarded
+    * vocabulary relation named `v(source, gram)`.
+    */
+  private val overlapTail: String =
+    """vs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab
+      |       FROM v GROUP BY source),
+      |p AS (
+      |  SELECT a.source AS src_a, b.source AS src_b
+      |  FROM v a JOIN v b ON a.gram = b.gram AND a.source < b.source),
+      |sh AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS shared
+      |       FROM p GROUP BY src_a, src_b)
+      |SELECT src_a, src_b, shared, va.vocab AS v_a, vb.vocab AS v_b,
+      |  round(CAST(shared AS DOUBLE) / (va.vocab + vb.vocab - shared), 6)
+      |    AS jaccard
+      |FROM sh
+      |JOIN vs va ON sh.src_a = va.source
+      |JOIN vs vb ON sh.src_b = vb.source""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_dsir_weight" ->
-      s"""WITH $gramCtes,
-         |b AS (SELECT doc_id, lang, gram % 4096 AS bucket FROM gr),
-         |c AS (
-         |  SELECT bucket, COUNT(*) AS raw_cnt,
-         |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_cnt
-         |  FROM b GROUP BY bucket),
-         |m AS (
-         |  SELECT bucket,
-         |    CAST(round((ln((CAST(tgt_cnt AS DOUBLE) + 1.0/4096) /
-         |                   (CAST(SUM(tgt_cnt) OVER () AS DOUBLE) + 1)) -
-         |                ln((CAST(raw_cnt AS DOUBLE) + 1.0/4096) /
-         |                   (CAST(SUM(raw_cnt) OVER () AS DOUBLE) + 1)))
-         |               * 1048576.0) AS BIGINT) AS w_fx
-         |  FROM c),
-         |s AS (
-         |  SELECT b.doc_id, COUNT(*) AS n_grams, SUM(m.w_fx) AS s
-         |  FROM b JOIN m USING (bucket) GROUP BY b.doc_id)
-         |SELECT doc_id, n_grams,
-         |  round(CAST(s AS DOUBLE) / 1048576.0, 6) AS log_ratio
-         |FROM s""".stripMargin,
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_grams, log_ratio FROM w""".stripMargin,
+    "q_dsir_resample" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, log_ratio,
+         |  CAST(round((log_ratio - ln(-ln(
+         |    (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+         |          AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0)))
+         |    * 1048576.0) AS BIGINT) AS gumbel_fx
+         |FROM w
+         |ORDER BY gumbel_fx DESC, doc_id ASC
+         |LIMIT 100""".stripMargin,
     "q_source_overlap" ->
       s"""WITH $gramCtes,
          |v AS (SELECT DISTINCT source, gram FROM gr),
-         |vs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab
-         |       FROM v GROUP BY source),
-         |p AS (
-         |  SELECT a.source AS src_a, b.source AS src_b
-         |  FROM v a JOIN v b ON a.gram = b.gram AND a.source < b.source),
-         |sh AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS shared
-         |       FROM p GROUP BY src_a, src_b)
-         |SELECT src_a, src_b, shared, va.vocab AS v_a, vb.vocab AS v_b,
-         |  round(CAST(shared AS DOUBLE) / (va.vocab + vb.vocab - shared), 6)
-         |    AS jaccard
-         |FROM sh
-         |JOIN vs va ON sh.src_a = va.source
-         |JOIN vs vb ON sh.src_b = vb.source""".stripMargin)
+         |$overlapTail""".stripMargin,
+    "q_source_overlap_guarded" ->
+      s"""WITH $gramCtes,
+         |v0 AS (SELECT DISTINCT source, gram FROM gr),
+         |ns AS (SELECT COUNT(DISTINCT source) AS n_sources FROM v0),
+         |vg AS (SELECT source, gram,
+         |         COUNT(*) OVER (PARTITION BY gram) AS df_s FROM v0),
+         |v AS (SELECT source, gram FROM vg, ns
+         |      WHERE df_s <= ceil(0.5 * n_sources)),
+         |$overlapTail""".stripMargin)
 }

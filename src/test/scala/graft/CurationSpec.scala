@@ -50,6 +50,22 @@ class CurationSpec extends SparkSpecBase {
     assert(a.nonEmpty)
   }
 
+  test("dsirResample: a Gumbel-top-n subset of the weights, deterministic, biased toward high weights") {
+    val n = 3
+    val out = CurationOps.dsirResample(spark, plantedDir, n = n).collect()
+    assert(out.length === n)
+    // subset of the scored docs, keys strictly ordered (desc, doc_id tiebreak)
+    val w = CurationOps.dsirWeights(spark, plantedDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    out.foreach(r => assert(w(r.getAs[Long]("doc_id"))))
+    val keys = out.map(r => (r.getAs[Long]("gumbel_fx"), r.getAs[Long]("doc_id")))
+    assert(keys.sliding(2).forall { case Array((k1, d1), (k2, d2)) =>
+      k1 > k2 || (k1 == k2 && d1 < d2) })
+    // deterministic replay: the perturbation is hash-derived, not random
+    val again = CurationOps.dsirResample(spark, plantedDir, n = n).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("sourceOverlap: exact Jaccard on the planted vocabulary") {
     val out = CurationOps.sourceOverlap(spark, plantedDir).collect()
       .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
