@@ -63,6 +63,7 @@ object SparkEntry {
     "q_keywords"         -> ((s, d) => SearchOps.keywords(s, d)),
     // Text analysis (training-data pipeline)
     "q_token_count"      -> (TextOps.tokenCount(_, _)),
+    "q_token_count_bpe"  -> (TextOps.tokenCountBpe(_, _)),
     "q_lang_id"          -> (TextOps.langId(_, _)),
     "q_quality_score"    -> (TextOps.qualityScore(_, _)),
     "q_fingerprint"      -> (TextOps.fingerprint(_, _)),

@@ -625,6 +625,11 @@ object TextFunctionBuilders {
     require(exprs.size == 1, "gram_stats(toks)")
     GramStats(exprs.head)
   }
+
+  def bpeCount(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 1, "bpe_count(text)")
+    BpeCount(exprs.head)
+  }
 }
 
 object GraftFunctions {
@@ -641,7 +646,8 @@ object GraftFunctions {
         registry.functionExists(FunctionIdentifier("gram_buckets")) &&
         registry.functionExists(FunctionIdentifier("shingle_hash60")) &&
         registry.functionExists(FunctionIdentifier("text_metrics")) &&
-        registry.functionExists(FunctionIdentifier("gram_stats"))) return
+        registry.functionExists(FunctionIdentifier("gram_stats")) &&
+        registry.functionExists(FunctionIdentifier("bpe_count"))) return
     registry.createOrReplaceTempFunction(
       "minhash_slots", TextFunctionBuilders.minhashSlots _, "built-in")
     registry.createOrReplaceTempFunction(
@@ -666,6 +672,8 @@ object GraftFunctions {
       "text_metrics", TextFunctionBuilders.textMetrics _, "built-in")
     registry.createOrReplaceTempFunction(
       "gram_stats", TextFunctionBuilders.gramStats _, "built-in")
+    registry.createOrReplaceTempFunction(
+      "bpe_count", TextFunctionBuilders.bpeCount _, "built-in")
     ()
   }
 }

@@ -55,6 +55,97 @@ object TextOps {
       m.getField("bpe_tokens").as("bpe_tokens"))
   }
 
+  /** REAL subword token count: [[graft.functions.BpeCount]] applies the
+    * rank-ordered [[graft.functions.BpeModel.merges]] table inside each
+    * pre-tokenizer piece (the `bpe_tokens` column above only counted the
+    * pieces). One codegen'd projection, zero shuffles; the DuckDB oracle
+    * replays the merge chain as one global regexp_replace per rank (exact —
+    * equivalence argued on BpeModel). A corpus-trained table from
+    * [[bpeTrainMerges]] drops into the same slot; the oracled face uses the
+    * fixture, which a statically-authored oracle can inline.
+    */
+  def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"),
+        lit(graft.functions.BpeModel.PreTokPattern), lit(0)))
+        .cast("long").as("n_pieces"),
+      call_function("bpe_count", col("text")).as("n_bpe_tokens"))
+
+  /** The composed regexp-replace-chain form of `bpe_count` — the semantic
+    * reference the native expression is equality-tested against
+    * (FunctionsSpec) and the exact shape the DuckDB oracle replays. One
+    * interpreted lambda + |merges|+1 regex passes PER PIECE — don't use in
+    * hot paths.
+    *
+    * Token encoding: every token is written `|tok/` — a LEAD marker and a
+    * TRAIL marker, both outside the letter alphabet. The merge pattern
+    * `\|a/\|b/` therefore (a) can never match a token SUFFIX (the lead `|`
+    * must immediately precede all of `a` — tokens `xa`,`b` don't match
+    * `a`,`b`), (b) can never match a token PREFIX (`b` must be immediately
+    * followed by its trail `/` — tokens `a`,`bab` don't match `a`,`b`),
+    * and (c) stays exhaustive over adjacent same-pair runs in one global
+    * pass (each token carries its OWN markers, so a match consumes no
+    * neighbor's boundary: `|a/|a/|a/|a/` → `|aa/|aa/`). A single-separator
+    * format fails (a): `xa/b/` contains `a/b/` — the bug this docstring
+    * exists to prevent.
+    */
+  private[graft] def tokenCountBpeComposed: Column = {
+    val pieces = regexp_extract_all(col("text"),
+      lit(graft.functions.BpeModel.PreTokPattern), lit(0))
+    def chain(marked: Column): Column =
+      graft.functions.BpeModel.merges.foldLeft(marked) { case (acc, (a, b)) =>
+        regexp_replace(acc, s"\\|$a/\\|$b/", s"|$a$b/")
+      }
+    val perPiece = transform(pieces, p =>
+      when(p.rlike("^[A-Za-z]+$"),
+        (size(split(chain(regexp_replace(p, "(.)", "|$1/")), "/")) - 1).cast("long"))
+        .otherwise(length(p).cast("long")))
+    aggregate(perPiece, lit(0L), (acc, x) => acc + x)
+  }
+
+  /** BPE merge-table TRAINING (Sennrich et al. 2016): the distributed part
+    * is a corpus-wide word count capped to the top-`vocabCap` words — BPE
+    * trains on a word-frequency DICTIONARY, which is vocabulary-bounded, so
+    * the driver-side merge loop runs over a model-sized artifact (same
+    * class as the IVF codebook; the cap is the standard dictionary
+    * truncation, not a correctness fudge). Each round counts adjacent pair
+    * frequencies over the dictionary, merges the argmax pair (ties:
+    * lexicographic — deterministic across runs), and rewrites the
+    * dictionary in place. The output table is valid by construction
+    * ([[graft.functions.BpeModel.requireValid]] passes on it) and feeds the
+    * same counting mechanics as the fixture.
+    */
+  def bpeTrainMerges(spark: SparkSession, dir: String, nMerges: Int = 32,
+                     vocabCap: Int = 4096): Vector[(String, String)] = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(vocabCap)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var dict: Array[(Array[String], Long)] =
+      words.map { case (w, c) => (w.toCharArray.map(_.toString), c) }
+    val out = Vector.newBuilder[(String, String)]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((toks, c) <- dict; i <- 0 until toks.length - 1)
+        pairCounts.updateWith((toks(i), toks(i + 1)))(p => Some(p.getOrElse(0L) + c))
+      if (pairCounts.isEmpty) done = true
+      else {
+        val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        out += best
+        dict = dict.map { case (toks, c) =>
+          (graft.functions.BpeModel.mergePass(toks, best._1, best._2), c) }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
   private def hits(c: Column, pattern: String): Column =
     regexp_count(lower(c), lit(pattern))
 
@@ -779,6 +870,25 @@ object TextOps {
         |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
         |FROM documents""".stripMargin,
+    "q_token_count_bpe" -> {
+      // the merge chain, one global regexp_replace per rank over the
+      // '|tok/'-marked token sequence (lead + trail markers — see
+      // tokenCountBpeComposed for why a single separator is WRONG) —
+      // generated from the SAME fixture the native expression compiles in
+      val chain = graft.functions.BpeModel.merges
+        .foldLeft("""regexp_replace(p, '(.)', '|\1/', 'g')""") {
+          case (acc, (a, b)) => s"regexp_replace($acc, '\\|$a/\\|$b/', '|$a$b/', 'g')"
+        }
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_pieces,
+         |  CAST(coalesce(list_sum(list_transform(
+         |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+         |    p -> CASE WHEN regexp_matches(p, '^[A-Za-z]+${"$"}')
+         |              THEN len(string_split($chain, '/')) - 1
+         |              ELSE len(p) END)), 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents""".stripMargin
+    },
     "q_lang_id" ->
       """WITH h AS (
         |  SELECT doc_id, lang,

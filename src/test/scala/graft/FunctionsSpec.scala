@@ -241,6 +241,54 @@ class FunctionsSpec extends SparkSpecBase {
     }
   }
 
+  test("bpe_count ≡ composed regexp-replace-chain on the real corpus") {
+    GraftFunctions.register(spark)
+    val joined = Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("bpe_count(text)").as("native"),
+        graft.ops.TextOps.tokenCountBpeComposed.as("composed"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getAs[Long]("native") === r.getAs[Long]("composed"),
+      s"doc ${r.getLong(0)}"))
+  }
+
+  test("bpe_count: hand-checked merges, case sensitivity, digits/punct, empty, null") {
+    GraftFunctions.register(spark)
+    import graft.functions.BpeModel
+    // fixture merges: t+h→th, th+e→the; a+t→at, th+at→that; s+t→st,
+    // st+r→str, i+n→in, in+g→ing
+    assert(BpeModel.countTokens("the") === 1L)
+    assert(BpeModel.countTokens("that") === 1L)
+    assert(BpeModel.countTokens("string") === 2L)    // str + ing
+    assert(BpeModel.countTokens("The") === 3L)       // case-sensitive: T h e
+    assert(BpeModel.countTokens("12345") === 5L)     // digits never merge
+    assert(BpeModel.countTokens("a,b") === 3L)       // a , b
+    assert(BpeModel.countTokens("the cat sat") === 1L + 2L + 2L) // c+at, s+at
+    assert(BpeModel.countTokens("") === 0L)
+    assert(BpeModel.countTokens("   ") === 0L)
+    val out = Seq((1L, Option.empty[String]), (2L, Some("the")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), expr("bpe_count(text)").as("n")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(1L) === -1L) // null in → null out
+    assert(out(2L) === 1L)
+  }
+
+  test("bpeTrainMerges: learns the dominant pairs from a planted corpus, valid by construction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-train").toString
+    // "thin thin" breaks the (t,h)-vs-(h,e) pair-count tie that a pure
+    // "the" corpus has (every (t,h) would co-occur with an (h,e))
+    Seq((1L, "the the the the then thin thin"), (2L, "the them there other"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val learned = graft.ops.TextOps.bpeTrainMerges(spark, dir, nMerges = 4)
+    // 'th' and 'the' dominate every word: the first two merges must form them
+    assert(learned.take(2) === Vector("t" -> "h", "th" -> "e"))
+    graft.functions.BpeModel.requireValid(learned) // trained tables are valid
+    // a trained table drives the same counting mechanics
+    assert(graft.functions.BpeModel.countTokens("the", learned) === 1L)
+  }
+
   test("gram_stats edge cases: empty array, 1-2 tokens, null elements, null input") {
     GraftFunctions.register(spark)
     val df = Seq(
