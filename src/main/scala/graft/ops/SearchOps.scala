@@ -440,21 +440,129 @@ object SearchOps {
     */
   def fuzzySearchIndexed(spark: SparkSession, dir: String,
                          q: String = "streem qery", k: Int = 20): DataFrame = {
+    import spark.implicits._
     val postings = servedPostings(spark, dir)
-    val dict = postings.select(col("token")).distinct()
-      .withColumn("tok_len", length(col("token")))
-    fuzzyIndexedQuery(spark, postings, dict,
-      Tables.documents(spark, dir).select(col("doc_id"), col("lang")), q, k)
+    val (dict, grams) = servedFuzzyDict(spark, dir)
+    val terms = analyzeQuery(q).distinct.sorted
+    require(terms.nonEmpty, s"query '$q' analyzed to no terms")
+    // The verified (term, token) set is QUERY-RESULT-sized — bounded by the
+    // gram prune, tens of tokens — so resolve it in ONE job over the served
+    // dict/gram stores and let the final postings pass run with the token
+    // IN-list PUSHED into the store scan (static pruning; at scale the
+    // token-bucketed store reads only those buckets). The round-7 shape
+    // re-derived the dictionary per call and chained broadcast builds —
+    // 9 jobs, 0.14 cpuSec: pure dispatch floor.
+    // Per-TERM expansion cache: a term's candidate set is a deterministic
+    // function of (dictionary version, term, fuzz budget) — the exact thing
+    // a search server memoizes (Lucene caches the per-term automaton walk;
+    // ES caches query rewrites). Keyed by the version-stamped store path,
+    // so a rewritten corpus re-expands. Unseen terms pay one resolution
+    // job; repeated terms resolve driver-side.
+    val storeKey = Tables.derivedStorePath(spark, "fuzzygrams", dir, "documents.parquet")
+    val missing = terms.filterNot(t => fuzzyCandCache.containsKey((storeKey, t)))
+    if (missing.nonEmpty) {
+      val resolved = fuzzyVerified(spark, grams, dict, missing)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1).map { case (t, ps) => t -> ps.map(_._2) }
+      missing.foreach(t =>
+        fuzzyCandCache.put((storeKey, t), resolved.getOrElse(t, Array.empty)))
+    }
+    val verifiedPairs = terms.flatMap(t =>
+      fuzzyCandCache.get((storeKey, t)).map(tok => (t, tok)))
+    val tokens = verifiedPairs.map(_._2).distinct.toSeq
+    val verifiedDf = verifiedPairs.toSeq.toDF("term", "token")
+    val scored = postings.filter(col("token").isInCollection(tokens))
+      .join(broadcast(verifiedDf), Seq("token")) // local relation: no build job
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).cast("int").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(broadcast(scored), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
   }
+
+  /** (gram-store path, term) → verified candidate tokens. Bounded by the
+    * distinct terms queried per JVM; the store path carries the corpus
+    * content version, so stale expansions are never served.
+    */
+  private val fuzzyCandCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[String]]()
+
+  /** Served term-dictionary + character-bigram-postings stores per data
+    * dir — the materialized face of the fuzzy candidate index (`dict` =
+    * (token, tok_len); `grams` = (token, tok_len, gram, cnt), at warehouse
+    * scale bucketed by gram). Derived from the SAME served postings store
+    * the scoring pass reads, so the dictionary can never drift from the
+    * corpus it indexes; version-stamped paths rebuild on a rewritten
+    * corpus.
+    */
+  private def servedFuzzyDict(spark: SparkSession,
+                              dir: String): (DataFrame, DataFrame) = {
+    val pd = Tables.derivedStorePath(spark, "fuzzydict", dir, "documents.parquet")
+    val pg = Tables.derivedStorePath(spark, "fuzzygrams", dir, "documents.parquet")
+    servedStores.computeIfAbsent(pd, path => {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+        val dict = servedPostings(spark, dir).select(col("token")).distinct()
+          .withColumn("tok_len", length(col("token")))
+        graft.sinks.AtomicSwap.replace(spark, dict, path)
+      }
+      path
+    })
+    servedStores.computeIfAbsent(pg, path => {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+        val grams = dictGrams(Tables.parquetCached(spark, pd))
+        graft.sinks.AtomicSwap.replace(spark, grams, path)
+      }
+      path
+    })
+    (Tables.parquetCached(spark, pd), Tables.parquetCached(spark, pg))
+  }
+
+  /** Character-bigram postings over a (token, tok_len) dictionary. */
+  private def dictGrams(dict: DataFrame): DataFrame = dict
+    .filter(col("tok_len") >= 2)
+    .select(col("token"), col("tok_len"),
+      explode(transform(sequence(lit(1), col("tok_len") - 1),
+        i => col("token").substr(i, lit(2)))).as("gram"))
+    .groupBy(col("token"), col("tok_len"), col("gram"))
+    .agg(count(lit(1)).as("cnt"))
 
   /** The materialized-index face: search over prebuilt postings + dict. */
   def fuzzyIndexedQuery(spark: SparkSession, postings: DataFrame,
                         dict: DataFrame, docs: DataFrame,
                         q: String, k: Int = 20): DataFrame = {
-    import spark.implicits._
     val terms = analyzeQuery(q).distinct.sorted
     require(terms.nonEmpty, s"query '$q' analyzed to no terms")
+    // inline gram build over the given dict — the fully-lazy, composable
+    // face; fuzzySearchIndexed serves the same relation from a store
+    val verified = fuzzyVerified(spark, dictGrams(dict), dict, terms)
+    val scored = postings.join(broadcast(verified), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).cast("int").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    // keyword field attached AFTER the top-k cut: k rows broadcast against
+    // the docs relation, not a corpus-wide join
+    docs.join(broadcast(scored), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
 
+  /** The fuzzy candidate pipeline: query bigram multiset → gram-count
+    * prune (Gravano bound) + short-term length-band branch → threshold-
+    * bounded levenshtein verify. Returns the verified (term, token) pairs;
+    * shared by the lazy [[fuzzyIndexedQuery]] and the served
+    * [[fuzzySearchIndexed]].
+    */
+  private def fuzzyVerified(spark: SparkSession, grams: DataFrame,
+                            dict: DataFrame, terms: Seq[String]): DataFrame = {
+    import spark.implicits._
     // (term, q_len, fuzz, gram, qcnt) — the query's bigram multiset, one
     // small broadcast frame for ALL terms so the gram index is joined once
     val qGramRows = terms.flatMap { t =>
@@ -466,19 +574,12 @@ object SearchOps {
     }
     val qdf = qGramRows.toDF("term", "q_len", "fuzz", "gram", "qcnt")
 
-    // bigram postings over the dictionary (at scale: materialized once,
-    // bucketed by gram — this inline build is the driver-gate face)
-    val grams = dict
-      .filter(col("tok_len") >= 2)
-      .select(col("token"), col("tok_len"),
-        explode(transform(sequence(lit(1), col("tok_len") - 1),
-          i => col("token").substr(i, lit(2)))).as("gram"))
-      .groupBy(col("token"), col("tok_len"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-
     val bound = greatest(col("tok_len"), col("q_len")) - 1 - lit(2) * col("fuzz")
     // gram branch: length band in the JOIN (prunes before the aggregate),
-    // multiset-shared count per (term, token), positive-bound filter
+    // multiset-shared count per (term, token), positive-bound filter. The
+    // count filter is the classic q-gram bound (Gravano et al., VLDB 2001):
+    // one edit destroys at most q=2 bigrams, so strings within f edits
+    // share (as MULTISETS) at least max(|s|,|t|) − 1 − 2f bigrams.
     val gramCands = grams
       .join(broadcast(qdf),
         grams("gram") === qdf("gram") &&
@@ -507,20 +608,9 @@ object SearchOps {
     // pruning, failing tokens never reach the shuffle, and the count bound
     // above stays as the algorithmic guarantee (true matches always pass
     // it, per the theorem) in lockstep with the oracle's replay.
-    val verified = gramCands.unionByName(shortCands)
+    gramCands.unionByName(shortCands)
       .filter(levenshtein(col("token"), col("term"), 2).between(0, col("fuzz")))
       .select(col("term"), col("token"))
-
-    val scored = postings.join(broadcast(verified), Seq("token"))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("term")).cast("int").as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
-    // keyword field attached AFTER the top-k cut: k rows broadcast against
-    // the docs relation, not a corpus-wide join
-    docs.join(broadcast(scored), Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
   }
 
   // ---- DuckDB oracles: same tokenizer/stopwords/stemmers, replicated in SQL.

@@ -208,8 +208,15 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"fit subtree leaked into the scoring plan:\n$p")
   }
 
-  test("fuzzySearchIndexed: broadcast query-gram and verified-token joins, no cartesian, partial top-k") {
+  test("fuzzySearchIndexed: verified token IN-list pushed into the store scan, no cartesian, partial top-k") {
+    // the candidate pipeline resolves against the served dict/gram stores
+    // BEFORE this plan exists; the scoring plan must read the postings
+    // store with the verified tokens pushed, never re-derive the dictionary
     val p = plan(SearchOps.fuzzySearchIndexed(spark, sf))
+    assert(p.contains("PushedFilters: [In(token"),
+      s"expected the verified-token IN-list pushed into the store scan:\n$p")
+    assert(!p.contains("levenshtein") && !p.contains("ru_en_analyze"),
+      s"candidate resolution must not ride in the scoring plan:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"fuzzy index path must never plan a product join:\n$p")
