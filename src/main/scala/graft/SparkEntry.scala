@@ -76,6 +76,7 @@ object SparkEntry {
     "q_filter_chain"     -> (TextOps.filterChain(_, _)),
     "q_unigram_logprob"  -> (TextOps.unigramLogprob(_, _)),
     "q_decontaminate"    -> ((s, d) => TextOps.decontaminate(s, d)),
+    "q_dup_ngram_frac"   -> ((s, d) => TextOps.dupNgramFraction(s, d)),
     "q_pii_scrub"        -> (TextOps.piiScrub(_, _)),
     // Deduplication
     "q_dedup_exact"      -> (DedupOps.dedupExact(_, _)),

@@ -376,6 +376,37 @@ object TextOps {
     Tables.parquetCached(spark, p)
   }
 
+  /** Corpus-wide duplicated-n-gram profile (the RefinedWeb / Dolma
+    * "duplicate text fraction" signal): for each document, the fraction of
+    * its DISTINCT word 8-grams that also appear in at least one other
+    * document. Complements the pairwise tiers — `ngramJaccard` compares
+    * document pairs, this profiles each document against the whole corpus
+    * (boilerplate, syndicated fragments, template text score high without
+    * any single near-duplicate partner).
+    *
+    * Scale shape: per-doc distinct grams ride the native `gram_hash60`
+    * (one traversal, no per-gram strings); document frequency is a count
+    * window over the gram exchange — the `keywords` df pattern: one gram
+    * shuffle feeds both the df and the per-doc rollup, no second corpus
+    * scan, no join-back. Both shuffles are keyed (gram, then doc_id);
+    * nothing is ever global.
+    */
+  def dupNgramFraction(spark: SparkSession, dir: String,
+                       nGram: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docGrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"), explode(expr(s"gram_hash60(toks, $nGram)")).as("g"))
+    docGrams
+      // (doc_id, g) is distinct by construction ⇒ the window count IS df
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6).as("dup_frac"))
+  }
+
   /** Gopher-style repetition metrics per document: the fraction of word
     * bigram occurrences claimed by the single most frequent bigram, and the
     * fraction of trigram occurrences whose trigram appears more than once —
@@ -713,6 +744,28 @@ object TextOps {
          |SELECT c.doc_id, COUNT(*) AS n_contaminated_grams
          |FROM corpus c JOIN ev ON c.g = ev.g
          |GROUP BY c.doc_id""".stripMargin
+    },
+    "q_dup_ngram_frac" -> {
+      // same distinct-8-gram hash60 comprehension the decontaminate oracle
+      // proved; df via a count window over the exploded (doc, gram) pairs
+      val g = (i: String) =>
+        s"""list_distinct([CAST('0x' || substr(md5(concat_ws(' ',
+           |    toks[$i], toks[$i+1], toks[$i+2], toks[$i+3],
+           |    toks[$i+4], toks[$i+5], toks[$i+6], toks[$i+7])),1,15) AS BIGINT)
+           |  for $i in range(1, greatest(len(toks)-7, 1)+1)])""".stripMargin
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents),
+         |gr AS (SELECT doc_id, ${g("i")} AS gs FROM tk),
+         |dg AS (SELECT doc_id, unnest(gs) AS g FROM gr),
+         |d AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS df FROM dg),
+         |d2 AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |    CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+         |  FROM d GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_dup_grams,
+         |  round(CAST(n_dup_grams AS DOUBLE) / n_grams, 6) AS dup_frac
+         |FROM d2""".stripMargin
     },
     "q_repetition" ->
       """WITH tk AS (

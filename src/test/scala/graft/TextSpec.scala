@@ -75,6 +75,22 @@ class TextSpec extends SparkSpecBase {
     assert(!out.contains(0L)) // eval side never reports itself
   }
 
+  test("dupNgramFraction: planted shared run scores, unique docs at zero") {
+    // docs 1 and 2 share one exact 8-token run (1 shared 8-gram each);
+    // doc 3 is unique. 8-token docs have exactly ONE 8-gram.
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq((1L, run), (2L, run), (3L, "totally unrelated words making one single unique gram"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_dupgram_docs/documents.parquet")
+    val out = TextOps.dupNgramFraction(spark, "/tmp/graft_dupgram_docs")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams"),
+         r.getAs[Double]("dup_frac"))).toMap
+    assert(out(1L) === ((1L, 1L, 1.0)))
+    assert(out(2L) === ((1L, 1L, 1.0)))
+    assert(out(3L) === ((1L, 0L, 0.0)))
+  }
+
   test("piiScrub: emails and phone-like runs counted and masked deterministically") {
     val df = Seq(
       (1L, "contact me at jane.doe+x@example.org or +1 (555) 123-4567 thanks"),
