@@ -101,6 +101,7 @@ object SparkEntry {
     // Corpus curation (hashed-ngram models)
     "q_dsir_weight"      -> ((s, d) => CurationOps.dsirWeights(s, d)),
     "q_dsir_resample"    -> ((s, d) => CurationOps.dsirResample(s, d)),
+    "q_quality_classifier" -> ((s, d) => CurationOps.qualityClassifier(s, d)),
     "q_source_overlap"   -> ((s, d) => CurationOps.sourceOverlap(s, d)),
     "q_source_overlap_guarded" -> ((s, d) => CurationOps.sourceOverlap(s, d, maxShare = 0.5)))
 

@@ -159,6 +159,102 @@ object CurationOps {
       .select(col("doc_id"), col("n_grams"),
         round(col("s").cast("double") / lit(Scale), 6).as("log_ratio"))
 
+  /** TRAINED quality classifier (the CCNet / GPT-3 "quality filter" shape:
+    * a linear classifier over hashed bag-of-ngrams features, scoring each
+    * document's probability of belonging to a curated target class).
+    * Features are the same 4096 hashed unigram+bigram buckets DSIR uses;
+    * labels are `lang = targetLang` (the corpus's curated-slice stand-in,
+    * as in [[dsirWeights]]); the model is logistic regression fit with two
+    * full-batch gradient-descent iterations from w₀ = 0 at a fixed learning
+    * rate — few iterations, but genuinely TRAINED: the second iteration's
+    * gradient depends on the first's model through the sigmoid, and the
+    * DuckDB oracle replays BOTH iterations and the final scoring pass
+    * bit-for-bit.
+    *
+    * Exact cross-engine determinism (the ivfTrain/DSIR discipline):
+    *  - weights live in 2^20 fixed point; per-doc logits are
+    *    Σ count·w_fx — exact integer sums, order-independent;
+    *  - the only float steps (sigmoid, lr·gradient/N) are computed on
+    *    exact inputs and ROUNDED back to fixed point immediately, so a
+    *    last-ulp exp() divergence cannot propagate;
+    *  - iteration 1 collapses closed-form (w₀ = 0 ⇒ σ(z) = 0.5 for every
+    *    doc), which both engines replay trivially.
+    *
+    * Scale shape: every training pass is one corpus gram scan + a
+    * bucket-keyed (4096-row) or doc-keyed aggregation — map-side partials
+    * do the work, nothing global; the model is a constant-sized artifact
+    * broadcast for scoring. Like the other fitted models it is SERVED from
+    * a per-(dir, targetLang) store: fit once per JVM+dir, scoring is one
+    * gram pass + broadcast model join (PlanSpec pins no fit subtree). More
+    * GD iterations are the same pass repeated — the plan shape never
+    * changes, only the model artifact (the Lloyd-rounds argument).
+    */
+  def qualityClassifier(spark: SparkSession, dir: String,
+                        targetLang: String = "en"): DataFrame = {
+    val db = docBuckets(spark, dir)
+    db.join(broadcast(servedClassifierModel(spark, dir, targetLang)), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("w_fx")).as("z_fx"))
+      .select(col("doc_id"), col("z_fx"),
+        round(sigmoidOf(col("z_fx")), 6).as("p_target"))
+  }
+
+  private val LR = 0.5
+
+  /** σ(z_fx / 2^20) — the exact spelling the oracle mirrors. */
+  private def sigmoidOf(zFx: org.apache.spark.sql.Column) =
+    lit(1.0) / (lit(1.0) + exp(-(zFx.cast("double") / lit(Scale))))
+
+  /** Per-(doc, bucket) gram counts with the doc's label column. */
+  private def docBuckets(spark: SparkSession, dir: String): DataFrame =
+    gramFrame(spark, dir, Buckets).withColumnRenamed("gram", "bucket")
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Two unrolled full-batch GD iterations; returns (bucket, w_fx). */
+  private def fitClassifier(spark: SparkSession, dir: String,
+                            targetLang: String): DataFrame = {
+    val db = docBuckets(spark, dir)
+    val y = when(col("lang") === targetLang, lit(1.0)).otherwise(lit(0.0))
+    val n = db.select(countDistinct("doc_id").as("n"))
+    val docs = db.select(col("doc_id"), col("lang")).distinct()
+    // iteration 1: w0 = 0 ⇒ z = 0, σ = 0.5 — the residual is closed-form
+    val r1 = docs.select(col("doc_id"),
+      round((y - lit(0.5)) * lit(Scale)).cast("long").as("r_fx"))
+    val w1 = db.join(r1, Seq("doc_id"))
+      .groupBy("bucket").agg(sum(col("c") * col("r_fx")).as("g"))
+      .crossJoin(broadcast(n))
+      .select(col("bucket"),
+        round(lit(LR) * col("g").cast("double") / col("n").cast("double"))
+          .cast("long").as("w"))
+    // iteration 2: logits under w1, sigmoid residual, second update
+    val z2 = db.join(broadcast(w1), Seq("bucket"))
+      .groupBy("doc_id").agg(sum(col("c") * col("w")).as("z_fx"))
+    val r2 = z2.join(docs, Seq("doc_id"))
+      .select(col("doc_id"),
+        round((y - sigmoidOf(col("z_fx"))) * lit(Scale)).cast("long").as("r_fx"))
+    db.join(r2, Seq("doc_id"))
+      .groupBy("bucket").agg(sum(col("c") * col("r_fx")).as("g"))
+      .join(w1, Seq("bucket"))
+      .crossJoin(broadcast(n))
+      .select(col("bucket"),
+        (col("w") + round(lit(LR) * col("g").cast("double") / col("n").cast("double"))
+          .cast("long")).as("w_fx"))
+  }
+
+  private def servedClassifierModel(spark: SparkSession, dir: String,
+                                    targetLang: String): DataFrame = {
+    val p = Tables.derivedStorePath(spark, s"qclf-$targetLang", dir, "documents.parquet")
+    dsirStores.computeIfAbsent(p, path => {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp))
+        graft.sinks.AtomicSwap.replace(spark, fitClassifier(spark, dir, targetLang), path)
+      path
+    })
+    Tables.parquetCached(spark, p)
+  }
+
   /** Pairwise source-vocabulary overlap: Jaccard similarity between each
     * pair of sources' distinct gram sets — the curation signal for mirror
     * domains / syndicated content (two "different" sources whose
@@ -278,6 +374,47 @@ object CurationOps {
          |FROM w
          |ORDER BY gumbel_fx DESC, doc_id ASC
          |LIMIT 100""".stripMargin,
+    "q_quality_classifier" ->
+      s"""WITH $gramCtes,
+         |bk AS (SELECT doc_id, lang, gram % 4096 AS bucket FROM gr),
+         |db AS (
+         |  SELECT doc_id, lang, bucket, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM bk GROUP BY doc_id, lang, bucket),
+         |docs AS (SELECT DISTINCT doc_id, lang FROM db),
+         |yd AS (SELECT doc_id,
+         |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM docs),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+         |r1 AS (SELECT doc_id,
+         |         CAST(round((y - 0.5) * 1048576.0) AS BIGINT) AS r_fx FROM yd),
+         |w1 AS (
+         |  SELECT bucket,
+         |    CAST(round(0.5 * CAST(SUM(db.c * r1.r_fx) AS DOUBLE)
+         |               / CAST(n.n AS DOUBLE)) AS BIGINT) AS w
+         |  FROM db JOIN r1 USING (doc_id), n GROUP BY bucket, n.n),
+         |z2 AS (
+         |  SELECT db.doc_id, CAST(SUM(db.c * w1.w) AS BIGINT) AS z_fx
+         |  FROM db JOIN w1 USING (bucket) GROUP BY db.doc_id),
+         |r2 AS (
+         |  SELECT z2.doc_id,
+         |    CAST(round((yd.y - 1.0 / (1.0 +
+         |      exp(-(CAST(z2.z_fx AS DOUBLE) / 1048576.0)))) * 1048576.0)
+         |      AS BIGINT) AS r_fx
+         |  FROM z2 JOIN yd USING (doc_id)),
+         |g2 AS (
+         |  SELECT bucket, SUM(db.c * r2.r_fx) AS g
+         |  FROM db JOIN r2 USING (doc_id) GROUP BY bucket),
+         |w2 AS (
+         |  SELECT w1.bucket,
+         |    w1.w + CAST(round(0.5 * CAST(g2.g AS DOUBLE)
+         |                      / CAST(n.n AS DOUBLE)) AS BIGINT) AS w_fx
+         |  FROM g2 JOIN w1 USING (bucket), n),
+         |s AS (
+         |  SELECT db.doc_id, CAST(SUM(db.c * w2.w_fx) AS BIGINT) AS z_fx
+         |  FROM db JOIN w2 USING (bucket) GROUP BY db.doc_id)
+         |SELECT doc_id, z_fx,
+         |  round(1.0 / (1.0 + exp(-(CAST(z_fx AS DOUBLE) / 1048576.0))), 6)
+         |    AS p_target
+         |FROM s""".stripMargin,
     "q_source_overlap" ->
       s"""WITH $gramCtes,
          |v AS (SELECT DISTINCT source, gram FROM gr),

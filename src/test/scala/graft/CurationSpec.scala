@@ -66,6 +66,26 @@ class CurationSpec extends SparkSpecBase {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("qualityClassifier: separates the planted target slice after two GD iterations") {
+    val p = CurationOps.qualityClassifier(spark, plantedDir, targetLang = "en")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("z_fx"), r.getAs[Double]("p_target"))).toMap
+    assert(p.size === 6)
+    p.values.foreach { case (_, prob) => assert(prob > 0.0 && prob < 1.0) }
+    // pure-target docs (alpha/beta vocab) score above every off-target doc
+    // (gamma/delta vocab); the mixed doc 5 sits between the pure extremes
+    val en = Seq(0L, 1L, 2L).map(p(_)._2)
+    val de = Seq(3L, 4L).map(p(_)._2)
+    assert(en.min > de.max, s"en=$en de=$de")
+    assert(p(5L)._2 > de.max && p(5L)._2 < en.min)
+  }
+
+  test("qualityClassifier: deterministic replay (fixed-point training)") {
+    val a = CurationOps.qualityClassifier(spark, sf).orderBy("doc_id").collect()
+    val b = CurationOps.qualityClassifier(spark, sf).orderBy("doc_id").collect()
+    assert(a.nonEmpty && a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
   test("sourceOverlap: exact Jaccard on the planted vocabulary") {
     val out = CurationOps.sourceOverlap(spark, plantedDir).collect()
       .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->

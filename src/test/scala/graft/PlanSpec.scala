@@ -208,6 +208,17 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"fit subtree leaked into the scoring plan:\n$p")
   }
 
+  test("qualityClassifier: scoring is served from the model STORE — one gram pass, no training subtree") {
+    val p = plan(CurationOps.qualityClassifier(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast model join in:\n$p")
+    // training joins per-doc residuals back on doc_id and counts distinct
+    // docs — neither may ride in a served scoring plan
+    assert(!p.contains("count(distinct"),
+      s"training's doc count leaked into the scoring plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"scoring must be one gram pass + broadcast model join:\n$p")
+  }
+
   test("fuzzySearchIndexed: verified token IN-list pushed into the store scan, no cartesian, partial top-k") {
     // the candidate pipeline resolves against the served dict/gram stores
     // BEFORE this plan exists; the scoring plan must read the postings
