@@ -89,6 +89,7 @@ object SparkEntry {
     "q_cosine_topk"      -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
     "q_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(s, d)),
     "q_ann_ivf"          -> ((s, d) => SimilarityOps.annIvf(s, d)),
+    "q_ann_ivf_served"   -> ((s, d) => SimilarityOps.annIvfServed(s, d)),
     "q_ann_ivf_trained"  -> ((s, d) => SimilarityOps.annIvfTrained(s, d)),
     "q_ann_pq"           -> ((s, d) => SimilarityOps.annPq(s, d)),
     "q_ann_ivfpq"        -> ((s, d) => SimilarityOps.annIvfPq(s, d)),

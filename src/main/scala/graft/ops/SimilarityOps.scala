@@ -208,6 +208,58 @@ object SimilarityOps {
     ivfProbe(emb, codebook, qv, nprobe, k)
   }
 
+  /** IVF ANN over a CELL-PARTITIONED vector store — the physically-real
+    * form of the static-pruning claim the in-line probe's docstring makes:
+    * the corpus is written ONCE partitioned by its IVF cell assignment
+    * (`cell=<cid>/` directories), and a probe filters `cell IN (...)` on
+    * the PARTITION column — the planner prunes at file-listing time
+    * (`PartitionFilters` in the scan, pinned by PlanSpec), so the unprobed
+    * cells' files are never opened, let alone read. At 100 TB this is the
+    * difference between scanning nlist⁻¹·nprobe of the corpus and scanning
+    * all of it to evaluate an expression filter. Store is version-stamped
+    * per (dir, nlist); assignment inside the store build is the same
+    * native `ivf_assign` the in-line probe uses, so results are identical
+    * (q_ann_ivf_served shares q_ann_ivf's oracle semantics; vectors
+    * round-trip parquet doubles exactly).
+    */
+  def annIvfServed(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+                   nlist: Int = 16, nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", toDouble(col("embedding")))
+    val codebook = collectCodebook(emb, nlist)
+    val qv = if (queryVecId >= 0 && queryVecId < nlist) codebook(queryVecId.toInt)._2
+             else collectVec(emb, queryVecId)
+    val store = servedCellStore(spark, dir, emb, codebook, nlist)
+    val cells = rankProbeCells(qv, codebook, nprobe)
+    store.filter(col("cell").isin(cells: _*)) // partition column ⇒ file pruning
+      .select(col("vec_id"), col("label"),
+        cosine(col("v"), planeLit(qv)).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
+  private val cellStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def servedCellStore(spark: SparkSession, dir: String, emb: DataFrame,
+                              codebook: Array[(Int, Array[Double])],
+                              nlist: Int): DataFrame = {
+    val p = Tables.derivedStorePath(spark, s"ivfcells-$nlist", dir, "embeddings.parquet")
+    cellStores.computeIfAbsent(p, path => {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp)) {
+        val assigned = emb.select(col("vec_id"), col("label"), col("v"),
+          call_function("ivf_assign", col("v"),
+            typedlit(codebook.map(_._2.toSeq).toSeq)).as("cell"))
+        graft.sources.BucketedLayout.writePartitioned(assigned, path, "cell")
+      }
+      path
+    })
+    Tables.parquetCached(spark, p)
+  }
+
   /** The driver-side twin of [[graft.functions.VecCosine]].compute — SAME
     * left-to-right accumulation order over the dims, so probe-cell ranking
     * computed on the driver agrees bit-for-bit with the in-plan expression
@@ -1007,6 +1059,9 @@ object SimilarityOps {
   val oracle: Map[String, String] = Map(
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
+    // identical semantics through the cell-partitioned store (assignment,
+    // probe ranking, re-rank all shared; vectors round-trip parquet exactly)
+    "q_ann_ivf_served" -> annIvfOracle,
     "q_ann_ivf_trained" -> annIvfTrainedOracle,
     "q_ivf_train" -> ivfTrainOracle,
     "q_embed_neardup" -> embedNearDupOracle,

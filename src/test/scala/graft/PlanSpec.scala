@@ -126,6 +126,18 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k re-rank in:\n$p")
   }
 
+  test("annIvfServed: probe prunes PARTITIONS of the cell-partitioned store, not rows") {
+    // the cell IN-list must land in PartitionFilters (file-listing-time
+    // pruning), leaving no per-row assignment expression in the scan
+    val p = plan(SimilarityOps.annIvfServed(spark, sf))
+    assert(p.contains("PartitionFilters: [") && p.contains("cell"),
+      s"expected the cell IN-list as a partition filter in:\n$p")
+    assert(!p.contains("ivf_assign"),
+      s"served probe must read assignments from the store, not recompute:\n$p")
+    assert(!p.contains("Join"), s"probe must stay join-free:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+  }
+
   test("vector math runs as native expressions inside codegen — no HOF lambdas in hot paths") {
     // the round-2 weak spot: lshSignature/cellScores expanded to interpreted
     // aggregate(zip_with(...)) lambdas (no codegen, no CSE). The native

@@ -40,6 +40,12 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("annIvfServed ≡ annIvf: the partitioned store changes the read path, never the answer") {
+    val inline = SimilarityOps.annIvf(spark, sf).collect().map(_.toSeq).toSeq
+    val served = SimilarityOps.annIvfServed(spark, sf).collect().map(_.toSeq).toSeq
+    assert(inline.nonEmpty && served === inline)
+  }
+
   test("annIvf: probes its own cell (query self-hit), results are a corpus subset") {
     val ivf = SimilarityOps.annIvf(spark, sf).collect()
     assert(ivf.nonEmpty && ivf.length <= 10)
