@@ -762,6 +762,14 @@ object SimilarityOps {
     * propagation, O(log diameter) rounds, lineage-truncated), and the
     * threshold filter runs on the rounded cosine so the DuckDB oracle
     * replays edge membership exactly.
+    *
+    * Measured floor (sf0.1, r8): ~0.55 s wall — the CC rounds are an
+    * inherent per-iteration job barrier, the same trade q_dup_clusters
+    * makes. On THIS corpus's small pair graph a single-node recursive CTE
+    * is cheaper (~0.2 s); on the bigger document graph the positions
+    * invert 14× (3.1 s vs 43 s), and at 100 TB the recursive CTE does not
+    * exist as an option. The iterative shape is the scale-correct one;
+    * don't trade it for the small-graph constant.
     */
   def semDedup(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
     val pairs = bandedVecPairs(spark, dir)
