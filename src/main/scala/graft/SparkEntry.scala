@@ -75,6 +75,7 @@ object SparkEntry {
     "q_pack"             -> ((s, d) => TextOps.packChunks(s, d)),
     "q_filter_chain"     -> (TextOps.filterChain(_, _)),
     "q_unigram_logprob"  -> (TextOps.unigramLogprob(_, _)),
+    "q_bigram_logprob"   -> (TextOps.bigramLogprob(_, _)),
     "q_decontaminate"    -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_dup_ngram_frac"   -> ((s, d) => TextOps.dupNgramFraction(s, d)),
     "q_pii_scrub"        -> (TextOps.piiScrub(_, _)),

@@ -679,6 +679,126 @@ object TextOps {
     (counts, scoreUnigram(spark, dir, model))
   }
 
+  /** Interpolated BIGRAM LM quality score — one Markov order beyond
+    * [[unigramLogprob]] (the direction CCNet's 5-gram KenLM sits in):
+    * per-doc mean of ln p(tᵢ | tᵢ₋₁) with Jelinek-Mercer interpolation
+    *
+    *   p(b | a) = λ·c(a,b)/c(a·) + (1−λ)·c(b)/T,   λ = 0.7
+    *
+    * where c(a·) is the context marginal (Σ_b c(a,b)) and c(b)/T the
+    * unigram backstop — so an unseen bigram backs off instead of zeroing
+    * the document. The model is TWO relations, both fitted once and served
+    * from per-dir stores: seen-pair logprobs (a, b, lp_fx) and the per-
+    * token backoff (token, lp0_fx) for pairs the fit never saw (live when
+    * scoring docs outside the training corpus — spec-covered; on the
+    * training corpus every pair is seen by construction, which the oracle
+    * replays). Determinism: logprobs are fixed-pointed at fit time, the
+    * per-doc sum is an exact long fold (the unigram discipline), and the
+    * bigram windows are the proven list-filter + range comprehension index
+    * space.
+    *
+    * Scale shape: fit = two hash aggregations (pair and token counts) +
+    * model derivation on vocab-bounded relations; scoring = one corpus
+    * pass joined to the broadcast stores + a doc_id aggregation. The
+    * broadcast hint is the unigram note verbatim: at a pair vocabulary too
+    * large to broadcast, drop the hint and take the shuffled hash join.
+    */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    bigramLogprobWith(spark, dir, dir)
+
+  /** Score `dir`'s documents under a model fitted on `modelDir` — the
+    * serving deployment shape (incoming batches scored with the shipped
+    * model); unseen bigrams take the per-token backoff (spec-covered).
+    * Bigrams whose SECOND token is outside the model vocabulary drop from
+    * the score entirely (the inner backoff join) — the mean is over
+    * in-vocabulary positions, CCNet-style; an `<unk>` pseudo-token row in
+    * the backoff store is the drop-in alternative if absolute coverage
+    * matters more than comparability.
+    */
+  def bigramLogprobWith(spark: SparkSession, dir: String,
+                        modelDir: String): DataFrame = {
+    val (pairModel, backoff) = servedBigramModel(spark, modelDir)
+    docBigrams(spark, dir)
+      .join(broadcast(pairModel), Seq("a", "b"), "left")
+      .join(broadcast(backoff), col("b") === backoff("token"))
+      .select(col("doc_id"), coalesce(col("lp_fx"), col("lp0_fx")).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round((col("s").cast("double") / col("n_bigrams")) / lit(1048576.0), 6)
+          .as("avg_logprob"))
+  }
+
+  /** Per-occurrence (doc_id, a, b) bigrams over the FILTERED token list —
+    * index space identical to the oracle's
+    * `range(1, greatest(len(toks), 1))` comprehension (empties dropped
+    * before windowing; <2 tokens ⇒ no rows).
+    */
+  private def docBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+      t => length(t) > 0)
+    // guarded sequence: sequence(1, 0) would yield [1, 0] (negative-step
+    // inference), not the empty window list the comprehension produces
+    val idx = when(size(col("toks")) >= 2,
+      sequence(lit(1), size(col("toks")) - 1))
+      .otherwise(array().cast("array<int>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(transform(idx, i =>
+        struct(element_at(col("toks"), i).as("a"),
+               element_at(col("toks"), i + 1).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+  }
+
+  private val bigramStores =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def servedBigramModel(spark: SparkSession,
+                                dir: String): (DataFrame, DataFrame) = {
+    val pp = Tables.derivedStorePath(spark, "bigram-pairs", dir, "documents.parquet")
+    val pb = Tables.derivedStorePath(spark, "bigram-backoff", dir, "documents.parquet")
+    bigramStores.computeIfAbsent(pp, _ => {
+      val fs = new org.apache.hadoop.fs.Path(pp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(pp))) {
+        val (pairs, backoff) = fitBigram(spark, dir)
+        graft.sinks.AtomicSwap.replace(spark, pairs, pp)
+        graft.sinks.AtomicSwap.replace(spark, backoff, pb)
+      }
+      (pp, pb)
+    })
+    (Tables.parquetCached(spark, pp), Tables.parquetCached(spark, pb))
+  }
+
+  /** Fit both model relations; ln terms are spelled EXACTLY as the oracle
+    * spells them (operand order matters for float identity).
+    */
+  private def fitBigram(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // both weights as EXPLICIT literals: `1 - 0.7` is 0.30000000000000004
+    // in IEEE doubles, not the 0.3 the oracle writes — spelling them apart
+    // would shift every logprob by an ulp and break the fixed-point replay
+    val lambda = 0.7
+    val backstop = 0.3
+    val cab = docBigrams(spark, dir).groupBy("a", "b")
+      .agg(count(lit(1)).as("c_ab"))
+    val ca = cab.groupBy("a").agg(sum("c_ab").as("c_a"))
+    val cb = unigramToks(spark, dir).groupBy("token")
+      .agg(count(lit(1)).as("c_b"))
+    val tot = cb.agg(sum("c_b").cast("double").as("total"))
+    val pairs = cab.join(ca, Seq("a"))
+      .join(cb, cab("b") === cb("token"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"),
+        round(log(lit(lambda) * (col("c_ab").cast("double") / col("c_a")) +
+                  lit(backstop) * (col("c_b").cast("double") / col("total")))
+          * lit(1048576.0)).cast("long").as("lp_fx"))
+    val backoff = cb.crossJoin(broadcast(tot))
+      .select(col("token"),
+        round(log(lit(backstop) * (col("c_b").cast("double") / col("total")))
+          * lit(1048576.0)).cast("long").as("lp0_fx"))
+    (pairs, backoff)
+  }
+
   /** PII scrubbing: redact emails, IPv4-shaped dotted quads, credit-card-
     * shaped digit groups, and long digit runs (phone/ID shapes), reporting
     * per-CLASS hit counts — the masking pass a curation pipeline runs
@@ -729,6 +849,44 @@ object TextOps {
         |SELECT doc_id, n_toks,
         |  round((CAST(s AS DOUBLE) / n_toks) / 1048576.0, 6) AS avg_logprob
         |FROM s""".stripMargin,
+    "q_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, p['a'] AS a, p['b'] AS b FROM (
+        |    SELECT doc_id,
+        |      unnest([struct_pack(a := toks[i], b := toks[i+1])
+        |              for i in range(1, greatest(len(toks), 1))]) AS p
+        |    FROM t)),
+        |cab AS (SELECT a, b, COUNT(*) AS c_ab FROM pairs GROUP BY a, b),
+        |ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a),
+        |tt AS (SELECT unnest(toks) AS token FROM t),
+        |cb AS (SELECT token, COUNT(*) AS c_b FROM tt GROUP BY token),
+        |tot AS (SELECT CAST(SUM(c_b) AS DOUBLE) AS total FROM cb),
+        |pm AS (
+        |  SELECT cab.a, cab.b,
+        |    CAST(round(ln(0.7 * (CAST(c_ab AS DOUBLE) / c_a) +
+        |                  0.3 * (CAST(c_b AS DOUBLE) / total))
+        |               * 1048576.0) AS BIGINT) AS lp_fx
+        |  FROM cab JOIN ca USING (a) JOIN cb ON cab.b = cb.token, tot),
+        |um AS (
+        |  SELECT token,
+        |    CAST(round(ln(0.3 * (CAST(c_b AS DOUBLE) / total))
+        |               * 1048576.0) AS BIGINT) AS lp0_fx
+        |  FROM cb, tot),
+        |sc AS (
+        |  SELECT pairs.doc_id, COUNT(*) AS n_bigrams,
+        |    SUM(coalesce(pm.lp_fx, um.lp0_fx)) AS s
+        |  FROM pairs
+        |  LEFT JOIN pm ON pairs.a = pm.a AND pairs.b = pm.b
+        |  JOIN um ON pairs.b = um.token
+        |  GROUP BY pairs.doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  round((CAST(s AS DOUBLE) / n_bigrams) / 1048576.0, 6) AS avg_logprob
+        |FROM sc""".stripMargin,
     "q_decontaminate" -> {
       val g = (i: String) =>
         s"""list_distinct([CAST('0x' || substr(md5(concat_ws(' ',

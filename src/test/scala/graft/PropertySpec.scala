@@ -149,6 +149,33 @@ class PropertySpec extends SparkSpecBase {
     assert(bad.isEmpty, s"diverging rows: ${bad.take(3).mkString("; ")}")
   }
 
+  test("property: bpe_count ≡ composed regexp chain on generated adversarial text") {
+    GraftFunctions.register(spark)
+    val df = samples(textGen, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val bad = df.select(col("id"),
+        expr("bpe_count(text)").as("native"),
+        graft.ops.TextOps.tokenCountBpeComposed.as("ref"))
+      .filter(not(col("native") <=> col("ref")))
+      .collect()
+    assert(bad.isEmpty, s"diverging rows: ${bad.take(3).mkString("; ")}")
+  }
+
+  test("property: bpe_count bounds — never exceeds codepoints, never below piece count") {
+    import graft.functions.BpeModel
+    samples(textGen, 300).foreach { t =>
+      val n = BpeModel.countTokens(t)
+      val pieces = {
+        val m = java.util.regex.Pattern.compile(BpeModel.PreTokPattern).matcher(t)
+        var c = 0L; var cp = 0L
+        while (m.find()) { c += 1; cp += m.group().codePointCount(0, m.group().length) }
+        (c, cp)
+      }
+      assert(n >= pieces._1, s"'$t': $n < piece count ${pieces._1}")
+      assert(n <= pieces._2, s"'$t': $n > codepoint total ${pieces._2}")
+    }
+  }
+
   test("property: autoFuzz ladder matches ES fuzziness:auto on generated tokens") {
     // pure function — per-sample checks are free, no Spark involved
     samples(Gen.alphaLowerStr.map(_.take(12)), 500).foreach { t =>

@@ -75,6 +75,33 @@ class TextSpec extends SparkSpecBase {
     assert(!out.contains(0L)) // eval side never reports itself
   }
 
+  test("bigramLogprob: seen pairs beat the backoff; held-out doc takes the unseen-pair path") {
+    // training corpus: "red fish" is a frequent pair; "blue fish" never
+    // occurs as a pair though both tokens are in vocabulary
+    val trainDir = "/tmp/graft_bigram_train"
+    Seq((1L, "red fish red fish red fish"), (2L, "blue sky blue sky"),
+        (3L, "red fish blue sky"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$trainDir/documents.parquet")
+    val scoreDir = "/tmp/graft_bigram_score"
+    Seq((10L, "red fish"), (11L, "blue fish"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$scoreDir/documents.parquet")
+    val out = graft.ops.TextOps.bigramLogprobWith(spark, scoreDir, trainDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob"))).toMap
+    assert(out(10L)._1 === 1L && out(11L)._1 === 1L)
+    // the seen pair interpolates pair + unigram mass; the unseen pair gets
+    // only the 0.3-weighted unigram backstop — strictly lower
+    assert(out(10L)._2 > out(11L)._2,
+      s"seen ${out(10L)._2} must beat unseen ${out(11L)._2}")
+    // backoff value replayed by hand: round(ln(0.3 · c(fish)/T) · 2^20),
+    // T = 14 training tokens, c(fish) = 4
+    val expected = math.rint(math.log(0.3 * (4.0 / 14.0)) * 1048576.0) / 1048576.0
+    assert(math.abs(out(11L)._2 - expected) < 1e-5,
+      s"backoff ${out(11L)._2} vs hand $expected")
+  }
+
   test("dupNgramFraction: planted shared run scores, unique docs at zero") {
     // docs 1 and 2 share one exact 8-token run (1 shared 8-gram each);
     // doc 3 is unique. 8-token docs have exactly ONE 8-gram.
