@@ -74,6 +74,7 @@ object SparkEntry {
     "q_corpus_mix"       -> (TextOps.corpusMix(_, _)),
     "q_pack"             -> ((s, d) => TextOps.packChunks(s, d)),
     "q_filter_chain"     -> (TextOps.filterChain(_, _)),
+    "q_curate_kept"      -> (PipelineOps.curateKept(_, _)),
     "q_unigram_logprob"  -> (TextOps.unigramLogprob(_, _)),
     "q_bigram_logprob"   -> (TextOps.bigramLogprob(_, _)),
     "q_decontaminate"    -> ((s, d) => TextOps.decontaminate(s, d)),
@@ -116,5 +117,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalOps.oracle ++ EventsOps.oracle ++ TextOps.oracle ++
       DedupOps.oracle ++ SimilarityOps.oracle ++ MultimodalOps.oracle ++
-      SearchOps.oracle ++ DocumentOps.oracle ++ CurationOps.oracle
+      SearchOps.oracle ++ DocumentOps.oracle ++ CurationOps.oracle ++
+      PipelineOps.oracle
 }

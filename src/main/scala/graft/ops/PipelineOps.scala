@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation gate — the verdict a corpus batch actually gets
+  * before packing: the C4/Gopher quality chain, near-duplicate cluster
+  * pruning, and benchmark decontamination folded into ONE deterministic
+  * per-document verdict with a fixed rule priority
+  *
+  *   quality rules (first failed rule wins, [[TextOps.filterChain]] order)
+  *   → 'duplicate'    (in an LSH cluster, not its min-id representative)
+  *   → 'contaminated' (shares ≥ 1 eval 8-gram, [[TextOps.decontaminate]])
+  *   → 'kept'
+  *
+  * Composition, not re-implementation: the three stages are the proven
+  * operators verbatim, and the DuckDB oracle composes their three proven
+  * oracle statements the same way — so the whole pipeline's semantics are
+  * hash-gated end to end, not just each stage in isolation.
+  *
+  * Scale shape: inherits each stage's shape (one codegen'd projection for
+  * the chain; banded LSH + pointer-doubling CC for clusters; broadcast
+  * eval-gram store for contamination) plus two left joins keyed on doc_id.
+  * The dedup and contamination sides are DROP LISTS — tiny relative to the
+  * corpus — so at scale both joins broadcast.
+  */
+object PipelineOps {
+
+  def curateKept(spark: SparkSession, dir: String): DataFrame = {
+    val fc = TextOps.filterChain(spark, dir)
+      .select(col("doc_id"), col("lang"), col("reason"))
+    val dupDrop = DedupOps.dupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    val contam = TextOps.decontaminate(spark, dir)
+      .filter(col("n_contaminated_grams") >= 1)
+      .select(col("doc_id"), lit(true).as("is_cont"))
+    val verdict = when(col("reason") =!= "kept", col("reason"))
+      .when(col("is_dup"), lit("duplicate"))
+      .when(col("is_cont"), lit("contaminated"))
+      .otherwise(lit("kept"))
+    fc.join(dupDrop, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), verdict.as("verdict"),
+        (verdict === "kept").as("keep"))
+  }
+
+  /** One statement composing the three stage oracles: the quality chain
+    * and decontamination ride as nested-WITH subqueries; the recursive
+    * cluster CTE chain nests the same way (DuckDB allows WITH RECURSIVE in
+    * a derived table).
+    */
+  val oracle: Map[String, String] = Map(
+    "q_curate_kept" -> {
+      val fcSql = TextOps.oracle("q_filter_chain")
+      val dupSql = DedupOps.oracle("q_dup_clusters")
+      val contSql = TextOps.oracle("q_decontaminate")
+      val verdict =
+        """CASE WHEN fc.reason <> 'kept' THEN fc.reason
+          |       WHEN dd.doc_id IS NOT NULL THEN 'duplicate'
+          |       WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+          |       ELSE 'kept' END""".stripMargin
+      s"""WITH fc AS ($fcSql),
+         |dd AS (SELECT doc_id FROM ($dupSql) WHERE doc_id <> cluster_id),
+         |ct AS (SELECT doc_id FROM ($contSql) WHERE n_contaminated_grams >= 1)
+         |SELECT fc.doc_id, fc.lang,
+         |  $verdict AS verdict,
+         |  ($verdict) = 'kept' AS keep
+         |FROM fc
+         |LEFT JOIN dd ON fc.doc_id = dd.doc_id
+         |LEFT JOIN ct ON fc.doc_id = ct.doc_id""".stripMargin
+    })
+}
