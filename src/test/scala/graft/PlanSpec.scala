@@ -220,6 +220,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"fit subtree leaked into the scoring plan:\n$p")
   }
 
+  test("bigramLogprob: scoring is served from BOTH model stores — broadcast joins, no fit subtree") {
+    val p = plan(graft.ops.TextOps.bigramLogprob(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast model joins in:\n$p")
+    // logprobs are fixed-pointed at FIT time — a LOG() in the scoring plan
+    // means the model was re-derived inline instead of read from the store
+    assert(!p.contains("LOG("),
+      s"fit's ln() leaked into the scoring plan:\n$p")
+    assert(p.contains("coalesce"), s"expected the backoff coalesce in:\n$p")
+  }
+
   test("qualityClassifier: scoring is served from the model STORE — one gram pass, no training subtree") {
     val p = plan(CurationOps.qualityClassifier(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast model join in:\n$p")
