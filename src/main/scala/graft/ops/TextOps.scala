@@ -562,10 +562,17 @@ object TextOps {
     * repartitioned by doc_id and joined the gram aggregates back; both are
     * gone (TextSpec pins zero exchanges).
     */
-  def filterChain(spark: SparkSession, dir: String): DataFrame = {
+  def filterChain(spark: SparkSession, dir: String): DataFrame =
+    filterChainOn(Tables.documents(spark, dir))
+
+  /** The frame-parameterized gate — per-row native expressions only, so it
+    * applies identically to a batch table or a streaming micro-batch
+    * ([[graft.streaming.StreamingOps.streamingQualityGate]]).
+    */
+  private[graft] def filterChainOn(docs: DataFrame): DataFrame = {
     val gs = call_function("gram_stats",
       split(lower(trim(col("text"))), "\\s+"))
-    val staged = Tables.documents(spark, dir)
+    val staged = docs
       .select(col("doc_id"), col("lang"),
         qualityParts._4.as("quality_score"), langPredCol.as("lang_pred"),
         (gs.getField("top_bigram_n").cast("double") / gs.getField("n_bigrams"))
@@ -678,6 +685,49 @@ object TextOps {
     val (counts, model) = fitUnigram(spark, dir)
     (counts, scoreUnigram(spark, dir, model))
   }
+
+  /** Stateless INGEST gate: the quality chain and eval-gram contamination
+    * check folded into one codegen'd projection over any documents frame —
+    * batch table or streaming micro-batch (no state, no watermark, no
+    * join, so it composes freely under Structured Streaming; the stateful
+    * duplicate tier is [[graft.streaming.StreamingOps.streamingNearDup]],
+    * composed at the sink). The eval gram set rides as a LITERAL array:
+    * eval sets are benchmark-sized (thousands of grams) by definition, the
+    * same bound that lets batch decontamination broadcast its store.
+    * Verdict priority mirrors [[graft.ops.PipelineOps.curateKept]] with
+    * the duplicate stage absent: first failed quality rule →
+    * 'contaminated' → 'kept'.
+    */
+  def ingestGate(docs: DataFrame, evalGrams: Seq[Long],
+                 nGram: Int = 8): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val gs = call_function("gram_stats", toks)
+    val staged = docs.select(col("doc_id"), col("lang"),
+      qualityParts._4.as("quality_score"), langPredCol.as("lang_pred"),
+      (gs.getField("top_bigram_n").cast("double") / gs.getField("n_bigrams"))
+        .as("top_bigram_frac"),
+      (gs.getField("dup_trigram_occ").cast("double") / gs.getField("n_trigrams"))
+        .as("dup_trigram_frac"),
+      arrays_overlap(call_function("gram_hash60", toks, lit(nGram)),
+        typedlit(evalGrams)).as("is_cont"))
+    val reason = when(col("quality_score") < 0.7, "low_quality")
+      .when(col("lang_pred") =!= col("lang"), "lang_mismatch")
+      .when(col("top_bigram_frac") > 0.1, "repetitive_bigram")
+      .when(col("dup_trigram_frac") > 0.5, "repetitive_trigram")
+      .when(col("is_cont"), "contaminated")
+      .otherwise("kept")
+    staged.select(col("doc_id"), col("lang"), reason.as("verdict"),
+      (reason === "kept").as("keep"))
+  }
+
+  /** The eval-gram set as a driver-side artifact (for [[ingestGate]]'s
+    * literal) — read from the same served store batch decontamination
+    * scans, so both faces gate against identical grams.
+    */
+  def evalGramSet(spark: SparkSession, dir: String, nGram: Int = 8,
+                  evalMaxId: Long = 20L): Seq[Long] =
+    servedEvalGrams(spark, dir, nGram, evalMaxId)
+      .collect().map(_.getLong(0)).toSeq.sorted
 
   /** Interpolated BIGRAM LM quality score — one Markov order beyond
     * [[unigramLogprob]] (the direction CCNet's 5-gram KenLM sits in):

@@ -56,6 +56,19 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Curation at INGEST: the stateless slice of the curation gate
+    * ([[graft.ops.TextOps.ingestGate]]) applied to a streaming documents
+    * frame — quality rules + eval-gram contamination as one per-row
+    * projection, so every micro-batch is gated with zero state and the
+    * verdicts are identical to the batch gate on the same rows
+    * (StreamingSpec asserts it). Duplicate pruning is the stateful tier:
+    * route kept docs through [[streamingNearDup]] and drop hits at the
+    * sink.
+    */
+  def streamingQualityGate(docs: DataFrame, evalGrams: Seq[Long],
+                           nGram: Int = 8): DataFrame =
+    graft.ops.TextOps.ingestGate(docs, evalGrams, nGram)
+
   case class DupHit(left_id: Long, right_id: Long, est_jaccard: Double)
 
   /** Streaming near-duplicate detection — ingestion-time dedup, the

@@ -31,6 +31,46 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingQualityGate: micro-batch verdicts identical to the batch gate, contamination included") {
+    graft.functions.GraftFunctions.register(spark)
+    // eval set: the gram hashes of one planted 8-gram run
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val evalGrams = Seq((0L, run)).toDF("doc_id", "text")
+      .select(explode(graft.ops.TextOps.gramHash60Composed(
+        split(lower(trim(col("text"))), "\\s+"), 8)).as("g"))
+      .collect().map(_.getLong(0)).toSeq
+    // varied words (no dominant bigram), stopwords present, >50 chars
+    val goodText = "the quick brown fox jumps over a lazy dog while many " +
+      "other animals watch the bright morning sky and wonder about drifting " +
+      "patterns of wind in tall grass near quiet rivers"
+    val docs = Seq(
+      (1L, "en", goodText),                              // kept
+      (2L, "en", "short"),                               // low_quality
+      (3L, "en", s"the $run of the benchmark " * 12),    // contaminated? no — quality first
+      (4L, "en", goodText + " " + run))                  // kept-quality BUT contaminated
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = StreamingOps.streamingQualityGate(
+        input.toDF().toDF("doc_id", "lang", "text"), evalGrams)
+      .writeStream.format("memory").queryName("qg").outputMode("append").start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*) // second micro-batch
+      q.processAllAvailable()
+      val streamed = spark.table("qg").collect()
+        .map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+      assert(streamed.keySet === Set(1L, 2L, 3L, 4L))
+      assert(streamed(1L) === (("kept", true)))
+      assert(streamed(2L) === (("low_quality", false)))
+      assert(streamed(4L) === (("contaminated", false)))
+      // batch replay over the same rows must verdict identically
+      val batch = graft.ops.TextOps.ingestGate(
+          docs.toDF("doc_id", "lang", "text"), evalGrams)
+        .collect().map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+      assert(batch === streamed)
+    } finally q.stop()
+  }
+
   test("dedupEvents: redelivered event ids collapse within the watermark") {
     val input = MemoryStream[Event](spark)
     val q = StreamingOps.dedupEvents(input.toDF())
