@@ -73,6 +73,7 @@ object SparkEntry {
     "q_repetition"       -> (TextOps.repetition(_, _)),
     "q_corpus_mix"       -> (TextOps.corpusMix(_, _)),
     "q_pack"             -> ((s, d) => TextOps.packChunks(s, d)),
+    "q_pack_bpe"         -> ((s, d) => TextOps.packChunksBpe(s, d)),
     "q_filter_chain"     -> (TextOps.filterChain(_, _)),
     "q_curate_kept"      -> (PipelineOps.curateKept(_, _)),
     "q_unigram_logprob"  -> (TextOps.unigramLogprob(_, _)),

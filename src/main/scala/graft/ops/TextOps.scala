@@ -536,10 +536,24 @@ object TextOps {
     * is globally unique without any cross-shard coordination.
     */
   def packChunks(spark: SparkSession, dir: String, nShards: Int = 8,
-                 ctxTokens: Int = 2048): DataFrame = {
+                 ctxTokens: Int = 2048): DataFrame =
+    packOn(Tables.documents(spark, dir), metrics.getField("n_tokens"),
+      nShards, ctxTokens)
+
+  /** [[packChunks]] with the budget measured by the REAL subword tokenizer
+    * (`bpe_count`) instead of the whitespace count — what a training
+    * pipeline actually packs by, since the context window is a subword
+    * budget. Same shard-parallel window, same overflow contract.
+    */
+  def packChunksBpe(spark: SparkSession, dir: String, nShards: Int = 8,
+                    ctxTokens: Int = 2048): DataFrame =
+    packOn(Tables.documents(spark, dir),
+      call_function("bpe_count", col("text")), nShards, ctxTokens)
+
+  /** The packing core over any per-doc token-budget column. */
+  private def packOn(d: DataFrame, nTokens: Column, nShards: Int,
+                     ctxTokens: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = Tables.documents(spark, dir)
-    val nTokens = metrics.getField("n_tokens")
     val w = Window.partitionBy("shard").orderBy("doc_id")
     d.select(col("doc_id"), nTokens.as("n_tokens"),
         pmod(DedupOps.hash60(col("doc_id").cast("string")), lit(nShards)).as("shard"))
@@ -883,6 +897,25 @@ object TextOps {
       md5(scrubbed.cast("binary")).as("scrubbed_md5"))
   }
 
+  /** DuckDB scalar: the BPE token count of `text` — the merge chain, one
+    * global regexp_replace per rank over the '|tok/'-marked token sequence
+    * (lead + trail markers; see [[tokenCountBpeComposed]] for why a single
+    * separator is WRONG), generated from the SAME fixture the native
+    * expression compiles in. Shared by the token-count and BPE-pack
+    * oracles.
+    */
+  private def bpeCountSql: String = {
+    val chain = graft.functions.BpeModel.merges
+      .foldLeft("""regexp_replace(p, '(.)', '|\1/', 'g')""") {
+        case (acc, (a, b)) => s"regexp_replace($acc, '\\|$a/\\|$b/', '|$a$b/', 'g')"
+      }
+    s"""CAST(coalesce(list_sum(list_transform(
+       |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+       |    p -> CASE WHEN regexp_matches(p, '^[A-Za-z]+${"$"}')
+       |              THEN len(string_split($chain, '/')) - 1
+       |              ELSE len(p) END)), 0) AS BIGINT)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_unigram_logprob" ->
       """WITH t AS (
@@ -1131,25 +1164,27 @@ object TextOps {
         |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
         |FROM documents""".stripMargin,
-    "q_token_count_bpe" -> {
-      // the merge chain, one global regexp_replace per rank over the
-      // '|tok/'-marked token sequence (lead + trail markers — see
-      // tokenCountBpeComposed for why a single separator is WRONG) —
-      // generated from the SAME fixture the native expression compiles in
-      val chain = graft.functions.BpeModel.merges
-        .foldLeft("""regexp_replace(p, '(.)', '|\1/', 'g')""") {
-          case (acc, (a, b)) => s"regexp_replace($acc, '\\|$a/\\|$b/', '|$a$b/', 'g')"
-        }
+    "q_token_count_bpe" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text,
          |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_pieces,
-         |  CAST(coalesce(list_sum(list_transform(
-         |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
-         |    p -> CASE WHEN regexp_matches(p, '^[A-Za-z]+${"$"}')
-         |              THEN len(string_split($chain, '/')) - 1
-         |              ELSE len(p) END)), 0) AS BIGINT) AS n_bpe_tokens
-         |FROM documents""".stripMargin
-    },
+         |  $bpeCountSql AS n_bpe_tokens
+         |FROM documents""".stripMargin,
+    "q_pack_bpe" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    $bpeCountSql AS n_tokens,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 8 AS shard
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens, cum_tokens,
+         |  shard * 4294967296 + CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT)
+         |    AS chunk_id
+         |FROM c""".stripMargin,
     "q_lang_id" ->
       """WITH h AS (
         |  SELECT doc_id, lang,
