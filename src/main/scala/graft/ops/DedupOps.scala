@@ -258,6 +258,30 @@ object DedupOps {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
+  /** [[dupClusters]] SERVED from a per-(dir version, threshold) store — a
+    * dedup pass is an offline corpus artifact (you cluster once, then every
+    * downstream consumer reads the assignment), so consumers like the
+    * curation gate must not re-run the CC fixpoint per query. q_dup_clusters
+    * stays the direct compute face (it measures the real clustering cost);
+    * this is the read face, version-stamped like every other model store.
+    */
+  private val clusterStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def servedDupClusters(spark: SparkSession, dir: String,
+                        threshold: Double = 0.5): DataFrame = {
+    val p = graft.Tables.derivedStorePath(spark,
+      s"dupclusters-$threshold", dir, "documents.parquet")
+    clusterStores.computeIfAbsent(p, path => {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp))
+        graft.sinks.AtomicSwap.replace(spark, dupClusters(spark, dir, threshold), path)
+      path
+    })
+    graft.Tables.parquetCached(spark, p)
+  }
+
   /** Connected components over an undirected pair graph (`left_id`,
     * `right_id` columns) → one `(id, label)` row per node, label = the
     * component minimum. Shared by [[dupClusters]] (text near-dup graph) and

@@ -29,7 +29,10 @@ object PipelineOps {
   def curateKept(spark: SparkSession, dir: String): DataFrame = {
     val fc = TextOps.filterChain(spark, dir)
       .select(col("doc_id"), col("lang"), col("reason"))
-    val dupDrop = DedupOps.dupClusters(spark, dir)
+    // clusters read from the SERVED store: the dedup pass is an offline
+    // artifact, computed once per corpus version — the gate never re-runs
+    // the CC fixpoint (q_dup_clusters remains the direct compute face)
+    val dupDrop = DedupOps.servedDupClusters(spark, dir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"), lit(true).as("is_dup"))
     val contam = TextOps.decontaminate(spark, dir)
