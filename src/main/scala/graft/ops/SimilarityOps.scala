@@ -253,7 +253,10 @@ object SimilarityOps {
         val assigned = emb.select(col("vec_id"), col("label"), col("v"),
           call_function("ivf_assign", col("v"),
             typedlit(codebook.map(_._2.toSeq).toSeq)).as("cell"))
-        graft.sources.BucketedLayout.writePartitioned(assigned, path, "cell")
+        // staged swap: a crash mid-write must not leave a partial store
+        // that the exists-check would then serve forever
+        graft.sinks.AtomicSwap.replaceWith(spark, path)(staging =>
+          graft.sources.BucketedLayout.writePartitioned(assigned, staging, "cell"))
       }
       path
     })

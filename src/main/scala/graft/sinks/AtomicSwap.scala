@@ -62,13 +62,25 @@ object AtomicSwap {
   /** Write `df` as the new content of `livePath` via the staged swap.
     * The write itself retries with backoff (overwrite ⇒ idempotent).
     */
-  def replace(spark: SparkSession, df: DataFrame, livePath: String): Unit = {
+  def replace(spark: SparkSession, df: DataFrame, livePath: String): Unit =
+    replaceWith(spark, livePath) { staging =>
+      df.write.mode(SaveMode.Overwrite).parquet(staging)
+    }
+
+  /** The staged swap with a caller-supplied writer (partitioned layouts,
+    * bucketed tables) — the writer targets the STAGING path; the rename
+    * dance is identical, so a crash mid-write can never leave a partial
+    * store at the live path (the exists-check that gates store builds
+    * would otherwise serve it forever).
+    */
+  def replaceWith(spark: SparkSession, livePath: String)
+                 (write: String => Unit): Unit = {
     val f = fs(spark, livePath)
     val dst     = new org.apache.hadoop.fs.Path(livePath)
     val staging = new org.apache.hadoop.fs.Path(livePath + ".staging")
     val old     = new org.apache.hadoop.fs.Path(livePath + ".old")
     Retry.withBackoff() {
-      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      write(staging.toString)
     }
     f.delete(old, true)
     if (f.exists(dst)) mustRename(f, dst, old) // keep the live store recoverable
