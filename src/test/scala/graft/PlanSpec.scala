@@ -220,6 +220,15 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"fit subtree leaked into the scoring plan:\n$p")
   }
 
+  test("dupNgramFraction: df window rides the gram exchange — never a global window") {
+    val qe = graft.ops.TextOps.dupNgramFraction(spark, sf).queryExecution
+    val windows = qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, s"expected the df count window in:\n${qe.sparkPlan}")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"df window lost its gram partitioning (single-partition at scale):\n${qe.sparkPlan}"))
+  }
+
   test("bigramLogprob: scoring is served from BOTH model stores — broadcast joins, no fit subtree") {
     val p = plan(graft.ops.TextOps.bigramLogprob(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast model joins in:\n$p")
