@@ -60,6 +60,7 @@ object SparkEntry {
     "q_terms_agg"        -> ((s, d) => SearchOps.termsAgg(s, d)),
     "q_inverted_search"  -> ((s, d) => SearchOps.invertedSearch(s, d)),
     "q_search_ranked"    -> ((s, d) => SearchOps.rankedSearch(s, d)),
+    "q_hybrid_search"    -> ((s, d) => SearchOps.hybridSearch(s, d)),
     "q_keywords"         -> ((s, d) => SearchOps.keywords(s, d)),
     // Text analysis (training-data pipeline)
     "q_token_count"      -> (TextOps.tokenCount(_, _)),

@@ -375,6 +375,55 @@ object SearchOps {
       .limit(k)
   }
 
+  /** HYBRID retrieval: reciprocal-rank fusion (Cormack et al. 2009) of the
+    * BM25-lite lexical list and the brute-cosine vector list —
+    * rrf(d) = Σ_lists 1/(60 + rank_d) — the standard fusion modern search
+    * stacks run when a corpus carries both text and embeddings (the
+    * documents/embeddings tables align 1:1 on id here).
+    *
+    * Cross-engine rank determinism is the whole trick: BOTH lists are
+    * ranked on their ROUNDED scores (6 dp) with id tie-breaks — the
+    * rounded values are already proven hash-identical cross-engine
+    * (q_search_ranked / q_cosine_topk), so the integer ranks, the fused
+    * score (a two-term sum of exact rationals), and the final order all
+    * replay exactly. Ranking on raw floats would let a last-ulp cosine
+    * divergence swap two ranks and break the gate.
+    *
+    * Scale shape: each list is a top-`depth` query result (the lexical one
+    * IN-pruned over the served postings store, the vector one a partial
+    * top-k scan — at scale the ANN faces swap in). The rank windows run
+    * over ≤depth-row frames — bounded by construction, same class as the
+    * pagination parity face — and the fusion join is depth×depth-bounded.
+    */
+  def hybridSearch(spark: SparkSession, dir: String,
+                   q: String = "data stream window", queryVecId: Long = 0L,
+                   k: Int = 10, depth: Int = 20, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = rankedSearch(spark, dir, q, depth) // (doc_id, score) rounded
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val qvRows = emb.filter(col("vec_id") === queryVecId)
+      .select(col("v")).collect()
+    require(qvRows.nonEmpty, s"query vec_id=$queryVecId not found")
+    val qv = qvRows.head.getSeq[Double](0).toArray
+    val vec = emb.select(col("vec_id").as("doc_id"),
+        round(SimilarityOps.cosine(col("v"), array(qv.map(lit(_)): _*)), 6)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id").asc)
+      .limit(depth)
+    val lexr = lex.withColumn("r_lex", row_number().over(
+      Window.orderBy(col("score").desc, col("doc_id").asc)))
+    val vecr = vec.withColumn("r_vec", row_number().over(
+      Window.orderBy(col("cos_sim").desc, col("doc_id").asc)))
+    lexr.join(vecr, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(kRrf) + col("r_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(kRrf) + col("r_vec")), lit(0.0)), 6)
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** TF-IDF keyword extraction: the top-`k` most characteristic tokens per
     * document (score = tf · ln(N/df) over the postings relation) — the
     * classic document-profiling signal (tagging, clustering features,
@@ -716,6 +765,30 @@ object SearchOps {
          |FROM (SELECT unnest($duckToks) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
     "q_search_ranked" -> rankedOracle,
+    "q_hybrid_search" ->
+      s"""WITH lex AS ($rankedOracle),
+         |lexr AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+         |  FROM lex),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+         |vc AS (
+         |  SELECT vec_id, round(list_cosine_similarity(v, q), 6) AS cos_sim
+         |  FROM e, qv
+         |  ORDER BY round(list_cosine_similarity(v, q), 6) DESC, vec_id ASC
+         |  LIMIT 20),
+         |vecr AS (
+         |  SELECT vec_id AS doc_id,
+         |    row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS r
+         |  FROM vc),
+         |f AS (
+         |  SELECT coalesce(lexr.doc_id, vecr.doc_id) AS doc_id,
+         |    round(coalesce(1.0 / (60 + lexr.r), 0.0) +
+         |          coalesce(1.0 / (60 + vecr.r), 0.0), 6) AS rrf_score
+         |  FROM lexr FULL JOIN vecr ON lexr.doc_id = vecr.doc_id)
+         |SELECT doc_id, rrf_score FROM f
+         |ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q_search_fuzzy_idx" -> fuzzyIdxOracle(),
     "q_keywords" ->
       s"""WITH p AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),

@@ -208,6 +208,22 @@ class SearchSpec extends SparkSpecBase {
     assert(got === expected.map(_._1).toSeq)
   }
 
+  test("hybridSearch: RRF fuses both lists — vector self-hit present, scores ordered, deterministic") {
+    val out = SearchOps.hybridSearch(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    // doc 0 is the query vector itself → rank 1 on the vector list → its
+    // fused score carries at least that list's 1/(60+1) term
+    val byId = out.map(r => r.getLong(0) -> r.getAs[Double]("rrf_score")).toMap
+    assert(byId.contains(0L), s"vector self-hit missing from ${byId.keySet}")
+    assert(byId(0L) >= 1.0 / 61 - 1e-6)
+    val scores = out.map(_.getAs[Double]("rrf_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // a doc on BOTH lists must outscore a same-rank doc on one list: the max
+    // possible single-list score is 1/61 < any two-list sum
+    val rerun = SearchOps.hybridSearch(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq === rerun.map(_.toSeq).toSeq)
+  }
+
   test("fuzzySearchIndexed ≡ fuzzyQuery scan baseline (docs and scores)") {
     val viaIndex = SearchOps.fuzzySearchIndexed(spark, sf)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("score")).toMap
