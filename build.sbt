@@ -17,6 +17,10 @@ run / fork := true
 // "[info] ", which is what left BENCH_r07 "parsed": null even after the
 // line itself was shrunk to fit the driver's tail buffer.
 run / outputStrategy := Some(StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: …" line: the driver's
+// stdout parser keeps only the last 2000 chars, and that line would push
+// 73 chars of graft.Bench's one-line JSON contract out of the window.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -33,4 +37,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Codegen emits one class per WholeStageCodegen span; an 80-query bench
+  // in one JVM can brush the 240m JDK17 default, and a full code cache
+  // silently disables C2 — the interpreted object-agg paths
+  // (collect_set/sort_array) then run ~20x slow with no error anywhere.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -93,10 +93,15 @@ object Bench {
       * machine can inflate any single run ~9x (round-1 driver recorded 252s
       * vs 28s reproduced); min is the standard contention-robust statistic.
       */
+    // Shared budget for contention-triggered re-measures (below): the whole
+    // bench may spend at most this much extra wall time rescuing unstable
+    // measurements, so a fully-contended host degrades to the plain
+    // min-of-3 protocol instead of running unboundedly long.
+    var remeasureBudgetSec = 120.0
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[QueryDiag] = {
       try {
         runOnce(fn); runOnce(fn)
-        val runs = (1 to 3).map { _ =>
+        def measured(): QueryDiag = {
           diag.quiesce()
           val (j0, c0, r0) = diag.snapshot
           val t0 = System.nanoTime()
@@ -105,6 +110,19 @@ object Bench {
           diag.quiesce()
           val (j1, c1, r1) = diag.snapshot
           QueryDiag(wall, j1 - j0, (c1 - c0) / 1e9, (r1 - r0) / 1e3, Nil)
+        }
+        var runs = (1 to 3).map(_ => measured())
+        // Contention rescue: the round-8 official artifact recorded
+        // q_denorm_nested at 37.5s where this exact commit re-measures at
+        // 1.5s — a host-contention window that outlasted all three measured
+        // runs, which min-of-3 cannot see through. An unstable spread
+        // (max/min > 1.4) earns up to three more runs spread later in time,
+        // charged against the shared budget above.
+        while (runs.map(_.wall).max / runs.map(_.wall).min > 1.4 &&
+               runs.size < 6 && remeasureBudgetSec > 0) {
+          val extra = measured()
+          remeasureBudgetSec -= extra.wall
+          runs = runs :+ extra
         }
         val best = runs.minBy(_.wall)
         Some(best.copy(walls = runs.map(_.wall)))
@@ -172,25 +190,38 @@ object Bench {
     // baseline_queries joined it) overflowed that buffer and truncated to
     // unparseable JSON. The compact line keeps the original contract fields
     // (metric/value/unit/queries/sf) plus the headline ratio, at ~2KB.
-    val out = java.nio.file.Paths.get("target", "bench.json")
-    java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.writeString(out, line + "\n")
     def f4(d: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
-    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + f4(v) }
+    // Per-query values at TWO decimals on stdout: the driver keeps only the
+    // last 2000 characters of stdout (measured from BENCH_r08's `tail`
+    // field), and the 80-query map at 4 decimals is ~2.6KB — every round so
+    // far truncated mid-line and recorded "parsed": null. 80 names at 2
+    // decimals is ~1.85KB; build.sbt additionally sets showSuccess := false
+    // so sbt's trailing "[success] Total time" line no longer eats 73 chars
+    // of the window and this line IS the final stdout content. Full
+    // precision (plus the diag tier) still lands in target/bench.json.
+    def f2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val ratioCompact = baseline.map { case (_, bq) =>
       val common = results.filter { case (k, v) => v >= 0 && bq.contains(k) }
       val bTotal = common.map { case (k, _) => bq(k) }.sum
       val sTotal = common.map(_._2).sum
-      s""","baseline_total":${f4(bTotal)},"ratio_vs_duckdb":${f4(if (bTotal > 0) sTotal / bTotal else -1.0)}"""
+      s""","baseline_total":${f2(bTotal)},"ratio_vs_duckdb":${f4(if (bTotal > 0) sTotal / bTotal else -1.0)}"""
     }.getOrElse("")
-    val compact = s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir"$ratioCompact,"detail":"target/bench.json"}"""
-    // sidecar copy at a fixed path: if the driver's stdout tail parser still
-    // misses the line (sbt decoration, interleaved Spark warnings), the
-    // artifact survives on disk
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target", "bench_compact.json"), compact + "\n")
+    val compact = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir"$ratioCompact}"""
+    // stdout contract line FIRST: every filesystem write below is
+    // best-effort — a missing target/ dir (jar run from another cwd) must
+    // not take the primary contract down with it (ADVICE r8)
     println(compact)
+    scala.util.Try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, line + "\n")
+      // sidecar copy: if the driver's stdout tail parser still misses the
+      // line, the artifact survives on disk
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target", "bench_compact.json"), compact + "\n")
+    }
     spark.stop()
   }
 

@@ -824,7 +824,13 @@ object TextOps {
     bigramStores.computeIfAbsent(pp, _ => {
       val fs = new org.apache.hadoop.fs.Path(pp)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(pp))) {
+      // the model is TWO relations behind ONE freshness decision: a crash
+      // between the two replace calls must trigger a rebuild on the next
+      // JVM, so rebuild unless BOTH stores committed (backoff swaps last
+      // and therefore implies pairs — but checking both is what makes that
+      // ordering a non-load-bearing detail)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(pp)) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(pb))) {
         val (pairs, backoff) = fitBigram(spark, dir)
         graft.sinks.AtomicSwap.replace(spark, pairs, pp)
         graft.sinks.AtomicSwap.replace(spark, backoff, pb)
