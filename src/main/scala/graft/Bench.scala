@@ -199,16 +199,22 @@ object Bench {
     // so sbt's trailing "[success] Total time" line no longer eats 73 chars
     // of the window and this line IS the final stdout content. Full
     // precision (plus the diag tier) still lands in target/bench.json.
+    // trailing zeros stripped ("0.10" -> "0.1", "2.00" -> "2"): ~40-60
+    // chars across 80+ queries, real headroom at this budget
     def f2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+      .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
     val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val ratioCompact = baseline.map { case (_, bq) =>
       val common = results.filter { case (k, v) => v >= 0 && bq.contains(k) }
       val bTotal = common.map { case (k, _) => bq(k) }.sum
       val sTotal = common.map(_._2).sum
-      s""","baseline_total":${f2(bTotal)},"ratio_vs_duckdb":${f4(if (bTotal > 0) sTotal / bTotal else -1.0)}"""
+      s""","ratio_vs_duckdb":${f4(if (bTotal > 0) sTotal / bTotal else -1.0)}"""
     }.getOrElse("")
     val compact = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir"$ratioCompact}"""
+    if (compact.length > 1900)
+      System.err.println(s"[bench] compact line ${compact.length} chars — " +
+        "approaching the driver's 2000-char stdout tail window")
     // stdout contract line FIRST: every filesystem write below is
     // best-effort — a missing target/ dir (jar run from another cwd) must
     // not take the primary contract down with it (ADVICE r8)

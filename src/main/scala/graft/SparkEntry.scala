@@ -60,6 +60,7 @@ object SparkEntry {
     "q_terms_agg"        -> ((s, d) => SearchOps.termsAgg(s, d)),
     "q_inverted_search"  -> ((s, d) => SearchOps.invertedSearch(s, d)),
     "q_search_ranked"    -> ((s, d) => SearchOps.rankedSearch(s, d)),
+    "q_search_bm25"      -> ((s, d) => SearchOps.bm25Search(s, d)),
     "q_hybrid_search"    -> ((s, d) => SearchOps.hybridSearch(s, d)),
     "q_keywords"         -> ((s, d) => SearchOps.keywords(s, d)),
     // Text analysis (training-data pipeline)
@@ -89,13 +90,16 @@ object SparkEntry {
     "q_dup_clusters"     -> (DedupOps.dupClusters(_, _)),
     "q_simhash"          -> (DedupOps.simhash(_, _)),
     "q_ngram_jaccard"    -> (DedupOps.ngramJaccard(_, _)),
+    "q_dedup_spans"      -> ((s, d) => DedupOps.dedupSpans(s, d)),
     // Similarity search
     "q_cosine_topk"      -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
+    "q_knn_join"         -> ((s, d) => SimilarityOps.knnJoin(s, d)),
     "q_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(s, d)),
     "q_ann_ivf"          -> ((s, d) => SimilarityOps.annIvf(s, d)),
     "q_ann_ivf_served"   -> ((s, d) => SimilarityOps.annIvfServed(s, d)),
     "q_ann_ivf_trained"  -> ((s, d) => SimilarityOps.annIvfTrained(s, d)),
     "q_ann_pq"           -> ((s, d) => SimilarityOps.annPq(s, d)),
+    "q_ann_sq8"          -> ((s, d) => SimilarityOps.annSq8(s, d)),
     "q_ann_ivfpq"        -> ((s, d) => SimilarityOps.annIvfPq(s, d)),
     "q_ivf_train"        -> ((s, d) => SimilarityOps.ivfTrain(s, d)),
     "q_embed_neardup"    -> ((s, d) => SimilarityOps.embeddingNearDupPairs(s, d)),

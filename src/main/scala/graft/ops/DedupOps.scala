@@ -606,7 +606,92 @@ object DedupOps {
        |SELECT doc_id, simhash, simhash >> 48 AS bucket FROM v""".stripMargin
   }
 
+  /** EXACT SUBSTRING DEDUP as a TRANSFORM (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" §4.1 shape): every w-token
+    * window whose exact content occurs more than once ANYWHERE in the
+    * corpus is removed from the document — tokens covered by at least one
+    * duplicated window are dropped, the remainder is re-joined. Unlike the
+    * q_dup_* SIGNALS (fractions a filter thresholds on), this emits the
+    * cleaned corpus itself: (doc_id, n_toks, n_removed, clean_text).
+    *
+    * Scale shape: windows explode with their start position and exchange
+    * ONCE keyed by window content — the occurrence count is a window over
+    * that same exchange (the `keywords` df pattern, no join-back); dup
+    * starts then group per doc (bounded by the doc's own window count) and
+    * the span-union filter runs row-locally over the token array. Nothing
+    * is global. At warehouse scale the exchange keys on a 60-bit rolling
+    * window hash (the `gram_hash60` route — collision-tolerable for a
+    * removal heuristic) instead of the literal window string; the string
+    * key here is what makes the oracle replay exact. The per-token
+    * coverage test is O(|dup_starts|) per token — a sorted-merge sweep at
+    * real doc lengths; spelled as `exists` so both engines share it.
+    */
+  def dedupSpans(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+      t => length(t) > 0)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+    val starts = when(size(col("toks")) >= w,
+      sequence(lit(1), size(col("toks")) - (w - 1)))
+      .otherwise(array().cast("array<int>"))
+    val wins = base.select(col("doc_id"),
+        explode(transform(starts, i => struct(i.as("pos"),
+          concat_ws(" ", slice(col("toks"), i, lit(w))).as("win")))).as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.win").as("win"))
+    val dupStarts = wins
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("win")))
+      .filter(col("occ") >= 2)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("dup_starts"))
+    val ds = coalesce(col("dup_starts"), array().cast("array<int>"))
+    val kept = filter(col("toks"), (t, i) => // i 0-based; positions 1-based
+      !exists(ds, s => s <= i + 1 && i + 1 <= s + (w - 1)))
+    base.join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        (size(col("toks")) - size(kept)).cast("long").as("n_removed"),
+        concat_ws(" ", kept).as("clean_text"))
+  }
+
+  /** Exact replay of [[dedupSpans]] at w=8: same tokenizer spelling, same
+    * 1-based window starts, occurrence count over the window content, and
+    * the same span-union token filter (DuckDB's lambda index is 1-based
+    * where Spark's is 0-based — both test the 1-based position).
+    */
+  private def dedupSpansOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |wn AS (
+      |  SELECT doc_id, CAST(u.i AS INT) AS pos,
+      |    array_to_string(list_slice(toks, CAST(u.i AS INT), CAST(u.i AS INT) + 7), ' ') AS win
+      |  FROM t, LATERAL unnest(
+      |    CASE WHEN len(toks) >= 8 THEN range(1, len(toks) - 6)
+      |         ELSE CAST([] AS BIGINT[]) END) AS u(i)),
+      |oc AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY win) AS occ FROM wn)
+      |  WHERE occ >= 2),
+      |ds AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS dup_starts
+      |       FROM oc GROUP BY doc_id),
+      |f AS (
+      |  SELECT t.doc_id, len(t.toks) AS n, t.toks,
+      |    coalesce(ds.dup_starts, CAST([] AS INT[])) AS dst
+      |  FROM t LEFT JOIN ds USING (doc_id)),
+      |k AS (
+      |  SELECT doc_id, n,
+      |    list_filter(toks, (x, j) ->
+      |      len(list_filter(dst, s -> s <= j AND j <= s + 7)) = 0) AS kept
+      |  FROM f)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_toks,
+      |  CAST(n - len(kept) AS BIGINT) AS n_removed,
+      |  coalesce(array_to_string(kept, ' '), '') AS clean_text
+      |FROM k""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_dedup_spans" -> dedupSpansOracle,
     "q_minhash_pairs" -> minhashPairsOracle,
     "q_dup_clusters" -> dupClustersOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,

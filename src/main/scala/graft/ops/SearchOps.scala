@@ -375,6 +375,64 @@ object SearchOps {
       .limit(k)
   }
 
+  /** TRUE Okapi BM25 (Robertson et al.; the Lucene `BM25Similarity` form):
+    * `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))`
+    * with `idf = ln(1 + (N − df + 0.5)/(df + 0.5))` — term-frequency
+    * saturation (k1) and document-length normalization (b), the two levers
+    * [[rankedSearch]]'s tf·idf deliberately omits. This is the face that
+    * ranks a 10-token doc above a 10k-token doc at equal tf, which raw
+    * tf·idf cannot.
+    *
+    * Everything derives from the SERVED postings store alone — doc length
+    * is `Σ tf` per doc and N is the store's distinct-doc count, so no
+    * second corpus scan exists (Lucene stores the same quantity as norms).
+    * At scale the lens aggregate is itself a served relation maintained by
+    * the postings CDC tick; here it is one keyed aggregate over the store
+    * scan.
+    *
+    * Float determinism mirrors [[rankedPostingsSearch]]: per-(doc,term)
+    * weights are single IEEE expression chains over exactly-counted
+    * integers (tf, df, N, dl are exact; avgdl is one division of an
+    * integer-valued-double sum), and per-doc scores fold the ≤1-row term
+    * partials in one FIXED lexicographic order shared with the oracle.
+    */
+  def bm25Search(spark: SparkSession, dir: String,
+                 q: String = "data stream window", k: Int = 20,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val postings = servedPostings(spark, dir)
+    val lens = postings.groupBy("doc_id")
+      .agg(sum("tf").cast("double").as("dl"))
+    val nAvg = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum("dl") / count(lit(1))).as("avgdl"))
+    val terms = analyzeQuery(q).distinct.sorted // FIXED fold order, oracle-shared
+    require(terms.nonEmpty, s"query '$q' analyzed to no terms")
+    val matched = postings.filter(col("token").isInCollection(terms))
+    val idfs = matched.groupBy("token")
+      .agg(count(lit(1)).as("df")) // postings unique on (token, doc_id) ⇒ count = df
+      .crossJoin(broadcast(nAvg))
+      .select(col("token"),
+        log(lit(1.0) + (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))).as("idf"),
+        col("avgdl"))
+    // operand order spelled EXACTLY as the oracle writes it
+    val w = (col("idf") * (col("tf").cast("double") * (lit(k1) + lit(1.0)))) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val partials = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, w)).as(s"_s$i")
+    }
+    val total = terms.indices
+      .map(i => coalesce(col(s"_s$i"), lit(0.0)))
+      .reduce(_ + _) // left fold in term order — same associativity as the SQL
+    matched.join(broadcast(idfs), Seq("token"))
+      .join(lens, Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(partials.head, partials.tail: _*)
+      .select(col("doc_id"), round(total, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** HYBRID retrieval: reciprocal-rank fusion (Cormack et al. 2009) of the
     * BM25-lite lexical list and the brute-cosine vector list —
     * rrf(d) = Σ_lists 1/(60 + rank_d) — the standard fusion modern search
@@ -765,6 +823,7 @@ object SearchOps {
          |FROM (SELECT unnest($duckToks) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
     "q_search_ranked" -> rankedOracle,
+    "q_search_bm25" -> bm25Oracle,
     "q_hybrid_search" ->
       s"""WITH lex AS ($rankedOracle),
          |lexr AS (
@@ -864,6 +923,40 @@ object SearchOps {
     * so the double arithmetic is bit-identical. `ln` in DuckDB is natural log
     * (its `log` is log10 — do not swap).
     */
+  /** Exact replay of [[bm25Search]]: the full postings relation rebuilt from
+    * the analyzer (pa), doc lengths and N/avgdl derived from it exactly as
+    * the store-side aggregates do, and the SAME fixed-order term fold with
+    * the k1/b arithmetic spelled operand-for-operand.
+    */
+  private def bm25Oracle: String = {
+    val terms = analyzeQuery("data stream window").distinct.sorted
+    val inList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val w = "idf * (CAST(tf AS DOUBLE) * (1.2 + 1.0)) / " +
+      "(CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+    val fold = terms.map(t =>
+      s"coalesce(sum(CASE WHEN token = '$t' THEN $w END), 0)")
+      .mkString("\n    + ")
+    s"""WITH p AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+       |pa AS (SELECT doc_id, token, COUNT(*) AS tf FROM p GROUP BY doc_id, token),
+       |lens AS (SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS dl FROM pa GROUP BY doc_id),
+       |na AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |              SUM(dl) / COUNT(*) AS avgdl FROM lens),
+       |pp AS (SELECT token, doc_id, tf FROM pa WHERE token IN $inList),
+       |idfs AS (
+       |  SELECT token,
+       |    ln(1.0 + (n_docs - CAST(COUNT(*) AS DOUBLE) + 0.5)
+       |             / (CAST(COUNT(*) AS DOUBLE) + 0.5)) AS idf,
+       |    avgdl
+       |  FROM pp, na GROUP BY token, n_docs, avgdl),
+       |scored AS (
+       |  SELECT doc_id,
+       |    $fold AS s
+       |  FROM pp JOIN idfs USING (token) JOIN lens USING (doc_id)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, round(s, 6) AS score FROM scored
+       |ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
   private def rankedOracle: String = {
     val terms = analyzeQuery("data stream window").distinct.sorted
     val inList = terms.map(t => s"'$t'").mkString("(", ", ", ")")

@@ -630,6 +630,94 @@ object SimilarityOps {
     (emb, out)
   }
 
+  /** Batch k-NN JOIN: top-k cosine neighbors for EVERY query in a query
+    * set at once — the workload shape of hard-negative mining, retrieval
+    * evaluation, and embedding-cluster seeding (a set×corpus join, not the
+    * single-vector probe the `ann*` faces serve). Self-matches are
+    * excluded; output is (q_id, rank, vec_id, cos_sim).
+    *
+    * Scale shape: the query set broadcasts (it is the small side by
+    * definition); the corpus never shuffles — scoring is map-side — and
+    * the only exchange is the per-query top-k, a window PARTITIONED BY
+    * q_id (keyed, never global). At warehouse scale the exchange carries a
+    * partial top-k per input partition (TakeOrdered-style combiner) rather
+    * than all N·Q scored rows, and a large query set swaps the broadcast
+    * for the IVF cell route (probe cells per query, join on cell) — the
+    * [[annIvfServed]] store serves both.
+    */
+  def knnJoin(spark: SparkSession, dir: String, nQueries: Int = 8,
+              k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", toDouble(col("embedding")))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("v"), col("qv")).as("cos_raw"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").cast("long").as("rank"),
+        col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
+  /** Scalar-quantization ANN (the FAISS `SQ8` tier): every dimension is
+    * affinely mapped to an 8-bit code by a per-dim (min, max) pair trained
+    * from the corpus — `code_j = clamp(floor((v_j−mn_j)·255/(mx_j−mn_j) +
+    * 0.5), 0, 255)` — and queries ADC-scan the DECODED codes
+    * (`mn_j + code_j·(mx_j−mn_j)/255`) before an exact re-rank of the
+    * shortlist. Between brute floats and PQ on the compression/recall
+    * curve: 4× smaller than float32 (16× vs the doubles here) with far
+    * lower distortion than PQ's 256× — the tier real serving stacks pick
+    * when PQ recall is not enough.
+    *
+    * Scale shape: the trained model is 2·dim doubles — constant-sized at
+    * any corpus, collected driver-side like the IVF/PQ codebooks and
+    * riding the plan as literals; at 100 TB the codes are a SERVED byte
+    * store (the `annIvfServed` pattern) and this scan reads it instead of
+    * the float column. Train (one min/max pass), encode, decode, and both
+    * ranking passes replay in the oracle from the same formulas,
+    * operand-for-operand; codes are exact small integers, so the decode is
+    * bit-deterministic cross-engine.
+    */
+  def annSq8(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+             shortlist: Int = 100, k: Int = 10): DataFrame = {
+    val dim = 64
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", toDouble(col("embedding")))
+      .cache()
+    try {
+      // train: per-dim min/max in ONE pass (2·dim aggregates, 1 row out)
+      val aggs = (0 until dim).flatMap(j =>
+        Seq(min(col("v")(j)).as(s"mn$j"), max(col("v")(j)).as(s"mx$j")))
+      val row = emb.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val mins = Array.tabulate(dim)(j => row.getDouble(2 * j))
+      val maxs = Array.tabulate(dim)(j => row.getDouble(2 * j + 1))
+      val qv = collectVec(emb, queryVecId)
+      val (mnL, mxL) = (planeLit(mins), planeLit(maxs))
+      // encode∘decode fused into one projection (the stored form would be
+      // the codes; the scan needs only the decoded values)
+      val decoded = transform(col("v"), (x, i) => {
+        val mn = element_at(mnL, i + lit(1))
+        val mx = element_at(mxL, i + lit(1))
+        val code = least(greatest(
+          floor((x - mn) * lit(255.0) / (mx - mn) + lit(0.5)), lit(0.0)), lit(255.0))
+        when(mx > mn, mn + code * (mx - mn) / lit(255.0)).otherwise(mn)
+      })
+      val qvLit = planeLit(qv)
+      emb.select(col("vec_id"), col("label"), col("v"),
+          cosine(decoded, qvLit).as("adc"))
+        .orderBy(col("adc").desc, col("vec_id").asc)
+        .limit(shortlist)
+        .select(col("vec_id"), col("label"), cosine(col("v"), qvLit).as("cos_raw"))
+        .orderBy(col("cos_raw").desc, col("vec_id").asc)
+        .limit(k)
+        .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
+        .localCheckpoint()
+    } finally { emb.unpersist(); () }
+  }
+
   /** IVF+PQ — the full inverted-file-with-product-quantization serving
     * architecture (FAISS's IVFPQ shape, Jégou et al. 2011 §V): the TRAINED
     * coarse codebook routes every vector to a cell, PQ codes compress it,
@@ -1067,7 +1155,47 @@ object SimilarityOps {
        |ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC LIMIT $k""".stripMargin
   }
 
+  /** Exact replay of [[annSq8]]: per-dim min/max training, the clamp-floor
+    * encode, the affine decode rebuilt into a list (ORDER BY i), and both
+    * ranking passes — same formulas operand-for-operand.
+    */
+  private def annSq8Oracle: String = {
+    val shortlist = 100; val k = 10
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dims AS (SELECT unnest(range(1, 65)) AS i),
+       |mm AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx FROM e, dims GROUP BY i),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |dec AS (
+       |  SELECT e.vec_id, mm.i,
+       |    CASE WHEN mm.mx > mm.mn
+       |      THEN mm.mn + least(greatest(
+       |             floor((v[mm.i] - mm.mn) * 255.0 / (mm.mx - mm.mn) + 0.5),
+       |             0.0), 255.0) * (mm.mx - mm.mn) / 255.0
+       |      ELSE mm.mn END AS dv
+       |  FROM e, mm),
+       |dvec AS (SELECT vec_id, list(dv ORDER BY i) AS dv FROM dec GROUP BY vec_id),
+       |adc AS (
+       |  SELECT e.vec_id, e.label, e.v, q.qv,
+       |    list_cosine_similarity(d.dv, q.qv) AS score
+       |  FROM e JOIN dvec d USING (vec_id) CROSS JOIN q),
+       |short AS (SELECT * FROM adc ORDER BY score DESC, vec_id ASC LIMIT $shortlist)
+       |SELECT vec_id, label, round(list_cosine_similarity(v, qv), 6) AS cos_sim
+       |FROM short
+       |ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC LIMIT $k""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_knn_join" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |s AS (SELECT q.q_id, e.vec_id, list_cosine_similarity(e.v, q.qv) AS c
+        |      FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, c,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id ASC) AS rn
+        |      FROM s)
+        |SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id, round(c, 6) AS cos_sim
+        |FROM r WHERE rn <= 5""".stripMargin,
+    "q_ann_sq8" -> annSq8Oracle,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
     // identical semantics through the cell-partitioned store (assignment,

@@ -3,7 +3,9 @@
 run each oracle_sql.json query in DuckDB over the same parquet tables,
 sort columns by name + rows, and diff against the Spark parquet output.
 
-Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir> [q_a,q_b]
+(the optional third arg restricts the check to a comma-separated subset,
+matching graft.Verify's optional third arg)
 """
 import json, math, sys
 
@@ -37,6 +39,9 @@ def main(out_dir: str, sf_dir: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if len(sys.argv) > 3:
+        keep = set(sys.argv[3].split(","))
+        oracles = {k: v for k, v in oracles.items() if k in keep}
     failures = 0
     for name, sql in sorted(oracles.items()):
         try:
