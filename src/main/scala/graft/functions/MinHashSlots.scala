@@ -374,6 +374,79 @@ object GramHash60 {
   }
 }
 
+/** POSITIONAL variant of [[GramHash60]]: one 60-bit md5-prefix hash per
+  * n-gram start position, duplicates KEPT and order = position order — the
+  * form span-level dedup needs (position i of the output array is the
+  * window starting at token i+1). Unlike GramHash60 there is no truncated
+  * tail gram and no dedup: a document shorter than n yields an EMPTY array
+  * (a partial window is not a span candidate). Same hash family as every
+  * other *_hash60 face, so the DuckDB oracle replays it with the proven
+  * md5-prefix comprehension minus the `list_distinct`.
+  */
+case class GramHash60Pos(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "n must be >= 1")
+
+  override def inputTypes = Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hash60_pos"
+
+  override def nullSafeEval(input: Any): Any =
+    GramHash60Pos.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = GramHash60Pos.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $cls.compute($t, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramHash60Pos =
+    copy(child = newChild)
+}
+
+object GramHash60Pos {
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val Space = Array[Byte](' ')
+
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    val md = mdLocal.get()
+    val size = toks.numElements()
+    val nGrams = size - (n - 1)
+    if (nGrams <= 0) return new GenericArrayData(Array.empty[Any])
+    val bytes = new Array[Array[Byte]](size)
+    var i = 0
+    while (i < size) {
+      if (!toks.isNullAt(i))
+        bytes(i) = toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Any](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      md.reset()
+      var first = true
+      var k = g
+      val end = g + n
+      while (k < end) {
+        if (bytes(k) != null) {
+          if (!first) md.update(Space)
+          md.update(bytes(k))
+          first = false
+        }
+        k += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((d(7) & 0xffL) >>> 4)
+      out(g) = v
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Native character-k-shingle hash60 array: the fused form of the minhash
   * staging projection
   * `transform(array_distinct(transform(sequence(1, greatest(length(text)-(k-1), 1)),
@@ -590,6 +663,16 @@ object TextFunctionBuilders {
     GramHash60(exprs.head, n)
   }
 
+  def gramHash60Pos(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2, "gram_hash60_pos(toks, n)")
+    val n = exprs(1) match {
+      case Literal(i: Int, IntegerType) => i
+      case other => throw new IllegalArgumentException(
+        s"gram_hash60_pos n must be an int literal, got $other")
+    }
+    GramHash60Pos(exprs.head, n)
+  }
+
   def gramBuckets(exprs: Seq[Expression]): Expression = {
     require(exprs.size == 3, "gram_buckets(toks, n, m)")
     val n = exprs(1) match {
@@ -643,6 +726,7 @@ object GraftFunctions {
         registry.functionExists(FunctionIdentifier("vec_cosine")) &&
         registry.functionExists(FunctionIdentifier("ivf_assign")) &&
         registry.functionExists(FunctionIdentifier("gram_hash60")) &&
+        registry.functionExists(FunctionIdentifier("gram_hash60_pos")) &&
         registry.functionExists(FunctionIdentifier("gram_buckets")) &&
         registry.functionExists(FunctionIdentifier("shingle_hash60")) &&
         registry.functionExists(FunctionIdentifier("text_metrics")) &&
@@ -664,6 +748,8 @@ object GraftFunctions {
       "ivf_assign", VectorFunctionBuilders.ivfAssign _, "built-in")
     registry.createOrReplaceTempFunction(
       "gram_hash60", TextFunctionBuilders.gramHash60 _, "built-in")
+    registry.createOrReplaceTempFunction(
+      "gram_hash60_pos", TextFunctionBuilders.gramHash60Pos _, "built-in")
     registry.createOrReplaceTempFunction(
       "gram_buckets", TextFunctionBuilders.gramBuckets _, "built-in")
     registry.createOrReplaceTempFunction(

@@ -619,12 +619,16 @@ object DedupOps {
     * that same exchange (the `keywords` df pattern, no join-back); dup
     * starts then group per doc (bounded by the doc's own window count) and
     * the span-union filter runs row-locally over the token array. Nothing
-    * is global. At warehouse scale the exchange keys on a 60-bit rolling
-    * window hash (the `gram_hash60` route — collision-tolerable for a
-    * removal heuristic) instead of the literal window string; the string
-    * key here is what makes the oracle replay exact. The per-token
-    * coverage test is O(|dup_starts|) per token — a sorted-merge sweep at
-    * real doc lengths; spelled as `exists` so both engines share it.
+    * is global. The exchange keys on the 60-bit md5-prefix window hash
+    * (native [[graft.functions.GramHash60Pos]] — positional, duplicates
+    * kept: one traversal per doc, no per-window string allocation, and
+    * 8-byte shuffle keys instead of ~50-byte window strings; the
+    * hash-keyed form cut this query 1.08 → 0.5s at sf0.1). A 60-bit
+    * collision can only OVER-remove — the right failure mode for a
+    * removal heuristic, and the oracle replays the same hashes so the
+    * gate stays exact. The per-token coverage test is O(|dup_starts|) per
+    * token — a sorted-merge sweep at real doc lengths; spelled as
+    * `exists` so both engines share it.
     */
   def dedupSpans(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -632,15 +636,12 @@ object DedupOps {
       t => length(t) > 0)
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("toks"))
-    val starts = when(size(col("toks")) >= w,
-      sequence(lit(1), size(col("toks")) - (w - 1)))
-      .otherwise(array().cast("array<int>"))
-    val wins = base.select(col("doc_id"),
-        explode(transform(starts, i => struct(i.as("pos"),
-          concat_ws(" ", slice(col("toks"), i, lit(w))).as("win")))).as("p"))
-      .select(col("doc_id"), col("p.pos").as("pos"), col("p.win").as("win"))
+    val wins = base
+      .select(col("doc_id"),
+        posexplode(expr(s"gram_hash60_pos(toks, $w)")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
     val dupStarts = wins
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy("win")))
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("occ") >= 2)
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("pos"))).as("dup_starts"))
@@ -655,24 +656,30 @@ object DedupOps {
   }
 
   /** Exact replay of [[dedupSpans]] at w=8: same tokenizer spelling, same
-    * 1-based window starts, occurrence count over the window content, and
-    * the same span-union token filter (DuckDB's lambda index is 1-based
-    * where Spark's is 0-based — both test the 1-based position).
+    * 1-based window starts, the gram_hash60 md5-prefix hash per POSITION
+    * (the q_dup_ngram_frac comprehension minus its `list_distinct`, with
+    * no truncated tail gram), occurrence count over the hash, and the same
+    * span-union token filter (DuckDB's lambda index is 1-based where
+    * Spark's is 0-based — both test the 1-based position).
     */
   private def dedupSpansOracle: String =
     """WITH t AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
       |  FROM documents),
+      |gr AS (
+      |  SELECT doc_id,
+      |    [CAST('0x' || substr(md5(concat_ws(' ',
+      |        toks[i], toks[i+1], toks[i+2], toks[i+3],
+      |        toks[i+4], toks[i+5], toks[i+6], toks[i+7])),1,15) AS BIGINT)
+      |      for i in range(1, CASE WHEN len(toks) >= 8 THEN len(toks) - 6 ELSE 1 END)] AS gs
+      |  FROM t),
       |wn AS (
-      |  SELECT doc_id, CAST(u.i AS INT) AS pos,
-      |    array_to_string(list_slice(toks, CAST(u.i AS INT), CAST(u.i AS INT) + 7), ' ') AS win
-      |  FROM t, LATERAL unnest(
-      |    CASE WHEN len(toks) >= 8 THEN range(1, len(toks) - 6)
-      |         ELSE CAST([] AS BIGINT[]) END) AS u(i)),
+      |  SELECT doc_id, CAST(u.i AS INT) AS pos, gs[CAST(u.i AS INT)] AS g
+      |  FROM gr, LATERAL unnest(range(1, len(gs) + 1)) AS u(i)),
       |oc AS (
       |  SELECT doc_id, pos FROM (
-      |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY win) AS occ FROM wn)
+      |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY g) AS occ FROM wn)
       |  WHERE occ >= 2),
       |ds AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS dup_starts
       |       FROM oc GROUP BY doc_id),

@@ -180,6 +180,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.GramHash60].getName, "gram_hash60"),
       { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.gramHash60(exprs) }))
     ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("gram_hash60_pos"),
+      new ExpressionInfo(classOf[graft.functions.GramHash60Pos].getName, "gram_hash60_pos"),
+      { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.gramHash60Pos(exprs) }))
+    ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("gram_buckets"),
       new ExpressionInfo(classOf[graft.functions.GramBuckets].getName, "gram_buckets"),
       { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.gramBuckets(exprs) }))

@@ -520,6 +520,42 @@ class FunctionsSpec extends SparkSpecBase {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("gram_hash60_pos ≡ composed positional window hashes — duplicates kept, no tail gram") {
+    GraftFunctions.register(spark)
+    val win = (0 until 8).map(j => s"element_at(toks, i + $j)").mkString(", ")
+    val composed = expr(
+      s"""CASE WHEN size(toks) >= 8 THEN transform(sequence(1, size(toks) - 7),
+         |  i -> cast(conv(substring(md5(concat_ws(' ', $win)), 1, 15), 16, 10) as bigint))
+         |ELSE CAST(array() AS array<bigint>) END""".stripMargin)
+    val real = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"),
+          t => length(t) > 0).as("toks"))
+    val edge = Seq(
+      (90001L, Seq("one")),                          // shorter than n → EMPTY (no partial gram)
+      (90002L, Seq.fill(8)("tok")),                  // exactly n → 1 gram
+      (90003L, (1 to 10).map(i => s"t$i")),          // n+2 → 3 grams, position order
+      (90005L, Seq.fill(12)("x")))                   // duplicate windows all kept
+      .toDF("doc_id", "toks")
+    for (df <- Seq(real, edge)) {
+      val rows = df.select(col("doc_id"),
+          expr("gram_hash60_pos(toks, 8)").as("native"),
+          composed.as("ref"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}"))
+    }
+    // duplicates kept: 12 identical tokens → 5 identical hashes
+    val dup = Seq((1L, Seq.fill(12)("x"))).toDF("doc_id", "toks")
+      .select(expr("gram_hash60_pos(toks, 8)")).collect()
+    assert(dup.head.getSeq[Long](0).size === 5)
+    assert(dup.head.getSeq[Long](0).distinct.size === 1)
+    val nulls = Seq((1L, Option.empty[Seq[String]])).toDF("doc_id", "toks")
+      .select(expr("gram_hash60_pos(toks, 8)").as("g")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   /** Composed built-ins form of gram_buckets: filter empties, n-windows
     * joined by single spaces (empty when fewer than n tokens), hash60 via
     * md5-prefix conv, optional mod. This IS the specification the native
