@@ -97,6 +97,43 @@ class PlanSpec extends SparkSpecBase {
       s"expected the term IN-list pushed into the store scan:\n$p")
   }
 
+  test("bm25Search: store-served — term IN-list pushed, broadcast stat joins, no cartesian") {
+    val p = plan(SearchOps.bm25Search(spark, sf))
+    // same store discipline as rankedSearch: no re-analysis, matched terms
+    // pruned AT THE SCAN; idf and the 1-row N/avgdl stats ride broadcasts
+    assert(!p.contains("ru_en_analyze"),
+      s"store-served search must not re-analyze the corpus:\n$p")
+    assert(p.contains("PushedFilters: [In(token"),
+      s"expected the term IN-list pushed into the store scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast stat joins in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+  }
+
+  test("knnJoin: query set broadcasts; per-query top-k is partial (WindowGroupLimit) before the exchange") {
+    val p = plan(SimilarityOps.knnJoin(spark, sf))
+    // the corpus never shuffles for scoring — only the rank exchange moves
+    // data, and Spark's rank-limit pushdown (WindowGroupLimit) trims each
+    // input partition to k rows per query BEFORE that exchange: the
+    // partial-top-k-per-partition shape the docstring promises
+    assert(p.contains("BroadcastExchange"), s"expected broadcast query set in:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected partial per-partition top-k (WindowGroupLimit) in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for scoring:\n$p")
+  }
+
+  test("dedupSpans: hash-keyed occurrence window + doc_id set agg — two keyed exchanges, broadcast join-back") {
+    val p = plan(graft.ops.DedupOps.dedupSpans(spark, sf))
+    // native positional hashes (no per-window strings), occurrence count as
+    // a window over the g exchange, dup-start sets grouped per doc, and the
+    // join back to documents broadcast — never a sort-merge of the corpus
+    assert(p.contains("gram_hash60_pos"), s"expected the native positional hash in:\n$p")
+    assert(!p.contains("concat_ws( , slice") && !p.contains("SortMergeJoin"),
+      s"string windows / corpus sort-merge resurfaced in:\n$p")
+    val exchanges = "(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected ≤3 keyed exchanges, got $exchanges in:\n$p")
+  }
+
   test("annLsh: probe is a literal sig IN-list — no join, no corpus-wide hamming filter") {
     // the probe signature is driver-side model arithmetic; the plan must be
     // scan → `lsh_sig(v) IN (13 literals)` filter → partial top-k, with no
