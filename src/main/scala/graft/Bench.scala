@@ -211,7 +211,10 @@ object Bench {
       val sTotal = common.map(_._2).sum
       s""","ratio_vs_duckdb":${f4(if (bTotal > 0) sTotal / bTotal else -1.0)}"""
     }.getOrElse("")
-    val compact = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir"$ratioCompact}"""
+    // basename only ("sf0.1"): the full testdata path spends 15 chars of
+    // the 2000-char window on a prefix the driver already knows
+    val sfShort = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val compact = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfShort"$ratioCompact}"""
     if (compact.length > 1900)
       System.err.println(s"[bench] compact line ${compact.length} chars — " +
         "approaching the driver's 2000-char stdout tail window")

@@ -83,6 +83,7 @@ object SparkEntry {
     "q_decontaminate"    -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_dup_ngram_frac"   -> ((s, d) => TextOps.dupNgramFraction(s, d)),
     "q_pii_scrub"        -> (TextOps.piiScrub(_, _)),
+    "q_normalize_text"   -> (TextOps.normalizeText(_, _)),
     // Deduplication
     "q_dedup_exact"      -> (DedupOps.dedupExact(_, _)),
     "q_minhash_sig"      -> (DedupOps.minhashSignature(_, _)),

@@ -903,6 +903,54 @@ object TextOps {
       md5(scrubbed.cast("binary")).as("scrubbed_md5"))
   }
 
+  /** Text NORMALIZATION — the mechanical cleanup pass a curation pipeline
+    * runs before any tokenizer or hash sees the text (ftfy-lite): strip
+    * zero-width characters and the BOM, drop C0/C1-ish control characters
+    * (tab/newline/CR survive as whitespace for the collapse below), unify
+    * curly quotes to straight and en/em dashes to hyphens, turn NBSP into
+    * plain space, then collapse whitespace runs and trim. Canonical text
+    * makes every downstream signal comparable: two visually-identical
+    * documents differing by a zero-width joiner would otherwise hash apart
+    * in every dedup face.
+    *
+    * Per-row codegen'd regexp cascade, no shuffle. Patterns are
+    * RE2-portable (same `\x{hhhh}` escapes, ASCII `\s`, no lookaround, no
+    * `\b` — the piiScrub portability rules), and the oracle replays the
+    * cascade in the same order, so the gate proves the REWRITE, not just
+    * the counts. Full NFC normalization is the same slot one
+    * `java.text.Normalizer` expression deeper — deliberately out: DuckDB
+    * has no NFC twin to oracle it against (nfc_normalize differs on
+    * compatibility points), and none of the testdata exercises it.
+    */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    val norm = normalizedCol(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      norm.as("norm_text"),
+      (norm =!= col("text")).as("changed"),
+      (length(col("text")) - length(norm)).cast("long").as("n_chars_removed"))
+  }
+
+  /** The [[normalizeText]] cascade over any string column — TextSpec drives
+    * the Unicode classes through this directly (the ASCII testdata only
+    * exercises the whitespace collapse).
+    */
+  private[graft] def normalizedCol(text: Column): Column = {
+    val zeroWidthP = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+    val controlP = "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]"
+    val squoteP = "[\\x{2018}\\x{2019}]"
+    val dquoteP = "[\\x{201C}\\x{201D}]"
+    val dashP = "[\\x{2013}\\x{2014}]"
+    val nbspP = "\\x{00A0}"
+    val t1 = regexp_replace(text, zeroWidthP, "")
+    val t2 = regexp_replace(t1, controlP, "")
+    val t3 = regexp_replace(t2, squoteP, "'")
+    val t4 = regexp_replace(t3, dquoteP, "\"")
+    val t5 = regexp_replace(t4, dashP, "-")
+    val t6 = regexp_replace(t5, nbspP, " ")
+    trim(regexp_replace(t6, "\\s+", " "))
+  }
+
   /** DuckDB scalar: the BPE token count of `text` — the merge chain, one
     * global regexp_replace per rank over the '|tok/'-marked token sequence
     * (lead + trail markers; see [[tokenCountBpeComposed]] for why a single
@@ -1124,6 +1172,26 @@ object TextOps {
         |  CAST(n_tokens AS DOUBLE) / (SELECT CAST(sum(n_tokens) AS BIGINT) FROM m)
         |    AS token_share
         |FROM m""".stripMargin,
+    "q_normalize_text" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(text, '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+        |                '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}]', '', 'g'),
+        |              '[\x{2018}\x{2019}]', '''', 'g'),
+        |            '[\x{201C}\x{201D}]', '"', 'g'),
+        |          '[\x{2013}\x{2014}]', '-', 'g'),
+        |        '\x{00A0}', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text, norm_text <> text AS changed,
+        |  CAST(len(text) - len(norm_text) AS BIGINT) AS n_chars_removed
+        |FROM n""".stripMargin,
     "q_pii_scrub" ->
       """WITH s1 AS (
         |  SELECT doc_id, text,

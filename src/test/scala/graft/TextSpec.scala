@@ -320,4 +320,24 @@ class TextSpec extends SparkSpecBase {
     assert(out(0L)._1 === t0.size.toLong)
     assert(out(0L)._2 === expected)
   }
+
+  test("normalizedCol: every Unicode class rewrites as documented") {
+    val cases = Seq(
+      ("a\u200bb\u200cc\ufeffd", "abcd"),          // zero-width + BOM stripped
+      ("a\u0001b\u0007c\u007fd", "abcd"),          // control chars dropped
+      ("\u2018quoted\u2019 \u201cdouble\u201d", "'quoted' \"double\""), // curly -> straight
+      ("x\u2013y\u2014z", "x-y-z"),                // en/em dash -> hyphen
+      ("a\u00a0b", "a b"),                        // NBSP -> space
+      ("  a\t\tb \n c  ", "a b c"),               // collapse + trim
+      ("a\u0000b", "ab"),                         // NUL dropped
+      ("already clean", "already clean"))
+    val df = cases.zipWithIndex
+      .map { case ((in, want), i) => (i.toLong, in, want) }
+      .toDF("id", "text", "want")
+      .select(col("id"), col("want"),
+        graft.ops.TextOps.normalizedCol(col("text")).as("got"))
+    df.collect().foreach { r =>
+      assert(r.getString(2) === r.getString(1), s"case ${r.getLong(0)}")
+    }
+  }
 }
