@@ -64,8 +64,12 @@ object DocumentOps {
     // hash(l_orderkey), so the 1:1 join below is co-partitioned.
     val numeric = liBase.groupBy(col("l_orderkey").as("n_orderkey"))
       .agg(count(lit(1)).as("n_lines"))
+    // part/customer are UNHINTED (they scale with the corpus; a forced
+    // broadcast() is never demoted and would OOM at warehouse SF) — AQE
+    // broadcasts them while small, shuffles when not. nation/region stay
+    // hinted: constant 25/5 rows at every SF.
     val structs = liBase
-      .join(broadcast(Tables.part(spark, dir)),
+      .join(Tables.part(spark, dir),
         col("l_partkey") === col("p_partkey"), "left")
       .groupBy(col("l_orderkey"))
       .agg(
@@ -87,7 +91,7 @@ object DocumentOps {
 
     pruneTo(Tables.orders(spark, dir), "o_orderkey", only)
       .join(li, col("o_orderkey") === col("l_orderkey"), "left")
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
+      .join(cust, col("o_custkey") === col("c_custkey"), "left")
       .select(
         col("o_orderkey").as("id"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),

@@ -96,9 +96,15 @@ object RelationalOps {
       sum(col("l_extendedprice").cast(Dec)).cast("double").as("gross_value"),
       date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_ship"))
 
+    // NO broadcast hint on part/customer: those scale WITH the corpus
+    // (TPC-H dims grow by SF), and Catalyst never demotes an explicit
+    // `broadcast()` — at warehouse scale a forced build side OOMs the
+    // executors. Unhinted, AQE broadcasts them while they fit (today's
+    // plan, PlanSpec-pinned) and falls back to a shuffled join when they
+    // don't. nation/region stay hinted below: 25/5 rows at every SF.
     val partsSide = li
       .select(col("l_orderkey").as("po_orderkey"), col("l_partkey"))
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"), "left")
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"), "left")
       .groupBy("po_orderkey")
       .agg(
         size(collect_set(col("l_partkey"))).cast("long").as("n_parts"),
@@ -114,7 +120,7 @@ object RelationalOps {
 
     Tables.orders(spark, dir)
       .join(liAgg, col("o_orderkey") === col("l_orderkey"), "left")
-      .join(broadcast(custDim), col("o_custkey") === col("c_custkey"), "left")
+      .join(custDim, col("o_custkey") === col("c_custkey"), "left")
       .select(
         col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
