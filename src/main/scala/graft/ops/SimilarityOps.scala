@@ -681,41 +681,48 @@ object SimilarityOps {
     * operand-for-operand; codes are exact small integers, so the decode is
     * bit-deterministic cross-engine.
     */
+  /** (mins, maxs) per (dir, content version) — the SQ8 model is 2·dim
+    * doubles, the artifact FAISS ships WITH an SQ index; re-deriving it per
+    * query would be re-training at serve time. Version-keyed like every
+    * other served model, so a rewritten embeddings table refits.
+    */
+  private val sq8Models =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]()
+
   def annSq8(spark: SparkSession, dir: String, queryVecId: Long = 0L,
              shortlist: Int = 100, k: Int = 10): DataFrame = {
     val dim = 64
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", toDouble(col("embedding")))
-      .cache()
-    try {
+    val key = dir + "@" + Tables.contentVersion(spark, s"$dir/embeddings.parquet")
+    val (mins, maxs) = sq8Models.computeIfAbsent(key, _ => {
       // train: per-dim min/max in ONE pass (2·dim aggregates, 1 row out)
       val aggs = (0 until dim).flatMap(j =>
         Seq(min(col("v")(j)).as(s"mn$j"), max(col("v")(j)).as(s"mx$j")))
       val row = emb.agg(aggs.head, aggs.tail: _*).collect()(0)
-      val mins = Array.tabulate(dim)(j => row.getDouble(2 * j))
-      val maxs = Array.tabulate(dim)(j => row.getDouble(2 * j + 1))
-      val qv = collectVec(emb, queryVecId)
-      val (mnL, mxL) = (planeLit(mins), planeLit(maxs))
-      // encode∘decode fused into one projection (the stored form would be
-      // the codes; the scan needs only the decoded values)
-      val decoded = transform(col("v"), (x, i) => {
-        val mn = element_at(mnL, i + lit(1))
-        val mx = element_at(mxL, i + lit(1))
-        val code = least(greatest(
-          floor((x - mn) * lit(255.0) / (mx - mn) + lit(0.5)), lit(0.0)), lit(255.0))
-        when(mx > mn, mn + code * (mx - mn) / lit(255.0)).otherwise(mn)
-      })
-      val qvLit = planeLit(qv)
-      emb.select(col("vec_id"), col("label"), col("v"),
-          cosine(decoded, qvLit).as("adc"))
-        .orderBy(col("adc").desc, col("vec_id").asc)
-        .limit(shortlist)
-        .select(col("vec_id"), col("label"), cosine(col("v"), qvLit).as("cos_raw"))
-        .orderBy(col("cos_raw").desc, col("vec_id").asc)
-        .limit(k)
-        .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
-        .localCheckpoint()
-    } finally { emb.unpersist(); () }
+      (Array.tabulate(dim)(j => row.getDouble(2 * j)),
+       Array.tabulate(dim)(j => row.getDouble(2 * j + 1)))
+    })
+    val qv = collectVec(emb, queryVecId)
+    val (mnL, mxL) = (planeLit(mins), planeLit(maxs))
+    // encode∘decode fused into one projection (the stored form would be
+    // the codes; the scan needs only the decoded values)
+    val decoded = transform(col("v"), (x, i) => {
+      val mn = element_at(mnL, i + lit(1))
+      val mx = element_at(mxL, i + lit(1))
+      val code = least(greatest(
+        floor((x - mn) * lit(255.0) / (mx - mn) + lit(0.5)), lit(0.0)), lit(255.0))
+      when(mx > mn, mn + code * (mx - mn) / lit(255.0)).otherwise(mn)
+    })
+    val qvLit = planeLit(qv)
+    emb.select(col("vec_id"), col("label"), col("v"),
+        cosine(decoded, qvLit).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(shortlist)
+      .select(col("vec_id"), col("label"), cosine(col("v"), qvLit).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
   }
 
   /** IVF+PQ — the full inverted-file-with-product-quantization serving
