@@ -398,8 +398,15 @@ object SearchOps {
     */
   def bm25Search(spark: SparkSession, dir: String,
                  q: String = "data stream window", k: Int = 20,
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val postings = servedPostings(spark, dir)
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25PostingsSearch(servedPostings(spark, dir), q, k, k1, b)
+
+  /** BM25 over any (token, doc_id, tf) postings relation — the
+    * materialized-index face, and the seam SearchSpec drives synthetic
+    * corpora through to pin saturation/length-norm behavior.
+    */
+  def bm25PostingsSearch(postings: DataFrame, q: String, k: Int = 20,
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val lens = postings.groupBy("doc_id")
       .agg(sum("tf").cast("double").as("dl"))
     val nAvg = lens.agg(count(lit(1)).cast("double").as("n_docs"),

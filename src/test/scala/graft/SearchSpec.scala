@@ -329,4 +329,27 @@ class SearchSpec extends SparkSpecBase {
       s"candidate set $candidates should be <5% of the $bigSize-token dictionary")
     bigDict.unpersist()
   }
+
+  test("bm25: length normalization and tf saturation behave as Okapi demands") {
+    // four docs, one query term "data": same tf in a short vs long doc must
+    // rank the short doc higher (length norm), and 10x the tf must score
+    // far LESS than 10x (saturation k1) — raw tf-idf does neither.
+    val postings = Seq(
+      (1L, "data", 2L), (1L, "pad", 8L),              // short doc, tf=2, dl=10
+      (2L, "data", 2L), (2L, "pad", 98L),             // long doc, same tf, dl=100
+      (3L, "data", 1L), (3L, "pad", 9L),              // tf=1, dl=10
+      (4L, "data", 10L), (4L, "pad", 90L))            // tf=10, dl=100
+      .toDF("doc_id", "token", "tf")
+    val out = graft.ops.SearchOps.bm25PostingsSearch(postings, "data", k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(out(1L) > out(2L),
+      s"equal tf: short doc ${out(1L)} must out-rank long doc ${out(2L)}")
+    // saturation: doc 4 has 10x doc 3's tf; its score must be well under
+    // 10x even before length norm helps doc 3 further
+    assert(out(4L) < 10 * out(3L) * 0.5,
+      s"tf saturation missing: tf=10 scored ${out(4L)} vs tf=1 ${out(3L)}")
+    // every score positive; absent docs absent
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out.values.forall(_ > 0))
+  }
 }
