@@ -681,6 +681,60 @@ object SimilarityOps {
     * operand-for-operand; codes are exact small integers, so the decode is
     * bit-deterministic cross-engine.
     */
+  /** The SCALE path of [[knnJoin]]: IVF-bucketed k-NN join. The broadcast
+    * brute face scores |Q|·N pairs; here each query ranks the coarse cells
+    * driver-side (model arithmetic over the nlist-row codebook, the
+    * rankProbeCells route every single-query face uses) and scores ONLY
+    * the corpus rows in its nprobe probed cells — an equi-join on `cell`
+    * between the (q_id, cell) probe pairs (|Q|·nprobe rows, broadcast) and
+    * the cell-assigned corpus. Read volume per query drops to
+    * nprobe/nlist, and against the cell-PARTITIONED store
+    * ([[annIvfServed]]'s layout) the probe cells become partition pruning.
+    * Approximate by construction (a true neighbor outside the probed cells
+    * is missed) — SimilaritySpec measures recall against the brute face
+    * and pins full-probe = exact.
+    */
+  def knnJoinIvf(spark: SparkSession, dir: String, nQueries: Int = 8,
+                 nlist: Int = 16, nprobe: Int = 4, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", toDouble(col("embedding")))
+    val codebook = collectCodebook(emb, nlist)
+    val codebookIdx = codebook.map { case (cid, cv) => (cid, cv) }
+    // query vectors: nQueries ≤ nlist rides the codebook collect (the
+    // stand-in codebook IS the first nlist vectors); larger sets collect
+    // their own bounded frame
+    val queryVecs: Seq[(Long, Array[Double])] =
+      if (nQueries <= codebook.length)
+        codebook.take(nQueries).map { case (cid, cv) => (cid.toLong, cv) }.toSeq
+      else emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val probes = queryVecs.flatMap { case (qid, qv) =>
+      rankProbeCells(qv, codebookIdx, nprobe).map(c => (qid, c))
+    }
+    val probeDf = {
+      import spark.implicits._
+      probes.toDF("q_id", "cell")
+    }
+    // per-query literal vectors via a CASE over q_id (|Q|-bounded model
+    // arithmetic, no second join; unmatched whens are null, coalesce picks
+    // the hit)
+    val qvCol = coalesce(queryVecs.map { case (qid, qv) =>
+      when(col("q_id") === qid, planeLit(qv))
+    }: _*)
+    emb.withColumn("cell",
+        call_function("ivf_assign", col("v"), typedlit(codebook.map(_._2.toSeq).toSeq)))
+      .join(broadcast(probeDf), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("v"), qvCol).as("cos_raw"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").cast("long").as("rank"),
+        col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
   /** (mins, maxs) per (dir, content version) — the SQ8 model is 2·dim
     * doubles, the artifact FAISS ships WITH an SQ index; re-deriving it per
     * query would be re-training at serve time. Version-keyed like every

@@ -328,6 +328,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(top.head.getAs[Long]("vec_id") === brute.head)
   }
 
+  test("knnJoinIvf: per-query recall vs the brute join; full probe = exact") {
+    // the scale face prunes to nprobe/nlist of the corpus per query; at
+    // full probe the prune is gone and it MUST equal the brute join row
+    // for row (same scoring, same tie-breaks)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("vec_id")).toMap
+    val brute = asMap(SimilarityOps.knnJoin(spark, sf01, nQueries = 4, k = 5))
+    val full = asMap(SimilarityOps.knnJoinIvf(spark, sf01, nQueries = 4,
+      nprobe = 16, k = 5))
+    assert(full === brute, "full probe must reproduce the brute join exactly")
+    // partial probe: bounded loss, measured 2026-08-14 at nprobe=4 on
+    // sf0.01: 18/20 of the brute neighbor set survives (0.9)
+    val part = SimilarityOps.knnJoinIvf(spark, sf01, nQueries = 4,
+      nprobe = 4, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val bruteSet = brute.map { case ((q, _), v) => (q, v) }.toSet
+    val recall = part.count(bruteSet).toDouble / bruteSet.size
+    assert(recall >= 0.7, s"knnJoinIvf nprobe=4 recall fell to $recall")
+  }
+
   test("cosine expression: hand-checked value on unit vectors") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
