@@ -45,4 +45,39 @@ object BucketedLayout {
     */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  /** TRAINING-SHARD export — the last-mile write of a curation pipeline:
+    * the kept corpus goes out as `nShards` deterministic, size-bounded,
+    * internally-ordered parquet shards plus a manifest a trainer (or the
+    * next pipeline) can reconcile against without listing data files.
+    *
+    * Layout mechanics, each load-bearing at 100 TB:
+    *  - `repartitionByRange(nShards, key)` — contiguous key ranges, so a
+    *    shard boundary is a key interval (resumable, mergeable, and the
+    *    assignment is deterministic for a given dataset, unlike
+    *    round-robin/hash whose task scheduling can move rows);
+    *  - `sortWithinPartitions(key)` — intra-shard order gives parquet
+    *    min/max stats their bite and trainers a stable read order;
+    *  - `maxRecordsPerFile` — bounds any one file even if a range is hot
+    *    (range skew splits files, never tasks).
+    * The manifest (one tiny JSON-lines relation: shard → rows, key span)
+    * is derived from the SAME ranged frame in one extra aggregate and
+    * written beside the data; ScaleLayoutSpec reconciles it against the
+    * files and pins determinism across two writes.
+    */
+  def exportShards(df: DataFrame, path: String, key: String, nShards: Int,
+                   maxRecordsPerFile: Long = 1000000L): Unit = {
+    import org.apache.spark.sql.functions._
+    val ranged = df.repartitionByRange(nShards, col(key))
+      .sortWithinPartitions(key)
+    ranged.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(s"$path/data")
+    val manifest = ranged
+      .select(spark_partition_id().as("shard"), col(key).cast("string").as("k"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("rows"), min("k").as("key_min"), max("k").as("key_max"))
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite).json(s"$path/manifest")
+  }
 }

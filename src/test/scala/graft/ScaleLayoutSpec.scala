@@ -201,4 +201,37 @@ class ScaleLayoutSpec extends SparkSpecBase {
     assert(out.count() === 3)
     assert(out.filter(col("name").isNull).count() === 2)
   }
+
+  test("exportShards: ranged shards, intra-shard order, manifest reconciles, deterministic") {
+    val dir = "/tmp/graft_shards_test"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    graft.sources.BucketedLayout.exportShards(docs, dir, "doc_id", nShards = 4)
+    val back = spark.read.parquet(s"$dir/data")
+    assert(back.count() === docs.count())
+    val manifest = spark.read.json(s"$dir/manifest").collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("rows"), r.getAs[String]("key_min").toLong,
+         r.getAs[String]("key_max").toLong)).toMap
+    assert(manifest.values.map(_._1).sum === docs.count())
+    // range shards: key intervals are disjoint and ordered by shard id
+    val spans = manifest.toSeq.sortBy(_._1).map(_._2)
+    spans.zip(spans.tail).foreach { case ((_, _, aMax), (_, bMin, _)) =>
+      assert(aMax < bMin, s"shard ranges overlap: $spans")
+    }
+    // every data file is internally ordered on the shard key
+    val files = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length >= 4)
+    files.foreach { f =>
+      val ids = spark.read.parquet(f).select("doc_id").collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"file $f not sorted")
+    }
+    // deterministic: a second export reproduces the same manifest
+    graft.sources.BucketedLayout.exportShards(docs, s"$dir-2", "doc_id", nShards = 4)
+    val manifest2 = spark.read.json(s"$dir-2/manifest").collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("rows"), r.getAs[String]("key_min").toLong,
+         r.getAs[String]("key_max").toLong)).toMap
+    assert(manifest2 === manifest)
+  }
 }
