@@ -103,6 +103,28 @@ class PropertySpec extends SparkSpecBase {
     assert(bad.isEmpty, s"diverging rows: ${bad.take(3).mkString("; ")}")
   }
 
+  test("property: gram_hash60_pos ≡ composed positional windows on generated token arrays") {
+    GraftFunctions.register(spark)
+    val win = (0 until 8).map(j => s"element_at(toks, i + $j)").mkString(", ")
+    val composed = expr(
+      s"""CASE WHEN size(toks) >= 8 THEN transform(sequence(1, size(toks) - 7),
+         |  i -> cast(conv(substring(md5(concat_ws(' ', $win)), 1, 15), 16, 10) as bigint))
+         |ELSE CAST(array() AS array<bigint>) END""".stripMargin)
+    val toksGen = Gen.chooseNum(0, 15).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "bb", "ccc", "данные", "", "x1", "the")))
+    val df = samples(toksGen, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "toks")
+    val got = df.select(col("id"), expr("gram_hash60_pos(toks, 8)").as("native"),
+        composed.as("ref"), size(col("toks")).as("n"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"row ${r.getLong(0)}")
+      // length law: exactly max(0, n-7) positional grams
+      assert(r.getSeq[Long](1).size === math.max(0, r.getInt(3) - 7),
+        s"row ${r.getLong(0)} length law")
+    }
+  }
+
   test("property: minhash_slots ≡ composed affine family on generated hash arrays") {
     GraftFunctions.register(spark)
     val hashesGen = Gen.chooseNum(1, 40).flatMap(k =>
