@@ -230,6 +230,9 @@ object Bench {
       // line, the artifact survives on disk
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target", "bench_compact.json"), compact + "\n")
+    }.failed.foreach { e =>
+      // stderr sits outside the 2000-char stdout window — free to log
+      System.err.println(s"[bench] sidecar write failed (stdout contract already emitted): $e")
     }
     spark.stop()
   }

@@ -700,7 +700,6 @@ object SimilarityOps {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", toDouble(col("embedding")))
     val codebook = collectCodebook(emb, nlist)
-    val codebookIdx = codebook.map { case (cid, cv) => (cid, cv) }
     // query vectors: nQueries ≤ nlist rides the codebook collect (the
     // stand-in codebook IS the first nlist vectors); larger sets collect
     // their own bounded frame
@@ -711,7 +710,7 @@ object SimilarityOps {
         .select(col("vec_id"), col("v")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     val probes = queryVecs.flatMap { case (qid, qv) =>
-      rankProbeCells(qv, codebookIdx, nprobe).map(c => (qid, c))
+      rankProbeCells(qv, codebook, nprobe).map(c => (qid, c))
     }
     val probeDf = {
       import spark.implicits._

@@ -68,16 +68,38 @@ object BucketedLayout {
   def exportShards(df: DataFrame, path: String, key: String, nShards: Int,
                    maxRecordsPerFile: Long = 1000000L): Unit = {
     import org.apache.spark.sql.functions._
+    // persisted BEFORE the two actions: repartitionByRange samples its
+    // boundaries per execution (seeded by the physical rdd), so an
+    // unpersisted frame could compute DIFFERENT shard bounds for the data
+    // write and the manifest aggregate — a manifest describing a
+    // partitioning the files don't have. The persist pins one sampled
+    // boundary set for both consumers; the storage cost is the export
+    // itself (disk-spillable), paid once per export.
     val ranged = df.repartitionByRange(nShards, col(key))
       .sortWithinPartitions(key)
-    ranged.write
-      .mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .parquet(s"$path/data")
-    val manifest = ranged
-      .select(spark_partition_id().as("shard"), col(key).cast("string").as("k"))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("rows"), min("k").as("key_min"), max("k").as("key_max"))
-    manifest.coalesce(1).write.mode(SaveMode.Overwrite).json(s"$path/manifest")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      ranged.write
+        .mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .parquet(s"$path/data")
+      // min/max on the NATIVE key (cast only for the wire format): a string
+      // min over numeric keys is lexicographic and records e.g. 999 as the
+      // max of a shard containing 1000
+      val present = ranged
+        .select(spark_partition_id().cast("long").as("shard"), col(key).as("k"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("rows"),
+          min(col("k")).cast("string").as("key_min"),
+          max(col("k")).cast("string").as("key_max"))
+      // every declared shard gets a row — an EMPTY range shard (skewed or
+      // low-cardinality keys) must be distinguishable from a LOST one
+      val spark = df.sparkSession
+      val manifest = spark.range(nShards).select(col("id").as("shard"))
+        .join(present, Seq("shard"), "left")
+        .select(col("shard"), coalesce(col("rows"), lit(0L)).as("rows"),
+          col("key_min"), col("key_max"))
+      manifest.coalesce(1).write.mode(SaveMode.Overwrite).json(s"$path/manifest")
+    } finally { ranged.unpersist(); () }
   }
 }

@@ -41,7 +41,15 @@ def main(out_dir: str, sf_dir: str) -> int:
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     if len(sys.argv) > 3:
         keep = set(sys.argv[3].split(","))
+        unknown = keep - set(oracles)
+        if unknown:
+            print(f"WARN unknown subset names (not in oracle_sql.json): "
+                  f"{sorted(unknown)}")
         oracles = {k: v for k, v in oracles.items() if k in keep}
+    if not oracles:
+        # a vacuously-green gate is the failure mode, not a pass
+        print("FAIL no queries selected")
+        return 1
     failures = 0
     for name, sql in sorted(oracles.items()):
         try:
