@@ -201,10 +201,15 @@ object Bench {
     // precision (plus the diag tier) still lands in target/bench.json.
     // trailing zeros stripped ("0.10" -> "0.1", "2.00" -> "2"): ~40-60
     // chars across 80+ queries, real headroom at this budget
-    def f2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-      .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
+    def fN(n: Int)(d: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${n}f", Double.box(d))
+      // strip trailing zeros ONLY past a decimal point ("0.10"→"0.1",
+      // "2.00"→"2") — an integer rendering like "10" must survive intact
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
+    val f2 = fN(2) _
     val ratioCompact = baseline.map { case (_, bq) =>
       val common = results.filter { case (k, v) => v >= 0 && bq.contains(k) }
       val bTotal = common.map { case (k, _) => bq(k) }.sum
@@ -214,10 +219,24 @@ object Bench {
     // basename only ("sf0.1"): the full testdata path spends 15 chars of
     // the 2000-char window on a prefix the driver already knows
     val sfShort = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val compact = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfShort"$ratioCompact}"""
-    if (compact.length > 1900)
-      System.err.println(s"[bench] compact line ${compact.length} chars — " +
-        "approaching the driver's 2000-char stdout tail window")
+    // ADAPTIVE precision: at 89 queries even the 2-decimal map (~2.02KB)
+    // overflows the driver's measured 2000-char stdout tail, so the line
+    // degrades until it fits a 1950-char budget — per-query decimals step
+    // 2 → 1 → 0, and the ratio field drops before the final step. Full
+    // 4-decimal precision always lands in target/bench.json; the stdout
+    // map only needs to stay parseable and roughly graded. The fallback
+    // chain is total — the last candidate is ~85 names + 1 digit each,
+    // far under budget at any plausible query count.
+    val compact = Seq((2, true), (2, false), (1, true), (1, false), (0, false))
+      .view.map { case (dec, withRatio) =>
+        val qsc = results.map { case (k, v) => "\"" + k + "\":" + fN(dec)(v) }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${f2(total)},"unit":"sec",""" +
+          s""""queries":$qsc,"sf":"$sfShort"${if (withRatio) ratioCompact else ""}}"""
+      }.find(_.length <= 1950).getOrElse {
+        System.err.println("[bench] compact line over budget at every precision")
+        s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":{},"sf":"$sfShort"}"""
+      }
     // stdout contract line FIRST: every filesystem write below is
     // best-effort — a missing target/ dir (jar run from another cwd) must
     // not take the primary contract down with it (ADVICE r8)

@@ -62,6 +62,8 @@ object SparkEntry {
     "q_search_ranked"    -> ((s, d) => SearchOps.rankedSearch(s, d)),
     "q_search_bm25"      -> ((s, d) => SearchOps.bm25Search(s, d)),
     "q_hybrid_search"    -> ((s, d) => SearchOps.hybridSearch(s, d)),
+    "q_more_like_this"   -> ((s, d) => SearchOps.moreLikeThis(s, d)),
+    "q_sig_terms"        -> ((s, d) => SearchOps.significantTerms(s, d)),
     "q_keywords"         -> ((s, d) => SearchOps.keywords(s, d)),
     // Text analysis (training-data pipeline)
     "q_token_count"      -> (TextOps.tokenCount(_, _)),
@@ -80,6 +82,8 @@ object SparkEntry {
     "q_curate_kept"      -> (PipelineOps.curateKept(_, _)),
     "q_unigram_logprob"  -> (TextOps.unigramLogprob(_, _)),
     "q_bigram_logprob"   -> (TextOps.bigramLogprob(_, _)),
+    "q_perplexity_buckets" -> (TextOps.perplexityBuckets(_, _)),
+    "q_compression_ratio" -> (TextOps.compressionRatio(_, _)),
     "q_decontaminate"    -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_dup_ngram_frac"   -> ((s, d) => TextOps.dupNgramFraction(s, d)),
     "q_pii_scrub"        -> (TextOps.piiScrub(_, _)),

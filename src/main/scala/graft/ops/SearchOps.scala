@@ -489,6 +489,115 @@ object SearchOps {
       .limit(k)
   }
 
+  /** ES `more_like_this` as a relational two-phase query (the reference's
+    * search tier exposes ES's query DSL; MLT is its find-similar face):
+    * phase 1 selects the seed document's `maxTerms` most characteristic
+    * terms (tf·idf over the postings store — ES MLT's interestingness
+    * ranking with `max_query_terms`), phase 2 runs those terms as a
+    * disjunctive tf·idf query over the rest of the corpus, exactly like ES
+    * turns the selected terms into a boolean-OR scored query.
+    *
+    * Both phases read ONLY the served postings store. Phase 1's term frame
+    * is seed-doc-sized and rides as a broadcast into phase 2, so the
+    * corpus-sized side is touched once, pre-filtered to the selected
+    * terms. Unlike [[rankedPostingsSearch]] the query terms are
+    * DATA-derived, so the fixed literal fold-order trick is unavailable —
+    * per-doc scores instead accumulate in 2^20 fixed point (the
+    * q_unigram_logprob device): each (term, doc) weight is one IEEE
+    * multiply of exactly-counted quantities, rounded to a long, and long
+    * sums are order-independent, so DuckDB replays the total bit-for-bit.
+    * Term selection replays because it ranks on ROUNDED weights with
+    * token tie-breaks.
+    *
+    * Scale shape: phase 1 is a semi-join on one doc's terms (token-bucketed
+    * store → a handful of bucket reads); phase 2 is the same IN-pruned
+    * store read every other search face does, then one keyed aggregate.
+    */
+  def moreLikeThis(spark: SparkSession, dir: String, seedId: Long = 7L,
+                   maxTerms: Int = 5, k: Int = 10): DataFrame =
+    mltPostingsSearch(servedPostings(spark, dir),
+      Tables.documents(spark, dir)
+        .agg(count(lit(1)).cast("double").as("n_docs")),
+      seedId, maxTerms, k)
+
+  /** MLT over any (token, doc_id, tf) postings relation and a 1-row
+    * `n_docs` frame — the materialized-index face, and the seam SearchSpec
+    * drives synthetic corpora through to pin term selection and idf
+    * discrimination.
+    */
+  def mltPostingsSearch(p: DataFrame, nDocs: DataFrame, seedId: Long,
+                        maxTerms: Int = 5, k: Int = 10): DataFrame = {
+    val scale = 1048576.0 // 2^20 fixed-point grain, shared with q_unigram_logprob
+    val seed = p.filter(col("doc_id") === seedId)
+      .select(col("token"), col("tf").as("seed_tf"))
+    // df of the seed's terms over the full store (postings unique on
+    // (token, doc_id) ⇒ count = df); seed frame is ≤|seed terms| rows
+    val stats = p.join(broadcast(seed), Seq("token"))
+      .groupBy("token", "seed_tf").agg(count(lit(1)).as("df"))
+    val idf = log(col("n_docs") / col("df").cast("double"))
+    val sel = stats.crossJoin(broadcast(nDocs))
+      .select(col("token"), idf.as("idf"),
+        round(col("seed_tf").cast("double") * idf, 6).as("w"))
+      .orderBy(col("w").desc, col("token").asc)
+      .limit(maxTerms)
+    p.join(broadcast(sel.select("token", "idf")), Seq("token"))
+      .filter(col("doc_id") =!= seedId)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"),
+        sum(round(col("tf").cast("double") * col("idf") * lit(scale))
+          .cast("long")).as("s"))
+      .select(col("doc_id"), col("n_shared"),
+        round(col("s").cast("double") / lit(scale), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** ES `significant_terms` aggregation (the JLH heuristic ES ships as its
+    * default-documented scorer): terms overrepresented in a FOREGROUND doc
+    * set (here: one source) against the whole-corpus background —
+    * `score = (fg% − bg%) · (fg% / bg%)`. The curation read of the same
+    * math: what vocabulary makes this source distinctive (boilerplate,
+    * topic skew, mirrored content) — the per-source lens the pairwise
+    * [[graft.ops.CurationOps.sourceOverlap]] matrix doesn't give.
+    *
+    * One pass: the served postings store joins doc→source on the doc_id
+    * key (at warehouse scale both sides bucket by doc_id — co-located),
+    * then ONE keyed aggregate computes fg_df and bg_df together; corpus
+    * totals ride as a 1-row broadcast. Every score input is an exactly
+    * counted integer and the score is a single IEEE expression chain over
+    * them, rounded — no accumulation-order hazard anywhere.
+    */
+  def significantTerms(spark: SparkSession, dir: String,
+                       fgSource: String = "src3", k: Int = 30): DataFrame =
+    significantTermsOn(servedPostings(spark, dir),
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      fgSource, k)
+
+  /** significant_terms over any (token, doc_id, tf) postings relation and a
+    * (doc_id, source) frame — the seam SearchSpec pins JLH behavior
+    * through (planted overrepresentation, uniform-term zero, fg-only
+    * filter).
+    */
+  def significantTermsOn(p: DataFrame, docs: DataFrame,
+                         fgSource: String, k: Int = 30): DataFrame = {
+    val totals = docs.agg(
+      sum(when(col("source") === fgSource, 1L).otherwise(0L))
+        .cast("double").as("fg_n"),
+      count(lit(1)).cast("double").as("bg_n"))
+    val fgp = col("fg_df").cast("double") / col("fg_n")
+    val bgp = col("bg_df").cast("double") / col("bg_n")
+    p.join(docs, Seq("doc_id"))
+      .groupBy("token")
+      .agg(sum(when(col("source") === fgSource, 1L).otherwise(0L)).as("fg_df"),
+        count(lit(1)).as("bg_df")) // postings unique on (token, doc_id) ⇒ df
+      .filter(col("fg_df") > 0)
+      .crossJoin(broadcast(totals))
+      .select(col("token"), col("fg_df"), col("bg_df"),
+        round((fgp - bgp) * (fgp / bgp), 6).as("score"))
+      .orderBy(col("score").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** TF-IDF keyword extraction: the top-`k` most characteristic tokens per
     * document (score = tf · ln(N/df) over the postings relation) — the
     * classic document-profiling signal (tagging, clustering features,
@@ -781,6 +890,47 @@ object SearchOps {
          |  FROM documents)
          |SELECT doc_id, lang, score FROM scored WHERE score > 0
          |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q_more_like_this" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($duckToks) AS token FROM documents)
+         |  GROUP BY doc_id, token),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+         |seed AS (SELECT token, tf AS seed_tf FROM p WHERE doc_id = 7),
+         |stats AS (
+         |  SELECT p.token, seed_tf, COUNT(*) AS df
+         |  FROM p JOIN seed USING (token) GROUP BY p.token, seed_tf),
+         |sel AS (
+         |  SELECT token, ln(n_docs / CAST(df AS DOUBLE)) AS idf,
+         |    round(CAST(seed_tf AS DOUBLE) * ln(n_docs / CAST(df AS DOUBLE)), 6) AS w
+         |  FROM stats, n
+         |  ORDER BY w DESC, token ASC LIMIT 5),
+         |scored AS (
+         |  SELECT p.doc_id, COUNT(*) AS n_shared,
+         |    SUM(CAST(round(CAST(p.tf AS DOUBLE) * sel.idf * 1048576.0) AS BIGINT)) AS s
+         |  FROM p JOIN sel USING (token) WHERE p.doc_id <> 7 GROUP BY p.doc_id)
+         |SELECT doc_id, n_shared, round(CAST(s AS DOUBLE) / 1048576.0, 6) AS score
+         |FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q_sig_terms" ->
+      s"""WITH p AS (
+         |  SELECT DISTINCT doc_id, token FROM (
+         |    SELECT doc_id, unnest($duckToks) AS token FROM documents)),
+         |totals AS (
+         |  SELECT CAST(SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS DOUBLE) AS fg_n,
+         |         CAST(COUNT(*) AS DOUBLE) AS bg_n
+         |  FROM documents),
+         |ts AS (
+         |  SELECT token,
+         |    SUM(CASE WHEN d.source = 'src3' THEN 1 ELSE 0 END) AS fg_df,
+         |    COUNT(*) AS bg_df
+         |  FROM p JOIN documents d USING (doc_id)
+         |  GROUP BY token HAVING SUM(CASE WHEN d.source = 'src3' THEN 1 ELSE 0 END) > 0)
+         |SELECT token, fg_df, bg_df,
+         |  round((CAST(fg_df AS DOUBLE) / fg_n - CAST(bg_df AS DOUBLE) / bg_n)
+         |        * ((CAST(fg_df AS DOUBLE) / fg_n) / (CAST(bg_df AS DOUBLE) / bg_n)), 6)
+         |    AS score
+         |FROM ts, totals
+         |ORDER BY score DESC, token ASC LIMIT 30""".stripMargin,
     "q_search_fuzzy" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang,

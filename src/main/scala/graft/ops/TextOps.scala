@@ -700,6 +700,72 @@ object TextOps {
     (counts, scoreUnigram(spark, dir, model))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020: split each
+    * language's corpus into head/middle/tail thirds by LM score and train
+    * preferentially on the head): per-language NTILE(3) over the
+    * [[unigramLogprob]] score — bucket 1 = most-probable third under the
+    * served LM, relabeled head/middle/tail. The canonical curriculum /
+    * quality-mixing signal one step past a scalar quality score.
+    *
+    * Determinism: the window orders on the ROUNDED 6-dp score (already
+    * hash-proven cross-engine in q_unigram_logprob) with doc_id
+    * tie-breaks, so the integer ranks — and therefore every bucket
+    * boundary — replay exactly; NTILE's bucket-size rule (first n mod k
+    * buckets get the extra row) is the same in Spark and DuckDB.
+    *
+    * Scale shape: scoring is the served-model scan q_unigram_logprob runs;
+    * the lang join is keyed on doc_id (bucket-co-located at warehouse
+    * scale). The per-lang NTILE is the exact parity face — it sorts each
+    * language's docs within its partition (CCNet itself sorts each
+    * language shard by perplexity to cut it into thirds). At 100 TB the
+    * swap-in is [[lengthApprox]]'s device: percentile_approx thresholds at
+    * 1/3 and 2/3 per lang (a lang-count-sized artifact), then a map-only
+    * CASE — same output contract, no per-lang sort.
+    */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogprob(spark, dir) // (doc_id, n_toks, avg_logprob)
+    val langs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logprob").desc, col("doc_id").asc)
+    scored.join(langs, Seq("doc_id"))
+      .withColumn("b", ntile(3).over(byLang))
+      .select(col("doc_id"), col("lang"), col("avg_logprob"),
+        when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Bytes-per-subword compression ratio, aggregated per (lang, source) —
+    * the tokenizer-fit signal (how many characters one BPE token covers):
+    * natural text compresses well under a tokenizer trained on it;
+    * gibberish, wrong-alphabet, or heavily-encoded content does not, so
+    * corpus curation gates on exactly this ratio (and tokenizer teams
+    * watch it per source). Per doc the ratio is chars / max(bpe_tokens,1)
+    * with both counts from the one codegen'd [[tokenCountBpe]] projection;
+    * the per-group mean accumulates in 2^20 fixed point (exact long sums,
+    * order-independent cross-engine) — one corpus scan, one tiny keyed
+    * aggregate, nothing else.
+    */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame =
+    compressionRatioOn(Tables.documents(spark, dir))
+
+  /** The same aggregate over any (lang, source, n_chars, text) frame — the
+    * seam TextSpec drives hand-computable fixtures through.
+    */
+  private[graft] def compressionRatioOn(docs: DataFrame): DataFrame = {
+    val scale = 1048576.0 // 2^20 fixed-point grain, shared with unigramLogprob
+    val ratio = col("n_chars").cast("double") /
+      greatest(call_function("bpe_count", col("text")).cast("double"), lit(1.0))
+    docs
+      .select(col("lang"), col("source"),
+        round(ratio * lit(scale)).cast("long").as("r_fp"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("r_fp")).as("s"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        round((col("s").cast("double") / col("n_docs")) / lit(scale), 6)
+          .as("mean_chars_per_token"))
+  }
+
   /** Stateless INGEST gate: the quality chain and eval-gram contamination
     * check folded into one codegen'd projection over any documents frame —
     * batch table or streaming micro-batch (no state, no watermark, no
@@ -971,6 +1037,41 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_perplexity_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tt AS (SELECT doc_id, token FROM t WHERE len(token) > 0),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM tt GROUP BY token),
+        |n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+        |lp AS (SELECT token, ln(CAST(cnt AS DOUBLE) / total) AS logp FROM c, n),
+        |s AS (
+        |  SELECT tt.doc_id, COUNT(*) AS n_toks,
+        |    SUM(CAST(round(lp.logp * 1048576.0) AS BIGINT)) AS s
+        |  FROM tt JOIN lp USING (token) GROUP BY tt.doc_id),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round((CAST(s AS DOUBLE) / n_toks) / 1048576.0, 6) AS avg_logprob
+        |  FROM s),
+        |b AS (
+        |  SELECT scored.doc_id, d.lang, avg_logprob,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |                   ORDER BY avg_logprob DESC, scored.doc_id ASC) AS b
+        |  FROM scored JOIN documents d ON scored.doc_id = d.doc_id)
+        |SELECT doc_id, lang, avg_logprob,
+        |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM b""".stripMargin,
+    "q_compression_ratio" ->
+      s"""WITH t AS (
+         |  SELECT lang, source,
+         |    CAST(round(CAST(n_chars AS DOUBLE)
+         |               / greatest(CAST($bpeCountSql AS DOUBLE), 1.0)
+         |               * 1048576.0) AS BIGINT) AS r_fp
+         |  FROM documents)
+         |SELECT lang, source, COUNT(*) AS n_docs,
+         |  round((CAST(SUM(r_fp) AS DOUBLE) / COUNT(*)) / 1048576.0, 6)
+         |    AS mean_chars_per_token
+         |FROM t GROUP BY lang, source""".stripMargin,
     "q_unigram_logprob" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token

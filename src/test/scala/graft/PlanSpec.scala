@@ -110,6 +110,27 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
   }
 
+  test("moreLikeThis: store-served both phases — no re-analysis, seed terms broadcast, partial top-k") {
+    val p = plan(SearchOps.moreLikeThis(spark, sf))
+    // both phases read the maintained postings store: the analyze pass was
+    // paid once at store build — NO analyzer subtree may appear; the
+    // seed-doc term frame and the selected-term frame ride broadcasts into
+    // the corpus-sized side, and the final k is a partial top-k
+    assert(!p.contains("ru_en_analyze"),
+      s"store-served MLT must not re-analyze the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast term joins in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+  }
+
+  test("significantTerms: store-served, one keyed join, no cartesian, partial top-k") {
+    val p = plan(SearchOps.significantTerms(spark, sf))
+    assert(!p.contains("ru_en_analyze"),
+      s"store-served significant_terms must not re-analyze the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+  }
+
   test("knnJoin: query set broadcasts; per-query top-k is partial (WindowGroupLimit) before the exchange") {
     val p = plan(SimilarityOps.knnJoin(spark, sf))
     // the corpus never shuffles for scoring — only the rank exchange moves

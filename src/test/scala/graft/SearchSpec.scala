@@ -352,4 +352,70 @@ class SearchSpec extends SparkSpecBase {
     assert(out.keySet === Set(1L, 2L, 3L, 4L))
     assert(out.values.forall(_ > 0))
   }
+
+  test("moreLikeThis: idf-discriminating term selection, seed exclusion, maxTerms cap") {
+    // seed doc 0 carries two RARE terms (xray, yankee) and one term that is
+    // in EVERY doc (common). doc 1 shares only the rare terms, doc 2 only
+    // the common term, doc 3 nothing. With maxTerms=2 the selection must
+    // take the two rare terms (idf beats the common term's equal tf), so
+    // doc 2 — sharing only the unselected term — must not appear at all.
+    val postings = Seq(
+      (0L, "xray", 1L), (0L, "yankee", 1L), (0L, "common", 1L),
+      (1L, "xray", 2L), (1L, "yankee", 1L), (1L, "common", 1L),
+      (2L, "common", 5L),
+      (3L, "zulu", 1L), (3L, "common", 1L))
+      .toDF("doc_id", "token", "tf")
+    val n = Seq(4.0).toDF("n_docs")
+    val out = graft.ops.SearchOps
+      .mltPostingsSearch(postings, n, seedId = 0L, maxTerms = 2, k = 10)
+      .collect()
+    val ids = out.map(_.getAs[Long]("doc_id"))
+    assert(!ids.contains(0L), "seed doc must be excluded")
+    assert(ids.contains(1L), "rare-term sharer must match")
+    assert(!ids.contains(2L), "doc sharing only the unselected common term must be absent")
+    assert(!ids.contains(3L), "doc sharing nothing must be absent")
+    // doc 1 shares both selected terms → n_shared = 2, positive score
+    val d1 = out.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(d1.getAs[Long]("n_shared") === 2L)
+    assert(d1.getAs[Double]("score") > 0)
+    // raising maxTerms to 3 admits the common term and doc 2 appears, but
+    // BELOW doc 1 (rare-term tf·idf dominates a ubiquitous term's ~0 idf)
+    val wide = graft.ops.SearchOps
+      .mltPostingsSearch(postings, n, seedId = 0L, maxTerms = 3, k = 10)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(wide.head === 1L)
+  }
+
+  test("moreLikeThis on the corpus: deterministic, seedless, descending") {
+    val out = graft.ops.SearchOps.moreLikeThis(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(!out.map(_.getAs[Long]("doc_id")).contains(7L))
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val again = graft.ops.SearchOps.moreLikeThis(spark, sf).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("significantTerms: planted overrepresentation ranks first, uniform term scores 0, bg-only filtered") {
+    // 2 foreground docs (src A) + 8 background docs (src B). "boiler" is in
+    // both fg docs and nowhere else → max JLH. "every" is in ALL docs →
+    // fg% = bg% = 1 → score exactly 0. "bgonly" never hits fg → filtered.
+    val docs = ((0L to 1L).map(i => (i, "A")) ++ (2L to 9L).map(i => (i, "B")))
+      .toDF("doc_id", "source")
+    val postings = (
+      Seq((0L, "boiler", 1L), (1L, "boiler", 2L)) ++
+      (0L to 9L).map(i => (i, "every", 1L)) ++
+      Seq((4L, "bgonly", 3L), (5L, "bgonly", 1L)))
+      .toDF("doc_id", "token", "tf")
+    val out = graft.ops.SearchOps.significantTermsOn(postings, docs, "A", k = 10)
+      .collect()
+    val byTok = out.map(r => r.getAs[String]("token") -> r).toMap
+    assert(out.head.getAs[String]("token") === "boiler")
+    // boiler: fg% = 1, bg% = 2/10 → (1 − .2)·(1/.2) = 4.0 exactly
+    assert(out.head.getAs[Double]("score") === 4.0)
+    assert(byTok("every").getAs[Double]("score") === 0.0)
+    assert(!byTok.contains("bgonly"))
+    assert(byTok("boiler").getAs[Long]("fg_df") === 2L)
+    assert(byTok("boiler").getAs[Long]("bg_df") === 2L)
+  }
 }

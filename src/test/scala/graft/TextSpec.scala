@@ -340,4 +340,41 @@ class TextSpec extends SparkSpecBase {
       assert(r.getString(2) === r.getString(1), s"case ${r.getLong(0)}")
     }
   }
+
+  test("perplexityBuckets: per-lang thirds, head ≥ tail, ntile balance") {
+    val out = graft.ops.TextOps.perplexityBuckets(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf).count()
+    assert(out.length.toLong === docs, "every doc must land in a bucket")
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+        .view.mapValues(_.map(_.getAs[Double]("avg_logprob"))).toMap
+      if (rows.length >= 3) {
+        assert(byBucket.keySet === Set("head", "middle", "tail"), lang)
+        // ntile balance: bucket sizes differ by at most 1
+        val sizes = byBucket.values.map(_.length)
+        assert(sizes.max - sizes.min <= 1, s"$lang sizes $sizes")
+        // ordering: every head score ≥ every middle score ≥ every tail score
+        assert(byBucket("head").min >= byBucket("middle").max, lang)
+        assert(byBucket("middle").min >= byBucket("tail").max, lang)
+      }
+    }
+  }
+
+  test("compressionRatio: hand-computed fixed-point means per group") {
+    // digit pieces count 1 token per character under the pre-tokenizer
+    // (CASE non-letter piece → len), so ratios are hand-derivable without
+    // touching the BPE merge fixture: "12 34" → 4 tokens.
+    val docs = Seq(
+      ("en", "s1", 8L, "12 34"),   // 4 tokens → ratio 2.0
+      ("en", "s1", 12L, "12 34"),  // 4 tokens → ratio 3.0   (mean 2.5)
+      ("en", "s2", 5L, ""),        // 0 tokens → guard divides by 1 → 5.0
+      ("de", "s1", 9L, "567"))     // 3 tokens → ratio 3.0
+      .toDF("lang", "source", "n_chars", "text")
+    val out = graft.ops.TextOps.compressionRatioOn(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("mean_chars_per_token"))).toMap
+    assert(out(("en", "s1")) === ((2L, 2.5)))
+    assert(out(("en", "s2")) === ((1L, 5.0)))
+    assert(out(("de", "s1")) === ((1L, 3.0)))
+  }
 }
