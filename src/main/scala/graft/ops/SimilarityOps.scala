@@ -249,18 +249,18 @@ object SimilarityOps {
     cellStores.computeIfAbsent(p, path => {
       val hp = new org.apache.hadoop.fs.Path(path)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(hp)) {
-        val assigned = emb.select(col("vec_id"), col("label"), col("v"),
-          call_function("ivf_assign", col("v"),
-            typedlit(codebook.map(_._2.toSeq).toSeq)).as("cell"))
-        // staged swap: a crash mid-write must not leave a partial store
-        // that the exists-check would then serve forever
-        graft.sinks.AtomicSwap.replaceWith(spark, path)(staging =>
-          graft.sources.BucketedLayout.writePartitioned(assigned, staging, "cell"))
-      }
+      if (!fs.exists(hp))
+        // first build runs through the SAME upsert a CDC tick uses
+        // ([[graft.streaming.IncrementalVectors]]): assignment is the same
+        // native ivf_assign, the write the same staged swap — so a
+        // maintained store is bit-identical to a fresh build and every
+        // served-ANN oracle replays unchanged over either
+        graft.streaming.IncrementalVectors.upsert(spark, path,
+          emb.select(col("vec_id"), col("label"), col("v")),
+          codebook.map(_._2.toSeq).toSeq)
       path
     })
-    Tables.parquetCached(spark, p)
+    graft.streaming.IncrementalVectors.load(spark, p)
   }
 
   /** The driver-side twin of [[graft.functions.VecCosine]].compute — SAME

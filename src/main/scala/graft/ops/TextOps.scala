@@ -735,6 +735,32 @@ object TextOps {
           .otherwise("tail").as("bucket"))
   }
 
+  /** The 100 TB face of [[perplexityBuckets]] — CCNet's actual mechanic:
+    * cut points come from a QUANTILE SKETCH (percentile_approx at the 1/3
+    * and 2/3 ranks per language, a lang-count-sized model artifact riding
+    * a broadcast), and bucket assignment is a map-only CASE — no per-lang
+    * sort, no window, no global ordering anywhere in the plan (PlanSpec
+    * pins the absence). Same output contract as the exact face; TextSpec
+    * grades assignment agreement against it, the [[lengthApprox]] device.
+    * Boundary docs (scores tied at a cut point) may land one bucket away
+    * from the exact NTILE split — that is the accepted sketch contract,
+    * identical to CCNet training its LM cuts on a sample.
+    */
+  def perplexityBucketsApprox(spark: SparkSession, dir: String,
+                              accuracy: Int = 10000): DataFrame = {
+    val scored = unigramLogprob(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+    val cuts = scored.groupBy("lang")
+      .agg(percentile_approx(col("avg_logprob"),
+        array(lit(2.0 / 3), lit(1.0 / 3)), lit(accuracy)).as("t"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("avg_logprob"),
+        when(col("avg_logprob") >= col("t").getItem(0), "head")
+          .when(col("avg_logprob") >= col("t").getItem(1), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Bytes-per-subword compression ratio, aggregated per (lang, source) —
     * the tokenizer-fit signal (how many characters one BPE token covers):
     * natural text compresses well under a tokenizer trained on it;

@@ -1,0 +1,184 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of the cell-partitioned IVF vector store — the
+  * embedding-tier twin of [[IncrementalPostings]]: a production corpus
+  * re-embeds documents continuously (new docs, re-crawls, encoder
+  * upgrades), and the ANN index must absorb those changes without
+  * re-writing the corpus. The reference's ETL keeps Elasticsearch fresh by
+  * re-indexing changed rows per tick (/root/reference/etl/main.py:159-177);
+  * this is the same contract for the vector index
+  * [[graft.ops.SimilarityOps.annIvfServed]] probes.
+  *
+  * Merge rule (ghost-safe, like the postings merge): a re-embedded vector
+  * may move to a DIFFERENT cell, so every row of a dirty vec_id is dropped
+  * — from its OLD cell — before the recomputed assignment is appended.
+  *
+  * The scale-critical part is WHAT gets rewritten: only the AFFECTED cells
+  * (old cells of the dirty ids ∪ cells the fresh assignments land in, both
+  * bounded by nlist), never the whole store. A tick of 1k dirty vectors
+  * against a 10B-vector store touches ≤ 2k cell partitions' worth of data,
+  * not 10B rows — the difference between a MERGE and a rebuild. The
+  * unaffected cells' files are not opened, not rewritten, not even listed
+  * by the write job (ScaleLayoutSpec pins byte-identical files).
+  *
+  * Commit protocol (per-partition staged swap): the merged affected cells
+  * are written in ONE job to a HIDDEN `.staging` dir under the store root
+  * (dot-prefixed ⇒ invisible to Spark's file listing, so a reader never
+  * sees a half-written tick), proven complete by parquet's job-level
+  * `_SUCCESS` marker, then each staged `cell=N` dir is renamed into place
+  * (live dir set aside under hidden `.old` first). A crash anywhere is
+  * absorbed: before the marker exists the staging is garbage and the next
+  * tick overwrites it; after the marker, [[recoverCells]] — run by every
+  * [[load]] and [[upsert]] — rolls the commit FORWARD rename by rename
+  * (each cell is either old-complete or new-complete at every instant;
+  * re-delivery of the same tick converges to the same bytes). This is the
+  * plain-parquet analog of a table format's partition-level commit.
+  */
+object IncrementalVectors {
+
+  /** Cell assignment for (vec_id, label, v) rows under an nlist-entry
+    * codebook (index = cell id) — the same native `ivf_assign` every
+    * in-line probe uses, so maintained-store rows are bit-identical to a
+    * from-scratch build and the served-ANN oracles replay unchanged.
+    */
+  def assignedOf(vecs: DataFrame, codebook: Seq[Seq[Double]]): DataFrame =
+    vecs.select(col("vec_id"), col("label"), col("v"),
+      call_function("ivf_assign", col("v"), typedlit(codebook)).as("cell"))
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def mustRename(f: org.apache.hadoop.fs.FileSystem,
+                         src: org.apache.hadoop.fs.Path,
+                         dst: org.apache.hadoop.fs.Path): Unit =
+    if (!f.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
+  /** Merge dirty (vec_id, label, v) rows into the store. Returns the
+    * affected cell ids (empty dirty set ⇒ no-op). First call with no
+    * store present builds it whole through the same staged-swap discipline
+    * [[graft.sinks.AtomicSwap]] gives every other store.
+    */
+  def upsert(spark: SparkSession, storePath: String, dirtyVecs: DataFrame,
+             codebook: Seq[Seq[Double]]): Seq[Int] = {
+    recoverCells(spark, storePath)
+    val f = fsOf(spark, storePath)
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fresh = assignedOf(dirtyVecs, codebook)
+    if (!f.exists(root)) {
+      graft.sinks.AtomicSwap.replaceWith(spark, storePath)(staging =>
+        graft.sources.BucketedLayout.writePartitioned(fresh, staging, "cell"))
+      return fresh.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+    }
+    val store = load(spark, storePath)
+    val dirtyIds = dirtyVecs.select(col("vec_id")).distinct()
+    // both cell sets are ≤ nlist — model-artifact-sized collects, the same
+    // class as the codebook itself. The old-cell lookup joins the store on
+    // vec_id; at warehouse scale that side is served by a (vec_id → cell)
+    // secondary index maintained alongside (vec_id-bucketed), not a scan.
+    val oldCells = store.join(dirtyIds, Seq("vec_id"))
+      .select("cell").distinct().collect().map(_.getInt(0))
+    val newCells = fresh.select("cell").distinct().collect().map(_.getInt(0))
+    val affected = (oldCells ++ newCells).distinct.sorted.toSeq
+    if (affected.isEmpty) return affected
+    // merged content of ONLY the affected cells: partition pruning keeps
+    // the read to those cells' files; unaffected cells are untouched
+    val merged = store
+      .filter(col("cell").isin(affected: _*))
+      .join(dirtyIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"), col("v"), col("cell"))
+      .unionByName(fresh)
+    val staging = new org.apache.hadoop.fs.Path(root, ".staging")
+    f.delete(staging, true)
+    // fresh commit starts clean: recoverCells above finished any prior
+    // commit, so a surviving .old is stale debris — and commitStaged reads
+    // "aside exists" as THIS commit's already-swapped evidence, so stale
+    // asides must not leak into that judgment
+    f.delete(new org.apache.hadoop.fs.Path(root, ".old"), true)
+    graft.sinks.Retry.withBackoff() {
+      graft.sources.BucketedLayout.writePartitioned(merged, staging.toString, "cell")
+    }
+    // the AFFECTED manifest is the commit's completeness marker, written
+    // AFTER the parquet job: an affected cell with no staged dir was
+    // EMPTIED by the merge (its only vectors moved away) and commit must
+    // DELETE its live dir — parquet's partitionBy writes nothing for an
+    // empty partition, so without the manifest the ghost dir would
+    // survive. A crash before this write leaves staging without the
+    // marker ⇒ discarded; after ⇒ rolled forward, deletions included.
+    val out = f.create(new org.apache.hadoop.fs.Path(staging, AffectedMarker), true)
+    out.write(affected.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    commitStaged(spark, storePath)
+    affected
+  }
+
+  private val AffectedMarker = "_AFFECTED"
+
+  /** Roll a completed `.staging` commit forward and clear debris — safe to
+    * call at any time; every [[load]]/[[upsert]] does.
+    */
+  def recoverCells(spark: SparkSession, storePath: String): Unit = {
+    graft.sinks.AtomicSwap.recover(spark, storePath) // whole-store first build
+    val f = fsOf(spark, storePath)
+    val staging = new org.apache.hadoop.fs.Path(s"$storePath/.staging")
+    if (!f.exists(staging)) return
+    if (f.exists(new org.apache.hadoop.fs.Path(staging, AffectedMarker)))
+      commitStaged(spark, storePath) // marker ⇒ write completed: roll FORWARD
+    else f.delete(staging, true) // partial write: next tick rewrites it
+  }
+
+  /** The rename dance, driven by the AFFECTED manifest: every affected
+    * cell either gets its staged dir moved in (live set aside under hidden
+    * .old first) or — no staged dir ⇒ the merge emptied it — its live dir
+    * deleted. Idempotent: a re-run after a crash mid-loop skips cells
+    * already swapped (staged dir gone ⇒ the delete branch is a no-op on an
+    * already-correct cell only if it was truly emptied… so swapped cells
+    * must be distinguished — see the aside check) and finishes the rest.
+    */
+  private def commitStaged(spark: SparkSession, storePath: String): Unit = {
+    val f = fsOf(spark, storePath)
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val staging = new org.apache.hadoop.fs.Path(root, ".staging")
+    val oldRoot = new org.apache.hadoop.fs.Path(root, ".old")
+    f.mkdirs(oldRoot)
+    val affected = {
+      val in = f.open(new org.apache.hadoop.fs.Path(staging, AffectedMarker))
+      val s = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      in.close()
+      s.split("\n").filter(_.nonEmpty).map(_.trim.toInt).toSeq
+    }
+    affected.foreach { cid =>
+      val name = s"cell=$cid"
+      val staged = new org.apache.hadoop.fs.Path(staging, name)
+      val live = new org.apache.hadoop.fs.Path(root, name)
+      val aside = new org.apache.hadoop.fs.Path(oldRoot, name)
+      if (f.exists(staged)) {
+        f.delete(aside, true)
+        if (f.exists(live)) mustRename(f, live, aside)
+        mustRename(f, staged, live)
+      } else if (!f.exists(aside) && f.exists(live)) {
+        // no staged dir AND no aside: this cell was EMPTIED by the merge —
+        // drop its live dir. (If aside EXISTS, a prior pass of this very
+        // loop already swapped the cell and crashed before cleanup — the
+        // live dir is the new content; deleting it would lose the commit.)
+        f.delete(live, true)
+      }
+    }
+    f.delete(staging, true) // manifest + job marker
+    f.delete(oldRoot, true) // best-effort; stale .old dropped next commit
+    ()
+  }
+
+  /** The maintained store as a DataFrame (partition column `cell`
+    * discovered from the layout, schema-cached like every served store).
+    */
+  def load(spark: SparkSession, storePath: String): DataFrame = {
+    recoverCells(spark, storePath)
+    graft.Tables.parquetCached(spark, storePath)
+  }
+}

@@ -131,6 +131,15 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
   }
 
+  test("perplexityBucketsApprox: map-only assignment — no window, no sort, cuts ride a broadcast") {
+    val p = plan(graft.ops.TextOps.perplexityBucketsApprox(spark, sf))
+    // the whole point of the sketch face: the exact face's per-lang NTILE
+    // window (a per-lang sort) is gone — thresholds are a quantile-sketch
+    // aggregate broadcast back, and bucket assignment is a projection
+    assert(!p.contains("Window"), s"sketch face must not sort/window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast cut join in:\n$p")
+  }
+
   test("knnJoin: query set broadcasts; per-query top-k is partial (WindowGroupLimit) before the exchange") {
     val p = plan(SimilarityOps.knnJoin(spark, sf))
     // the corpus never shuffles for scoring — only the rank exchange moves

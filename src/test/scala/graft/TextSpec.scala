@@ -360,6 +360,24 @@ class TextSpec extends SparkSpecBase {
     }
   }
 
+  test("perplexityBucketsApprox: sketch buckets track the exact NTILE split") {
+    val exact = graft.ops.TextOps.perplexityBuckets(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    val approx = graft.ops.TextOps.perplexityBucketsApprox(spark, sf).collect()
+    assert(approx.length === exact.size, "same docs bucketed")
+    val agree = approx.count(r =>
+      exact(r.getAs[Long]("doc_id")) == r.getAs[String]("bucket"))
+    // sketch cuts may move boundary-tied docs one bucket — bulk must agree
+    assert(agree.toDouble / exact.size >= 0.9,
+      s"only $agree/${exact.size} bucket assignments agree with exact NTILE")
+    // never two buckets apart: a head doc can't be graded tail or vice versa
+    val twoOff = approx.count { r =>
+      val pair = Set(exact(r.getAs[Long]("doc_id")), r.getAs[String]("bucket"))
+      pair == Set("head", "tail")
+    }
+    assert(twoOff === 0, s"$twoOff docs jumped head<->tail between faces")
+  }
+
   test("compressionRatio: hand-computed fixed-point means per group") {
     // digit pieces count 1 token per character under the pre-tokenizer
     // (CASE non-letter piece → len), so ratios are hand-derivable without
