@@ -39,6 +39,7 @@ object SparkEntry {
     "q_count_envelope"   -> (RelationalOps.countEnvelope(_, _)),
     "q_facet_filter"     -> (RelationalOps.facetFilter(_, _)),
     "q_facet_rollup"     -> (RelationalOps.facetRollup(_, _)),
+    "q_composite_agg"    -> ((s, d) => RelationalOps.compositeAgg(s, d)),
     "q_topk_per_group"   -> ((s, d) => RelationalOps.topkPerGroup(s, d)),
     "q_approx_distinct"  -> (RelationalOps.approxDistinct(_, _)),
     // Incremental/CDC batch faces + time series (SURVEY §2.7)

@@ -265,6 +265,38 @@ object RelationalOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** ES `composite` aggregation — the PAGINATED agg face: bucket results
+    * ordered by their key tuple, resumed from an `after` key, `size`
+    * buckets per page. ES built this because `terms` aggs at high
+    * cardinality can't return everything at once; it is the agg-tier
+    * analog of [[pageSeek]]'s keyset pagination, and like it the resume
+    * predicate is a tuple inequality, never an OFFSET.
+    *
+    * Scale shape: the COARSE half of the after-key (month ≥ after's month)
+    * is applied to the ROW timestamp before aggregation, so it pushes into
+    * the parquet scan (PushedFilters; with a date-partitioned layout it
+    * prunes files) — earlier months' rows are never read, let alone
+    * aggregated. The exact tuple predicate then trims the boundary month's
+    * buckets post-agg. One keyed aggregate + a partial top-k on the key
+    * order; no global sort of the bucket space beyond the page.
+    */
+  def compositeAgg(spark: SparkSession, dir: String,
+                   afterMonth: String = "1994-06", afterStatus: String = "F",
+                   size: Int = 20): DataFrame = {
+    Tables.orders(spark, dir)
+      // coarse pushdown: every bucket AFTER ("1994-06","F") lives at or
+      // past 1994-06-01 in row time
+      .filter(col("o_orderdate") >= lit(s"$afterMonth-01").cast("timestamp"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+               col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast(Dec)).cast("double").as("revenue"))
+      .filter(col("month") > afterMonth ||
+        (col("month") === afterMonth && col("status") > afterStatus))
+      .orderBy(col("month").asc, col("status").asc)
+      .limit(size)
+  }
+
   /** Approximate distinct-count (HLL++) next to the exact count — the
     * north-star approx family (SURVEY §2.4 note). HLL sketches are
     * engine-specific, so the raw estimate can't be hash-compared; the output
@@ -384,6 +416,15 @@ object RelationalOps {
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
+    "q_composite_agg" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1994-06-01 00:00:00'
+        |GROUP BY 1, 2
+        |HAVING month > '1994-06' OR (month = '1994-06' AND status > 'F')
+        |ORDER BY month ASC, status ASC LIMIT 20""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -182,3 +182,48 @@ object IncrementalVectors {
     graft.Tables.parquetCached(spark, storePath)
   }
 }
+
+/** The watermark-driven tick face of [[IncrementalVectors]] — the exact
+  * operational model [[IncrementalSearchPipeline]] runs for the postings
+  * index, pointed at the vector store: detect embeddings changed since the
+  * persisted watermark, merge them cell-wise, commit the watermark AFTER
+  * the sink (T2/T3 ordering — a crash between sink and commit re-merges
+  * the batch, which the ghost-safe idempotent upsert absorbs: effectively
+  * once). A vector re-embedded twice within one batch lands as its LATEST
+  * embedding (max by (modified, v) struct, deterministic on ties).
+  */
+class IncrementalVectorPipeline(
+    changes: SparkSession => DataFrame, // (vec_id, label, v, modified)
+    codebook: Seq[Seq[Double]],
+    storePath: String,
+    statePath: String) {
+
+  private val Epoch = java.sql.Timestamp.valueOf("1000-01-01 00:00:00")
+
+  def currentWatermark(spark: SparkSession): java.sql.Timestamp =
+    try {
+      val r = spark.read.parquet(statePath).agg(max("wm")).head
+      if (r.isNullAt(0)) Epoch else r.getTimestamp(0)
+    } catch { case _: Exception => Epoch }
+
+  /** One tick. Returns the number of distinct re-embedded vec ids. */
+  def tick(spark: SparkSession): Long = {
+    val wm = currentWatermark(spark)
+    val dirty = changes(spark).filter(col("modified") > lit(wm))
+    val head = dirty.agg(
+      count(lit(1)).as("n_changes"),
+      max("modified").as("new_wm"),
+      countDistinct("vec_id").as("n_ids")).head
+    if (head.getLong(0) == 0L) return 0L
+    val latest = dirty
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("modified"), col("label"), col("v"))).as("m"))
+      .select(col("vec_id"), col("m").getField("label").as("label"),
+        col("m").getField("v").as("v"))
+    IncrementalVectors.upsert(spark, storePath, latest, codebook)
+    import spark.implicits._
+    Seq(head.getTimestamp(1)).toDF("wm")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(statePath)
+    head.getLong(2)
+  }
+}

@@ -112,6 +112,33 @@ class IncrementalVectorsSpec extends SparkSpecBase {
     assert(!new java.io.File(s"$store/.old").exists())
   }
 
+  test("vector pipeline tick: watermark commit, strictly-greater restart, latest-wins, freshness") {
+    val store = tmp("pipe-store"); val state = tmp("pipe-state")
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    @volatile var rows: Seq[(Long, Int, Seq[Double], java.sql.Timestamp)] = Seq(
+      (0L, 0, Seq(0.9, 0.1), t("2024-01-01 10:00:00")),
+      (1L, 0, Seq(0.1, 0.9), t("2024-01-01 10:00:00")),
+      // in-batch double change: vec 2 re-embedded within the same tick —
+      // the LATER embedding must win
+      (2L, 1, Seq(-0.9, 0.0), t("2024-01-01 10:00:01")),
+      (2L, 1, Seq(0.0, -0.9), t("2024-01-01 10:00:02")))
+    val pipe = new graft.streaming.IncrementalVectorPipeline(
+      s => rows.toDF("vec_id", "label", "v", "modified"), codebook, store, state)
+    assert(pipe.tick(spark) === 3L)
+    val got1 = content(graft.streaming.IncrementalVectors.load(spark, store))
+    assert(got1.map(x => x._1 -> x._4).toMap === Map(0L -> 0, 1L -> 1, 2L -> 3))
+    assert(got1.find(_._1 == 2L).get._3 === Seq(0.0, -0.9), "latest embedding wins")
+    // no new changes: watermark holds, tick is a no-op (strictly greater —
+    // rows AT the watermark are not reprocessed)
+    assert(pipe.tick(spark) === 0L)
+    // a later re-embedding moves vec 0 across cells; freshness after tick
+    rows = rows :+ ((0L, 0, Seq(-0.95, 0.05), t("2024-01-01 10:00:05")))
+    assert(pipe.tick(spark) === 1L)
+    val got2 = content(graft.streaming.IncrementalVectors.load(spark, store))
+    assert(got2.map(x => x._1 -> x._4).toMap === Map(0L -> 2, 1L -> 1, 2L -> 3))
+    assert(pipe.currentWatermark(spark) === t("2024-01-01 10:00:05"))
+  }
+
   test("partial staging WITHOUT the job marker is discarded, store unchanged") {
     val store = tmp("partial")
     IncrementalVectors.upsert(spark, store, vecs(

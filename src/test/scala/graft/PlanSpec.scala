@@ -131,6 +131,17 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
   }
 
+  test("compositeAgg: coarse after-key half pushed into the scan; page is a partial top-k") {
+    val p = plan(graft.ops.RelationalOps.compositeAgg(spark, sf))
+    // the month >= floor predicate must reach parquet as a row-time filter
+    // (with a date-partitioned layout it prunes files); the exact tuple
+    // predicate trims post-agg. The page itself is TakeOrderedAndProject,
+    // never a global sort.
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"expected the coarse after-key pushed into the scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+  }
+
   test("perplexityBucketsApprox: map-only assignment — no window, no sort, cuts ride a broadcast") {
     val p = plan(graft.ops.TextOps.perplexityBucketsApprox(spark, sf))
     // the whole point of the sketch face: the exact face's per-lang NTILE

@@ -108,6 +108,31 @@ class RelationalSpec extends SparkSpecBase {
     assert(monthly.forall(_.getAs[String]("o_orderstatus") === "ALL"))
   }
 
+  test("compositeAgg: after-key pages tile the bucket space exactly, no overlap, no offset drift") {
+    // ground truth: all buckets in key order
+    val all = RelationalOps.compositeAgg(spark, sf, "1000-01", "", size = 100000)
+      .collect().map(r => (r.getAs[String]("month"), r.getAs[String]("status"),
+        r.getAs[Long]("n"), r.getAs[Double]("revenue")))
+    assert(all.length > 25, "need multiple pages to exercise paging")
+    // walk pages of 10 by after-key until exhausted — ES composite protocol
+    var after = ("1000-01", "")
+    var walked = Vector.empty[(String, String, Long, Double)]
+    var page = RelationalOps.compositeAgg(spark, sf, after._1, after._2, size = 10).collect()
+    while (page.nonEmpty) {
+      walked ++= page.map(r => (r.getAs[String]("month"), r.getAs[String]("status"),
+        r.getAs[Long]("n"), r.getAs[Double]("revenue")))
+      after = (page.last.getAs[String]("month"), page.last.getAs[String]("status"))
+      page = RelationalOps.compositeAgg(spark, sf, after._1, after._2, size = 10).collect()
+    }
+    assert(walked.toSeq === all.toSeq,
+      "paged walk must reproduce the full bucket list exactly — the after " +
+      "bucket itself excluded, nothing skipped, nothing duplicated")
+    // keys strictly ascending across the whole walk
+    val keys = walked.map(b => (b._1, b._2))
+    assert(keys.zip(keys.tail).forall { case (a, b) =>
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2) })
+  }
+
   test("topkPerGroup: at most k rows per group, ordered, true maxima") {
     val out = RelationalOps.topkPerGroup(spark, sf).collect()
       .groupBy(_.getAs[Long]("o_custkey"))
