@@ -29,7 +29,7 @@ object AtomicSwap {
     * its renames on ITS filesystem — `FileSystem.get(conf)` would silently
     * operate on fs.defaultFS and "succeed" against the wrong tree.
     */
-  private def fs(spark: SparkSession, path: String) =
+  private[graft] def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -38,9 +38,9 @@ object AtomicSwap {
     * all) while the caller commits its watermark past the lost write.
     * Every swap-critical rename goes through this.
     */
-  private def mustRename(f: org.apache.hadoop.fs.FileSystem,
-                         src: org.apache.hadoop.fs.Path,
-                         dst: org.apache.hadoop.fs.Path): Unit =
+  private[graft] def mustRename(f: org.apache.hadoop.fs.FileSystem,
+                                src: org.apache.hadoop.fs.Path,
+                                dst: org.apache.hadoop.fs.Path): Unit =
     if (!f.rename(src, dst))
       throw new java.io.IOException(s"rename failed: $src -> $dst")
 

@@ -49,14 +49,12 @@ object IncrementalVectors {
       call_function("ivf_assign", col("v"), typedlit(codebook)).as("cell"))
 
   private def fsOf(spark: SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sinks.AtomicSwap.fs(spark, path) // shared crash-critical helper
 
   private def mustRename(f: org.apache.hadoop.fs.FileSystem,
                          src: org.apache.hadoop.fs.Path,
                          dst: org.apache.hadoop.fs.Path): Unit =
-    if (!f.rename(src, dst))
-      throw new java.io.IOException(s"rename failed: $src -> $dst")
+    graft.sinks.AtomicSwap.mustRename(f, src, dst)
 
   /** Merge dirty (vec_id, label, v) rows into the store. Returns the
     * affected cell ids (empty dirty set ⇒ no-op). First call with no
@@ -68,53 +66,73 @@ object IncrementalVectors {
     recoverCells(spark, storePath)
     val f = fsOf(spark, storePath)
     val root = new org.apache.hadoop.fs.Path(storePath)
-    val fresh = assignedOf(dirtyVecs, codebook)
-    if (!f.exists(root)) {
-      graft.sinks.AtomicSwap.replaceWith(spark, storePath)(staging =>
-        graft.sources.BucketedLayout.writePartitioned(fresh, staging, "cell"))
-      return fresh.select("cell").distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted
-    }
-    val store = load(spark, storePath)
-    val dirtyIds = dirtyVecs.select(col("vec_id")).distinct()
-    // both cell sets are ≤ nlist — model-artifact-sized collects, the same
-    // class as the codebook itself. The old-cell lookup joins the store on
-    // vec_id; at warehouse scale that side is served by a (vec_id → cell)
-    // secondary index maintained alongside (vec_id-bucketed), not a scan.
-    val oldCells = store.join(dirtyIds, Seq("vec_id"))
-      .select("cell").distinct().collect().map(_.getInt(0))
-    val newCells = fresh.select("cell").distinct().collect().map(_.getInt(0))
-    val affected = (oldCells ++ newCells).distinct.sorted.toSeq
-    if (affected.isEmpty) return affected
-    // merged content of ONLY the affected cells: partition pruning keeps
-    // the read to those cells' files; unaffected cells are untouched
-    val merged = store
-      .filter(col("cell").isin(affected: _*))
-      .join(dirtyIds, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("label"), col("v"), col("cell"))
-      .unionByName(fresh)
-    val staging = new org.apache.hadoop.fs.Path(root, ".staging")
-    f.delete(staging, true)
-    // fresh commit starts clean: recoverCells above finished any prior
-    // commit, so a surviving .old is stale debris — and commitStaged reads
-    // "aside exists" as THIS commit's already-swapped evidence, so stale
-    // asides must not leak into that judgment
-    f.delete(new org.apache.hadoop.fs.Path(root, ".old"), true)
-    graft.sinks.Retry.withBackoff() {
-      graft.sources.BucketedLayout.writePartitioned(merged, staging.toString, "cell")
-    }
-    // the AFFECTED manifest is the commit's completeness marker, written
-    // AFTER the parquet job: an affected cell with no staged dir was
-    // EMPTIED by the merge (its only vectors moved away) and commit must
-    // DELETE its live dir — parquet's partitionBy writes nothing for an
-    // empty partition, so without the manifest the ghost dir would
-    // survive. A crash before this write leaves staging without the
-    // marker ⇒ discarded; after ⇒ rolled forward, deletions included.
-    val out = f.create(new org.apache.hadoop.fs.Path(staging, AffectedMarker), true)
-    out.write(affected.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    commitStaged(spark, storePath)
-    affected
+    // PERSIST the assigned batch: upsert runs several actions over it (the
+    // old-cell collect, the staged write, the first-build cell listing),
+    // and each action re-reading a LIVE source (a CDC feed being
+    // compacted, a non-deterministic frame) could otherwise see different
+    // rows — the staged dirs and the deletion manifest must describe ONE
+    // materialization or commit could drop a never-merged live cell.
+    val fresh = assignedOf(dirtyVecs, codebook).persist()
+    try {
+      // empty dirty set is a no-op BEFORE the first-build branch: building
+      // a store from zero rows would swap in a data-less parquet dir that
+      // poisons every later schema read at this path
+      if (fresh.isEmpty) return Seq.empty
+      if (!f.exists(root)) {
+        graft.sinks.AtomicSwap.replaceWith(spark, storePath)(staging =>
+          graft.sources.BucketedLayout.writePartitioned(fresh, staging, "cell"))
+        return fresh.select("cell").distinct() // cached — no re-assignment job
+          .collect().map(_.getInt(0)).toSeq.sorted
+      }
+      val store = graft.Tables.parquetCached(spark, storePath) // recovered above
+      val dirtyIds = fresh.select(col("vec_id")).distinct()
+      // both cell sets are ≤ nlist — model-artifact-sized collects, the same
+      // class as the codebook itself. The old-cell lookup joins the store on
+      // vec_id; at warehouse scale that side is served by a (vec_id → cell)
+      // secondary index maintained alongside (vec_id-bucketed), not a scan.
+      val oldCells = store.join(dirtyIds, Seq("vec_id"))
+        .select("cell").distinct().collect().map(_.getInt(0))
+      val newCells = fresh.select("cell").distinct().collect().map(_.getInt(0))
+      val affected = (oldCells ++ newCells).distinct.sorted.toSeq
+      if (affected.isEmpty) return affected
+      // merged content of ONLY the affected cells: partition pruning keeps
+      // the read to those cells' files; unaffected cells are untouched
+      val merged = store
+        .filter(col("cell").isin(affected: _*))
+        .join(dirtyIds, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"), col("v"), col("cell"))
+        .unionByName(fresh)
+      val staging = new org.apache.hadoop.fs.Path(root, ".staging")
+      f.delete(staging, true)
+      // fresh commit starts clean: recoverCells above finished any prior
+      // commit, so a surviving .old is stale debris — and commitStaged reads
+      // "aside exists" as THIS commit's already-swapped evidence, so stale
+      // asides must not leak into that judgment
+      f.delete(new org.apache.hadoop.fs.Path(root, ".old"), true)
+      graft.sinks.Retry.withBackoff() {
+        graft.sources.BucketedLayout.writePartitioned(merged, staging.toString, "cell")
+      }
+      // the AFFECTED manifest is the commit's completeness marker, written
+      // AFTER the parquet job: an affected cell with no staged dir was
+      // EMPTIED by the merge (its only vectors moved away) and commit must
+      // DELETE its live dir — parquet's partitionBy writes nothing for an
+      // empty partition, so without the manifest the ghost dir would
+      // survive. A crash before this write leaves staging without the
+      // marker ⇒ discarded; after ⇒ rolled forward, deletions included.
+      // Belt-and-braces vs the planned set: the manifest's KEEP half is the
+      // staged dirs actually written (ground truth from a listing, immune
+      // to plan re-execution drift); only cells staged or planned-affected
+      // appear, so commit can never delete a cell the write didn't cover.
+      val stagedCells = f.listStatus(staging).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("cell="))
+        .map(_.stripPrefix("cell=").toInt)
+      val manifest = (affected ++ stagedCells).distinct.sorted
+      val out = f.create(new org.apache.hadoop.fs.Path(staging, AffectedMarker), true)
+      out.write(manifest.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      commitStaged(spark, storePath)
+      affected
+    } finally fresh.unpersist()
   }
 
   private val AffectedMarker = "_AFFECTED"

@@ -112,6 +112,18 @@ class IncrementalVectorsSpec extends SparkSpecBase {
     assert(!new java.io.File(s"$store/.old").exists())
   }
 
+  test("empty dirty set is a no-op — never creates or rewrites a store") {
+    val store = tmp("empty")
+    val none = vecs()
+    assert(IncrementalVectors.upsert(spark, store, none, codebook) === Seq.empty)
+    assert(!new java.io.File(store).exists(),
+      "an empty first build must not poison the path with a data-less dir")
+    IncrementalVectors.upsert(spark, store, vecs((0L, 0, Seq(0.9, 0.1))), codebook)
+    val before = content(IncrementalVectors.load(spark, store))
+    assert(IncrementalVectors.upsert(spark, store, none, codebook) === Seq.empty)
+    assert(content(IncrementalVectors.load(spark, store)) === before)
+  }
+
   test("vector pipeline tick: watermark commit, strictly-greater restart, latest-wins, freshness") {
     val store = tmp("pipe-store"); val state = tmp("pipe-state")
     val t = (s: String) => java.sql.Timestamp.valueOf(s)
