@@ -78,6 +78,7 @@ object SparkEntry {
     "q_repetition"       -> (TextOps.repetition(_, _)),
     "q_corpus_mix"       -> (TextOps.corpusMix(_, _)),
     "q_pack"             -> ((s, d) => TextOps.packChunks(s, d)),
+    "q_chunk_docs"       -> (TextOps.chunkDocs(_, _)),
     "q_pack_bpe"         -> ((s, d) => TextOps.packChunksBpe(s, d)),
     "q_filter_chain"     -> (TextOps.filterChain(_, _)),
     "q_curate_kept"      -> (PipelineOps.curateKept(_, _)),
@@ -106,6 +107,7 @@ object SparkEntry {
     "q_ann_ivf_trained"  -> ((s, d) => SimilarityOps.annIvfTrained(s, d)),
     "q_ann_pq"           -> ((s, d) => SimilarityOps.annPq(s, d)),
     "q_ann_sq8"          -> ((s, d) => SimilarityOps.annSq8(s, d)),
+    "q_ann_mrl"          -> ((s, d) => SimilarityOps.annMrl(s, d)),
     "q_ann_ivfpq"        -> ((s, d) => SimilarityOps.annIvfPq(s, d)),
     "q_ivf_train"        -> ((s, d) => SimilarityOps.ivfTrain(s, d)),
     "q_embed_neardup"    -> ((s, d) => SimilarityOps.embeddingNearDupPairs(s, d)),

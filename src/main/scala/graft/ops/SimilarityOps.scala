@@ -50,6 +50,46 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
   }
 
+  /** Matryoshka-style truncated-dimension ANN (Kusupati et al. 2022: MRL
+    * embeddings order information by prefix, so the first `dPrefix` dims
+    * alone rank well): shortlist by cosine over the PREFIX slice — a scan
+    * that reads and multiplies dPrefix/dim of the floats — then exact
+    * full-vector re-rank of the shortlist only. The cheapest member of the
+    * coarse-then-exact family (PQ quantizes, SQ8 narrows bytes, MRL just
+    * truncates), and the one that needs NO trained artifact at all.
+    *
+    * Scale shape: with the corpus stored prefix-first (or the prefix slice
+    * materialized as its own column/store), the shortlist scan reads a
+    * quarter of the bytes; both stages are partial top-k
+    * (TakeOrderedAndProject), and the query vector rides as literals —
+    * join-free plan, same evolution as annLsh/annPq. Cross-engine replay:
+    * both rankings order on the raw single-expression cosines with vec_id
+    * ties, the q_cosine_topk device.
+    *
+    * Honesty note: the prefix is only PRIVILEGED if the encoder was
+    * matryoshka-trained; on the synthetic (untrained) test embeddings it
+    * degrades to a lossy random projection — recall@10 measured ~0.5 at
+    * dPrefix=16/shortlist=50 — so `shortlist` is the recall lever
+    * (SimilaritySpec pins recall monotone in shortlist, and EXACT at
+    * shortlist = corpus, since the re-rank stage is exact cosine).
+    */
+  def annMrl(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+             dPrefix: Int = 16, shortlist: Int = 50, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", toDouble(col("embedding")))
+    val qv = collectVec(emb, queryVecId)
+    val qpre = qv.take(dPrefix)
+    emb.select(col("vec_id"), col("label"), col("v"),
+        cosine(slice(col("v"), 1, dPrefix), planeLit(qpre)).as("pre_cos"))
+      .orderBy(col("pre_cos").desc, col("vec_id").asc)
+      .limit(shortlist)
+      .select(col("vec_id"), col("label"),
+        cosine(col("v"), planeLit(qv)).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed — same planes every
     * run and every round; shared with the native [[graft.functions.LshSig]]
     * expression and inlined into the DuckDB oracle by [[sigSql]]).
@@ -1267,6 +1307,20 @@ object SimilarityOps {
     "q_semdedup" -> semDedupOracle,
     "q_ann_pq" -> annPqOracle,
     "q_ann_ivfpq" -> annIvfPqOracle,
+    "q_ann_mrl" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM embeddings e, q
+        |  ORDER BY list_cosine_similarity(
+        |      list_slice(CAST(e.embedding AS DOUBLE[]), 1, 16),
+        |      list_slice(q.qv, 1, 16)) DESC, e.vec_id ASC
+        |  LIMIT 50)
+        |SELECT s.vec_id, s.label,
+        |  round(list_cosine_similarity(s.v, q.qv), 6) AS cos_sim
+        |FROM s, q
+        |ORDER BY list_cosine_similarity(s.v, q.qv) DESC, s.vec_id ASC
+        |LIMIT 10""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id, e.label,

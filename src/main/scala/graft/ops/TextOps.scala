@@ -735,6 +735,46 @@ object TextOps {
           .otherwise("tail").as("bucket"))
   }
 
+  /** RAG-style overlapping document chunking — the retrieval-corpus
+    * transform every embedding pipeline runs before encoding: each doc is
+    * cut into `width`-token windows advancing by `stride` tokens, so
+    * consecutive chunks share `width − stride` tokens of context and no
+    * sentence is stranded at a hard boundary. The complement of
+    * [[packChunks]] (which PACKS many docs into fixed windows for
+    * training): chunking SPLITS one doc into retrievable units with
+    * provenance (doc_id, chunk_idx). The trailing chunk keeps its natural
+    * shorter length, the standard chunker contract.
+    *
+    * One scan, zero shuffles: tokenization, the start-position sequence,
+    * the explode, and both slices are per-row expressions — at 100 TB this
+    * is a map-only job whose output feeds the encoder (and then
+    * [[graft.streaming.IncrementalVectors]]). All-integer/string output ⇒
+    * hash-exact replay for free. Empty docs yield no chunks.
+    */
+  def chunkDocs(spark: SparkSession, dir: String,
+                width: Int = 64, stride: Int = 48): DataFrame =
+    chunkDocsOn(Tables.documents(spark, dir), width, stride)
+
+  /** The same transform over any (doc_id, text) frame — the seam TextSpec
+    * drives hand-checkable fixtures through.
+    */
+  private[graft] def chunkDocsOn(docs: DataFrame,
+                                 width: Int, stride: Int): DataFrame = {
+    require(width >= 1 && stride >= 1 && stride <= width,
+      s"need 1 <= stride <= width, got width=$width stride=$stride")
+    val toks = filter(split(trim(col("text")), "\\s+"), t => length(t) > 0)
+    val chunk = slice(col("toks"), col("start"), lit(width))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(stride))).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / lit(stride)).cast("long").as("chunk_idx"),
+        size(chunk).cast("long").as("chunk_tokens"),
+        concat_ws(" ", chunk).as("chunk_text"))
+  }
+
   /** The 100 TB face of [[perplexityBuckets]] — CCNet's actual mechanic:
     * cut points come from a QUANTILE SKETCH (percentile_approx at the 1/3
     * and 2/3 ranks per language, a lang-count-sized model artifact riding
@@ -1087,6 +1127,22 @@ object TextOps {
         |SELECT doc_id, lang, avg_logprob,
         |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM b""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, CAST(u.s AS INT) AS start
+        |  FROM t, LATERAL unnest(range(1, len(toks) + 1, 48)) AS u(s)
+        |  WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |  CAST((start - 1) // 48 AS BIGINT) AS chunk_idx,
+        |  CAST(len(list_slice(toks, start, least(start + 63, len(toks)))) AS BIGINT)
+        |    AS chunk_tokens,
+        |  array_to_string(list_slice(toks, start, least(start + 63, len(toks))), ' ')
+        |    AS chunk_text
+        |FROM c""".stripMargin,
     "q_compression_ratio" ->
       s"""WITH t AS (
          |  SELECT lang, source,

@@ -349,6 +349,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.7, s"knnJoinIvf nprobe=4 recall fell to $recall")
   }
 
+  test("annMrl: exact at full shortlist, recall monotone in shortlist, sane at defaults") {
+    val brute = SimilarityOps.cosineTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+    val n = Tables.embeddings(spark, sf).count().toInt
+    // shortlist = corpus ⇒ the exact re-rank sees everything: row-for-row
+    // identical to the brute top-k, scores included
+    val full = SimilarityOps.annMrl(spark, sf, dPrefix = 16, shortlist = n)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+    assert(full.toSeq === brute.toSeq)
+    // recall is monotone in shortlist: a larger shortlist is a SUPERSET of
+    // a smaller one (same prefix ranking), so the exact re-rank can only
+    // gain candidates
+    val bruteIds = brute.map(_._1).toSet
+    def recall(shortlist: Int): Double =
+      SimilarityOps.annMrl(spark, sf, dPrefix = 16, shortlist = shortlist)
+        .collect().map(_.getAs[Long]("vec_id")).count(bruteIds) / 10.0
+    val r25 = recall(25); val r50 = recall(50); val r200 = recall(200)
+    assert(r25 <= r50 && r50 <= r200, s"recall not monotone: $r25 $r50 $r200")
+    // defaults on UNTRAINED (non-matryoshka) embeddings: the prefix is a
+    // lossy projection, not a privileged slice — measured 0.5 on this
+    // corpus 2026-08-14; pin a loose floor well above the ~0.1 random-
+    // shortlist baseline
+    assert(r50 >= 0.3, s"default-parameter recall fell to $r50")
+  }
+
   test("cosine expression: hand-checked value on unit vectors") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))

@@ -360,6 +360,48 @@ class TextSpec extends SparkSpecBase {
     }
   }
 
+  test("chunkDocs: hand fixture — starts, overlap, trailing short chunk, empty doc skipped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), // 5 tokens, width 3 stride 2 → [a b c][c d e][e]
+      (2L, "x y"),       // shorter than width → one whole-doc chunk
+      (3L, "   "))       // empty after trim → no chunks
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextOps.chunkDocsOn(docs, width = 3, stride = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("chunk_tokens"), r.getAs[String]("chunk_text")))
+    assert(out.toSet === Set(
+      (1L, 0L, 3L, "a b c"), (1L, 1L, 3L, "c d e"), (1L, 2L, 1L, "e"),
+      (2L, 0L, 2L, "x y")))
+  }
+
+  test("chunkDocs on the corpus: overlap invariant and full coverage") {
+    val width = 64; val stride = 48
+    val byDoc = graft.ops.TextOps.chunkDocs(spark, sf, width, stride).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("chunk_idx"))).toMap
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("\\s+").filter(_.nonEmpty)).toMap
+    assert(byDoc.keySet === docs.filter(_._2.nonEmpty).keys.toSet)
+    byDoc.foreach { case (id, chunks) =>
+      val toks = docs(id)
+      // count + indices
+      assert(chunks.length === (toks.length - 1) / stride + 1, s"doc $id")
+      assert(chunks.map(_.getAs[Long]("chunk_idx")).toSeq ===
+        (0L until chunks.length).toSeq)
+      // every chunk is exactly its slice of the doc — so consecutive
+      // chunks share width-stride tokens and concatenating each chunk's
+      // first `stride` tokens (plus the last chunk's tail) rebuilds the doc
+      chunks.foreach { c =>
+        val s = c.getAs[Long]("chunk_idx").toInt * stride
+        val want = toks.slice(s, s + width)
+        assert(c.getAs[String]("chunk_text") === want.mkString(" "), s"doc $id")
+        assert(c.getAs[Long]("chunk_tokens") === want.length.toLong)
+      }
+    }
+  }
+
   test("perplexityBucketsApprox: sketch buckets track the exact NTILE split") {
     val exact = graft.ops.TextOps.perplexityBuckets(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
