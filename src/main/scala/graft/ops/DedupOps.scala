@@ -655,6 +655,58 @@ object DedupOps {
         concat_ws(" ", kept).as("clean_text"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    * SIGMOD 2003; the MOSS algorithm): over the positional k-gram hash
+    * stream, slide a `w`-hash window and select each window's MINIMUM
+    * (rightmost on ties — the paper's robust-winnowing rule, realized
+    * cross-engine as first-match over the REVERSED window). The selected
+    * (position, hash) set is the fingerprint: any shared substring of
+    * length ≥ k + w − 1 tokens is GUARANTEED to contribute at least one
+    * common fingerprint — the local-selection guarantee neither plain
+    * [[graft.ops.TextOps.fingerprint]] (whole-doc hash: any edit breaks
+    * it) nor random sampling (no guarantee) has. Selection density is
+    * bounded in [1/w, 1], so the fingerprint is a tunable-size sketch.
+    *
+    * One map-only scan: the hash stream is the same native
+    * `gram_hash60_pos` the span dedup keys on, and window-min selection
+    * is a per-row expression — zero shuffles at any corpus size. Docs
+    * shorter than one full window winnow their whole (shorter) hash
+    * array — one selection; sub-k-token docs fingerprint empty. Output
+    * digests the ordered (pos:hash) pairs to one md5 so the driver gate
+    * hash-compares the SELECTION itself, not a lossy summary.
+    */
+  def winnow(spark: SparkSession, dir: String, k: Int = 4, w: Int = 4): DataFrame =
+    winnowCore(Tables.documents(spark, dir), k, w)
+      .select(col("doc_id"),
+        size(col("gs")).cast("long").as("n_grams"),
+        size(col("pos")).cast("long").as("n_fp"),
+        md5(concat_ws(" ", transform(col("pos"), p =>
+          concat(p.cast("string"), lit(":"),
+            element_at(col("gs"), p.cast("int")).cast("string")))))
+          .as("fp_md5"))
+
+  /** The selection itself — (doc_id, gs: all positional hashes, pos:
+    * selected 1-based positions) — the seam DedupSpec drives the
+    * shared-substring guarantee and density bounds through.
+    */
+  private[graft] def winnowCore(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k,w >= 1, got k=$k w=$w")
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+      t => length(t) > 0)
+    def sl(i: Column) = slice(col("gs"), i, lit(w))
+    val selected = transform(
+      sequence(lit(1), greatest(size(col("gs")) - lit(w - 1), lit(1))),
+      i => (i.cast("long") + size(sl(i)).cast("long")) -
+        array_position(reverse(sl(i)), array_min(sl(i))))
+    val positions = when(size(col("gs")) > 0,
+      array_sort(array_distinct(selected)))
+      .otherwise(array().cast("array<long>"))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), expr(s"gram_hash60_pos(toks, $k)").as("gs"))
+      .select(col("doc_id"), col("gs"), positions.as("pos"))
+  }
+
   /** Exact replay of [[dedupSpans]] at w=8: same tokenizer spelling, same
     * 1-based window starts, the gram_hash60 md5-prefix hash per POSITION
     * (the q_dup_ngram_frac comprehension minus its `list_distinct`, with
@@ -697,7 +749,40 @@ object DedupOps {
       |  coalesce(array_to_string(kept, ' '), '') AS clean_text
       |FROM k""".stripMargin
 
+  /** Exact replay of [[winnow]] at k=4, w=4 — the positional-hash
+    * comprehension (minus nothing: duplicates kept), window-min with the
+    * rightmost-tie rule via reversed first-match, the same (pos:hash)
+    * digest format.
+    */
+  private def winnowOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    [CAST('0x' || substr(md5(concat_ws(' ',
+      |        toks[i], toks[i+1], toks[i+2], toks[i+3])),1,15) AS BIGINT)
+      |      for i in range(1, CASE WHEN len(toks) >= 4 THEN len(toks) - 2 ELSE 1 END)] AS gs
+      |  FROM t),
+      |s AS (
+      |  SELECT doc_id, gs,
+      |    CASE WHEN len(gs) = 0 THEN CAST([] AS BIGINT[])
+      |    ELSE list_sort(list_distinct([
+      |      CAST(i + len(list_slice(gs, i, i + 3))
+      |           - list_position(list_reverse(list_slice(gs, i, i + 3)),
+      |                           list_min(list_slice(gs, i, i + 3))) AS BIGINT)
+      |      for i in range(1, greatest(len(gs) - 3, 1) + 1)])) END AS pos
+      |  FROM g)
+      |SELECT doc_id,
+      |  CAST(len(gs) AS BIGINT) AS n_grams,
+      |  CAST(len(pos) AS BIGINT) AS n_fp,
+      |  md5(array_to_string([CAST(p AS VARCHAR) || ':' ||
+      |      CAST(gs[CAST(p AS INT)] AS VARCHAR) for p in pos], ' ')) AS fp_md5
+      |FROM s""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_winnow" -> winnowOracle,
     "q_dedup_spans" -> dedupSpansOracle,
     "q_minhash_pairs" -> minhashPairsOracle,
     "q_dup_clusters" -> dupClustersOracle,

@@ -132,4 +132,39 @@ class DedupSpec extends SparkSpecBase {
       s"straggler task: max shuffle-read ${maxShuffleRead.get()} records " +
       "(unguarded boilerplate blowup reads ~250k)")
   }
+
+  test("winnow: density bounds, the shared-substring guarantee, and edit robustness") {
+    import spark.implicits._
+    val k = 4; val w = 4
+    val shared = "alpha bravo charlie delta echo foxtrot golf" // k+w-1 = 7 tokens
+    val docs = Seq(
+      (1L, s"one two three $shared nine ten eleven twelve"),
+      (2L, s"red green blue yellow purple $shared umber"), // same run, shifted
+      (3L, "totally different words with no overlap at all here"),
+      (4L, "tiny doc"), // < k tokens → empty fingerprint
+      (5L, "five token doc right here")) // 5 tokens → 2 grams < w → one window
+      .toDF("doc_id", "text")
+    val out = graft.ops.DedupOps.winnowCore(docs, k, w).collect()
+      .map { r =>
+        val gs = r.getSeq[Long](1); val pos = r.getSeq[Long](2)
+        r.getLong(0) -> (gs, pos, pos.map(p => gs(p.toInt - 1)).toSet)
+      }.toMap
+    // density: every w-window yields >= 1 selection and <= all windows
+    for ((id, (gs, pos, _)) <- out if gs.nonEmpty) {
+      val nWin = math.max(gs.length - w + 1, 1)
+      assert(pos.length >= math.ceil(nWin.toDouble / w).toInt && pos.length <= nWin,
+        s"doc $id: ${pos.length} selections from $nWin windows")
+      assert(pos.forall(p => p >= 1 && p <= gs.length))
+      assert(pos == pos.sorted && pos.distinct == pos)
+    }
+    // THE guarantee: docs 1 and 2 share a >= k+w-1 token run at DIFFERENT
+    // offsets → at least one common selected HASH; doc 3 shares none
+    assert((out(1L)._3 intersect out(2L)._3).nonEmpty,
+      "shared 7-token run must contribute a common fingerprint")
+    assert((out(1L)._3 intersect out(3L)._3).isEmpty)
+    // sub-k doc: no grams, no fingerprint; short-but-viable doc: 2 grams,
+    // one whole-array window, exactly one selection
+    assert(out(4L)._1.isEmpty && out(4L)._2.isEmpty)
+    assert(out(5L)._1.length === 2 && out(5L)._2.length === 1)
+  }
 }
