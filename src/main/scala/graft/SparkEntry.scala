@@ -99,6 +99,7 @@ object SparkEntry {
     "q_ngram_jaccard"    -> (DedupOps.ngramJaccard(_, _)),
     "q_dedup_spans"      -> ((s, d) => DedupOps.dedupSpans(s, d)),
     "q_winnow"           -> ((s, d) => DedupOps.winnow(s, d)),
+    "q_containment"      -> ((s, d) => DedupOps.containmentPairs(s, d)),
     // Similarity search
     "q_cosine_topk"      -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
     "q_knn_join"         -> ((s, d) => SimilarityOps.knnJoin(s, d)),

@@ -655,6 +655,70 @@ object DedupOps {
         concat_ws(" ", kept).as("clean_text"))
   }
 
+  /** ASYMMETRIC containment pairs — `|A∩B| / |A|` over word-trigram sets:
+    * the sub-document-copy detector symmetric Jaccard is structurally
+    * blind to (a 20-gram doc pasted verbatim inside a 100-gram doc has
+    * Jaccard ≤ 0.2 but containment 1.0). Dolma/RefinedWeb-class pipelines
+    * run exactly this signal for quote/boilerplate/excerpt analysis.
+    *
+    * Blocking is the load-bearing choice: minhash-LSH bands (the
+    * [[ngramJaccard]] stage-1) estimate JACCARD, so they systematically
+    * MISS high-containment/low-Jaccard pairs — the very target. Candidates
+    * instead come from a RARE-shared-gram self-join: explode distinct
+    * grams, keep grams with 2 ≤ df ≤ `dfCap` (the df guard is the same
+    * boilerplate-saturation defense sourceOverlap and the minhash bucket
+    * caps use — ubiquitous grams would go quadratic), pair docs sharing
+    * one. A contained copy of ≥ 1 rare gram is found; pure-boilerplate
+    * overlap is excluded BY the guard, which is the curation-correct
+    * reading. Exact containment then runs on candidates only.
+    *
+    * Scale shape: one gram exchange (count window reuses it), a keyed
+    * self-join on the guarded grams, two keyed joins back for the gram
+    * arrays — no broadcast of corpus-scaled data, no cross join anywhere.
+    */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       minContainment: Double = 0.5, dfCap: Int = 16,
+                       k: Int = 50): DataFrame =
+    containmentPairsOn(Tables.documents(spark, dir), minContainment, dfCap, k)
+
+  /** The same detector over any (doc_id, text) frame — the seam DedupSpec
+    * plants sub-document copies and boilerplate saturation through.
+    */
+  private[graft] def containmentPairsOn(d: DataFrame,
+                                        minContainment: Double = 0.5,
+                                        dfCap: Int = 16,
+                                        k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = d.select(col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val grams = transform(sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+      i => concat_ws(" ", try_element_at(col("toks"), i), try_element_at(col("toks"), i + 1),
+                          try_element_at(col("toks"), i + 2)))
+    val base = toks.select(col("doc_id"), array_distinct(grams).as("grams"))
+    val gramRows = base.select(col("doc_id"), explode(col("grams")).as("g"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select(col("g"), col("doc_id"))
+    val cand = gramRows.select(col("g"), col("doc_id").as("left_id"))
+      .join(gramRows.select(col("g"), col("doc_id").as("right_id")), Seq("g"))
+      .filter(col("left_id") < col("right_id"))
+      .select("left_id", "right_id")
+      .dropDuplicates("left_id", "right_id")
+    val inter = size(array_intersect(col("lg"), col("rg"))).cast("double")
+    val cl = inter / size(col("lg")).cast("double")
+    val cr = inter / size(col("rg")).cast("double")
+    cand
+      .join(base.select(col("doc_id").as("left_id"), col("grams").as("lg")), Seq("left_id"))
+      .join(base.select(col("doc_id").as("right_id"), col("grams").as("rg")), Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        round(cl, 6).as("contain_l"), round(cr, 6).as("contain_r"),
+        greatest(cl, cr).as("c_raw"))
+      .filter(col("c_raw") >= minContainment)
+      .orderBy(col("c_raw").desc, col("left_id"), col("right_id"))
+      .limit(k)
+      .drop("c_raw")
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
     * SIGMOD 2003; the MOSS algorithm): over the positional k-gram hash
     * stream, slide a `w`-hash window and select each window's MINIMUM
@@ -781,7 +845,44 @@ object DedupOps {
       |      CAST(gs[CAST(p AS INT)] AS VARCHAR) for p in pos], ' ')) AS fp_md5
       |FROM s""".stripMargin
 
+  /** Exact replay of [[containmentPairs]]: identical gram spelling to the
+    * Jaccard oracle, the df window guard, the rare-gram pair join, and the
+    * same raw-greatest ordering with id tie-breaks.
+    */
+  private def containmentOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |gsets AS (
+      |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      |    for i in range(1, greatest(len(toks)-2, 1)+1)]) AS grams
+      |  FROM tk),
+      |gr AS (SELECT doc_id, unnest(grams) AS g FROM gsets),
+      |guarded AS (
+      |  SELECT g, doc_id FROM (
+      |    SELECT g, doc_id, COUNT(*) OVER (PARTITION BY g) AS df FROM gr)
+      |  WHERE df BETWEEN 2 AND 16),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+      |  FROM guarded l JOIN guarded r ON l.g = r.g AND l.doc_id < r.doc_id),
+      |p AS (
+      |  SELECT left_id, right_id,
+      |    CAST(len(list_intersect(ld.grams, rd.grams)) AS DOUBLE) AS inter,
+      |    CAST(len(ld.grams) AS DOUBLE) AS nl,
+      |    CAST(len(rd.grams) AS DOUBLE) AS nr
+      |  FROM cand
+      |  JOIN gsets ld ON cand.left_id = ld.doc_id
+      |  JOIN gsets rd ON cand.right_id = rd.doc_id)
+      |SELECT left_id, right_id,
+      |  round(inter / nl, 6) AS contain_l,
+      |  round(inter / nr, 6) AS contain_r
+      |FROM p
+      |WHERE greatest(inter / nl, inter / nr) >= 0.5
+      |ORDER BY greatest(inter / nl, inter / nr) DESC, left_id, right_id
+      |LIMIT 50""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_containment" -> containmentOracle,
     "q_winnow" -> winnowOracle,
     "q_dedup_spans" -> dedupSpansOracle,
     "q_minhash_pairs" -> minhashPairsOracle,

@@ -133,6 +133,42 @@ class DedupSpec extends SparkSpecBase {
       "(unguarded boilerplate blowup reads ~250k)")
   }
 
+  test("containmentPairs: finds the low-Jaccard sub-document copy that LSH-Jaccard blocking misses") {
+    import spark.implicits._
+    // doc 1 is pasted verbatim inside doc 2 (which is ~7x larger): Jaccard
+    // ~0.14 — under ngramJaccard's 0.2 floor AND unlikely to band-collide —
+    // but containment(1 in 2) is exactly 1.0
+    val small = (1 to 10).map(i => s"needle$i").mkString(" ")
+    val bigPad = (1 to 60).map(i => s"hay$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),
+      (2L, s"$bigPad $small"),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.ops.DedupOps.containmentPairsOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Double]("contain_l"), r.getAs[Double]("contain_r"))).toMap
+    // note output keys are (right_id, left_id)-joined columns: right first
+    val pair = out.keySet.find(p => Set(p._1, p._2) == Set(1L, 2L))
+    assert(pair.isDefined, s"sub-document copy not detected: ${out.keySet}")
+    val (cl, cr) = out(pair.get)
+    assert(math.max(cl, cr) === 1.0, "the smaller side must be fully contained")
+    assert(math.min(cl, cr) < 0.2, "and the Jaccard-like symmetric view stays low")
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("containmentPairs: boilerplate-saturated grams are excluded by the df guard") {
+    import spark.implicits._
+    // 30 docs all sharing one boilerplate sentence (df=30 > dfCap=16) and
+    // otherwise unique text: the guard must yield NO pairs — ubiquitous
+    // grams are not copy evidence
+    val boiler = "all rights reserved by the site"
+    val docs = (1L to 30L).map(i =>
+      (i, s"$boiler unique$i wording$i here$i now$i"))
+      .toDF("doc_id", "text")
+    assert(graft.ops.DedupOps.containmentPairsOn(docs).collect().isEmpty)
+  }
+
   test("winnow: density bounds, the shared-substring guarantee, and edit robustness") {
     import spark.implicits._
     val k = 4; val w = 4
