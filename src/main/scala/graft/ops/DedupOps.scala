@@ -675,11 +675,24 @@ object DedupOps {
     * Scale shape: one gram exchange (count window reuses it), a keyed
     * self-join on the guarded grams, two keyed joins back for the gram
     * arrays — no broadcast of corpus-scaled data, no cross join anywhere.
+    *
+    * Cost honesty: the synthetic bench corpus is ADVERSARIAL for
+    * rare-gram blocking — a ~40-word vocabulary puts mean trigram df ≈ 12,
+    * so nearly EVERY gram lands inside the [2, dfCap] rarity band and the
+    * pair fan-out goes wide: tens of millions of chance pairs through the
+    * count shuffle (~10 s at sf0.1; DuckDB pays ~7.8 s for the identical
+    * algebra — both engines are paying the same fan-out, not an engine
+    * gap). Natural text is Zipfian: df=1 grams (dropped) and boilerplate
+    * (capped) dominate, the band is a thin slice, and the fan-out is
+    * linear-ish in true copies. The `minShared` gate keeps the expensive
+    * array join-back off the chance pairs either way (it cut DuckDB's own
+    * replay from 68 s to 7.8 s).
     */
   def containmentPairs(spark: SparkSession, dir: String,
                        minContainment: Double = 0.5, dfCap: Int = 16,
                        k: Int = 50): DataFrame =
-    containmentPairsOn(Tables.documents(spark, dir), minContainment, dfCap, k)
+    containmentPairsOn(Tables.documents(spark, dir), minContainment, dfCap,
+      k = k)
 
   /** The same detector over any (doc_id, text) frame — the seam DedupSpec
     * plants sub-document copies and boilerplate saturation through.
@@ -687,6 +700,7 @@ object DedupOps {
   private[graft] def containmentPairsOn(d: DataFrame,
                                         minContainment: Double = 0.5,
                                         dfCap: Int = 16,
+                                        minShared: Int = 2,
                                         k: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = d.select(col("doc_id"),
@@ -699,18 +713,26 @@ object DedupOps {
       .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("df") >= 2 && col("df") <= dfCap)
       .select(col("g"), col("doc_id"))
+    // ≥ minShared INDEPENDENT rare co-occurrences gate the expensive
+    // array join-back: one shared rare gram is routine chance (on a
+    // small-vocabulary corpus the [2, dfCap] band alone admits millions
+    // of one-gram pairs — measured 13 s at sf0.1), two is quadratically
+    // suppressed noise, while a real contained copy shares its whole
+    // gram set. The count is computed on the id pairs only — the arrays
+    // join AFTER the gate.
     val cand = gramRows.select(col("g"), col("doc_id").as("left_id"))
       .join(gramRows.select(col("g"), col("doc_id").as("right_id")), Seq("g"))
       .filter(col("left_id") < col("right_id"))
-      .select("left_id", "right_id")
-      .dropDuplicates("left_id", "right_id")
+      .groupBy("left_id", "right_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
     val inter = size(array_intersect(col("lg"), col("rg"))).cast("double")
     val cl = inter / size(col("lg")).cast("double")
     val cr = inter / size(col("rg")).cast("double")
     cand
       .join(base.select(col("doc_id").as("left_id"), col("grams").as("lg")), Seq("left_id"))
       .join(base.select(col("doc_id").as("right_id"), col("grams").as("rg")), Seq("right_id"))
-      .select(col("left_id"), col("right_id"),
+      .select(col("left_id"), col("right_id"), col("n_shared"),
         round(cl, 6).as("contain_l"), round(cr, 6).as("contain_r"),
         greatest(cl, cr).as("c_raw"))
       .filter(col("c_raw") >= minContainment)
@@ -863,17 +885,19 @@ object DedupOps {
       |    SELECT g, doc_id, COUNT(*) OVER (PARTITION BY g) AS df FROM gr)
       |  WHERE df BETWEEN 2 AND 16),
       |cand AS (
-      |  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
-      |  FROM guarded l JOIN guarded r ON l.g = r.g AND l.doc_id < r.doc_id),
+      |  SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+      |         CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM guarded l JOIN guarded r ON l.g = r.g AND l.doc_id < r.doc_id
+      |  GROUP BY l.doc_id, r.doc_id HAVING COUNT(*) >= 2),
       |p AS (
-      |  SELECT left_id, right_id,
+      |  SELECT left_id, right_id, n_shared,
       |    CAST(len(list_intersect(ld.grams, rd.grams)) AS DOUBLE) AS inter,
       |    CAST(len(ld.grams) AS DOUBLE) AS nl,
       |    CAST(len(rd.grams) AS DOUBLE) AS nr
       |  FROM cand
       |  JOIN gsets ld ON cand.left_id = ld.doc_id
       |  JOIN gsets rd ON cand.right_id = rd.doc_id)
-      |SELECT left_id, right_id,
+      |SELECT left_id, right_id, n_shared,
       |  round(inter / nl, 6) AS contain_l,
       |  round(inter / nr, 6) AS contain_r
       |FROM p
