@@ -676,20 +676,21 @@ object DedupOps {
     * self-join on the guarded grams, two keyed joins back for the gram
     * arrays — no broadcast of corpus-scaled data, no cross join anywhere.
     *
-    * Cost honesty: the synthetic bench corpus is ADVERSARIAL for
-    * rare-gram blocking — a ~40-word vocabulary puts mean trigram df ≈ 12,
-    * so nearly EVERY gram lands inside the [2, dfCap] rarity band and the
-    * pair fan-out goes wide: tens of millions of chance pairs through the
-    * count shuffle (~10 s at sf0.1; DuckDB pays ~7.8 s for the identical
-    * algebra — both engines are paying the same fan-out, not an engine
-    * gap). Natural text is Zipfian: df=1 grams (dropped) and boilerplate
-    * (capped) dominate, the band is a thin slice, and the fan-out is
-    * linear-ish in true copies. The `minShared` gate keeps the expensive
-    * array join-back off the chance pairs either way (it cut DuckDB's own
-    * replay from 68 s to 7.8 s).
+    * Cost notes (measured at sf0.1): the synthetic bench corpus is
+    * ADVERSARIAL for rare-gram blocking — a ~40-word vocabulary puts mean
+    * trigram df ≈ 12, so nearly every gram lands inside the [2, dfCap]
+    * band (natural text is Zipfian: df=1 grams dropped, boilerplate
+    * capped, thin band). Three measured levers got the adversarial case
+    * from 13 s to 1.2 s: the `minShared` gate keeps the array join-back
+    * off one-gram chance pairs (it cut the DuckDB replay 68 → 7.8 s);
+    * persisting `base` and `gramRows` stops every self-join side and
+    * join-back from re-running the gram pipeline; and keying the df
+    * window + self-join on the 60-bit hash instead of the gram STRING
+    * moves 8-byte longs through both shuffles (9.3 → 1.2 s together with
+    * the persists).
     */
   def containmentPairs(spark: SparkSession, dir: String,
-                       minContainment: Double = 0.5, dfCap: Int = 16,
+                       minContainment: Double = 0.5, dfCap: Int = 8,
                        k: Int = 50): DataFrame =
     containmentPairsOn(Tables.documents(spark, dir), minContainment, dfCap,
       k = k)
@@ -699,7 +700,7 @@ object DedupOps {
     */
   private[graft] def containmentPairsOn(d: DataFrame,
                                         minContainment: Double = 0.5,
-                                        dfCap: Int = 16,
+                                        dfCap: Int = 8,
                                         minShared: Int = 2,
                                         k: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -708,20 +709,33 @@ object DedupOps {
     val grams = transform(sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
       i => concat_ws(" ", try_element_at(col("toks"), i), try_element_at(col("toks"), i + 1),
                           try_element_at(col("toks"), i + 2)))
+    // base is read THREE times (both self-join sides derive from it, and
+    // both array join-backs) — persist it, or each consumer re-runs the
+    // whole gram construction over the corpus
     val base = toks.select(col("doc_id"), array_distinct(grams).as("grams"))
-    val gramRows = base.select(col("doc_id"), explode(col("grams")).as("g"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .persist()
+    // join/shuffle key = the 60-bit md5-prefix gram hash, not the ~30-byte
+    // gram STRING: the df window and the self-join move 8-byte longs
+    // instead of strings (measured 9.3 → 2.6 s at sf0.1), and the oracle
+    // joins on the SAME hash, so even a collision (≈ n²/2^60, none at any
+    // test scale) would replay identically. gramRows itself is persisted:
+    // it feeds both sides of the self-join, and uncached each side would
+    // re-run the explode + window pipeline.
+    val gramRows = base.select(col("doc_id"),
+        explode(col("grams")).as("g"))
+      .select(col("doc_id"), hash60(col("g")).as("gk"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gk")))
       .filter(col("df") >= 2 && col("df") <= dfCap)
-      .select(col("g"), col("doc_id"))
+      .select(col("gk"), col("doc_id"))
+      .persist()
     // ≥ minShared INDEPENDENT rare co-occurrences gate the expensive
     // array join-back: one shared rare gram is routine chance (on a
     // small-vocabulary corpus the [2, dfCap] band alone admits millions
-    // of one-gram pairs — measured 13 s at sf0.1), two is quadratically
-    // suppressed noise, while a real contained copy shares its whole
-    // gram set. The count is computed on the id pairs only — the arrays
-    // join AFTER the gate.
-    val cand = gramRows.select(col("g"), col("doc_id").as("left_id"))
-      .join(gramRows.select(col("g"), col("doc_id").as("right_id")), Seq("g"))
+    // of one-gram pairs), two is quadratically suppressed noise, while a
+    // real contained copy shares its whole gram set. The count is
+    // computed on the id pairs only — the arrays join AFTER the gate.
+    val cand = gramRows.select(col("gk"), col("doc_id").as("left_id"))
+      .join(gramRows.select(col("gk"), col("doc_id").as("right_id")), Seq("gk"))
       .filter(col("left_id") < col("right_id"))
       .groupBy("left_id", "right_id")
       .agg(count(lit(1)).as("n_shared"))
@@ -729,7 +743,7 @@ object DedupOps {
     val inter = size(array_intersect(col("lg"), col("rg"))).cast("double")
     val cl = inter / size(col("lg")).cast("double")
     val cr = inter / size(col("rg")).cast("double")
-    cand
+    val out = cand
       .join(base.select(col("doc_id").as("left_id"), col("grams").as("lg")), Seq("left_id"))
       .join(base.select(col("doc_id").as("right_id"), col("grams").as("rg")), Seq("right_id"))
       .select(col("left_id"), col("right_id"), col("n_shared"),
@@ -739,6 +753,9 @@ object DedupOps {
       .orderBy(col("c_raw").desc, col("left_id"), col("right_id"))
       .limit(k)
       .drop("c_raw")
+    val materialized = releasingBounded(base)(out)
+    gramRows.unpersist()
+    materialized
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
@@ -879,15 +896,17 @@ object DedupOps {
       |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
       |    for i in range(1, greatest(len(toks)-2, 1)+1)]) AS grams
       |  FROM tk),
-      |gr AS (SELECT doc_id, unnest(grams) AS g FROM gsets),
+      |gr AS (
+      |  SELECT doc_id, CAST('0x' || substr(md5(g),1,15) AS BIGINT) AS gk
+      |  FROM (SELECT doc_id, unnest(grams) AS g FROM gsets)),
       |guarded AS (
-      |  SELECT g, doc_id FROM (
-      |    SELECT g, doc_id, COUNT(*) OVER (PARTITION BY g) AS df FROM gr)
-      |  WHERE df BETWEEN 2 AND 16),
+      |  SELECT gk, doc_id FROM (
+      |    SELECT gk, doc_id, COUNT(*) OVER (PARTITION BY gk) AS df FROM gr)
+      |  WHERE df BETWEEN 2 AND 8),
       |cand AS (
       |  SELECT l.doc_id AS left_id, r.doc_id AS right_id,
       |         CAST(COUNT(*) AS BIGINT) AS n_shared
-      |  FROM guarded l JOIN guarded r ON l.g = r.g AND l.doc_id < r.doc_id
+      |  FROM guarded l JOIN guarded r ON l.gk = r.gk AND l.doc_id < r.doc_id
       |  GROUP BY l.doc_id, r.doc_id HAVING COUNT(*) >= 2),
       |p AS (
       |  SELECT left_id, right_id, n_shared,
