@@ -565,7 +565,13 @@ object SearchOps {
     * then ONE keyed aggregate computes fg_df and bg_df together; corpus
     * totals ride as a 1-row broadcast. Every score input is an exactly
     * counted integer and the score is a single IEEE expression chain over
-    * them, rounded — no accumulation-order hazard anywhere.
+    * them — no accumulation-order hazard — finished in the repo's 2^20
+    * fixed-point form (`score_fp = round(raw · 2^20)` as BIGINT, the same
+    * fold mltPostingsSearch and unigramLogprob use): multiplying by a
+    * power of two is EXACT in IEEE doubles, so the only rounding is the
+    * final to-integer step on a bit-identical value in both engines —
+    * immune to the cross-version `round(x, 6)` decimal-tie hazard that
+    * cost this query its r9 hash.
     */
   def significantTerms(spark: SparkSession, dir: String,
                        fgSource: String = "src3", k: Int = 30): DataFrame =
@@ -593,8 +599,9 @@ object SearchOps {
       .filter(col("fg_df") > 0)
       .crossJoin(broadcast(totals))
       .select(col("token"), col("fg_df"), col("bg_df"),
-        round((fgp - bgp) * (fgp / bgp), 6).as("score"))
-      .orderBy(col("score").desc, col("token").asc)
+        round((fgp - bgp) * (fgp / bgp) * lit(1048576.0))
+          .cast("long").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("token").asc)
       .limit(k)
   }
 
@@ -926,11 +933,12 @@ object SearchOps {
          |  FROM p JOIN documents d USING (doc_id)
          |  GROUP BY token HAVING SUM(CASE WHEN d.source = 'src3' THEN 1 ELSE 0 END) > 0)
          |SELECT token, fg_df, bg_df,
-         |  round((CAST(fg_df AS DOUBLE) / fg_n - CAST(bg_df AS DOUBLE) / bg_n)
-         |        * ((CAST(fg_df AS DOUBLE) / fg_n) / (CAST(bg_df AS DOUBLE) / bg_n)), 6)
-         |    AS score
+         |  CAST(round((CAST(fg_df AS DOUBLE) / fg_n - CAST(bg_df AS DOUBLE) / bg_n)
+         |        * ((CAST(fg_df AS DOUBLE) / fg_n) / (CAST(bg_df AS DOUBLE) / bg_n))
+         |        * 1048576.0) AS BIGINT)
+         |    AS score_fp
          |FROM ts, totals
-         |ORDER BY score DESC, token ASC LIMIT 30""".stripMargin,
+         |ORDER BY score_fp DESC, token ASC LIMIT 30""".stripMargin,
     "q_search_fuzzy" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang,

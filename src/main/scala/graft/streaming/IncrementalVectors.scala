@@ -113,20 +113,26 @@ object IncrementalVectors {
         graft.sources.BucketedLayout.writePartitioned(merged, staging.toString, "cell")
       }
       // the AFFECTED manifest is the commit's completeness marker, written
-      // AFTER the parquet job: an affected cell with no staged dir was
-      // EMPTIED by the merge (its only vectors moved away) and commit must
-      // DELETE its live dir — parquet's partitionBy writes nothing for an
-      // empty partition, so without the manifest the ghost dir would
-      // survive. A crash before this write leaves staging without the
-      // marker ⇒ discarded; after ⇒ rolled forward, deletions included.
-      // Belt-and-braces vs the planned set: the manifest's KEEP half is the
-      // staged dirs actually written (ground truth from a listing, immune
-      // to plan re-execution drift); only cells staged or planned-affected
-      // appear, so commit can never delete a cell the write didn't cover.
+      // AFTER the parquet job, and records KEEP and DROP as SEPARATE sets:
+      // keep = the staged dirs actually written (ground truth from a
+      // listing, immune to plan re-execution drift); drop = planned
+      // affected cells the merge EMPTIED (their only vectors moved away —
+      // parquet's partitionBy writes nothing for an empty partition, so
+      // without the drop list the ghost dir would survive). The split is
+      // crash-critical, not cosmetic: a KEEP cell whose staged dir is gone
+      // on replay was already swapped by a prior pass of the commit loop —
+      // conflating it with "emptied" (as a single merged list did before
+      // r10) made replay DELETE a freshly created cell that had no prior
+      // live dir to leave an aside behind. A crash before this write
+      // leaves staging without the marker ⇒ discarded; after ⇒ rolled
+      // forward, drops included.
       val stagedCells = f.listStatus(staging).filter(_.isDirectory)
         .map(_.getPath.getName).filter(_.startsWith("cell="))
         .map(_.stripPrefix("cell=").toInt)
-      val manifest = (affected ++ stagedCells).distinct.sorted
+      val keep = stagedCells.distinct.sorted
+      val drop = affected.filterNot(keep.toSet).sorted
+      val manifest =
+        keep.map(c => s"keep:$c") ++ drop.map(c => s"drop:$c")
       val out = f.create(new org.apache.hadoop.fs.Path(staging, AffectedMarker), true)
       out.write(manifest.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
@@ -150,13 +156,15 @@ object IncrementalVectors {
     else f.delete(staging, true) // partial write: next tick rewrites it
   }
 
-  /** The rename dance, driven by the AFFECTED manifest: every affected
-    * cell either gets its staged dir moved in (live set aside under hidden
-    * .old first) or — no staged dir ⇒ the merge emptied it — its live dir
-    * deleted. Idempotent: a re-run after a crash mid-loop skips cells
-    * already swapped (staged dir gone ⇒ the delete branch is a no-op on an
-    * already-correct cell only if it was truly emptied… so swapped cells
-    * must be distinguished — see the aside check) and finishes the rest.
+  /** The rename dance, driven by the AFFECTED manifest's two sets: a KEEP
+    * cell gets its staged dir moved in (live set aside under hidden .old
+    * first); a DROP cell — the merge emptied it — gets its live dir
+    * deleted. Idempotent under replay: a KEEP cell whose staged dir is
+    * gone was swapped by a prior pass and is left alone (the manifest, not
+    * filesystem forensics, says it was never "emptied" — the pre-r10
+    * aside-existence heuristic got this wrong for a cell with no prior
+    * live dir and destroyed it); a DROP cell's delete is naturally
+    * re-runnable.
     */
   private def commitStaged(spark: SparkSession, storePath: String): Unit = {
     val f = fsOf(spark, storePath)
@@ -164,13 +172,15 @@ object IncrementalVectors {
     val staging = new org.apache.hadoop.fs.Path(root, ".staging")
     val oldRoot = new org.apache.hadoop.fs.Path(root, ".old")
     f.mkdirs(oldRoot)
-    val affected = {
+    val (keep, drop) = {
       val in = f.open(new org.apache.hadoop.fs.Path(staging, AffectedMarker))
       val s = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       in.close()
-      s.split("\n").filter(_.nonEmpty).map(_.trim.toInt).toSeq
+      val lines = s.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      (lines.collect { case l if l.startsWith("keep:") => l.stripPrefix("keep:").toInt },
+        lines.collect { case l if l.startsWith("drop:") => l.stripPrefix("drop:").toInt })
     }
-    affected.foreach { cid =>
+    keep.foreach { cid =>
       val name = s"cell=$cid"
       val staged = new org.apache.hadoop.fs.Path(staging, name)
       val live = new org.apache.hadoop.fs.Path(root, name)
@@ -179,13 +189,10 @@ object IncrementalVectors {
         f.delete(aside, true)
         if (f.exists(live)) mustRename(f, live, aside)
         mustRename(f, staged, live)
-      } else if (!f.exists(aside) && f.exists(live)) {
-        // no staged dir AND no aside: this cell was EMPTIED by the merge —
-        // drop its live dir. (If aside EXISTS, a prior pass of this very
-        // loop already swapped the cell and crashed before cleanup — the
-        // live dir is the new content; deleting it would lose the commit.)
-        f.delete(live, true)
-      }
+      } // staged gone ⇒ a prior pass already swapped this cell: no-op
+    }
+    drop.foreach { cid =>
+      f.delete(new org.apache.hadoop.fs.Path(root, s"cell=$cid"), true)
     }
     f.delete(staging, true) // manifest + job marker
     f.delete(oldRoot, true) // best-effort; stale .old dropped next commit
@@ -227,21 +234,28 @@ class IncrementalVectorPipeline(
   /** One tick. Returns the number of distinct re-embedded vec ids. */
   def tick(spark: SparkSession): Long = {
     val wm = currentWatermark(spark)
-    val dirty = changes(spark).filter(col("modified") > lit(wm))
-    val head = dirty.agg(
-      count(lit(1)).as("n_changes"),
-      max("modified").as("new_wm"),
-      countDistinct("vec_id").as("n_ids")).head
-    if (head.getLong(0) == 0L) return 0L
-    val latest = dirty
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("modified"), col("label"), col("v"))).as("m"))
-      .select(col("vec_id"), col("m").getField("label").as("label"),
-        col("m").getField("v").as("v"))
-    IncrementalVectors.upsert(spark, storePath, latest, codebook)
-    import spark.implicits._
-    Seq(head.getTimestamp(1)).toDF("wm")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(statePath)
-    head.getLong(2)
+    // PERSIST the batch before ANY action: the watermark aggregate and the
+    // upsert must read the SAME materialization of a possibly-live /
+    // non-deterministic changes source — otherwise a row with
+    // modified <= new_wm appearing between the two reads is never merged
+    // yet permanently filtered by the committed watermark (silent loss).
+    val dirty = changes(spark).filter(col("modified") > lit(wm)).persist()
+    try {
+      val head = dirty.agg(
+        count(lit(1)).as("n_changes"),
+        max("modified").as("new_wm"),
+        countDistinct("vec_id").as("n_ids")).head
+      if (head.getLong(0) == 0L) return 0L
+      val latest = dirty
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("modified"), col("label"), col("v"))).as("m"))
+        .select(col("vec_id"), col("m").getField("label").as("label"),
+          col("m").getField("v").as("v"))
+      IncrementalVectors.upsert(spark, storePath, latest, codebook)
+      import spark.implicits._
+      Seq(head.getTimestamp(1)).toDF("wm")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(statePath)
+      head.getLong(2)
+    } finally dirty.unpersist()
   }
 }

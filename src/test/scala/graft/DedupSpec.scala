@@ -148,7 +148,7 @@ class DedupSpec extends SparkSpecBase {
     val out = graft.ops.DedupOps.containmentPairsOn(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getAs[Double]("contain_l"), r.getAs[Double]("contain_r"))).toMap
-    // note output keys are (right_id, left_id)-joined columns: right first
+    // output columns are (left_id, right_id) — compared as a Set anyway
     val pair = out.keySet.find(p => Set(p._1, p._2) == Set(1L, 2L))
     assert(pair.isDefined, s"sub-document copy not detected: ${out.keySet}")
     val (cl, cr) = out(pair.get)

@@ -100,7 +100,7 @@ class IncrementalVectorsSpec extends SparkSpecBase {
     assert(new java.io.File(s"$store/.staging/_SUCCESS").exists(),
       "parquet job commit must leave its job marker")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$store/.staging/_AFFECTED"), "0\n1")
+      java.nio.file.Paths.get(s"$store/.staging/_AFFECTED"), "keep:0\nkeep:1")
     val f = new java.io.File(s"$store/.old"); f.mkdirs()
     assert(new java.io.File(s"$store/cell=0")
       .renameTo(new java.io.File(s"$store/.old/cell=0")))
@@ -110,6 +110,43 @@ class IncrementalVectorsSpec extends SparkSpecBase {
       Map(0L -> Seq(0.95, 0.0), 1L -> Seq(0.0, 0.95), 6L -> Seq(0.9, 0.2)))
     assert(!new java.io.File(s"$store/.staging").exists())
     assert(!new java.io.File(s"$store/.old").exists())
+  }
+
+  test("crash AFTER a brand-new cell's rename: replay keeps it (r10 regression — keep/drop manifest)") {
+    val store = tmp("crash-new-cell")
+    IncrementalVectors.upsert(spark, store, vecs((0L, 0, Seq(0.9, 0.1))), codebook)
+    // tick 2 creates cell=3 (no prior live dir, so no aside ever exists)
+    IncrementalVectors.upsert(spark, store, vecs((6L, 3, Seq(0.0, -0.8))), codebook)
+    val committed = content(IncrementalVectors.load(spark, store))
+    assert(committed.exists(_._1 == 6L))
+    // hand-build the fatal replay window: every rename done (staged dirs
+    // gone, live cell=3 present, NO aside), but the crash hit before
+    // .staging was deleted — so the manifest is replayed. The pre-r10
+    // merged manifest made this state indistinguishable from an emptied
+    // cell and deleted the just-committed cell=3 permanently.
+    new java.io.File(s"$store/.staging").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$store/.staging/_AFFECTED"), "keep:0\nkeep:3")
+    new java.io.File(s"$store/.old").mkdirs()
+    val got = content(IncrementalVectors.load(spark, store))
+    assert(got === committed, "replay must not destroy a newly created cell")
+    assert(new java.io.File(s"$store/cell=3").exists())
+    assert(!new java.io.File(s"$store/.staging").exists())
+  }
+
+  test("drop manifest line deletes an emptied cell's ghost dir on replay") {
+    val store = tmp("crash-drop")
+    IncrementalVectors.upsert(spark, store, vecs(
+      (0L, 0, Seq(0.9, 0.1)), (1L, 1, Seq(0.1, 0.9))), codebook)
+    // fabricate a committed tick whose merge emptied cell=1 (its only
+    // vector moved away): staged write covered nothing for cell=1, so the
+    // manifest carries it in the DROP set; replay must delete the ghost
+    new java.io.File(s"$store/.staging").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$store/.staging/_AFFECTED"), "drop:1")
+    val got = content(IncrementalVectors.load(spark, store))
+    assert(got.map(_._1) === Set(0L))
+    assert(!new java.io.File(s"$store/cell=1").exists())
   }
 
   test("empty dirty set is a no-op — never creates or rewrites a store") {

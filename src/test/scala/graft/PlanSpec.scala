@@ -137,7 +137,11 @@ class PlanSpec extends SparkSpecBase {
     // (with a date-partitioned layout it prunes files); the exact tuple
     // predicate trims post-agg. The page itself is TakeOrderedAndProject,
     // never a global sort.
-    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+    // match the two predicates independently: PushedFilters ordering /
+    // rendering is not contractual across Spark versions
+    assert(p.contains("IsNotNull(o_orderdate)"),
+      s"expected IsNotNull(o_orderdate) pushed into the scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
       s"expected the coarse after-key pushed into the scan:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
   }

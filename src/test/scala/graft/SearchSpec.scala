@@ -411,9 +411,10 @@ class SearchSpec extends SparkSpecBase {
       .collect()
     val byTok = out.map(r => r.getAs[String]("token") -> r).toMap
     assert(out.head.getAs[String]("token") === "boiler")
-    // boiler: fg% = 1, bg% = 2/10 → (1 − .2)·(1/.2) = 4.0 exactly
-    assert(out.head.getAs[Double]("score") === 4.0)
-    assert(byTok("every").getAs[Double]("score") === 0.0)
+    // boiler: fg% = 1, bg% = 2/10 → (1 − .2)·(1/.2) = 4.0 exactly,
+    // reported in the 2^20 fixed-point form → 4 · 1048576
+    assert(out.head.getAs[Long]("score_fp") === 4L * 1048576L)
+    assert(byTok("every").getAs[Long]("score_fp") === 0L)
     assert(!byTok.contains("bgonly"))
     assert(byTok("boiler").getAs[Long]("fg_df") === 2L)
     assert(byTok("boiler").getAs[Long]("bg_df") === 2L)
