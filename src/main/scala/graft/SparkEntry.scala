@@ -85,6 +85,7 @@ object SparkEntry {
     "q_unigram_logprob"  -> (TextOps.unigramLogprob(_, _)),
     "q_bigram_logprob"   -> (TextOps.bigramLogprob(_, _)),
     "q_perplexity_buckets" -> (TextOps.perplexityBuckets(_, _)),
+    "q_perplexity_buckets_approx" -> (TextOps.perplexityBucketsApproxGraded(_, _)),
     "q_compression_ratio" -> (TextOps.compressionRatio(_, _)),
     "q_decontaminate"    -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_dup_ngram_frac"   -> ((s, d) => TextOps.dupNgramFraction(s, d)),
@@ -103,6 +104,7 @@ object SparkEntry {
     // Similarity search
     "q_cosine_topk"      -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
     "q_knn_join"         -> ((s, d) => SimilarityOps.knnJoin(s, d)),
+    "q_knn_join_ivf"     -> ((s, d) => SimilarityOps.knnJoinIvf(s, d)),
     "q_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(s, d)),
     "q_ann_ivf"          -> ((s, d) => SimilarityOps.annIvf(s, d)),
     "q_ann_ivf_served"   -> ((s, d) => SimilarityOps.annIvfServed(s, d)),

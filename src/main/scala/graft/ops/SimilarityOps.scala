@@ -1295,6 +1295,33 @@ object SimilarityOps {
         |      FROM s)
         |SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id, round(c, 6) AS cos_sim
         |FROM r WHERE rn <= 5""".stripMargin,
+    // full replay of the IVF-bucketed k-NN join: stand-in codebook,
+    // coarse assignment (argmax cosine, highest-cid tie-break), per-query
+    // top-nprobe cell ranking, probed-cells-only scoring, per-query top-k
+    "q_knn_join_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid DESC) AS rn
+        |  FROM e CROSS JOIN c),
+        |cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |qc AS (SELECT q.q_id, q.qv, c.cid AS cell,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid DESC) AS rn
+        |  FROM q CROSS JOIN c),
+        |probe AS (SELECT q_id, qv, cell FROM qc WHERE rn <= 4),
+        |s AS (
+        |  SELECT p.q_id, t.vec_id, list_cosine_similarity(t.v, p.qv) AS cr
+        |  FROM cells t JOIN probe p ON t.cell = p.cell
+        |  WHERE t.vec_id <> p.q_id),
+        |r AS (SELECT q_id, vec_id, cr,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cr DESC, vec_id ASC) AS rn
+        |  FROM s)
+        |SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id, round(cr, 6) AS cos_sim
+        |FROM r WHERE rn <= 5""".stripMargin,
     "q_ann_sq8" -> annSq8Oracle,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,

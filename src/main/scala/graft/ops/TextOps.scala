@@ -801,6 +801,33 @@ object TextOps {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Graded oracle face of [[perplexityBucketsApprox]] — the
+    * [[lengthApprox]] device applied to the sketch path: sketches are
+    * engine-specific, so the OUTPUT is the contract, never the estimate.
+    * Per language it emits the exactly-countable row count next to two
+    * booleans the sketch must satisfy — ≥90 % bucket agreement with the
+    * exact NTILE face (the TextSpec bound, now hash-gated by the driver)
+    * and a head-bucket share within ±10 pp of the exact third. A broken
+    * sketch (or a drifted threshold formula) flips a boolean and fails the
+    * hash compare; the DuckDB oracle replays the exact counts and pins the
+    * booleans TRUE.
+    */
+  def perplexityBucketsApproxGraded(spark: SparkSession, dir: String): DataFrame = {
+    val approx = perplexityBucketsApprox(spark, dir)
+      .select(col("doc_id"), col("lang"), col("bucket").as("a_bucket"))
+    val exact = perplexityBuckets(spark, dir)
+      .select(col("doc_id"), col("bucket").as("e_bucket"))
+    approx.join(exact, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("a_bucket") === col("e_bucket"), 1L).otherwise(0L)).as("agree"),
+        sum(when(col("a_bucket") === "head", 1L).otherwise(0L)).as("heads"))
+      .select(col("lang"), col("n_docs"),
+        (col("agree").cast("double") / col("n_docs") >= lit(0.9)).as("agree_90"),
+        (abs(col("heads").cast("double") / col("n_docs") - lit(1.0 / 3)) <= lit(0.1))
+          .as("head_share_ok"))
+  }
+
   /** Bytes-per-subword compression ratio, aggregated per (lang, source) —
     * the tokenizer-fit signal (how many characters one BPE token covers):
     * natural text compresses well under a tokenizer trained on it;
@@ -1127,6 +1154,17 @@ object TextOps {
         |SELECT doc_id, lang, avg_logprob,
         |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM b""".stripMargin,
+    // the graded sketch face: exact per-lang scored-doc counts; the
+    // sketch-dependent numbers cross only as contract booleans (TRUE here)
+    "q_perplexity_buckets_approx" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tt AS (SELECT DISTINCT doc_id FROM t WHERE len(token) > 0)
+        |SELECT d.lang, COUNT(*) AS n_docs,
+        |  TRUE AS agree_90, TRUE AS head_share_ok
+        |FROM tt JOIN documents d USING (doc_id)
+        |GROUP BY d.lang""".stripMargin,
     "q_chunk_docs" ->
       """WITH t AS (
         |  SELECT doc_id,
