@@ -222,17 +222,27 @@ object Bench {
     // ADAPTIVE precision: at 89 queries even the 2-decimal map (~2.02KB)
     // overflows the driver's measured 2000-char stdout tail, so the line
     // degrades until it fits a 1950-char budget — per-query decimals step
-    // 2 → 1 → 0, and the ratio field drops before the final step. Full
-    // 4-decimal precision always lands in target/bench.json; the stdout
-    // map only needs to stay parseable and roughly graded. The fallback
-    // chain is total — the last candidate is ~85 names + 1 digit each,
-    // far under budget at any plausible query count.
-    val compact = Seq((2, true), (2, false), (1, true), (1, false), (0, false))
-      .view.map { case (dec, withRatio) =>
-        val qsc = results.map { case (k, v) => "\"" + k + "\":" + fN(dec)(v) }
+    // 2 → 1 → 0 (ratio dropped along the way), and past 100 queries even
+    // the 0-decimal FULL map no longer fits, so the chain continues into
+    // EXPLICIT zero-elision: entries whose rendering is exactly "0" (a
+    // dispatch-floor run, sub-half-unit at that precision) collapse into a
+    // single "zeros":N count — never silently, and an errored query (-1)
+    // is never elided. ~30 surviving entries at 2 decimals is ~0.7KB, so
+    // the elided candidates fit at any plausible future count. Full
+    // 4-decimal precision always lands in target/bench.json.
+    val compact = Seq(
+        (2, true, false), (2, false, false), (1, true, false),
+        (1, false, false), (2, true, true), (1, true, true),
+        (1, false, true), (0, false, false), (0, false, true))
+      .view.map { case (dec, withRatio, elide) =>
+        val (zeros, shown) =
+          if (elide) results.partition { case (_, v) => v >= 0 && fN(dec)(v) == "0" }
+          else (Seq.empty, results)
+        val qsc = shown.map { case (k, v) => "\"" + k + "\":" + fN(dec)(v) }
           .mkString("{", ",", "}")
+        val zf = if (elide) s""","zeros":${zeros.length}""" else ""
         s"""{"metric":"total","value":${f2(total)},"unit":"sec",""" +
-          s""""queries":$qsc,"sf":"$sfShort"${if (withRatio) ratioCompact else ""}}"""
+          s""""queries":$qsc,"sf":"$sfShort"$zf${if (withRatio) ratioCompact else ""}}"""
       }.find(_.length <= 1950).getOrElse {
         System.err.println("[bench] compact line over budget at every precision")
         s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":{},"sf":"$sfShort"}"""

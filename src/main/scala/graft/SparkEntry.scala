@@ -39,6 +39,7 @@ object SparkEntry {
     "q_count_envelope"   -> (RelationalOps.countEnvelope(_, _)),
     "q_facet_filter"     -> (RelationalOps.facetFilter(_, _)),
     "q_facet_rollup"     -> (RelationalOps.facetRollup(_, _)),
+    "q_histogram_agg"    -> ((s, d) => RelationalOps.histogramAgg(s, d)),
     "q_composite_agg"    -> ((s, d) => RelationalOps.compositeAgg(s, d)),
     "q_topk_per_group"   -> ((s, d) => RelationalOps.topkPerGroup(s, d)),
     "q_approx_distinct"  -> (RelationalOps.approxDistinct(_, _)),
@@ -62,6 +63,8 @@ object SparkEntry {
     "q_inverted_search"  -> ((s, d) => SearchOps.invertedSearch(s, d)),
     "q_search_ranked"    -> ((s, d) => SearchOps.rankedSearch(s, d)),
     "q_search_bm25"      -> ((s, d) => SearchOps.bm25Search(s, d)),
+    "q_search_after"     -> ((s, d) => SearchOps.searchAfter(s, d)),
+    "q_search_phrase"    -> ((s, d) => SearchOps.phraseSearch(s, d)),
     "q_hybrid_search"    -> ((s, d) => SearchOps.hybridSearch(s, d)),
     "q_more_like_this"   -> ((s, d) => SearchOps.moreLikeThis(s, d)),
     "q_sig_terms"        -> ((s, d) => SearchOps.significantTerms(s, d)),
@@ -87,6 +90,7 @@ object SparkEntry {
     "q_perplexity_buckets" -> (TextOps.perplexityBuckets(_, _)),
     "q_perplexity_buckets_approx" -> (TextOps.perplexityBucketsApproxGraded(_, _)),
     "q_compression_ratio" -> (TextOps.compressionRatio(_, _)),
+    "q_vocab_coverage"   -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "q_decontaminate"    -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_dup_ngram_frac"   -> ((s, d) => TextOps.dupNgramFraction(s, d)),
     "q_pii_scrub"        -> (TextOps.piiScrub(_, _)),
@@ -105,6 +109,7 @@ object SparkEntry {
     "q_cosine_topk"      -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
     "q_knn_join"         -> ((s, d) => SimilarityOps.knnJoin(s, d)),
     "q_knn_join_ivf"     -> ((s, d) => SimilarityOps.knnJoinIvf(s, d)),
+    "q_proto_score"      -> ((s, d) => SimilarityOps.protoScore(s, d)),
     "q_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(s, d)),
     "q_ann_ivf"          -> ((s, d) => SimilarityOps.annIvf(s, d)),
     "q_ann_ivf_served"   -> ((s, d) => SimilarityOps.annIvfServed(s, d)),

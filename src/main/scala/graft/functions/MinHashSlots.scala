@@ -713,6 +713,18 @@ object TextFunctionBuilders {
     require(exprs.size == 1, "bpe_count(text)")
     BpeCount(exprs.head)
   }
+
+  def phraseCount(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2, "phrase_count(toks, phrase)")
+    val ph = exprs(1) match {
+      case e if e.foldable && e.dataType.isInstanceOf[ArrayType] =>
+        val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        Array.tabulate(ad.numElements())(i => ad.getUTF8String(i))
+      case other => throw new IllegalArgumentException(
+        s"phrase_count phrase must be a foldable array<string> literal, got $other")
+    }
+    PhraseCount(exprs.head, ph)
+  }
 }
 
 object GraftFunctions {
@@ -731,7 +743,8 @@ object GraftFunctions {
         registry.functionExists(FunctionIdentifier("shingle_hash60")) &&
         registry.functionExists(FunctionIdentifier("text_metrics")) &&
         registry.functionExists(FunctionIdentifier("gram_stats")) &&
-        registry.functionExists(FunctionIdentifier("bpe_count"))) return
+        registry.functionExists(FunctionIdentifier("bpe_count")) &&
+        registry.functionExists(FunctionIdentifier("phrase_count"))) return
     registry.createOrReplaceTempFunction(
       "minhash_slots", TextFunctionBuilders.minhashSlots _, "built-in")
     registry.createOrReplaceTempFunction(
@@ -760,6 +773,8 @@ object GraftFunctions {
       "gram_stats", TextFunctionBuilders.gramStats _, "built-in")
     registry.createOrReplaceTempFunction(
       "bpe_count", TextFunctionBuilders.bpeCount _, "built-in")
+    registry.createOrReplaceTempFunction(
+      "phrase_count", TextFunctionBuilders.phraseCount _, "built-in")
     ()
   }
 }

@@ -357,6 +357,27 @@ object RelationalOps {
         col("g_month"), col("g_status"), col("n"), col("total"))
   }
 
+  /** ES `histogram` aggregation (the numeric-interval bucket face of the
+    * agg tier, next to `terms` = q_terms_agg, `composite` =
+    * q_composite_agg, and the rollup facet): fixed-interval buckets over
+    * `n_chars` with per-bucket count and min/max — ES's default
+    * `min_doc_count: 1` behavior (empty buckets omitted), bucket key =
+    * `floor(value / interval) · interval` exactly as ES computes it.
+    *
+    * Scale: the bucket key is a map-side projection and the aggregate is
+    * one keyed hash-agg with partial (map-side) combine — bucket count is
+    * bounded by value range / interval, so the exchange carries buckets,
+    * not rows. All-integer output ⇒ hash-exact replay.
+    */
+  def histogramAgg(spark: SparkSession, dir: String,
+                   interval: Long = 200L): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy((floor(col("n_chars") / interval) * interval)
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("doc_count"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+
   /** Top-k per group (each customer's 3 largest orders): rank window with a
     * deterministic tie-break, filtered to k. Scale: one shuffle on the
     * group key; within-partition sort only — no global sort, and at 100 TB
@@ -374,6 +395,12 @@ object RelationalOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_histogram_agg" ->
+      """SELECT CAST((n_chars // 200) * 200 AS BIGINT) AS bucket,
+        |  COUNT(*) AS doc_count,
+        |  MIN(n_chars) AS min_chars,
+        |  MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_facet_rollup" ->
       """SELECT COALESCE(strftime(o_orderdate, '%Y-%m'), 'ALL') AS month,
         |  COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -353,7 +353,16 @@ object SearchOps {
     * 1-row `n_docs` frame — the materialized-index face of [[rankedSearch]].
     */
   def rankedPostingsSearch(postings: DataFrame, nDocs: DataFrame,
-                           q: String, k: Int = 20): DataFrame = {
+                           q: String, k: Int = 20): DataFrame =
+    rankedScores(postings, nDocs, q)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** The unlimited (doc_id, score) relation behind [[rankedPostingsSearch]]
+    * — the seam [[searchAfter]] pages over.
+    */
+  private def rankedScores(postings: DataFrame, nDocs: DataFrame,
+                           q: String): DataFrame = {
     val terms = analyzeQuery(q).distinct.sorted // FIXED fold order, oracle-shared
     require(terms.nonEmpty, s"query '$q' analyzed to no terms")
     val matched = postings.filter(col("token").isInCollection(terms))
@@ -371,7 +380,81 @@ object SearchOps {
       .groupBy("doc_id")
       .agg(partials.head, partials.tail: _*)
       .select(col("doc_id"), round(total, 6).as("score"))
+  }
+
+  /** ES `search_after` — deep pagination over a ranked result the way ES
+    * actually serves it (from/size is capped at 10k and re-scores every
+    * page; search_after is the documented deep-paging contract): the
+    * client passes the sort tuple of the LAST hit of the previous page and
+    * the engine returns hits strictly AFTER it in (score DESC, doc_id ASC)
+    * order. Same device as the relational keyset face
+    * [[graft.ops.RelationalOps.pageSeek]], lifted to the scored tier.
+    *
+    * The cursor is derived IN-PLAN (the last tuple of page 1 via a
+    * `limit(afterRank)` + 1-row aggregate — min score, largest doc_id on
+    * the tie), rides a 1-row broadcast, and the page itself is a tuple
+    * predicate + TakeOrderedAndProject — never a global row_number. At
+    * warehouse scale a real client supplies the cursor as literals and
+    * the filter prunes on a score-ordered layout; rank windows never
+    * appear at any scale.
+    */
+  def searchAfter(spark: SparkSession, dir: String,
+                  q: String = "data stream window",
+                  afterRank: Int = 5, k: Int = 10): DataFrame = {
+    val scored = rankedScores(
+      servedPostings(spark, dir),
+      Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n_docs")),
+      q)
+    val cursor = scored
+      .orderBy(col("score").desc, col("doc_id").asc).limit(afterRank)
+      .agg(min(struct(col("score"), (-col("doc_id")).as("nid"))).as("c"))
+      .select(col("c").getField("score").as("c_score"),
+        (-col("c").getField("nid")).as("c_doc"))
+    scored.crossJoin(broadcast(cursor))
+      .filter(col("score") < col("c_score") ||
+        (col("score") === col("c_score") && col("doc_id") > col("c_doc")))
+      .select(col("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** ES `match_phrase`: documents containing the query terms CONSECUTIVELY
+    * in analyzed-token order, scored by occurrence count — the query class
+    * term/match scoring cannot express (every doc with both "data" and
+    * "stream" somewhere matches `match`; only adjacency matches the
+    * phrase). Positions are the analyzer's token stream, so stopword
+    * removal applies before adjacency — ES with the same analyzer behaves
+    * identically.
+    *
+    * Plan shape: ONE map-only scan — the occurrence count is a
+    * higher-order `filter` over window starts with an array-slice
+    * equality, all inside the projection; no explode, no join, no shuffle
+    * before the final top-k (TakeOrderedAndProject). The warehouse face is
+    * a POSITIONAL postings store ((token, doc_id, pos), adjacency =
+    * n−1 self-equi-joins on (doc_id, pos+i) over term-pruned buckets);
+    * this corpus-scan face is the store-builder's transform and the
+    * correctness anchor.
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+                   phrase: String = "data stream", k: Int = 20): DataFrame =
+    phraseSearchOn(Tables.documents(spark, dir), phrase, k)
+
+  /** The same query over any (doc_id, lang, text) frame — the SearchSpec
+    * seam (adjacency vs mere co-occurrence, stopword-bridged phrases,
+    * overlapping occurrences). The count is the native codegen'd
+    * `phrase_count` rolling scan (FunctionsSpec pins it bit-equal to the
+    * composed HOF form, which is interpreted and was measured 19.7 s at
+    * sf0.1 against sub-second for this).
+    */
+  private[graft] def phraseSearchOn(docs: DataFrame, phrase: String,
+                                    k: Int = 20): DataFrame = {
+    val ph = analyzeQuery(phrase)
+    require(ph.length >= 2, s"phrase '$phrase' analyzed to < 2 terms")
+    docs.select(col("doc_id"), col("lang"),
+        call_function("phrase_count",
+          analyze(col("text")), typedlit(ph)).as("phrase_freq"))
+      .filter(col("phrase_freq") > 0)
+      .orderBy(col("phrase_freq").desc, col("doc_id").asc)
       .limit(k)
   }
 
@@ -988,6 +1071,68 @@ object SearchOps {
          |FROM (SELECT unnest($duckToks) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
     "q_search_ranked" -> rankedOracle,
+    // lives here (not TextOps.oracle) because the coverage reads the
+    // postings store and must replay ITS analyzer (duckToks)
+    "q_vocab_coverage" ->
+      s"""WITH p AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+         |pp AS (SELECT token, doc_id, COUNT(*) AS tf FROM p GROUP BY token, doc_id),
+         |vocab AS (
+         |  SELECT token FROM (
+         |    SELECT token, SUM(tf) AS cnt FROM pp GROUP BY token)
+         |  ORDER BY cnt DESC, token ASC LIMIT 100),
+         |g AS (
+         |  SELECT d.lang, d.source,
+         |    CAST(SUM(pp.tf) AS BIGINT) AS total_toks,
+         |    CAST(SUM(CASE WHEN pp.token IN (SELECT token FROM vocab)
+         |                  THEN pp.tf ELSE 0 END) AS BIGINT) AS covered_toks
+         |  FROM pp JOIN documents d USING (doc_id)
+         |  GROUP BY d.lang, d.source)
+         |SELECT lang, source, total_toks, covered_toks,
+         |  CAST(round(CAST(covered_toks AS DOUBLE) / CAST(total_toks AS DOUBLE)
+         |             * 1048576.0) AS BIGINT) AS coverage_fp
+         |FROM g""".stripMargin,
+    "q_search_after" -> {
+      val terms = analyzeQuery("data stream window").distinct.sorted
+      val inList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+      val fold = terms.map(t =>
+        s"coalesce(sum(CASE WHEN token = '$t' THEN CAST(tf AS DOUBLE) * idf END), 0)")
+        .mkString("\n    + ")
+      s"""WITH p AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+         |pp AS (
+         |  SELECT token, doc_id, COUNT(*) AS tf FROM p
+         |  WHERE token IN $inList
+         |  GROUP BY token, doc_id),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+         |idfs AS (
+         |  SELECT token, ln(n_docs / CAST(COUNT(*) AS DOUBLE)) AS idf
+         |  FROM pp, n GROUP BY token, n_docs),
+         |scored AS (
+         |  SELECT doc_id, round($fold, 6) AS score
+         |  FROM pp JOIN idfs USING (token) GROUP BY doc_id),
+         |page1 AS (SELECT doc_id, score FROM scored
+         |          ORDER BY score DESC, doc_id ASC LIMIT 5),
+         |cur AS (SELECT score AS c_score, doc_id AS c_doc FROM page1
+         |        ORDER BY score ASC, doc_id DESC LIMIT 1)
+         |SELECT s.doc_id, s.score
+         |FROM scored s, cur
+         |WHERE s.score < cur.c_score
+         |   OR (s.score = cur.c_score AND s.doc_id > cur.c_doc)
+         |ORDER BY s.score DESC, s.doc_id ASC LIMIT 10""".stripMargin
+    },
+    "q_search_phrase" -> {
+      val ph = analyzeQuery("data stream")
+      val n = ph.length
+      val litList = ph.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(range(1, greatest(len(toks) - $n + 2, 1)),
+         |      i -> list_slice(toks, i, i + $n - 1) = $litList)) AS BIGINT)
+         |      AS phrase_freq
+         |  FROM t)
+         |SELECT doc_id, lang, phrase_freq FROM f WHERE phrase_freq > 0
+         |ORDER BY phrase_freq DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
     "q_search_bm25" -> bm25Oracle,
     "q_hybrid_search" ->
       s"""WITH lex AS ($rankedOracle),

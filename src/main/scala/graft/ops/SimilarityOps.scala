@@ -774,6 +774,43 @@ object SimilarityOps {
         col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
   }
 
+  /** Prototypicality scoring (the SSL-prototypes pruning signal, Sorscher
+    * et al. 2022 "Beyond neural scaling laws": a sample's cosine to its
+    * cluster centroid measures how PROTOTYPICAL it is; pruning the most
+    * prototypical — easiest, most redundant — examples per cluster beats
+    * random pruning at scale). Output: every vector with its cell, its
+    * centroid cosine, and its within-cell prototypicality rank — rank 1 =
+    * most prototypical = first to prune under the paper's policy; a data
+    * curator keeps `proto_rank > ceil(q·n_cell)`.
+    *
+    * One scan: assignment is the native `ivf_assign` (same codebook
+    * discipline as every IVF face), the own-centroid vector is a
+    * cell-keyed CASE over nlist literals (model arithmetic, no join), and
+    * the rank is a window PARTITIONED BY cell — the same key the vector
+    * store is physically partitioned on, so at warehouse scale the rank
+    * runs within each cell partition without any new exchange. Raw-cosine
+    * ordering with vec_id tie-breaks replays exactly; the cosine crosses
+    * engines only rounded.
+    */
+  def protoScore(spark: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", toDouble(col("embedding")))
+    val codebook = collectCodebook(emb, nlist)
+    val cvCol = coalesce(codebook.map { case (cid, cv) =>
+      when(col("cell") === cid, planeLit(cv))
+    }: _*)
+    val byCell = Window.partitionBy("cell")
+      .orderBy(col("proto_raw").desc, col("vec_id").asc)
+    emb.withColumn("cell",
+        call_function("ivf_assign", col("v"),
+          typedlit(codebook.map(_._2.toSeq).toSeq)))
+      .select(col("vec_id"), col("cell"), cosine(col("v"), cvCol).as("proto_raw"))
+      .withColumn("proto_rank", row_number().over(byCell).cast("long"))
+      .select(col("vec_id"), col("cell"),
+        round(col("proto_raw"), 6).as("proto_sim"), col("proto_rank"))
+  }
+
   /** (mins, maxs) per (dir, content version) — the SQ8 model is 2·dim
     * doubles, the artifact FAISS ships WITH an SQ index; re-deriving it per
     * query would be re-training at serve time. Version-keyed like every
@@ -1295,6 +1332,23 @@ object SimilarityOps {
         |      FROM s)
         |SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id, round(c, 6) AS cos_sim
         |FROM r WHERE rn <= 5""".stripMargin,
+    // prototypicality: coarse assignment + own-centroid cosine + in-cell rank
+    "q_proto_score" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid DESC) AS rn
+        |  FROM e CROSS JOIN c),
+        |cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE rn = 1),
+        |sc AS (
+        |  SELECT t.vec_id, t.cell, list_cosine_similarity(t.v, c.cv) AS pr
+        |  FROM cells t JOIN c ON c.cid = t.cell)
+        |SELECT vec_id, cell, round(pr, 6) AS proto_sim,
+        |  CAST(row_number() OVER (PARTITION BY cell
+        |         ORDER BY pr DESC, vec_id ASC) AS BIGINT) AS proto_rank
+        |FROM sc""".stripMargin,
     // full replay of the IVF-bucketed k-NN join: stand-in codebook,
     // coarse assignment (argmax cosine, highest-cid tie-break), per-query
     // top-nprobe cell ranking, probed-cells-only scoring, per-query top-k

@@ -828,6 +828,42 @@ object TextOps {
           .as("head_share_ok"))
   }
 
+  /** Head-vocabulary coverage per (lang, source) — the tokenizer/corpus
+    * fit signal next to [[compressionRatio]]: what fraction of a source's
+    * token OCCURRENCES fall inside the corpus's top-K vocabulary. Natural
+    * text is Zipf-headed (high coverage); encoded blobs, wrong-language or
+    * OCR-damaged content leak into the long tail (low coverage) — a
+    * standard curation gate and the scalar a tokenizer team watches per
+    * source before committing a vocab.
+    *
+    * Served shape: token occurrences come from the maintained postings
+    * store (no re-tokenization — the same store BM25/MLT/sig-terms read);
+    * the top-K vocab is a TakeOrderedAndProject over the store's token
+    * aggregate (never a global rank window) and rides a broadcast into a
+    * left join marking covered rows; one keyed aggregate per (lang,
+    * source) finishes. Coverage crosses engines in 2^20 fixed point (the
+    * exact-integer sums divide once, then an exact power-of-two shift) —
+    * the q_sig_terms lesson applied from day one.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    val p = SearchOps.servedPostings(spark, dir) // (token, doc_id, tf)
+    val vocab = p.groupBy("token").agg(sum("tf").as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topK)
+      .select(col("token"), lit(1).as("in_vocab"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    p.join(docs, Seq("doc_id"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("lang", "source")
+      .agg(sum("tf").as("total_toks"),
+        sum(when(col("in_vocab").isNotNull, col("tf")).otherwise(0L))
+          .as("covered_toks"))
+      .select(col("lang"), col("source"), col("total_toks"), col("covered_toks"),
+        round(col("covered_toks").cast("double") / col("total_toks").cast("double")
+          * lit(1048576.0)).cast("long").as("coverage_fp"))
+  }
+
   /** Bytes-per-subword compression ratio, aggregated per (lang, source) —
     * the tokenizer-fit signal (how many characters one BPE token covers):
     * natural text compresses well under a tokenizer trained on it;

@@ -199,6 +199,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("gram_stats"),
       new ExpressionInfo(classOf[graft.functions.GramStats].getName, "gram_stats"),
       { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.gramStats(exprs) }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("phrase_count"),
+      new ExpressionInfo(classOf[graft.functions.PhraseCount].getName, "phrase_count"),
+      { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.phraseCount(exprs) }))
   }
 }
 

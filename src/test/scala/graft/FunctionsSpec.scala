@@ -623,6 +623,51 @@ class FunctionsSpec extends SparkSpecBase {
     assert(run("CODEGEN_ONLY") === run("NO_CODEGEN"))
   }
 
+  test("phrase_count ≡ composed slice/filter HOF form on the real corpus") {
+    GraftFunctions.register(spark)
+    val ph = Seq("data", "stream")
+    val n = ph.length
+    val df = graft.Tables.documents(spark, sf)
+      .select(graft.ops.SearchOps.analyze(col("text")).as("toks"))
+    val native = df.select(expr(s"phrase_count(toks, array('data','stream'))"))
+      .collect().map(_.getLong(0)).toSeq
+    val comp = df.select(
+        when(size(col("toks")) >= n,
+          size(filter(sequence(lit(1), size(col("toks")) - n + 1),
+            i => slice(col("toks"), i, lit(n)) === typedlit(ph))))
+          .otherwise(lit(0)).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(native === comp)
+    assert(native.sum > 0, "corpus must contain the phrase somewhere")
+  }
+
+  test("phrase_count edge cases: overlap, null token windows, short array, null input") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq("a", "a", "a")),          // overlapping 'a a' ⇒ 2
+      (2L, Seq("a", null, "a")),         // null inside every window ⇒ 0
+      (3L, Seq("a")),                    // shorter than the phrase ⇒ 0
+      (4L, Seq.empty[String]),           // empty ⇒ 0
+      (5L, null)                         // null input ⇒ null
+    ).toDF("id", "toks")
+    val got = df.select(col("id"), expr("phrase_count(toks, array('a','a'))").as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got === Map(1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> null))
+  }
+
+  test("phrase_count agrees under interpreted and codegen paths") {
+    GraftFunctions.register(spark)
+    val df = graft.Tables.documents(spark, sf)
+      .select(graft.ops.SearchOps.analyze(col("text")).as("toks"))
+    def run(codegen: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try df.select(expr("phrase_count(toks, array('data','stream'))"))
+        .collect().map(_.getLong(0)).toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(run("CODEGEN_ONLY") === run("NO_CODEGEN"))
+  }
+
   test("minhash_slots survives dup detection end-to-end (same text ⇒ same sig)") {
     GraftFunctions.register(spark)
     val df = Seq((1L, "identical shingle text"), (2L, "identical shingle text"),

@@ -409,4 +409,37 @@ class PlanSpec extends SparkSpecBase {
     assert(corpusScans == 1,
       s"expected exactly one corpus scan in the scoring plan, got $corpusScans:\n$p")
   }
+
+  test("phraseSearch: map-only — zero exchanges, the top-k is TakeOrderedAndProject") {
+    val p = plan(SearchOps.phraseSearch(spark, sf))
+    // the occurrence count is a projection (HOF over window starts): the
+    // plan must hold ONE corpus scan, no join, no shuffle; the k-cut is
+    // the partial top-k operator, never a global sort
+    assert(!p.contains("Exchange"), s"phrase scan must not shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+  }
+
+  test("searchAfter: keyset page — tuple-predicate filter + partial top-k, no rank window") {
+    val p = plan(SearchOps.searchAfter(spark, sf))
+    assert(!p.contains("Window"), s"search_after must not rank-window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected the 1-row cursor broadcast in:\n$p")
+  }
+
+  test("histogramAgg: partial (map-side) combine before one bucket-keyed exchange") {
+    val p = plan(RelationalOps.histogramAgg(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"expected map-side partial aggregation in:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected exactly one bucket exchange in:\n$p")
+  }
+
+  test("vocabCoverage: vocab is a partial top-k (never a global rank window) riding a broadcast") {
+    val p = plan(graft.ops.TextOps.vocabCoverage(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected the vocab top-K as TakeOrderedAndProject in:\n$p")
+    assert(!p.contains("Window"), s"no rank window may appear:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast vocab join in:\n$p")
+  }
 }

@@ -419,4 +419,39 @@ class SearchSpec extends SparkSpecBase {
     assert(byTok("boiler").getAs[Long]("fg_df") === 2L)
     assert(byTok("boiler").getAs[Long]("bg_df") === 2L)
   }
+
+  test("phraseSearch: adjacency required, stopwords bridge, overlaps counted, co-occurrence rejected") {
+    val docs = Seq(
+      (1L, "en", "data stream processing"),          // exact adjacency
+      (2L, "en", "data in the stream"),              // stopwords analyzed away ⇒ adjacent
+      (3L, "en", "stream of data"),                  // wrong order — no match
+      (4L, "en", "data lake and stream engine"),     // 'lake' intervenes — no match
+      (5L, "en", "data stream data stream data"),    // two occurrences
+      (6L, "en", "data")                             // shorter than the phrase
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.ops.SearchOps.phraseSearchOn(docs, "data stream", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("phrase_freq")).toMap
+    assert(got === Map(5L -> 2L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("searchAfter: page 2 continues exactly where the ranked page 1 ends — disjoint, ordered, tiled") {
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.ops.SearchOps.rankedSearch(spark, sf, k = 15).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val page2 = graft.ops.SearchOps.searchAfter(spark, sf, afterRank = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(page2.toSeq === all.drop(5).toSeq,
+      "search_after(5) must equal ranked rows 6..15")
+  }
+
+  test("vocabCoverage: coverage_fp bounded by 2^20; all-head corpus hits exactly 2^20") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.TextOps.vocabCoverage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val fp = r.getAs[Long]("coverage_fp")
+      assert(fp >= 0L && fp <= 1048576L)
+      assert(r.getAs[Long]("covered_toks") <= r.getAs[Long]("total_toks"))
+    }
+  }
 }

