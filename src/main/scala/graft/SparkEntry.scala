@@ -49,6 +49,7 @@ object SparkEntry {
     "q_window_lag"       -> (EventsOps.windowLag(_, _)),
     "q_json_extract"     -> (EventsOps.jsonExtract(_, _)),
     "q_sessionize"       -> (EventsOps.sessionize(_, _)),
+    "q_funnel"           -> (EventsOps.funnel(_, _)),
     "q_asof_join"        -> (EventsOps.asofJoin(_, _)),
     "q_range_join"       -> ((s, d) => EventsOps.rangeJoin(s, d)),
     // Full-text search (ES query surface, SURVEY §3.3 / F10-F14 / A9)
@@ -65,6 +66,8 @@ object SparkEntry {
     "q_search_bm25"      -> ((s, d) => SearchOps.bm25Search(s, d)),
     "q_search_after"     -> ((s, d) => SearchOps.searchAfter(s, d)),
     "q_search_phrase"    -> ((s, d) => SearchOps.phraseSearch(s, d)),
+    "q_search_phrase_idx" -> ((s, d) => SearchOps.phraseSearchIndexed(s, d)),
+    "q_search_bool"      -> ((s, d) => SearchOps.boolQuery(s, d)),
     "q_hybrid_search"    -> ((s, d) => SearchOps.hybridSearch(s, d)),
     "q_more_like_this"   -> ((s, d) => SearchOps.moreLikeThis(s, d)),
     "q_sig_terms"        -> ((s, d) => SearchOps.significantTerms(s, d)),
@@ -110,6 +113,7 @@ object SparkEntry {
     "q_knn_join"         -> ((s, d) => SimilarityOps.knnJoin(s, d)),
     "q_knn_join_ivf"     -> ((s, d) => SimilarityOps.knnJoinIvf(s, d)),
     "q_proto_score"      -> ((s, d) => SimilarityOps.protoScore(s, d)),
+    "q_index_stats"      -> ((s, d) => SimilarityOps.indexStats(s, d)),
     "q_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(s, d)),
     "q_ann_ivf"          -> ((s, d) => SimilarityOps.annIvf(s, d)),
     "q_ann_ivf_served"   -> ((s, d) => SimilarityOps.annIvfServed(s, d)),

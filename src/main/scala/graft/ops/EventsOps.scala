@@ -96,6 +96,49 @@ object EventsOps {
            count(lit(1)).as("n_events"))
   }
 
+  /** Ordered funnel analysis (view → click → purchase): per user, the
+    * earliest timestamp of each stage GIVEN the previous stage happened
+    * strictly before it — the product-analytics conversion query, and the
+    * canonical SEQUENTIAL-pattern operator the relational tier otherwise
+    * lacks (sessionize groups by gaps; this requires order across
+    * heterogeneous event types).
+    *
+    * Formulation: ONE shuffle on user_id, then a per-user sorted fold —
+    * stage timestamps come from min-when aggregates over a running
+    * "previous stage reached at" column built with windows on the SAME
+    * (user_id, ts, event_id) ordering sessionize uses. Concretely: t1 =
+    * min ts of stage-1 events; t2 = min ts of stage-2 events after t1
+    * (computed against t1 broadcast back via a window max — no self-join);
+    * t3 likewise after t2. Timestamps compare in integer microseconds —
+    * hash-exact. A user stalls at the deepest prefix reached
+    * (`stage` ∈ 0..3); stage-k timestamps are NULL past the stall point.
+    *
+    * Scale: three window/aggregate passes all keyed on user_id — one
+    * exchange total, no join, no global order. The DuckDB oracle replays
+    * the same three-stage min-chain as correlated aggregates.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val byUser = Window.partitionBy(col("user_id"))
+    val t1 = min(when(col("event_type") === "view", col("ts_us"))).over(byUser)
+    val withT1 = e.withColumn("t1", t1)
+    val t2 = min(when(col("event_type") === "click" &&
+      col("ts_us") > col("t1"), col("ts_us"))).over(byUser)
+    val withT2 = withT1.withColumn("t2", t2)
+    val t3 = min(when(col("event_type") === "purchase" &&
+      col("ts_us") > col("t2"), col("ts_us"))).over(byUser)
+    withT2.withColumn("t3", t3)
+      .groupBy("user_id")
+      .agg(min("t1").as("t_view"), min("t2").as("t_click"),
+        min("t3").as("t_purchase"))
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0)).cast("long").as("stage"))
+  }
+
   /** As-of join core over a (event_id, user_id, event_type, ts_us) frame:
     * attribute every `leftType` row to the most recent `rightType` row of
     * the same user at-or-before it.
@@ -175,6 +218,25 @@ object EventsOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |f AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM e),
+        |g AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us > t1
+        |    THEN ts_us END) OVER (PARTITION BY user_id) AS t2 FROM f),
+        |h AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us > t2
+        |    THEN ts_us END) OVER (PARTITION BY user_id) AS t3 FROM g)
+        |SELECT user_id, MIN(t1) AS t_view, MIN(t2) AS t_click,
+        |  MIN(t3) AS t_purchase,
+        |  CAST(CASE WHEN MIN(t3) IS NOT NULL THEN 3
+        |            WHEN MIN(t2) IS NOT NULL THEN 2
+        |            WHEN MIN(t1) IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS stage
+        |FROM h GROUP BY user_id""".stripMargin,
     "q_range_join" ->
       """SELECT p.event_id AS purchase_id, e.event_id AS error_id,
         |  (epoch_us(e.ts) - epoch_us(p.ts)) // 1000 AS lag_ms

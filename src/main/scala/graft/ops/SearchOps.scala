@@ -111,6 +111,76 @@ object SearchOps {
       .limit(k)
   }
 
+  /** ES `bool` compound query — the container every production ES query
+    * ships in (the reference's searches are single-clause only because the
+    * golden corpus is small; real clients wrap them in bool):
+    * `must` clauses score and are required, `filter` clauses are required
+    * but NON-scoring (ES executes them in filter context — cache-friendly,
+    * no score contribution), `must_not` excludes, `should` is optional and
+    * adds to the score. Scoring uses the same per-term match-count device
+    * as [[matchQuery]] so every score is an exact small integer.
+    *
+    * One map-only corpus pass: all four clause families compile into the
+    * SAME projection + conjunctive filter — the filter/must_not predicates
+    * sit beside the scoring expression, nothing joins, and the k-cut is a
+    * partial top-k. At warehouse scale the filter-context predicates
+    * (lang here) push into a partition-pruned scan exactly as ES routes
+    * filters to bitset caches.
+    */
+  def boolQuery(spark: SparkSession, dir: String,
+                must: String = "data", should: String = "stream window",
+                mustNot: String = "error", filterLang: String = "en",
+                k: Int = 20): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = analyze(col("text"))
+    def hits(q: String) =
+      analyzeQuery(q).map(t => array_contains(toks, t).cast("int")).reduce(_ + _)
+    val mustTerms = analyzeQuery(must)
+    val mustOk = mustTerms.map(t => array_contains(toks, t)).reduce(_ && _)
+    val notOk = analyzeQuery(mustNot)
+      .map(t => !array_contains(toks, t)).reduce(_ && _)
+    d.filter(col("lang") === filterLang) // filter context: required, no score
+      .select(col("doc_id"), col("lang"),
+        (hits(must) + hits(should)).as("score"), mustOk.as("m"), notOk.as("n"))
+      .filter(col("m") && col("n"))
+      .select(col("doc_id"), col("lang"), col("score").cast("long").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** The INDEXED face of [[phraseSearch]] — phrase intersection over a
+    * POSITIONAL postings relation (token, doc_id, pos), the way Lucene
+    * actually serves match_phrase (position lists, not document rescans):
+    * each phrase term's postings shift to a common anchor
+    * (`start = pos − i`) and an n−1-way equi-join on (doc_id, start)
+    * keeps exactly the aligned windows; phrase_freq = surviving starts.
+    *
+    * Scale story: with the postings store token-bucketed, each term's
+    * postings read is a bucket-pruned scan ~df(t) rows, and the joins key
+    * on (doc_id, start) — the rarest term bounds the join input, so a
+    * selective phrase touches a vanishing fraction of the corpus (the
+    * corpus-scan face reads every token of every doc). Correctness anchor:
+    * SearchSpec pins this face's frequencies ≡ [[phraseSearch]]'s native
+    * rolling scan.
+    */
+  def phraseSearchIndexed(spark: SparkSession, dir: String,
+                          phrase: String = "data stream", k: Int = 20): DataFrame = {
+    val ph = analyzeQuery(phrase)
+    require(ph.length >= 2, s"phrase '$phrase' analyzed to < 2 terms")
+    val pp = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(analyze(col("text"))).as(Seq("pos", "token")))
+      .filter(col("token").isInCollection(ph.distinct)) // term-pruned read
+    val parts = ph.zipWithIndex.map { case (t, i) =>
+      pp.filter(col("token") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    parts.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("phrase_freq"))
+      .orderBy(col("phrase_freq").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** multi_match with fuzziness=auto (ETLTests-2.json:94-131): a query term
     * matches if ANY document token is within its edit-distance budget;
     * score = number of matched query terms.
@@ -1091,6 +1161,41 @@ object SearchOps {
          |  CAST(round(CAST(covered_toks AS DOUBLE) / CAST(total_toks AS DOUBLE)
          |             * 1048576.0) AS BIGINT) AS coverage_fp
          |FROM g""".stripMargin,
+    "q_search_bool" -> {
+      val mustT = analyzeQuery("data")
+      val shouldT = analyzeQuery("stream window")
+      val notT = analyzeQuery("error")
+      val score = (mustT ++ shouldT)
+        .map(t => s"CAST(list_contains(toks, '$t') AS INT)")
+        .mkString("\n    + ")
+      val mustOk = mustT.map(t => s"list_contains(toks, '$t')").mkString(" AND ")
+      val notOk = notT.map(t => s"NOT list_contains(toks, '$t')").mkString(" AND ")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $duckToks AS toks FROM documents
+         |  WHERE lang = 'en'),
+         |s AS (
+         |  SELECT doc_id, lang,
+         |    $score AS score,
+         |    ($mustOk) AS m, ($notOk) AS n
+         |  FROM t)
+         |SELECT doc_id, lang, CAST(score AS BIGINT) AS score
+         |FROM s WHERE m AND n
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+    "q_search_phrase_idx" -> {
+      val ph = analyzeQuery("data stream")
+      val n = ph.length
+      val litList = ph.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(range(1, greatest(len(toks) - $n + 2, 1)),
+         |      i -> list_slice(toks, i, i + $n - 1) = $litList)) AS BIGINT)
+         |      AS phrase_freq
+         |  FROM t)
+         |SELECT doc_id, phrase_freq FROM f WHERE phrase_freq > 0
+         |ORDER BY phrase_freq DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
     "q_search_after" -> {
       val terms = analyzeQuery("data stream window").distinct.sorted
       val inList = terms.map(t => s"'$t'").mkString("(", ", ", ")")

@@ -811,6 +811,39 @@ object SimilarityOps {
         round(col("proto_raw"), 6).as("proto_sim"), col("proto_rank"))
   }
 
+  /** IVF index health statistics — FAISS's `imbalance_factor` diagnostic
+    * as a query: per-cell member counts and occupancy share, with the
+    * corpus-wide imbalance `nlist · Σnᵢ² / N²` riding every row (1.0 =
+    * perfectly balanced cells; large = hot cells that break the
+    * nprobe/nlist read-fraction promise). This is the number an operator
+    * watches before trusting an ANN latency SLO — and the trigger for
+    * re-training the codebook ([[ivfTrain]]) when drift skews cells.
+    *
+    * One assignment scan + one nlist-sized aggregate; the Σn² reduction is
+    * nlist rows folded into 1 and broadcast back. Every stat is exact
+    * integer arithmetic finished by one division reported in 2^20 fixed
+    * point — hash-exact cross-engine.
+    */
+  def indexStats(spark: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", toDouble(col("embedding")))
+    val codebook = collectCodebook(emb, nlist)
+    val perCell = emb.select(
+        call_function("ivf_assign", col("v"),
+          typedlit(codebook.map(_._2.toSeq).toSeq)).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val totals = perCell.agg(
+      sum(col("n_vecs")).as("n_total"),
+      sum(col("n_vecs") * col("n_vecs")).as("sum_sq"))
+    perCell.crossJoin(broadcast(totals))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("n_total").cast("double")
+          * lit(1048576.0)).cast("long").as("share_fp"),
+        round(lit(nlist) * col("sum_sq").cast("double")
+          / (col("n_total") * col("n_total")).cast("double")
+          * lit(1048576.0)).cast("long").as("imbalance_fp"))
+  }
+
   /** (mins, maxs) per (dir, content version) — the SQ8 model is 2·dim
     * doubles, the artifact FAISS ships WITH an SQ index; re-deriving it per
     * query would be re-training at serve time. Version-keyed like every
@@ -1332,6 +1365,25 @@ object SimilarityOps {
         |      FROM s)
         |SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id, round(c, 6) AS cos_sim
         |FROM r WHERE rn <= 5""".stripMargin,
+    "q_index_stats" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid DESC) AS rn
+        |  FROM e CROSS JOIN c),
+        |pc AS (SELECT cid AS cell, COUNT(*) AS n_vecs FROM assign
+        |       WHERE rn = 1 GROUP BY cid),
+        |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+        |               CAST(SUM(n_vecs * n_vecs) AS BIGINT) AS sum_sq FROM pc)
+        |SELECT pc.cell, pc.n_vecs,
+        |  CAST(round(CAST(pc.n_vecs AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+        |             * 1048576.0) AS BIGINT) AS share_fp,
+        |  CAST(round(16.0 * CAST(t.sum_sq AS DOUBLE)
+        |             / CAST(t.n_total * t.n_total AS DOUBLE)
+        |             * 1048576.0) AS BIGINT) AS imbalance_fp
+        |FROM pc, tot t""".stripMargin,
     // prototypicality: coarse assignment + own-centroid cosine + in-cell rank
     "q_proto_score" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

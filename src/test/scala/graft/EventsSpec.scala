@@ -96,6 +96,45 @@ class EventsSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("funnel: stage timestamps strictly ordered; out-of-order stages never count; stalls pinned") {
+    val out = EventsOps.funnel(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (t1, t2, t3) = (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))
+      val stage = r.getAs[Long]("stage")
+      // prefix structure: a later stage implies all earlier ones
+      assert(t3.isEmpty || (t2.nonEmpty && t1.nonEmpty))
+      assert(t2.isEmpty || t1.nonEmpty)
+      // strict temporal order within the funnel
+      for (a <- t1; b <- t2) assert(a < b)
+      for (b <- t2; c <- t3) assert(b < c)
+      assert(stage === Seq(t1, t2, t3).count(_.nonEmpty))
+    }
+  }
+
+  test("funnel fixture: a purchase BEFORE the click does not convert; ordered users do") {
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    val rows = Seq(
+      // user 1: view < click < purchase → stage 3
+      (1L, "view", t0), (1L, "click", t0 + 10), (1L, "purchase", t0 + 20),
+      // user 2: purchase arrives BEFORE the click → stalls at stage 2
+      (2L, "view", t0), (2L, "purchase", t0 + 5), (2L, "click", t0 + 10),
+      // user 3: click only, never viewed → stage 0
+      (3L, "click", t0 + 1))
+    // ts written as the physical int64 micros eventsRaw reads verbatim
+    val e = rows.toDF("user_id", "event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    e.withColumn("event_id", monotonically_increasing_id())
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventsOps.funnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("stage")).toMap
+    assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 0L))
+  }
+
   test("asofJoin: one output row per click; attribution never in the future") {
     val out = EventsOps.asofJoin(spark, sf)
     val nClicks = Tables.events(spark, sf)

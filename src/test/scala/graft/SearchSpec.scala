@@ -434,6 +434,35 @@ class SearchSpec extends SparkSpecBase {
     assert(got === Map(5L -> 2L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("boolQuery: must required, filter non-scoring, must_not excludes, should only boosts") {
+    val sf001 = "/root/testdata/sf0.001"
+    val out = graft.ops.SearchOps.boolQuery(spark, sf001, k = 1000).collect()
+    assert(out.nonEmpty)
+    // filter context: every hit is lang=en, yet lang never contributes score
+    assert(out.forall(_.getAs[String]("lang") == "en"))
+    // must + must_not verified against a direct corpus read
+    val toks = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), graft.ops.SearchOps.analyze(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    out.foreach { r =>
+      val t = toks(r.getLong(0))
+      assert(t.contains("data"), "must clause violated")
+      assert(!t.contains("error"), "must_not clause violated")
+      val expected = 1L + (if (t.contains("stream")) 1L else 0L) +
+        (if (t.contains("window")) 1L else 0L)
+      assert(r.getAs[Long]("score") === expected, "score = must hits + should hits")
+    }
+  }
+
+  test("phraseSearchIndexed ≡ phraseSearch: positional-join face returns the scan face's frequencies") {
+    val sf001 = "/root/testdata/sf0.001"
+    val scan = graft.ops.SearchOps.phraseSearch(spark, sf001, k = 1000).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("phrase_freq")).toMap
+    val idx = graft.ops.SearchOps.phraseSearchIndexed(spark, sf001, k = 1000).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("phrase_freq")).toMap
+    assert(idx === scan)
+  }
+
   test("searchAfter: page 2 continues exactly where the ranked page 1 ends — disjoint, ordered, tiled") {
     val sf = "/root/testdata/sf0.001"
     val all = graft.ops.SearchOps.rankedSearch(spark, sf, k = 15).collect()

@@ -392,6 +392,19 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("indexStats: counts reconcile to the corpus, shares to ~1, imbalance >= 1 in fixed point") {
+    val out = SimilarityOps.indexStats(spark, sf01).collect()
+    val n = graft.Tables.embeddings(spark, sf01).count()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === n)
+    val shareSum = out.map(_.getAs[Long]("share_fp")).sum
+    assert(math.abs(shareSum - 1048576L) <= out.length,
+      s"cell shares must sum to ~2^20, got $shareSum")
+    // Cauchy–Schwarz floor: nlist·Σn²/N² >= 1 exactly at perfect balance
+    val imb = out.map(_.getAs[Long]("imbalance_fp")).distinct
+    assert(imb.length === 1, "imbalance is a corpus-wide constant")
+    assert(imb.head >= 1048576L)
+  }
+
   test("cosine expression: hand-checked value on unit vectors") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
