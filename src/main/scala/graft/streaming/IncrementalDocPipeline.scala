@@ -57,17 +57,35 @@ class IncrementalDocPipeline(
     val nIds = head.getLong(2)
 
     val docs = docBuilder(spark, dirty.select("id").distinct())
-    upsert(spark, docs)
+    IncrementalDocPipeline.upsertDocs(spark, storePath, docs, stampTimestamps)
     // commit watermark AFTER the sink write (reference commits after es.bulk)
     import spark.implicits._
     Seq(newWm).toDF("wm").write.mode(SaveMode.Overwrite).parquet(statePath)
     nIds
   }
 
+  /** Run ticks until caught up (the test/batch driver's poll loop). */
+  def runUntilCaughtUp(spark: SparkSession, maxTicks: Int = 100): Long = {
+    var total = 0L
+    var n = 0
+    while (n < maxTicks) {
+      val done = tick(spark)
+      if (done == 0) return total
+      total += done
+      n += 1
+    }
+    total
+  }
+}
+
+object IncrementalDocPipeline {
+
   /** Idempotent by-id upsert: replace existing versions of the incoming ids,
     * keep everything else. At warehouse scale this is a MERGE / partition
     * overwrite; the read-filter-rewrite here is the same semantics for a
-    * plain-parquet store.
+    * plain-parquet store. Shared by the per-store pipeline above and the
+    * composed tick ([[ComposedEtlPipeline]]), so both commit through one
+    * code path.
     *
     * Crash safety: the swap is write-staging → rename-live-aside →
     * rename-staging-in → drop-old. A crash can leave `store.old` and/or
@@ -78,7 +96,8 @@ class IncrementalDocPipeline(
     * delete-then-rename left a window where a crash lost the whole store and
     * the next tick silently rebuilt it from the dirty docs alone.
     */
-  private def upsert(spark: SparkSession, docs: DataFrame): Unit = {
+  def upsertDocs(spark: SparkSession, storePath: String, docs: DataFrame,
+                 stampTimestamps: Boolean = false): Unit = {
     // recover from a crash between AtomicSwap's two renames: staging was
     // complete and the live dir is gone — promote it instead of treating
     // this as first-run
@@ -108,18 +127,5 @@ class IncrementalDocPipeline(
     graft.sinks.AtomicSwap.replace(spark, merged, storePath)
     incoming.unpersist()
     ()
-  }
-
-  /** Run ticks until caught up (the test/batch driver's poll loop). */
-  def runUntilCaughtUp(spark: SparkSession, maxTicks: Int = 100): Long = {
-    var total = 0L
-    var n = 0
-    while (n < maxTicks) {
-      val done = tick(spark)
-      if (done == 0) return total
-      total += done
-      n += 1
-    }
-    total
   }
 }

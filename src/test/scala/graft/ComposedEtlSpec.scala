@@ -1,0 +1,134 @@
+package graft
+
+import graft.streaming.{ComposedEtlPipeline, IncrementalPostings, IncrementalVectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed tick's contract: one dirty-id detection drives all three
+  * maintained stores (docs, postings, vectors), the watermark commits once
+  * after the last sink, and a crash BETWEEN any two stages leaves a state
+  * the next tick converges — already-updated stores idempotently rewritten,
+  * stale ones caught up, nothing lost, nothing double-claimed.
+  */
+class ComposedEtlSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val codebook: Seq[Seq[Double]] =
+    Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0), Seq(0.0, -1.0))
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"cetl-$name").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  // mutable change feed: rows (id, text, label, v, modified) appended
+  // between ticks, read fresh by every changes() call like a live table
+  private final class Feed {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int, Seq[Double], String)]
+    def df(s: SparkSession): DataFrame =
+      rows.toSeq.toDF("id", "text", "label", "v", "modified")
+        .withColumn("modified", col("modified").cast("timestamp"))
+  }
+
+  // doc builder: dirty-ids semi-join against the feed's LATEST text per id,
+  // derived doc = (id, doc) where doc = upper(text) — enough to prove the
+  // rebuild path without a star schema
+  private def mkPipeline(feed: Feed, dir: String,
+                         failAfter: Option[String] = None) = {
+    val changes = (s: SparkSession) => feed.df(s)
+    val builder = (s: SparkSession, ids: DataFrame) =>
+      feed.df(s)
+        .groupBy(col("id"))
+        .agg(max(struct(col("modified"), col("text"))).as("m"))
+        .join(ids, Seq("id"), "left_semi")
+        .select(col("id"), upper(col("m").getField("text")).as("doc"))
+    new ComposedEtlPipeline(
+      changes, builder, codebook,
+      docStorePath = s"$dir/docs",
+      postingsStorePath = s"$dir/postings",
+      vectorStorePath = s"$dir/vectors",
+      statePath = s"$dir/state") {
+      override protected def afterStage(stage: String): Unit =
+        if (failAfter.contains(stage))
+          throw new RuntimeException(s"injected crash after $stage")
+    }
+  }
+
+  private def docsOf(dir: String): Map[Long, String] =
+    spark.read.parquet(s"$dir/docs").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("doc")).toMap
+
+  private def postingsOf(dir: String): Set[(String, Long, Long)] =
+    IncrementalPostings.load(spark, s"$dir/postings")
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tf"))).toSet
+
+  private def vectorsOf(dir: String): Map[Long, (Seq[Double], Int)] =
+    IncrementalVectors.load(spark, s"$dir/vectors")
+      .select(col("vec_id"), col("v"), col("cell").cast("int"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Double](1), r.getInt(2)))).toMap
+
+  test("one tick feeds all three stores from one detection; second tick is a no-op") {
+    val dir = tmp("happy")
+    val feed = new Feed
+    feed.rows += ((1L, "alpha beta", 0, Seq(0.9, 0.1), "2024-01-01 00:00:01"))
+    feed.rows += ((2L, "beta gamma", 1, Seq(0.1, 0.9), "2024-01-01 00:00:02"))
+    val p = mkPipeline(feed, dir)
+    assert(p.tick(spark) === 2L)
+    assert(docsOf(dir) === Map(1L -> "ALPHA BETA", 2L -> "BETA GAMMA"))
+    assert(postingsOf(dir) === Set(
+      ("alpha", 1L, 1L), ("beta", 1L, 1L), ("beta", 2L, 1L), ("gamma", 2L, 1L)))
+    assert(vectorsOf(dir).view.mapValues(_._2).toMap === Map(1L -> 0, 2L -> 1))
+    // caught up: no store touched, watermark unchanged
+    assert(p.tick(spark) === 0L)
+  }
+
+  test("same-batch double change: every store absorbs the LATEST row only") {
+    val dir = tmp("latest")
+    val feed = new Feed
+    feed.rows += ((1L, "old text", 0, Seq(0.9, 0.1), "2024-01-01 00:00:01"))
+    feed.rows += ((1L, "new text", 0, Seq(0.1, 0.9), "2024-01-01 00:00:02"))
+    val p = mkPipeline(feed, dir)
+    assert(p.tick(spark) === 1L)
+    assert(docsOf(dir) === Map(1L -> "NEW TEXT"))
+    assert(postingsOf(dir).map(_._1) === Set("new", "text"))
+    assert(vectorsOf(dir)(1L)._2 === 1, "vector is the 00:00:02 embedding's cell")
+  }
+
+  for (crashAt <- Seq("docs", "postings")) {
+    test(s"crash after the $crashAt stage: watermark holds, next tick converges all three stores") {
+      val dir = tmp(s"crash-$crashAt")
+      val feed = new Feed
+      feed.rows += ((1L, "alpha beta", 0, Seq(0.9, 0.1), "2024-01-01 00:00:01"))
+      feed.rows += ((2L, "beta gamma", 1, Seq(0.1, 0.9), "2024-01-01 00:00:02"))
+      mkPipeline(feed, dir).tick(spark) // healthy first batch
+
+      // second batch: id 1 rewritten (text AND embedding move), id 3 new
+      feed.rows += ((1L, "delta", 0, Seq(-0.9, 0.1), "2024-01-01 00:00:03"))
+      feed.rows += ((3L, "epsilon", 2, Seq(0.0, -0.8), "2024-01-01 00:00:04"))
+      val crashing = mkPipeline(feed, dir, failAfter = Some(crashAt))
+      val wmBefore = crashing.currentWatermark(spark)
+      intercept[RuntimeException](crashing.tick(spark))
+
+      // the watermark must NOT have advanced past the crashed batch…
+      assert(crashing.currentWatermark(spark) === wmBefore)
+      // …and the stores BEHIND the crash point are still the old batch
+      // (docs always committed before the crash in both scenarios)
+      assert(docsOf(dir) === Map(1L -> "DELTA", 2L -> "BETA GAMMA", 3L -> "EPSILON"))
+      if (crashAt == "docs")
+        assert(!postingsOf(dir).map(_._1).contains("delta"),
+          "postings stage never ran — store is the first batch")
+      assert(vectorsOf(dir)(1L)._2 === 0, "vector stage never ran — old cell")
+
+      // recovery: a plain tick re-detects the SAME batch and converges
+      val p = mkPipeline(feed, dir)
+      assert(p.tick(spark) === 2L)
+      assert(docsOf(dir) === Map(1L -> "DELTA", 2L -> "BETA GAMMA", 3L -> "EPSILON"))
+      assert(postingsOf(dir) === Set(
+        ("delta", 1L, 1L), ("beta", 2L, 1L), ("gamma", 2L, 1L), ("epsilon", 3L, 1L)))
+      assert(vectorsOf(dir).view.mapValues(_._2).toMap ===
+        Map(1L -> 2, 2L -> 1, 3L -> 3), "id 1 moved cell 0→2, ghost dropped")
+      assert(p.tick(spark) === 0L, "converged: nothing left to absorb")
+    }
+  }
+}
