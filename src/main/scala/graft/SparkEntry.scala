@@ -50,6 +50,8 @@ object SparkEntry {
     "q_json_extract"     -> (EventsOps.jsonExtract(_, _)),
     "q_sessionize"       -> (EventsOps.sessionize(_, _)),
     "q_funnel"           -> (EventsOps.funnel(_, _)),
+    "q_retention"        -> (EventsOps.retention(_, _)),
+    "q_volume_anomaly"   -> (EventsOps.volumeAnomaly(_, _)),
     "q_asof_join"        -> (EventsOps.asofJoin(_, _)),
     "q_range_join"       -> ((s, d) => EventsOps.rangeJoin(s, d)),
     // Full-text search (ES query surface, SURVEY §3.3 / F10-F14 / A9)
@@ -68,6 +70,8 @@ object SparkEntry {
     "q_search_phrase"    -> ((s, d) => SearchOps.phraseSearch(s, d)),
     "q_search_phrase_idx" -> ((s, d) => SearchOps.phraseSearchIndexed(s, d)),
     "q_search_bool"      -> ((s, d) => SearchOps.boolQuery(s, d)),
+    "q_function_score"   -> ((s, d) => SearchOps.functionScore(s, d)),
+    "q_pivot"            -> ((s, d) => RelationalOps.pivotStatus(s, d)),
     "q_hybrid_search"    -> ((s, d) => SearchOps.hybridSearch(s, d)),
     "q_more_like_this"   -> ((s, d) => SearchOps.moreLikeThis(s, d)),
     "q_sig_terms"        -> ((s, d) => SearchOps.significantTerms(s, d)),
@@ -94,6 +98,7 @@ object SparkEntry {
     "q_perplexity_buckets_approx" -> (TextOps.perplexityBucketsApproxGraded(_, _)),
     "q_compression_ratio" -> (TextOps.compressionRatio(_, _)),
     "q_vocab_coverage"   -> ((s, d) => TextOps.vocabCoverage(s, d)),
+    "q_kl_divergence"    -> (TextOps.klDivergence(_, _)),
     "q_decontaminate"    -> ((s, d) => TextOps.decontaminate(s, d)),
     "q_dup_ngram_frac"   -> ((s, d) => TextOps.dupNgramFraction(s, d)),
     "q_pii_scrub"        -> (TextOps.piiScrub(_, _)),
@@ -112,6 +117,7 @@ object SparkEntry {
     "q_cosine_topk"      -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
     "q_knn_join"         -> ((s, d) => SimilarityOps.knnJoin(s, d)),
     "q_knn_join_ivf"     -> ((s, d) => SimilarityOps.knnJoinIvf(s, d)),
+    "q_retrieval_eval"   -> ((s, d) => SimilarityOps.retrievalEval(s, d)),
     "q_proto_score"      -> ((s, d) => SimilarityOps.protoScore(s, d)),
     "q_index_stats"      -> ((s, d) => SimilarityOps.indexStats(s, d)),
     "q_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(s, d)),

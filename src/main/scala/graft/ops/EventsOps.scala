@@ -217,7 +217,111 @@ object EventsOps {
         expr("(e_ts - p_ts) div 1000").as("lag_ms"))
   }
 
+  /** Cohort retention — the product-analytics table funnel/sessionize
+    * leave missing: users grouped by FIRST-SEEN day (their cohort), then
+    * for each day offset the share of the cohort active that day. The
+    * classic triangle chart behind "day-7 retention".
+    *
+    * Determinism: days are integer indexes from a fixed epoch date and the
+    * retained share is integer fixed point ((2^20·n_active) div n_cohort)
+    * — no IEEE division crosses engines. Offsets are capped at 30 so the
+    * result stays a bounded report at any corpus scale.
+    *
+    * Scale: distinct (user, day) activity [keyed exchange], per-user min
+    * window for the cohort [same user_id key — AQE coalesces], then one
+    * small keyed aggregate per (cohort, offset); cohort sizes derive from
+    * the same frame and broadcast back. No global windows, no joins wider
+    * than the day-grain report.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("2024-01-01"))
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), datediff(to_date(col("ts")), epoch).as("day_idx"))
+      .distinct()
+    val byUser = Window.partitionBy(col("user_id"))
+    val withCohort = act
+      .withColumn("cohort_day", min(col("day_idx")).over(byUser))
+      .withColumn("day_offset", col("day_idx") - col("cohort_day"))
+      .filter(col("day_offset") <= 30)
+    val active = withCohort.groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+    val sizes = withCohort.filter(col("day_offset") === 0)
+      .groupBy("cohort_day")
+      .agg(countDistinct("user_id").as("n_cohort"))
+    active.join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day").cast("long"), col("day_offset").cast("long"),
+        col("n_active"), col("n_cohort"),
+        expr("(1048576 * n_active) div n_cohort").as("retained_fp"))
+  }
+
+  /** Hourly event-volume anomaly detection: per event type, hours whose
+    * count deviates ≥ 2σ from that type's mean hourly volume — the ops
+    * dashboard query over the same feed the CDC tier ingests.
+    *
+    * ALL-INTEGER z-test: with cnt hours, s = Σn, ss = Σn², the test
+    * |n − s/cnt| ≥ 2σ (population σ) multiplies out to
+    * (n·cnt − s)² ≥ 4·(cnt·ss − s²) — every term an exact BIGINT, so the
+    * spike flag is bit-identical cross-engine with no mean, sqrt, or
+    * division anywhere. (Bound: |n·cnt − s| must fit 63 bits — fine until
+    * a single type logs ~3·10⁹ events per mean-σ unit; past that the
+    * squared test moves to DECIMAL(38,0).)
+    *
+    * Scale: one keyed aggregate to hourly counts, then a per-type window
+    * over the tiny (type × hour) frame. Nothing touches raw events twice.
+    */
+  def volumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hour_idx"))
+      .groupBy("event_type", "hour_idx")
+      .agg(count(lit(1)).as("n_events"))
+    val byType = Window.partitionBy(col("event_type"))
+    hourly
+      .withColumn("cnt", count(lit(1)).over(byType))
+      .withColumn("s", sum(col("n_events")).over(byType))
+      .withColumn("ss", sum(col("n_events") * col("n_events")).over(byType))
+      .select(col("event_type"), col("hour_idx"), col("n_events"),
+        (col("n_events") * col("cnt") - col("s")).as("dev_num"),
+        ((col("n_events") * col("cnt") - col("s")) *
+         (col("n_events") * col("cnt") - col("s")) >=
+          lit(4) * (col("cnt") * col("ss") - col("s") * col("s"))).as("is_spike"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_retention" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, day_idx,
+        |    MIN(day_idx) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM d),
+        |a AS (
+        |  SELECT cohort_day, day_idx - cohort_day AS day_offset,
+        |    COUNT(DISTINCT user_id) AS n_active
+        |  FROM c WHERE day_idx - cohort_day <= 30 GROUP BY 1, 2),
+        |s AS (
+        |  SELECT cohort_day, COUNT(DISTINCT user_id) AS n_cohort
+        |  FROM c WHERE day_idx = cohort_day GROUP BY 1)
+        |SELECT CAST(a.cohort_day AS BIGINT) AS cohort_day,
+        |  CAST(a.day_offset AS BIGINT) AS day_offset, a.n_active, s.n_cohort,
+        |  (1048576 * a.n_active) // s.n_cohort AS retained_fp
+        |FROM a JOIN s USING (cohort_day)""".stripMargin,
+    "q_volume_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, COUNT(*) OVER win AS cnt,
+        |    CAST(SUM(n_events) OVER win AS BIGINT) AS s,
+        |    CAST(SUM(n_events * n_events) OVER win AS BIGINT) AS ss
+        |  FROM h WINDOW win AS (PARTITION BY event_type))
+        |SELECT event_type, hour_idx, n_events,
+        |  n_events * cnt - s AS dev_num,
+        |  (n_events * cnt - s) * (n_events * cnt - s)
+        |    >= 4 * (cnt * ss - s * s) AS is_spike
+        |FROM w""".stripMargin,
     "q_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

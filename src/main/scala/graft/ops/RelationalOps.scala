@@ -378,6 +378,24 @@ object RelationalOps {
         min("n_chars").as("min_chars"),
         max("n_chars").as("max_chars"))
 
+  /** PIVOT crosstab (orders: priority × status counts) — the admin
+    * dashboard's two-dimensional rollup, and the relational face ES serves
+    * as nested terms-in-terms aggregations. Pivot values are an EXPLICIT
+    * fixed list: with inferred values Spark first runs a distinct scan to
+    * discover them and the output schema becomes data-dependent — a fixed
+    * list keeps the plan one aggregate and the schema stable, which is
+    * also what a 100 TB report needs (the column set must not drift
+    * between runs). Under the hood this is a single hash aggregate with
+    * one count per pivot value (map-side partial combine), never a
+    * per-value subquery; absent cells coalesce to 0 like COUNT FILTER.
+    */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   /** Top-k per group (each customer's 3 largest orders): rank window with a
     * deterministic tie-break, filtered to k. Scale: one shuffle on the
     * group key; within-partition sort only — no global sort, and at 100 TB
@@ -395,6 +413,12 @@ object RelationalOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT o_orderpriority AS priority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_histogram_agg" ->
       """SELECT CAST((n_chars // 200) * 200 AS BIGINT) AS bucket,
         |  COUNT(*) AS doc_count,

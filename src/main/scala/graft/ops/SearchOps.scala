@@ -148,6 +148,44 @@ object SearchOps {
       .limit(k)
   }
 
+  /** ES `function_score` — relevance rewritten by document-level signals:
+    * a recency DECAY function multiplied by a popularity field factor, the
+    * canonical "boost fresh + popular" listing query (ES function_score
+    * with a `linear` decay clause and a `field_value_factor`). Expressed
+    * over the star schema: orders scored by
+    * `linear_decay(o_orderdate; origin, offset 60d, scale 730d) × n_items`
+    * where n_items (the order's lineitem count) is the popularity factor.
+    *
+    * Decay is ES's linear shape — 1.0 inside `offset` days of origin,
+    * falling linearly to 0 at offset+scale — computed ENTIRELY in integer
+    * day arithmetic and 2^20 fixed point: `(2^20·max(0, scale − max(0,
+    * days_old − offset))) div scale`. ES's default gauss shape needs exp()
+    * whose cross-engine bit-identity is exactly the free-double hazard
+    * that cost q_sig_terms its r9 hash; linear is the shape with an exact
+    * integer form, so the scores — and the ranking — replay bit-for-bit.
+    *
+    * Scale: lineitem pre-aggregates map-side to (orderkey, n_items) before
+    * the keyed join (never a row-level join then count), the decay is a
+    * per-row projection on the join output, and the listing is a partial
+    * top-k (TakeOrderedAndProject), not a sort.
+    */
+  def functionScore(spark: SparkSession, dir: String,
+                    origin: String = "2001-08-01", offsetDays: Int = 60,
+                    scaleDays: Int = 730, k: Int = 50): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .withColumn("days_old", datediff(to_date(lit(origin)), col("od")))
+      .withColumn("decay_fp",
+        expr(s"(1048576L * greatest(0, $scaleDays - greatest(0, days_old - $offsetDays))) div $scaleDays"))
+      .select(col("o_orderkey"), col("n_items"), col("decay_fp"),
+        (col("decay_fp") * col("n_items")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
   /** The INDEXED face of [[phraseSearch]] — phrase intersection over a
     * POSITIONAL postings relation (token, doc_id, pos), the way Lucene
     * actually serves match_phrase (position lists, not document rescans):
@@ -1040,6 +1078,21 @@ object SearchOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_function_score" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY 1),
+        |s AS (
+        |  SELECT o.o_orderkey, li.n_items,
+        |    datediff('day', CAST(o.o_orderdate AS DATE), DATE '2001-08-01')
+        |      AS days_old
+        |  FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey)
+        |SELECT o_orderkey, n_items,
+        |  CAST((1048576 * GREATEST(0, 730 - GREATEST(0, days_old - 60))) // 730
+        |    AS BIGINT) AS decay_fp,
+        |  CAST((1048576 * GREATEST(0, 730 - GREATEST(0, days_old - 60))) // 730
+        |    AS BIGINT) * n_items AS score_fp
+        |FROM s
+        |ORDER BY score_fp DESC, o_orderkey ASC LIMIT 50""".stripMargin,
     "q_search_multifield" -> multiFieldOracle,
     "q_search_match" ->
       s"""WITH scored AS (

@@ -774,6 +774,44 @@ object SimilarityOps {
         col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
   }
 
+  /** Retrieval-quality evaluation: recall@k and reciprocal rank of the IVF
+    * k-NN join against brute-force ground truth — the harness every ANN
+    * deployment runs before trusting an index (FAISS's own benchmarks are
+    * exactly this shape), here as a first-class operator so the eval is a
+    * query, not a notebook. Per query: hits = |IVF top-k ∩ brute top-k|,
+    * the system rank of the first true neighbor found, and both metrics in
+    * 2^20 fixed point (`rr_fp = 2^20 div first_rank`, `recall_fp =
+    * 2^20·hits div k`) — integer division only, so the scorecard replays
+    * bit-for-bit; queries where the index misses everything still appear
+    * (left join from the query set, zeros).
+    *
+    * Scale: ground truth is brute-force BY DESIGN — over the bounded eval
+    * query sample, |Q|·N with broadcast queries and a partial top-k, the
+    * one place exhaustive scoring is the methodology rather than a scale
+    * bug. The system side reads nprobe/nlist of the corpus like every IVF
+    * face. Both sides' rankings are the already-oracled q_knn_join /
+    * q_knn_join_ivf plans, reused verbatim.
+    */
+  def retrievalEval(spark: SparkSession, dir: String, nQueries: Int = 8,
+                    k: Int = 5, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val truth = knnJoin(spark, dir, nQueries, k)
+      .select(col("q_id"), col("vec_id"))
+    val sys = knnJoinIvf(spark, dir, nQueries = nQueries,
+        nlist = nlist, nprobe = nprobe, k = k)
+      .select(col("q_id"), col("vec_id"), col("rank"))
+    val agg = sys.join(truth, Seq("q_id", "vec_id"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_hits"), min("rank").as("fr"))
+    truth.select("q_id").distinct()
+      .join(agg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("fr"), lit(0L)).as("first_rank"),
+        when(col("fr").isNull, lit(0L))
+          .otherwise(expr("1048576L div fr")).as("rr_fp"),
+        expr(s"(1048576L * coalesce(n_hits, 0L)) div $k").as("recall_fp"))
+  }
+
   /** Prototypicality scoring (the SSL-prototypes pruning signal, Sorscher
     * et al. 2022 "Beyond neural scaling laws": a sample's cosine to its
     * cluster centroid measures how PROTOTYPICAL it is; pruning the most
@@ -1404,6 +1442,44 @@ object SimilarityOps {
     // full replay of the IVF-bucketed k-NN join: stand-in codebook,
     // coarse assignment (argmax cosine, highest-cid tie-break), per-query
     // top-nprobe cell ranking, probed-cells-only scoring, per-query top-k
+    "q_retrieval_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |ts AS (SELECT q.q_id, e.vec_id, list_cosine_similarity(e.v, q.qv) AS c
+        |       FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        |truth AS (SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id ASC) AS rn
+        |    FROM ts) WHERE rn <= 5),
+        |c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid DESC) AS rn
+        |  FROM e CROSS JOIN c),
+        |cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE rn = 1),
+        |qc AS (SELECT q.q_id, q.qv, c.cid AS cell,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid DESC) AS rn
+        |  FROM q CROSS JOIN c),
+        |probe AS (SELECT q_id, qv, cell FROM qc WHERE rn <= 4),
+        |ss AS (
+        |  SELECT p.q_id, t.vec_id, list_cosine_similarity(t.v, p.qv) AS cr
+        |  FROM cells t JOIN probe p ON t.cell = p.cell
+        |  WHERE t.vec_id <> p.q_id),
+        |sys AS (SELECT q_id, vec_id, rn AS rank FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cr DESC, vec_id ASC) AS rn
+        |    FROM ss) WHERE rn <= 5),
+        |agg AS (
+        |  SELECT s.q_id, COUNT(*) AS n_hits, MIN(s.rank) AS fr
+        |  FROM sys s JOIN truth t ON t.q_id = s.q_id AND t.vec_id = s.vec_id
+        |  GROUP BY 1)
+        |SELECT q.q_id, COALESCE(a.n_hits, 0) AS n_hits,
+        |  CAST(COALESCE(a.fr, 0) AS BIGINT) AS first_rank,
+        |  CASE WHEN a.fr IS NULL THEN 0 ELSE 1048576 // a.fr END AS rr_fp,
+        |  (1048576 * COALESCE(a.n_hits, 0)) // 5 AS recall_fp
+        |FROM q LEFT JOIN agg a ON a.q_id = q.q_id""".stripMargin,
     "q_knn_join_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 16),

@@ -144,4 +144,77 @@ class EventsSpec extends SparkSpecBase {
     assert(out.filter(col("purchase_event_id") =!= -1 &&
       col("purchase_ts_ms") > col("ts_ms")).count() === 0)
   }
+
+  test("retention fixture: cohorts by first-seen day, fixed-point shares exact") {
+    import spark.implicits._
+    val day = 86400L * 1000000 // one day of epoch micros
+    // epoch date 2024-01-01 = micros 1704067200000000; day indexes offset from it
+    val d0 = 1704067200000000L
+    val rows = Seq( // user 1 active days 0,1,3; user 2 days 0,2; user 3 day 1
+      (1L, d0), (1L, d0 + day), (1L, d0 + 3 * day),
+      (2L, d0 + 1000), (2L, d0 + 2 * day),
+      (3L, d0 + day + 5))
+    val dir = java.nio.file.Files.createTempDirectory("retention").toString
+    rows.toDF("user_id", "ts")
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventsOps.retention(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("n_cohort"),
+          r.getAs[Long]("retained_fp"))).toMap
+    assert(got === Map(
+      (0L, 0L) -> ((2L, 2L, 1048576L)), // u1+u2 on their cohort day
+      (0L, 1L) -> ((1L, 2L, 524288L)),  // only u1 back next day
+      (0L, 2L) -> ((1L, 2L, 524288L)),  // only u2
+      (0L, 3L) -> ((1L, 2L, 524288L)),  // only u1
+      (1L, 0L) -> ((1L, 1L, 1048576L)))) // u3's own cohort
+  }
+
+  test("retention: day-0 row is the full cohort; shares never exceed 2^20; offsets capped") {
+    val out = EventsOps.retention(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (off, nA, nC, fp) = (r.getLong(1), r.getAs[Long]("n_active"),
+        r.getAs[Long]("n_cohort"), r.getAs[Long]("retained_fp"))
+      assert(off >= 0 && off <= 30)
+      assert(nA <= nC && fp <= 1048576L)
+      if (off == 0) assert(nA === nC && fp === 1048576L)
+    }
+  }
+
+  test("volumeAnomaly fixture: the all-integer 2-sigma test flags the planted spike only") {
+    import spark.implicits._
+    val hour = 3600L * 1000000
+    val t0 = 1704067200000000L
+    // one event type, 10 hours: nine quiet hours of 1 event, one hour of 29
+    val rows = (0 until 9).map(h => (t0 + h * hour, 1)) ++
+      (0 until 29).map(i => (t0 + 9 * hour + i * 1000L, 1)).map { case (t, _) => (t, 1) }
+    val dir = java.nio.file.Files.createTempDirectory("anomaly").toString
+    rows.map(_._1).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("event_id", "ts")
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", lit("click"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventsOps.volumeAnomaly(spark, dir).collect()
+      .map(r => r.getLong(1) -> (r.getAs[Long]("n_events"), r.getAs[Boolean]("is_spike")))
+      .toMap
+    val spikeHour = t0 / hour + 9
+    assert(got(spikeHour) === ((29L, true)))
+    got.filterNot(_._1 == spikeHour).values.foreach { case (n, s) =>
+      assert(n === 1L && !s)
+    }
+  }
+
+  test("volumeAnomaly: per-type deviations sum to zero (the integer identity)") {
+    val out = EventsOps.volumeAnomaly(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byType = out.groupBy(_.getString(0))
+    byType.foreach { case (_, rows) =>
+      // Σ(n·cnt − s) over a type's hours = cnt·s − cnt·s = 0 exactly
+      assert(rows.map(_.getAs[Long]("dev_num")).sum === 0L)
+    }
+  }
 }

@@ -149,4 +149,19 @@ class RelationalSpec extends SparkSpecBase {
       .collect().map(_.getAs[Long]("o_orderkey")).toSeq
     assert(rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("o_orderkey")).toSeq === direct)
   }
+
+  test("pivotStatus: crosstab cells reconcile with the flat group-by; absent cells are 0") {
+    val out = RelationalOps.pivotStatus(spark, sf).collect()
+    assert(out.map(_.getString(0)).distinct.length === out.length)
+    val flat = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority", "o_orderstatus").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    out.foreach { r =>
+      val p = r.getString(0)
+      Seq("O", "F", "P").foreach { s =>
+        assert(r.getAs[Long](s) === flat.getOrElse((p, s), 0L))
+      }
+    }
+  }
 }

@@ -483,4 +483,28 @@ class SearchSpec extends SparkSpecBase {
       assert(r.getAs[Long]("covered_toks") <= r.getAs[Long]("total_toks"))
     }
   }
+
+  test("functionScore: decay bounded in [0, 2^20], score = decay x items, listing sorted") {
+    val out = graft.ops.SearchOps.functionScore(spark, sf).collect()
+    assert(out.length === 50)
+    out.foreach { r =>
+      val (n, d, s) = (r.getAs[Long]("n_items"), r.getAs[Long]("decay_fp"),
+        r.getAs[Long]("score_fp"))
+      assert(d >= 0L && d <= 1048576L)
+      assert(s === d * n)
+    }
+    val scores = out.map(r => (r.getAs[Long]("score_fp"), r.getAs[Long]("o_orderkey")))
+    assert(scores.sliding(2).forall { case Array((s1, k1), (s2, k2)) =>
+      s1 > s2 || (s1 == s2 && k1 < k2) })
+  }
+
+  test("functionScore: hand-replayed linear decay at the three regimes") {
+    // inside offset -> full 2^20; past offset+scale -> 0; midway -> exact integer
+    def decay(daysOld: Int): Long =
+      (1048576L * math.max(0, 730 - math.max(0, daysOld - 60))) / 730
+    assert(decay(10) === 1048576L)
+    assert(decay(60) === 1048576L)
+    assert(decay(60 + 730) === 0L)
+    assert(decay(425) === (1048576L * 365) / 730)
+  }
 }

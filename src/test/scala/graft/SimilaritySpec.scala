@@ -414,4 +414,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(got(0) - 0.0) < 1e-12)
     assert(math.abs(got(1) - 1.0) < 1e-12)
   }
+
+  test("retrievalEval: full probe is a perfect scorecard; defaults stay within bounds") {
+    val full = graft.ops.SimilarityOps.retrievalEval(spark, sf, nlist = 16, nprobe = 16)
+      .collect()
+    assert(full.length === 8)
+    full.foreach { r =>
+      assert(r.getAs[Long]("n_hits") === 5L)
+      assert(r.getAs[Long]("first_rank") === 1L)
+      assert(r.getAs[Long]("rr_fp") === 1048576L)
+      assert(r.getAs[Long]("recall_fp") === 1048576L)
+    }
+    val dflt = graft.ops.SimilarityOps.retrievalEval(spark, sf).collect()
+    assert(dflt.length === 8)
+    dflt.foreach { r =>
+      val (h, fr, rr, rec) = (r.getAs[Long]("n_hits"), r.getAs[Long]("first_rank"),
+        r.getAs[Long]("rr_fp"), r.getAs[Long]("recall_fp"))
+      assert(h >= 0L && h <= 5L)
+      assert(rec === (1048576L * h) / 5)
+      if (h > 0) assert(rr === 1048576L / fr) else assert(rr === 0L && fr === 0L)
+    }
+  }
 }

@@ -437,4 +437,33 @@ class TextSpec extends SparkSpecBase {
     assert(out(("en", "s2")) === ((1L, 5.0)))
     assert(out(("de", "s1")) === ((1L, 3.0)))
   }
+
+  test("klDivergence: identical sources sit at zero; a skewed source is strictly positive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kl").toString
+    Seq(
+      (1L, "alpha beta gamma delta", "same_a"),
+      (2L, "alpha beta gamma delta", "same_b"),
+      (3L, "alpha alpha alpha alpha alpha alpha alpha alpha omega", "skewed"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.TextOps.klDivergence(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("kl_fp")).toMap
+    // same_a and same_b have identical distributions but differ from the
+    // corpus mix (which includes the skew), so only exact symmetry holds
+    assert(out("same_a") === out("same_b"))
+    assert(out("skewed") > 0L)
+    assert(out("skewed") > out("same_a"))
+  }
+
+  test("klDivergence: corpus-level Gibbs bound (sum is non-negative up to rounding)") {
+    val out = graft.ops.TextOps.klDivergence(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // each term rounds to +-0.5 fp units; KL(P||Q) >= 0 exactly, so the
+      // folded integer can dip below zero by at most n_terms/2
+      assert(r.getAs[Long]("kl_fp") >= -r.getAs[Long]("n_terms"))
+      assert(r.getAs[Long]("n_toks") >= r.getAs[Long]("n_terms"))
+    }
+  }
 }
