@@ -52,6 +52,8 @@ object SparkEntry {
     "q_funnel"           -> (EventsOps.funnel(_, _)),
     "q_retention"        -> (EventsOps.retention(_, _)),
     "q_volume_anomaly"   -> (EventsOps.volumeAnomaly(_, _)),
+    "q_active_users"     -> (EventsOps.activeUsers(_, _)),
+    "q_pipeline_agg"     -> (EventsOps.pipelineAgg(_, _)),
     "q_asof_join"        -> (EventsOps.asofJoin(_, _)),
     "q_range_join"       -> ((s, d) => EventsOps.rangeJoin(s, d)),
     // Full-text search (ES query surface, SURVEY §3.3 / F10-F14 / A9)
@@ -71,6 +73,7 @@ object SparkEntry {
     "q_search_phrase_idx" -> ((s, d) => SearchOps.phraseSearchIndexed(s, d)),
     "q_search_bool"      -> ((s, d) => SearchOps.boolQuery(s, d)),
     "q_function_score"   -> ((s, d) => SearchOps.functionScore(s, d)),
+    "q_search_highlight" -> ((s, d) => SearchOps.highlight(s, d)),
     "q_pivot"            -> ((s, d) => RelationalOps.pivotStatus(s, d)),
     "q_hybrid_search"    -> ((s, d) => SearchOps.hybridSearch(s, d)),
     "q_more_like_this"   -> ((s, d) => SearchOps.moreLikeThis(s, d)),
@@ -87,6 +90,7 @@ object SparkEntry {
     "q_stratified_sample" -> (TextOps.stratifiedSample(_, _)),
     "q_repetition"       -> (TextOps.repetition(_, _)),
     "q_corpus_mix"       -> (TextOps.corpusMix(_, _)),
+    "q_temperature_mix"  -> (TextOps.temperatureMix(_, _)),
     "q_pack"             -> ((s, d) => TextOps.packChunks(s, d)),
     "q_chunk_docs"       -> (TextOps.chunkDocs(_, _)),
     "q_pack_bpe"         -> ((s, d) => TextOps.packChunksBpe(s, d)),
@@ -108,6 +112,7 @@ object SparkEntry {
     "q_minhash_sig"      -> (DedupOps.minhashSignature(_, _)),
     "q_minhash_pairs"    -> (DedupOps.minhashPairs(_, _)),
     "q_dup_clusters"     -> (DedupOps.dupClusters(_, _)),
+    "q_dup_best"         -> ((s, d) => DedupOps.dupBest(s, d)),
     "q_simhash"          -> (DedupOps.simhash(_, _)),
     "q_ngram_jaccard"    -> (DedupOps.ngramJaccard(_, _)),
     "q_dedup_spans"      -> ((s, d) => DedupOps.dedupSpans(s, d)),

@@ -282,6 +282,38 @@ object DedupOps {
     graft.Tables.parquetCached(spark, p)
   }
 
+  /** Cluster-representative selection — the policy layer production dedup
+    * actually ships: within every near-dup cluster KEEP the best copy and
+    * drop the rest. "Best" here is the longest copy (n_chars, an exact
+    * integer from the table — a truncated or boilerplate-stripped duplicate
+    * loses to the full document), with min-doc_id tie-break; swapping in
+    * any other integer quality key (crawl priority, source rank) is a
+    * one-line change. Contrast with the min-id representative the curation
+    * gate uses — that picks an ARBITRARY survivor; this picks the right
+    * one, which is why RefinedWeb/FineWeb-class pipelines select by quality
+    * rather than id.
+    *
+    * Served shape: reads the [[servedDupClusters]] store (the CC fixpoint
+    * is an offline artifact — this query never re-clusters), joins the
+    * integer quality key, one rank window PARTITIONED BY cluster — the
+    * exchange is cluster-keyed and clusters are tiny, so the window never
+    * globalizes. All-integer ordering ⇒ the keep verdict replays
+    * bit-for-bit.
+    */
+  def dupBest(spark: SparkSession, dir: String,
+              threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = servedDupClusters(spark, dir, threshold)
+    val keys = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    clusters.join(keys, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("n_chars"), (col("rk") === 1).as("keep"))
+  }
+
   /** Connected components over an undirected pair graph (`left_id`,
     * `right_id` columns) → one `(id, label)` row per node, label = the
     * component minimum. Shared by [[dupClusters]] (text near-dup graph) and
@@ -550,6 +582,36 @@ object DedupOps {
        |FROM comp c
        |JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp
        |      GROUP BY cluster_id) s USING (cluster_id)""".stripMargin
+
+  /** [[dupClusters]]' recursive replay extended with the keep-best-copy
+    * policy: longest n_chars wins, min doc_id ties.
+    */
+  private def dupBestOracle: String =
+    s"""WITH RECURSIVE $candCtes,
+       |p AS MATERIALIZED (
+       |  SELECT left_id, right_id FROM (
+       |    SELECT left_id, right_id,
+       |      CAST(len([i for i in range(1,9) if lsig[i] = rsig[i]]) AS DOUBLE) / 8 AS est
+       |    FROM cand)
+       |  WHERE est >= 0.5),
+       |edges AS MATERIALIZED (
+       |  SELECT left_id AS src, right_id AS dst FROM p
+       |  UNION ALL SELECT right_id, left_id FROM p),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+       |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+       |sized AS (
+       |  SELECT c.doc_id, c.cluster_id, s.cluster_size, d.n_chars,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+       |  FROM comp c
+       |  JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp
+       |        GROUP BY cluster_id) s USING (cluster_id)
+       |  JOIN documents d USING (doc_id))
+       |SELECT doc_id, cluster_id, cluster_size, n_chars, rk = 1 AS keep
+       |FROM sized""".stripMargin
 
   /** DuckDB replay of the LSH-blocked exact word-trigram Jaccard. */
   private def ngramJaccardOracle: String = {
@@ -930,6 +992,7 @@ object DedupOps {
     "q_dedup_spans" -> dedupSpansOracle,
     "q_minhash_pairs" -> minhashPairsOracle,
     "q_dup_clusters" -> dupClustersOracle,
+    "q_dup_best" -> dupBestOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
     "q_simhash" -> simhashOracle,
     "q_dedup_exact" ->

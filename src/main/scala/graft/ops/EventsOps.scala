@@ -254,6 +254,68 @@ object EventsOps {
         expr("(1048576 * n_active) div n_cohort").as("retained_fp"))
   }
 
+  /** ES pipeline aggregations over a date_histogram — `moving_fn` (7-day
+    * trailing sum) and `derivative` (day-over-day delta) per event type,
+    * the dashboard smoothing/trend pair ES layers on top of a bucket agg.
+    *
+    * The window is RANGE-framed on the integer day index, not row-framed:
+    * a gap day must still bound the trailing week (ES's histogram emits
+    * empty buckets to the pipeline; range framing gets the same calendar
+    * semantics without materializing them). Counts and deltas are exact
+    * integers; the first bucket's derivative is NULL exactly as ES emits
+    * it. One keyed aggregate to daily counts, then two windows over the
+    * tiny type×day frame — the raw feed is read once.
+    */
+  def pipelineAgg(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("2024-01-01"))
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), epoch).as("day_idx"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+    daily
+      .withColumn("mov7_sum", sum(col("n")).over(byType.rangeBetween(-6, 0)))
+      .withColumn("delta", col("n") - lag(col("n"), 1).over(byType))
+      .select(col("event_type"), col("day_idx").cast("long").as("day_idx"),
+        col("n"), col("mov7_sum"), col("delta"))
+  }
+
+  /** Rolling active-user counts — DAU / WAU (trailing 7d) / MAU (trailing
+    * 30d) per day plus the DAU/MAU stickiness ratio, the product-health
+    * trio next to [[retention]]'s cohort triangle.
+    *
+    * Spark has no DISTINCT-over-range-window; the scale-correct form is
+    * CONTRIBUTION EXPLOSION: each distinct (user, day) activity row emits
+    * the ≤30 future days it contributes to (`cday = day + o, o ∈ 0..29`),
+    * and one keyed aggregate per cday counts distinct users with the
+    * window-membership predicates as count-distinct filters (o = 0 → DAU,
+    * o ≤ 6 → WAU, all → MAU). Work is a flat 30× of the distinct activity
+    * frame — linear, shuffle-keyed on the day, no per-day self-join, no
+    * global window; the day spine semi-join (broadcast — there are only
+    * days many) drops contributions past the last observed day.
+    * Stickiness is integer fixed point ((2^20·dau) div mau), day indexes
+    * are integers from the pinned epoch date — the whole report replays
+    * bit-for-bit.
+    */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("2024-01-01"))
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), datediff(to_date(col("ts")), epoch).as("day_idx"))
+      .distinct()
+    val spine = act.select(col("day_idx").as("cday")).distinct()
+    act.withColumn("o", explode(sequence(lit(0), lit(29))))
+      .withColumn("cday", col("day_idx") + col("o"))
+      .join(broadcast(spine), Seq("cday"), "left_semi")
+      .groupBy("cday")
+      .agg(
+        countDistinct(when(col("o") === 0, col("user_id"))).as("dau"),
+        countDistinct(when(col("o") <= 6, col("user_id"))).as("wau"),
+        countDistinct(col("user_id")).as("mau"))
+      .select(col("cday").cast("long").as("day_idx"),
+        col("dau"), col("wau"), col("mau"),
+        expr("(1048576 * dau) div mau").as("stickiness_fp"))
+  }
+
   /** Hourly event-volume anomaly detection: per event type, hours whose
     * count deviates ≥ 2σ from that type's mean hourly volume — the ops
     * dashboard query over the same feed the CDC tier ingests.
@@ -287,6 +349,35 @@ object EventsOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_pipeline_agg" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx, n,
+        |  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day_idx
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov7_sum,
+        |  n - lag(n) OVER (PARTITION BY event_type ORDER BY day_idx) AS delta
+        |FROM daily""".stripMargin,
+    "q_active_users" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, day_idx, o, day_idx + o AS cday
+        |  FROM d, (SELECT unnest(range(30)) AS o) os),
+        |spine AS (SELECT DISTINCT day_idx AS cday FROM d),
+        |a AS (
+        |  SELECT cday,
+        |    COUNT(DISTINCT CASE WHEN o = 0 THEN user_id END) AS dau,
+        |    COUNT(DISTINCT CASE WHEN o <= 6 THEN user_id END) AS wau,
+        |    COUNT(DISTINCT user_id) AS mau
+        |  FROM x JOIN spine USING (cday) GROUP BY cday)
+        |SELECT CAST(cday AS BIGINT) AS day_idx, dau, wau, mau,
+        |  (1048576 * dau) // mau AS stickiness_fp
+        |FROM a""".stripMargin,
     "q_retention" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id,

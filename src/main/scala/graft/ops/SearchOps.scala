@@ -148,6 +148,42 @@ object SearchOps {
       .limit(k)
   }
 
+  /** ES `highlight` — the hit-presentation API: each matching document
+    * returns a snippet WINDOW around the first occurrence of the query
+    * term with the term wrapped in `<em>` tags (ES's default
+    * pre/post_tags), ranked by term frequency. The mechanics ES delegates
+    * to stored-field re-analysis are here pure string arithmetic: a
+    * space-padded `instr` finds the first TOKEN-bounded occurrence (no
+    * substring false hits), integer offset math cuts the fixed-width
+    * window, and a token-bounded `replace` injects the tags — every step
+    * deterministic and engine-portable, so the snippets themselves
+    * hash-match, not just the ids.
+    *
+    * Scale: one map-only corpus pass (filter + projection, no shuffle
+    * until the partial top-k); at serving scale the postings store
+    * shortlists the doc ids first and this pass reads only the hits'
+    * stored text — the same two-phase shape ES executes.
+    */
+  def highlight(spark: SparkSession, dir: String, term: String = "data",
+                window: Int = 60, k: Int = 20): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val needle = s" $term "
+    val p = instr(padded, needle)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => t === lit(term))).cast("long").as("n_occ"),
+        p.cast("long").as("first_pos"))
+      .filter(col("first_pos") > 0)
+      .withColumn("snippet",
+        expr(s"replace(substring(concat(' ', text, ' '), " +
+          s"greatest(1, first_pos - 30), $window), " +
+          s"' $term ', ' <em>$term</em> ')"))
+      .select(col("doc_id"), col("n_occ"), col("first_pos"), col("snippet"))
+      .orderBy(col("n_occ").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** ES `function_score` — relevance rewritten by document-level signals:
     * a recency DECAY function multiplied by a popularity field factor, the
     * canonical "boost fresh + popular" listing query (ES function_score
@@ -1078,6 +1114,19 @@ object SearchOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_search_highlight" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x = 'data')) AS BIGINT) AS n_occ,
+        |    CAST(instr(' ' || text || ' ', ' data ') AS BIGINT) AS first_pos,
+        |    replace(substring(' ' || text || ' ',
+        |      CAST(greatest(1, instr(' ' || text || ' ', ' data ') - 30) AS INT),
+        |      60), ' data ', ' <em>data</em> ') AS snippet
+        |  FROM documents)
+        |SELECT doc_id, n_occ, first_pos, snippet
+        |FROM h WHERE first_pos > 0
+        |ORDER BY n_occ DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_function_score" ->
       """WITH li AS (
         |  SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY 1),

@@ -520,6 +520,38 @@ object TextOps {
   private val corpusMixCells =
     new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
 
+  /** Temperature-scaled source sampling weights — the multilingual /
+    * multi-source mixing policy (XLM-R's α-sampling, mT5's temperature τ):
+    * raw share p_s = n_s/N is flattened to p_s^(1/τ) and renormalized, so
+    * low-resource sources are upsampled without letting any source
+    * dominate. τ is PINNED at 2 (α = 0.5, the published XLM-R setting)
+    * because x^(1/2) is `sqrt` — the one power IEEE 754 requires correctly
+    * rounded, hence bit-identical cross-engine; an arbitrary τ would route
+    * through pow/exp, the free-double class that cost q_sig_terms its r9
+    * hash. The flattened shares are rounded to 2^20 fixed point and the
+    * final weights are INTEGER division of those integers — the whole
+    * policy vector replays exactly.
+    *
+    * Scale: one corpus scan into a sources-bounded aggregate (a model
+    * artifact, like [[corpusMix]]); the two scalar totals ride 1-row
+    * broadcasts. Output is the per-source sampling policy a data loader
+    * consumes directly.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .groupBy("source").agg(sum(metrics.getField("n_tokens")).as("n_tokens"))
+    val tot = src.agg(sum("n_tokens").cast("double").as("total"))
+    val sq = src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        round(lit(1048576.0) *
+            sqrt(col("n_tokens").cast("double") / col("total")))
+          .cast("long").as("sqrt_share_fp"))
+    val denom = sq.agg(sum("sqrt_share_fp").as("den"))
+    sq.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_tokens"), col("sqrt_share_fp"),
+        expr("(1048576 * sqrt_share_fp) div den").as("weight_fp"))
+  }
+
   /** Context-window packing: assign documents to fixed-token-budget chunks —
     * the step that turns a curated corpus into training sequences. Greedy
     * running-sum packing: a document joins the chunk its starting token
@@ -1501,6 +1533,23 @@ object TextOps {
         |         ELSE 'kept' END AS reason
         |  FROM qs JOIN lp ON qs.doc_id = lp.doc_id JOIN r ON qs.doc_id = r.doc_id)
         |SELECT doc_id, lang, reason, reason = 'kept' AS keep FROM v""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |             ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM s),
+        |sq AS (
+        |  SELECT source, n_tokens,
+        |    CAST(round(1048576.0 * sqrt(CAST(n_tokens AS DOUBLE) / total))
+        |      AS BIGINT) AS sqrt_share_fp
+        |  FROM s, t),
+        |d AS (SELECT CAST(sum(sqrt_share_fp) AS BIGINT) AS den FROM sq)
+        |SELECT source, n_tokens, sqrt_share_fp,
+        |  (1048576 * sqrt_share_fp) // den AS weight_fp
+        |FROM sq, d""".stripMargin,
     "q_corpus_mix" ->
       """WITH m AS (
         |  SELECT lang, source, count(*) AS n_docs,

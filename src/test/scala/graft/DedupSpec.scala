@@ -203,4 +203,17 @@ class DedupSpec extends SparkSpecBase {
     assert(out(4L)._1.isEmpty && out(4L)._2.isEmpty)
     assert(out(5L)._1.length === 2 && out(5L)._2.length === 1)
   }
+
+  test("dupBest: exactly one keep per cluster, and it is the longest copy (min id on ties)") {
+    val out = graft.ops.DedupOps.dupBest(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (_, rows) =>
+      val kept = rows.filter(_.getAs[Boolean]("keep"))
+      assert(kept.length === 1)
+      val best = rows.sortBy(r => (-r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id"))).head
+      assert(kept.head.getAs[Long]("doc_id") === best.getAs[Long]("doc_id"))
+      assert(rows.length === rows.head.getAs[Long]("cluster_size"))
+    }
+  }
 }

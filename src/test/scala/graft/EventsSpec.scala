@@ -217,4 +217,41 @@ class EventsSpec extends SparkSpecBase {
       assert(rows.map(_.getAs[Long]("dev_num")).sum === 0L)
     }
   }
+
+  test("activeUsers: windows nest (dau <= wau <= mau); stickiness identity; spine = active days") {
+    val out = EventsOps.activeUsers(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (dau, wau, mau, st) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+        r.getAs[Long]("mau"), r.getAs[Long]("stickiness_fp"))
+      assert(dau >= 1L && dau <= wau && wau <= mau)
+      assert(st === (1048576L * dau) / mau)
+    }
+    val spine = Tables.events(spark, sf)
+      .select(datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getAs[Long]("day_idx")).toSet === spine)
+  }
+
+  test("pipelineAgg: moving sum covers exactly the trailing week; first-bucket derivative is null") {
+    val out = EventsOps.pipelineAgg(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byType = out.groupBy(_.getString(0))
+    byType.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("day_idx"))
+      val byDay = sorted.map(r => r.getAs[Long]("day_idx") -> r.getAs[Long]("n")).toMap
+      sorted.foreach { r =>
+        val d = r.getAs[Long]("day_idx")
+        val want = (d - 6 to d).flatMap(byDay.get).sum
+        assert(r.getAs[Long]("mov7_sum") === want)
+      }
+      assert(sorted.head.isNullAt(sorted.head.fieldIndex("delta")))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          if (b.getAs[Long]("day_idx") == a.getAs[Long]("day_idx") + 1)
+            assert(b.getAs[Long]("delta") === b.getAs[Long]("n") - a.getAs[Long]("n"))
+        case _ => ()
+      }
+    }
+  }
 }

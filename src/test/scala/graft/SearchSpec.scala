@@ -507,4 +507,18 @@ class SearchSpec extends SparkSpecBase {
     assert(decay(60 + 730) === 0L)
     assert(decay(425) === (1048576L * 365) / 730)
   }
+
+  test("highlight: every snippet carries the tagged term; counts are token-accurate") {
+    val out = graft.ops.SearchOps.highlight(spark, sf).collect()
+    assert(out.length > 0 && out.length <= 20)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_occ") >= 1L)
+      assert(r.getAs[Long]("first_pos") >= 1L)
+      assert(r.getAs[String]("snippet").contains("<em>data</em>"))
+    }
+    // ranked by tf desc then id
+    val keys = out.map(r => (r.getAs[Long]("n_occ"), r.getAs[Long]("doc_id")))
+    assert(keys.sliding(2).forall { case Array((n1, d1), (n2, d2)) =>
+      n1 > n2 || (n1 == n2 && d1 < d2) })
+  }
 }

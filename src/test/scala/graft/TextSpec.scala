@@ -466,4 +466,25 @@ class TextSpec extends SparkSpecBase {
       assert(r.getAs[Long]("n_toks") >= r.getAs[Long]("n_terms"))
     }
   }
+
+  test("temperatureMix: tau=2 flattens toward uniform; weights normalize; fp identities hold") {
+    val out = graft.ops.TextOps.temperatureMix(spark, sf).collect()
+    assert(out.length > 1)
+    val tot = out.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    // flattening: every source's weight share is strictly closer to uniform
+    // than its raw token share (the point of temperature sampling)
+    val uniform = 1.0 / out.length
+    val wDen = out.map(_.getAs[Long]("sqrt_share_fp")).sum
+    out.foreach { r =>
+      val raw = r.getAs[Long]("n_tokens") / tot
+      val w = r.getAs[Long]("weight_fp").toDouble / 1048576.0
+      assert(r.getAs[Long]("weight_fp") ===
+        (1048576L * r.getAs[Long]("sqrt_share_fp")) / wDen)
+      if (math.abs(raw - uniform) > 0.01)
+        assert(math.abs(w - uniform) < math.abs(raw - uniform))
+    }
+    // integer weights sum to 2^20 up to truncation (one ulp per source)
+    val wSum = out.map(_.getAs[Long]("weight_fp")).sum
+    assert(wSum <= 1048576L && wSum >= 1048576L - out.length)
+  }
 }
