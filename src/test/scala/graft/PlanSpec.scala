@@ -442,4 +442,52 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"no rank window may appear:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast vocab join in:\n$p")
   }
+
+  test("functionScore: lineitem pre-aggregated before the join; listing is partial top-k") {
+    val p = plan(SearchOps.functionScore(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected product join in:\n$p")
+    // the aggregate must sit BELOW the join: count per orderkey, then join
+    val lines = p.linesIterator.toSeq
+    val aggIdx = lines.indexWhere(l => l.contains("HashAggregate") && l.contains("count"))
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    assert(aggIdx > joinIdx && joinIdx >= 0,
+      s"lineitem count should pre-aggregate below the join in:\n$p")
+  }
+
+  test("highlight: map-only corpus pass finished by TakeOrderedAndProject — no shuffle, no join") {
+    val p = plan(SearchOps.highlight(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+    assert(!p.contains("Join"), s"highlight must not join in:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && !l.contains("rangepartitioning")),
+      s"highlight should shuffle nothing before the top-k in:\n$p")
+  }
+
+  test("pivotStatus: one hash aggregate with map-side combine — no per-value subqueries, no discovery scan") {
+    val p = plan(RelationalOps.pivotStatus(spark, sf))
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1,
+      s"pivot with an explicit value list must scan orders ONCE in:\n$p")
+    assert(p.contains("partial_count") || p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial")),
+      s"expected map-side partial combine in:\n$p")
+  }
+
+  test("activeUsers: day spine broadcast into the semi-join; no cartesian fan-out") {
+    val p = plan(EventsOps.activeUsers(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast semi-join on the day spine in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected product join in:\n$p")
+  }
+
+  test("dupBest: reads the served cluster store — no CC fixpoint, no minhash subtree in the plan") {
+    // force the store to exist first (one build), then the query plan must
+    // be store-scan + documents join + one cluster-keyed window
+    graft.ops.DedupOps.dupBest(spark, sf).count()
+    val p = plan(graft.ops.DedupOps.dupBest(spark, sf))
+    assert(!p.contains("minhash") && !p.contains("md5_minhash"),
+      s"dupBest must not re-derive signatures — serve the store:\n$p")
+    assert(p.contains("Window"), s"expected the cluster-keyed rank window in:\n$p")
+  }
 }
