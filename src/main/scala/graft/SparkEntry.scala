@@ -74,6 +74,7 @@ object SparkEntry {
     "q_search_bool"      -> ((s, d) => SearchOps.boolQuery(s, d)),
     "q_function_score"   -> ((s, d) => SearchOps.functionScore(s, d)),
     "q_search_highlight" -> ((s, d) => SearchOps.highlight(s, d)),
+    "q_search_regexp"    -> ((s, d) => SearchOps.regexQuery(s, d)),
     "q_pivot"            -> ((s, d) => RelationalOps.pivotStatus(s, d)),
     "q_hybrid_search"    -> ((s, d) => SearchOps.hybridSearch(s, d)),
     "q_more_like_this"   -> ((s, d) => SearchOps.moreLikeThis(s, d)),
@@ -91,6 +92,7 @@ object SparkEntry {
     "q_repetition"       -> (TextOps.repetition(_, _)),
     "q_corpus_mix"       -> (TextOps.corpusMix(_, _)),
     "q_temperature_mix"  -> (TextOps.temperatureMix(_, _)),
+    "q_domain_cap"       -> ((s, d) => TextOps.domainCap(s, d)),
     "q_pack"             -> ((s, d) => TextOps.packChunks(s, d)),
     "q_chunk_docs"       -> (TextOps.chunkDocs(_, _)),
     "q_pack_bpe"         -> ((s, d) => TextOps.packChunksBpe(s, d)),

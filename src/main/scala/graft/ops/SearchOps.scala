@@ -148,6 +148,31 @@ object SearchOps {
       .limit(k)
   }
 
+  /** ES `regexp` query — term-level regular-expression match: a document
+    * hits when ANY of its analyzed tokens fully matches the pattern
+    * (ES/Lucene regexp queries are implicitly anchored to the whole term),
+    * scored here by the matching-token count. The pattern vocabulary is
+    * deliberately RE2-portable (literals, alternation, classes, bounded
+    * repetition — no backrefs/lookaround), the same discipline every other
+    * regex in this engine follows, so Spark's Java regex and the oracle's
+    * RE2 agree symbol-for-symbol.
+    *
+    * Scale: one map-only corpus pass (the token filter is a per-row lambda
+    * over the analyzed array) + partial top-k. At serving scale the term
+    * DICTIONARY is the thing to scan with the regex (ES walks the term
+    * index, not documents) — exactly the fuzzySearchIndexed dict-store
+    * shape, with the matched terms becoming a pushed IN-list.
+    */
+  def regexQuery(spark: SparkSession, dir: String,
+                 pattern: String = "da(ta|y)", k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => t.rlike(s"^($pattern)$$"))).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("n_matches").desc, col("doc_id").asc)
+      .limit(k)
+
   /** ES `highlight` — the hit-presentation API: each matching document
     * returns a snippet WINDOW around the first occurrence of the query
     * term with the term wrapped in `<em>` tags (ES's default
@@ -1114,6 +1139,14 @@ object SearchOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_search_regexp" ->
+      """SELECT doc_id, n_matches FROM (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> regexp_full_match(x, 'da(ta|y)'))) AS BIGINT) AS n_matches
+        |  FROM documents)
+        |WHERE n_matches > 0
+        |ORDER BY n_matches DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_search_highlight" ->
       """WITH h AS (
         |  SELECT doc_id,

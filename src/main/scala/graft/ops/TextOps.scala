@@ -520,6 +520,32 @@ object TextOps {
   private val corpusMixCells =
     new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
 
+  /** Per-source document cap — the anti-spam guard every web-scale
+    * curation pipeline runs (Dolma/C4-class: no single domain may dominate
+    * the corpus): keep at most `cap` documents per source, selected in
+    * DETERMINISTIC HASH order rather than file order, so the kept subset
+    * is an unbiased sample that replays bit-for-bit (md5 of a salted
+    * doc_id — the same device stratifiedSample uses — with doc_id
+    * tie-break). Emits the full verdict relation (doc_id, source, rank,
+    * keep), the shape downstream gates compose.
+    *
+    * Scale: one source-keyed rank window — the exchange key is the domain,
+    * and a skew-heavy domain is exactly the thing being capped; at 100 TB
+    * the window short-circuits via LimitPushDownThroughWindow-class
+    * optimizations or a per-domain partial top-cap pre-aggregation.
+    */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("cap:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("rk"),
+        (col("rk") <= cap).as("keep"))
+  }
+
   /** Temperature-scaled source sampling weights — the multilingual /
     * multi-source mixing policy (XLM-R's α-sampling, mT5's temperature τ):
     * raw share p_s = n_s/N is flattened to p_s^(1/τ) and renormalized, so
@@ -1533,6 +1559,12 @@ object TextOps {
         |         ELSE 'kept' END AS reason
         |  FROM qs JOIN lp ON qs.doc_id = lp.doc_id JOIN r ON qs.doc_id = r.doc_id)
         |SELECT doc_id, lang, reason, reason = 'kept' AS keep FROM v""".stripMargin,
+    "q_domain_cap" ->
+      """SELECT doc_id, source, rk, rk <= 20 AS keep FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)""".stripMargin,
     "q_temperature_mix" ->
       """WITH s AS (
         |  SELECT source,

@@ -521,4 +521,17 @@ class SearchSpec extends SparkSpecBase {
     assert(keys.sliding(2).forall { case Array((n1, d1), (n2, d2)) =>
       n1 > n2 || (n1 == n2 && d1 < d2) })
   }
+
+  test("regexQuery: anchored term-level alternation — count matches the manual token scan") {
+    val out = graft.ops.SearchOps.regexQuery(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byId = out.map(r => r.getLong(0) -> r.getAs[Long]("n_matches")).toMap
+    // replay one hit by hand: tokens fully matching data|day
+    val someId = out.head.getLong(0)
+    val text = Tables.documents(spark, sf).filter(col("doc_id") === someId)
+      .select("text").head.getString(0)
+    val manual = text.trim.toLowerCase.split("\\s+").count(t => t == "data" || t == "day")
+    assert(byId(someId) === manual.toLong)
+    out.foreach(r => assert(r.getAs[Long]("n_matches") >= 1L))
+  }
 }

@@ -487,4 +487,19 @@ class TextSpec extends SparkSpecBase {
     val wSum = out.map(_.getAs[Long]("weight_fp")).sum
     assert(wSum <= 1048576L && wSum >= 1048576L - out.length)
   }
+
+  test("domainCap: at most cap keeps per source, hash-ordered, full relation, deterministic") {
+    val out = graft.ops.TextOps.domainCap(spark, sf, cap = 5).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(out.length.toLong === total, "verdict covers every document")
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      assert(rows.count(_.getAs[Boolean]("keep")) === math.min(5, rows.length))
+      rows.foreach(r => assert(r.getAs[Boolean]("keep") === (r.getAs[Long]("rk") <= 5)))
+      // ranks are a permutation of 1..n within the source
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    val again = graft.ops.TextOps.domainCap(spark, sf, cap = 5).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("rk"))).toSet
+    assert(again === out.map(r => (r.getLong(0), r.getAs[Long]("rk"))).toSet)
+  }
 }
