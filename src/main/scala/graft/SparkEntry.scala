@@ -94,6 +94,7 @@ object SparkEntry {
     "q_temperature_mix"  -> (TextOps.temperatureMix(_, _)),
     "q_domain_cap"       -> ((s, d) => TextOps.domainCap(s, d)),
     "q_pack"             -> ((s, d) => TextOps.packChunks(s, d)),
+    "q_curriculum_pack"  -> ((s, d) => TextOps.curriculumPack(s, d)),
     "q_chunk_docs"       -> (TextOps.chunkDocs(_, _)),
     "q_pack_bpe"         -> ((s, d) => TextOps.packChunksBpe(s, d)),
     "q_filter_chain"     -> (TextOps.filterChain(_, _)),

@@ -608,6 +608,41 @@ object TextOps {
     packOn(Tables.documents(spark, dir),
       call_function("bpe_count", col("text")), nShards, ctxTokens)
 
+  /** Curriculum-ordered packing — [[packChunks]] composed WITH the CCNet
+    * perplexity split: context windows are packed WITHIN each
+    * (quality-bucket, shard) partition and the chunk id encodes the bucket
+    * in its top bits, so a trainer reading chunks in id order consumes
+    * head → middle → tail — the quality-curriculum data order (Wenzek
+    * 2020 trains preferentially on the head; curriculum-learning
+    * schedules start there). The LAST composition step of the corpus
+    * tier: curate → dedup → bucket → pack comes out as one relation a
+    * loader shards by chunk_id.
+    *
+    * Scale: the bucket join adds one keyed exchange over [[packChunks]]'s
+    * shard windows (the LM score itself is served — see
+    * [[unigramLogprob]]); windows stay partitioned by (bucket, shard), so
+    * parallelism multiplies by 3 rather than collapsing, and the id
+    * arithmetic is cross-shard-coordination-free like packChunks'.
+    */
+  def curriculumPack(spark: SparkSession, dir: String, nShards: Int = 8,
+                     ctxTokens: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = perplexityBuckets(spark, dir).select(col("doc_id"), col("bucket"))
+    val bnum = when(col("bucket") === "head", 0L)
+      .when(col("bucket") === "middle", 1L).otherwise(2L)
+    val d = Tables.documents(spark, dir).join(buckets, Seq("doc_id"))
+      .select(col("doc_id"), bnum.as("bucket_n"),
+        metrics.getField("n_tokens").as("n_tokens"),
+        pmod(DedupOps.hash60(col("doc_id").cast("string")), lit(nShards)).as("shard"))
+    val w = Window.partitionBy("bucket_n", "shard").orderBy("doc_id")
+    d.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("bucket_n"), col("shard"), col("n_tokens"),
+        col("cum_tokens"),
+        (col("bucket_n") * lit(1L << 40) + col("shard") * lit(1L << 32) +
+          floor((col("cum_tokens") - col("n_tokens")) / lit(ctxTokens.toDouble)))
+          .as("chunk_id"))
+  }
+
   /** The packing core over any per-doc token-budget column. */
   private def packOn(d: DataFrame, nTokens: Column, nShards: Int,
                      ctxTokens: Int): DataFrame = {
@@ -1482,6 +1517,43 @@ object TextOps {
         |  n_trigrams, dup_trigram_occ,
         |  CAST(dup_trigram_occ AS DOUBLE) / n_trigrams AS dup_trigram_frac
         |FROM bs JOIN ts ON bs.doc_id = ts.doc_id""".stripMargin,
+    "q_curriculum_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tt AS (SELECT doc_id, token FROM t WHERE len(token) > 0),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM tt GROUP BY token),
+        |n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+        |lp AS (SELECT token, ln(CAST(cnt AS DOUBLE) / total) AS logp FROM c, n),
+        |s AS (
+        |  SELECT tt.doc_id, COUNT(*) AS n_toks,
+        |    SUM(CAST(round(lp.logp * 1048576.0) AS BIGINT)) AS fp
+        |  FROM tt JOIN lp USING (token) GROUP BY tt.doc_id),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round((CAST(fp AS DOUBLE) / n_toks) / 1048576.0, 6) AS avg_logprob
+        |  FROM s),
+        |b AS (
+        |  SELECT scored.doc_id,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |                   ORDER BY avg_logprob DESC, scored.doc_id ASC) AS b
+        |  FROM scored JOIN documents d ON scored.doc_id = d.doc_id),
+        |bn AS (SELECT doc_id, CAST(b - 1 AS BIGINT) AS bucket_n FROM b),
+        |tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 8 AS shard
+        |  FROM documents),
+        |j AS (
+        |  SELECT tk.doc_id, bn.bucket_n, tk.shard, tk.n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY bucket_n, shard
+        |      ORDER BY tk.doc_id) AS BIGINT) AS cum_tokens
+        |  FROM tk JOIN bn USING (doc_id))
+        |SELECT doc_id, bucket_n, shard, n_tokens, cum_tokens,
+        |  bucket_n * 1099511627776 + shard * 4294967296 +
+        |    CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS chunk_id
+        |FROM j""".stripMargin,
     "q_pack" ->
       """WITH t AS (
         |  SELECT doc_id,

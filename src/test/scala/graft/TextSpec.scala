@@ -502,4 +502,32 @@ class TextSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getAs[Long]("rk"))).toSet
     assert(again === out.map(r => (r.getLong(0), r.getAs[Long]("rk"))).toSet)
   }
+
+  test("curriculumPack: chunk ids order head < middle < tail; packing stays within-bucket consistent") {
+    val out = graft.ops.TextOps.curriculumPack(spark, sf).collect()
+    assert(out.nonEmpty)
+    // bucket occupies the top bits: every head chunk id sorts before every
+    // middle, every middle before every tail
+    val byBucket = out.groupBy(_.getAs[Long]("bucket_n"))
+    assert(byBucket.keySet === Set(0L, 1L, 2L))
+    val maxByBucket = byBucket.view.mapValues(_.map(_.getAs[Long]("chunk_id")).max).toMap
+    val minByBucket = byBucket.view.mapValues(_.map(_.getAs[Long]("chunk_id")).min).toMap
+    assert(maxByBucket(0L) < minByBucket(1L) && maxByBucket(1L) < minByBucket(2L))
+    // bucket assignment agrees with the perplexity split
+    val want = graft.ops.TextOps.perplexityBuckets(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[String]("bucket") match {
+        case "head" => 0L; case "middle" => 1L; case _ => 2L
+      })).toMap
+    out.foreach(r => assert(r.getAs[Long]("bucket_n") === want(r.getLong(0))))
+    // running sums are per (bucket, shard) monotone and self-consistent
+    out.groupBy(r => (r.getAs[Long]("bucket_n"), r.getAs[Long]("shard")))
+      .foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_.getLong(0))
+        var cum = 0L
+        sorted.foreach { r =>
+          cum += r.getAs[Int]("n_tokens").toLong
+          assert(r.getAs[Long]("cum_tokens") === cum)
+        }
+      }
+  }
 }
