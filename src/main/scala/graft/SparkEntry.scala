@@ -93,6 +93,7 @@ object SparkEntry {
     "q_corpus_mix"       -> (TextOps.corpusMix(_, _)),
     "q_temperature_mix"  -> (TextOps.temperatureMix(_, _)),
     "q_domain_cap"       -> ((s, d) => TextOps.domainCap(s, d)),
+    "q_top_ngrams"       -> ((s, d) => TextOps.topNgrams(s, d)),
     "q_pack"             -> ((s, d) => TextOps.packChunks(s, d)),
     "q_curriculum_pack"  -> ((s, d) => TextOps.curriculumPack(s, d)),
     "q_chunk_docs"       -> (TextOps.chunkDocs(_, _)),
@@ -126,6 +127,7 @@ object SparkEntry {
     "q_knn_join"         -> ((s, d) => SimilarityOps.knnJoin(s, d)),
     "q_knn_join_ivf"     -> ((s, d) => SimilarityOps.knnJoinIvf(s, d)),
     "q_retrieval_eval"   -> ((s, d) => SimilarityOps.retrievalEval(s, d)),
+    "q_embed_sanity"     -> ((s, d) => SimilarityOps.embedSanity(s, d)),
     "q_proto_score"      -> ((s, d) => SimilarityOps.protoScore(s, d)),
     "q_index_stats"      -> ((s, d) => SimilarityOps.indexStats(s, d)),
     "q_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(s, d)),

@@ -774,6 +774,44 @@ object SimilarityOps {
         col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
   }
 
+  /** Embedding sanitation — the pre-index gate every vector pipeline runs
+    * before anything touches the ANN store: NaN/Inf components, zero and
+    * near-zero norms (cosine is undefined — they poison every similarity
+    * they appear in), and blown-up norms (an encoder bug's signature) are
+    * flagged per vector. Emits the full verdict relation (the ingest gate
+    * shape), with the squared norm carried in ORDER-INDEPENDENT fixed
+    * point: each component's x² rounds to 2^20 grain BEFORE the integer
+    * sum, so the norm — and the flags derived from it — replay
+    * bit-for-bit regardless of fold order (the same device as every LM
+    * fold; a raw double list-sum would be at the mercy of each engine's
+    * summation order).
+    *
+    * Scale: one map-only pass over the embedding column; the verdict
+    * joins the CDC vector tick as a pre-filter so bad vectors never reach
+    * a cell.
+    */
+  def embedSanity(spark: SparkSession, dir: String,
+                  minNorm2Fp: Long = 1L,                 // > 0: kills exact zeros
+                  maxNorm2Fp: Long = 1048576L * 10000): DataFrame = {
+    val v = toDouble(col("embedding"))
+    // non-finite components contribute 0 to the norm (their row is already
+    // killed by has_nan; NaN² would NaN the whole fold and ANSI-overflow
+    // the cast) and finite ones cap at 1e15 fp units per component — an
+    // exactly-representable double both engines cast identically, far past
+    // any sane norm yet far from Long overflow at any dim
+    val norm2Fp = aggregate(v, lit(0L),
+      (acc, x) => acc + when(isnan(x) || abs(x) === Double.PositiveInfinity, lit(0L))
+        .otherwise(round(least(lit(1048576.0) * x * x, lit(1.0e15))).cast("long")))
+    val hasNan = exists(v, x => isnan(x) || x === Double.PositiveInfinity ||
+      x === Double.NegativeInfinity)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"),
+        norm2Fp.as("norm2_fp"), hasNan.as("has_nan"))
+      .select(col("vec_id"), col("dim"), col("norm2_fp"), col("has_nan"),
+        (!col("has_nan") && col("norm2_fp") >= minNorm2Fp &&
+          col("norm2_fp") <= maxNorm2Fp).as("keep"))
+  }
+
   /** Retrieval-quality evaluation: recall@k and reciprocal rank of the IVF
     * k-NN join against brute-force ground truth — the harness every ANN
     * deployment runs before trusting an index (FAISS's own benchmarks are
@@ -1442,6 +1480,18 @@ object SimilarityOps {
     // full replay of the IVF-bucketed k-NN join: stand-in codebook,
     // coarse assignment (argmax cosine, highest-cid tie-break), per-query
     // top-nprobe cell ranking, probed-cells-only scoring, per-query top-k
+    "q_embed_sanity" ->
+      """SELECT vec_id, dim, norm2_fp, has_nan,
+        |  (NOT has_nan) AND norm2_fp >= 1 AND norm2_fp <= 10485760000 AS keep
+        |FROM (
+        |  SELECT vec_id,
+        |    CAST(len(embedding) AS BIGINT) AS dim,
+        |    CAST(list_sum([CASE WHEN isnan(x) OR isinf(x) THEN 0
+        |        ELSE CAST(round(least(1048576.0 * x * x, 1.0e15)) AS BIGINT) END
+        |      for x in CAST(embedding AS DOUBLE[])]) AS BIGINT) AS norm2_fp,
+        |    len(list_filter(CAST(embedding AS DOUBLE[]),
+        |      x -> isnan(x) OR isinf(x))) > 0 AS has_nan
+        |  FROM embeddings)""".stripMargin,
     "q_retrieval_eval" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),

@@ -520,6 +520,35 @@ object TextOps {
   private val corpusMixCells =
     new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
 
+  /** Corpus-wide top duplicated n-grams — the boilerplate REPORT the
+    * dedup fractions summarize: WHICH trigrams dominate the corpus, with
+    * total occurrences and document frequency. This is the list a curator
+    * actually reads (cookie banners, navigation chrome, license headers)
+    * before writing removal rules; [[dupNgramFraction]] scores documents,
+    * this names the culprits.
+    *
+    * Scale: one corpus scan exploding word trigrams (as STRINGS — the
+    * report needs readable grams; the dedup tier's 60-bit hashes stay its
+    * internal key), one gram-keyed aggregate computing occurrences and df
+    * together, partial top-k out. The gram aggregate is
+    * vocabulary-bounded, far below corpus size, and map-side combine
+    * absorbs the Zipf head before the exchange.
+    */
+  def topNgrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val grams = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", element_at(toks, i + 1),
+          element_at(toks, i + 2), element_at(toks, i + 3))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("occ"), countDistinct("doc_id").as("df"))
+      .orderBy(col("occ").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Per-source document cap — the anti-spam guard every web-scale
     * curation pipeline runs (Dolma/C4-class: no single domain may dominate
     * the corpus): keep at most `cap` documents per source, selected in
@@ -1631,6 +1660,19 @@ object TextOps {
         |         ELSE 'kept' END AS reason
         |  FROM qs JOIN lp ON qs.doc_id = lp.doc_id JOIN r ON qs.doc_id = r.doc_id)
         |SELECT doc_id, lang, reason, reason = 'kept' AS keep FROM v""".stripMargin,
+    "q_top_ngrams" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+        |      [concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        |       for i in range(1, len(toks) - 2 + 1)]
+        |    ELSE [] END) AS gram
+        |  FROM tk)
+        |SELECT gram, COUNT(*) AS occ, COUNT(DISTINCT doc_id) AS df
+        |FROM g GROUP BY gram
+        |ORDER BY occ DESC, gram ASC LIMIT 20""".stripMargin,
     "q_domain_cap" ->
       """SELECT doc_id, source, rk, rk <= 20 AS keep FROM (
         |  SELECT doc_id, source,

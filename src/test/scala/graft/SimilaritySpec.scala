@@ -435,4 +435,26 @@ class SimilaritySpec extends SparkSpecBase {
       if (h > 0) assert(rr === 1048576L / fr) else assert(rr === 0L && fr === 0L)
     }
   }
+
+  test("embedSanity: clean corpus all-keep; planted NaN / zero / blown-up vectors flagged") {
+    val real = graft.ops.SimilarityOps.embedSanity(spark, sf).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(_.getAs[Boolean]("keep")), "synthetic embeddings are all sane")
+    // planted pathologies through a temp dir
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sanity").toString
+    Seq(
+      (0L, Seq(1.0f, 0.0f), 7),            // sane
+      (1L, Seq(Float.NaN, 1.0f), 7),       // NaN component
+      (2L, Seq(0.0f, 0.0f), 7),            // zero norm
+      (3L, Seq(1e6f, 1e6f), 7))            // blown-up norm
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.ops.SimilarityOps.embedSanity(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Boolean]("has_nan"), r.getAs[Boolean]("keep"))).toMap
+    assert(got(0L) === ((false, true)))
+    assert(got(1L) === ((true, false)))
+    assert(got(2L) === ((false, false)))
+    assert(got(3L) === ((false, false)))
+  }
 }

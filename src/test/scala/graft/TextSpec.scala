@@ -530,4 +530,26 @@ class TextSpec extends SparkSpecBase {
         }
       }
   }
+
+  test("topNgrams: the planted boilerplate run dominates the report with the right occ and df") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("topng").toString
+    val banner = "accept all cookies"
+    Seq(
+      (1L, s"$banner some words here"),
+      (2L, s"other text $banner"),
+      (3L, s"$banner and $banner again"),   // twice in one doc
+      (4L, "totally unrelated content here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.TextOps.topNgrams(spark, dir).collect()
+    val top = out.head
+    assert(top.getString(0) === banner)
+    assert(top.getAs[Long]("occ") === 4L)
+    assert(top.getAs[Long]("df") === 3L)
+    // occ-desc, gram-asc ordering holds throughout
+    val keys = out.map(r => (r.getAs[Long]("occ"), r.getString(0)))
+    assert(keys.sliding(2).forall { case Array((o1, g1), (o2, g2)) =>
+      o1 > o2 || (o1 == o2 && g1 < g2) })
+  }
 }
