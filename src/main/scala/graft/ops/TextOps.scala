@@ -1018,11 +1018,16 @@ object TextOps {
   def klDivergence(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scale = 1048576.0 // 2^20, shared with the LM folds
+    // persisted: the vocabulary-sized (source, token) aggregate feeds the
+    // window, the per-source totals AND the grand total — unpersisted,
+    // Catalyst re-tokenizes the corpus once per consumer (three full scans,
+    // caught by the PlanSpec scan-count pin)
     val st = Tables.documents(spark, dir)
       .select(col("source"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+      .persist()
     val wct = st.withColumn("c_ct",
       sum(col("c_st")).over(Window.partitionBy("token")))
     val ns = st.groupBy("source").agg(sum("c_st").as("n_s"))

@@ -490,4 +490,53 @@ class PlanSpec extends SparkSpecBase {
       s"dupBest must not re-derive signatures — serve the store:\n$p")
     assert(p.contains("Window"), s"expected the cluster-keyed rank window in:\n$p")
   }
+
+  test("topNgrams: pass-1 counts on the native hash; strings only after the broadcast semi-join") {
+    val p = plan(graft.ops.TextOps.topNgrams(spark, sf))
+    assert(p.contains("gram_hash60_pos"), s"expected the native hash stream in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+    // the string build must sit above a semi-join on the hash — never on
+    // the full gram stream
+    val lines = p.linesIterator.toSeq
+    val concatIdx = lines.indexWhere(_.contains("concat_ws"))
+    val semiIdx = lines.indexWhere(l => l.contains("LeftSemi"))
+    assert(semiIdx >= 0, s"expected the candidate semi-join in:\n$p")
+    assert(concatIdx >= 0 && concatIdx < semiIdx,
+      s"gram strings must be built only above (before in plan text) the semi-join:\n$p")
+  }
+
+  test("klDivergence: the persisted vocabulary aggregate feeds all three consumers — one corpus scan") {
+    val p = plan(graft.ops.TextOps.klDivergence(spark, sf))
+    // the (source, token) aggregate persists, so the window, the per-source
+    // totals and the grand total read the InMemoryRelation instead of
+    // re-running the tokenize+aggregate subtree (the raw parquet scan still
+    // PRINTS inside each InMemoryRelation description, so the honest signal
+    // is the cache node itself on every branch: as many InMemoryTableScans
+    // as corpus-scan mentions)
+    val cacheReads = p.linesIterator.count(l =>
+      l.contains("InMemoryTableScan") || l.contains("TableCacheQueryStage"))
+    val rawScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(cacheReads >= rawScans && cacheReads >= 2,
+      s"every consumer must read the persisted vocabulary aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
+  }
+
+  test("retention + retrievalEval + curriculumPack: no unkeyed products, windows keyed") {
+    Seq(
+      plan(EventsOps.retention(spark, sf)),
+      plan(graft.ops.TextOps.curriculumPack(spark, sf))).foreach { p =>
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"unexpected product join in:\n$p")
+    }
+    // retrievalEval's truth side is the DELIBERATE brute-force broadcast
+    // cross score (the eval methodology) — only an unbroadcast cartesian
+    // would be a defect
+    assert(!plan(SimilarityOps.retrievalEval(spark, sf)).contains("CartesianProduct"))
+    // curriculumPack's packing window must be keyed by (bucket, shard) —
+    // never a single-partition global window
+    val cp = plan(graft.ops.TextOps.curriculumPack(spark, sf))
+    assert(cp.contains("windowspecdefinition(bucket_n"),
+      s"expected the (bucket_n, shard)-keyed packing window in:\n$cp")
+  }
 }
