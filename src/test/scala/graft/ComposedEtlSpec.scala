@@ -131,4 +131,70 @@ class ComposedEtlSpec extends SparkSpecBase {
       assert(p.tick(spark) === 0L, "converged: nothing left to absorb")
     }
   }
+
+  test("streaming face: foreachBatch drives the composed tick; a crashed batch replays from the checkpoint and converges") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    import org.apache.spark.sql.types._
+    val dir = tmp("stream")
+    val src = s"$dir/feed"
+    val ckpt = s"$dir/ckpt"
+    def writeFeed(rows: Seq[(Long, String, Int, Seq[Double], String)]): Unit =
+      rows.toDF("id", "text", "label", "v", "m")
+        .withColumn("modified", col("m").cast("timestamp")).drop("m")
+        .write.mode(SaveMode.Append).parquet(src)
+    val feedSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType),
+      StructField("label", IntegerType),
+      StructField("v", ArrayType(DoubleType)),
+      StructField("modified", TimestampType)))
+
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def run(): Unit = {
+      val q = spark.readStream.schema(feedSchema).parquet(src)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val builder = (s: org.apache.spark.sql.SparkSession,
+                         ids: org.apache.spark.sql.DataFrame) =>
+            batch.groupBy(col("id"))
+              .agg(max(struct(col("modified"), col("text"))).as("m"))
+              .join(ids, Seq("id"), "left_semi")
+              .select(col("id"), upper(col("m").getField("text")).as("doc"))
+          val p = new ComposedEtlPipeline(
+            _ => batch.toDF(), builder, codebook,
+            docStorePath = s"$dir/docs", postingsStorePath = s"$dir/postings",
+            vectorStorePath = s"$dir/vectors", statePath = s"$dir/state") {
+            override protected def afterStage(stage: String): Unit =
+              if (stage == "postings" && crashOnce.getAndSet(false))
+                throw new RuntimeException("injected crash mid-tick")
+          }
+          p.tick(spark)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    writeFeed(Seq(
+      (1L, "alpha beta", 0, Seq(0.9, 0.1), "2024-01-01 00:00:01"),
+      (2L, "beta gamma", 1, Seq(0.1, 0.9), "2024-01-01 00:00:02")))
+    // first run dies after the postings stage: batch NOT committed, vector
+    // store never written, watermark unadvanced
+    intercept[StreamingQueryException](run())
+    assert(!new java.io.File(s"$dir/vectors").exists())
+
+    run() // checkpoint re-delivers the SAME batch; every stage converges
+    assert(docsOf(dir) === Map(1L -> "ALPHA BETA", 2L -> "BETA GAMMA"))
+    assert(postingsOf(dir).map(_._1) === Set("alpha", "beta", "gamma"))
+    assert(vectorsOf(dir).view.mapValues(_._2).toMap === Map(1L -> 0, 2L -> 1))
+
+    // a second feed file: only the new rows arrive in the next micro-batch
+    writeFeed(Seq((1L, "delta", 0, Seq(-0.9, 0.1), "2024-01-01 00:00:03")))
+    run()
+    assert(docsOf(dir) === Map(1L -> "DELTA", 2L -> "BETA GAMMA"))
+    assert(!postingsOf(dir).map(_._1).contains("alpha"), "rewritten doc's old tokens dropped")
+    assert(vectorsOf(dir)(1L)._2 === 2, "re-embedded vector moved cell 0 -> 2")
+  }
 }
