@@ -509,15 +509,14 @@ class PlanSpec extends SparkSpecBase {
     val p = plan(graft.ops.TextOps.klDivergence(spark, sf))
     // the (source, token) aggregate persists, so the window, the per-source
     // totals and the grand total read the InMemoryRelation instead of
-    // re-running the tokenize+aggregate subtree (the raw parquet scan still
-    // PRINTS inside each InMemoryRelation description, so the honest signal
-    // is the cache node itself on every branch: as many InMemoryTableScans
-    // as corpus-scan mentions)
+    // re-running the tokenize+aggregate subtree. Scan-counting is NOT a
+    // usable signal here — the raw parquet scan prints inside every
+    // InMemoryRelation description (and twice per relation), in a layout
+    // that differs between a cold and an already-materialized cache — so
+    // the pin is the cache node itself on multiple consumer branches.
     val cacheReads = p.linesIterator.count(l =>
       l.contains("InMemoryTableScan") || l.contains("TableCacheQueryStage"))
-    val rawScans = p.linesIterator.count(l =>
-      l.contains("Scan parquet") && l.contains("documents"))
-    assert(cacheReads >= rawScans && cacheReads >= 2,
+    assert(cacheReads >= 2,
       s"every consumer must read the persisted vocabulary aggregate:\n$p")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
   }
