@@ -314,6 +314,34 @@ object DedupOps {
         col("n_chars"), (col("rk") === 1).as("keep"))
   }
 
+  /** Per-source duplication rates — the dedup DASHBOARD row a curator
+    * reads before anything else: for each source, how many documents sit
+    * in a near-dup cluster and how many the min-id survivor policy would
+    * drop. A source with an outlier drop rate is a mirror, a scraper
+    * echo, or a template farm — this is the number that decides which
+    * source gets investigated. All counts exact integers, the rate in
+    * 2^20 fixed point by integer division.
+    *
+    * Served shape: reads [[servedDupClusters]] (never re-clusters), one
+    * left join to attach sources, one keyed aggregate. The cluster
+    * representative is the component-min label, so `doc_id =!= cluster_id`
+    * IS the dropped predicate — no second ranking pass.
+    */
+  def dupRate(spark: SparkSession, dir: String,
+              threshold: Double = 0.5): DataFrame = {
+    val clusters = servedDupClusters(spark, dir, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    graft.Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(clusters, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        sum(when(col("cluster_id").isNotNull &&
+          col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("source"), col("n_docs"), col("n_clustered"), col("n_dropped"),
+        expr("(1048576 * n_dropped) div n_docs").as("drop_rate_fp"))
+  }
+
   /** Connected components over an undirected pair graph (`left_id`,
     * `right_id` columns) → one `(id, label)` row per node, label = the
     * component minimum. Shared by [[dupClusters]] (text near-dup graph) and
@@ -612,6 +640,34 @@ object DedupOps {
        |  JOIN documents d USING (doc_id))
        |SELECT doc_id, cluster_id, cluster_size, n_chars, rk = 1 AS keep
        |FROM sized""".stripMargin
+
+  /** [[dupClusters]]' recursive replay folded into the per-source rates. */
+  private def dupRateOracle: String =
+    s"""WITH RECURSIVE $candCtes,
+       |p AS MATERIALIZED (
+       |  SELECT left_id, right_id FROM (
+       |    SELECT left_id, right_id,
+       |      CAST(len([i for i in range(1,9) if lsig[i] = rsig[i]]) AS DOUBLE) / 8 AS est
+       |    FROM cand)
+       |  WHERE est >= 0.5),
+       |edges AS MATERIALIZED (
+       |  SELECT left_id AS src, right_id AS dst FROM p
+       |  UNION ALL SELECT right_id, left_id FROM p),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+       |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN c.cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_clustered,
+       |  CAST(SUM(CASE WHEN c.cluster_id IS NOT NULL AND d.doc_id <> c.cluster_id
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  (1048576 * CAST(SUM(CASE WHEN c.cluster_id IS NOT NULL
+       |     AND d.doc_id <> c.cluster_id THEN 1 ELSE 0 END) AS BIGINT))
+       |    // COUNT(*) AS drop_rate_fp
+       |FROM documents d LEFT JOIN comp c USING (doc_id)
+       |GROUP BY d.source""".stripMargin
 
   /** DuckDB replay of the LSH-blocked exact word-trigram Jaccard. */
   private def ngramJaccardOracle: String = {
@@ -993,6 +1049,7 @@ object DedupOps {
     "q_minhash_pairs" -> minhashPairsOracle,
     "q_dup_clusters" -> dupClustersOracle,
     "q_dup_best" -> dupBestOracle,
+    "q_dup_rate" -> dupRateOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
     "q_simhash" -> simhashOracle,
     "q_dedup_exact" ->

@@ -216,4 +216,20 @@ class DedupSpec extends SparkSpecBase {
       assert(rows.length === rows.head.getAs[Long]("cluster_size"))
     }
   }
+
+  test("dupRate: counts reconcile with the cluster store; rates are exact integer fixed point") {
+    val out = graft.ops.DedupOps.dupRate(spark, sf).collect()
+    assert(out.nonEmpty)
+    val clustered = graft.ops.DedupOps.servedDupClusters(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_clustered")).sum === clustered,
+      "per-source clustered counts must sum to the cluster store size")
+    out.foreach { r =>
+      val (n, c, d, fp) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_clustered"),
+        r.getAs[Long]("n_dropped"), r.getAs[Long]("drop_rate_fp"))
+      assert(d <= c && c <= n)
+      assert(fp === (1048576L * d) / n)
+    }
+    assert(out.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).count())
+  }
 }
