@@ -706,26 +706,27 @@ object SearchOps {
     * replay exactly. Ranking on raw floats would let a last-ulp cosine
     * divergence swap two ranks and break the gate.
     *
-    * Scale shape: each list is a top-`depth` query result (the lexical one
-    * IN-pruned over the served postings store, the vector one a partial
-    * top-k scan — at scale the ANN faces swap in). The rank windows run
+    * Scale shape: BOTH lists are served-store probes — the lexical one
+    * IN-pruned over the served postings store, the vector one a
+    * `cell IN (...)` partition-pruned probe of the IVF cell store
+    * ([[graft.ops.SimilarityOps.ivfServedCandidates]], PartitionFilters
+    * pinned by PlanSpec). `nprobe` defaults to nlist (FULL probe) so the
+    * depth-`depth` list — and the oracle — is exactly the brute list;
+    * `nprobe < nlist` is the documented 100 TB knob, trading the standard
+    * IVF recall bound for a nlist⁻¹·nprobe scan. The rank windows run
     * over ≤depth-row frames — bounded by construction, same class as the
     * pagination parity face — and the fusion join is depth×depth-bounded.
     */
   def hybridSearch(spark: SparkSession, dir: String,
                    q: String = "data stream window", queryVecId: Long = 0L,
-                   k: Int = 10, depth: Int = 20, kRrf: Int = 60): DataFrame = {
+                   k: Int = 10, depth: Int = 20, kRrf: Int = 60,
+                   nlist: Int = 16, nprobe: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lex = rankedSearch(spark, dir, q, depth) // (doc_id, score) rounded
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("v", col("embedding").cast("array<double>"))
-    val qvRows = emb.filter(col("vec_id") === queryVecId)
-      .select(col("v")).collect()
-    require(qvRows.nonEmpty, s"query vec_id=$queryVecId not found")
-    val qv = qvRows.head.getSeq[Double](0).toArray
-    val vec = emb.select(col("vec_id").as("doc_id"),
-        round(SimilarityOps.cosine(col("v"), array(qv.map(lit(_)): _*)), 6)
-          .as("cos_sim"))
+    val vec = SimilarityOps
+      .ivfServedCandidates(spark, dir, queryVecId, nlist, nprobe)
+      .select(col("vec_id").as("doc_id"),
+        round(col("cos_raw"), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("doc_id").asc)
       .limit(depth)
     val lexr = lex.withColumn("r_lex", row_number().over(
@@ -815,15 +816,24 @@ object SearchOps {
     * One pass: the served postings store joins doc→source on the doc_id
     * key (at warehouse scale both sides bucket by doc_id — co-located),
     * then ONE keyed aggregate computes fg_df and bg_df together; corpus
-    * totals ride as a 1-row broadcast. Every score input is an exactly
-    * counted integer and the score is a single IEEE expression chain over
-    * them — no accumulation-order hazard — finished in the repo's 2^20
-    * fixed-point form (`score_fp = round(raw · 2^20)` as BIGINT, the same
-    * fold mltPostingsSearch and unigramLogprob use): multiplying by a
-    * power of two is EXACT in IEEE doubles, so the only rounding is the
-    * final to-integer step on a bit-identical value in both engines —
-    * immune to the cross-version `round(x, 6)` decimal-tie hazard that
-    * cost this query its r9 hash.
+    * totals ride as a 1-row broadcast.
+    *
+    * Cross-engine exactness is ALGEBRAIC, not representational: with the
+    * exactly-counted integers fg_df, bg_df, fg_n, bg_n, the JLH product
+    * multiplies out to
+    * `(fg_df·bg_n − bg_df·fg_n)·fg_df / (fg_n²·bg_df)`, so the 2^20
+    * fixed-point report is ONE integer division —
+    * `score_fp = sign(num) · (|2^20·(fg_df·bg_n − bg_df·fg_n)·fg_df| div
+    * fg_n²·bg_df)` — DECIMAL(38,0) here, HUGEINT in the oracle. Zero
+    * doubles exist anywhere in the chain (the r9/r10 hash misses were both
+    * `round()` over a free IEEE product, which no rescaling makes
+    * portable); the sign is split out so the result is truncation-toward-
+    * zero regardless of either engine's negative-division convention. Same
+    * multiply-out move as [[graft.ops.EventsOps.volumeAnomaly]] and
+    * klDivergence. DECIMAL(38,0) headroom: num ≈ fg_df²·bg_n·2^20 — safe
+    * through ~10^5 fg docs against a 10^12-doc corpus; beyond that, scale
+    * per-partition counts before scoring (documented knob, not a code
+    * path).
     */
   def significantTerms(spark: SparkSession, dir: String,
                        fgSource: String = "src3", k: Int = 30): DataFrame =
@@ -839,20 +849,24 @@ object SearchOps {
   def significantTermsOn(p: DataFrame, docs: DataFrame,
                          fgSource: String, k: Int = 30): DataFrame = {
     val totals = docs.agg(
-      sum(when(col("source") === fgSource, 1L).otherwise(0L))
-        .cast("double").as("fg_n"),
-      count(lit(1)).cast("double").as("bg_n"))
-    val fgp = col("fg_df").cast("double") / col("fg_n")
-    val bgp = col("bg_df").cast("double") / col("bg_n")
+      sum(when(col("source") === fgSource, 1L).otherwise(0L)).as("fg_n"),
+      count(lit(1)).as("bg_n"))
+    val d38 = "decimal(38,0)"
     p.join(docs, Seq("doc_id"))
       .groupBy("token")
       .agg(sum(when(col("source") === fgSource, 1L).otherwise(0L)).as("fg_df"),
         count(lit(1)).as("bg_df")) // postings unique on (token, doc_id) ⇒ df
       .filter(col("fg_df") > 0)
       .crossJoin(broadcast(totals))
+      .withColumn("num",
+        (col("fg_df").cast(d38) * col("bg_n").cast(d38) -
+          col("bg_df").cast(d38) * col("fg_n").cast(d38)) *
+          col("fg_df").cast(d38) * lit(1048576L).cast(d38))
+      .withColumn("den",
+        col("fg_n").cast(d38) * col("fg_n").cast(d38) * col("bg_df").cast(d38))
       .select(col("token"), col("fg_df"), col("bg_df"),
-        round((fgp - bgp) * (fgp / bgp) * lit(1048576.0))
-          .cast("long").as("score_fp"))
+        (when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("abs(num) div den")).as("score_fp"))
       .orderBy(col("score_fp").desc, col("token").asc)
       .limit(k)
   }
@@ -1211,21 +1225,27 @@ object SearchOps {
          |  SELECT DISTINCT doc_id, token FROM (
          |    SELECT doc_id, unnest($duckToks) AS token FROM documents)),
          |totals AS (
-         |  SELECT CAST(SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS DOUBLE) AS fg_n,
-         |         CAST(COUNT(*) AS DOUBLE) AS bg_n
+         |  SELECT SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS fg_n,
+         |         COUNT(*) AS bg_n
          |  FROM documents),
          |ts AS (
          |  SELECT token,
          |    SUM(CASE WHEN d.source = 'src3' THEN 1 ELSE 0 END) AS fg_df,
          |    COUNT(*) AS bg_df
          |  FROM p JOIN documents d USING (doc_id)
-         |  GROUP BY token HAVING SUM(CASE WHEN d.source = 'src3' THEN 1 ELSE 0 END) > 0)
+         |  GROUP BY token HAVING SUM(CASE WHEN d.source = 'src3' THEN 1 ELSE 0 END) > 0),
+         |nd AS (
+         |  SELECT token, fg_df, bg_df,
+         |    (CAST(fg_df AS HUGEINT) * CAST(bg_n AS HUGEINT)
+         |      - CAST(bg_df AS HUGEINT) * CAST(fg_n AS HUGEINT))
+         |      * CAST(fg_df AS HUGEINT) * CAST(1048576 AS HUGEINT) AS num,
+         |    CAST(fg_n AS HUGEINT) * CAST(fg_n AS HUGEINT)
+         |      * CAST(bg_df AS HUGEINT) AS den
+         |  FROM ts, totals)
          |SELECT token, fg_df, bg_df,
-         |  CAST(round((CAST(fg_df AS DOUBLE) / fg_n - CAST(bg_df AS DOUBLE) / bg_n)
-         |        * ((CAST(fg_df AS DOUBLE) / fg_n) / (CAST(bg_df AS DOUBLE) / bg_n))
-         |        * 1048576.0) AS BIGINT)
-         |    AS score_fp
-         |FROM ts, totals
+         |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) * (abs(num) // den)
+         |    AS BIGINT) AS score_fp
+         |FROM nd
          |ORDER BY score_fp DESC, token ASC LIMIT 30""".stripMargin,
     "q_search_fuzzy" ->
       s"""WITH scored AS (

@@ -263,7 +263,25 @@ object SimilarityOps {
     * round-trip parquet doubles exactly).
     */
   def annIvfServed(spark: SparkSession, dir: String, queryVecId: Long = 0L,
-                   nlist: Int = 16, nprobe: Int = 2, k: Int = 10): DataFrame = {
+                   nlist: Int = 16, nprobe: Int = 2, k: Int = 10): DataFrame =
+    ivfServedCandidates(spark, dir, queryVecId, nlist, nprobe)
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
+
+  /** The IVF-served probe as a reusable SEAM: the partition-pruned candidate
+    * frame `(vec_id, label, cos_raw)` scored against the query vector, with
+    * the ranking/rounding policy left to the caller — [[annIvfServed]] ranks
+    * raw (its oracle replays raw order); [[graft.ops.SearchOps.hybridSearch]]
+    * ranks the ROUNDED score (its fusion contract). Both read the SAME
+    * served cell store (`cell=<cid>/` partitions, `cell IN (...)` static
+    * pruning — PlanSpec pins PartitionFilters on both consumers), so at
+    * scale every consumer pays nlist⁻¹·nprobe of a corpus scan, not all of
+    * it. Query vectors with id < nlist ride the codebook collect — no
+    * separate 1-row job.
+    */
+  def ivfServedCandidates(spark: SparkSession, dir: String, queryVecId: Long,
+                          nlist: Int, nprobe: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", toDouble(col("embedding")))
     val codebook = collectCodebook(emb, nlist)
@@ -274,9 +292,6 @@ object SimilarityOps {
     store.filter(col("cell").isin(cells: _*)) // partition column ⇒ file pruning
       .select(col("vec_id"), col("label"),
         cosine(col("v"), planeLit(qv)).as("cos_raw"))
-      .orderBy(col("cos_raw").desc, col("vec_id").asc)
-      .limit(k)
-      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
   }
 
   private val cellStores =
