@@ -298,6 +298,19 @@ object EventsOps {
     * bit-for-bit.
     */
   def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    // the result is CALENDAR-bounded (one row per active day — ≤ tens of
+    // thousands of rows even over decades of 100 TB feed): collect it and
+    // release the shared activity cache, the eager-release discipline the
+    // dedup tier uses (r10 ADVICE — no per-call cache accumulation)
+    val (act, res) = activeUsersPlan(spark, dir)
+    graft.ops.DedupOps.releasingBounded(act)(res)
+  }
+
+  /** The LAZY plan face of [[activeUsers]] — `(persisted activity frame,
+    * result)`, the seam PlanSpec pins the broadcast-spine shape through.
+    */
+  private[graft] def activeUsersPlan(spark: SparkSession,
+                                     dir: String): (DataFrame, DataFrame) = {
     val epoch = to_date(lit("2024-01-01"))
     // persisted: the frame feeds both the day spine and the contribution
     // explosion — without it the raw-events distinct runs twice (measured
@@ -307,7 +320,7 @@ object EventsOps {
       .distinct()
       .persist()
     val spine = act.select(col("day_idx").as("cday")).distinct()
-    act.withColumn("o", explode(sequence(lit(0), lit(29))))
+    val res = act.withColumn("o", explode(sequence(lit(0), lit(29))))
       .withColumn("cday", col("day_idx") + col("o"))
       .join(broadcast(spine), Seq("cday"), "left_semi")
       .groupBy("cday")
@@ -318,6 +331,7 @@ object EventsOps {
       .select(col("cday").cast("long").as("day_idx"),
         col("dau"), col("wau"), col("mau"),
         expr("(1048576 * dau) div mau").as("stickiness_fp"))
+    (act, res)
   }
 
   /** Hourly event-volume anomaly detection: per event type, hours whose
@@ -328,9 +342,13 @@ object EventsOps {
     * |n − s/cnt| ≥ 2σ (population σ) multiplies out to
     * (n·cnt − s)² ≥ 4·(cnt·ss − s²) — every term an exact BIGINT, so the
     * spike flag is bit-identical cross-engine with no mean, sqrt, or
-    * division anywhere. (Bound: |n·cnt − s| must fit 63 bits — fine until
-    * a single type logs ~3·10⁹ events per mean-σ unit; past that the
-    * squared test moves to DECIMAL(38,0).)
+    * division anywhere. The test additionally requires POSITIVE variance
+    * (cnt·ss − s² > 0): a zero-variance partition (one hour, or perfectly
+    * constant hourly counts) satisfies 0 ≥ 0, and without the guard a
+    * flat series — the most normal series there is — would read as
+    * all-anomalous (r10 ADVICE). (Bound: |n·cnt − s| must fit 63 bits —
+    * fine until a single type logs ~3·10⁹ events per mean-σ unit; past
+    * that the squared test moves to DECIMAL(38,0).)
     *
     * Scale: one keyed aggregate to hourly counts, then a per-type window
     * over the tiny (type × hour) frame. Nothing touches raw events twice.
@@ -347,9 +365,11 @@ object EventsOps {
       .withColumn("ss", sum(col("n_events") * col("n_events")).over(byType))
       .select(col("event_type"), col("hour_idx"), col("n_events"),
         (col("n_events") * col("cnt") - col("s")).as("dev_num"),
-        ((col("n_events") * col("cnt") - col("s")) *
-         (col("n_events") * col("cnt") - col("s")) >=
-          lit(4) * (col("cnt") * col("ss") - col("s") * col("s"))).as("is_spike"))
+        ((col("cnt") * col("ss") - col("s") * col("s") > 0) &&
+         ((col("n_events") * col("cnt") - col("s")) *
+          (col("n_events") * col("cnt") - col("s")) >=
+           lit(4) * (col("cnt") * col("ss") - col("s") * col("s"))))
+          .as("is_spike"))
   }
 
   val oracle: Map[String, String] = Map(
@@ -414,6 +434,7 @@ object EventsOps {
         |  FROM h WINDOW win AS (PARTITION BY event_type))
         |SELECT event_type, hour_idx, n_events,
         |  n_events * cnt - s AS dev_num,
+        |  (cnt * ss - s * s > 0) AND
         |  (n_events * cnt - s) * (n_events * cnt - s)
         |    >= 4 * (cnt * ss - s * s) AS is_spike
         |FROM w""".stripMargin,

@@ -191,17 +191,24 @@ object SearchOps {
     */
   def highlight(spark: SparkSession, dir: String, term: String = "data",
                 window: Int = 60, k: Int = 20): DataFrame = {
-    val padded = concat(lit(" "), col("text"), lit(" "))
-    val needle = s" $term "
-    val p = instr(padded, needle)
+    // ONE normalized form (lowercased, whitespace runs collapsed to single
+    // spaces) feeds the occurrence count, the first-position probe, AND the
+    // snippet cut. Mixing a lowercased token count with case-sensitive
+    // instr/replace (the pre-r11 shape) silently dropped documents whose
+    // occurrences were capitalized or tab/newline-bounded — n_occ > 0 but
+    // first_pos = 0 — and could tag a different occurrence than the one
+    // counted; one shared form makes count, position, and tags agree by
+    // construction.
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
-        size(filter(split(lower(trim(col("text"))), "\\s+"),
+      .select(col("doc_id"), concat(lit(" "), norm, lit(" ")).as("padded"))
+      .select(col("doc_id"), col("padded"),
+        size(filter(split(trim(col("padded")), " "),
           t => t === lit(term))).cast("long").as("n_occ"),
-        p.cast("long").as("first_pos"))
+        instr(col("padded"), s" $term ").cast("long").as("first_pos"))
       .filter(col("first_pos") > 0)
       .withColumn("snippet",
-        expr(s"replace(substring(concat(' ', text, ' '), " +
+        expr(s"replace(substring(padded, " +
           s"greatest(1, first_pos - 30), $window), " +
           s"' $term ', ' <em>$term</em> ')"))
       .select(col("doc_id"), col("n_occ"), col("first_pos"), col("snippet"))
@@ -1164,15 +1171,19 @@ object SearchOps {
     "q_search_highlight" ->
       """WITH h AS (
         |  SELECT doc_id,
-        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    ' ' || trim(regexp_replace(lower(text), '\s+', ' ', 'g')) || ' '
+        |      AS padded
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, padded,
+        |    CAST(len(list_filter(string_split(trim(padded), ' '),
         |      x -> x = 'data')) AS BIGINT) AS n_occ,
-        |    CAST(instr(' ' || text || ' ', ' data ') AS BIGINT) AS first_pos,
-        |    replace(substring(' ' || text || ' ',
-        |      CAST(greatest(1, instr(' ' || text || ' ', ' data ') - 30) AS INT),
-        |      60), ' data ', ' <em>data</em> ') AS snippet
-        |  FROM documents)
-        |SELECT doc_id, n_occ, first_pos, snippet
-        |FROM h WHERE first_pos > 0
+        |    CAST(instr(padded, ' data ') AS BIGINT) AS first_pos
+        |  FROM h)
+        |SELECT doc_id, n_occ, first_pos,
+        |  replace(substring(padded, CAST(greatest(1, first_pos - 30) AS INT),
+        |    60), ' data ', ' <em>data</em> ') AS snippet
+        |FROM s WHERE first_pos > 0
         |ORDER BY n_occ DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_function_score" ->
       """WITH li AS (

@@ -535,18 +535,36 @@ object TextOps {
     * absorbs the Zipf head before the exchange.
     */
   def topNgrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    // bounded (k-row) report: collect it, RELEASE the vocabulary cache —
+    // the eager try/finally-class discipline the dedup tier uses; a
+    // long-lived session must not accumulate per-call cache entries
+    // (r10 ADVICE)
+    val (counts, res) = topNgramsPlan(spark, dir, k)
+    DedupOps.releasingBounded(counts)(res)
+  }
+
+  /** The LAZY plan face of [[topNgrams]] — `(persisted intermediate,
+    * result)`, the seam PlanSpec pins the two-pass shape through.
+    */
+  private[graft] def topNgramsPlan(spark: SparkSession, dir: String,
+                                   k: Int = 20): (DataFrame, DataFrame) = {
     // TWO-PASS NATIVE-HASH plan: the naive form (transform + concat_ws +
     // explode, group by gram STRING) spends 8.4s of pure CPU at sf0.1 —
     // higher-order lambdas are interpreted and every window allocates a
     // string. Pass 1 counts on the codegen'd 60-bit positional gram hash
     // (8-byte keys, zero string allocation — the span-dedup/winnowing
     // stream); only the ~k boundary survivors ever get their string built
-    // in pass 2. Correctness: the candidate set is every hash with
-    // occ ≥ the k-th-largest occ — a superset of the final (occ desc,
-    // gram asc) top-k under any string tie-break; the final string-keyed
-    // aggregate recomputes exact per-gram counts, so even a 60-bit
-    // collision (≈10⁻⁶ at millions of grams) cannot corrupt a surviving
-    // row's numbers.
+    // in pass 2. Correctness: candidates are every hash with occ ≥ the
+    // 2k-th-largest hash occ. The margin matters — a collision MERGES two
+    // grams' counts, so it can inflate the k-th-largest hash occ above a
+    // genuine top-k gram's own hash occ and evict it from a k-cut
+    // (r10 ADVICE); with the 2k-cut the superset property provably holds
+    // through k simultaneous pair-collisions (each merged key displaces at
+    // most one rank, and a true top-k gram's hash occ is never BELOW its
+    // true occ), and at 60 bits even one collision is ≈10⁻⁶ at millions
+    // of grams. The final string-keyed aggregate recomputes exact
+    // per-gram counts, so a collision can only ever cost a candidate row,
+    // never corrupt a surviving row's numbers.
     import org.apache.spark.sql.expressions.Window
     val toksCol = filter(split(lower(trim(col("text"))), "\\s+"),
       t => length(t) > 0)
@@ -560,12 +578,12 @@ object TextOps {
       .groupBy("g")
       .agg(count(lit(1)).as("occ"), countDistinct("doc_id").as("df"))
       .persist() // vocabulary-sized; read twice (threshold + candidates)
-    val kth = counts.orderBy(col("occ").desc).limit(k)
+    val kth = counts.orderBy(col("occ").desc).limit(2 * k)
       .agg(min("occ").as("thr"))
     val cands = counts.crossJoin(broadcast(kth))
       .filter(col("occ") >= col("thr"))
       .select("g")
-    wins(base)
+    val res = wins(base)
       .join(broadcast(cands), Seq("g"), "left_semi")
       .select(col("doc_id"),
         concat_ws(" ", element_at(col("toks"), col("pos") + 1),
@@ -575,6 +593,7 @@ object TextOps {
       .agg(count(lit(1)).as("occ"), countDistinct("doc_id").as("df"))
       .orderBy(col("occ").desc, col("gram").asc)
       .limit(k)
+    (counts, res)
   }
 
   /** Per-source document cap — the anti-spam guard every web-scale
@@ -975,13 +994,15 @@ object TextOps {
   def perplexityBucketsApproxGraded(spark: SparkSession, dir: String): DataFrame = {
     // the contract inherently derives BOTH bucketings; score the corpus
     // ONCE and persist — the LM scan is the dominant cost and without this
-    // each face re-ran it (in-bench 0.52s → the scan halves out)
+    // each face re-ran it (in-bench 0.52s → the scan halves out). The
+    // per-lang report is bounded: collect it, release the scored cache
+    // (r10 ADVICE — no per-call cache accumulation in long-lived sessions)
     val scored = scoredWithLang(spark, dir).persist()
     val approx = bucketsApproxOf(scored, accuracy = 10000)
       .select(col("doc_id"), col("lang"), col("bucket").as("a_bucket"))
     val exact = bucketsExactOf(scored)
       .select(col("doc_id"), col("bucket").as("e_bucket"))
-    approx.join(exact, Seq("doc_id"))
+    val res = approx.join(exact, Seq("doc_id"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("a_bucket") === col("e_bucket"), 1L).otherwise(0L)).as("agree"),
@@ -990,6 +1011,7 @@ object TextOps {
         (col("agree").cast("double") / col("n_docs") >= lit(0.9)).as("agree_90"),
         (abs(col("heads").cast("double") / col("n_docs") - lit(1.0 / 3)) <= lit(0.1))
           .as("head_share_ok"))
+    DedupOps.releasingBounded(scored)(res)
   }
 
   /** Per-source KL divergence from the corpus unigram distribution —
@@ -1016,6 +1038,18 @@ object TextOps {
     * back. Nothing rescans text twice.
     */
   def klDivergence(spark: SparkSession, dir: String): DataFrame = {
+    // bounded (one row per source): collect, release the vocabulary cache
+    // (r10 ADVICE — no per-call cache accumulation in long-lived sessions)
+    val (st, res) = klDivergencePlan(spark, dir)
+    DedupOps.releasingBounded(st)(res)
+  }
+
+  /** The LAZY plan face of [[klDivergence]] — `(persisted vocabulary
+    * aggregate, result)`, the seam PlanSpec pins the shared-scan shape
+    * through.
+    */
+  private[graft] def klDivergencePlan(spark: SparkSession,
+                                      dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val scale = 1048576.0 // 2^20, shared with the LM folds
     // persisted: the vocabulary-sized (source, token) aggregate feeds the
@@ -1032,7 +1066,7 @@ object TextOps {
       sum(col("c_st")).over(Window.partitionBy("token")))
     val ns = st.groupBy("source").agg(sum("c_st").as("n_s"))
     val nc = st.agg(sum("c_st").cast("double").as("n_c"))
-    wct.join(broadcast(ns), Seq("source"))
+    val res = wct.join(broadcast(ns), Seq("source"))
       .crossJoin(broadcast(nc))
       .select(col("source"), col("n_s"),
         round(lit(scale) *
@@ -1043,6 +1077,7 @@ object TextOps {
       .groupBy("source")
       .agg(max("n_s").as("n_toks"), count(lit(1)).as("n_terms"),
         sum("term_fp").as("kl_fp"))
+    (st, res)
   }
 
   /** Head-vocabulary coverage per (lang, source) — the tokenizer/corpus

@@ -141,7 +141,16 @@ object IncrementalVectors {
     } finally fresh.unpersist()
   }
 
-  private val AffectedMarker = "_AFFECTED"
+  // v2 marker NAME: the manifest format changed in r10 (merged int list →
+  // keep:/drop: prefixed sets). Parsing a surviving OLD-format staging
+  // under the new parser would yield empty keep/drop and delete the staged
+  // cells without swapping them in (r10 ADVICE) — so the format change
+  // rides a marker RENAME: a legacy `_AFFECTED` staging has no v2 marker,
+  // recoverCells treats it as incomplete and discards it, and the next
+  // tick re-merges the batch off the still-uncommitted watermark (the
+  // sink-before-watermark ordering makes any discarded commit re-runnable;
+  // redelivery idempotence absorbs the replay).
+  private val AffectedMarker = "_AFFECTED2"
 
   /** Roll a completed `.staging` commit forward and clear debris — safe to
     * call at any time; every [[load]]/[[upsert]] does.

@@ -188,17 +188,21 @@ class EventsSpec extends SparkSpecBase {
     import spark.implicits._
     val hour = 3600L * 1000000
     val t0 = 1704067200000000L
-    // one event type, 10 hours: nine quiet hours of 1 event, one hour of 29
-    val rows = (0 until 9).map(h => (t0 + h * hour, 1)) ++
-      (0 until 29).map(i => (t0 + 9 * hour + i * 1000L, 1)).map { case (t, _) => (t, 1) }
+    // type "click", 10 hours: nine quiet hours of 1 event, one hour of 29;
+    // type "flat", 10 hours of EXACTLY 1 event — zero variance, so 0 ≥ 0
+    // would flag every hour without the positive-variance guard
+    val clicks = ((0 until 9).map(h => (t0 + h * hour, 1)) ++
+      (0 until 29).map(i => (t0 + 9 * hour + i * 1000L, 1)).map { case (t, _) => (t, 1) })
+      .map { case (t, _) => (t, "click") }
+    val flats = (0 until 10).map(h => (t0 + h * hour, "flat"))
     val dir = java.nio.file.Files.createTempDirectory("anomaly").toString
-    rows.map(_._1).zipWithIndex.map { case (t, i) => (i.toLong, t) }
-      .toDF("event_id", "ts")
+    (clicks ++ flats).zipWithIndex.map { case ((t, ty), i) => (i.toLong, t, ty) }
+      .toDF("event_id", "ts", "event_type")
       .withColumn("user_id", lit(1L))
-      .withColumn("event_type", lit("click"))
       .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val got = EventsOps.volumeAnomaly(spark, dir).collect()
+    val out = EventsOps.volumeAnomaly(spark, dir).collect()
+    val got = out.filter(_.getString(0) == "click")
       .map(r => r.getLong(1) -> (r.getAs[Long]("n_events"), r.getAs[Boolean]("is_spike")))
       .toMap
     val spikeHour = t0 / hour + 9
@@ -206,6 +210,10 @@ class EventsSpec extends SparkSpecBase {
     got.filterNot(_._1 == spikeHour).values.foreach { case (n, s) =>
       assert(n === 1L && !s)
     }
+    // the flat series is the most NORMAL series there is — no hour flagged
+    val flat = out.filter(_.getString(0) == "flat")
+    assert(flat.length === 10)
+    flat.foreach(r => assert(!r.getAs[Boolean]("is_spike")))
   }
 
   test("volumeAnomaly: per-type deviations sum to zero (the integer identity)") {

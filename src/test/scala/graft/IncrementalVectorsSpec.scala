@@ -100,7 +100,7 @@ class IncrementalVectorsSpec extends SparkSpecBase {
     assert(new java.io.File(s"$store/.staging/_SUCCESS").exists(),
       "parquet job commit must leave its job marker")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$store/.staging/_AFFECTED"), "keep:0\nkeep:1")
+      java.nio.file.Paths.get(s"$store/.staging/_AFFECTED2"), "keep:0\nkeep:1")
     val f = new java.io.File(s"$store/.old"); f.mkdirs()
     assert(new java.io.File(s"$store/cell=0")
       .renameTo(new java.io.File(s"$store/.old/cell=0")))
@@ -126,7 +126,7 @@ class IncrementalVectorsSpec extends SparkSpecBase {
     // cell and deleted the just-committed cell=3 permanently.
     new java.io.File(s"$store/.staging").mkdirs()
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$store/.staging/_AFFECTED"), "keep:0\nkeep:3")
+      java.nio.file.Paths.get(s"$store/.staging/_AFFECTED2"), "keep:0\nkeep:3")
     new java.io.File(s"$store/.old").mkdirs()
     val got = content(IncrementalVectors.load(spark, store))
     assert(got === committed, "replay must not destroy a newly created cell")
@@ -143,10 +143,31 @@ class IncrementalVectorsSpec extends SparkSpecBase {
     // manifest carries it in the DROP set; replay must delete the ghost
     new java.io.File(s"$store/.staging").mkdirs()
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$store/.staging/_AFFECTED"), "drop:1")
+      java.nio.file.Paths.get(s"$store/.staging/_AFFECTED2"), "drop:1")
     val got = content(IncrementalVectors.load(spark, store))
     assert(got.map(_._1) === Set(0L))
     assert(!new java.io.File(s"$store/cell=1").exists())
+  }
+
+  test("legacy-format staging (pre-v2 plain-int _AFFECTED) is discarded, never misparsed") {
+    val store = tmp("legacy-manifest")
+    IncrementalVectors.upsert(spark, store, vecs(
+      (0L, 0, Seq(0.9, 0.1)), (1L, 1, Seq(0.1, 0.9))), codebook)
+    val before = content(IncrementalVectors.load(spark, store))
+    // a staging left by the PRE-r10 code: plain int lines under the old
+    // marker name. The old parser upgrade hazard (r10 ADVICE): reading
+    // this through the keep:/drop: parser yields empty sets and deletes
+    // .staging as if committed — discarding staged cells while treating
+    // the commit as done. The v2 marker RENAME makes it unreachable:
+    // recovery sees no v2 marker, discards the staging as incomplete, and
+    // the un-advanced watermark re-merges the batch next tick.
+    new java.io.File(s"$store/.staging").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$store/.staging/_AFFECTED"), "0\n1")
+    val got = content(IncrementalVectors.load(spark, store))
+    assert(got === before, "legacy staging must not mutate the live store")
+    assert(!new java.io.File(s"$store/.staging").exists(),
+      "legacy staging is discarded for the next tick to rewrite")
   }
 
   test("empty dirty set is a no-op — never creates or rewrites a store") {

@@ -486,7 +486,9 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("activeUsers: day spine broadcast into the semi-join; no cartesian fan-out") {
-    val p = plan(EventsOps.activeUsers(spark, sf))
+    // the public face eagerly collects + releases its cache (bounded
+    // result); the lazy plan seam is what carries the shape to pin
+    val p = plan(EventsOps.activeUsersPlan(spark, sf)._2)
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       s"expected broadcast semi-join on the day spine in:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -504,7 +506,7 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("topNgrams: pass-1 counts on the native hash; strings only after the broadcast semi-join") {
-    val p = plan(graft.ops.TextOps.topNgrams(spark, sf))
+    val p = plan(graft.ops.TextOps.topNgramsPlan(spark, sf)._2)
     assert(p.contains("gram_hash60_pos"), s"expected the native hash stream in:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
     // the string build must sit above a semi-join on the hash — never on
@@ -518,7 +520,7 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("klDivergence: the persisted vocabulary aggregate feeds all three consumers — one corpus scan") {
-    val p = plan(graft.ops.TextOps.klDivergence(spark, sf))
+    val p = plan(graft.ops.TextOps.klDivergencePlan(spark, sf)._2)
     // the (source, token) aggregate persists, so the window, the per-source
     // totals and the grand total read the InMemoryRelation instead of
     // re-running the tokenize+aggregate subtree. Scan-counting is NOT a
