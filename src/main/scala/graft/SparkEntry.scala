@@ -56,6 +56,7 @@ object SparkEntry {
     "q_pipeline_agg"     -> (EventsOps.pipelineAgg(_, _)),
     "q_asof_join"        -> (EventsOps.asofJoin(_, _)),
     "q_range_join"       -> ((s, d) => EventsOps.rangeJoin(s, d)),
+    "q_composed_tick"    -> (graft.streaming.ComposedEtlQuery.composedTick(_, _)),
     // Full-text search (ES query surface, SURVEY §3.3 / F10-F14 / A9)
     "q_search_match"     -> ((s, d) => SearchOps.matchQuery(s, d)),
     "q_search_match_ru"  -> ((s, d) => SearchOps.matchQueryRu(s, d)),
@@ -162,5 +163,5 @@ object SparkEntry {
     RelationalOps.oracle ++ EventsOps.oracle ++ TextOps.oracle ++
       DedupOps.oracle ++ SimilarityOps.oracle ++ MultimodalOps.oracle ++
       SearchOps.oracle ++ DocumentOps.oracle ++ CurationOps.oracle ++
-      PipelineOps.oracle
+      PipelineOps.oracle ++ graft.streaming.ComposedEtlQuery.oracle
 }

@@ -305,12 +305,18 @@ object RelationalOps {
     * (`TRUE` + the exact counts). A wildly-off sketch flips the boolean and
     * fails the gate.
     *
-    * Measured floor (sf0.1, r8 diag): ~0.55 s wall at 0.92 executor-CPU-s —
-    * compute-bound and parallel (cpu > wall), not dispatch. The cost is the
-    * two EXACT single-column distinct shuffles this validation face exists
-    * to compare against; the production path is the sketch alone (one
-    * map-side pass, no shuffle of distinct values). Both distincts are
-    * keyed shuffles that scale linearly — no change wanted.
+    * The two EXACT single-column distinct shuffles are the inherent cost —
+    * they're what this validation face exists to compare against; the
+    * production path is the sketch alone (one map-side pass, no shuffle of
+    * distinct values). Both distincts are keyed shuffles that scale
+    * linearly. The r10 diag showed the REAL local cost was dispatch, not
+    * compute: 8 serial jobs (three aggregates + two crossJoin broadcast
+    * builds + AQE stages) for three 1-row answers. The three aggregates
+    * are independent, so they now run as CONCURRENT actions on the shared
+    * scheduler (the standard multi-action Spark pattern — on a cluster the
+    * three job DAGs interleave across executors) and the 1-row verdict is
+    * assembled locally — the crossJoin broadcast builds are gone and the
+    * wall is max(three aggs), not their sum.
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -325,14 +331,21 @@ object RelationalOps {
       .agg(count(lit(1)).as("exact_parts"))
     val exactOrders = li.select("l_orderkey").distinct()
       .agg(count(lit(1)).as("exact_orders"))
-    approx.crossJoin(exactParts).crossJoin(exactOrders)
-      .select(
-        (abs(col("approx_parts") - col("exact_parts"))
-          <= col("exact_parts") * 0.05).as("parts_within_rsd"),
-        col("exact_parts"),
-        (abs(col("approx_orders") - col("exact_orders"))
-          <= col("exact_orders") * 0.05).as("orders_within_rsd"),
-        col("exact_orders"))
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(blocking { approx.collect().head })
+    val fp = Future(blocking { exactParts.collect().head })
+    val fo = Future(blocking { exactOrders.collect().head })
+    val a = Await.result(fa, Duration.Inf)
+    val (ep, eo) = (Await.result(fp, Duration.Inf).getLong(0),
+      Await.result(fo, Duration.Inf).getLong(0))
+    val (ap, ao) = (a.getLong(0), a.getLong(1))
+    import spark.implicits._
+    Seq((math.abs(ap - ep) <= ep * 0.05, ep,
+         math.abs(ao - eo) <= eo * 0.05, eo))
+      .toDF("parts_within_rsd", "exact_parts", "orders_within_rsd",
+        "exact_orders")
   }
 
   /** Multi-level facet via ROLLUP (admin dashboard subtotals): per

@@ -1120,7 +1120,7 @@ object SearchOps {
   private val duckStops =
     AllStops.map(s => s"'$s'").mkString("(", ", ", ")")
   /** DuckDB expression producing exactly `analyze(<textExpr>)`. */
-  private def duckToksOf(textExpr: String): String =
+  private[graft] def duckToksOf(textExpr: String): String =
     "list_transform(" +
       "list_filter(" +
       s"list_transform(string_split_regex(lower($textExpr), '[^a-z0-9а-яё'']+'), " +
