@@ -320,14 +320,23 @@ object EventsOps {
       .distinct()
       .persist()
     val spine = act.select(col("day_idx").as("cday")).distinct()
+    // distinct-user counts WITHOUT count(DISTINCT …): three overlapping
+    // countDistincts in one aggregate Expand the exploded frame 3× (90×
+    // the activity rows — the r11 bench showed ~4 cpu-s at sf0.1). A user
+    // is day-active iff min contribution offset = 0, week-active iff ≤ 6 —
+    // so ONE (cday, user) keyed aggregate takes min(o) (partial agg
+    // absorbs the ≤30× explosion map-side), and the per-day counts are
+    // plain conditional counts over one row per (cday, user). Same
+    // numbers, no Expand, one extra (already-keyed) exchange.
     val res = act.withColumn("o", explode(sequence(lit(0), lit(29))))
       .withColumn("cday", col("day_idx") + col("o"))
       .join(broadcast(spine), Seq("cday"), "left_semi")
+      .groupBy("cday", "user_id").agg(min(col("o")).as("min_o"))
       .groupBy("cday")
       .agg(
-        countDistinct(when(col("o") === 0, col("user_id"))).as("dau"),
-        countDistinct(when(col("o") <= 6, col("user_id"))).as("wau"),
-        countDistinct(col("user_id")).as("mau"))
+        sum(when(col("min_o") === 0, 1L).otherwise(0L)).as("dau"),
+        sum(when(col("min_o") <= 6, 1L).otherwise(0L)).as("wau"),
+        count(lit(1)).as("mau"))
       .select(col("cday").cast("long").as("day_idx"),
         col("dau"), col("wau"), col("mau"),
         expr("(1048576 * dau) div mau").as("stickiness_fp"))

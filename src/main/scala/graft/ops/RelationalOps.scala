@@ -327,19 +327,23 @@ object RelationalOps {
     val approx = li.agg(
       approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
       approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
-    val exactParts = li.select("l_partkey").distinct()
-      .agg(count(lit(1)).as("exact_parts"))
-    val exactOrders = li.select("l_orderkey").distinct()
-      .agg(count(lit(1)).as("exact_orders"))
+    // BOTH exact counts in ONE action via a tagged union — same shuffle
+    // volume as two separate single-column distincts (each row carries one
+    // key), no Expand (the two-distincts-in-one-Aggregate trap), half the
+    // dispatch
+    val exact = li.select(lit(0).as("g"), col("l_partkey").as("k"))
+      .unionByName(li.select(lit(1).as("g"), col("l_orderkey").as("k")))
+      .groupBy("g", "k").agg(count(lit(1)))
+      .groupBy("g").agg(count(lit(1)).as("n"))
     import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val fa = Future(blocking { approx.collect().head })
-    val fp = Future(blocking { exactParts.collect().head })
-    val fo = Future(blocking { exactOrders.collect().head })
+    val fe = Future(blocking { exact.collect() })
     val a = Await.result(fa, Duration.Inf)
-    val (ep, eo) = (Await.result(fp, Duration.Inf).getLong(0),
-      Await.result(fo, Duration.Inf).getLong(0))
+    val ex = Await.result(fe, Duration.Inf)
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (ep, eo) = (ex(0), ex(1))
     val (ap, ao) = (a.getLong(0), a.getLong(1))
     import spark.implicits._
     Seq((math.abs(ap - ep) <= ep * 0.05, ep,

@@ -535,13 +535,24 @@ object TextOps {
     * absorbs the Zipf head before the exchange.
     */
   def topNgrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    // bounded (k-row) report: collect it, RELEASE the vocabulary cache —
-    // the eager try/finally-class discipline the dedup tier uses; a
-    // long-lived session must not accumulate per-call cache entries
-    // (r10 ADVICE)
-    val (counts, res) = topNgramsPlan(spark, dir, k)
-    DedupOps.releasingBounded(counts)(res)
+    // bounded (k-row) report: computed once per (dir, content version, k)
+    // and served from the same driver-side version-keyed artifact cache
+    // [[corpusMix]] uses — a boilerplate report is a maintained ARTIFACT
+    // (refreshed when the corpus version changes), not a per-call
+    // derivation. Within the build the vocabulary cache is collected and
+    // RELEASED eagerly (r10 ADVICE: no per-call executor-cache
+    // accumulation; the k-row driver-side entry is the whole footprint).
+    val key = s"$dir@${Tables.contentVersion(spark, s"$dir/documents.parquet")}@$k"
+    val (rows, schema) = topNgramRows.computeIfAbsent(key, _ => {
+      val (counts, res) = topNgramsPlan(spark, dir, k)
+      val out = DedupOps.releasingBounded(counts)(res)
+      (out.collect(), out.schema)
+    })
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
+
+  private val topNgramRows = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]()
 
   /** The LAZY plan face of [[topNgrams]] — `(persisted intermediate,
     * result)`, the seam PlanSpec pins the two-pass shape through.
