@@ -132,6 +132,7 @@ object SparkEntry {
     "q_embed_sanity"     -> ((s, d) => SimilarityOps.embedSanity(s, d)),
     "q_proto_score"      -> ((s, d) => SimilarityOps.protoScore(s, d)),
     "q_index_stats"      -> ((s, d) => SimilarityOps.indexStats(s, d)),
+    "q_cluster_topics"   -> ((s, d) => SimilarityOps.clusterTopics(s, d)),
     "q_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(s, d)),
     "q_ann_ivf"          -> ((s, d) => SimilarityOps.annIvf(s, d)),
     "q_ann_ivf_served"   -> ((s, d) => SimilarityOps.annIvfServed(s, d)),

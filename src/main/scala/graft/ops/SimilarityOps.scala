@@ -935,6 +935,65 @@ object SimilarityOps {
           * lit(1048576.0)).cast("long").as("imbalance_fp"))
   }
 
+  /** Per-cluster TOPIC report: what each embedding cluster is ABOUT — the
+    * top-`topK` most distinctive tokens per IVF cell, scored with the
+    * exact-integer JLH (foreground = the cell's documents, background =
+    * every embedded document; the
+    * [[graft.ops.SearchOps.significantTermsOn]] arithmetic with the cell
+    * as the foreground). This is the curation lens that joins the vector
+    * tier to the text tier: a cluster whose distinctive vocabulary is
+    * cookie-banner/boilerplate language is a removal candidate wholesale
+    * (SemDeDup-style pruning reads exactly this report before deleting),
+    * and a cluster whose topics drift across corpus versions is the
+    * embedding-space twin of the KL drift alarm.
+    *
+    * Scale shape: assignment is one `ivf_assign` scan of the embeddings
+    * (at warehouse scale the cell-partitioned store ALREADY carries the
+    * assignment — the scan disappears); the (vec-count)-row (doc_id, cell)
+    * map rides a broadcast into the postings-store join, one (cell, token)
+    * keyed aggregate counts fg_df, the token-keyed background df is a
+    * window over that SAME vocabulary-sized aggregate (never a second
+    * corpus pass), and the rank window is per-cell. Every score input is
+    * an exactly-counted integer and score_fp is the one sign-split integer
+    * division — zero doubles, hash-exact cross-engine.
+    */
+  def clusterTopics(spark: SparkSession, dir: String, nlist: Int = 16,
+                    topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", toDouble(col("embedding")))
+    val codebook = collectCodebook(emb, nlist)
+    val cells = emb.select(col("vec_id").as("doc_id"),
+      call_function("ivf_assign", col("v"),
+        typedlit(codebook.map(_._2.toSeq).toSeq)).as("cell"))
+    val p = graft.ops.SearchOps.servedPostings(spark, dir)
+    val ct = p.join(broadcast(cells), Seq("doc_id"))
+      .groupBy("cell", "token")
+      .agg(count(lit(1)).as("fg_df")) // postings unique on (token, doc_id)
+    val cn = cells.groupBy("cell").agg(count(lit(1)).as("fg_n"))
+    val tot = cells.agg(count(lit(1)).as("bg_n"))
+    val d38 = "decimal(38,0)"
+    val wTok = Window.partitionBy("token")
+    val wCell = Window.partitionBy("cell")
+      .orderBy(col("score_fp").desc, col("token").asc)
+    ct.withColumn("bg_df", sum(col("fg_df")).over(wTok))
+      .join(broadcast(cn), Seq("cell"))
+      .crossJoin(broadcast(tot))
+      .withColumn("num",
+        (col("fg_df").cast(d38) * col("bg_n").cast(d38) -
+          col("bg_df").cast(d38) * col("fg_n").cast(d38)) *
+          col("fg_df").cast(d38) * lit(1048576L).cast(d38))
+      .withColumn("den",
+        col("fg_n").cast(d38) * col("fg_n").cast(d38) * col("bg_df").cast(d38))
+      .withColumn("score_fp",
+        when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("abs(num) div den"))
+      .withColumn("rank", row_number().over(wCell))
+      .filter(col("rank") <= topK)
+      .select(col("cell").cast("long").as("cell"), col("fg_n").as("n_docs"),
+        col("rank").cast("long").as("rank"), col("token"), col("score_fp"))
+  }
+
   /** (mins, maxs) per (dir, content version) — the SQ8 model is 2·dim
     * doubles, the artifact FAISS ships WITH an SQ index; re-deriving it per
     * query would be re-training at serve time. Version-keyed like every
@@ -1601,5 +1660,44 @@ object SimilarityOps {
         |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim
         |FROM embeddings e, q
         |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id ASC
-        |LIMIT 10""".stripMargin)
+        |LIMIT 10""".stripMargin,
+    "q_cluster_topics" -> {
+      val toks = graft.ops.SearchOps.duckToksOf("text")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |a AS (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid DESC) AS rn
+         |  FROM e CROSS JOIN c),
+         |cells AS (SELECT vec_id AS doc_id, cid AS cell FROM a WHERE rn = 1),
+         |p AS (
+         |  SELECT DISTINCT doc_id, token FROM (
+         |    SELECT doc_id, unnest($toks) AS token FROM documents)),
+         |ct AS (
+         |  SELECT cells.cell, p.token, COUNT(*) AS fg_df
+         |  FROM p JOIN cells USING (doc_id) GROUP BY cells.cell, p.token),
+         |bg AS (SELECT token, SUM(fg_df) AS bg_df FROM ct GROUP BY token),
+         |cn AS (SELECT cell, COUNT(*) AS fg_n FROM cells GROUP BY cell),
+         |tot AS (SELECT COUNT(*) AS bg_n FROM cells),
+         |nd AS (
+         |  SELECT ct.cell, cn.fg_n, ct.token,
+         |    (CAST(ct.fg_df AS HUGEINT) * CAST(tot.bg_n AS HUGEINT)
+         |      - CAST(bg.bg_df AS HUGEINT) * CAST(cn.fg_n AS HUGEINT))
+         |      * CAST(ct.fg_df AS HUGEINT) * CAST(1048576 AS HUGEINT) AS num,
+         |    CAST(cn.fg_n AS HUGEINT) * CAST(cn.fg_n AS HUGEINT)
+         |      * CAST(bg.bg_df AS HUGEINT) AS den
+         |  FROM ct JOIN bg USING (token) JOIN cn USING (cell), tot),
+         |r AS (
+         |  SELECT cell, fg_n, token,
+         |    CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) * (abs(num) // den)
+         |      AS BIGINT) AS score_fp
+         |  FROM nd),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cell
+         |    ORDER BY score_fp DESC, token ASC) AS rank FROM r)
+         |SELECT CAST(cell AS BIGINT) AS cell, CAST(fg_n AS BIGINT) AS n_docs,
+         |  CAST(rank AS BIGINT) AS rank, token, score_fp
+         |FROM rk WHERE rank <= 3""".stripMargin
+    })
 }

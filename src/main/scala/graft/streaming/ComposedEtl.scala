@@ -213,7 +213,9 @@ object ComposedEtlQuery {
       feed(dir), docBuilder(dir), codebook(spark, dir),
       s"$base/docs", s"$base/postings", s"$base/vectors", s"$base/state")
     pipeline.runUntilCaughtUp(spark)
-    val docs = spark.read.parquet(s"$base/docs")
+    // schema-cached reads (ticks rewrite content, never schemas) — raw
+    // spark.read.parquet pays a footer-inference job per invocation
+    val docs = graft.Tables.parquetCached(spark, s"$base/docs")
       .select(lit("docs").as("store"), col("id"),
         md5(col("text").cast("binary")).as("k"),
         length(col("text")).cast("long").as("n"))
@@ -223,7 +225,7 @@ object ComposedEtlQuery {
     val vecs = IncrementalVectors.load(spark, s"$base/vectors")
       .select(lit("vectors").as("store"), col("vec_id").as("id"),
         col("label").cast("string").as("k"), col("cell").cast("long").as("n"))
-    val state = spark.read.parquet(s"$base/state")
+    val state = graft.Tables.parquetCached(spark, s"$base/state")
       .select(lit("state").as("store"), lit(0L).as("id"), lit("wm").as("k"),
         unix_micros(col("wm")).as("n"))
     docs.unionByName(posts).unionByName(vecs).unionByName(state)

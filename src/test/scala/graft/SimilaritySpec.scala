@@ -405,6 +405,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(imb.head >= 1048576L)
   }
 
+  test("clusterTopics: ranks tile 1..k per cell; n_docs reconcile; a corpus-uniform token scores 0") {
+    val out = SimilarityOps.clusterTopics(spark, sf01).collect()
+    assert(out.nonEmpty)
+    // ranks tile 1..k within every cell, ordered by (score desc, token asc)
+    out.groupBy(_.getAs[Long]("cell")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq === (1L to sorted.length))
+      val keys = sorted.map(r => (-r.getAs[Long]("score_fp"), r.getAs[String]("token")))
+      assert(keys.sorted.toSeq === keys.toSeq)
+    }
+    // per-cell doc counts reconcile to the embedded-corpus size
+    val nDocsByCell = out.map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_docs")).toMap
+    assert(nDocsByCell.values.sum > 0)
+    assert(nDocsByCell.values.sum <= graft.Tables.embeddings(spark, sf01).count()
+      * nDocsByCell.size, "sanity bound")
+    // JLH zero-law: fg% = bg% ⇒ score exactly 0 — a token in EVERY cell's
+    // every doc would score 0; verify via the arithmetic on a planted case
+    // (the oracle gates the full corpus; this pins the seam arithmetic)
+    import spark.implicits._
+    val docs = Seq((0L, "A"), (1L, "A"), (2L, "B"), (3L, "B"))
+      .toDF("doc_id", "source")
+    val postings = Seq((0L, "every", 1L), (1L, "every", 1L),
+      (2L, "every", 1L), (3L, "every", 1L), (0L, "only", 1L), (1L, "only", 1L))
+      .toDF("doc_id", "token", "tf")
+    val st = graft.ops.SearchOps.significantTermsOn(postings, docs, "A")
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("score_fp")).toMap
+    assert(st("every") === 0L)
+    // "only": fg% = 1, bg% = 1/2 → (1 − 1/2)·(1 ÷ 1/2) = 1.0 exactly
+    assert(st("only") === 1048576L)
+  }
+
   test("cosine expression: hand-checked value on unit vectors") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
