@@ -119,6 +119,7 @@ object SparkEntry {
     "q_dup_clusters"     -> (DedupOps.dupClusters(_, _)),
     "q_dup_best"         -> ((s, d) => DedupOps.dupBest(s, d)),
     "q_dup_rate"         -> ((s, d) => DedupOps.dupRate(s, d)),
+    "q_split_leakfree"   -> ((s, d) => DedupOps.splitLeakfree(s, d)),
     "q_simhash"          -> (DedupOps.simhash(_, _)),
     "q_ngram_jaccard"    -> (DedupOps.ngramJaccard(_, _)),
     "q_dedup_spans"      -> ((s, d) => DedupOps.dedupSpans(s, d)),

@@ -342,6 +342,39 @@ object DedupOps {
         expr("(1048576 * n_dropped) div n_docs").as("drop_rate_fp"))
   }
 
+  /** LEAKAGE-FREE train/validation split — the assignment every training
+    * pipeline needs before any eval number is trustworthy: a naive per-doc
+    * hash split puts near-duplicate copies on BOTH sides, so the model is
+    * evaluated on (near-)training data and the val loss lies. The fix is
+    * to split by NEAR-DUP CLUSTER, not by document: the split key is the
+    * cluster representative (the doc itself when unclustered), so an
+    * entire duplicate family lands on one side by construction.
+    *
+    * The split itself is the repo's deterministic salted-md5 device
+    * ([[graft.ops.TextOps.domainCap]] / stratifiedSample): hex digests
+    * compare LEXICOGRAPHICALLY the same in every engine, so
+    * `md5("split:" ++ key) < "1a"` is a portable ≈10.2% cut (prefixes
+    * below "1a" cover 26/256 of the uniform hash space) with no
+    * hex-to-int conversion to diverge.
+    *
+    * Served shape: reads [[servedDupClusters]] (never re-clusters), one
+    * left join, per-row hash — map-only after the join. At 100 TB both
+    * sides bucket by doc_id.
+    */
+  def splitLeakfree(spark: SparkSession, dir: String,
+                    threshold: Double = 0.5,
+                    valHexCut: String = "1a"): DataFrame = {
+    val clusters = servedDupClusters(spark, dir, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    graft.Tables.documents(spark, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("split_key"))
+      .select(col("doc_id"), col("split_key"),
+        when(md5(concat(lit("split:"), col("split_key").cast("string")))
+          < valHexCut, "val").otherwise("train").as("split"))
+  }
+
   /** Connected components over an undirected pair graph (`left_id`,
     * `right_id` columns) → one `(id, label)` row per node, label = the
     * component minimum. Shared by [[dupClusters]] (text near-dup graph) and
@@ -1042,7 +1075,33 @@ object DedupOps {
       |ORDER BY greatest(inter / nl, inter / nr) DESC, left_id, right_id
       |LIMIT 50""".stripMargin
 
+  /** Replay: the recursive-CTE cluster closure (shared with dup_best /
+    * dup_rate) feeds the same coalesce(cluster, doc) split key and the same
+    * lexicographic md5-hex cut — engine-portable by construction.
+    */
+  private def splitLeakfreeOracle: String =
+    s"""WITH RECURSIVE $candCtes,
+       |p AS MATERIALIZED (
+       |  SELECT left_id, right_id FROM (
+       |    SELECT left_id, right_id,
+       |      CAST(len([i for i in range(1,9) if lsig[i] = rsig[i]]) AS DOUBLE) / 8 AS est
+       |    FROM cand)
+       |  WHERE est >= 0.5),
+       |edges AS MATERIALIZED (
+       |  SELECT left_id AS src, right_id AS dst FROM p
+       |  UNION ALL SELECT right_id, left_id FROM p),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+       |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+       |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key,
+       |  CASE WHEN md5('split:' || CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR))
+       |       < '1a' THEN 'val' ELSE 'train' END AS split
+       |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_split_leakfree" -> splitLeakfreeOracle,
     "q_containment" -> containmentOracle,
     "q_winnow" -> winnowOracle,
     "q_dedup_spans" -> dedupSpansOracle,

@@ -232,4 +232,25 @@ class DedupSpec extends SparkSpecBase {
     assert(out.map(_.getAs[Long]("n_docs")).sum ===
       Tables.documents(spark, sf).count())
   }
+
+  test("splitLeakfree: every near-dup cluster lands whole on one side; cut is the hash law") {
+    val out = graft.ops.DedupOps.splitLeakfree(spark, sf).collect()
+    assert(out.length === Tables.documents(spark, sf).count())
+    // THE invariant this operator exists for: no cluster straddles the split
+    out.groupBy(_.getAs[Long]("split_key")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[String]("split")).distinct.length === 1,
+        "a duplicate family must never straddle train/val")
+    }
+    // the split is exactly the salted-hash law, replayable row by row
+    out.foreach { r =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:${r.getAs[Long]("split_key")}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val expect = if (h < "1a") "val" else "train"
+      assert(r.getAs[String]("split") === expect)
+    }
+    // both sides populated at corpus scale (≈10.2% val)
+    val nVal = out.count(_.getAs[String]("split") == "val")
+    assert(nVal > 0 && nVal < out.length)
+  }
 }
