@@ -93,6 +93,7 @@ object SparkEntry {
     "q_repetition"       -> (TextOps.repetition(_, _)),
     "q_corpus_mix"       -> (TextOps.corpusMix(_, _)),
     "q_temperature_mix"  -> (TextOps.temperatureMix(_, _)),
+    "q_budget_mix"       -> ((s, d) => TextOps.budgetMix(s, d)),
     "q_domain_cap"       -> ((s, d) => TextOps.domainCap(s, d)),
     "q_top_ngrams"       -> ((s, d) => TextOps.topNgrams(s, d)),
     "q_pack"             -> ((s, d) => TextOps.packChunks(s, d)),

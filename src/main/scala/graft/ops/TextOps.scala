@@ -665,6 +665,65 @@ object TextOps {
         expr("(1048576 * sqrt_share_fp) div den").as("weight_fp"))
   }
 
+  /** Temperature-BUDGETED corpus selection — [[temperatureMix]] turned from
+    * a policy vector into a concrete document list: each source gets a
+    * token budget `(weight_fp · corpus_tokens/budgetDenom) div 2^20` and
+    * its documents are admitted in deterministic salted-hash order (the
+    * [[domainCap]] device — an unbiased, retry-stable sample) until the
+    * running token sum exceeds the budget. This is the mixture-construction
+    * step a loader runs after the mixing weights are decided: DoReMi /
+    * XLM-R weights say HOW MUCH of each source; this says WHICH documents.
+    *
+    * Everything is exact integer arithmetic — token counts, the fixed-point
+    * weight, the integer budget division, the running ROWS-framed sum (the
+    * frame is pinned ROWS, not RANGE, though the (md5, doc_id) order key is
+    * already unique) — so the keep verdict replays bit-for-bit. (At ~10^13
+    * corpus tokens `weight_fp · corpus_tokens` approaches the long edge —
+    * the documented DECIMAL(38,0) switch, same note as volumeAnomaly.)
+    *
+    * Scale shape: the budgets frame is sources-bounded and broadcast; the
+    * one exchange is the source-keyed window — the same key domainCap
+    * shuffles, with the same skew note (a hot source is exactly the thing
+    * being budget-capped).
+    */
+  def budgetMix(spark: SparkSession, dir: String,
+                budgetDenom: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ONE text_metrics corpus scan: the per-doc frame is persisted and
+    // feeds BOTH the source-totals aggregate (→ weights/budgets, the
+    // temperatureMix arithmetic inlined over the same integers) and the
+    // admission window — calling temperatureMix here would tokenize the
+    // corpus a second time (measured 0.89 → ~0.55 s at sf0.1). Released
+    // via the semDedup-class localCheckpoint (the result is corpus-sized,
+    // so the bounded-collect release doesn't apply).
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        metrics.getField("n_tokens").cast("long").as("n_toks"),
+        md5(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+      .persist()
+    val src = docs.groupBy("source").agg(sum("n_toks").as("n_tokens"))
+    val tot = src.agg(sum("n_tokens").cast("double").as("total"),
+      sum("n_tokens").as("corpus_tokens"))
+    val sq = src.crossJoin(broadcast(tot))
+      .select(col("source"), col("corpus_tokens"),
+        round(lit(1048576.0) *
+            sqrt(col("n_tokens").cast("double") / col("total")))
+          .cast("long").as("sqrt_share_fp"))
+    val denom = sq.agg(sum("sqrt_share_fp").as("den"))
+    val budgets = sq.crossJoin(broadcast(denom))
+      .select(col("source"),
+        expr(s"(((1048576 * sqrt_share_fp) div den) * " +
+          s"(corpus_tokens div $budgetDenom)) div 1048576").as("budget_toks"))
+    val win = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val res = docs.join(broadcast(budgets), Seq("source"))
+      .withColumn("running_toks", sum(col("n_toks")).over(win))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        col("running_toks"), col("budget_toks"),
+        (col("running_toks") <= col("budget_toks")).as("keep"))
+    DedupOps.releasing(docs)(res)
+  }
+
   /** Context-window packing: assign documents to fixed-token-budget chunks —
     * the step that turns a curated corpus into training sequences. Greedy
     * running-sum packing: a document joins the chunk its starting token
@@ -1775,6 +1834,41 @@ object TextOps {
         |SELECT source, n_tokens, sqrt_share_fp,
         |  (1048576 * sqrt_share_fp) // den AS weight_fp
         |FROM sq, d""".stripMargin,
+    "q_budget_mix" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |             ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total,
+        |             CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM s),
+        |sq AS (
+        |  SELECT source, n_tokens,
+        |    CAST(round(1048576.0 * sqrt(CAST(n_tokens AS DOUBLE) / total))
+        |      AS BIGINT) AS sqrt_share_fp
+        |  FROM s, t),
+        |d AS (SELECT CAST(sum(sqrt_share_fp) AS BIGINT) AS den FROM sq),
+        |b AS (
+        |  SELECT source,
+        |    (((1048576 * sqrt_share_fp) // den) * (corpus_tokens // 4)) // 1048576
+        |      AS budget_toks
+        |  FROM sq, d, t),
+        |doc AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_toks,
+        |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_toks,
+        |    SUM(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_toks
+        |  FROM doc)
+        |SELECT r.doc_id, r.source, r.n_toks, r.running_toks, b.budget_toks,
+        |  r.running_toks <= b.budget_toks AS keep
+        |FROM r JOIN b USING (source)""".stripMargin,
     "q_corpus_mix" ->
       """WITH m AS (
         |  SELECT lang, source, count(*) AS n_docs,

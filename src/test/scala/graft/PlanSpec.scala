@@ -495,6 +495,24 @@ class PlanSpec extends SparkSpecBase {
       s"unexpected product join in:\n$p")
   }
 
+  test("clusterTopics: postings from the store, assignment map broadcast — no re-analyze, no global window") {
+    val p = plan(SimilarityOps.clusterTopics(spark, sf))
+    assert(!p.contains("ru_en_analyze"),
+      s"tokens must come from the served postings store, not a re-analyze:\n$p")
+    assert(p.contains("ivf_assign"), s"expected the assignment scan in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (doc, cell) map must broadcast into the postings join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
+  }
+
+  test("splitLeakfree: reads the served cluster store — no re-clustering, map-only after the join") {
+    graft.ops.DedupOps.splitLeakfree(spark, sf).count() // force the store build
+    val p = plan(graft.ops.DedupOps.splitLeakfree(spark, sf))
+    assert(!p.contains("md5_minhash") && !p.contains("shingle_hash60"),
+      s"split must serve the cluster store, never re-derive signatures:\n$p")
+    assert(!p.contains("Window"), s"the split is a per-row hash — no window:\n$p")
+  }
+
   test("dupBest: reads the served cluster store — no CC fixpoint, no minhash subtree in the plan") {
     // force the store to exist first (one build), then the query plan must
     // be store-scan + documents join + one cluster-keyed window

@@ -488,6 +488,29 @@ class TextSpec extends SparkSpecBase {
     assert(wSum <= 1048576L && wSum >= 1048576L - out.length)
   }
 
+  test("budgetMix: kept tokens never exceed the source budget; admission is prefix-closed in hash order") {
+    val out = graft.ops.TextOps.budgetMix(spark, sf).collect()
+    assert(out.length.toLong === Tables.documents(spark, sf).count(),
+      "verdict covers every document")
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val budget = rows.head.getAs[Long]("budget_toks")
+      assert(rows.map(_.getAs[Long]("budget_toks")).distinct.length === 1)
+      val kept = rows.filter(_.getAs[Boolean]("keep"))
+      // the budget is a hard cap on admitted tokens
+      assert(kept.map(_.getAs[Long]("n_toks")).sum <= budget)
+      // admission is a PREFIX of the running order: once over budget,
+      // nothing later is admitted (keep ⇔ running ≤ budget, row by row)
+      rows.foreach { r =>
+        assert(r.getAs[Boolean]("keep") ===
+          (r.getAs[Long]("running_toks") <= budget))
+      }
+      val sorted = rows.sortBy(_.getAs[Long]("running_toks"))
+      val keepFlags = sorted.map(_.getAs[Boolean]("keep"))
+      assert(!keepFlags.dropWhile(identity).contains(true),
+        "keeps must form a prefix of the hash-ordered admission sequence")
+    }
+  }
+
   test("domainCap: at most cap keeps per source, hash-ordered, full relation, deterministic") {
     val out = graft.ops.TextOps.domainCap(spark, sf, cap = 5).collect()
     val total = Tables.documents(spark, sf).count()
