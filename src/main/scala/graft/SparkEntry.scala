@@ -130,6 +130,7 @@ object SparkEntry {
     "q_cosine_topk"      -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
     "q_knn_join"         -> ((s, d) => SimilarityOps.knnJoin(s, d)),
     "q_knn_join_ivf"     -> ((s, d) => SimilarityOps.knnJoinIvf(s, d)),
+    "q_hard_negatives"   -> ((s, d) => SimilarityOps.hardNegatives(s, d)),
     "q_retrieval_eval"   -> ((s, d) => SimilarityOps.retrievalEval(s, d)),
     "q_embed_sanity"     -> ((s, d) => SimilarityOps.embedSanity(s, d)),
     "q_proto_score"      -> ((s, d) => SimilarityOps.protoScore(s, d)),

@@ -581,7 +581,7 @@ object DedupOps {
   /** Shared CTE chain: shingles → portable hashes → affine signature →
     * banding → census guard → candidate pairs (lsig/rsig attached).
     */
-  private def candCtes: String = {
+  private[ops] def candCtes: String = {
     val slots = (0 until 8).map(slotSql).mkString(",\n    ")
     s"""sh AS (
        |  SELECT doc_id, list_distinct([substr(text, CAST(i AS INT), 5)

@@ -994,6 +994,47 @@ object SimilarityOps {
         col("rank").cast("long").as("rank"), col("token"), col("score_fp"))
   }
 
+  /** HARD-NEGATIVE mining — the contrastive-training data op: for each
+    * query document, the most-similar documents that are NOT its
+    * near-duplicates. A contrastive embedding model trains on (anchor,
+    * positive, hard-negative) triples; mining negatives by raw similarity
+    * alone poisons the batch with false negatives (near-dup copies of the
+    * anchor ranked as "negatives"), so the exclusion set is the anchor's
+    * whole near-dup CLUSTER from the served cluster store — the same
+    * family-level reasoning [[graft.ops.DedupOps.splitLeakfree]] applies
+    * to splits.
+    *
+    * Served shape: cluster keys come from [[DedupOps.servedDupClusters]]
+    * (never re-clusters); the nQueries anchors broadcast into one corpus
+    * scan; the rank window is per-anchor over the candidate exchange. The
+    * scan is the brute face — at 100 TB the IVF cell store shortlists per
+    * anchor first (the [[knnJoinIvf]] composition), with the same cluster
+    * exclusion applied to the shortlist.
+    */
+  def hardNegatives(spark: SparkSession, dir: String, nQueries: Int = 8,
+                    m: Int = 5, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", toDouble(col("embedding")))
+    val clusters = graft.ops.DedupOps.servedDupClusters(spark, dir, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val withKey = emb.join(clusters, col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"), col("v"),
+        coalesce(col("cluster_id"), col("vec_id")).as("ckey"))
+    val queries = withKey.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("ckey").as("q_ckey"))
+    withKey.crossJoin(broadcast(queries))
+      .filter(col("ckey") =!= col("q_ckey")) // drops self AND its dup family
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("cos_raw"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("vec_id").asc)))
+      .filter(col("rn") <= m)
+      .select(col("q_id"), col("rn").cast("long").as("rank"),
+        col("vec_id").as("neg_id"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
   /** (mins, maxs) per (dir, content version) — the SQ8 model is 2·dim
     * doubles, the artifact FAISS ships WITH an SQ index; re-deriving it per
     * query would be re-training at serve time. Version-keyed like every
@@ -1504,7 +1545,42 @@ object SimilarityOps {
        |ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC LIMIT $k""".stripMargin
   }
 
+  /** Replay: the recursive cluster closure (shared with the dedup-tier
+    * oracles) supplies the exclusion keys; the rest is the knnJoin scan
+    * with the family filter.
+    */
+  private def hardNegativesOracle: String =
+    s"""WITH RECURSIVE ${graft.ops.DedupOps.candCtes},
+       |p AS MATERIALIZED (
+       |  SELECT left_id, right_id FROM (
+       |    SELECT left_id, right_id,
+       |      CAST(len([i for i in range(1,9) if lsig[i] = rsig[i]]) AS DOUBLE) / 8 AS est
+       |    FROM cand)
+       |  WHERE est >= 0.5),
+       |edges AS MATERIALIZED (
+       |  SELECT left_id AS src, right_id AS dst FROM p
+       |  UNION ALL SELECT right_id, left_id FROM p),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+       |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |wk AS (
+       |  SELECT e.vec_id, e.v, coalesce(c.cluster_id, e.vec_id) AS ckey
+       |  FROM e LEFT JOIN comp c ON c.doc_id = e.vec_id),
+       |q AS (SELECT vec_id AS q_id, v AS qv, ckey AS q_ckey FROM wk WHERE vec_id < 8),
+       |s AS (SELECT q.q_id, w.vec_id, list_cosine_similarity(w.v, q.qv) AS c
+       |      FROM wk w CROSS JOIN q WHERE w.ckey <> q.q_ckey),
+       |r AS (SELECT q_id, vec_id, c,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id ASC) AS rn
+       |      FROM s)
+       |SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id AS neg_id,
+       |  round(c, 6) AS cos_sim
+       |FROM r WHERE rn <= 5""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_hard_negatives" -> hardNegativesOracle,
     "q_knn_join" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),

@@ -436,6 +436,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(st("only") === 1048576L)
   }
 
+  test("hardNegatives: no negative shares the anchor's near-dup family; ranks tile per anchor") {
+    val out = graft.ops.SimilarityOps.hardNegatives(spark, sf).collect()
+    assert(out.nonEmpty)
+    val fam = graft.ops.DedupOps.servedDupClusters(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def key(id: Long): Long = fam.getOrElse(id, id)
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ===
+        (1L to rows.length))
+      rows.foreach { r =>
+        val neg = r.getAs[Long]("neg_id")
+        assert(neg !== q)
+        assert(key(neg) !== key(q),
+          s"negative $neg shares anchor $q's near-dup family — false negative")
+      }
+    }
+  }
+
   test("cosine expression: hand-checked value on unit vectors") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
