@@ -198,6 +198,46 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("property: exact-integer JLH score_fp matches a BigInt reference on random count tuples") {
+    // the r11 centerpiece fix: score_fp = sign·(|2^20·(fg_df·bg_n −
+    // bg_df·fg_n)·fg_df| div fg_n²·bg_df) computed in DECIMAL(38,0) must
+    // equal arbitrary-precision truncated rational arithmetic for ANY
+    // valid count tuple (fg_df ≤ fg_n ≤ bg_n, fg_df ≤ bg_df ≤ bg_n,
+    // fg_df ≥ 1) — including boundary tuples (fg% = bg% ⇒ exactly 0,
+    // all-foreground corpora, million-doc totals)
+    val tupleGen = for {
+      bgN <- Gen.chooseNum(1L, 2000000L)
+      fgN <- Gen.chooseNum(1L, bgN)
+      fgDf <- Gen.chooseNum(1L, fgN)
+      bgDf <- Gen.chooseNum(fgDf, bgN)
+    } yield (fgDf, bgDf, fgN, bgN)
+    val rows = samples(tupleGen, 400) :+ ((2L, 2L, 2L, 10L)) :+ ((1L, 1L, 1L, 1L))
+    // one synthetic postings/docs pair per tuple would cost 400 jobs; feed
+    // the tuples straight through the same column arithmetic instead
+    val df = rows.zipWithIndex
+      .map { case ((a, b, c, d), i) => (i.toLong, a, b, c, d) }
+      .toDF("id", "fg_df", "bg_df", "fg_n", "bg_n")
+    val d38 = "decimal(38,0)"
+    val got = df
+      .withColumn("num",
+        (col("fg_df").cast(d38) * col("bg_n").cast(d38) -
+          col("bg_df").cast(d38) * col("fg_n").cast(d38)) *
+          col("fg_df").cast(d38) * lit(1048576L).cast(d38))
+      .withColumn("den",
+        col("fg_n").cast(d38) * col("fg_n").cast(d38) * col("bg_df").cast(d38))
+      .select(col("id"),
+        (when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("abs(num) div den")).as("score_fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.zipWithIndex.foreach { case ((fgDf, bgDf, fgN, bgN), i) =>
+      val num = (BigInt(fgDf) * bgN - BigInt(bgDf) * fgN) * fgDf * 1048576L
+      val den = BigInt(fgN) * fgN * bgDf
+      val expect = (num.signum * (num.abs / den)).toLong
+      assert(got(i.toLong) === expect,
+        s"tuple (fg_df=$fgDf, bg_df=$bgDf, fg_n=$fgN, bg_n=$bgN)")
+    }
+  }
+
   test("property: autoFuzz ladder matches ES fuzziness:auto on generated tokens") {
     // pure function — per-sample checks are free, no Spark involved
     samples(Gen.alphaLowerStr.map(_.take(12)), 500).foreach { t =>
