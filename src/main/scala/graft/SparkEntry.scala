@@ -72,6 +72,7 @@ object SparkEntry {
     "q_search_after"     -> ((s, d) => SearchOps.searchAfter(s, d)),
     "q_search_phrase"    -> ((s, d) => SearchOps.phraseSearch(s, d)),
     "q_search_phrase_idx" -> ((s, d) => SearchOps.phraseSearchIndexed(s, d)),
+    "q_search_phrase_prefix" -> ((s, d) => SearchOps.phrasePrefixSearch(s, d)),
     "q_search_bool"      -> ((s, d) => SearchOps.boolQuery(s, d)),
     "q_function_score"   -> ((s, d) => SearchOps.functionScore(s, d)),
     "q_search_highlight" -> ((s, d) => SearchOps.highlight(s, d)),

@@ -287,6 +287,52 @@ object SearchOps {
       .limit(k)
   }
 
+  /** ES `match_phrase_prefix` — the search-as-you-type phrase query: the
+    * last query term is a PREFIX, expanded against the term dictionary
+    * (first `maxExpansions` matching terms in dictionary order — ES's
+    * `max_expansions: 50` contract), and a document scores the phrase
+    * frequency summed over expansions. Closes the last gap in the
+    * match/phrase family (match → match_phrase → match_phrase_prefix).
+    *
+    * Scale shape: the expansion set comes from the SERVED postings store's
+    * term dictionary (a distinct + prefix-pruned + partial top-50 — at
+    * warehouse scale a bucket-pruned dictionary range scan, Lucene's term
+    * browse); it rides a BROADCAST into the positional-postings
+    * intersection, which is [[phraseSearchIndexed]]'s plan verbatim —
+    * term-pruned read, anchor-shifted (n−1)-way equi-join on (doc_id,
+    * start), so the rarest fixed term bounds the join input. One token
+    * occupies one position, so aligned windows count each occurrence once
+    * regardless of how many expansions exist.
+    */
+  def phrasePrefixSearch(spark: SparkSession, dir: String,
+                         phrase: String = "data st", k: Int = 20,
+                         maxExpansions: Int = 50): DataFrame = {
+    val ph = analyzeQuery(phrase)
+    require(ph.length >= 2, s"phrase '$phrase' analyzed to < 2 terms")
+    val fixed = ph.init
+    val prefix = ph.last
+    val dict = servedPostings(spark, dir)
+      .select(col("token")).distinct()
+      .filter(col("token").startsWith(prefix))
+      .orderBy(col("token").asc)
+      .limit(maxExpansions)
+    val pp = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(analyze(col("text"))).as(Seq("pos", "token")))
+      .filter(col("token").isInCollection(fixed.distinct) ||
+        col("token").startsWith(prefix)) // term-pruned read
+    val fixedParts = fixed.zipWithIndex.map { case (t, i) =>
+      pp.filter(col("token") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    val lastPart = pp.join(broadcast(dict), Seq("token")) // the ≤50 expansions
+      .select(col("doc_id"), (col("pos") - (ph.length - 1)).as("start"))
+    (fixedParts :+ lastPart).reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("phrase_freq"))
+      .orderBy(col("phrase_freq").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** multi_match with fuzziness=auto (ETLTests-2.json:94-131): a query term
     * matches if ANY document token is within its edit-distance budget;
     * score = number of matched query terms.
@@ -1359,6 +1405,28 @@ object SearchOps {
          |      i -> list_slice(toks, i, i + $n - 1) = $litList)) AS BIGINT)
          |      AS phrase_freq
          |  FROM t)
+         |SELECT doc_id, phrase_freq FROM f WHERE phrase_freq > 0
+         |ORDER BY phrase_freq DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+    "q_search_phrase_prefix" -> {
+      val ph = analyzeQuery("data st")
+      val n = ph.length
+      val fixedList = ph.init.map(t => s"'$t'").mkString("[", ", ", "]")
+      val prefix = ph.last
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |dict AS (
+         |  SELECT DISTINCT token FROM (
+         |    SELECT unnest($duckToks) AS token FROM documents)
+         |  WHERE token LIKE '$prefix%'
+         |  ORDER BY token ASC LIMIT 50),
+         |dl AS (SELECT list(token ORDER BY token) AS exp FROM dict),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(range(1, greatest(len(toks) - $n + 2, 1)),
+         |      i -> list_slice(toks, i, i + $n - 2) = $fixedList
+         |        AND list_contains(dl.exp, toks[i + $n - 1]))) AS BIGINT)
+         |      AS phrase_freq
+         |  FROM t, dl)
          |SELECT doc_id, phrase_freq FROM f WHERE phrase_freq > 0
          |ORDER BY phrase_freq DESC, doc_id ASC LIMIT 20""".stripMargin
     },

@@ -508,6 +508,22 @@ class SearchSpec extends SparkSpecBase {
     assert(decay(425) === (1048576L * 365) / 730)
   }
 
+  test("phrasePrefixSearch: a fully-typed last term dominates the exact phrase; expansions only add") {
+    // with the full last word as the "prefix", the expansion set contains
+    // the exact term (plus any longer dictionary terms sharing it), so
+    // every doc's prefix-phrase frequency must be ≥ its exact-phrase
+    // frequency — expansions can only add aligned windows, never remove
+    val exact = graft.ops.SearchOps.phraseSearchIndexed(spark, sf, "data stream", k = 1000)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("phrase_freq")).toMap
+    val pre = graft.ops.SearchOps.phrasePrefixSearch(spark, sf, "data stream", k = 1000)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("phrase_freq")).toMap
+    assert(exact.nonEmpty)
+    exact.foreach { case (id, f) =>
+      assert(pre.getOrElse(id, 0L) >= f,
+        s"doc $id: prefix-phrase freq ${pre.get(id)} < exact $f")
+    }
+  }
+
   test("highlight: every snippet carries the tagged term; counts are token-accurate") {
     val out = graft.ops.SearchOps.highlight(spark, sf).collect()
     assert(out.length > 0 && out.length <= 20)
