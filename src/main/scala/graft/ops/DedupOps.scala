@@ -619,26 +619,36 @@ object DedupOps {
        |ORDER BY est_jaccard DESC, left_id, right_id
        |LIMIT 50""".stripMargin
 
+  /** The est-thresholded edge CLOSURE (candidate pairs → undirected edges
+    * → transitive reach → per-doc component min) — ONE definition that
+    * every cluster-replaying oracle (clusters, best, rate, split,
+    * hard-negatives) interpolates after `WITH RECURSIVE $candCtes,`, so
+    * the closure semantics — the 0.5 threshold, the UNION dedup, the
+    * min-label representative — can never fork between gates.
+    */
+  private[ops] val clusterClosureCtes: String =
+    """p AS MATERIALIZED (
+      |  SELECT left_id, right_id FROM (
+      |    SELECT left_id, right_id,
+      |      CAST(len([i for i in range(1,9) if lsig[i] = rsig[i]]) AS DOUBLE) / 8 AS est
+      |    FROM cand)
+      |  WHERE est >= 0.5),
+      |edges AS MATERIALIZED (
+      |  SELECT left_id AS src, right_id AS dst FROM p
+      |  UNION ALL SELECT right_id, left_id FROM p),
+      |reach AS (
+      |  SELECT DISTINCT src AS id, src AS label FROM edges
+      |  UNION
+      |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
   /** Recursive-CTE replay of the connected-components step: transitive
     * closure of reachable labels, min per node — exactly the fixpoint the
     * Spark label propagation converges to.
     */
   private def dupClustersOracle: String =
     s"""WITH RECURSIVE $candCtes,
-       |p AS MATERIALIZED (
-       |  SELECT left_id, right_id FROM (
-       |    SELECT left_id, right_id,
-       |      CAST(len([i for i in range(1,9) if lsig[i] = rsig[i]]) AS DOUBLE) / 8 AS est
-       |    FROM cand)
-       |  WHERE est >= 0.5),
-       |edges AS MATERIALIZED (
-       |  SELECT left_id AS src, right_id AS dst FROM p
-       |  UNION ALL SELECT right_id, left_id FROM p),
-       |reach AS (
-       |  SELECT DISTINCT src AS id, src AS label FROM edges
-       |  UNION
-       |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
-       |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+       |$clusterClosureCtes
        |SELECT c.doc_id, c.cluster_id, s.cluster_size
        |FROM comp c
        |JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp
@@ -649,20 +659,7 @@ object DedupOps {
     */
   private def dupBestOracle: String =
     s"""WITH RECURSIVE $candCtes,
-       |p AS MATERIALIZED (
-       |  SELECT left_id, right_id FROM (
-       |    SELECT left_id, right_id,
-       |      CAST(len([i for i in range(1,9) if lsig[i] = rsig[i]]) AS DOUBLE) / 8 AS est
-       |    FROM cand)
-       |  WHERE est >= 0.5),
-       |edges AS MATERIALIZED (
-       |  SELECT left_id AS src, right_id AS dst FROM p
-       |  UNION ALL SELECT right_id, left_id FROM p),
-       |reach AS (
-       |  SELECT DISTINCT src AS id, src AS label FROM edges
-       |  UNION
-       |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
-       |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+       |$clusterClosureCtes,
        |sized AS (
        |  SELECT c.doc_id, c.cluster_id, s.cluster_size, d.n_chars,
        |    row_number() OVER (PARTITION BY c.cluster_id
@@ -677,20 +674,7 @@ object DedupOps {
   /** [[dupClusters]]' recursive replay folded into the per-source rates. */
   private def dupRateOracle: String =
     s"""WITH RECURSIVE $candCtes,
-       |p AS MATERIALIZED (
-       |  SELECT left_id, right_id FROM (
-       |    SELECT left_id, right_id,
-       |      CAST(len([i for i in range(1,9) if lsig[i] = rsig[i]]) AS DOUBLE) / 8 AS est
-       |    FROM cand)
-       |  WHERE est >= 0.5),
-       |edges AS MATERIALIZED (
-       |  SELECT left_id AS src, right_id AS dst FROM p
-       |  UNION ALL SELECT right_id, left_id FROM p),
-       |reach AS (
-       |  SELECT DISTINCT src AS id, src AS label FROM edges
-       |  UNION
-       |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
-       |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+       |$clusterClosureCtes
        |SELECT d.source, COUNT(*) AS n_docs,
        |  CAST(SUM(CASE WHEN c.cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_clustered,
@@ -1081,20 +1065,7 @@ object DedupOps {
     */
   private def splitLeakfreeOracle: String =
     s"""WITH RECURSIVE $candCtes,
-       |p AS MATERIALIZED (
-       |  SELECT left_id, right_id FROM (
-       |    SELECT left_id, right_id,
-       |      CAST(len([i for i in range(1,9) if lsig[i] = rsig[i]]) AS DOUBLE) / 8 AS est
-       |    FROM cand)
-       |  WHERE est >= 0.5),
-       |edges AS MATERIALIZED (
-       |  SELECT left_id AS src, right_id AS dst FROM p
-       |  UNION ALL SELECT right_id, left_id FROM p),
-       |reach AS (
-       |  SELECT DISTINCT src AS id, src AS label FROM edges
-       |  UNION
-       |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
-       |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+       |$clusterClosureCtes
        |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key,
        |  CASE WHEN md5('split:' || CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR))
        |       < '1a' THEN 'val' ELSE 'train' END AS split

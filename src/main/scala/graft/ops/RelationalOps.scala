@@ -343,7 +343,9 @@ object RelationalOps {
     val a = Await.result(fa, Duration.Inf)
     val ex = Await.result(fe, Duration.Inf)
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val (ep, eo) = (ex(0), ex(1))
+    // an empty fact table yields no union groups: both exact counts are 0
+    // (the pre-r11 crossJoin plan returned the same well-defined row)
+    val (ep, eo) = (ex.getOrElse(0, 0L), ex.getOrElse(1, 0L))
     val (ap, ao) = (a.getLong(0), a.getLong(1))
     import spark.implicits._
     Seq((math.abs(ap - ep) <= ep * 0.05, ep,

@@ -198,8 +198,10 @@ object SearchOps {
     // occurrences were capitalized or tab/newline-bounded — n_occ > 0 but
     // first_pos = 0 — and could tag a different occurrence than the one
     // counted; one shared form makes count, position, and tags agree by
-    // construction.
-    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    // construction. The whitespace class is EXPLICIT, not \s: Java's \s
+    // includes vertical tab (\x0B) while RE2's (the oracle's engine) does
+    // not — a free divergence the explicit class removes.
+    val norm = trim(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " "))
     Tables.documents(spark, dir)
       .select(col("doc_id"), concat(lit(" "), norm, lit(" ")).as("padded"))
       .select(col("doc_id"), col("padded"),
@@ -769,6 +771,12 @@ object SearchOps {
     * IVF recall bound for a nlist⁻¹·nprobe scan. The rank windows run
     * over ≤depth-row frames — bounded by construction, same class as the
     * pagination parity face — and the fusion join is depth×depth-bounded.
+    *
+    * Preconditions inherited from the served-ANN tier (new vs the pre-r11
+    * brute scan): the corpus must carry the repo's stand-in codebook
+    * convention (vec_ids 0..nlist−1 seed the centroids — every ANN face
+    * shares it), and the first call per (dir, version) pays the one-time
+    * cell-store build every other served consumer amortizes.
     */
   def hybridSearch(spark: SparkSession, dir: String,
                    q: String = "data stream window", queryVecId: Long = 0L,
@@ -904,24 +912,37 @@ object SearchOps {
     val totals = docs.agg(
       sum(when(col("source") === fgSource, 1L).otherwise(0L)).as("fg_n"),
       count(lit(1)).as("bg_n"))
+    withJlhScoreFp(
+      p.join(docs, Seq("doc_id"))
+        .groupBy("token")
+        .agg(sum(when(col("source") === fgSource, 1L).otherwise(0L)).as("fg_df"),
+          count(lit(1)).as("bg_df")) // postings unique on (token, doc_id) ⇒ df
+        .filter(col("fg_df") > 0)
+        .crossJoin(broadcast(totals)))
+      .select(col("token"), col("fg_df"), col("bg_df"), col("score_fp"))
+      .orderBy(col("score_fp").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /** THE exact-integer JLH chain, shared by every consumer (sig-terms,
+    * cluster topics, the PropertySpec BigInt pin): appends `score_fp =
+    * sign·(|2^20·(fg_df·bg_n − bg_df·fg_n)·fg_df| div fg_n²·bg_df)` to a
+    * frame carrying the four exactly-counted integers. One definition so
+    * the DECIMAL(38,0) headroom and the sign/truncation convention can
+    * never fork between call sites.
+    */
+  private[graft] def withJlhScoreFp(df: DataFrame): DataFrame = {
     val d38 = "decimal(38,0)"
-    p.join(docs, Seq("doc_id"))
-      .groupBy("token")
-      .agg(sum(when(col("source") === fgSource, 1L).otherwise(0L)).as("fg_df"),
-        count(lit(1)).as("bg_df")) // postings unique on (token, doc_id) ⇒ df
-      .filter(col("fg_df") > 0)
-      .crossJoin(broadcast(totals))
-      .withColumn("num",
+    df.withColumn("num",
         (col("fg_df").cast(d38) * col("bg_n").cast(d38) -
           col("bg_df").cast(d38) * col("fg_n").cast(d38)) *
           col("fg_df").cast(d38) * lit(1048576L).cast(d38))
       .withColumn("den",
         col("fg_n").cast(d38) * col("fg_n").cast(d38) * col("bg_df").cast(d38))
-      .select(col("token"), col("fg_df"), col("bg_df"),
-        (when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
-          expr("abs(num) div den")).as("score_fp"))
-      .orderBy(col("score_fp").desc, col("token").asc)
-      .limit(k)
+      .withColumn("score_fp",
+        when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("abs(num) div den"))
+      .drop("num", "den")
   }
 
   /** TF-IDF keyword extraction: the top-`k` most characteristic tokens per
@@ -1217,7 +1238,7 @@ object SearchOps {
     "q_search_highlight" ->
       """WITH h AS (
         |  SELECT doc_id,
-        |    ' ' || trim(regexp_replace(lower(text), '\s+', ' ', 'g')) || ' '
+        |    ' ' || trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')) || ' '
         |      AS padded
         |  FROM documents),
         |s AS (

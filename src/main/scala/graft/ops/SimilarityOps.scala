@@ -959,39 +959,47 @@ object SimilarityOps {
     */
   def clusterTopics(spark: SparkSession, dir: String, nlist: Int = 16,
                     topK: Int = 3): DataFrame = {
+    val (cells, res) = clusterTopicsPlan(spark, dir, nlist, topK)
+    graft.ops.DedupOps.releasingBounded(cells)(res)
+  }
+
+  /** The LAZY plan face of [[clusterTopics]] — `(persisted assignment
+    * frame, result)`, the seam PlanSpec pins the shape through.
+    */
+  private[graft] def clusterTopicsPlan(spark: SparkSession, dir: String,
+                                       nlist: Int = 16,
+                                       topK: Int = 3): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", toDouble(col("embedding")))
     val codebook = collectCodebook(emb, nlist)
+    // persisted: the assignment scan (the expensive step) feeds the
+    // broadcast into the postings join AND the cn/tot aggregates —
+    // unpersisted, the broadcast build and the shuffle aggregate each
+    // re-run the embeddings scan with the per-row ivf_assign; the bounded
+    // (nlist·topK-row) result is collected and the cache released
     val cells = emb.select(col("vec_id").as("doc_id"),
       call_function("ivf_assign", col("v"),
         typedlit(codebook.map(_._2.toSeq).toSeq)).as("cell"))
+      .persist()
     val p = graft.ops.SearchOps.servedPostings(spark, dir)
     val ct = p.join(broadcast(cells), Seq("doc_id"))
       .groupBy("cell", "token")
       .agg(count(lit(1)).as("fg_df")) // postings unique on (token, doc_id)
     val cn = cells.groupBy("cell").agg(count(lit(1)).as("fg_n"))
     val tot = cells.agg(count(lit(1)).as("bg_n"))
-    val d38 = "decimal(38,0)"
     val wTok = Window.partitionBy("token")
     val wCell = Window.partitionBy("cell")
       .orderBy(col("score_fp").desc, col("token").asc)
-    ct.withColumn("bg_df", sum(col("fg_df")).over(wTok))
-      .join(broadcast(cn), Seq("cell"))
-      .crossJoin(broadcast(tot))
-      .withColumn("num",
-        (col("fg_df").cast(d38) * col("bg_n").cast(d38) -
-          col("bg_df").cast(d38) * col("fg_n").cast(d38)) *
-          col("fg_df").cast(d38) * lit(1048576L).cast(d38))
-      .withColumn("den",
-        col("fg_n").cast(d38) * col("fg_n").cast(d38) * col("bg_df").cast(d38))
-      .withColumn("score_fp",
-        when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
-          expr("abs(num) div den"))
+    val res = graft.ops.SearchOps.withJlhScoreFp(
+      ct.withColumn("bg_df", sum(col("fg_df")).over(wTok))
+        .join(broadcast(cn), Seq("cell"))
+        .crossJoin(broadcast(tot)))
       .withColumn("rank", row_number().over(wCell))
       .filter(col("rank") <= topK)
       .select(col("cell").cast("long").as("cell"), col("fg_n").as("n_docs"),
         col("rank").cast("long").as("rank"), col("token"), col("score_fp"))
+    (cells, res)
   }
 
   /** HARD-NEGATIVE mining — the contrastive-training data op: for each
@@ -1551,20 +1559,7 @@ object SimilarityOps {
     */
   private def hardNegativesOracle: String =
     s"""WITH RECURSIVE ${graft.ops.DedupOps.candCtes},
-       |p AS MATERIALIZED (
-       |  SELECT left_id, right_id FROM (
-       |    SELECT left_id, right_id,
-       |      CAST(len([i for i in range(1,9) if lsig[i] = rsig[i]]) AS DOUBLE) / 8 AS est
-       |    FROM cand)
-       |  WHERE est >= 0.5),
-       |edges AS MATERIALIZED (
-       |  SELECT left_id AS src, right_id AS dst FROM p
-       |  UNION ALL SELECT right_id, left_id FROM p),
-       |reach AS (
-       |  SELECT DISTINCT src AS id, src AS label FROM edges
-       |  UNION
-       |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
-       |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+       |${graft.ops.DedupOps.clusterClosureCtes},
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |wk AS (
        |  SELECT e.vec_id, e.v, coalesce(c.cluster_id, e.vec_id) AS ckey

@@ -71,9 +71,16 @@ object ScaleData {
     def copies(df: DataFrame)(tr: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => tr(df, i)).reduce(_ unionByName _)
 
-    // 7 high-frequency letters rotated per copy: word shape and counts
-    // survive, vocabulary becomes copy-disjoint
-    val alpha = "etaoins"
+    // 13 high-frequency letters rotated per copy: word shape and counts
+    // survive, vocabulary becomes copy-disjoint. The alphabet length must
+    // EXCEED the factor, or rot(i) cycles and copies i and i+|alpha| carry
+    // byte-identical text — exact cross-copy duplicates, precisely the
+    // corruption this transform exists to avoid (a 7-letter alphabet at
+    // factor 10 silently duplicated 3 copies; caught in round-11 review).
+    val alpha = "etaoinshrdlcu"
+    require(factor <= alpha.length,
+      s"factor $factor exceeds the rotation period ${alpha.length} — " +
+        "copies would repeat verbatim; extend the alphabet first")
     def rot(i: Int): String = {
       val r = i % alpha.length
       alpha.drop(r) + alpha.take(r)

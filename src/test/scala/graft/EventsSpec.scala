@@ -191,9 +191,9 @@ class EventsSpec extends SparkSpecBase {
     // type "click", 10 hours: nine quiet hours of 1 event, one hour of 29;
     // type "flat", 10 hours of EXACTLY 1 event — zero variance, so 0 ≥ 0
     // would flag every hour without the positive-variance guard
-    val clicks = ((0 until 9).map(h => (t0 + h * hour, 1)) ++
-      (0 until 29).map(i => (t0 + 9 * hour + i * 1000L, 1)).map { case (t, _) => (t, 1) })
-      .map { case (t, _) => (t, "click") }
+    val clicks = ((0 until 9).map(h => t0 + h * hour) ++
+      (0 until 29).map(i => t0 + 9 * hour + i * 1000L))
+      .map(t => (t, "click"))
     val flats = (0 until 10).map(h => (t0 + h * hour, "flat"))
     val dir = java.nio.file.Files.createTempDirectory("anomaly").toString
     (clicks ++ flats).zipWithIndex.map { case ((t, ty), i) => (i.toLong, t, ty) }

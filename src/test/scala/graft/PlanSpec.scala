@@ -496,7 +496,7 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("clusterTopics: postings from the store, assignment map broadcast — no re-analyze, no global window") {
-    val p = plan(SimilarityOps.clusterTopics(spark, sf))
+    val p = plan(SimilarityOps.clusterTopicsPlan(spark, sf)._2)
     assert(!p.contains("ru_en_analyze"),
       s"tokens must come from the served postings store, not a re-analyze:\n$p")
     assert(p.contains("ivf_assign"), s"expected the assignment scan in:\n$p")

@@ -217,17 +217,10 @@ class PropertySpec extends SparkSpecBase {
     val df = rows.zipWithIndex
       .map { case ((a, b, c, d), i) => (i.toLong, a, b, c, d) }
       .toDF("id", "fg_df", "bg_df", "fg_n", "bg_n")
-    val d38 = "decimal(38,0)"
-    val got = df
-      .withColumn("num",
-        (col("fg_df").cast(d38) * col("bg_n").cast(d38) -
-          col("bg_df").cast(d38) * col("fg_n").cast(d38)) *
-          col("fg_df").cast(d38) * lit(1048576L).cast(d38))
-      .withColumn("den",
-        col("fg_n").cast(d38) * col("fg_n").cast(d38) * col("bg_df").cast(d38))
-      .select(col("id"),
-        (when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
-          expr("abs(num) div den")).as("score_fp"))
+    // the SHARED production chain — the same code path sig-terms and
+    // cluster-topics score through, not a test-local copy of it
+    val got = graft.ops.SearchOps.withJlhScoreFp(df)
+      .select(col("id"), col("score_fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.zipWithIndex.foreach { case ((fgDf, bgDf, fgN, bgN), i) =>
       val num = (BigInt(fgDf) * bgN - BigInt(bgDf) * fgN) * fgDf * 1048576L
