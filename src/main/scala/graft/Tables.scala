@@ -91,6 +91,22 @@ object Tables {
     s"$root/graft-$kind-$tag"
   }
 
+  /** Register the whole catalog as session temp views — the `spark.sql`
+    * face of the S2 static registry, so a user can run every ANSI query
+    * the reference's Postgres accepts without touching the programmatic
+    * API: `Tables.registerViews(spark, dir); spark.sql("SELECT ...")`.
+    * `events` registers with its converted TimestampType `ts` (the shape
+    * the oracles query); the raw epoch-micros face registers as
+    * `events_raw` for watermark predicates that must push into the scan.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    events(spark, dir).createOrReplaceTempView("events")
+    eventsRaw(spark, dir).createOrReplaceTempView("events_raw")
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

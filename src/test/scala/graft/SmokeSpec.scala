@@ -34,6 +34,20 @@ class SmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).limit(1).count() == 1L)
   }
 
+  test("registerViews: the whole catalog answers plain spark.sql") {
+    assume(haveData, s"$sf not present")
+    Tables.registerViews(spark, sf)
+    // a cross-table ANSI query straight off the views — no programmatic API
+    val r = spark.sql(
+      """SELECT count(*) AS n, min(o.o_orderdate) AS first_order
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey""".stripMargin)
+      .head
+    assert(r.getLong(0) > 0L)
+    // events registers CONVERTED (TimestampType ts); the raw face pushes down
+    assert(spark.sql("SELECT count(*) FROM events WHERE ts IS NOT NULL").head.getLong(0) > 0L)
+    assert(spark.sql("SELECT count(*) FROM events_raw WHERE ts > 0").head.getLong(0) > 0L)
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes end-to-end on $sf") {
       assume(haveData, s"$sf not present")
