@@ -1308,7 +1308,7 @@ object SearchOps {
          |  FROM documents),
          |ts AS (
          |  SELECT token,
-         |    SUM(CASE WHEN d.source = 'src3' THEN 1 ELSE 0 END) AS fg_df,
+         |    CAST(SUM(CASE WHEN d.source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS fg_df,
          |    COUNT(*) AS bg_df
          |  FROM p JOIN documents d USING (doc_id)
          |  GROUP BY token HAVING SUM(CASE WHEN d.source = 'src3' THEN 1 ELSE 0 END) > 0),

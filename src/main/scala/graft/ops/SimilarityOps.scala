@@ -1096,12 +1096,119 @@ object SimilarityOps {
     * nprobe/nlist of a table that is itself ~256× smaller than the floats —
     * the two pruning axes multiply.
     *
-    * Everything here is the composition of two already-oracled halves
-    * (q_ann_ivf_trained's coarse train→assign→probe and q_ann_pq's
-    * subquantizer train→encode→ADC→re-rank); the oracle replays the whole
-    * composed pipeline — both trainings included — in one statement.
+    * SERVED: training/encoding happen ONCE per (dir, content version) in
+    * [[servedPqStore]] — a query is model-cache lookup + a cell-pruned
+    * code scan + ADC + exact re-rank, zero training jobs (the FAISS
+    * contract: an IVFPQ index ships trained; retraining per query is the
+    * anti-pattern the r11 verdict flagged). Results are bit-identical to
+    * the inline train-then-serve composition ([[annIvfPqInline]], equality
+    * spec-pinned): the model and the raw vectors round-trip parquet
+    * doubles exactly, and serving applies the same ivf_assign / ADC fold.
+    * The oracle replays the whole composed pipeline — both trainings
+    * included — in one statement.
     */
   def annIvfPq(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+               nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 16,
+               rounds: Int = 2, shortlist: Int = 50, k: Int = 10): DataFrame = {
+    val dim = 64
+    val sub = dim / m
+    val (coarse, cbs, seeds, codes) =
+      servedPqStore(spark, dir, nlist, m, ksub, rounds, dim)
+    val qv = if (queryVecId >= 0 && queryVecId < seeds.length) seeds(queryVecId.toInt)
+             else collectVec(Tables.embeddings(spark, dir)
+               .withColumn("v", toDouble(col("embedding"))), queryVecId)
+    val cells = rankProbeCells(qv,
+      coarse.zipWithIndex.map { case (v, i) => (i, v) }, nprobe)
+    val qvLit = planeLit(qv)
+    val adc = (0 until m).map { i =>
+      cosine(slice(qvLit, i * sub + 1, sub),
+        element_at(typedlit(cbs(i).map(_.toSeq).toSeq), col(s"code_$i") + 1))
+    }.reduce(_ + _) // left fold in subspace order, shared with the oracle
+    codes.filter(col("cell").isin(cells: _*)) // partition column ⇒ file pruning
+      .select(col("vec_id"), col("label"), col("v"), adc.as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(shortlist)
+      .select(col("vec_id"), col("label"),
+        cosine(col("v"), qvLit).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
+  /** (coarse codebook, PQ codebooks, seed vectors) + the cell-partitioned
+    * code store for (dir, nlist, m, ksub, rounds) — trained and encoded
+    * ONCE per embeddings content version, swapped in atomically, model
+    * cached in-JVM and reloadable from the store's `model/` parquet (a
+    * later JVM serves without retraining; doubles round-trip exactly).
+    * Seed vectors ride in the model artifact so default query ids need no
+    * 1-row job at serve time — the same economy as ivfServedCandidates.
+    */
+  private val ivfPqModels = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]], Array[Array[Double]])]()
+
+  private def servedPqStore(spark: SparkSession, dir: String, nlist: Int,
+      m: Int, ksub: Int, rounds: Int, dim: Int)
+      : (Array[Array[Double]], Array[Array[Array[Double]]],
+         Array[Array[Double]], DataFrame) = {
+    val sub = dim / m
+    val p = Tables.derivedStorePath(spark, s"ivfpq-$nlist-$m-$ksub-$rounds",
+      dir, "embeddings.parquet")
+    val (coarse, cbs, seeds) = ivfPqModels.computeIfAbsent(p, path => {
+      val f = graft.sinks.AtomicSwap.fs(spark, path)
+      val hp = new org.apache.hadoop.fs.Path(path)
+      graft.sinks.AtomicSwap.recover(spark, path) // promote a crashed-but-complete build
+      if (!f.exists(hp)) {
+        // one cached vector frame funds both trainings + the encode
+        val emb = Tables.embeddings(spark, dir)
+          .withColumn("v", toDouble(col("embedding")))
+          .cache()
+        try {
+          val seedVecs = collectCodebook(emb, math.max(nlist, ksub))
+          val (c, _) = trainCodebookOn(emb, nlist, rounds, dim,
+            init = seedVecs.take(nlist).map(_._2))
+          val pq = trainPqCodebooksOn(emb, m, ksub, rounds, dim,
+            seedVecs = seedVecs.map(_._2))
+          val codeCols = (0 until m).map { i =>
+            call_function("ivf_assign", slice(col("v"), i * sub + 1, sub),
+              typedlit(pq(i).map(_.toSeq).toSeq)).as(s"code_$i")
+          }
+          val encoded = emb.select(
+            col("vec_id") +: col("label") +: col("v") +:
+              call_function("ivf_assign", col("v"),
+                typedlit(c.map(_.toSeq).toSeq)).as("cell") +: codeCols: _*)
+          val modelRows: Seq[(String, Int, Int, Seq[Double])] =
+            c.toSeq.zipWithIndex.map { case (v, i) => ("coarse", 0, i, v.toSeq) } ++
+            (for (i <- 0 until m; j <- 0 until ksub)
+              yield ("pq", i, j, pq(i)(j).toSeq)) ++
+            seedVecs.toSeq.map { case (i, v) => ("seed", 0, i, v.toSeq) }
+          import spark.implicits._
+          val modelDf = modelRows.toDF("kind", "sub", "idx", "vec").coalesce(1)
+          graft.sinks.AtomicSwap.replaceWith(spark, path) { staging =>
+            encoded.write.partitionBy("cell").parquet(s"$staging/codes")
+            modelDf.write.parquet(s"$staging/model")
+            // root marker LAST: recover() promotes only a staging whose
+            // BOTH parts committed (each subdir's own _SUCCESS is per-part)
+            f.create(new org.apache.hadoop.fs.Path(s"$staging/_SUCCESS")).close()
+          }
+        } finally { emb.unpersist(); () }
+      }
+      val rows = spark.read.parquet(s"$path/model").collect()
+      def vecsOf(kind: String): Map[(Int, Int), Array[Double]] =
+        rows.filter(_.getString(0) == kind)
+          .map(r => ((r.getInt(1), r.getInt(2)), r.getSeq[Double](3).toArray)).toMap
+      val (cm, pm, sm) = (vecsOf("coarse"), vecsOf("pq"), vecsOf("seed"))
+      (Array.tabulate(nlist)(i => cm((0, i))),
+       Array.tabulate(m, ksub)((i, j) => pm((i, j))),
+       Array.tabulate(sm.size)(i => sm((0, i))))
+    })
+    (coarse, cbs, seeds, Tables.parquetCached(spark, s"$p/codes"))
+  }
+
+  /** The pre-store composition (train coarse + PQ inline, then probe) —
+    * kept as the equality witness for [[annIvfPq]]'s served path and as
+    * the from-scratch reference shape; not a serving face.
+    */
+  private[graft] def annIvfPqInline(spark: SparkSession, dir: String, queryVecId: Long = 0L,
                nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 16,
                rounds: Int = 2, shortlist: Int = 50, k: Int = 10): DataFrame = {
     val dim = 64

@@ -1863,8 +1863,8 @@ object TextOps {
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, source, n_toks,
-        |    SUM(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_toks
+        |    CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_toks
         |  FROM doc)
         |SELECT r.doc_id, r.source, r.n_toks, r.running_toks, b.budget_toks,
         |  r.running_toks <= b.budget_toks AS keep

@@ -376,6 +376,24 @@ class PlanSpec extends SparkSpecBase {
       s"PQ scan must not shuffle the vector store:\n$p")
   }
 
+  test("annIvfPq: serving reads the CODE STORE cell-pruned — no training subtree, no cache, partial top-k") {
+    // mirror of the qualityClassifier store pin: after servedPqStore builds
+    // (train+encode, once per content version), a query plan must be a
+    // partition-pruned scan of codes/ + ADC + re-rank and NOTHING from
+    // training — no per-round posexplode/aggregate chain, no cached vector
+    // frame, no join (query vector and codebooks are literals)
+    val p = plan(SimilarityOps.annIvfPq(spark, sf))
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"expected the nprobe cell IN-list as static partition pruning in:\n$p")
+    assert(!p.contains("posexplode"),
+      s"PQ training's per-dim explode leaked into the serving plan:\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      s"serving must read the store, not a training-time cache:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"served IVFPQ must be joinless in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+  }
+
   test("unigramLogprob: model joined by broadcast; total/logp read the cached counts, not a rescan") {
     val (counts, out) = graft.ops.TextOps.unigramStaged(spark, sf)
     try {

@@ -197,6 +197,21 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("annIvfPq: served store is bit-identical to the inline train-then-probe composition") {
+    // the serving contract behind the r12 store: the model + raw vectors
+    // round-trip parquet doubles EXACTLY, so a query served from the
+    // version-keyed store equals the from-scratch composition row-for-row
+    // (same ivf_assign, same ADC left-fold, same tie-breaks) — and the
+    // oracle (which replays training inline in SQL) stays valid unchanged
+    val served = SimilarityOps.annIvfPq(spark, sf).collect()
+    val inline = SimilarityOps.annIvfPqInline(spark, sf).collect()
+    assert(served.map(_.toString).sameElements(inline.map(_.toString)))
+    // non-default serving knobs hit the same store, still bit-identical
+    val s2 = SimilarityOps.annIvfPq(spark, sf, nprobe = 2, shortlist = 30).collect()
+    val i2 = SimilarityOps.annIvfPqInline(spark, sf, nprobe = 2, shortlist = 30).collect()
+    assert(s2.map(_.toString).sameElements(i2.map(_.toString)))
+  }
+
   // ---- recall sweeps (sf0.01 = the driver's correctness scale: 500 vectors,
   // 16 cells — large enough that pruning is real). Ground truth is
   // cosineTopK; every number below is DETERMINISTIC (fixed data, fixed-point

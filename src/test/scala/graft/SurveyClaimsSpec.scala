@@ -14,7 +14,7 @@ import scala.jdk.CollectionConverters._
   * any drift — so a claim can only be committed if the artifact backs it.
   *
   * Checked:
-  *  - the block anchors to the NEWEST committed correctness/bench artifacts
+  *  - the block anchors to the NEWEST on-disk correctness/bench artifacts
   *    (no anchoring to an older, more flattering round);
   *  - correctness_total / correctness_green / correctness_red equal the
   *    entry count, all-three-gates-true count, and any-gate-false list;
@@ -29,6 +29,12 @@ class SurveyClaimsSpec extends AnyFunSuite {
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
       java.nio.charset.StandardCharsets.UTF_8)
 
+  /** Newest ON-DISK artifact in the repo root (cwd must be the repo root,
+    * which is where sbt runs). This is deliberately an on-disk ratchet, not
+    * a git-tracked check: a fresh driver-written artifact immediately
+    * obligates the claims block, so commit each round's artifacts together
+    * with the claims-block refresh in one commit.
+    */
   private def latestArtifact(prefix: String): String = {
     val names = new java.io.File(".").listFiles()
       .map(_.getName).filter(n => n.startsWith(prefix) && n.endsWith(".json"))
@@ -54,7 +60,7 @@ class SurveyClaimsSpec extends AnyFunSuite {
       case s      => s.split(",").map(_.trim).filter(_.nonEmpty).toSet
     }
 
-  test("claims block anchors to the newest committed artifacts") {
+  test("claims block anchors to the newest on-disk artifacts") {
     assert(claims("correctness_artifact") === latestArtifact("CORRECTNESS_r"),
       "correctness claim must cite the latest CORRECTNESS_r*.json")
     assert(claims("bench_artifact") === latestArtifact("BENCH_r"),

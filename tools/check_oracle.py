@@ -18,10 +18,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    # normalize datetimes to strings for cross-engine compare
     for c in df.columns:
+        # normalize datetimes to strings for cross-engine compare
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype(str)
+        # The driver's hash normalizes integer WIDTHS (int32 Spark vs int64
+        # DuckDB rows are green in CORRECTNESS_r11) but NOT int-vs-float
+        # (HUGEINT -> float64 broke q_sig_terms for three rounds). Mirror
+        # that: upcast all ints to int64, keep the int/float distinction.
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
@@ -66,6 +72,17 @@ def main(out_dir: str, sf_dir: str) -> int:
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            failures += 1
+            continue
+        # The driver's hash is TYPE-sensitive: an uncast DuckDB SUM comes
+        # back HUGEINT -> float64 here while Spark emits int64, and the
+        # value-level compare below passes anyway (cost q_sig_terms three
+        # rounds). Fail on any dtype divergence so it can't pass locally.
+        dbad = [(c, str(got[c].dtype), str(want[c].dtype))
+                for c in got.columns if got[c].dtype != want[c].dtype]
+        if dbad:
+            print(f"FAIL {name}: dtype mismatch {dbad} "
+                  "(driver hash is type-sensitive — add CASTs to the oracle)")
             failures += 1
             continue
         bad = None
