@@ -65,10 +65,15 @@ object Bench {
 
   private final case class QueryDiag(
       wall: Double, jobs: Long, cpuSec: Double, runSec: Double, gcSec: Double,
-      walls: Seq[Double]) {
+      walls: Seq[Double], pos: Int = -1) {
     def json: String = {
       def f(d: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
-      s"""{"jobs":$jobs,"cpuSec":${f(cpuSec)},"runSec":${f(runSec)},""" +
+      // pos = run position within the bench (alphabetical): a wall outlier
+      // late in the order with gcSec tracking it is end-of-bench JVM heap
+      // pressure; the same outlier at pos 0 with gcSec flat is a plan or
+      // host problem — the drift-vs-regression discriminator the r11
+      // verdict asked to ship with the artifact
+      s"""{"pos":$pos,"jobs":$jobs,"cpuSec":${f(cpuSec)},"runSec":${f(runSec)},""" +
         s""""gcSec":${f(gcSec)},"walls":[${walls.map(f).mkString(",")}]}"""
     }
   }
@@ -168,7 +173,9 @@ object Bench {
     }
     val diags = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => name -> timeOne(name, fn) }
+      .zipWithIndex
+      .map { case ((name, fn), i) =>
+        name -> timeOne(name, fn).map(_.copy(pos = i)) }
     val results = diags.map { case (k, d) => k -> d.map(_.wall).getOrElse(-1.0) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val diagJson = diags.collect { case (k, Some(d)) => "\"" + k + "\":" + d.json }

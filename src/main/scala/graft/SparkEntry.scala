@@ -63,6 +63,7 @@ object SparkEntry {
     "q_search_fuzzy"     -> ((s, d) => SearchOps.fuzzyQuery(s, d)),
     "q_search_fuzzy_idx" -> ((s, d) => SearchOps.fuzzySearchIndexed(s, d)),
     "q_search_multifield" -> ((s, d) => SearchOps.multiFieldFuzzy(s, d)),
+    "q_search_multifield_idx" -> ((s, d) => SearchOps.multiFieldFuzzyIndexed(s, d)),
     "q_search_nested"    -> (SearchOps.nestedQuery(_, _)),
     "q_term_lookup"      -> ((s, d) => SearchOps.termLookup(s, d)),
     "q_terms_agg"        -> ((s, d) => SearchOps.termsAgg(s, d)),

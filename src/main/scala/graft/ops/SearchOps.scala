@@ -404,6 +404,107 @@ object SearchOps {
       .limit(k)
   }
 
+  /** Per-field boosts of the golden multi_match (ETLTests-2.json:94-131
+    * maps actors/writers 1.5, title 2.0, description/genre 1.0). */
+  private val MultiFieldBoosts = Seq("title" -> 2.0, "names" -> 1.5, "body" -> 1.0)
+
+  /** [[multiFieldFuzzy]] served from STORES — the 100 TB face of the golden
+    * fuzzy multi_match (the one search face the r11 verdict flagged as
+    * scan-only, measured exp 0.67). Composition of the fuzzySearchIndexed
+    * machinery per FIELD:
+    *
+    *   mfpostings (field, token, doc_id)  ← one corpus pass, all four
+    *     fields flattened through a single explode (title/body/names
+    *     analyzed, lang as a keyword posting)
+    *   mfdict / mfgrams                   ← union dictionary over the three
+    *     FUZZY fields + its bigram postings (lang is exact-only, so its
+    *     tokens never enter the fuzzy dictionary)
+    *
+    * A query expands each term ONCE against the union dictionary (field
+    * membership is resolved by the postings join, so per-field dictionaries
+    * would buy nothing), crosses the verified tokens with the field-boost
+    * table, and scores docs as Σ_term max(matched-field boost) — exactly
+    * the scan face's Σ greatest(per-field match × boost) on the rows it
+    * keeps. The corpus is only touched through the pushed token IN-list;
+    * at scale the token-bucketed store reads only those buckets.
+    * SearchSpec pins result equality with the scan face.
+    */
+  def multiFieldFuzzyIndexed(spark: SparkSession, dir: String,
+      q: String = "custommer streem windoe", k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val (posts, dict, grams) = servedMultiFieldStores(spark, dir)
+    val terms = analyzeQuery(q).distinct.sorted
+    require(terms.nonEmpty, s"query '$q' analyzed to no terms")
+    val storeKey = Tables.derivedStorePath(spark, "mfgrams", dir, "documents.parquet")
+    val expanded = resolveFuzzyCandidates(spark, storeKey, grams, dict, terms)
+    val candRows = terms.flatMap { t =>
+      MultiFieldBoosts.flatMap { case (f, b) =>
+        expanded(t).map(tok => (t, f, tok, b)) } :+
+        ((t, "lang", t, 1.0)) // keyword field: exact term only, never fuzzy
+    }
+    val tokens = candRows.map(_._3).distinct
+    val candDf = candRows.toDF("term", "field", "token", "boost")
+    val scored = posts.filter(col("token").isInCollection(tokens))
+      .join(broadcast(candDf), Seq("field", "token")) // local relation: no build job
+      .groupBy(col("doc_id"), col("term"))
+      .agg(max(col("boost")).as("w")) // ES best_fields: max boost among hits
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(broadcast(scored), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
+  /** Served stores behind [[multiFieldFuzzyIndexed]]: field-tagged postings
+    * + the union fuzzy dictionary + its bigram postings, version-stamped
+    * like every other store. The title field is analyzed from the SAME
+    * 48-char slice as the scan face (the cut can mint tokens absent from
+    * the body — e.g. a word truncated mid-way — which is exactly why the
+    * body-only fuzzydict store cannot serve this query).
+    */
+  private def servedMultiFieldStores(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val pp = Tables.derivedStorePath(spark, "mfpostings", dir, "documents.parquet")
+    val pd = Tables.derivedStorePath(spark, "mfdict", dir, "documents.parquet")
+    val pg = Tables.derivedStorePath(spark, "mfgrams", dir, "documents.parquet")
+    def buildIfAbsent(path: String)(df: => DataFrame): String = {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp)) graft.sinks.AtomicSwap.replace(spark, df, path)
+      path
+    }
+    servedStores.computeIfAbsent(pp, path => buildIfAbsent(path) {
+      def tagged(f: String, toks: Column): Column =
+        transform(toks, t => struct(lit(f).as("field"), t.as("token")))
+      val names = Tables.customer(spark, dir)
+        .groupBy(floor((col("c_custkey") - 1) / 3).cast("long").as("doc_id"))
+        .agg(concat_ws(" ", sort_array(collect_set(col("c_name")))).as("names_text"))
+      Tables.documents(spark, dir).join(names, Seq("doc_id"), "left")
+        .select(col("doc_id"), explode(flatten(array(
+          tagged("title", analyze(substring(col("text"), 1, 48))),
+          tagged("body", analyze(col("text"))),
+          tagged("names", analyze(coalesce(col("names_text"), lit("")))),
+          array(struct(lit("lang").as("field"), col("lang").as("token")))
+        ))).as("ft"))
+        .select(col("ft.field").as("field"), col("ft.token").as("token"),
+          col("doc_id"))
+        .distinct()
+    })
+    servedStores.computeIfAbsent(pd, path => buildIfAbsent(path) {
+      Tables.parquetCached(spark, pp)
+        .filter(col("field") =!= "lang").select(col("token")).distinct()
+        .withColumn("tok_len", length(col("token")))
+    })
+    servedStores.computeIfAbsent(pg, path => buildIfAbsent(path) {
+      dictGrams(Tables.parquetCached(spark, pd))
+    })
+    (Tables.parquetCached(spark, pp), Tables.parquetCached(spark, pd),
+      Tables.parquetCached(spark, pg))
+  }
+
   /** Deterministic Cyrillic phrase panel — the mixed-language FIXTURE for
     * the Russian analyzer half (the test corpus is English-only). Each
     * phrase exercises different analyzer rules: plural/case suffixes
@@ -1029,16 +1130,8 @@ object SearchOps {
     // so a rewritten corpus re-expands. Unseen terms pay one resolution
     // job; repeated terms resolve driver-side.
     val storeKey = Tables.derivedStorePath(spark, "fuzzygrams", dir, "documents.parquet")
-    val missing = terms.filterNot(t => fuzzyCandCache.containsKey((storeKey, t)))
-    if (missing.nonEmpty) {
-      val resolved = fuzzyVerified(spark, grams, dict, missing)
-        .collect().map(r => (r.getString(0), r.getString(1)))
-        .groupBy(_._1).map { case (t, ps) => t -> ps.map(_._2) }
-      missing.foreach(t =>
-        fuzzyCandCache.put((storeKey, t), resolved.getOrElse(t, Array.empty)))
-    }
-    val verifiedPairs = terms.flatMap(t =>
-      fuzzyCandCache.get((storeKey, t)).map(tok => (t, tok)))
+    val expanded = resolveFuzzyCandidates(spark, storeKey, grams, dict, terms)
+    val verifiedPairs = terms.flatMap(t => expanded(t).map(tok => (t, tok)))
     val tokens = verifiedPairs.map(_._2).distinct.toSeq
     val verifiedDf = verifiedPairs.toSeq.toDF("term", "token")
     val scored = postings.filter(col("token").isInCollection(tokens))
@@ -1059,6 +1152,26 @@ object SearchOps {
     */
   private val fuzzyCandCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Array[String]]()
+
+  /** Resolve each term's verified fuzzy candidates against a (dict, grams)
+    * store pair, memoized per (store version, term) — the expansion step
+    * shared by [[fuzzySearchIndexed]] and [[multiFieldFuzzyIndexed]].
+    * Unseen terms pay ONE resolution job for the whole batch; repeated
+    * terms resolve driver-side (the Lucene automaton-walk cache analog).
+    */
+  private def resolveFuzzyCandidates(spark: SparkSession, storeKey: String,
+      grams: DataFrame, dict: DataFrame,
+      terms: Seq[String]): Map[String, Array[String]] = {
+    val missing = terms.filterNot(t => fuzzyCandCache.containsKey((storeKey, t)))
+    if (missing.nonEmpty) {
+      val resolved = fuzzyVerified(spark, grams, dict, missing)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1).map { case (t, ps) => t -> ps.map(_._2) }
+      missing.foreach(t =>
+        fuzzyCandCache.put((storeKey, t), resolved.getOrElse(t, Array.empty)))
+    }
+    terms.map(t => t -> fuzzyCandCache.get((storeKey, t))).toMap
+  }
 
   /** Served term-dictionary + character-bigram-postings stores per data
     * dir — the materialized face of the fuzzy candidate index (`dict` =
@@ -1268,6 +1381,9 @@ object SearchOps {
         |FROM s
         |ORDER BY score_fp DESC, o_orderkey ASC LIMIT 50""".stripMargin,
     "q_search_multifield" -> multiFieldOracle,
+    // the indexed face is score-identical to the scan face by construction
+    // (SearchSpec pins it), so it shares the scan face's oracle replay
+    "q_search_multifield_idx" -> multiFieldOracle,
     "q_search_match" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang,

@@ -463,6 +463,26 @@ class SearchSpec extends SparkSpecBase {
     assert(idx === scan)
   }
 
+  test("multiFieldFuzzyIndexed ≡ multiFieldFuzzy: store-served face returns the scan face's scores") {
+    val sf001 = "/root/testdata/sf0.001"
+    // k past the hit count so both faces return their FULL result sets —
+    // equality is then set equality on (doc_id, lang, score), no tie luck
+    val scan = graft.ops.SearchOps.multiFieldFuzzy(spark, sf001, k = 1000).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val idx = graft.ops.SearchOps.multiFieldFuzzyIndexed(spark, sf001, k = 1000).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(scan.nonEmpty)
+    assert(idx === scan)
+    // a query term hitting ONLY the lang keyword field scores exactly 1.0
+    // via the exact branch (fuzzy expansion must not reach the lang field)
+    val langOnly = graft.ops.SearchOps
+      .multiFieldFuzzyIndexed(spark, sf001, q = "en", k = 1000).collect()
+    val scanLang = graft.ops.SearchOps
+      .multiFieldFuzzy(spark, sf001, q = "en", k = 1000).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(langOnly.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet === scanLang)
+  }
+
   test("searchAfter: page 2 continues exactly where the ranked page 1 ends — disjoint, ordered, tiled") {
     val sf = "/root/testdata/sf0.001"
     val all = graft.ops.SearchOps.rankedSearch(spark, sf, k = 15).collect()
