@@ -75,6 +75,7 @@ object SparkEntry {
     "q_search_phrase_idx" -> ((s, d) => SearchOps.phraseSearchIndexed(s, d)),
     "q_search_phrase_prefix" -> ((s, d) => SearchOps.phrasePrefixSearch(s, d)),
     "q_search_bool"      -> ((s, d) => SearchOps.boolQuery(s, d)),
+    "q_search_query_string" -> ((s, d) => QueryStringOps.queryString(s, d)),
     "q_function_score"   -> ((s, d) => SearchOps.functionScore(s, d)),
     "q_search_highlight" -> ((s, d) => SearchOps.highlight(s, d)),
     "q_search_regexp"    -> ((s, d) => SearchOps.regexQuery(s, d)),

@@ -1384,6 +1384,9 @@ object SearchOps {
     // the indexed face is score-identical to the scan face by construction
     // (SearchSpec pins it), so it shares the scan face's oracle replay
     "q_search_multifield_idx" -> multiFieldOracle,
+    // generated from the SAME parse tree the Spark face compiles — the
+    // query_string SYNTAX layer itself sits under the hash gate
+    "q_search_query_string" -> QueryStringOps.queryStringOracle(),
     "q_search_match" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang,
