@@ -256,6 +256,52 @@ object SearchOps {
       .limit(k)
   }
 
+  /** Fixed-point half-life table for the GAUSS decay: entry i =
+    * floor(2^20 · 2^(−i/256)), i ∈ 0..255 — the fractional octave of
+    * 2^(−t) quantized to 256 steps. Computed ONCE driver-side and embedded
+    * as the same literal array in BOTH engines' plans, so the exp() this
+    * approximates never runs as free per-row IEEE math in either engine
+    * (the cross-engine hazard that cost q_sig_terms its r9 hash). The
+    * 256-step quantization is part of the SPEC, like the 2^20 JLH grain.
+    */
+  private[graft] val GaussDecayTable: Seq[Long] =
+    Seq.tabulate(256)(i => math.floor(1048576.0 * math.pow(2.0, -i / 256.0)).toLong)
+
+  /** ES `function_score` with the GAUSS decay shape — ES's default decay
+    * (gauss(origin, offset, scale, decay=0.5): exp(−(max(0,|v−origin|−
+    * offset))²/(2σ²)) with σ chosen so the score is 0.5 at distance
+    * `scale`), i.e. decay(x) = 0.5^((x/scale)²). The whole curve runs in
+    * integer arithmetic: u = x², split by scale² into whole halvings
+    * q = u div scale² (an exact right-shift) and a fractional octave
+    * r/scale² quantized to the 256-entry [[GaussDecayTable]] — so
+    * decay_fp = table[(r·256) div scale²] div 2^q, bit-identical across
+    * engines by construction. Distance uses |days_old| (ES's two-sided
+    * |value − origin|; the linear face keeps its one-sided form).
+    * Same join/popularity shape as [[functionScore]].
+    */
+  def functionScoreGauss(spark: SparkSession, dir: String,
+                         origin: String = "2001-08-01", offsetDays: Int = 60,
+                         scaleDays: Int = 365, k: Int = 50): DataFrame = {
+    val s2 = scaleDays.toLong * scaleDays
+    val tblSql = GaussDecayTable.mkString("array(", "L, ", "L)")
+    val li = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .withColumn("days_old", datediff(to_date(lit(origin)), col("od")))
+      .withColumn("x", greatest(lit(0), abs(col("days_old")) - lit(offsetDays)))
+      .withColumn("u", col("x").cast("long") * col("x"))
+      .withColumn("decay_fp", expr(
+        s"CASE WHEN u div $s2 >= 20 THEN 0L ELSE " +
+        s"element_at($tblSql, CAST(((u % $s2) * 256) div $s2 AS INT) + 1) " +
+        s"div shiftleft(1L, CAST(u div $s2 AS INT)) END"))
+      .select(col("o_orderkey"), col("n_items"), col("decay_fp"),
+        (col("decay_fp") * col("n_items")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
   /** The INDEXED face of [[phraseSearch]] — phrase intersection over a
     * POSITIONAL postings relation (token, doc_id, pos), the way Lucene
     * actually serves match_phrase (position lists, not document rescans):
@@ -1380,6 +1426,32 @@ object SearchOps {
         |    AS BIGINT) * n_items AS score_fp
         |FROM s
         |ORDER BY score_fp DESC, o_orderkey ASC LIMIT 50""".stripMargin,
+    "q_function_score_gauss" -> {
+      val s2 = 365L * 365
+      val tbl = GaussDecayTable.mkString("[", ", ", "]")
+      s"""WITH li AS (
+         |  SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY 1),
+         |s AS (
+         |  SELECT o.o_orderkey, li.n_items,
+         |    datediff('day', CAST(o.o_orderdate AS DATE), DATE '2001-08-01')
+         |      AS days_old
+         |  FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey),
+         |e AS (
+         |  SELECT o_orderkey, n_items,
+         |    CAST(GREATEST(0, ABS(days_old) - 60) AS BIGINT)
+         |      * GREATEST(0, ABS(days_old) - 60) AS u
+         |  FROM s),
+         |d AS (
+         |  SELECT o_orderkey, n_items,
+         |    CAST(CASE WHEN u // $s2 >= 20 THEN 0 ELSE
+         |      list_extract($tbl, CAST(((u % $s2) * 256) // $s2 AS INT) + 1)
+         |        // (CAST(1 AS BIGINT) << CAST(u // $s2 AS INT)) END
+         |      AS BIGINT) AS decay_fp
+         |  FROM e)
+         |SELECT o_orderkey, n_items, decay_fp, decay_fp * n_items AS score_fp
+         |FROM d
+         |ORDER BY score_fp DESC, o_orderkey ASC LIMIT 50""".stripMargin
+    },
     "q_search_multifield" -> multiFieldOracle,
     // the indexed face is score-identical to the scan face by construction
     // (SearchSpec pins it), so it shares the scan face's oracle replay

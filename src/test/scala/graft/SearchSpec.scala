@@ -463,6 +463,44 @@ class SearchSpec extends SparkSpecBase {
     assert(idx === scan)
   }
 
+  test("functionScoreGauss: fixed-point curve is the ES gauss contract — 1.0 inside offset, 0.5 at scale, monotone") {
+    // drive the integer device directly at controlled distances
+    val tbl = graft.ops.SearchOps.GaussDecayTable
+    assert(tbl.length === 256 && tbl.head === 1048576L)
+    assert(tbl.zip(tbl.tail).forall { case (a, b) => a >= b }, "table must be non-increasing")
+    def decayFp(daysOld: Int, offset: Int = 60, scale: Int = 365): Long = {
+      val s2 = scale.toLong * scale
+      val x = math.max(0, math.abs(daysOld) - offset).toLong
+      val u = x * x
+      if (u / s2 >= 20) 0L
+      else tbl((((u % s2) * 256) / s2).toInt) >> (u / s2).toInt
+    }
+    assert(decayFp(0) === 1048576L, "inside offset: decay 1.0")
+    assert(decayFp(60) === 1048576L, "at offset edge: decay 1.0")
+    assert(decayFp(-30) === 1048576L, "two-sided: future dates inside offset too")
+    // ES contract: score = decay (0.5) at distance offset + scale
+    val atScale = decayFp(60 + 365)
+    assert(atScale === 524288L, s"0.5 at scale, got $atScale")
+    // quarter at sqrt(2)·scale (two halvings), monotone throughout
+    assert(decayFp(60 + math.ceil(365 * math.sqrt(2)).toInt) <= 262144L)
+    val samples = (0 to 2400 by 30).map(decayFp(_))
+    assert(samples.zip(samples.tail).forall { case (a, b) => a >= b },
+      "decay must be monotone in distance")
+    // the compiled query agrees with the driver-side replica above
+    val sf001 = "/root/testdata/sf0.001"
+    val out = graft.ops.SearchOps.functionScoreGauss(spark, sf001, k = 2000).collect()
+    assert(out.nonEmpty)
+    val dates = graft.Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), datediff(to_date(lit("2001-08-01")),
+        to_date(col("o_orderdate"))).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("decay_fp") === decayFp(dates(r.getLong(0))))
+      assert(r.getAs[Long]("score_fp") ===
+        r.getAs[Long]("decay_fp") * r.getAs[Long]("n_items"))
+    }
+  }
+
   test("multiFieldFuzzyIndexed ≡ multiFieldFuzzy: store-served face returns the scan face's scores") {
     val sf001 = "/root/testdata/sf0.001"
     // k past the hit count so both faces return their FULL result sets —
