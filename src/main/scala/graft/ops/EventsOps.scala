@@ -343,6 +343,38 @@ object EventsOps {
     (act, res)
   }
 
+  /** The SKETCH face of [[activeUsers]] — the form that actually ships at
+    * 100 TB: ONE keyed pass folds raw events into a per-day HLL sketch
+    * (DataSketches HLL via `hll_sketch_agg`; the ≤30× contribution
+    * explosion and its (cday, user) exchange are gone entirely), then
+    * DAU/WAU/MAU come from RANGE-window sketch unions over the per-day
+    * frame. That window is deliberately unpartitioned: the frame is
+    * CALENDAR-bounded (one row per active day — thousands of rows over a
+    * decade, regardless of feed size), so the merge is driver-scale work
+    * by construction while all data-scale work stays in the keyed sketch
+    * fold. RANGE (not ROWS) keeps gap days correct.
+    *
+    * Estimates are DataSketches-specific, so this face is spec-gated
+    * against the exact face's numbers (EventsSpec pins relative error)
+    * rather than DuckDB-oracled — the exact [[activeUsers]] keeps the
+    * hash gate.
+    */
+  def activeUsersApprox(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("2024-01-01"))
+    val daily = Tables.events(spark, dir)
+      .select(datediff(to_date(col("ts")), epoch).as("day_idx"), col("user_id"))
+      .groupBy("day_idx")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val w7 = Window.orderBy(col("day_idx")).rangeBetween(-6, 0)
+    val w30 = Window.orderBy(col("day_idx")).rangeBetween(-29, 0)
+    daily
+      .select(col("day_idx").cast("long").as("day_idx"),
+        hll_sketch_estimate(col("sk")).as("dau"),
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w7)).as("wau"),
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w30)).as("mau"))
+      .withColumn("stickiness_fp", expr("(1048576 * dau) div mau"))
+  }
+
   /** Hourly event-volume anomaly detection: per event type, hours whose
     * count deviates ≥ 2σ from that type's mean hourly volume — the ops
     * dashboard query over the same feed the CDC tier ingests.

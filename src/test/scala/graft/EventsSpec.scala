@@ -241,6 +241,28 @@ class EventsSpec extends SparkSpecBase {
     assert(out.map(_.getAs[Long]("day_idx")).toSet === spine)
   }
 
+  test("activeUsersApprox: sketch face tracks the exact face within HLL error on every day") {
+    val exact = EventsOps.activeUsers(spark, sf).collect()
+      .map(r => r.getAs[Long]("day_idx") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"), r.getAs[Long]("mau"))).toMap
+    val approx = EventsOps.activeUsersApprox(spark, sf).collect()
+    assert(approx.nonEmpty)
+    // same day spine as the exact face (RANGE window ⇒ gap days stay correct)
+    assert(approx.map(_.getAs[Long]("day_idx")).toSet === exact.keySet)
+    // DataSketches HLL at the default lgConfigK=12 is ~1.6% RSE; 5% is a
+    // generous cross-cutting bound that still catches a broken window frame
+    // (a ROWS window over gap days would miss whole day-cohorts, not 5%)
+    def close(a: Long, e: Long): Boolean = math.abs(a - e) <= math.max(1L, (e * 0.05).toLong)
+    approx.foreach { r =>
+      val (ed, ew, em) = exact(r.getAs[Long]("day_idx"))
+      assert(close(r.getAs[Long]("dau"), ed), s"dau ${r.getAs[Long]("dau")} vs exact $ed")
+      assert(close(r.getAs[Long]("wau"), ew), s"wau ${r.getAs[Long]("wau")} vs exact $ew")
+      assert(close(r.getAs[Long]("mau"), em), s"mau ${r.getAs[Long]("mau")} vs exact $em")
+      assert(r.getAs[Long]("stickiness_fp") ===
+        (1048576L * r.getAs[Long]("dau")) / r.getAs[Long]("mau"))
+    }
+  }
+
   test("pipelineAgg: moving sum covers exactly the trailing week; first-bucket derivative is null") {
     val out = EventsOps.pipelineAgg(spark, sf).collect()
     assert(out.nonEmpty)
