@@ -39,27 +39,64 @@ object MultimodalOps {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"))
   }
 
-  /** STUB decode: derives deterministic fake media properties from the
-    * payload bytes. A real implementation replaces ONLY the body of this
-    * function (same signature, same batch-per-partition shape).
+  /** Decode dispatch: REAL for BMP payloads ([[BmpCodec]] — actual header
+    * parse, actual pixel geometry), deterministic STUB for everything else
+    * (the container ships no JPEG/audio/video codecs; a production build
+    * drops its codec into the same match arm). The BMP arm closes the
+    * "codec tier is a stub" seam for one format end-to-end.
     */
   def stubDecode(payload: Array[Byte], mediaType: String): (Int, Int, Int, Int) = {
-    // ??? <- real codec goes here; deterministic fake below keeps tests real
-    val h = java.util.Arrays.hashCode(payload).abs
-    mediaType match {
-      case "image" => (64 + h % 1024, 64 + (h / 7) % 1024, 0, 1)
-      case "audio" => (0, 0, 8000 + (h % 5) * 8000, 0)
-      case _       => (64 + h % 1024, 64 + (h / 7) % 1024, 0, 1 + h % 300)
+    if (BmpCodec.isBmp(payload)) {
+      val img = BmpCodec.decode(payload)
+      (img.width, img.height, 0, 1)
+    } else {
+      // ??? <- further codecs (JPEG/audio/video) go here; deterministic
+      // fake below keeps the non-BMP plumbing tested
+      val h = java.util.Arrays.hashCode(payload).abs
+      mediaType match {
+        case "image" => (64 + h % 1024, 64 + (h / 7) % 1024, 0, 1)
+        case "audio" => (0, 0, 8000 + (h % 5) * 8000, 0)
+        case _       => (64 + h % 1024, 64 + (h / 7) % 1024, 0, 1 + h % 300)
+      }
     }
+  }
+
+  /** Ingest face with REAL image payloads: doc_ids that map to `image`
+    * carry a deterministic synthetic BMP (seeded by doc_id, dimensions
+    * varied per doc) instead of text bytes — so the decode/resize/embed
+    * stages downstream run an actual codec on actual rasters. Non-image
+    * rows keep the opaque text-byte payloads (their codecs stay stubbed).
+    * Payload synthesis is map-side inside the partition iterator: at scale
+    * this stage is the decode-adjacent ingest map, nothing shuffles.
+    */
+  def bmpMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("doc_id", "payload", "media_type")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, mt) =>
+          if (mt == "image")
+            (id, BmpCodec.synth(id, 16 + (id % 48).toInt, 16 + (id % 32).toInt), mt)
+          else (id, payload, mt)
+        }
+      }
+      .toDF("doc_id", "payload", "media_type")
   }
 
   /** Partition-parallel decode stage: the Scala analog of `mapInPandas` —
     * typed `mapPartitions` over an iterator of rows, one decode call per
     * payload, never materializing a partition in memory.
     */
-  def decodeMedia(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+  def decodeMedia(spark: SparkSession, dir: String): Dataset[MediaMeta] =
+    decodeMediaOf(spark, mediaTable(spark, dir))
+
+  /** Same decode stage over ANY (doc_id, payload, media_type) frame — the
+    * seam the real-payload path ([[bmpMediaTable]]) shares with the opaque
+    * ingest face. */
+  def decodeMediaOf(spark: SparkSession, mediaDf: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
-    val media = mediaTable(spark, dir)
+    val media = mediaDf
       .withColumn("byte_len", length(col("payload")).cast("long"))
       .withColumn("payload_md5", md5(col("payload")))
     media.select("doc_id", "media_type", "payload", "byte_len", "payload_md5")
@@ -79,25 +116,36 @@ object MultimodalOps {
   case class Frame(doc_id: Long, frame_idx: Int, frame_md5: String, byte_len: Long)
 
   /** Resize stage: decode → scale to a fixed training shape (the 224×224
-    * vision-model preprocessing step). The pixel transform is stubbed (a
-    * deterministic byte truncation standing in for a real scaler); the Spark
-    * shape is real — map-side `mapPartitions`, payload never shuffled, output
-    * payload bounded by `targetW*targetH` regardless of input size (the
-    * property that keeps a 100 TB image crawl from doubling in flight).
+    * vision-model preprocessing step). BMP payloads run the REAL path —
+    * decode, nearest-neighbor rescale, re-encode ([[BmpCodec]]); other
+    * payloads keep the deterministic byte-truncation stub until their
+    * codecs exist. Either way the Spark shape is the same — map-side
+    * `mapPartitions`, payload never shuffled, output payload bounded by
+    * the target raster regardless of input size (the property that keeps a
+    * 100 TB image crawl from doubling in flight).
     */
   def resizeStage(spark: SparkSession, dir: String,
-                  targetW: Int = 224, targetH: Int = 224): Dataset[ResizedMedia] = {
+                  targetW: Int = 224, targetH: Int = 224): Dataset[ResizedMedia] =
+    resizeStageOf(spark, mediaTable(spark, dir), targetW, targetH)
+
+  def resizeStageOf(spark: SparkSession, mediaDf: DataFrame,
+                    targetW: Int = 224, targetH: Int = 224): Dataset[ResizedMedia] = {
     import spark.implicits._
-    mediaTable(spark, dir)
+    mediaDf
       .select("doc_id", "media_type", "payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, mt, payload) =>
-          // ??? <- real scaler goes here; deterministic stub: clamp payload
-          // to the target raster size
-          val resized = java.util.Arrays.copyOf(payload,
-            math.min(payload.length, targetW * targetH))
-          ResizedMedia(id, mt, resized, targetW, targetH)
+          if (BmpCodec.isBmp(payload)) {
+            val scaled = BmpCodec.resizeNearest(BmpCodec.decode(payload), targetW, targetH)
+            ResizedMedia(id, mt, BmpCodec.encode(scaled), targetW, targetH)
+          } else {
+            // ??? <- further codecs' scalers go here; deterministic stub:
+            // clamp payload to the target raster size
+            val resized = java.util.Arrays.copyOf(payload,
+              math.min(payload.length, targetW * targetH))
+            ResizedMedia(id, mt, resized, targetW, targetH)
+          }
         }
       }
   }

@@ -42,6 +42,84 @@ class MultimodalSpec extends SparkSpecBase {
       again.sortBy(_.doc_id).map(_.payload.toSeq).toSeq)
   }
 
+  test("BmpCodec: encode∘decode round-trips pixels exactly, padding and both row orders handled") {
+    import graft.ops.BmpCodec
+    // width 17 → 51 pixel bytes/row, padded to 52: the padding path is live
+    val img = BmpCodec.decode(BmpCodec.synth(seed = 7, width = 17, height = 9))
+    assert(img.width === 17 && img.height === 9)
+    val round = BmpCodec.decode(BmpCodec.encode(img))
+    assert(round.width === img.width && round.height === img.height)
+    assert(round.rgb.toSeq === img.rgb.toSeq)
+    // top-down form (negative height in the header) decodes to the same
+    // normalized raster as the bottom-up encode of the same pixels
+    val enc = BmpCodec.encode(img)
+    val topDown = enc.clone()
+    val rowBytes = (17 * 3 + 3) & ~3
+    // negate height at offset 22 (little-endian int32)
+    val nh = -9
+    topDown(22) = nh.toByte; topDown(23) = (nh >> 8).toByte
+    topDown(24) = (nh >> 16).toByte; topDown(25) = (nh >> 24).toByte
+    // flip the stored rows so the pixel content matches the new order flag
+    for (y <- 0 until 9; b <- 0 until rowBytes)
+      topDown(54 + y * rowBytes + b) = enc(54 + (9 - 1 - y) * rowBytes + b)
+    val td = BmpCodec.decode(topDown)
+    assert(td.rgb.toSeq === img.rgb.toSeq)
+    // non-BMP bytes are rejected, not misparsed
+    assert(!BmpCodec.isBmp("not a bitmap at all, just text".getBytes))
+    intercept[IllegalArgumentException](BmpCodec.decode(new Array[Byte](100)))
+  }
+
+  test("BmpCodec: nearest-neighbor resize has exact geometry; identity resize is a no-op; embed is bounded") {
+    import graft.ops.BmpCodec
+    val img = BmpCodec.decode(BmpCodec.synth(seed = 42, width = 20, height = 12))
+    assert(BmpCodec.resizeNearest(img, 20, 12).rgb.toSeq === img.rgb.toSeq)
+    val small = BmpCodec.resizeNearest(img, 5, 3)
+    assert(small.width === 5 && small.height === 3 && small.rgb.length === 45)
+    // nearest mapping: out(x,y) = in(x*w/tw, y*h/th) — spot-check corners
+    def px(i: BmpCodec.Image, x: Int, y: Int) =
+      (0 until 3).map(c => i.rgb((y * i.width + x) * 3 + c))
+    assert(px(small, 0, 0) === px(img, 0, 0))
+    assert(px(small, 4, 2) === px(img, 4 * 20 / 5, 2 * 12 / 3))
+    val emb = BmpCodec.pixelEmbed(img)
+    assert(emb.length === 64 && emb.forall(v => v >= -1.0 && v <= 1.0))
+    // solid black/white rasters hit the normalization endpoints exactly
+    val black = BmpCodec.Image(4, 4, new Array[Byte](48))
+    assert(BmpCodec.pixelEmbed(black).forall(_ === -1.0))
+    val white = BmpCodec.Image(4, 4, Array.fill[Byte](48)(0xff.toByte))
+    assert(BmpCodec.pixelEmbed(white).forall(_ === 1.0))
+  }
+
+  test("real BMP path end-to-end: ingest real rasters → real decode dims → real resize → pixel embedding") {
+    import graft.ops.BmpCodec
+    val media = MultimodalOps.bmpMediaTable(spark, sf)
+    val decoded = MultimodalOps.decodeMediaOf(spark, media).collect()
+    val images = decoded.filter(_.media_type == "image")
+    assert(images.nonEmpty)
+    // decode reports the REAL synthesized geometry, not a hash-derived fake
+    images.foreach { m =>
+      assert(m.width === 16 + (m.doc_id % 48).toInt)
+      assert(m.height === 16 + (m.doc_id % 32).toInt)
+    }
+    // resize: every image payload is a real BMP of exactly the target shape
+    val resized = MultimodalOps.resizeStageOf(spark, media, 32, 32).collect()
+      .filter(_.media_type == "image")
+    resized.foreach { r =>
+      val img = BmpCodec.decode(r.payload)
+      assert(img.width === 32 && img.height === 32)
+    }
+    // payload → pixels → embedding: self-similarity 1, cross-similarity < 1
+    val bySeed = images.take(2).map { m =>
+      BmpCodec.pixelEmbed(BmpCodec.decode(
+        BmpCodec.synth(m.doc_id, m.width, m.height)))
+    }
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(math.abs(cos(bySeed(0), bySeed(0)) - 1.0) < 1e-12)
+    assert(cos(bySeed(0), bySeed(1)) < 0.999)
+  }
+
   test("frameSample: every k-th frame of videos only; count = ceil(n_frames/k)") {
     val every = 7
     val frames = MultimodalOps.frameSample(spark, sf, every).collect()
