@@ -152,17 +152,46 @@ object IncrementalVectors {
   // redelivery idempotence absorbs the replay).
   private val AffectedMarker = "_AFFECTED2"
 
+  /** Pre-r10 marker name — recognized ONLY to drive crash recovery of a
+    * store last written by an old binary (see [[recoverCells]]); the v2
+    * parser never reads its content.
+    */
+  private val LegacyAffectedMarker = "_AFFECTED"
+
   /** Roll a completed `.staging` commit forward and clear debris — safe to
     * call at any time; every [[load]]/[[upsert]] does.
     */
   def recoverCells(spark: SparkSession, storePath: String): Unit = {
     graft.sinks.AtomicSwap.recover(spark, storePath) // whole-store first build
     val f = fsOf(spark, storePath)
-    val staging = new org.apache.hadoop.fs.Path(s"$storePath/.staging")
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val staging = new org.apache.hadoop.fs.Path(root, ".staging")
     if (!f.exists(staging)) return
     if (f.exists(new org.apache.hadoop.fs.Path(staging, AffectedMarker)))
       commitStaged(spark, storePath) // marker ⇒ write completed: roll FORWARD
-    else f.delete(staging, true) // partial write: next tick rewrites it
+    else {
+      // A LEGACY-binary crash mid-commit may have set live cells aside
+      // under .old without completing their swap — live dir missing, the
+      // only surviving complete copy in the aside (the staged dir of an
+      // unfinished commit holds merged content we choose not to trust
+      // without its manifest format). Restore those asides BEFORE
+      // discarding the staging: deleting .staging and then .old (the
+      // pre-r12 behavior) permanently lost the affected cells' NON-dirty
+      // rows, because the re-merge off the un-advanced watermark replays
+      // only dirty rows (r11 ADVICE). Asides whose live dir exists are
+      // stale pre-commit copies — left for the normal .old cleanup.
+      if (f.exists(new org.apache.hadoop.fs.Path(staging, LegacyAffectedMarker))) {
+        val oldRoot = new org.apache.hadoop.fs.Path(root, ".old")
+        if (f.exists(oldRoot))
+          f.listStatus(oldRoot).filter(_.isDirectory).map(_.getPath)
+            .filter(_.getName.startsWith("cell="))
+            .foreach { aside =>
+              val live = new org.apache.hadoop.fs.Path(root, aside.getName)
+              if (!f.exists(live)) mustRename(f, aside, live)
+            }
+      }
+      f.delete(staging, true) // partial write: next tick rewrites it
+    }
   }
 
   /** The rename dance, driven by the AFFECTED manifest's two sets: a KEEP

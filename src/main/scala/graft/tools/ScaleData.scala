@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * across fact/dim tables) and DIVERSIFY the payload so the bigger corpus
   * is new data, not duplicates that would quadratically corrupt the dedup
   * tier's pair joins:
-  *   - documents.text rotates its 7 most frequent letters per copy
-  *     (word/whitespace structure, token counts, and Zipf shape preserved;
-  *     vocabulary disjoint per copy — 10 "sources" with distinct vocab);
+  *   - documents.text rotates the 13-letter "etaoinshrdlcu" alphabet per
+  *     copy (word/whitespace structure, token counts, and Zipf shape
+  *     preserved; vocabulary LARGELY disjoint per copy — words containing
+  *     none of those 13 letters pass through byte-identical, so treat the
+  *     copies as distinct-vocab "sources" with a small shared residue);
   *   - embeddings rotate their dims by i (norm preserved, direction new);
   *   - events shift user_id/event_id (10× the users on the same clock).
   * region/nation are fixed dims and copy through unchanged.
@@ -43,7 +45,9 @@ object ScaleData {
 
     def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def stride(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head.getLong(0) + 1L
+      // getAs[Number]: key columns are long in the shipped testdata but an
+      // int-typed key must widen, not throw (r11 ADVICE)
+      df.agg(max(col(key))).head.getAs[Number](0).longValue + 1L
 
     def write(name: String, df: DataFrame): Unit = {
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")

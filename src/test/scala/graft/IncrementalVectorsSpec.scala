@@ -170,6 +170,27 @@ class IncrementalVectorsSpec extends SparkSpecBase {
       "legacy staging is discarded for the next tick to rewrite")
   }
 
+  test("legacy crash MID-swap: a cell set aside under .old with live missing is restored, not lost") {
+    val store = tmp("legacy-midswap")
+    IncrementalVectors.upsert(spark, store, vecs(
+      (0L, 0, Seq(0.9, 0.1)), (1L, 1, Seq(0.1, 0.9))), codebook)
+    val before = content(IncrementalVectors.load(spark, store))
+    // the r11 ADVICE window: the OLD binary wrote its v1 marker and crashed
+    // between `live → aside` and `staged → live` for cell=1 — the aside is
+    // the only complete copy of cell=1's non-dirty rows
+    new java.io.File(s"$store/.old").mkdirs()
+    assert(new java.io.File(s"$store/cell=1").renameTo(
+      new java.io.File(s"$store/.old/cell=1")))
+    new java.io.File(s"$store/.staging/cell=1").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$store/.staging/_AFFECTED"), "1")
+    val got = content(IncrementalVectors.load(spark, store))
+    assert(got === before,
+      "mid-swap aside must be restored — discarding it loses non-dirty rows permanently")
+    assert(new java.io.File(s"$store/cell=1").exists())
+    assert(!new java.io.File(s"$store/.staging").exists())
+  }
+
   test("empty dirty set is a no-op — never creates or rewrites a store") {
     val store = tmp("empty")
     val none = vecs()
