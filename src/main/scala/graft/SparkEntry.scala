@@ -79,6 +79,7 @@ object SparkEntry {
     "q_search_query_string" -> ((s, d) => QueryStringOps.queryString(s, d)),
     "q_function_score"   -> ((s, d) => SearchOps.functionScore(s, d)),
     "q_function_score_gauss" -> ((s, d) => SearchOps.functionScoreGauss(s, d)),
+    "q_function_score_exp" -> ((s, d) => SearchOps.functionScoreExp(s, d)),
     "q_search_highlight" -> ((s, d) => SearchOps.highlight(s, d)),
     "q_search_regexp"    -> ((s, d) => SearchOps.regexQuery(s, d)),
     "q_pivot"            -> ((s, d) => RelationalOps.pivotStatus(s, d)),

@@ -14,7 +14,9 @@ import graft.Tables
   *     UPPERCASE-only — lowercase `and` is a search term, as in ES
   *   - parentheses
   *   - quoted phrases (`"data stream"` — analyzed-token adjacency)
-  *   - per-field prefixes (`title:camp`, `lang:en`, `title:"big data"`);
+  *   - per-field prefixes (`title:camp`, `lang:en`, `title:"big data"`)
+  *     and field GROUPS (`title:(data OR stream)` — the whole group
+  *     inherits the field; explicit inner prefixes still override);
   *     unprefixed clauses search the default text field
   *   - bare adjacency = default operator OR (`data stream` ≡ `data OR
   *     stream`, the ES default_operator)
@@ -60,6 +62,8 @@ object QueryStringOps {
   private case object TNot extends Tok
   private final case class TClause(field: Option[String], text: String,
                                    phrase: Boolean) extends Tok
+  /** `field:(` — the whole following group inherits the field. */
+  private final case class TFieldOpen(field: String) extends Tok
 
   /** Fields this engine's document model exposes; `description`/`body` are
     * aliases of the default text field, `title` is the 48-char title face
@@ -96,11 +100,14 @@ object QueryStringOps {
           case _ =>
             val colonAt = w.indexOf(':')
             if (colonAt > 0 && FieldAliases.contains(w.substring(0, colonAt).toLowerCase)) {
-              val f = Some(FieldAliases(w.substring(0, colonAt).toLowerCase))
+              val fName = FieldAliases(w.substring(0, colonAt).toLowerCase)
               val rest = w.substring(colonAt + 1)
               if (rest.isEmpty && i < q.length && q.charAt(i) == '"') {
-                val (s, ni) = readQuoted(i + 1); out += TClause(f, s, phrase = true); i = ni
-              } else out += TClause(f, rest, phrase = false)
+                val (s, ni) = readQuoted(i + 1)
+                out += TClause(Some(fName), s, phrase = true); i = ni
+              } else if (rest.isEmpty && i < q.length && q.charAt(i) == '(')
+                out += TFieldOpen(fName) // the LP lexes next; group scope
+              else out += TClause(Some(fName), rest, phrase = false)
             } else out += TClause(None, w, phrase = false)
         }
       }
@@ -117,39 +124,45 @@ object QueryStringOps {
     private def eat(): Tok = { val t = toks(pos); pos += 1; t }
 
     def parseAll(): Option[Node] = {
-      val n = parseOr()
+      val n = parseOr("text")
       require(peek.isEmpty, s"dangling token after query at $pos")
       n
     }
     private def startsAtom(t: Tok): Boolean = t match {
-      case LP | TNot | _: TClause => true
+      case LP | TNot | _: TClause | _: TFieldOpen => true
       case _ => false
     }
-    private def parseOr(): Option[Node] = {
-      var acc = parseAnd()
+    // `dfField` = the inherited default field: "text" at top level, the
+    // prefix field inside a `field:(...)` group; explicit per-clause
+    // prefixes always win
+    private def parseOr(dfField: String): Option[Node] = {
+      var acc = parseAnd(dfField)
       var go = true
       while (go) peek match {
-        case Some(TOr) => eat(); acc = join(acc, parseAnd())(OrN.apply)
-        case Some(t) if startsAtom(t) => acc = join(acc, parseAnd())(OrN.apply)
+        case Some(TOr) => eat(); acc = join(acc, parseAnd(dfField))(OrN.apply)
+        case Some(t) if startsAtom(t) => acc = join(acc, parseAnd(dfField))(OrN.apply)
         case _ => go = false
       }
       acc
     }
-    private def parseAnd(): Option[Node] = {
-      var acc = parseNot()
-      while (peek.contains(TAnd)) { eat(); acc = join(acc, parseNot())(AndN.apply) }
+    private def parseAnd(dfField: String): Option[Node] = {
+      var acc = parseNot(dfField)
+      while (peek.contains(TAnd)) { eat(); acc = join(acc, parseNot(dfField))(AndN.apply) }
       acc
     }
-    private def parseNot(): Option[Node] = peek match {
-      case Some(TNot) => eat(); parseNot().map(NotN.apply) // NOT <dropped> drops too
-      case _ => parseAtom()
+    private def parseNot(dfField: String): Option[Node] = peek match {
+      case Some(TNot) => eat(); parseNot(dfField).map(NotN.apply) // NOT <dropped> drops too
+      case _ => parseAtom(dfField)
     }
-    private def parseAtom(): Option[Node] = eat() match {
+    private def parseAtom(dfField: String): Option[Node] = eat() match {
       case LP =>
-        val n = parseOr()
+        val n = parseOr(dfField)
         require(peek.contains(RP), "unbalanced parenthesis in query_string")
         eat(); n
-      case TClause(fOpt, text, isPhrase) => leaf(fOpt.getOrElse("text"), text, isPhrase)
+      case TFieldOpen(f) =>
+        require(peek.contains(LP), "field group prefix must be followed by '('")
+        parseAtom(f) // the LP path above, with the group's field inherited
+      case TClause(fOpt, text, isPhrase) => leaf(fOpt.getOrElse(dfField), text, isPhrase)
       case t => throw new IllegalArgumentException(s"unexpected token $t in query_string")
     }
     /** Empty-clause removal: the parent connective collapses onto its

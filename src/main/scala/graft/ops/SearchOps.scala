@@ -302,6 +302,35 @@ object SearchOps {
       .limit(k)
   }
 
+  /** ES `function_score` with the EXP decay shape — decay(x) = 0.5^(x/scale)
+    * (exp(−λ·max(0,|v−origin|−offset)) with λ = ln2/scale so the score is
+    * 0.5 at distance `scale`). Same integer device as the gauss face with
+    * u = x instead of x²: whole halvings x div scale are an exact shift,
+    * the fractional octave indexes [[GaussDecayTable]]. Completes the ES
+    * decay trio (linear / gauss / exp) under one fixed-point discipline.
+    */
+  def functionScoreExp(spark: SparkSession, dir: String,
+                       origin: String = "2001-08-01", offsetDays: Int = 60,
+                       scaleDays: Int = 365, k: Int = 50): DataFrame = {
+    val tblSql = GaussDecayTable.mkString("array(", "L, ", "L)")
+    val li = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .withColumn("days_old", datediff(to_date(lit(origin)), col("od")))
+      .withColumn("x",
+        greatest(lit(0), abs(col("days_old")) - lit(offsetDays)).cast("long"))
+      .withColumn("decay_fp", expr(
+        s"CASE WHEN x div $scaleDays >= 20 THEN 0L ELSE " +
+        s"element_at($tblSql, CAST(((x % $scaleDays) * 256) div $scaleDays AS INT) + 1) " +
+        s"div shiftleft(1L, CAST(x div $scaleDays AS INT)) END"))
+      .select(col("o_orderkey"), col("n_items"), col("decay_fp"),
+        (col("decay_fp") * col("n_items")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
   /** The INDEXED face of [[phraseSearch]] — phrase intersection over a
     * POSITIONAL postings relation (token, doc_id, pos), the way Lucene
     * actually serves match_phrase (position lists, not document rescans):
@@ -1426,6 +1455,30 @@ object SearchOps {
         |    AS BIGINT) * n_items AS score_fp
         |FROM s
         |ORDER BY score_fp DESC, o_orderkey ASC LIMIT 50""".stripMargin,
+    "q_function_score_exp" -> {
+      val tbl = GaussDecayTable.mkString("[", ", ", "]")
+      s"""WITH li AS (
+         |  SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY 1),
+         |s AS (
+         |  SELECT o.o_orderkey, li.n_items,
+         |    datediff('day', CAST(o.o_orderdate AS DATE), DATE '2001-08-01')
+         |      AS days_old
+         |  FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey),
+         |e AS (
+         |  SELECT o_orderkey, n_items,
+         |    CAST(GREATEST(0, ABS(days_old) - 60) AS BIGINT) AS x
+         |  FROM s),
+         |d AS (
+         |  SELECT o_orderkey, n_items,
+         |    CAST(CASE WHEN x // 365 >= 20 THEN 0 ELSE
+         |      list_extract($tbl, CAST(((x % 365) * 256) // 365 AS INT) + 1)
+         |        // (CAST(1 AS BIGINT) << CAST(x // 365 AS INT)) END
+         |      AS BIGINT) AS decay_fp
+         |  FROM e)
+         |SELECT o_orderkey, n_items, decay_fp, decay_fp * n_items AS score_fp
+         |FROM d
+         |ORDER BY score_fp DESC, o_orderkey ASC LIMIT 50""".stripMargin
+    },
     "q_function_score_gauss" -> {
       val s2 = 365L * 365
       val tbl = GaussDecayTable.mkString("[", ", ", "]")

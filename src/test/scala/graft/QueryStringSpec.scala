@@ -37,6 +37,14 @@ class QueryStringSpec extends SparkSpecBase {
     assert(p("title:\"data\"") === Some(TermN("title", "data")))
     assert(p("description:data lang:EN") ===
       Some(OrN(TermN("text", "data"), TermN("lang", "en"))))
+    // field GROUPS: the group inherits the prefix field; inner explicit
+    // prefixes override; phrases inside groups take the group field
+    assert(p("title:(data OR stream)") ===
+      Some(OrN(TermN("title", "data"), TermN("title", "stream"))))
+    assert(p("title:(data OR lang:en)") ===
+      Some(OrN(TermN("title", "data"), TermN("lang", "en"))))
+    assert(p("title:(\"big data\" AND stream)") ===
+      Some(AndN(PhraseN("title", Seq("big", "data")), TermN("title", "stream"))))
   }
 
   test("empty-analyzed clauses drop as ES removes them; multi-token words expand with the default operator") {

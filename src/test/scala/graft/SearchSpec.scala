@@ -499,6 +499,19 @@ class SearchSpec extends SparkSpecBase {
       assert(r.getAs[Long]("score_fp") ===
         r.getAs[Long]("decay_fp") * r.getAs[Long]("n_items"))
     }
+    // the EXP sibling: same table, u = x — 0.5 at scale, quarter at 2·scale
+    def expFp(daysOld: Int, offset: Int = 60, scale: Int = 365): Long = {
+      val x = math.max(0, math.abs(daysOld) - offset).toLong
+      if (x / scale >= 20) 0L
+      else tbl((((x % scale) * 256) / scale).toInt) >> (x / scale).toInt
+    }
+    assert(expFp(60) === 1048576L && expFp(60 + 365) === 524288L &&
+      expFp(60 + 730) === 262144L)
+    val expOut = graft.ops.SearchOps.functionScoreExp(spark, sf001, k = 2000).collect()
+    assert(expOut.nonEmpty)
+    expOut.foreach { r =>
+      assert(r.getAs[Long]("decay_fp") === expFp(dates(r.getLong(0))))
+    }
   }
 
   test("multiFieldFuzzyIndexed ≡ multiFieldFuzzy: store-served face returns the scan face's scores") {
