@@ -359,6 +359,31 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
   }
 
+  test("multiFieldFuzzyIndexed: verified tokens pushed into the field-postings scan, no re-analysis, partial top-k") {
+    // candidate resolution (fuzzy expansion over the union dictionary)
+    // happens BEFORE this plan exists; the scoring plan must read the
+    // mfpostings store with the token IN-list pushed and never re-derive
+    // an analyzed field or join the corpus wide
+    val p = plan(SearchOps.multiFieldFuzzyIndexed(spark, sf))
+    assert(p.contains("PushedFilters: [In(token"),
+      s"expected the verified-token IN-list pushed into the store scan:\n$p")
+    assert(!p.contains("levenshtein") && !p.contains("ru_en_analyze"),
+      s"candidate resolution / analysis must not ride in the scoring plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"indexed multifield must never plan a product join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+  }
+
+  test("queryString: compiled query is one map-only corpus pass — joinless, no exchange before the top-k") {
+    val p = plan(graft.ops.QueryStringOps.queryString(spark, sf))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"query_string must compile to a single-relation pass:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"predicate+score ride one projection — no mid-plan shuffle:\n$p")
+  }
+
   test("annPq: encode + ADC are pure projections — single joinless corpus pass, partial top-k") {
     // pre-release shape: the shipped annPq wraps this in a localCheckpoint
     // (opaque RDD scan), so the pins read the staged plan
