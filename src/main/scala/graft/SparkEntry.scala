@@ -53,7 +53,7 @@ object SparkEntry {
     "q_retention"        -> (EventsOps.retention(_, _)),
     "q_volume_anomaly"   -> (EventsOps.volumeAnomaly(_, _)),
     "q_active_users"     -> (EventsOps.activeUsers(_, _)),
-    "q_active_users_approx" -> (EventsOps.activeUsersApprox(_, _)),
+    "q_active_users_approx" -> (EventsOps.activeUsersApproxGraded(_, _)),
     "q_pipeline_agg"     -> (EventsOps.pipelineAgg(_, _)),
     "q_asof_join"        -> (EventsOps.asofJoin(_, _)),
     "q_range_join"       -> ((s, d) => EventsOps.rangeJoin(s, d)),

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -365,6 +365,41 @@ object EventsOps {
       .select(datediff(to_date(col("ts")), epoch).as("day_idx"), col("user_id"))
       .groupBy("day_idx")
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    approxCountsOf(daily)
+      .withColumn("stickiness_fp", expr("(1048576 * dau) div mau"))
+  }
+
+  /** Graded oracle face of [[activeUsersApprox]] — the
+    * perplexityBucketsApproxGraded device applied to the HLL path:
+    * estimates are sketch-library-specific, so the OUTPUT is the exact
+    * counts (DuckDB-replayable) plus three booleans the sketch must
+    * satisfy per day (each estimate within max(1, 5%) of exact). The
+    * oracle replays the exact report and pins the booleans TRUE, so a
+    * broken sketch or window frame flips a boolean and fails the hash.
+    * The persisted distinct-activity frame funds BOTH faces — the sketch
+    * fold reads it, not raw events, so grading costs one tiny extra pass.
+    */
+  def activeUsersApproxGraded(spark: SparkSession, dir: String): DataFrame = {
+    val (act, exact) = activeUsersPlan(spark, dir)
+    val approx = approxCountsOf(act.groupBy(col("day_idx"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk")))
+      .select(col("day_idx"), col("dau").as("a_dau"),
+        col("wau").as("a_wau"), col("mau").as("a_mau"))
+    def ok(a: Column, e: Column) =
+      abs(a - e) <= greatest(lit(1L), (e.cast("double") * 0.05).cast("long"))
+    val res = exact.join(approx, Seq("day_idx"))
+      .select(col("day_idx"), col("dau"), col("wau"), col("mau"),
+        col("stickiness_fp"),
+        ok(col("a_dau"), col("dau")).as("dau_ok"),
+        ok(col("a_wau"), col("wau")).as("wau_ok"),
+        ok(col("a_mau"), col("mau")).as("mau_ok"))
+    graft.ops.DedupOps.releasingBounded(act)(res)
+  }
+
+  /** DAU/WAU/MAU estimates from a per-day sketch frame — the shared tail
+    * of [[activeUsersApprox]] (raw serving face) and the graded gate.
+    */
+  private def approxCountsOf(daily: DataFrame): DataFrame = {
     val w7 = Window.orderBy(col("day_idx")).rangeBetween(-6, 0)
     val w30 = Window.orderBy(col("day_idx")).rangeBetween(-29, 0)
     daily
@@ -372,7 +407,6 @@ object EventsOps {
         hll_sketch_estimate(col("sk")).as("dau"),
         hll_sketch_estimate(hll_union_agg(col("sk")).over(w7)).as("wau"),
         hll_sketch_estimate(hll_union_agg(col("sk")).over(w30)).as("mau"))
-      .withColumn("stickiness_fp", expr("(1048576 * dau) div mau"))
   }
 
   /** Hourly event-volume anomaly detection: per event type, hours whose
@@ -442,6 +476,28 @@ object EventsOps {
         |  FROM x JOIN spine USING (cday) GROUP BY cday)
         |SELECT CAST(cday AS BIGINT) AS day_idx, dau, wau, mau,
         |  (1048576 * dau) // mau AS stickiness_fp
+        |FROM a""".stripMargin,
+    // graded sketch gate: the oracle replays the EXACT report and pins the
+    // per-day sketch-agreement booleans TRUE (the lengthApprox device —
+    // estimates are engine-specific, the verdict on them is not)
+    "q_active_users_approx" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, day_idx, o, day_idx + o AS cday
+        |  FROM d, (SELECT unnest(range(30)) AS o) os),
+        |spine AS (SELECT DISTINCT day_idx AS cday FROM d),
+        |a AS (
+        |  SELECT cday,
+        |    COUNT(DISTINCT CASE WHEN o = 0 THEN user_id END) AS dau,
+        |    COUNT(DISTINCT CASE WHEN o <= 6 THEN user_id END) AS wau,
+        |    COUNT(DISTINCT user_id) AS mau
+        |  FROM x JOIN spine USING (cday) GROUP BY cday)
+        |SELECT CAST(cday AS BIGINT) AS day_idx, dau, wau, mau,
+        |  (1048576 * dau) // mau AS stickiness_fp,
+        |  TRUE AS dau_ok, TRUE AS wau_ok, TRUE AS mau_ok
         |FROM a""".stripMargin,
     "q_retention" ->
       """WITH d AS (
