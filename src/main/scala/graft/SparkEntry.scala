@@ -54,6 +54,8 @@ object SparkEntry {
     "q_volume_anomaly"   -> (EventsOps.volumeAnomaly(_, _)),
     "q_active_users"     -> (EventsOps.activeUsers(_, _)),
     "q_active_users_approx" -> (EventsOps.activeUsersApproxGraded(_, _)),
+    "q_percentiles_agg"  -> (EventsOps.percentilesAgg(_, _)),
+    "q_percentiles_approx" -> (EventsOps.percentilesApproxGraded(_, _)),
     "q_pipeline_agg"     -> (EventsOps.pipelineAgg(_, _)),
     "q_asof_join"        -> (EventsOps.asofJoin(_, _)),
     "q_range_join"       -> ((s, d) => EventsOps.rangeJoin(s, d)),
@@ -155,6 +157,7 @@ object SparkEntry {
     "q_semdedup"         -> ((s, d) => SimilarityOps.semDedup(s, d)),
     // Multimodal plumbing
     "q_multimodal_meta"  -> (MultimodalOps.multimodalMeta(_, _)),
+    "q_audio_features"   -> (MultimodalOps.audioFeatures(_, _)),
     "q_media_ann"        -> ((s, d) => MultimodalOps.mediaAnn(s, d)),
     // Corpus curation (hashed-ngram models)
     "q_dsir_weight"      -> ((s, d) => CurationOps.dsirWeights(s, d)),

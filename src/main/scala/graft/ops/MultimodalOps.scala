@@ -40,18 +40,21 @@ object MultimodalOps {
   }
 
   /** Decode dispatch: REAL for BMP payloads ([[BmpCodec]] — actual header
-    * parse, actual pixel geometry), deterministic STUB for everything else
-    * (the container ships no JPEG/audio/video codecs; a production build
-    * drops its codec into the same match arm). The BMP arm closes the
-    * "codec tier is a stub" seam for one format end-to-end.
+    * parse, actual pixel geometry) and WAV payloads ([[WavCodec]] — actual
+    * RIFF chunk walk, actual PCM samples), deterministic STUB for
+    * everything else (the container ships no JPEG/video codecs; a
+    * production build drops its codec into the same match arm).
     */
   def stubDecode(payload: Array[Byte], mediaType: String): (Int, Int, Int, Int) = {
     if (BmpCodec.isBmp(payload)) {
       val img = BmpCodec.decode(payload)
       (img.width, img.height, 0, 1)
+    } else if (WavCodec.isWav(payload)) {
+      val a = WavCodec.decode(payload)
+      (0, 0, a.sampleRate, a.samples.length)
     } else {
-      // ??? <- further codecs (JPEG/audio/video) go here; deterministic
-      // fake below keeps the non-BMP plumbing tested
+      // ??? <- further codecs (JPEG/video) go here; deterministic
+      // fake below keeps the non-BMP/WAV plumbing tested
       val h = java.util.Arrays.hashCode(payload).abs
       mediaType match {
         case "image" => (64 + h % 1024, 64 + (h / 7) % 1024, 0, 1)
@@ -82,6 +85,72 @@ object MultimodalOps {
         }
       }
       .toDF("doc_id", "payload", "media_type")
+  }
+
+  /** Ingest face with REAL audio payloads: doc_ids that map to `audio`
+    * carry a deterministic synthetic 16-bit PCM WAV (sample law
+    * `(doc_id·131 + i·773) mod 4001 − 2000`, rate/length varied per doc)
+    * instead of text bytes — the audio analog of [[bmpMediaTable]]. The
+    * sample law is pure integer arithmetic, so the DuckDB oracle replays
+    * it directly while Spark recovers it THROUGH the codec: synth →
+    * encode → decode → features, end to end.
+    */
+  def wavMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("doc_id", "payload", "media_type")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, mt) =>
+          if (mt == "audio")
+            (id, WavCodec.synth(id, 512 + (id % 512).toInt,
+              8000 + (id % 4).toInt * 2000), mt)
+          else (id, payload, mt)
+        }
+      }
+      .toDF("doc_id", "payload", "media_type")
+  }
+
+  /** A decoded-audio feature row — every field an exact integer. */
+  case class AudioFeatures(
+      doc_id: Long, sample_rate: Int, n_samples: Int, duration_ms: Long,
+      sum_sq: Long, zero_cross: Long, peak: Int)
+
+  /** Audio feature extraction over REAL decoded samples: duration,
+    * energy (Σs²), zero-crossing count, peak |amplitude| — the signal
+    * statistics an audio-curation pipeline filters on (silence / clipping
+    * / length gates). Every feature is exact integer arithmetic on the
+    * DECODED samples and the HEADER-parsed rate, so the oracle — which
+    * recomputes them straight from the sample law with no codec at all —
+    * verifies the WAV round trip bit for bit. Map-side `mapPartitions`;
+    * payloads never shuffle.
+    */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    wavMediaTable(spark, dir)
+      .filter(col("media_type") === "audio")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val a = WavCodec.decode(payload)
+          val s = a.samples
+          var sumSq = 0L
+          var zc = 0L
+          var peak = 0
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toInt
+            sumSq += v.toLong * v
+            if (i > 0 && s(i - 1).toInt * v < 0) zc += 1
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          AudioFeatures(id, a.sampleRate, s.length,
+            s.length.toLong * 1000L / a.sampleRate, sumSq, zc, peak)
+        }
+      }
+      .toDF()
   }
 
   /** Partition-parallel decode stage: the Scala analog of `mapInPandas` —
@@ -267,6 +336,24 @@ object MultimodalOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // Replays the synthetic sample law directly (no codec): any bit the
+    // WAV encode∘decode path flips in rate, length, or samples breaks one
+    // of these exact-integer features.
+    "q_audio_features" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 4) * 2000 AS INTEGER) AS sample_rate,
+        |    CAST(512 + (doc_id % 512) AS INTEGER) AS n_samples,
+        |    list_transform(range(0, 512 + (doc_id % 512)), i ->
+        |      (doc_id * 131 + i * 773) % 4001 - 2000) AS s
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT doc_id, sample_rate, n_samples,
+        |  CAST((n_samples * 1000) // sample_rate AS BIGINT) AS duration_ms,
+        |  CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sum_sq,
+        |  CAST(len(list_filter(range(2, CAST(n_samples AS BIGINT) + 1),
+        |    i -> s[i-1] * s[i] < 0)) AS BIGINT) AS zero_cross,
+        |  CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER) AS peak
+        |FROM a""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

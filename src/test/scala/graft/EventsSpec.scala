@@ -284,4 +284,40 @@ class EventsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("percentilesAgg: monotone across ps; every pick is a member of its group") {
+    val out = EventsOps.percentilesAgg(spark, sf).collect()
+    assert(out.length >= 2)
+    val vals = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).toSet).toMap
+    out.foreach { r =>
+      val ps = Seq("p25", "p50", "p75", "p95", "p99").map(r.getAs[Double])
+      assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+      // nearest-rank selection returns OBSERVED values, never interpolation
+      val members = vals(r.getAs[String]("event_type"))
+      ps.foreach(v => assert(members.contains(v), s"$v not an observed value"))
+    }
+    // hand-check p50 on one group against a full sort
+    val g = out.head.getAs[String]("event_type")
+    val sorted = vals(g).toSeq.sorted
+    val all = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === g)
+      .select("value").collect().map(_.getDouble(0)).sorted
+    assert(out.head.getAs[Double]("p50") === all((all.length * 50 + 99) / 100 - 1))
+    assert(sorted.nonEmpty)
+  }
+
+  test("percentilesApproxGraded: sketch ranks land inside the graded tolerance on every group") {
+    val out = EventsOps.percentilesApproxGraded(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      Seq("ok25", "ok50", "ok75", "ok95", "ok99").foreach { c =>
+        assert(r.getAs[Boolean](c), s"$c false for ${r.getAs[String]("event_type")}")
+      }
+      // the exact columns ride along unchanged from the exact face
+      assert(r.getAs[Double]("p25") <= r.getAs[Double]("p99"))
+    }
+  }
 }

@@ -528,14 +528,22 @@ class PlanSpec extends SparkSpecBase {
       s"expected map-side partial combine in:\n$p")
   }
 
-  test("activeUsers: day spine broadcast into the semi-join; no cartesian fan-out") {
+  test("activeUsers: sweep-line plan — no contribution explosion, no product join") {
     // the public face eagerly collects + releases its cache (bounded
     // result); the lazy plan seam is what carries the shape to pin
     val p = plan(EventsOps.activeUsersPlan(spark, sf)._2)
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
-      s"expected broadcast semi-join on the day spine in:\n$p")
+    // the r10–r11 form exploded each activity row ≤30× via sequence(0, 29);
+    // the sweep-line form's only fan-out is the ≤6-entry tagged-delta array
+    assert(!p.contains("sequence("),
+      s"contribution explosion crept back into the sweep-line plan:\n$p")
+    // array_compact optimizes to filter(array(...)) in the physical plan
+    assert(p.contains("Generate explode") && p.contains("filter(array(struct(w"),
+      s"expected the bounded tagged-delta emission in:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"unexpected product join in:\n$p")
+    // run-splitting rides ONE user-keyed sort order shared by both widths
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected windowed run-splitting in:\n$p")
   }
 
   test("clusterTopics: postings from the store, assignment map broadcast — no re-analyze, no global window") {
