@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Full-text-search operators: the Spark re-expression of the reference's
@@ -889,7 +890,17 @@ object SearchOps {
     * corpora through to pin saturation/length-norm behavior.
     */
   def bm25PostingsSearch(postings: DataFrame, q: String, k: Int = 20,
-                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25ScoredOf(postings, q, k1, b)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** Every matched doc's rounded BM25 score, NO top-k — the seam
+    * [[bm25PostingsSearch]] (limit face) and [[collapseSearch]] (per-group
+    * top-1) share.
+    */
+  private[graft] def bm25ScoredOf(postings: DataFrame, q: String,
+                                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val lens = postings.groupBy("doc_id")
       .agg(sum("tf").cast("double").as("dl"))
     val nAvg = lens.agg(count(lit(1)).cast("double").as("n_docs"),
@@ -919,7 +930,73 @@ object SearchOps {
       .groupBy("doc_id")
       .agg(partials.head, partials.tail: _*)
       .select(col("doc_id"), round(total, 6).as("score"))
+  }
+
+  /** ES `collapse`: fold the ranked hit list to ONE representative per
+    * collapse field (here `lang`) — the result-dedup ES runs for
+    * one-result-per-site / per-variant queries — with the `inner_hits`
+    * count riding along. Representative = the group's best hit under the
+    * standard rounded-score-desc, id-asc order, picked by a per-group
+    * row_number over the (matched docs only) BM25 score frame; determinism
+    * is the hash-proven rounded-6dp rank order. Scale: the window
+    * partitions on the collapse key over ALREADY-SCORED matches (no second
+    * corpus pass), and WindowGroupLimit prunes to the per-group head
+    * before the final exchange.
+    */
+  def collapseSearch(spark: SparkSession, dir: String,
+                     q: String = "data stream window"): DataFrame = {
+    val scored = bm25ScoredOf(servedPostings(spark, dir), q)
+    val byLang = scored.join(
+      graft.Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      Seq("doc_id"))
+    val w = Window.partitionBy("lang")
       .orderBy(col("score").desc, col("doc_id").asc)
+    // n_hits as a keyed aggregate JOINED to the winners rather than a
+    // second window over the same frame: a count window needs every row,
+    // which would block the WindowGroupLimit rank pushdown that prunes
+    // each group to its head before the exchange (plan-pinned)
+    val winners = byLang
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+    val counts = byLang.groupBy("lang").agg(count(lit(1)).as("n_hits"))
+    winners.join(counts, Seq("lang"))
+      .select(col("lang"), col("doc_id"), col("score"), col("n_hits"))
+  }
+
+  /** ES `rescore`: a cheap first pass ranks the corpus, an expensive second
+    * query re-scores ONLY the top `window` hits — the standard two-stage
+    * trick for queries too costly to run corpus-wide (ETLTests' search
+    * bodies all stop at stage one; this is the knob ES offers above them).
+    *
+    * First pass: BM25 over the SERVED postings store ([[bm25Search]] — the
+    * 100 TB read path, no corpus scan). Second pass: exact phrase frequency
+    * (the native codegen'd `phrase_count`) over just the window docs —
+    * the window ids are a bounded model-artifact-sized list (≤ `window`
+    * rows), so they collect and push back as an `IN` filter the parquet
+    * scan prunes on (PushedFilters — the point-lookup fetch shape a doc
+    * store serves at scale), never a full text scan. Combination follows
+    * ES's default `query_weight=1, rescore_query_weight=w` linear form on
+    * the ALREADY-ROUNDED 6dp bm25 score plus an exact integer count — both
+    * terms hash-proven cross-engine, so the sum is too.
+    */
+  def rescore(spark: SparkSession, dir: String,
+              q: String = "data stream window", phrase: String = "data stream",
+              window: Int = 50, rescoreWeight: Double = 2.0,
+              k: Int = 20): DataFrame = {
+    val first = bm25Search(spark, dir, q, window)
+    val ids = first.select("doc_id").collect().map(_.getLong(0)) // ≤ window rows
+    val ph = analyzeQuery(phrase)
+    require(ph.length >= 2, s"rescore phrase '$phrase' analyzed to < 2 terms")
+    val freqs = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id").isInCollection(ids))
+      .select(col("doc_id"),
+        call_function("phrase_count", analyze(col("text")), typedlit(ph))
+          .as("phrase_freq"))
+    first.join(freqs, Seq("doc_id"))
+      .select(col("doc_id"), col("score"), col("phrase_freq"),
+        round(col("score") + lit(rescoreWeight) * col("phrase_freq"), 6)
+          .as("rescored"))
+      .orderBy(col("rescored").desc, col("doc_id").asc)
       .limit(k)
   }
 
@@ -1738,6 +1815,19 @@ object SearchOps {
          |ORDER BY phrase_freq DESC, doc_id ASC LIMIT 20""".stripMargin
     },
     "q_search_bm25" -> bm25Oracle,
+    "q_search_rescore" -> rescoreOracle,
+    "q_search_collapse" ->
+      s"""WITH $bm25Ctes,
+         |hits AS (
+         |  SELECT s.doc_id, round(s.s, 6) AS score, d.lang
+         |  FROM scored s JOIN documents d USING (doc_id)),
+         |ranked AS (
+         |  SELECT lang, doc_id, score,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY score DESC, doc_id ASC) AS rnk,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n_hits
+         |  FROM hits)
+         |SELECT lang, doc_id, score, n_hits FROM ranked WHERE rnk = 1""".stripMargin,
     "q_hybrid_search" ->
       s"""WITH lex AS ($rankedOracle),
          |lexr AS (
@@ -1842,7 +1932,11 @@ object SearchOps {
     * the store-side aggregates do, and the SAME fixed-order term fold with
     * the k1/b arithmetic spelled operand-for-operand.
     */
-  private def bm25Oracle: String = {
+  /** The BM25 derivation as a reusable CTE chain (postings → lens → idfs →
+    * scored) — shared by the q_search_bm25 oracle and the rescore oracle's
+    * first pass.
+    */
+  private def bm25Ctes: String = {
     val terms = analyzeQuery("data stream window").distinct.sorted
     val inList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
     val w = "idf * (CAST(tf AS DOUBLE) * (1.2 + 1.0)) / " +
@@ -1850,7 +1944,7 @@ object SearchOps {
     val fold = terms.map(t =>
       s"coalesce(sum(CASE WHEN token = '$t' THEN $w END), 0)")
       .mkString("\n    + ")
-    s"""WITH p AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+    s"""p AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
        |pa AS (SELECT doc_id, token, COUNT(*) AS tf FROM p GROUP BY doc_id, token),
        |lens AS (SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS dl FROM pa GROUP BY doc_id),
        |na AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
@@ -1866,9 +1960,34 @@ object SearchOps {
        |  SELECT doc_id,
        |    $fold AS s
        |  FROM pp JOIN idfs USING (token) JOIN lens USING (doc_id)
-       |  GROUP BY doc_id)
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
+  private def bm25Oracle: String =
+    s"""WITH $bm25Ctes
        |SELECT doc_id, round(s, 6) AS score FROM scored
        |ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  private def rescoreOracle: String = {
+    val ph = analyzeQuery("data stream")
+    val n = ph.length
+    val litList = ph.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH $bm25Ctes,
+       |top AS (
+       |  SELECT doc_id, round(s, 6) AS score FROM scored
+       |  ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 50),
+       |ft AS (SELECT doc_id, $duckToks AS toks FROM documents JOIN top USING (doc_id)),
+       |ph AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(range(1, greatest(len(toks) - $n + 2, 1)),
+       |      i -> list_slice(toks, i, i + $n - 1) = $litList)) AS BIGINT)
+       |      AS phrase_freq
+       |  FROM ft)
+       |SELECT doc_id, score, phrase_freq,
+       |  round(score + 2.0 * phrase_freq, 6) AS rescored
+       |FROM top JOIN ph USING (doc_id)
+       |ORDER BY round(score + 2.0 * phrase_freq, 6) DESC, doc_id ASC
+       |LIMIT 20""".stripMargin
   }
 
   private def rankedOracle: String = {

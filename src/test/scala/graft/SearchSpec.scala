@@ -621,4 +621,57 @@ class SearchSpec extends SparkSpecBase {
     assert(byId(someId) === manual.toLong)
     out.foreach(r => assert(r.getAs[Long]("n_matches") >= 1L))
   }
+
+  test("rescore: window discipline, exact boost arithmetic, pushed point-lookup fetch") {
+    import graft.ops.SearchOps
+    val window = SearchOps.bm25Search(spark, sf, "data stream window", 50).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val out = SearchOps.rescore(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // second pass never resurrects a doc the first pass didn't admit
+      assert(window.contains(id), s"doc $id not in the bm25 top-50 window")
+      assert(r.getAs[Double]("score") === window(id))
+      // ES linear combine: rescored = score + w * phrase_freq, exactly
+      assert(r.getAs[Double]("rescored") ===
+        BigDecimal(window(id) + 2.0 * r.getAs[Long]("phrase_freq"))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val sc = out.map(_.getAs[Double]("rescored"))
+    assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    // at least one phrase hit actually re-ranks (the fixture phrase occurs)
+    assert(out.exists(_.getAs[Long]("phrase_freq") > 0))
+    // the fetch stage is a pushed IN point-lookup, not a corpus scan
+    val ids = window.keys.toSeq
+    val plan = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id").isInCollection(ids))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(doc_id"),
+      s"expected the window ids pushed into the parquet scan:\n$plan")
+  }
+
+  test("collapseSearch: one representative per lang; best score wins; inner-hit counts reconcile") {
+    import graft.ops.SearchOps
+    val out = SearchOps.collapseSearch(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[String]("lang")).distinct.length === out.length)
+    // representatives and counts reconcile against the uncollapsed hits
+    val all = SearchOps.bm25Search(spark, sf, "data stream window", Int.MaxValue)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val langs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val byLang = all.toSeq.groupBy { case (id, _) => langs(id) }
+    out.foreach { r =>
+      val hits = byLang(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_hits") === hits.length.toLong)
+      val best = hits.minBy { case (id, sc) => (-sc, id) }
+      assert(r.getAs[Long]("doc_id") === best._1)
+      assert(r.getAs[Double]("score") === best._2)
+    }
+    // the per-group head is pruned BEFORE the exchange (rank pushdown)
+    val plan = SearchOps.collapseSearch(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected rank-limit pushdown for the collapse head in:\n$plan")
+  }
 }
