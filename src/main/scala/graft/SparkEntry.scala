@@ -75,6 +75,7 @@ object SparkEntry {
     "q_search_bm25"      -> ((s, d) => SearchOps.bm25Search(s, d)),
     "q_search_rescore"   -> ((s, d) => SearchOps.rescore(s, d)),
     "q_search_collapse"  -> ((s, d) => SearchOps.collapseSearch(s, d)),
+    "q_incremental_dedup" -> ((s, d) => DedupOps.incrementalDedup(s, d)),
     "q_search_after"     -> ((s, d) => SearchOps.searchAfter(s, d)),
     "q_search_phrase"    -> ((s, d) => SearchOps.phraseSearch(s, d)),
     "q_search_phrase_idx" -> ((s, d) => SearchOps.phraseSearchIndexed(s, d)),

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents`: exact (hash groupBy),
@@ -215,6 +216,96 @@ object DedupOps {
           lit(0), (acc, x) => acc + x).cast("double") / nHashes)
       .select(col("left_id"), col("right_id"), col("est_jaccard"))
     (d, pairs)
+  }
+
+  /** The per-doc banded signature relation (doc_id, band_id, h1, h2, sig)
+    * — shared by the corpus store build and the inline batch derivation of
+    * [[incrementalDedup]], so both sides band IDENTICALLY by construction.
+    */
+  private def bandsOf(docs: DataFrame): DataFrame = {
+    val nHashes = 8
+    docs
+      .select(col("doc_id"), hashedShingles(col("text")).as("hashes"))
+      .select(col("doc_id"), expr(s"minhash_slots(hashes, $nHashes)").as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(nHashes / 2 - 1)),
+          b => struct(element_at(col("sig"), b * 2 + 1).as("h1"),
+                      element_at(col("sig"), b * 2 + 2).as("h2")))))
+      .select(col("doc_id"), col("pos").as("band_id"),
+        col("col.h1"), col("col.h2"), col("sig"))
+  }
+
+  private val bandStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Served corpus band store for [[incrementalDedup]]: the banded MinHash
+    * index of everything ALREADY INGESTED (the fixture corpus = doc_id %
+    * mod ≠ rem), version-keyed per data dir, hot buckets (> maxBucket
+    * members) suppressed AT BUILD — the skew guard is a property of the
+    * index, exactly where a production build bakes it. At 100 TB this
+    * store is the persistent dedup index a daily shard probes; it is
+    * append-maintained, never rebuilt per batch.
+    */
+  private def servedCorpusBands(spark: SparkSession, dir: String, mod: Int,
+                                rem: Int, maxBucket: Int): DataFrame = {
+    val p = graft.Tables.derivedStorePath(spark, s"incbands$mod-$rem-$maxBucket",
+      dir, "documents.parquet")
+    bandStores.computeIfAbsent(p, path => {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+        val corpus = bandsOf(Tables.documents(spark, dir)
+          .filter(pmod(col("doc_id"), lit(mod)) =!= rem))
+        val useful = corpus.groupBy("band_id", "h1", "h2").count()
+          .filter(col("count") <= maxBucket).drop("count")
+        graft.sinks.AtomicSwap.replace(spark,
+          corpus.join(useful, Seq("band_id", "h1", "h2")), path)
+      }
+      path
+    })
+    graft.Tables.parquetCached(spark, p)
+  }
+
+  /** INCREMENTAL near-dup admission — the shape production dedup actually
+    * runs (a daily shard against yesterday's corpus, not corpus × corpus):
+    * the incoming batch (fixture: doc_id % mod = rem, ~5% of documents)
+    * computes its MinHash bands inline (new data always pays its own
+    * signatures), BROADCASTS into the served corpus band store (batch ≪
+    * corpus — the asymmetric join is the whole economics: cost is
+    * O(batch × matched buckets), the corpus is never rescanned), and each
+    * batch doc gets an admission verdict: duplicate of its best-estimate
+    * corpus doc at est ≥ threshold (0.75 — admission gates run stricter
+    * than the 0.5 cluster tier), else novel. Ties break est DESC,
+    * corpus_id ASC on exact-eighth estimates, so the verdict replays
+    * bit-for-bit.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String, mod: Int = 20,
+                       rem: Int = 7, threshold: Double = 0.75,
+                       maxBucket: Int = 64): DataFrame = {
+    val store = servedCorpusBands(spark, dir, mod, rem, maxBucket)
+      .withColumnsRenamed(Map("doc_id" -> "corpus_id", "sig" -> "csig"))
+    val batchDocs = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(mod)) === rem)
+    val batch = bandsOf(batchDocs)
+      .withColumnsRenamed(Map("doc_id" -> "batch_id", "sig" -> "bsig"))
+    val est = broadcast(batch).join(store, Seq("band_id", "h1", "h2"))
+      .dropDuplicates("batch_id", "corpus_id")
+      .withColumn("est",
+        aggregate(zip_with(col("bsig"), col("csig"),
+            (a, b) => (a === b).cast("int")),
+          lit(0), (acc, x) => acc + x).cast("double") / 8)
+    val best = est
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("batch_id")
+          .orderBy(col("est").desc, col("corpus_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("batch_id"), col("corpus_id"), col("est"))
+    batchDocs.select(col("doc_id").as("batch_id"))
+      .join(best, Seq("batch_id"), "left_outer")
+      .select(col("batch_id"),
+        coalesce(col("est") >= threshold, lit(false)).as("is_dup"),
+        when(col("est") >= threshold, col("corpus_id")).as("dup_of"),
+        coalesce(col("est"), lit(0.0)).as("best_est"))
   }
 
   /** Duplicate-cluster resolution: connected components over the near-dup
@@ -581,7 +672,11 @@ object DedupOps {
   /** Shared CTE chain: shingles → portable hashes → affine signature →
     * banding → census guard → candidate pairs (lsig/rsig attached).
     */
-  private[ops] def candCtes: String = {
+  /** The shingle → portable-hash → signature → banding CTE chain alone —
+    * shared by [[candCtes]] (corpus self-join) and the incremental oracle
+    * (corpus/batch split), so banding can never fork between gates.
+    */
+  private[ops] def bandCtes: String = {
     val slots = (0 until 8).map(slotSql).mkString(",\n    ")
     s"""sh AS (
        |  SELECT doc_id, list_distinct([substr(text, CAST(i AS INT), 5)
@@ -592,7 +687,11 @@ object DedupOps {
        |    $slots] AS sig FROM ms),
        |bands AS (
        |  SELECT doc_id, sig, b AS band_id, [sig[2*b+1], sig[2*b+2]] AS bk
-       |  FROM sg, (SELECT unnest(range(4)) AS b) bs),
+       |  FROM sg, (SELECT unnest(range(4)) AS b) bs)""".stripMargin
+  }
+
+  private[ops] def candCtes: String = {
+    s"""$bandCtes,
        |useful AS (
        |  SELECT band_id, bk FROM bands GROUP BY band_id, bk
        |  HAVING count(*) BETWEEN 2 AND 64),
@@ -618,6 +717,41 @@ object DedupOps {
        |FROM cand
        |ORDER BY est_jaccard DESC, left_id, right_id
        |LIMIT 50""".stripMargin
+
+  /** DuckDB replay of the incremental admission: same banding chain, the
+    * corpus/batch split by the fixture predicate, the corpus-side bucket
+    * census (≤ 64 — baked into the Spark store at build), best-estimate
+    * verdict with est-DESC/id-ASC ties on exact eighths.
+    */
+  private def incrementalDedupOracle: String =
+    s"""WITH $bandCtes,
+       |corpus AS (SELECT * FROM bands WHERE doc_id % 20 <> 7),
+       |batch AS (SELECT * FROM bands WHERE doc_id % 20 = 7),
+       |cuseful AS (
+       |  SELECT band_id, bk FROM corpus GROUP BY band_id, bk
+       |  HAVING count(*) <= 64),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+       |         b.sig AS bsig, c.sig AS csig
+       |  FROM batch b
+       |  JOIN corpus c ON b.band_id = c.band_id AND b.bk = c.bk
+       |  JOIN cuseful u ON c.band_id = u.band_id AND c.bk = u.bk),
+       |est AS (
+       |  SELECT batch_id, corpus_id,
+       |    CAST(len([i for i in range(1,9) if bsig[i] = csig[i]]) AS DOUBLE) / 8
+       |      AS est
+       |  FROM cand),
+       |best AS (
+       |  SELECT batch_id, corpus_id, est,
+       |    row_number() OVER (PARTITION BY batch_id
+       |      ORDER BY est DESC, corpus_id ASC) AS rn
+       |  FROM est)
+       |SELECT a.doc_id AS batch_id,
+       |  CASE WHEN b.est IS NULL THEN FALSE ELSE b.est >= 0.75 END AS is_dup,
+       |  CASE WHEN b.est >= 0.75 THEN b.corpus_id END AS dup_of,
+       |  coalesce(b.est, 0.0) AS best_est
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 7) a
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON a.doc_id = b.batch_id""".stripMargin
 
   /** The est-thresholded edge CLOSURE (candidate pairs → undirected edges
     * → transitive reach → per-doc component min) — ONE definition that
@@ -1077,6 +1211,7 @@ object DedupOps {
     "q_winnow" -> winnowOracle,
     "q_dedup_spans" -> dedupSpansOracle,
     "q_minhash_pairs" -> minhashPairsOracle,
+    "q_incremental_dedup" -> incrementalDedupOracle,
     "q_dup_clusters" -> dupClustersOracle,
     "q_dup_best" -> dupBestOracle,
     "q_dup_rate" -> dupRateOracle,

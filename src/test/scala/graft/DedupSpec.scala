@@ -253,4 +253,33 @@ class DedupSpec extends SparkSpecBase {
     val nVal = out.count(_.getAs[String]("split") == "val")
     assert(nVal > 0 && nVal < out.length)
   }
+
+  test("incrementalDedup: full batch coverage, threshold/verdict coherence, batch broadcasts into the served store") {
+    import graft.ops.DedupOps
+    val out = DedupOps.incrementalDedup(spark, sf).collect()
+    val batchIds = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(20)) === 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getAs[Long]("batch_id")).toSet === batchIds)
+    out.foreach { r =>
+      val (isDup, est) = (r.getAs[Boolean]("is_dup"), r.getAs[Double]("best_est"))
+      assert(isDup === (est >= 0.75))
+      // estimates are exact eighths of the 8-slot signature agreement
+      assert((est * 8).isWhole && est >= 0.0 && est <= 1.0)
+      if (isDup) {
+        val dupOf = r.getAs[Long]("dup_of")
+        assert(dupOf % 20 !== 7, "dup_of must point INTO the corpus, never the batch")
+      } else assert(r.isNullAt(r.fieldIndex("dup_of")))
+    }
+    // the fixture corpus produces BOTH verdicts — the gate discriminates
+    assert(out.exists(_.getAs[Boolean]("is_dup")) && out.exists(!_.getAs[Boolean]("is_dup")))
+    // asymmetric join shape: the (small) batch side broadcasts; the corpus
+    // store is never rescanned per batch doc
+    val plan = DedupOps.incrementalDedup(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the batch bands broadcast into the store probe in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected product join in:\n$plan")
+  }
 }
