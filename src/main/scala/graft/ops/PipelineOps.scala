@@ -53,7 +53,34 @@ object PipelineOps {
     * cluster CTE chain nests the same way (DuckDB allows WITH RECURSIVE in
     * a derived table).
     */
+  /** The DATA CARD a corpus export writes next to its shards: per source,
+    * row / byte / id-span accounting plus an ORDER-INDEPENDENT content
+    * checksum (bit_xor of each doc's 60-bit md5 prefix — XOR is the one
+    * fold that needs no ordering, no overflow headroom, and still flips on
+    * any single changed/missing/duplicated document), the field a consumer
+    * uses to verify a transferred shard without re-reading the producer.
+    * One hash aggregate with map-side partial combine; every column exact.
+    * (The physical shard writer's manifest lives in BucketedLayout — this
+    * is the oracle-gated accounting face of the same contract.)
+    */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        octet_length(col("text")).cast("long").as("bytes"),
+        expr("cast(conv(substring(md5(cast(text as binary)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("bytes").as("bytes"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+        expr("bit_xor(h)").as("checksum"))
+
   val oracle: Map[String, String] = Map(
+    "q_shard_manifest" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS bytes,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        |  bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS checksum
+        |FROM documents GROUP BY source""".stripMargin,
     "q_curate_kept" -> {
       val fcSql = TextOps.oracle("q_filter_chain")
       val dupSql = DedupOps.oracle("q_dup_clusters")

@@ -963,6 +963,31 @@ object SearchOps {
       .select(col("lang"), col("doc_id"), col("score"), col("n_hits"))
   }
 
+  /** ES `boosting` query — the compound form `must_not` can't express:
+    * docs matching the negative query are DEMOTED (score × negative_boost),
+    * never excluded. Score is all-integer 2^20 fixed point: positive match
+    * count × (2^19 when the negative matches, 2^20 otherwise) — the ½
+    * negative_boost folded into the multiplier, so no float ever exists on
+    * either engine. One map-only corpus pass, same shape as [[boolQuery]].
+    */
+  def boostingQuery(spark: SparkSession, dir: String,
+                    positive: String = "data stream", negative: String = "slow",
+                    k: Int = 60): DataFrame = {
+    val toks = analyze(col("text"))
+    val posHits = analyzeQuery(positive)
+      .map(t => array_contains(toks, t).cast("int")).reduce(_ + _)
+    val negMatch = analyzeQuery(negative)
+      .map(t => array_contains(toks, t)).reduce(_ || _)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), posHits.as("hits"), negMatch.as("neg"))
+      .filter(col("hits") > 0)
+      .select(col("doc_id"), col("lang"),
+        (col("hits").cast("long") *
+          when(col("neg"), lit(524288L)).otherwise(lit(1048576L))).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** ES `rescore`: a cheap first pass ranks the corpus, an expensive second
     * query re-scores ONLY the top `window` hits — the standard two-stage
     * trick for queries too costly to run corpus-wide (ETLTests' search
@@ -1816,6 +1841,19 @@ object SearchOps {
     },
     "q_search_bm25" -> bm25Oracle,
     "q_search_rescore" -> rescoreOracle,
+    "q_search_boosting" -> {
+      val pos = analyzeQuery("data stream")
+      val neg = analyzeQuery("slow")
+      val hits = pos.map(t => s"CAST(list_contains(toks, '$t') AS INT)").mkString(" + ")
+      val negM = neg.map(t => s"list_contains(toks, '$t')").mkString(" OR ")
+      s"""WITH t AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id, lang, ($hits) AS hits, ($negM) AS neg FROM t)
+         |SELECT doc_id, lang,
+         |  CAST(hits AS BIGINT) * (CASE WHEN neg THEN 524288 ELSE 1048576 END)
+         |    AS score_fp
+         |FROM s WHERE hits > 0
+         |ORDER BY score_fp DESC, doc_id ASC LIMIT 60""".stripMargin
+    },
     "q_search_collapse" ->
       s"""WITH $bm25Ctes,
          |hits AS (

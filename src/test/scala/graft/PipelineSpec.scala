@@ -30,4 +30,31 @@ class PipelineSpec extends SparkSpecBase {
     assert(out.exists(_.getAs[Boolean]("keep")))
     assert(out.exists(!_.getAs[Boolean]("keep")))
   }
+
+  test("shardManifest: accounting reconciles to the corpus; checksum is order-independent and change-sensitive") {
+    import graft.ops.PipelineOps
+    val out = PipelineOps.shardManifest(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("source", "doc_id", "text").collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+    def h60(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val bySource = docs.groupBy(_.getAs[String]("source"))
+    out.foreach { r =>
+      val g = bySource(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === g.length.toLong)
+      assert(r.getAs[Long]("min_id") === g.map(_.getAs[Long]("doc_id")).min)
+      assert(r.getAs[Long]("max_id") === g.map(_.getAs[Long]("doc_id")).max)
+      assert(r.getAs[Long]("bytes") ===
+        g.map(_.getAs[String]("text").getBytes("UTF-8").length.toLong).sum)
+      // XOR fold replayed locally in ANY order = the engine's checksum;
+      // flipping one doc's text flips the checksum
+      val xs = g.map(x => h60(x.getAs[String]("text")))
+      assert(r.getAs[Long]("checksum") === xs.reduce(_ ^ _))
+      assert(r.getAs[Long]("checksum") !==
+        (xs.tail :+ h60(xs.head.toString + "!")).reduce(_ ^ _))
+    }
+  }
 }

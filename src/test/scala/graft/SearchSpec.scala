@@ -674,4 +674,32 @@ class SearchSpec extends SparkSpecBase {
     assert(plan.contains("WindowGroupLimit"),
       s"expected rank-limit pushdown for the collapse head in:\n$plan")
   }
+
+  test("boostingQuery: negative matches demote, never exclude; all-integer fixed-point scores") {
+    import graft.ops.SearchOps
+    import org.apache.spark.sql.functions.{array_contains, col}
+    val out = SearchOps.boostingQuery(spark, sf, k = Int.MaxValue).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_fp")).toMap
+    assert(out.nonEmpty)
+    // independent recomputation of (hits, neg) per doc straight off the analyzer
+    val pos = SearchOps.analyzeQuery("data stream")
+    val neg = SearchOps.analyzeQuery("slow")
+    val toks = SearchOps.analyze(col("text"))
+    val flat = Tables.documents(spark, sf).select(
+      col("doc_id"),
+      pos.map(t => array_contains(toks, t).cast("int")).reduce(_ + _).as("hits"),
+      neg.map(t => array_contains(toks, t)).reduce(_ || _).as("neg")).collect()
+    val demoted = flat.filter(r => r.getAs[Int]("hits") > 0 && r.getAs[Boolean]("neg"))
+    val clean = flat.filter(r => r.getAs[Int]("hits") > 0 && !r.getAs[Boolean]("neg"))
+    assert(demoted.nonEmpty && clean.nonEmpty, "fixture must exercise both verdicts")
+    // demotion, not exclusion: every demoted doc is STILL in the results,
+    // at exactly half the fixed-point weight; clean docs at full weight
+    demoted.foreach { r =>
+      assert(out(r.getAs[Long]("doc_id")) === r.getAs[Int]("hits") * 524288L)
+    }
+    clean.foreach { r =>
+      assert(out(r.getAs[Long]("doc_id")) === r.getAs[Int]("hits") * 1048576L)
+    }
+    assert(out.size === demoted.length + clean.length)
+  }
 }
