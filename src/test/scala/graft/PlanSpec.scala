@@ -621,4 +621,24 @@ class PlanSpec extends SparkSpecBase {
     assert(cp.contains("windowspecdefinition(bucket_n"),
       s"expected the (bucket_n, shard)-keyed packing window in:\n$cp")
   }
+
+  test("round-12 faces: audio map-only; manifest one aggregate; approx percentiles sketch partials") {
+    // audioFeatures: synth -> encode -> decode -> features is one map-side
+    // pass — payloads never shuffle, no Exchange anywhere
+    val pa = plan(graft.ops.MultimodalOps.audioFeatures(spark, sf))
+    assert(!pa.contains("Exchange"), s"audio feature pass must not shuffle:\n$pa")
+    // shardManifest: ONE hash aggregate with map-side partials, no window
+    val pm = plan(graft.ops.PipelineOps.shardManifest(spark, sf))
+    assert(pm.contains("HashAggregate") && !pm.contains("Window"),
+      s"manifest must be a single aggregate pass:\n$pm")
+    assert(pm.linesIterator.count(_.contains("FileScan")) === 1,
+      s"manifest must scan documents once:\n$pm")
+    // percentiles approx face: the sketch aggregates PARTIAL map-side (the
+    // property that makes it the 100 TB face) — exact face sorts per group
+    val px = plan(EventsOps.percentilesApproxGraded(spark, sf))
+    assert(px.contains("percentile_approx") &&
+      px.linesIterator.exists(l => l.contains("partial_percentile_approx") ||
+        (l.contains("Aggregate") && l.contains("partial"))),
+      s"expected map-side partial sketch aggregation in:\n$px")
+  }
 }
