@@ -319,11 +319,11 @@ object EventsOps {
     // gap logic (gap 0 is never a run start or end, zero-delta markers
     // collapse in the keyed aggregate), so the sweep reads the raw
     // activity select and the user-keyed window shuffle is the ONLY full
-    // exchange the exact face pays. Persisted for the graded face, which
-    // replays the frame a second time through the HLL sketch branch.
+    // exchange the exact face pays. NOT persisted here: the exact face
+    // consumes it once; the graded face persists it before its second
+    // (sketch-branch) read.
     val act = Tables.events(spark, dir)
       .select(col("user_id"), datediff(to_date(col("ts")), epoch).as("day_idx"))
-      .persist()
     // Interval sweep-line, ALL THREE widths in one pass (W=1 → DAU,
     // W=7 → WAU, W=30 → MAU): one user-keyed window computes each row's
     // day gap to its neighbors (lag/lead), a row is a run START for width
@@ -345,26 +345,34 @@ object EventsOps {
     val flagged = act
       .withColumn("gap_b", col("day_idx") - lag(col("day_idx"), 1).over(byUser))
       .withColumn("gap_f", lead(col("day_idx"), 1).over(byUser) - col("day_idx"))
-    val entries = widths.flatMap { w =>
-      Seq(
-        struct(lit(w).as("w"), col("day_idx").as("day"),
-          when(col("gap_b").isNull || col("gap_b") > w, 1L).otherwise(0L).as("d")),
-        when(col("gap_f").isNull || col("gap_f") > w,
-          struct(lit(w).as("w"), (col("day_idx") + w).as("day"), lit(-1L).as("d"))))
-    }
-    val counts = flagged
+    // deltas as COLUMNS (d1/d7/d30), keyed by day alone: one always-on
+    // marker row carries all three widths' start deltas (zero when not a
+    // start), one conditional end row per width carries its −1 — so the
+    // whole report needs just two exchanges on the big frame (the user
+    // window, the day aggregate) plus one windowed pass over the tiny
+    // calendar frame computing all three running sums together.
+    def d(w: Int, name: String): Column =
+      when(col("gap_b").isNull || col("gap_b") > w, 1L).otherwise(0L).as(name)
+    def endRow(w: Int): Column =
+      when(col("gap_f").isNull || col("gap_f") > w,
+        struct((col("day_idx") + w).as("day"),
+          lit(if (w == 1) -1L else 0L).as("d1"),
+          lit(if (w == 7) -1L else 0L).as("d7"),
+          lit(if (w == 30) -1L else 0L).as("d30")))
+    val entries = struct(col("day_idx").as("day"),
+      d(1, "d1"), d(7, "d7"), d(30, "d30")) +: widths.map(endRow)
+    val byDay = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val res = flagged
       .select(explode(array_compact(array(entries: _*))).as("x"))
-      .groupBy(col("x.w").as("w"), col("x.day").as("day"))
-      .agg(sum(col("x.d")).as("d"))
-      .withColumn("cum", sum(col("d")).over(
-        Window.partitionBy("w").orderBy("day")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val res = counts.groupBy("day").agg(
-        max(when(col("w") === 1, col("cum"))).as("dau"),
-        max(when(col("w") === 7, col("cum"))).as("wau"),
-        max(when(col("w") === 30, col("cum"))).as("mau"))
+      .groupBy(col("x.day").as("day"))
+      .agg(sum(col("x.d1")).as("d1"), sum(col("x.d7")).as("d7"),
+        sum(col("x.d30")).as("d30"))
+      .select(col("day"), sum(col("d1")).over(byDay).as("dau"),
+        sum(col("d7")).over(byDay).as("wau"),
+        sum(col("d30")).over(byDay).as("mau"))
       .filter(col("dau") > 0) // marker rows exist at every observed day;
-      // pure end-delta days (day+W past the last activity) pivot to dau 0
+      // pure end-delta days (day+W past the last activity) sweep to dau 0
       .select(col("day").cast("long").as("day_idx"),
         col("dau"), col("wau"), col("mau"),
         expr("(1048576 * dau) div mau").as("stickiness_fp"))
@@ -408,7 +416,8 @@ object EventsOps {
     * fold reads it, not raw events, so grading costs one tiny extra pass.
     */
   def activeUsersApproxGraded(spark: SparkSession, dir: String): DataFrame = {
-    val (act, exact) = activeUsersPlan(spark, dir)
+    val (act0, exact) = activeUsersPlan(spark, dir)
+    val act = act0.persist() // plan-matched: the exact subtree hits it too
     val approx = approxCountsOf(act.groupBy(col("day_idx"))
       .agg(hll_sketch_agg(col("user_id")).as("sk")))
       .select(col("day_idx"), col("dau").as("a_dau"),

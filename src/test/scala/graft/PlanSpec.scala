@@ -537,8 +537,8 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("sequence("),
       s"contribution explosion crept back into the sweep-line plan:\n$p")
     // array_compact optimizes to filter(array(...)) in the physical plan
-    assert(p.contains("Generate explode") && p.contains("filter(array(struct(w"),
-      s"expected the bounded tagged-delta emission in:\n$p")
+    assert(p.contains("Generate explode") && p.contains("filter(array(struct(day"),
+      s"expected the bounded column-delta emission in:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"unexpected product join in:\n$p")
     // run-splitting rides ONE user-keyed sort order shared by both widths
