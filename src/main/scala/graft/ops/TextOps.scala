@@ -1068,11 +1068,21 @@ object TextOps {
     // per-lang report is bounded: collect it, release the scored cache
     // (r10 ADVICE — no per-call cache accumulation in long-lived sessions)
     val scored = scoredWithLang(spark, dir).persist()
-    val approx = bucketsApproxOf(scored, accuracy = 10000)
-      .select(col("doc_id"), col("lang"), col("bucket").as("a_bucket"))
-    val exact = bucketsExactOf(scored)
-      .select(col("doc_id"), col("bucket").as("e_bucket"))
-    val res = approx.join(exact, Seq("doc_id"))
+    // BOTH bucketings derive on the SAME rows in one pipeline — the exact
+    // NTILE rides the per-lang sort window, the sketch CASE rides the
+    // broadcast cuts — so grading needs no doc_id re-join (one exchange
+    // and its AQE jobs gone; the join was the r12 wall after the scan
+    // itself was already shared)
+    val cuts = scored.groupBy("lang")
+      .agg(percentile_approx(col("avg_logprob"),
+        array(lit(2.0 / 3), lit(1.0 / 3)), lit(10000)).as("t"))
+    val res = bucketsExactOf(scored)
+      .withColumnRenamed("bucket", "e_bucket")
+      .join(broadcast(cuts), Seq("lang"))
+      .withColumn("a_bucket",
+        when(col("avg_logprob") >= col("t").getItem(0), "head")
+          .when(col("avg_logprob") >= col("t").getItem(1), "middle")
+          .otherwise("tail"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("a_bucket") === col("e_bucket"), 1L).otherwise(0L)).as("agree"),
