@@ -77,6 +77,7 @@ object SparkEntry {
     "q_search_collapse"  -> ((s, d) => SearchOps.collapseSearch(s, d)),
     "q_incremental_dedup" -> ((s, d) => DedupOps.incrementalDedup(s, d)),
     "q_search_boosting"  -> ((s, d) => SearchOps.boostingQuery(s, d)),
+    "q_search_boosting_idx" -> ((s, d) => SearchOps.boostingQueryIndexed(s, d)),
     "q_shard_manifest"   -> (PipelineOps.shardManifest(_, _)),
     "q_search_after"     -> ((s, d) => SearchOps.searchAfter(s, d)),
     "q_search_phrase"    -> ((s, d) => SearchOps.phraseSearch(s, d)),

@@ -988,6 +988,43 @@ object SearchOps {
       .limit(k)
   }
 
+  /** The served face of [[boostingQuery]] — term membership from the
+    * postings store (token IN-list pushed into the store scan) instead of
+    * an analyzer pass over every document: positive hits and the negative
+    * flag fold in ONE keyed aggregate over only the matched postings rows,
+    * the top-k resolves before any document fetch, and `lang` joins back
+    * for just those k rows. Identical output to the scan face by
+    * construction (the store is the same analyzer's distinct (token, doc)
+    * relation — SearchSpec pins equality), so it shares the oracle.
+    */
+  def boostingQueryIndexed(spark: SparkSession, dir: String,
+                           positive: String = "data stream",
+                           negative: String = "slow", k: Int = 60): DataFrame = {
+    val pos = analyzeQuery(positive)
+    val neg = analyzeQuery(negative)
+    val terms = (pos ++ neg).distinct
+    val matched = servedPostings(spark, dir)
+      .filter(col("token").isInCollection(terms))
+    val presence = pos.zipWithIndex.map { case (t, i) =>
+      max(when(col("token") === t, 1).otherwise(0)).as(s"_p$i")
+    } :+ max(when(col("token").isInCollection(neg), 1).otherwise(0)).as("neg")
+    val hits = pos.indices.map(i => col(s"_p$i")).reduce(_ + _)
+    val top = matched.groupBy("doc_id")
+      .agg(presence.head, presence.tail: _*)
+      .select(col("doc_id"),
+        (hits.cast("long") *
+          when(col("neg") === 1, lit(524288L)).otherwise(lit(1048576L)))
+          .as("score_fp"), hits.as("h"))
+      .filter(col("h") > 0)
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+      .limit(k)
+      .select("doc_id", "score_fp")
+    broadcast(top)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+  }
+
   /** ES `rescore`: a cheap first pass ranks the corpus, an expensive second
     * query re-scores ONLY the top `window` hits — the standard two-stage
     * trick for queries too costly to run corpus-wide (ETLTests' search
@@ -1841,19 +1878,9 @@ object SearchOps {
     },
     "q_search_bm25" -> bm25Oracle,
     "q_search_rescore" -> rescoreOracle,
-    "q_search_boosting" -> {
-      val pos = analyzeQuery("data stream")
-      val neg = analyzeQuery("slow")
-      val hits = pos.map(t => s"CAST(list_contains(toks, '$t') AS INT)").mkString(" + ")
-      val negM = neg.map(t => s"list_contains(toks, '$t')").mkString(" OR ")
-      s"""WITH t AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
-         |s AS (SELECT doc_id, lang, ($hits) AS hits, ($negM) AS neg FROM t)
-         |SELECT doc_id, lang,
-         |  CAST(hits AS BIGINT) * (CASE WHEN neg THEN 524288 ELSE 1048576 END)
-         |    AS score_fp
-         |FROM s WHERE hits > 0
-         |ORDER BY score_fp DESC, doc_id ASC LIMIT 60""".stripMargin
-    },
+    "q_search_boosting" -> boostingOracle,
+    // the indexed face is output-identical by construction; same oracle
+    "q_search_boosting_idx" -> boostingOracle,
     "q_search_collapse" ->
       s"""WITH $bm25Ctes,
          |hits AS (
@@ -2005,6 +2032,20 @@ object SearchOps {
     s"""WITH $bm25Ctes
        |SELECT doc_id, round(s, 6) AS score FROM scored
        |ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  private def boostingOracle: String = {
+    val pos = analyzeQuery("data stream")
+    val neg = analyzeQuery("slow")
+    val hits = pos.map(t => s"CAST(list_contains(toks, '$t') AS INT)").mkString(" + ")
+    val negM = neg.map(t => s"list_contains(toks, '$t')").mkString(" OR ")
+    s"""WITH t AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+       |s AS (SELECT doc_id, lang, ($hits) AS hits, ($negM) AS neg FROM t)
+       |SELECT doc_id, lang,
+       |  CAST(hits AS BIGINT) * (CASE WHEN neg THEN 524288 ELSE 1048576 END)
+       |    AS score_fp
+       |FROM s WHERE hits > 0
+       |ORDER BY score_fp DESC, doc_id ASC LIMIT 60""".stripMargin
+  }
 
   private def rescoreOracle: String = {
     val ph = analyzeQuery("data stream")

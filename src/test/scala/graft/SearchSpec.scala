@@ -702,4 +702,19 @@ class SearchSpec extends SparkSpecBase {
     }
     assert(out.size === demoted.length + clean.length)
   }
+
+  test("boostingQueryIndexed: store-served face equals the scan face; no re-analysis; term IN-list pushed") {
+    import graft.ops.SearchOps
+    val scan = SearchOps.boostingQuery(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Long]("score_fp")))
+    val idx = SearchOps.boostingQueryIndexed(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Long]("score_fp")))
+    assert(idx.toSeq === scan.toSeq)
+    val plan = SearchOps.boostingQueryIndexed(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("ru_en_analyze"),
+      s"store-served boosting must not re-analyze the corpus:\n$plan")
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"expected the term IN-list pushed into the store scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$plan")
+  }
 }
