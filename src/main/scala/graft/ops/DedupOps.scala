@@ -272,7 +272,10 @@ object DedupOps {
     * computes its MinHash bands inline (new data always pays its own
     * signatures), BROADCASTS into the served corpus band store (batch ≪
     * corpus — the asymmetric join is the whole economics: cost is
-    * O(batch × matched buckets), the corpus is never rescanned), and each
+    * O(batch × matched buckets), the corpus is never rescanned; a batch
+    * too large to broadcast drops the hint and hash-joins on the band
+    * key, zero-exchange on the store side once the store is bucketed by
+    * (band_id, h1) — the BucketedLayout discipline), and each
     * batch doc gets an admission verdict: duplicate of its best-estimate
     * corpus doc at est ≥ threshold (0.75 — admission gates run stricter
     * than the 0.5 cluster tier), else novel. Ties break est DESC,
