@@ -164,6 +164,7 @@ object SparkEntry {
     // Multimodal plumbing
     "q_multimodal_meta"  -> (MultimodalOps.multimodalMeta(_, _)),
     "q_audio_features"   -> (MultimodalOps.audioFeatures(_, _)),
+    "q_frame_sample"     -> ((s, d) => MultimodalOps.frameSampleAvi(s, d)),
     "q_media_ann"        -> ((s, d) => MultimodalOps.mediaAnn(s, d)),
     // Corpus curation (hashed-ngram models)
     "q_dsir_weight"      -> ((s, d) => CurationOps.dsirWeights(s, d)),

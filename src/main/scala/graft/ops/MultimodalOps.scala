@@ -52,9 +52,12 @@ object MultimodalOps {
     } else if (WavCodec.isWav(payload)) {
       val a = WavCodec.decode(payload)
       (0, 0, a.sampleRate, a.samples.length)
+    } else if (AviCodec.isAvi(payload)) {
+      val v = AviCodec.decode(payload)
+      (v.width, v.height, 0, v.frames.length)
     } else {
-      // ??? <- further codecs (JPEG/video) go here; deterministic
-      // fake below keeps the non-BMP/WAV plumbing tested
+      // ??? <- frame-PIXEL codecs (JPEG inside a frame) go here;
+      // deterministic fake below keeps the remaining plumbing tested
       val h = java.util.Arrays.hashCode(payload).abs
       mediaType match {
         case "image" => (64 + h % 1024, 64 + (h / 7) % 1024, 0, 1)
@@ -109,6 +112,60 @@ object MultimodalOps {
         }
       }
       .toDF("doc_id", "payload", "media_type")
+  }
+
+  /** Ingest face with REAL video containers: doc_ids that map to `video`
+    * carry a deterministic synthetic AVI (frame law
+    * `"<doc_id>:<i>:" + "x"*(doc_id mod 50 + 1)`, 30 + doc_id mod 60
+    * frames, geometry varied per doc) — the container analog of
+    * [[bmpMediaTable]]/[[wavMediaTable]]. Frame payloads stay opaque (the
+    * in-frame pixel codec is the declared stub seam); the CONTAINER — the
+    * part frame sampling actually exercises — is real RIFF with nested
+    * LISTs and pad bytes.
+    */
+  def aviMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("doc_id", "payload", "media_type")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, mt) =>
+          if (mt == "video")
+            (id, AviCodec.synth(id, 30 + (id % 60).toInt,
+              64 + (id % 32).toInt, 48 + (id % 16).toInt), mt)
+          else (id, payload, mt)
+        }
+      }
+      .toDF("doc_id", "payload", "media_type")
+  }
+
+  /** REAL frame sampling: every `every`-th frame's ACTUAL BYTES walked
+    * lazily out of the AVI `movi` list ([[AviCodec.sampledFrames]] — an
+    * iterator, the whole frame list never materializes), digested per
+    * frame. The oracle recomputes each sampled frame's md5 straight from
+    * the synthesis law with no container at all, so the hash gate
+    * validates every chunk boundary and pad byte of the walk — one
+    * mis-stepped frame shifts all later digests. Map-side `mapPartitions`;
+    * payloads never shuffle; output rows = ⌈n/every⌉ per video, never n.
+    */
+  def frameSampleAvi(spark: SparkSession, dir: String, every: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(every > 0)
+    aviMediaTable(spark, dir)
+      .filter(col("media_type") === "video")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, payload) =>
+          AviCodec.sampledFrames(payload, every).map { case (i, fb) =>
+            md.reset()
+            val hex = md.digest(fb).map("%02x".format(_)).mkString
+            (id, i, hex, fb.length.toLong)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_md5", "byte_len")
   }
 
   /** A decoded-audio feature row — every field an exact integer. */
@@ -336,6 +393,23 @@ object MultimodalOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // Replays the frame synthesis law directly (no container): any
+    // mis-walked chunk boundary or dropped pad byte in the AVI movi walk
+    // shifts a frame and breaks an md5.
+    "q_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id, CAST(30 + doc_id % 60 AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, n_frames, 10)) AS i,
+        |    repeat('x', CAST(doc_id % 50 AS INT) + 1) AS fill
+        |  FROM v)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  md5(doc_id || ':' || i || ':' || fill) AS frame_md5,
+        |  CAST(octet_length(encode(doc_id || ':' || i || ':' || fill)) AS BIGINT)
+        |    AS byte_len
+        |FROM f""".stripMargin,
     // Replays the synthetic sample law directly (no codec): any bit the
     // WAV encode∘decode path flips in rate, length, or samples breaks one
     // of these exact-integer features.

@@ -228,4 +228,66 @@ class MultimodalSpec extends SparkSpecBase {
     val again = MultimodalOps.mediaAnn(spark, sf).collect()
     assert(out.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("AviCodec: encode∘decode round-trips frames and header; junk chunks and pad bytes survive") {
+    import graft.ops.AviCodec
+    val a = AviCodec.Avi(64, 48, 33366,
+      IndexedSeq.tabulate(7)(AviCodec.synthFrame(11L, _)))
+    val round = AviCodec.decode(AviCodec.encode(a))
+    assert(round.width === 64 && round.height === 48 && round.microSecPerFrame === 33366)
+    assert(round.frames.length === 7)
+    round.frames.zip(a.frames).foreach { case (x, y) => assert(x.toSeq === y.toSeq) }
+    // splice a JUNK chunk between the two LISTs: the walker must skip it
+    val enc = AviCodec.encode(a)
+    val hdrlEnd = 12 + 8 + 4 + 8 + 56 // RIFF hdr + LIST(hdrl){avih}
+    val junk = Array[Byte]('J', 'U', 'N', 'K', 3, 0, 0, 0, 9, 9, 9, 0) // size 3 + pad
+    val spliced = new Array[Byte](enc.length + junk.length)
+    System.arraycopy(enc, 0, spliced, 0, hdrlEnd)
+    System.arraycopy(junk, 0, spliced, hdrlEnd, junk.length)
+    System.arraycopy(enc, hdrlEnd, spliced, hdrlEnd + junk.length, enc.length - hdrlEnd)
+    // fix the RIFF size field for the inserted bytes
+    val newRiff = spliced.length - 8
+    spliced(4) = newRiff.toByte; spliced(5) = (newRiff >> 8).toByte
+    spliced(6) = (newRiff >> 16).toByte; spliced(7) = (newRiff >> 24).toByte
+    val walked = AviCodec.decode(spliced)
+    assert(walked.frames.length === 7)
+    walked.frames.zip(a.frames).foreach { case (x, y) => assert(x.toSeq === y.toSeq) }
+    assert(!AviCodec.isAvi("RIFFxxxxWAVE and then some".getBytes))
+    intercept[IllegalArgumentException](AviCodec.decode(new Array[Byte](64)))
+  }
+
+  test("AviCodec.sampledFrames: lazy walk yields exactly the k-grid with real bytes") {
+    import graft.ops.AviCodec
+    val bytes = AviCodec.synth(seed = 5L, nFrames = 23)
+    val sampled = AviCodec.sampledFrames(bytes, every = 7).toSeq
+    assert(sampled.map(_._1) === Seq(0, 7, 14, 21))
+    sampled.foreach { case (i, fb) =>
+      assert(fb.toSeq === AviCodec.synthFrame(5L, i).toSeq)
+    }
+  }
+
+  test("real AVI path end-to-end: ingest real containers → real header geometry → law-checked frame digests") {
+    val media = MultimodalOps.aviMediaTable(spark, sf)
+    val decoded = MultimodalOps.decodeMediaOf(spark, media).collect()
+      .filter(_.media_type == "video")
+    assert(decoded.nonEmpty)
+    decoded.foreach { m =>
+      assert(m.width === 64 + (m.doc_id % 32).toInt)
+      assert(m.height === 48 + (m.doc_id % 16).toInt)
+      assert(m.n_frames === 30 + (m.doc_id % 60).toInt)
+    }
+    val frames = MultimodalOps.frameSampleAvi(spark, sf).collect()
+    val expected = decoded.map(v => (v.n_frames + 9) / 10).sum
+    assert(frames.length === expected)
+    // one doc's digests recomputed straight from the law
+    val id = decoded.head.doc_id
+    val md = java.security.MessageDigest.getInstance("MD5")
+    frames.filter(_.getAs[Long]("doc_id") == id).foreach { r =>
+      md.reset()
+      val law = graft.ops.AviCodec.synthFrame(id, r.getAs[Int]("frame_idx"))
+      val hex = md.digest(law).map("%02x".format(_)).mkString
+      assert(r.getAs[String]("frame_md5") === hex)
+      assert(r.getAs[Long]("byte_len") === law.length.toLong)
+    }
+  }
 }
