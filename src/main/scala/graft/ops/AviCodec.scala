@@ -45,7 +45,7 @@ object AviCodec {
       while (off + 8 <= to) {
         val id = tag(bytes, off)
         val size = u32(bytes, off + 4)
-        require(size >= 0 && off + 8 + size <= to,
+        require(size >= 0 && off.toLong + 8L + size <= to,
           s"truncated chunk '$id' (size $size at offset $off)")
         id match {
           case "LIST" =>
@@ -123,7 +123,7 @@ object AviCodec {
     while (off + 8 <= bytes.length && moviFrom < 0) {
       val id = tag(bytes, off)
       val size = u32(bytes, off + 4)
-      require(size >= 0 && off + 8 + size <= bytes.length,
+      require(size >= 0 && off.toLong + 8L + size <= bytes.length,
         s"truncated chunk '$id' at $off")
       if (id == "LIST" && tag(bytes, off + 8) == "movi") {
         moviFrom = off + 12; moviTo = off + 8 + size
@@ -139,7 +139,8 @@ object AviCodec {
         while (pending == null && pos + 8 <= moviTo) {
           val id = tag(bytes, pos)
           val size = u32(bytes, pos + 4)
-          require(size >= 0 && pos + 8 + size <= moviTo, s"truncated frame at $pos")
+          require(size >= 0 && pos.toLong + 8L + size <= moviTo,
+            s"truncated frame at $pos")
           if (id == "00dc" || id == "00db") {
             if (idx % every == 0)
               pending = (idx, java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + size))

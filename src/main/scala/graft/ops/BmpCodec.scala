@@ -47,7 +47,12 @@ object BmpCodec {
     require(width > 0 && height > 0 && width <= (1 << 15) && height <= (1 << 15),
       s"implausible dimensions ${width}x$rawH")
     val rowBytes = (width * 3 + 3) & ~3 // rows pad to 4-byte boundaries
-    require(bytes.length >= dataOff + rowBytes * height, "truncated pixel data")
+    // Long arithmetic: rowBytes*height overflows Int at the 32768x32768
+    // bound the dimension require allows, which would wrap the guard
+    require(dataOff >= 54 && dataOff <= bytes.length,
+      s"implausible pixel-data offset $dataOff")
+    require(bytes.length.toLong >= dataOff.toLong + rowBytes.toLong * height,
+      "truncated pixel data")
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {

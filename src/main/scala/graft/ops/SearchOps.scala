@@ -1045,8 +1045,14 @@ object SearchOps {
               q: String = "data stream window", phrase: String = "data stream",
               window: Int = 50, rescoreWeight: Double = 2.0,
               k: Int = 20): DataFrame = {
-    val first = bm25Search(spark, dir, q, window)
-    val ids = first.select("doc_id").collect().map(_.getLong(0)) // ≤ window rows
+    // ONE first-pass execution: collect the bounded (id, score) window and
+    // rebuild it as a local frame — joining the original `first` plan back
+    // would re-run the whole postings BM25 aggregate a second time
+    val window0 = bm25Search(spark, dir, q, window)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))) // ≤ window rows
+    val ids = window0.map(_._1)
+    import spark.implicits._
+    val first = window0.toSeq.toDF("doc_id", "score")
     val ph = analyzeQuery(phrase)
     require(ph.length >= 2, s"rescore phrase '$phrase' analyzed to < 2 terms")
     val freqs = graft.Tables.documents(spark, dir)
@@ -1054,7 +1060,7 @@ object SearchOps {
       .select(col("doc_id"),
         call_function("phrase_count", analyze(col("text")), typedlit(ph))
           .as("phrase_freq"))
-    first.join(freqs, Seq("doc_id"))
+    broadcast(first).join(freqs, Seq("doc_id"))
       .select(col("doc_id"), col("score"), col("phrase_freq"),
         round(col("score") + lit(rescoreWeight) * col("phrase_freq"), 6)
           .as("rescored"))

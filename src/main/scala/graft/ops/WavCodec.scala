@@ -43,7 +43,7 @@ object WavCodec {
     while (off + 8 <= bytes.length && (data == null || !fmtOk)) {
       val id = tag(bytes, off)
       val size = i32(bytes, off + 4)
-      require(size >= 0 && off + 8 + size <= bytes.length,
+      require(size >= 0 && off.toLong + 8L + size <= bytes.length,
         s"truncated chunk '$id' (size $size at offset $off)")
       id match {
         case "fmt " =>
@@ -115,6 +115,7 @@ object WavCodec {
     */
   def resampleNearest(a: Audio, toRate: Int): Audio = {
     require(toRate > 0)
+    require(a.samples.nonEmpty, "cannot resample an empty signal")
     val n = ((a.samples.length.toLong * toRate) / a.sampleRate).toInt.max(1)
     val out = new Array[Short](n)
     var i = 0
@@ -134,6 +135,7 @@ object WavCodec {
     */
   def sampleEmbed(a: Audio): Array[Double] = {
     val n = a.samples.length
+    require(n > 0, "cannot embed an empty signal (zero-sample data chunk)")
     Array.tabulate(64) { b =>
       val lo = (b.toLong * n / 64).toInt
       val hi = ((b + 1).toLong * n / 64).toInt.max(lo + 1).min(n)

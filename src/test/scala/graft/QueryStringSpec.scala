@@ -78,7 +78,11 @@ class QueryStringSpec extends SparkSpecBase {
       val phrase = (" " + ts.mkString(" ") + " ").contains(" data stream ")
       val winNotErr = ts.contains("window") && !ts.contains("error")
       assert(phrase || winNotErr, "OR branch violated")
-      val expected = 1L + (if (phrase) 1L else 0L) + (if (winNotErr) 1L else 0L)
+      // score = positively-matched leaves, counted INDEPENDENTLY of NOT
+      // siblings (a doc admitted via the phrase branch still scores its
+      // 'window' leaf even when 'error' blocks that AND branch's predicate)
+      val expected = 1L + (if (phrase) 1L else 0L) +
+        (if (ts.contains("window")) 1L else 0L)
       assert(r.getAs[Long]("score") === expected,
         "score = matched positive leaves")
     }
