@@ -46,6 +46,7 @@ object SparkEntry {
     // Incremental/CDC batch faces + time series (SURVEY §2.7)
     "q_watermark_scan"   -> (EventsOps.watermarkScan(_, _)),
     "q_events_hourly"    -> (EventsOps.eventsHourly(_, _)),
+    "q_date_histogram"   -> ((s, d) => EventsOps.dateHistogramFilled(s, d)),
     "q_window_lag"       -> (EventsOps.windowLag(_, _)),
     "q_json_extract"     -> (EventsOps.jsonExtract(_, _)),
     "q_sessionize"       -> (EventsOps.sessionize(_, _)),
@@ -85,6 +86,9 @@ object SparkEntry {
     "q_search_phrase_prefix" -> ((s, d) => SearchOps.phrasePrefixSearch(s, d)),
     "q_search_bool"      -> ((s, d) => SearchOps.boolQuery(s, d)),
     "q_search_query_string" -> ((s, d) => QueryStringOps.queryString(s, d)),
+    "q_search_suggest"   -> ((s, d) => SearchOps.termSuggest(s, d)),
+    "q_search_complete"  -> ((s, d) => SearchOps.completeSuggest(s, d)),
+    "q_search_wildcard"  -> ((s, d) => SearchOps.wildcardSearch(s, d)),
     "q_function_score"   -> ((s, d) => SearchOps.functionScore(s, d)),
     "q_function_score_gauss" -> ((s, d) => SearchOps.functionScoreGauss(s, d)),
     "q_function_score_exp" -> ((s, d) => SearchOps.functionScoreExp(s, d)),
@@ -165,6 +169,7 @@ object SparkEntry {
     "q_multimodal_meta"  -> (MultimodalOps.multimodalMeta(_, _)),
     "q_audio_features"   -> (MultimodalOps.audioFeatures(_, _)),
     "q_frame_sample"     -> ((s, d) => MultimodalOps.frameSampleAvi(s, d)),
+    "q_image_features"   -> (MultimodalOps.imageFeatures(_, _)),
     "q_media_ann"        -> ((s, d) => MultimodalOps.mediaAnn(s, d)),
     // Corpus curation (hashed-ngram models)
     "q_dsir_weight"      -> ((s, d) => CurationOps.dsirWeights(s, d)),

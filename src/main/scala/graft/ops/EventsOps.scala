@@ -43,6 +43,39 @@ object EventsOps {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** ES `date_histogram` with `min_doc_count: 0` — the zero-filled-bucket
+    * semantics [[eventsHourly]] (a plain GROUP BY) cannot express: every
+    * hour between the filtered stream's first and last event emits a
+    * bucket, empty hours included (the dashboard contract — a gap in the
+    * chart means zero traffic, not a missing row).
+    *
+    * Shape: the aggregate is the same single partial-first shuffle as the
+    * unfilled face; the bucket SPINE is generated from a 1-row min/max
+    * aggregate via `sequence` (bucket count = hours of span — thousands of
+    * rows at any corpus size, never data-scale) and outer-joins the
+    * aggregate. Both join sides are bucket-cardinality, so AQE broadcasts —
+    * the fill costs nothing at 100 TB because it never touches raw events.
+    */
+  def dateHistogramFilled(spark: SparkSession, dir: String,
+                          eventType: String = "purchase"): DataFrame = {
+    val f = Tables.events(spark, dir).filter(col("event_type") === eventType)
+    val agg = f.groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(Dec)).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+    val spine = f
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("h"))
+    spine.join(agg, Seq("h"), "left")
+      .select(
+        date_format(col("h"), "yyyy-MM-dd HH:00:00").as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+  }
+
   /** Per-user inter-event gap via lag window — sessionization building block.
     * Scale: shuffle on user_id only; within-partition sort on (ts, event_id).
     */
@@ -739,6 +772,23 @@ object EventsOps {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_date_histogram" ->
+      """WITH f AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |             date_trunc('hour', max(ts)) AS hi FROM f),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |          FROM b),
+        |agg AS (
+        |  SELECT date_trunc('hour', ts) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM f GROUP BY 1)
+        |SELECT strftime(spine.h, '%Y-%m-%d %H:00:00') AS hour,
+        |  coalesce(n_events, 0) AS n_events,
+        |  coalesce(sum_value, 0.0) AS sum_value,
+        |  coalesce(n_users, 0) AS n_users
+        |FROM spine LEFT JOIN agg ON spine.h = agg.h""".stripMargin,
     "q_window_lag" ->
       """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
         |  COALESCE(epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_ms

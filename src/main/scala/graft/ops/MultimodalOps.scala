@@ -55,6 +55,9 @@ object MultimodalOps {
     } else if (AviCodec.isAvi(payload)) {
       val v = AviCodec.decode(payload)
       (v.width, v.height, 0, v.frames.length)
+    } else if (PngCodec.isPng(payload)) {
+      val img = PngCodec.decode(payload)
+      (img.width, img.height, 0, 1)
     } else {
       // ??? <- frame-PIXEL codecs (JPEG inside a frame) go here;
       // deterministic fake below keeps the remaining plumbing tested
@@ -88,6 +91,82 @@ object MultimodalOps {
         }
       }
       .toDF("doc_id", "payload", "media_type")
+  }
+
+  /** Ingest face with REAL compressed-image payloads: doc_ids that map to
+    * `image` carry a deterministic synthetic PNG (pixel law
+    * `rgb[k] = (doc_id·131 + k·773) mod 256`, dimensions varied per doc)
+    * — the DEFLATE-backed analog of [[bmpMediaTable]]. The pixel law is
+    * pure integer arithmetic, so the DuckDB oracle replays any raster
+    * feature directly while Spark recovers the bytes THROUGH the codec:
+    * synth → filter+deflate+CRC encode → inflate+unfilter decode.
+    */
+  def pngMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("doc_id", "payload", "media_type")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, mt) =>
+          if (mt == "image")
+            (id, PngCodec.synth(id, 8 + (id % 24).toInt, 8 + (id % 16).toInt), mt)
+          else (id, payload, mt)
+        }
+      }
+      .toDF("doc_id", "payload", "media_type")
+  }
+
+  /** A decoded-image feature row — every field an exact integer. */
+  case class ImageFeatures(
+      doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, max_byte: Int, lum8_sum: Long)
+
+  /** Image feature extraction over REAL decoded PNG rasters: per-channel
+    * sums, peak byte, and the 8×8 nearest-neighbor luminance-grid sum —
+    * the stats an image-curation pipeline gates on (blank / clipped /
+    * monochrome detection) plus the thumbnail the embed stage consumes.
+    * Every feature is exact integer arithmetic on the DECODED raster, so
+    * the oracle — which recomputes them straight from the pixel law with
+    * no codec at all — verifies the DEFLATE round trip (all five PNG
+    * scanline predictors, chunk CRCs, inflate) bit for bit, and `lum8_sum`
+    * additionally pins [[BmpCodec.resizeNearest]]'s integer source mapping
+    * against an independent replay. Map-side `mapPartitions`; payloads
+    * never shuffle.
+    */
+  def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pngMediaTable(spark, dir)
+      .filter(col("media_type") === "image")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img = PngCodec.decode(payload)
+          var sr = 0L; var sg = 0L; var sb = 0L; var mx = 0
+          var k = 0
+          while (k < img.rgb.length) {
+            val v = img.rgb(k) & 0xff
+            (k % 3: @annotation.switch) match {
+              case 0 => sr += v
+              case 1 => sg += v
+              case _ => sb += v
+            }
+            if (v > mx) mx = v
+            k += 1
+          }
+          val g = BmpCodec.resizeNearest(img, 8, 8)
+          var lum = 0L
+          var i = 0
+          while (i < 64) {
+            val s = i * 3
+            lum += 77L * (g.rgb(s) & 0xff) + 151L * (g.rgb(s + 1) & 0xff) +
+              28L * (g.rgb(s + 2) & 0xff)
+            i += 1
+          }
+          ImageFeatures(id, img.width, img.height, sr, sg, sb, mx, lum)
+        }
+      }
+      .toDF()
   }
 
   /** Ingest face with REAL audio payloads: doc_ids that map to `audio`
@@ -265,6 +344,9 @@ object MultimodalOps {
           if (BmpCodec.isBmp(payload)) {
             val scaled = BmpCodec.resizeNearest(BmpCodec.decode(payload), targetW, targetH)
             ResizedMedia(id, mt, BmpCodec.encode(scaled), targetW, targetH)
+          } else if (PngCodec.isPng(payload)) {
+            val scaled = BmpCodec.resizeNearest(PngCodec.decode(payload), targetW, targetH)
+            ResizedMedia(id, mt, PngCodec.encode(scaled), targetW, targetH)
           } else {
             // ??? <- further codecs' scalers go here; deterministic stub:
             // clamp payload to the target raster size
@@ -393,6 +475,35 @@ object MultimodalOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // Replays the PNG pixel law directly (no codec): any bit the
+    // filter+deflate encode / inflate+unfilter decode path flips in any
+    // channel breaks a channel sum, and lum8_sum replays resizeNearest's
+    // integer source mapping (sy = y·h/8, sx = x·w/8) independently.
+    "q_image_features" ->
+      """WITH im AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 24 AS INT) AS width,
+        |    CAST(8 + doc_id % 16 AS INT) AS height
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, width, height,
+        |    list_transform(range(0, width * height * 3), k ->
+        |      (doc_id * 131 + k * 773) % 256) AS p
+        |  FROM im)
+        |SELECT doc_id, width, height,
+        |  CAST(list_sum(list_transform(range(0, width * height * 3, 3),
+        |    k -> p[k + 1])) AS BIGINT) AS sum_r,
+        |  CAST(list_sum(list_transform(range(1, width * height * 3, 3),
+        |    k -> p[k + 1])) AS BIGINT) AS sum_g,
+        |  CAST(list_sum(list_transform(range(2, width * height * 3, 3),
+        |    k -> p[k + 1])) AS BIGINT) AS sum_b,
+        |  CAST(list_max(p) AS INT) AS max_byte,
+        |  CAST(list_sum(list_transform(range(0, 64), i ->
+        |      77 * p[((i // 8) * height // 8 * width + ((i % 8) * width) // 8) * 3 + 1]
+        |    + 151 * p[((i // 8) * height // 8 * width + ((i % 8) * width) // 8) * 3 + 2]
+        |    + 28 * p[((i // 8) * height // 8 * width + ((i % 8) * width) // 8) * 3 + 3]
+        |  )) AS BIGINT) AS lum8_sum
+        |FROM px""".stripMargin,
     // Replays the frame synthesis law directly (no container): any
     // mis-walked chunk boundary or dropped pad byte in the AVI movi walk
     // shifts a frame and breaks an md5.

@@ -963,6 +963,119 @@ object SearchOps {
       .select(col("lang"), col("doc_id"), col("score"), col("n_hits"))
   }
 
+  /** Served (token, df, tok_len) vocabulary — the term DICTIONARY with
+    * document frequencies, aggregated once per corpus version from the
+    * postings store and served from parquet after that (the same
+    * version-stamped pattern as every other store). The suggester's whole
+    * read is a scan of THIS relation: a dictionary is ~√corpus-sized (tens
+    * of MB at 100 TB corpus scale), so per-query dictionary scans stay
+    * cheap no matter how large the corpus grows — exactly why ES serves
+    * suggestions from its term dictionary FST rather than the postings.
+    */
+  private def servedVocabDf(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.derivedStorePath(spark, "vocabdf", dir, "documents.parquet")
+    servedStores.computeIfAbsent(p, path => {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+        graft.sinks.AtomicSwap.replace(spark,
+          servedPostings(spark, dir) // one row per (token, doc_id)
+            .groupBy(col("token")).agg(count(lit(1)).as("df"))
+            .withColumn("tok_len", length(col("token"))),
+          path)
+      path
+    })
+    Tables.parquetCached(spark, p)
+  }
+
+  /** ES `term` suggester ("did you mean") with the default
+    * `suggest_mode=missing` semantics: only query terms ABSENT from the
+    * index get suggestions; for each, dictionary tokens within `maxEdits`
+    * (ES default 2) sharing the first `prefixLen` chars (ES default 1)
+    * rank by (distance asc, doc-freq desc, token asc) — ES's `score` sort
+    * with the float similarity replaced by the exact integer edit distance
+    * so both engines rank on identical keys — cut to `topK` per term.
+    *
+    * Plan shape: the term-presence probe is a pushed token IN-list on the
+    * served vocab store (k-row collect — a model-artifact read); candidate
+    * generation is ONE vocab-store scan broadcast-hash-joined to the tiny
+    * query frame on the prefix char, with the length band and the
+    * threshold-bounded `levenshtein` (early exit above `maxEdits`) as
+    * map-side filters — nothing about the corpus itself is ever scanned,
+    * and the only shuffle is the per-term top-k window over the few
+    * surviving candidates.
+    */
+  def termSuggest(spark: SparkSession, dir: String,
+                  q: String = "strem window custmer qurey",
+                  maxEdits: Int = 2, prefixLen: Int = 1,
+                  topK: Int = 5): DataFrame = {
+    import spark.implicits._
+    require(maxEdits >= 1 && prefixLen >= 1 && topK >= 1)
+    val terms = analyzeQuery(q).distinct
+    require(terms.nonEmpty, s"query '$q' analyzed to no terms")
+    val v = servedVocabDf(spark, dir)
+    val present = v.filter(col("token").isInCollection(terms))
+      .select("token").collect().map(_.getString(0)).toSet // ≤ |terms| rows
+    val missing = terms.filterNot(present)
+    val qdf = missing.map(t => (t, t.take(prefixLen), t.length))
+      .toDF("term", "pfx", "q_len")
+    val dist = levenshtein(col("token"), col("term"), maxEdits)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+      .orderBy(col("dist").asc, col("df").desc, col("suggestion").asc)
+    v.withColumn("pfx", substring(col("token"), 1, prefixLen))
+      .join(broadcast(qdf), Seq("pfx")) // local relation: no build job
+      .filter(abs(col("tok_len") - col("q_len")) <= maxEdits &&
+        dist.between(1, maxEdits)) // -1 = over threshold; 0 = exact
+      .select(col("term"), col("token").as("suggestion"),
+        dist.as("dist"), col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("term"), col("suggestion"), col("dist"), col("df"))
+      .orderBy(col("term").asc, col("dist").asc, col("df").desc,
+        col("suggestion").asc)
+  }
+
+  /** ES `completion` suggester — prefix autocomplete over the INDEXED
+    * vocabulary ranked by document frequency (the search-box analog of the
+    * admin `q_prefix_search`, which autocompletes a stored COLUMN instead).
+    * One scan of the served vocab store with the prefix pushed as a
+    * `StringStartsWith` parquet filter + a partial top-k — at scale ES
+    * serves this from an FST; the vocab store is the relational same.
+    */
+  def completeSuggest(spark: SparkSession, dir: String,
+                      prefix: String = "s", size: Int = 10): DataFrame = {
+    require(prefix.nonEmpty && size >= 1)
+    servedVocabDf(spark, dir)
+      .filter(col("token").startsWith(prefix))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(size)
+      .select(col("token").as("suggestion"), col("df"))
+  }
+
+  /** ES `wildcard` query (`*` = any run, `?` = one char) over analyzed
+    * terms, with the matched-term structure ES's constant score hides:
+    * per doc, the number of DISTINCT matching wildcard terms and their
+    * total tf. Runs against the served postings store — the pattern
+    * compiles to a `LIKE` evaluated map-side on the token column (a
+    * leading-literal pattern additionally pushes a StartsWith into the
+    * scan; ES likewise warns that leading-`*` patterns defeat its term
+    * dictionary). No corpus scan, one keyed aggregate, partial top-k.
+    */
+  def wildcardSearch(spark: SparkSession, dir: String,
+                     pattern: String = "s?a*", k: Int = 20): DataFrame = {
+    require(pattern.exists(c => c != '*' && c != '?'),
+      s"refusing degenerate all-wildcard pattern '$pattern'")
+    val like = pattern.replace("%", "\\%").replace("_", "\\_")
+      .replace('*', '%').replace('?', '_')
+    servedPostings(spark, dir)
+      .filter(col("token").like(like))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("token")).as("n_terms"),
+        sum(col("tf")).as("tf_total"))
+      .orderBy(col("n_terms").desc, col("tf_total").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** ES `boosting` query — the compound form `must_not` can't express:
     * docs matching the negative query are DEMOTED (score × negative_boost),
     * never excluded. Score is all-integer 2^20 fixed point: positive match
@@ -1560,6 +1673,23 @@ object SearchOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_search_suggest" -> suggestOracle,
+    "q_search_complete" ->
+      s"""WITH p AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+         |v AS (SELECT token AS suggestion,
+         |        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |      FROM p GROUP BY token)
+         |SELECT suggestion, df FROM v WHERE suggestion LIKE 's%'
+         |ORDER BY df DESC, suggestion ASC LIMIT 10""".stripMargin,
+    "q_search_wildcard" ->
+      s"""WITH p AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+         |pa AS (SELECT doc_id, token, COUNT(*) AS tf
+         |       FROM p GROUP BY doc_id, token),
+         |m AS (SELECT doc_id, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_terms,
+         |        CAST(SUM(tf) AS BIGINT) AS tf_total
+         |      FROM pa WHERE token LIKE 's_a%' GROUP BY doc_id)
+         |SELECT doc_id, n_terms, tf_total FROM m
+         |ORDER BY n_terms DESC, tf_total DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_search_regexp" ->
       """SELECT doc_id, n_matches FROM (
         |  SELECT doc_id,
@@ -2007,6 +2137,32 @@ object SearchOps {
     * scored) — shared by the q_search_bm25 oracle and the rescore oracle's
     * first pass.
     */
+  /** The suggester oracle replays suggest_mode=missing data-driven (a term
+    * is suggested for iff it is absent from the replayed vocabulary, not a
+    * hardcoded list), so the oracle stays valid at every scale factor.
+    */
+  private def suggestOracle: String = {
+    val terms = analyzeQuery("strem window custmer qurey").distinct.sorted
+    val values = terms.map(t => s"('$t')").mkString(", ")
+    s"""WITH p AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+       |v AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |      FROM p GROUP BY token),
+       |q(term) AS (VALUES $values),
+       |missing AS (SELECT term FROM q WHERE term NOT IN (SELECT token FROM v)),
+       |c AS (
+       |  SELECT m.term, v.token AS suggestion,
+       |    CAST(levenshtein(m.term, v.token) AS INT) AS dist, v.df
+       |  FROM v JOIN missing m ON substr(v.token, 1, 1) = substr(m.term, 1, 1)
+       |  WHERE abs(len(v.token) - len(m.term)) <= 2
+       |    AND levenshtein(m.term, v.token) BETWEEN 1 AND 2),
+       |r AS (
+       |  SELECT term, suggestion, dist, df,
+       |    row_number() OVER (PARTITION BY term
+       |      ORDER BY dist ASC, df DESC, suggestion ASC) AS rnk
+       |  FROM c)
+       |SELECT term, suggestion, dist, df FROM r WHERE rnk <= 5""".stripMargin
+  }
+
   private def bm25Ctes: String = {
     val terms = analyzeQuery("data stream window").distinct.sorted
     val inList = terms.map(t => s"'$t'").mkString("(", ", ", ")")

@@ -320,4 +320,33 @@ class EventsSpec extends SparkSpecBase {
       assert(r.getAs[Double]("p25") <= r.getAs[Double]("p99"))
     }
   }
+
+  test("dateHistogramFilled: contiguous hourly spine, zero-filled gaps, agg rows match the unfilled face") {
+    import org.apache.spark.sql.functions._
+    val out = EventsOps.dateHistogramFilled(spark, sf, "purchase")
+      .collect().sortBy(_.getString(0))
+    assert(out.nonEmpty)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:00:00")
+    val hours = out.map(r => java.time.LocalDateTime.parse(r.getString(0), fmt))
+    hours.sliding(2).foreach { case Array(a, b) =>
+      assert(java.time.Duration.between(a, b).toHours === 1, s"spine gap at $a")
+    }
+    // sf0.001 purchases are sparse over 720 hours: the zero-fill is live
+    val empty = out.filter(_.getLong(1) === 0L)
+    assert(empty.nonEmpty, "expected at least one zero-filled bucket at sf0.001")
+    empty.foreach { r =>
+      assert(r.getDouble(2) === 0.0 && r.getLong(3) === 0L, "empty bucket not fully zeroed")
+    }
+    // non-empty buckets equal the plain GROUP BY face restricted to purchase
+    val plain = EventsOps.eventsHourly(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    out.filter(_.getLong(1) > 0L).foreach { r =>
+      val (n, sv, nu) = plain(r.getString(0))
+      assert(r.getLong(1) === n && r.getDouble(2) === sv && r.getLong(3) === nu,
+        s"bucket ${r.getString(0)} disagrees with the unfilled face")
+    }
+    assert(out.count(_.getLong(1) > 0L) === plain.size, "filled face dropped a non-empty bucket")
+  }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.SearchOps
+import org.apache.spark.sql.functions._
+
+class SuggestSpec extends SparkSpecBase {
+
+  test("termSuggest: suggest_mode=missing skips indexed terms; candidates honor prefix, band, and distance") {
+    val out = SearchOps.termSuggest(spark, sf).collect()
+    assert(out.nonEmpty)
+    val terms = out.map(_.getString(0)).toSet
+    // 'window' is in the corpus → no suggestions for it (mode=missing)
+    assert(!terms.contains("window"), "indexed term must not be suggested for")
+    assert(terms.subsetOf(Set("strem", "custmer", "qurey")))
+    out.foreach { r =>
+      val (t, s, d) = (r.getString(0), r.getString(1), r.getInt(2))
+      assert(s.head === t.head, "prefix_length=1: first char must match")
+      assert(math.abs(s.length - t.length) <= 2, "length band")
+      assert(d >= 1 && d <= 2, "edit distance in [1, max_edits]")
+      assert(jvmLev(t, s) === d, s"reported distance wrong for ($t, $s)")
+      assert(r.getLong(3) > 0, "df must be positive")
+    }
+  }
+
+  test("termSuggest: per-term rank order is (dist asc, df desc, suggestion asc), capped at topK") {
+    val out = SearchOps.termSuggest(spark, sf, topK = 3).collect()
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      val keys = rows.map(r => (r.getInt(2), -r.getLong(3), r.getString(1)))
+      assert(keys.toSeq === keys.sortBy(identity).toSeq, "rank key order violated")
+    }
+  }
+
+  test("termSuggest: top suggestion recovers the intended corpus word") {
+    val out = SearchOps.termSuggest(spark, sf).collect()
+    val best = out.groupBy(_.getString(0)).map { case (t, rows) =>
+      t -> rows.minBy(r => (r.getInt(2), -r.getLong(3), r.getString(1))).getString(1)
+    }
+    assert(best("strem") === "stream")
+    assert(best("custmer") === "customer")
+    // 'qurey' is 2 edits from 'query' — accept it or an even-closer token
+    assert(best.get("qurey").exists(s => jvmLev("qurey", s) <= 2))
+  }
+
+  test("completeSuggest: prefix-filtered vocab ranked by df desc, size-capped") {
+    val out = SearchOps.completeSuggest(spark, sf, prefix = "s", size = 8).collect()
+    assert(out.nonEmpty && out.length <= 8)
+    out.foreach(r => assert(r.getString(0).startsWith("s")))
+    val dfs = out.map(r => (-r.getLong(1), r.getString(0)))
+    assert(dfs.toSeq === dfs.sortBy(identity).toSeq, "df-desc order violated")
+    // the cap binds: a wider ask returns at least as many rows
+    assert(SearchOps.completeSuggest(spark, sf, prefix = "s", size = 50).count() >= out.length)
+  }
+
+  test("wildcardSearch: * and ? compile correctly; counts match an analyzer replay") {
+    val out = SearchOps.wildcardSearch(spark, sf, pattern = "s?a*", k = 10).collect()
+    assert(out.nonEmpty)
+    val re = "s.a.*".r
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        SearchOps.analyze(org.apache.spark.sql.functions.col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    out.foreach { r =>
+      val hits = docs(r.getLong(0)).filter(t => re.pattern.matcher(t).matches())
+      assert(r.getLong(1) === hits.distinct.length.toLong, s"n_terms doc ${r.getLong(0)}")
+      assert(r.getLong(2) === hits.length.toLong, s"tf_total doc ${r.getLong(0)}")
+    }
+    // a literal % in the pattern must be escaped, not treated as a wildcard
+    assert(SearchOps.wildcardSearch(spark, sf, pattern = "%").count() === 0)
+  }
+
+  /** Independent classic-Levenshtein replay (no early exit). */
+  private def jvmLev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+}
