@@ -88,6 +88,7 @@ object SparkEntry {
     "q_search_query_string" -> ((s, d) => QueryStringOps.queryString(s, d)),
     "q_search_suggest"   -> ((s, d) => SearchOps.termSuggest(s, d)),
     "q_search_complete"  -> ((s, d) => SearchOps.completeSuggest(s, d)),
+    "q_search_phrase_suggest" -> ((s, d) => SearchOps.phraseSuggest(s, d)),
     "q_search_wildcard"  -> ((s, d) => SearchOps.wildcardSearch(s, d)),
     "q_function_score"   -> ((s, d) => SearchOps.functionScore(s, d)),
     "q_function_score_gauss" -> ((s, d) => SearchOps.functionScoreGauss(s, d)),

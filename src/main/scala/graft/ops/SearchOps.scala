@@ -973,14 +973,17 @@ object SearchOps {
     * suggestions from its term dictionary FST rather than the postings.
     */
   private def servedVocabDf(spark: SparkSession, dir: String): DataFrame = {
+    // resolve the postings store BEFORE entering computeIfAbsent: its own
+    // computeIfAbsent on the same map would otherwise nest inside this
+    // one's mapping function — ConcurrentHashMap throws "Recursive update"
+    val posts = servedPostings(spark, dir) // one row per (token, doc_id)
     val p = Tables.derivedStorePath(spark, "vocabdf", dir, "documents.parquet")
     servedStores.computeIfAbsent(p, path => {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
         graft.sinks.AtomicSwap.replace(spark,
-          servedPostings(spark, dir) // one row per (token, doc_id)
-            .groupBy(col("token")).agg(count(lit(1)).as("df"))
+          posts.groupBy(col("token")).agg(count(lit(1)).as("df"))
             .withColumn("tok_len", length(col("token"))),
           path)
       path
@@ -1033,6 +1036,133 @@ object SearchOps {
       .select(col("term"), col("suggestion"), col("dist"), col("df"))
       .orderBy(col("term").asc, col("dist").asc, col("df").desc,
         col("suggestion").asc)
+  }
+
+  /** Served StupidBackoff bigram LM over ANALYZED tokens — the scorer
+    * behind the phrase suggester, fitted once per corpus version: seen
+    * bigrams carry `lp_fx = round(ln(c_ab / c_a)·2^20)` (the MLE
+    * conditional), unseen pairs back off to
+    * `lp0_fx = round(ln(0.4·c_b / N)·2^20)` (Brants et al. 2007's 0.4).
+    * The ln spellings mirror the oracle EXACTLY (operand order matters for
+    * float identity — the device the bigram-perplexity tier proved), and
+    * everything downstream of the frozen store is integer arithmetic.
+    * Distinct from the whitespace-token perplexity LM ([[TextOps]]): the
+    * suggester must score candidates drawn from the ANALYZED vocabulary,
+    * so its LM lives in the same token space.
+    */
+  private def servedSuggestLm(spark: SparkSession,
+                              dir: String): (DataFrame, DataFrame) = {
+    val pp = Tables.derivedStorePath(spark, "sgb-pairs", dir, "documents.parquet")
+    val pu = Tables.derivedStorePath(spark, "sgb-unk", dir, "documents.parquet")
+    servedStores.computeIfAbsent(pp, _ => {
+      val fs = new org.apache.hadoop.fs.Path(pp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // two relations behind one freshness decision (the bigram-LM rule):
+      // rebuild unless BOTH committed
+      if (!fs.exists(new org.apache.hadoop.fs.Path(pp)) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(pu))) {
+        val base = Tables.documents(spark, dir)
+          .select(col("doc_id"), analyze(col("text")).as("toks"))
+        // guarded sequence: sequence(1, 0) infers a negative step instead
+        // of an empty window list — docs with < 2 tokens emit no pairs
+        val idx = when(size(col("toks")) >= 2,
+          sequence(lit(1), size(col("toks")) - 1))
+          .otherwise(array().cast("array<int>"))
+        val pairs0 = base
+          .select(explode(transform(idx, i => struct(
+            element_at(col("toks"), i).as("a"),
+            element_at(col("toks"), i + 1).as("b")))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+        val cab = pairs0.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        val ca = cab.groupBy("a").agg(sum("c_ab").as("c_a"))
+        val cb = base.select(explode(col("toks")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("c_b"))
+        val tot = cb.agg(sum("c_b").cast("double").as("total"))
+        graft.sinks.AtomicSwap.replace(spark,
+          cab.join(ca, Seq("a")).select(col("a"), col("b"),
+            round(log(col("c_ab").cast("double") / col("c_a")) *
+              lit(1048576.0)).cast("long").as("lp_fx")),
+          pp)
+        graft.sinks.AtomicSwap.replace(spark,
+          cb.crossJoin(broadcast(tot)).select(col("token"),
+            round(log(lit(0.4) * (col("c_b").cast("double") / col("total"))) *
+              lit(1048576.0)).cast("long").as("lp0_fx")),
+          pu)
+      }
+      pp
+    })
+    (Tables.parquetCached(spark, pp), Tables.parquetCached(spark, pu))
+  }
+
+  /** ES `phrase` suggester — whole-phrase "did you mean" over the term
+    * suggester's candidates, ranked by the served StupidBackoff bigram LM
+    * ([[servedSuggestLm]]): each misspelled (index-absent) position takes
+    * its top-`perTerm` single-term corrections, present positions keep
+    * their word, the candidate PHRASES are the cross product (bounded:
+    * positions × ≤perTerm each), and each phrase scores
+    * `Σ_pairs lp_fx(wᵢ₋₁,wᵢ)` with per-pair backoff — exact integer
+    * ranking, no float ever compared.
+    *
+    * Shape: candidate generation is the same single vocab-store scan as
+    * [[termSuggest]] (collected — bounded by positions × perTerm, a model
+    * artifact); scoring reads the two LM stores with the candidate
+    * pair/token IN-lists pushed into their scans, broadcasts those
+    * store subsets against the tiny phrase frame, and folds in ONE keyed
+    * aggregate. Corpus text is never touched at query time.
+    */
+  def phraseSuggest(spark: SparkSession, dir: String,
+                    phrase: String = "data sot grup",
+                    perTerm: Int = 3, size: Int = 5): DataFrame = {
+    import spark.implicits._
+    require(perTerm >= 1 && size >= 1)
+    val terms = analyzeQuery(phrase)
+    require(terms.length >= 2, s"phrase '$phrase' analyzed to < 2 terms")
+    val v = servedVocabDf(spark, dir)
+    val present = v.filter(col("token").isInCollection(terms))
+      .select("token").collect().map(_.getString(0)).toSet // ≤ |terms| rows
+    val missing = terms.distinct.filterNot(present)
+    val candMap: Map[String, Seq[String]] = if (missing.isEmpty) Map.empty
+    else {
+      val qdf = missing.map(t => (t, t.take(1), t.length))
+        .toDF("term", "pfx", "q_len")
+      val dist = levenshtein(col("token"), col("term"), 2)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+        .orderBy(col("dist").asc, col("df").desc, col("token").asc)
+      v.withColumn("pfx", substring(col("token"), 1, 1))
+        .join(broadcast(qdf), Seq("pfx"))
+        .filter(abs(col("tok_len") - col("q_len")) <= 2 && dist.between(1, 2))
+        .select(col("term"), col("token"), dist.as("dist"), col("df"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= perTerm)
+        .select("term", "token")
+        .collect() // bounded: ≤ |missing| × perTerm rows
+        .groupBy(_.getString(0))
+        .map { case (t, rs) => t -> rs.map(_.getString(1)).toSeq.sorted }
+    }
+    // a position with NO in-vocab candidate yields no corrected phrase at
+    // all (the empty cross product) — same rule the oracle replays
+    val slots = terms.map(t =>
+      if (present(t)) Seq(t) else candMap.getOrElse(t, Seq.empty))
+    val phrases = slots.foldLeft(Seq(Seq.empty[String])) { (acc, s) =>
+      for (p <- acc; wd <- s) yield p :+ wd
+    }.filter(_.nonEmpty)
+    require(phrases.size <= 512,
+      s"candidate explosion: ${phrases.size} phrases (cap 512)")
+    val pairRows = phrases.flatMap(p =>
+      p.sliding(2).map(pr => (p.mkString(" "), pr(0), pr(1))))
+    val (pm, um) = servedSuggestLm(spark, dir)
+    val prDf = pairRows.toDF("suggestion", "a", "b")
+    val as = pairRows.map(_._2).distinct
+    val bs = pairRows.map(_._3).distinct
+    val pmF = pm.filter(col("a").isInCollection(as) &&
+      col("b").isInCollection(bs)) // both IN-lists push into the store scan
+    val umF = um.filter(col("token").isInCollection(bs))
+    prDf.join(broadcast(pmF), Seq("a", "b"), "left")
+      .join(broadcast(umF), prDf("b") === umF("token"))
+      .groupBy("suggestion")
+      .agg(sum(coalesce(col("lp_fx"), col("lp0_fx"))).as("score_fx"))
+      .orderBy(col("score_fx").desc, col("suggestion").asc)
+      .limit(size)
   }
 
   /** ES `completion` suggester — prefix autocomplete over the INDEXED
@@ -1516,13 +1646,18 @@ object SearchOps {
     */
   private def servedFuzzyDict(spark: SparkSession,
                               dir: String): (DataFrame, DataFrame) = {
+    // resolve the postings store BEFORE entering computeIfAbsent — its own
+    // computeIfAbsent on the same map would otherwise nest inside this
+    // one's mapping function (ConcurrentHashMap "Recursive update"; latent
+    // until the fuzzydict key resolves first on a cold JVM)
+    val posts = servedPostings(spark, dir)
     val pd = Tables.derivedStorePath(spark, "fuzzydict", dir, "documents.parquet")
     val pg = Tables.derivedStorePath(spark, "fuzzygrams", dir, "documents.parquet")
     servedStores.computeIfAbsent(pd, path => {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
-        val dict = servedPostings(spark, dir).select(col("token")).distinct()
+        val dict = posts.select(col("token")).distinct()
           .withColumn("tok_len", length(col("token")))
         graft.sinks.AtomicSwap.replace(spark, dict, path)
       }
@@ -1674,6 +1809,7 @@ object SearchOps {
 
   val oracle: Map[String, String] = Map(
     "q_search_suggest" -> suggestOracle,
+    "q_search_phrase_suggest" -> phraseSuggestOracle,
     "q_search_complete" ->
       s"""WITH p AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
          |v AS (SELECT token AS suggestion,
@@ -2161,6 +2297,74 @@ object SearchOps {
        |      ORDER BY dist ASC, df DESC, suggestion ASC) AS rnk
        |  FROM c)
        |SELECT term, suggestion, dist, df FROM r WHERE rnk <= 5""".stripMargin
+  }
+
+  /** Replays candidate generation, the cross product, AND the StupidBackoff
+    * LM data-driven — same ln spellings as [[servedSuggestLm]] (float
+    * identity), integer comparison from the fixed point on.
+    */
+  private def phraseSuggestOracle: String = {
+    val terms = analyzeQuery("data sot grup")
+    val n = terms.length
+    val values = terms.zipWithIndex
+      .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+    val fromPh = (1 to n).map(i => s"cand c$i").mkString(", ")
+    val wherePh = (1 to n).map(i => s"c$i.pos = $i").mkString(" AND ")
+    val wCols = (1 to n).map(i => s"c$i.w AS w$i").mkString(", ")
+    val sugg = (1 to n).map(i => s"c$i.w").mkString(" || ' ' || ")
+    val prUnion = (1 until n).map(i =>
+      s"SELECT suggestion, w$i AS a, w${i + 1} AS b FROM ph")
+      .mkString("\n       |  UNION ALL ")
+    s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |pairs0 AS (
+       |  SELECT p['a'] AS a, p['b'] AS b FROM (
+       |    SELECT unnest([struct_pack(a := toks[i], b := toks[i+1])
+       |                   for i in range(1, greatest(len(toks), 1))]) AS p
+       |    FROM tk)),
+       |cab AS (SELECT a, b, COUNT(*) AS c_ab FROM pairs0 GROUP BY a, b),
+       |ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a),
+       |tt AS (SELECT unnest(toks) AS token FROM tk),
+       |cb AS (SELECT token, COUNT(*) AS c_b FROM tt GROUP BY token),
+       |tot AS (SELECT CAST(SUM(c_b) AS DOUBLE) AS total FROM cb),
+       |pm AS (SELECT cab.a, cab.b,
+       |    CAST(round(ln(CAST(c_ab AS DOUBLE) / c_a) * 1048576.0) AS BIGINT)
+       |      AS lp_fx
+       |  FROM cab JOIN ca USING (a)),
+       |um AS (SELECT token,
+       |    CAST(round(ln(0.4 * (CAST(c_b AS DOUBLE) / total)) * 1048576.0)
+       |      AS BIGINT) AS lp0_fx
+       |  FROM cb, tot),
+       |v AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |      FROM (SELECT doc_id, unnest(toks) AS token FROM tk)
+       |      GROUP BY token),
+       |q(pos, term) AS (VALUES $values),
+       |cand0 AS (
+       |  SELECT q.pos, v.token AS w,
+       |    levenshtein(q.term, v.token) AS d, v.df
+       |  FROM q JOIN v ON substr(v.token, 1, 1) = substr(q.term, 1, 1)
+       |  WHERE v.token = q.term
+       |     OR (NOT EXISTS (SELECT 1 FROM v v2 WHERE v2.token = q.term)
+       |         AND abs(len(v.token) - len(q.term)) <= 2
+       |         AND levenshtein(q.term, v.token) BETWEEN 1 AND 2)),
+       |cand AS (
+       |  SELECT pos, w FROM (
+       |    SELECT pos, w,
+       |      row_number() OVER (PARTITION BY pos
+       |        ORDER BY d ASC, df DESC, w ASC) AS rnk
+       |    FROM cand0) WHERE rnk <= 3),
+       |ph AS (
+       |  SELECT $wCols, $sugg AS suggestion
+       |  FROM $fromPh WHERE $wherePh),
+       |pr AS (
+       |  $prUnion),
+       |sc AS (
+       |  SELECT pr.suggestion,
+       |    CAST(SUM(coalesce(pm.lp_fx, um.lp0_fx)) AS BIGINT) AS score_fx
+       |  FROM pr LEFT JOIN pm ON pr.a = pm.a AND pr.b = pm.b
+       |          JOIN um ON pr.b = um.token
+       |  GROUP BY pr.suggestion)
+       |SELECT suggestion, score_fx FROM sc
+       |ORDER BY score_fx DESC, suggestion ASC LIMIT 5""".stripMargin
   }
 
   private def bm25Ctes: String = {

@@ -641,4 +641,41 @@ class PlanSpec extends SparkSpecBase {
         (l.contains("Aggregate") && l.contains("partial"))),
       s"expected map-side partial sketch aggregation in:\n$px")
   }
+
+  test("suggest tier: dictionary-only reads — no corpus scan, no analyzer, broadcast candidates") {
+    // termSuggest: one vocab-store scan joined BROADCAST to the tiny query
+    // frame; the corpus (documents.parquet) and the analyzer never appear
+    val ps = plan(graft.ops.SearchOps.termSuggest(spark, sf))
+    assert(!ps.contains("documents.parquet"), s"suggester must not scan the corpus:\n$ps")
+    assert(!ps.contains("ru_en_analyze"), s"suggester must not re-analyze:\n$ps")
+    assert(ps.contains("BroadcastHashJoin"), s"prefix join must broadcast the query frame:\n$ps")
+    assert(ps.contains("levenshtein"), s"threshold levenshtein must gate map-side:\n$ps")
+    // completeSuggest: StartsWith pushed into the vocab store scan; top-k partial
+    val pc = plan(graft.ops.SearchOps.completeSuggest(spark, sf))
+    assert(pc.contains("StringStartsWith") || pc.contains("StartsWith"),
+      s"prefix must push into the store scan:\n$pc")
+    assert(pc.contains("TakeOrderedAndProject"), s"size cut must be a partial top-k:\n$pc")
+    assert(!pc.contains("documents.parquet"), s"completion must not scan the corpus:\n$pc")
+    // wildcardSearch: postings-store only; LIKE evaluated map-side; no corpus
+    val pw = plan(graft.ops.SearchOps.wildcardSearch(spark, sf))
+    assert(!pw.contains("documents.parquet"), s"wildcard must not scan the corpus:\n$pw")
+    assert(!pw.contains("ru_en_analyze"), s"wildcard must not re-analyze:\n$pw")
+    assert(pw.contains("TakeOrderedAndProject"), s"k cut must be a partial top-k:\n$pw")
+  }
+
+  test("phraseSuggest: LM stores read with pushed IN-lists, broadcast scoring, no corpus scan") {
+    val p = plan(graft.ops.SearchOps.phraseSuggest(spark, sf))
+    assert(!p.contains("documents.parquet"), s"scoring must not scan the corpus:\n$p")
+    assert(!p.contains("ru_en_analyze"), s"scoring must not re-analyze:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"LM subsets must broadcast:\n$p")
+    assert(p.contains("PushedFilters: [In("), s"candidate IN-lists must push into the store scans:\n$p")
+  }
+
+  test("dateHistogramFilled: spine from a 1-row agg, fill join broadcast, partial-first bucket agg") {
+    val p = plan(EventsOps.dateHistogramFilled(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"bucket fill must broadcast, never shuffle-merge:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")) ||
+      p.contains("partial_count"), s"bucket agg must combine map-side:\n$p")
+  }
 }

@@ -69,6 +69,29 @@ class SuggestSpec extends SparkSpecBase {
     assert(SearchOps.wildcardSearch(spark, sf, pattern = "%").count() === 0)
   }
 
+  test("phraseSuggest: cross product of per-term corrections, LM-ranked, present terms kept verbatim") {
+    val out = SearchOps.phraseSuggest(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val words = r.getString(0).split(" ")
+      assert(words.length === 3)
+      assert(words(0) === "data", "present term must ride through unchanged")
+      assert(jvmLev("sot", words(1)) <= 2 && words(1).head === 's')
+      assert(jvmLev("grup", words(2)) <= 2 && words(2).head === 'g')
+    }
+    // scores strictly ordered desc over distinct phrases (which correction
+    // wins is a data question — the sf0.01 oracle pins the values)
+    val scores = out.map(_.getLong(1))
+    assert(scores.toSeq === scores.sortBy(-_).toSeq)
+    assert(out.map(_.getString(0)).distinct.length === out.length)
+    assert(out.length >= 2, "expected both sot-corrections to survive")
+  }
+
+  test("phraseSuggest: a position with no in-vocab candidate yields no phrases at all") {
+    val out = SearchOps.phraseSuggest(spark, sf, phrase = "data zzzqqx grup")
+    assert(out.count() === 0)
+  }
+
   /** Independent classic-Levenshtein replay (no early exit). */
   private def jvmLev(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
