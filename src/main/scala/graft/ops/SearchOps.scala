@@ -1268,6 +1268,115 @@ object SearchOps {
       .orderBy(col("score_fp").desc, col("doc_id").asc)
   }
 
+  /** ES `dis_max` — best-clause scoring: `score = max(clauses) +
+    * tie_breaker · Σ(other clauses)` (the multi-clause combiner `bool
+    * should` can't express: a doc matching one clause strongly beats a doc
+    * matching every clause weakly). Per-clause scores are the exact
+    * term-match counts of [[matchQuery]], and the default tie_breaker ½
+    * folds into ×2 fixed point — `score_fp = 2·max + (Σ − max)` — so no
+    * float ever exists on either engine.
+    *
+    * Served shape (the [[boostingQueryIndexed]] pattern): ONE postings-store
+    * scan with the union term IN-list pushed, per-term presence and the
+    * clause fold in a single keyed aggregate, partial top-k before the
+    * lang fetch joins back for k rows only.
+    */
+  def disMaxSearch(spark: SparkSession, dir: String,
+                   clauses: Seq[String] =
+                     Seq("data stream", "window batch", "slow query"),
+                   k: Int = 20): DataFrame = {
+    val analyzed = clauses.map(analyzeQuery(_).distinct)
+    require(analyzed.forall(_.nonEmpty), "every clause must analyze to terms")
+    val terms = analyzed.flatten.distinct
+    val matched = servedPostings(spark, dir)
+      .filter(col("token").isInCollection(terms))
+    val presence = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("token") === t, 1).otherwise(0)).as(s"_t$i")
+    }
+    val idx = terms.zipWithIndex.toMap
+    val clauseScores = analyzed.map(c =>
+      c.map(t => col(s"_t${idx(t)}")).reduce(_ + _))
+    val best = clauseScores.reduce((a, b) => greatest(a, b))
+    val total = clauseScores.reduce(_ + _)
+    val top = matched.groupBy("doc_id")
+      .agg(presence.head, presence.tail: _*)
+      .select(col("doc_id"),
+        (lit(2) * best + (total - best)).cast("long").as("score_fp"))
+      .filter(col("score_fp") > 0)
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+      .limit(k)
+    broadcast(top)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+  }
+
+  /** ES `percolate` — the REVERSE search: stored queries match INCOMING
+    * documents (alerting / saved-search notification — the percolator
+    * index). Registered queries are conjunctive term sets served from a
+    * version-keyed store ([[servedPercolator]]); the incoming batch —
+    * documents whose `doc_id % 97 == 0`, standing in for today's ingest —
+    * is analyzed inline (percolation happens at index time, BEFORE any
+    * postings exist for the new docs), its tokens join the BROADCAST query
+    * terms, and a (doc, query) aggregate keeps pairs where every required
+    * term matched. Registered queries are the small side by construction
+    * (thousands of alerts vs billions of docs), so the broadcast
+    * direction — queries to the data — is the only shape that survives
+    * 100 TB; the batch is a pushed-predicate slice of the corpus scan.
+    */
+  def percolate(spark: SparkSession, dir: String, mod: Long = 97L,
+                k: Int = 50): DataFrame = {
+    val queries = servedPercolator(spark, dir)
+    val batchToks = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(mod)) === 0)
+      .select(col("doc_id"), explode(array_distinct(analyze(col("text"))))
+        .as("token"))
+    batchToks.join(broadcast(queries), Seq("token"))
+      .groupBy(col("doc_id"), col("query_id"), col("n_req"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === col("n_req"))
+      .select(col("doc_id"), col("query_id"), col("n_req"))
+      .orderBy(col("doc_id").asc, col("query_id").asc)
+      .limit(k)
+  }
+
+  /** The percolator's registered-query store: deterministic saved searches
+    * derived from the corpus vocabulary — query `i` (0-based over the
+    * top-12 tokens by (df desc, token asc)) is the conjunction of ranked
+    * tokens `{i, i+1}`; 11 two-term AND queries, exploded to one row per
+    * (query_id, token) with `n_req` riding along. Version-stamped like
+    * every store; a real system registers user queries through the same
+    * relation.
+    */
+  private def servedPercolator(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = servedVocabDf(spark, dir) // resolves OUTSIDE computeIfAbsent
+    val p = Tables.derivedStorePath(spark, "percolator", dir, "documents.parquet")
+    servedStores.computeIfAbsent(p, path => {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("token").asc)
+        val ranked = vocab.select(col("token"), col("df"))
+          .withColumn("r", row_number().over(w)) // top-12: tiny, one task
+          .filter(col("r") <= 12)
+        val pairs = ranked.select((col("r") - 1).cast("long").as("query_id"),
+            col("token"))
+          .unionByName(ranked.filter(col("r") >= 2)
+            .select((col("r") - 2).cast("long").as("query_id"), col("token")))
+          .filter(col("query_id") <= 10)
+        graft.sinks.AtomicSwap.replace(spark,
+          pairs.withColumn("n_req",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id")))),
+          path)
+      }
+      path
+    })
+    Tables.parquetCached(spark, p)
+  }
+
   /** ES `rescore`: a cheap first pass ranks the corpus, an expensive second
     * query re-scores ONLY the top `window` hits — the standard two-stage
     * trick for queries too costly to run corpus-wide (ETLTests' search
@@ -1810,6 +1919,8 @@ object SearchOps {
   val oracle: Map[String, String] = Map(
     "q_search_suggest" -> suggestOracle,
     "q_search_phrase_suggest" -> phraseSuggestOracle,
+    "q_search_dis_max" -> disMaxOracle,
+    "q_percolate" -> percolateOracle,
     "q_search_complete" ->
       s"""WITH p AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
          |v AS (SELECT token AS suggestion,
@@ -2298,6 +2409,47 @@ object SearchOps {
        |  FROM c)
        |SELECT term, suggestion, dist, df FROM r WHERE rnk <= 5""".stripMargin
   }
+
+  private def disMaxOracle: String = {
+    val clauses = Seq("data stream", "window batch", "slow query")
+      .map(analyzeQuery(_).distinct)
+    val cCols = clauses.zipWithIndex.map { case (c, i) =>
+      c.map(t => s"CAST(list_contains(toks, '$t') AS INT)")
+        .mkString("(", " + ", s") AS c$i")
+    }.mkString(",\n       |    ")
+    val cs = clauses.indices.map(i => s"c$i")
+    val mx = s"greatest(${cs.mkString(", ")})"
+    val tot = cs.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+       |s AS (SELECT doc_id, lang,
+       |    $cCols
+       |  FROM t)
+       |SELECT doc_id, lang,
+       |  CAST(2 * $mx + ($tot - $mx) AS BIGINT) AS score_fp
+       |FROM s WHERE ($tot) > 0
+       |ORDER BY score_fp DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
+  private def percolateOracle: String =
+    s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |v AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |      FROM (SELECT doc_id, unnest(toks) AS token FROM tk)
+       |      GROUP BY token),
+       |rk AS (SELECT token,
+       |        row_number() OVER (ORDER BY df DESC, token ASC) AS r FROM v),
+       |qq AS (
+       |  SELECT r - 1 AS query_id, token FROM rk WHERE r <= 12
+       |  UNION ALL
+       |  SELECT r - 2 AS query_id, token FROM rk WHERE r BETWEEN 2 AND 12),
+       |q AS (SELECT CAST(query_id AS BIGINT) AS query_id, token,
+       |       CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_req
+       |      FROM qq WHERE query_id <= 10),
+       |bt AS (SELECT doc_id, unnest(list_distinct(toks)) AS token
+       |       FROM tk WHERE doc_id % 97 = 0),
+       |m AS (SELECT bt.doc_id, q.query_id, q.n_req, COUNT(*) AS n_hit
+       |      FROM bt JOIN q USING (token) GROUP BY 1, 2, 3)
+       |SELECT doc_id, query_id, n_req FROM m WHERE n_hit = n_req
+       |ORDER BY doc_id ASC, query_id ASC LIMIT 50""".stripMargin
 
   /** Replays candidate generation, the cross product, AND the StupidBackoff
     * LM data-driven — same ln spellings as [[servedSuggestLm]] (float

@@ -671,6 +671,19 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("PushedFilters: [In("), s"candidate IN-lists must push into the store scans:\n$p")
   }
 
+  test("disMax + percolate: served/broadcast shapes — IN-list pushdown, queries broadcast to the data") {
+    // disMax: one postings-store scan, union IN-list pushed, no corpus text
+    val pd = plan(graft.ops.SearchOps.disMaxSearch(spark, sf))
+    assert(!pd.contains("ru_en_analyze"), s"dis_max must not re-analyze:\n$pd")
+    assert(pd.contains("PushedFilters: [In("), s"term IN-list must push into the store scan:\n$pd")
+    assert(pd.contains("TakeOrderedAndProject"), s"k cut must be a partial top-k:\n$pd")
+    // percolate: registered queries BROADCAST against the batch slice; the
+    // batch predicate reaches the corpus scan
+    val pp = plan(graft.ops.SearchOps.percolate(spark, sf))
+    assert(pp.contains("BroadcastHashJoin"), s"queries must broadcast to the data:\n$pp")
+    assert(!pp.contains("SortMergeJoin"), s"percolation must never shuffle the batch for the join:\n$pp")
+  }
+
   test("dateHistogramFilled: spine from a 1-row agg, fill join broadcast, partial-first bucket agg") {
     val p = plan(EventsOps.dateHistogramFilled(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),

@@ -92,6 +92,49 @@ class SuggestSpec extends SparkSpecBase {
     assert(out.count() === 0)
   }
 
+  test("disMaxSearch: score_fp = 2·max + (sum − max) over clause term-counts; any-clause match") {
+    import org.apache.spark.sql.functions.col
+    val clauses = Seq("data stream", "window batch", "slow query")
+    val out = SearchOps.disMaxSearch(spark, sf, clauses, k = 15).collect()
+    assert(out.nonEmpty)
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), SearchOps.analyze(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    out.foreach { r =>
+      val cs = clauses.map(c => SearchOps.analyzeQuery(c).distinct.count(toks(r.getLong(0))))
+      val expect = 2L * cs.max + (cs.sum - cs.max)
+      assert(r.getLong(2) === expect, s"doc ${r.getLong(0)}: clauses $cs")
+      assert(cs.max > 0, "dis_max must require at least one matching clause")
+    }
+    val scores = out.map(_.getLong(2))
+    assert(scores.toSeq === scores.sortBy(-_).toSeq)
+  }
+
+  test("percolate: a pair fires iff the doc holds EVERY term of the registered query") {
+    val out = SearchOps.percolate(spark, sf, k = 200).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(2) === 2L, "derived queries are 2-term ANDs"))
+    // replay: doc tokens must cover both of the query's required terms,
+    // and every non-matching (batch doc, query) pair must be absent
+    import org.apache.spark.sql.functions._
+    val batch = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(97L)) === 0)
+      .select(col("doc_id"), SearchOps.analyze(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    // recover the registered queries via the same vocab ranking
+    val vocab = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(array_distinct(SearchOps.analyze(col("text")))).as("tok"))
+      .groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, df) => (-df, t) }.take(12).map(_._1)
+    val queries = (0 to 10).map(i => i.toLong -> Set(vocab(i), vocab(i + 1))).toMap
+    val fired = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((d, ts) <- batch; (qid, req) <- queries) {
+      val expect = req.subsetOf(ts)
+      assert(fired.contains((d, qid)) === expect, s"doc $d query $qid (req $req)")
+    }
+  }
+
   /** Independent classic-Levenshtein replay (no early exit). */
   private def jvmLev(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
