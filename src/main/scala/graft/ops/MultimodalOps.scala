@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
   * columns with typed metadata, and a batch decode/feature-extract stage.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (`stubDecode`); everything around it —
-  * schema, batch shape, partition-parallel execution, null handling — is the
-  * real Spark plumbing a production decode (e.g. a JNI codec or an Arrow
-  * batch UDF) would drop into.
+  * The codec tier is REAL, pure-JVM, for five formats — BMP and PNG
+  * (raster + DEFLATE image), baseline JPEG (transform-coded image),
+  * WAV/RIFF PCM16 (audio), AVI/RIFF (video container) — each with an
+  * oracle-validated round trip. Payloads with none of those magics fall
+  * through to a clearly-marked deterministic fake (`stubDecode`'s last
+  * arm), which is where a production build drops further codecs (e.g. a
+  * JNI H.264 or an Arrow batch UDF) into the same match.
   *
   * Scale notes: payloads never pass through a shuffle here (decode is
   * map-side, before any wide op); metadata-only projections prune the binary
@@ -39,11 +41,12 @@ object MultimodalOps {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"))
   }
 
-  /** Decode dispatch: REAL for BMP payloads ([[BmpCodec]] — actual header
-    * parse, actual pixel geometry) and WAV payloads ([[WavCodec]] — actual
-    * RIFF chunk walk, actual PCM samples), deterministic STUB for
-    * everything else (the container ships no JPEG/video codecs; a
-    * production build drops its codec into the same match arm).
+  /** Decode dispatch: REAL for BMP, PNG ([[PngCodec]] — DEFLATE + CRC +
+    * scanline predictors), baseline JPEG ([[JpegCodec]] — integer DCT +
+    * Huffman), WAV ([[WavCodec]] — RIFF chunk walk, PCM samples), and AVI
+    * ([[AviCodec]] — container walk); a deterministic fake covers payloads
+    * with none of those magics (a production build drops further codecs
+    * into the same match arm).
     */
   def stubDecode(payload: Array[Byte], mediaType: String): (Int, Int, Int, Int) = {
     if (BmpCodec.isBmp(payload)) {
@@ -58,8 +61,11 @@ object MultimodalOps {
     } else if (PngCodec.isPng(payload)) {
       val img = PngCodec.decode(payload)
       (img.width, img.height, 0, 1)
+    } else if (JpegCodec.isJpeg(payload)) {
+      val img = JpegCodec.decode(payload)
+      (img.width, img.height, 0, 1)
     } else {
-      // ??? <- frame-PIXEL codecs (JPEG inside a frame) go here;
+      // further codecs (H.264 frames, WebP, FLAC) drop in here;
       // deterministic fake below keeps the remaining plumbing tested
       val h = java.util.Arrays.hashCode(payload).abs
       mediaType match {
@@ -164,6 +170,65 @@ object MultimodalOps {
             i += 1
           }
           ImageFeatures(id, img.width, img.height, sr, sg, sb, mx, lum)
+        }
+      }
+      .toDF()
+  }
+
+  /** Ingest face with REAL transform-coded payloads: doc_ids that map to
+    * `image` carry a deterministic baseline JPEG whose blocks are each a
+    * constant color (`rgb(block i) = (doc_id·131 + i·{17,29,47}) mod 256`,
+    * block grid varied per doc) — so the LOSSY chain collapses to the
+    * closed DC form the oracle replays while the stream still runs real
+    * DCT butterflies, quantization, Huffman prediction, and byte stuffing.
+    */
+  def jpegMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("doc_id", "payload", "media_type")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, mt) =>
+          if (mt == "image")
+            (id, JpegCodec.synthDc(id, 1 + (id % 4).toInt, 1 + (id % 3).toInt), mt)
+          else (id, payload, mt)
+        }
+      }
+      .toDF("doc_id", "payload", "media_type")
+  }
+
+  /** A decoded-JPEG feature row — every field an exact integer. */
+  case class JpegFeatures(
+      doc_id: Long, width: Int, height: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Feature extraction over REAL decoded JPEG rasters: per-channel pixel
+    * sums of the RECONSTRUCTED (post-quantization) image. The oracle —
+    * which replays color transform, quantizer, and reconstruction as pure
+    * integer arithmetic with no codec — verifies the whole transform-coded
+    * round trip: one wrong bit in any marker segment, Huffman code, DC
+    * prediction, dequant step, or the IDCT's DC shortcut changes a sum.
+    * Map-side `mapPartitions`; payloads never shuffle.
+    */
+  def jpegFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    jpegMediaTable(spark, dir)
+      .filter(col("media_type") === "image")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img = JpegCodec.decode(payload)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var k = 0
+          while (k < img.rgb.length) {
+            (k % 3: @annotation.switch) match {
+              case 0 => sr += img.rgb(k) & 0xff
+              case 1 => sg += img.rgb(k) & 0xff
+              case _ => sb += img.rgb(k) & 0xff
+            }
+            k += 1
+          }
+          JpegFeatures(id, img.width, img.height, sr, sg, sb)
         }
       }
       .toDF()
@@ -347,6 +412,9 @@ object MultimodalOps {
           } else if (PngCodec.isPng(payload)) {
             val scaled = BmpCodec.resizeNearest(PngCodec.decode(payload), targetW, targetH)
             ResizedMedia(id, mt, PngCodec.encode(scaled), targetW, targetH)
+          } else if (JpegCodec.isJpeg(payload)) {
+            val scaled = BmpCodec.resizeNearest(JpegCodec.decode(payload), targetW, targetH)
+            ResizedMedia(id, mt, JpegCodec.encode(scaled), targetW, targetH)
           } else {
             // ??? <- further codecs' scalers go here; deterministic stub:
             // clamp payload to the target raster size
@@ -474,7 +542,67 @@ object MultimodalOps {
         round(col("cos_raw"), 6).as("cos_sim"))
   }
 
+  /** SQL spelling of [[JpegCodec]]'s exact DC chain for quant step `q` —
+    * every `//` numerator is non-negative by construction (sign split +
+    * offset), so truncating division IS floor on both engines.
+    */
+  private def dcChainSql(ch: String, q: Int): String = {
+    val a = s"64 * (($ch) - 128)"
+    val dq = s"(CASE WHEN $a >= 0 THEN ($a + ${4 * q}) // ${8 * q} " +
+      s"ELSE -((-($a) + ${4 * q}) // ${8 * q}) END)"
+    s"least(255, greatest(0, 128 + (($dq * $q + 4 + 1048576) // 8) - 131072))"
+  }
+
+  /** Symmetric round-half-away ×2^-16 — the codec's `sround16`. */
+  private def sr16Sql(x: String): String =
+    s"(CASE WHEN ($x) >= 0 THEN (($x) + 32768) // 65536 " +
+      s"ELSE -((-($x) + 32768) // 65536) END)"
+
+  private def jpegOracle: String = {
+    val y2 = dcChainSql("y", 6)
+    val cb2 = dcChainSql("cb", 8)
+    val cr2 = dcChainSql("cr", 8)
+    s"""WITH im AS (
+       |  SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS wb,
+       |         CAST(1 + doc_id % 3 AS INT) AS hb
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |law AS (
+       |  SELECT doc_id, wb, hb,
+       |    (doc_id * 131 + i * 17) % 256 AS r,
+       |    (doc_id * 131 + i * 29) % 256 AS g,
+       |    (doc_id * 131 + i * 47) % 256 AS b
+       |  FROM (SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS i FROM im)),
+       |ycc AS (
+       |  SELECT doc_id, wb, hb,
+       |    (19595*r + 38470*g + 7471*b + 32768) // 65536 AS y,
+       |    least(255, greatest(0,
+       |      (32768*b - 11059*r - 21709*g + 8421376) // 65536)) AS cb,
+       |    least(255, greatest(0,
+       |      (32768*r - 27439*g - 5329*b + 8421376) // 65536)) AS cr
+       |  FROM law),
+       |dc AS (
+       |  SELECT doc_id, wb, hb,
+       |    $y2 AS y2, $cb2 AS cb2, $cr2 AS cr2
+       |  FROM ycc),
+       |rec AS (
+       |  SELECT doc_id, wb, hb,
+       |    least(255, greatest(0, y2 + ${sr16Sql("91881 * (cr2 - 128)")})) AS r2,
+       |    least(255, greatest(0, y2 - ${sr16Sql("22554 * (cb2 - 128) + 46802 * (cr2 - 128)")})) AS g2,
+       |    least(255, greatest(0, y2 + ${sr16Sql("116130 * (cb2 - 128)")})) AS b2
+       |  FROM dc)
+       |SELECT doc_id, CAST(8 * wb AS INT) AS width, CAST(8 * hb AS INT) AS height,
+       |  CAST(64 * SUM(r2) AS BIGINT) AS sum_r,
+       |  CAST(64 * SUM(g2) AS BIGINT) AS sum_g,
+       |  CAST(64 * SUM(b2) AS BIGINT) AS sum_b
+       |FROM rec GROUP BY doc_id, wb, hb""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    // Replays the JPEG DC chain (color transform → quantize → dequant →
+    // IDCT DC shortcut → inverse color transform) as pure integer
+    // arithmetic, no codec: the hash gate validates markers, Huffman,
+    // DC prediction, and the dequant/IDCT scale end to end.
+    "q_jpeg_features" -> jpegOracle,
     // Replays the PNG pixel law directly (no codec): any bit the
     // filter+deflate encode / inflate+unfilter decode path flips in any
     // channel breaks a channel sum, and lum8_sum replays resizeNearest's
