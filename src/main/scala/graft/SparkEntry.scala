@@ -174,6 +174,7 @@ object SparkEntry {
     "q_frame_sample"     -> ((s, d) => MultimodalOps.frameSampleAvi(s, d)),
     "q_image_features"   -> (MultimodalOps.imageFeatures(_, _)),
     "q_jpeg_features"    -> (MultimodalOps.jpegFeatures(_, _)),
+    "q_mjpeg_frames"     -> ((s, d) => MultimodalOps.mjpegFrameFeatures(s, d)),
     "q_media_ann"        -> ((s, d) => MultimodalOps.mediaAnn(s, d)),
     // Corpus curation (hashed-ngram models)
     "q_dsir_weight"      -> ((s, d) => CurationOps.dsirWeights(s, d)),

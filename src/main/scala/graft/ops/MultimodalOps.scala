@@ -312,6 +312,68 @@ object MultimodalOps {
       .toDF("doc_id", "frame_idx", "frame_md5", "byte_len")
   }
 
+  /** Ingest face with REAL MJPEG videos: doc_ids that map to `video` carry
+    * an AVI whose frames are ACTUAL baseline JPEGs (16×8, two constant
+    * blocks per frame, frame seed `doc_id + 7·i`) — the composition that
+    * makes frame-sampling → in-frame pixel decode a true video pipeline
+    * instead of a container walk over opaque fill bytes.
+    */
+  def mjpegMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("doc_id", "payload", "media_type")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, mt) =>
+          if (mt == "video") {
+            val n = 12 + (id % 12).toInt
+            val frames = IndexedSeq.tabulate(n)(i =>
+              JpegCodec.synthDc(id + 7L * i, 2, 1))
+            (id, AviCodec.encode(AviCodec.Avi(16, 8, 33366, frames)), mt)
+          } else (id, payload, mt)
+        }
+      }
+      .toDF("doc_id", "payload", "media_type")
+  }
+
+  /** The full video path — container walk AND in-frame pixel decode: every
+    * `every`-th frame streams lazily out of the AVI `movi` list and is
+    * JPEG-DECODED, per-channel pixel sums emitted per sampled frame. The
+    * oracle replays frame selection + the JPEG DC chain as pure integer
+    * arithmetic with neither codec, so the hash gate validates the
+    * container boundaries AND the transform decode of each sampled frame
+    * in one pass. Map-side flatMap; frames never materialize as a list,
+    * payloads never shuffle; output rows = ⌈n/every⌉ per video, never n.
+    */
+  def mjpegFrameFeatures(spark: SparkSession, dir: String,
+                         every: Int = 5): DataFrame = {
+    import spark.implicits._
+    require(every > 0)
+    mjpegMediaTable(spark, dir)
+      .filter(col("media_type") === "video")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          AviCodec.sampledFrames(payload, every).map { case (fi, fb) =>
+            val img = JpegCodec.decode(fb)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var k = 0
+            while (k < img.rgb.length) {
+              (k % 3: @annotation.switch) match {
+                case 0 => sr += img.rgb(k) & 0xff
+                case 1 => sg += img.rgb(k) & 0xff
+                case _ => sb += img.rgb(k) & 0xff
+              }
+              k += 1
+            }
+            (id, fi, sr, sg, sb)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "sum_r", "sum_g", "sum_b")
+  }
+
   /** A decoded-audio feature row — every field an exact integer. */
   case class AudioFeatures(
       doc_id: Long, sample_rate: Int, n_samples: Int, duration_ms: Long,
@@ -597,12 +659,55 @@ object MultimodalOps {
        |FROM rec GROUP BY doc_id, wb, hb""".stripMargin
   }
 
+  /** Replays MJPEG frame selection + the JPEG DC chain with NEITHER codec:
+    * frame `fi` of video `doc` is two constant blocks seeded
+    * `doc_id + 7·fi`, so container boundaries and in-frame transform
+    * decode are both hash-gated.
+    */
+  private def mjpegOracle: String = {
+    val y2 = dcChainSql("y", 6)
+    val cb2 = dcChainSql("cb", 8)
+    val cr2 = dcChainSql("cr", 8)
+    s"""WITH v AS (
+       |  SELECT doc_id, CAST(12 + doc_id % 12 AS INT) AS n
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |law AS (
+       |  SELECT doc_id, fi,
+       |    ((doc_id + 7 * fi) * 131 + bi * 17) % 256 AS r,
+       |    ((doc_id + 7 * fi) * 131 + bi * 29) % 256 AS g,
+       |    ((doc_id + 7 * fi) * 131 + bi * 47) % 256 AS b
+       |  FROM (SELECT doc_id, fi, unnest(range(0, 2)) AS bi
+       |        FROM (SELECT doc_id, unnest(range(0, n, 5)) AS fi FROM v))),
+       |ycc AS (
+       |  SELECT doc_id, fi,
+       |    (19595*r + 38470*g + 7471*b + 32768) // 65536 AS y,
+       |    least(255, greatest(0,
+       |      (32768*b - 11059*r - 21709*g + 8421376) // 65536)) AS cb,
+       |    least(255, greatest(0,
+       |      (32768*r - 27439*g - 5329*b + 8421376) // 65536)) AS cr
+       |  FROM law),
+       |dc AS (
+       |  SELECT doc_id, fi, $y2 AS y2, $cb2 AS cb2, $cr2 AS cr2 FROM ycc),
+       |rec AS (
+       |  SELECT doc_id, fi,
+       |    least(255, greatest(0, y2 + ${sr16Sql("91881 * (cr2 - 128)")})) AS r2,
+       |    least(255, greatest(0, y2 - ${sr16Sql("22554 * (cb2 - 128) + 46802 * (cr2 - 128)")})) AS g2,
+       |    least(255, greatest(0, y2 + ${sr16Sql("116130 * (cb2 - 128)")})) AS b2
+       |  FROM dc)
+       |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       |  CAST(64 * SUM(r2) AS BIGINT) AS sum_r,
+       |  CAST(64 * SUM(g2) AS BIGINT) AS sum_g,
+       |  CAST(64 * SUM(b2) AS BIGINT) AS sum_b
+       |FROM rec GROUP BY doc_id, fi""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     // Replays the JPEG DC chain (color transform → quantize → dequant →
     // IDCT DC shortcut → inverse color transform) as pure integer
     // arithmetic, no codec: the hash gate validates markers, Huffman,
     // DC prediction, and the dequant/IDCT scale end to end.
     "q_jpeg_features" -> jpegOracle,
+    "q_mjpeg_frames" -> mjpegOracle,
     // Replays the PNG pixel law directly (no codec): any bit the
     // filter+deflate encode / inflate+unfilter decode path flips in any
     // channel breaks a channel sum, and lum8_sum replays resizeNearest's

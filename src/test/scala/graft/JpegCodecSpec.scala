@@ -96,6 +96,35 @@ class JpegCodecSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](JpegCodec.decode(prog))
   }
 
+  test("MJPEG pipeline: sampled frames are real JPEGs; features match the frame law replay") {
+    import org.apache.spark.sql.functions.col
+    val media = graft.ops.MultimodalOps.mjpegMediaTable(spark, sf)
+      .filter(col("media_type") === "video")
+      .select("doc_id", "payload").collect()
+    assert(media.nonEmpty)
+    // the container holds decodable JPEG frames at every sampled position
+    val (id0, payload0) = (media.head.getLong(0), media.head.getAs[Array[Byte]](1))
+    graft.ops.AviCodec.sampledFrames(payload0, 5).foreach { case (fi, fb) =>
+      assert(JpegCodec.isJpeg(fb), s"frame $fi is not a JPEG")
+      val img = JpegCodec.decode(fb)
+      assert(img.width === 16 && img.height === 8)
+      // block 0 replays the closed form for seed doc_id + 7*fi
+      val (r, g, b) = blockLaw(id0 + 7L * fi, 0)
+      val y2 = dcChain(JpegCodec.rgbToY(r, g, b), 6)
+      val cb2 = dcChain(JpegCodec.rgbToCb(r, g, b), 8)
+      val cr2 = dcChain(JpegCodec.rgbToCr(r, g, b), 8)
+      assert((img.rgb(0) & 0xff) === JpegCodec.yccToR(y2, cr2), s"frame $fi R")
+    }
+    // row counts: ceil(n/5) per video, never n
+    val out = graft.ops.MultimodalOps.mjpegFrameFeatures(spark, sf)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, c) =>
+      val n = 12 + (id % 12)
+      assert(c === (n + 4) / 5, s"doc $id: $c sampled of $n frames")
+    }
+  }
+
   test("entropy stream uses real byte stuffing and DC prediction across MCUs") {
     // general noisy encodes carry kilobytes of entropy data — some byte
     // WILL be 0xFF and must arrive stuffed (deterministic fixtures)
