@@ -160,6 +160,7 @@ object SparkEntry {
     "q_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(s, d)),
     "q_ann_ivf"          -> ((s, d) => SimilarityOps.annIvf(s, d)),
     "q_ann_ivf_served"   -> ((s, d) => SimilarityOps.annIvfServed(s, d)),
+    "q_ann_ivf_filtered" -> ((s, d) => SimilarityOps.annIvfFiltered(s, d)),
     "q_ann_ivf_trained"  -> ((s, d) => SimilarityOps.annIvfTrained(s, d)),
     "q_ann_pq"           -> ((s, d) => SimilarityOps.annPq(s, d)),
     "q_ann_sq8"          -> ((s, d) => SimilarityOps.annSq8(s, d)),

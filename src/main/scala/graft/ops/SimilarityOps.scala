@@ -294,6 +294,37 @@ object SimilarityOps {
         cosine(col("v"), planeLit(qv)).as("cos_raw"))
   }
 
+  /** FILTERED ANN — the production vector-search case (ES `knn` + `filter`,
+    * "top-k nearest among docs WHERE …"): the metadata predicate applies
+    * INSIDE the probed cells, pushed into the served store's parquet scan
+    * alongside the cell partition pruning (PRE-filtering — candidates that
+    * fail the predicate are never scored), with a WIDER nprobe than the
+    * unfiltered face (4 vs 2): under a selective filter each cell yields
+    * fewer survivors, so production escalates the candidate pool exactly
+    * like ES's `num_candidates` — here the escalation is static and the
+    * oracle replays it; an adaptive loop would re-probe until k survivors.
+    * Post-filtering (rank first, filter after) is the WRONG order — it
+    * under-fills k whenever the filter is selective.
+    */
+  def annIvfFiltered(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+                     filterLabel: Long = 3L, nlist: Int = 16, nprobe: Int = 4,
+                     k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", toDouble(col("embedding")))
+    val codebook = collectCodebook(emb, nlist)
+    val qv = if (queryVecId >= 0 && queryVecId < nlist) codebook(queryVecId.toInt)._2
+             else collectVec(emb, queryVecId)
+    val store = servedCellStore(spark, dir, emb, codebook, nlist)
+    val cells = rankProbeCells(qv, codebook, nprobe)
+    store
+      .filter(col("cell").isin(cells: _*) && col("label") === filterLabel)
+      .select(col("vec_id"), col("label"),
+        cosine(col("v"), planeLit(qv)).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
   private val cellStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1812,6 +1843,27 @@ object SimilarityOps {
     // identical semantics through the cell-partitioned store (assignment,
     // probe ranking, re-rank all shared; vectors round-trip parquet exactly)
     "q_ann_ivf_served" -> annIvfOracle,
+    // same assignment/probe replay, label predicate INSIDE the probed
+    // cells, wider nprobe (the static num_candidates escalation)
+    "q_ann_ivf_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT e.vec_id, e.label, e.v, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid DESC) AS rn
+         |  FROM e CROSS JOIN c),
+         |cells AS (SELECT vec_id, label, v, cid AS cell FROM assign WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |qc AS (SELECT c.cid AS cell, q.qv,
+         |    row_number() OVER (ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid DESC) AS rn
+         |  FROM c CROSS JOIN q),
+         |probe AS (SELECT cell, qv FROM qc WHERE rn <= 4)
+         |SELECT s.vec_id, s.label, round(list_cosine_similarity(s.v, p.qv), 6) AS cos_sim
+         |FROM cells s JOIN probe p ON s.cell = p.cell
+         |WHERE s.label = 3
+         |ORDER BY list_cosine_similarity(s.v, p.qv) DESC, s.vec_id ASC
+         |LIMIT 10""".stripMargin,
     "q_ann_ivf_trained" -> annIvfTrainedOracle,
     "q_ivf_train" -> ivfTrainOracle,
     "q_embed_neardup" -> embedNearDupOracle,

@@ -220,6 +220,17 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
   }
 
+  test("annIvfFiltered: PRE-filtering — label pushed into the pruned cell scan, never post-rank") {
+    val p = plan(SimilarityOps.annIvfFiltered(spark, sf))
+    assert(p.contains("PartitionFilters: [") && p.contains("cell"),
+      s"expected the cell IN-list as a partition filter in:\n$p")
+    assert(p.contains("PushedFilters: [") && p.contains("EqualTo(label"),
+      s"label predicate must push into the store scan (pre-filter):\n$p")
+    assert(!p.contains("ivf_assign") && !p.contains("Join"),
+      s"filtered probe must stay store-served and join-free:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+  }
+
   test("hybridSearch: vector list probes the cell store (PartitionFilters), never a brute corpus scan") {
     // r10 verdict's one weak plan: the vector side cosined over ALL
     // embeddings. It must now read the SAME cell-partitioned store the
