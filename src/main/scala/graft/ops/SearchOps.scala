@@ -1341,6 +1341,18 @@ object SearchOps {
       .limit(k)
   }
 
+  /** The registered queries as a driver-side array — the memory-resident
+    * form streaming percolation carries in its closure (ES likewise keeps
+    * the percolator index resident per shard). Bounded: thousands of saved
+    * searches, a model artifact.
+    */
+  def percolatorQueries(spark: SparkSession, dir: String): Array[(Long, Seq[String])] =
+    servedPercolator(spark, dir)
+      .select(col("query_id"), col("token")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getString(1)).toSeq.sorted }
+      .toArray.sortBy(_._1)
+
   /** The percolator's registered-query store: deterministic saved searches
     * derived from the corpus vocabulary — query `i` (0-based over the
     * top-12 tokens by (df desc, token asc)) is the conjunction of ranked

@@ -135,6 +135,33 @@ object StreamingOps {
       }
   }
 
+  /** Streaming percolation — saved-search ALERTING at ingest time, the
+    * streaming face of [[graft.ops.SearchOps.percolate]]: each micro-batch
+    * of incoming documents is analyzed map-side and matched against the
+    * registered conjunctive queries, which ride the closure as a bounded
+    * driver array (ES likewise keeps the percolator index memory-resident
+    * per shard). STATELESS — a pure per-row flatMap, so it runs in append
+    * mode with no watermark, no shuffle, and no state store; an alert
+    * (doc_id, query_id) is emitted in the same micro-batch the document
+    * arrives. Batch-equivalence is the contract: the union of alerts over
+    * any batch slicing equals the batch percolate over the same rows
+    * (StreamingSpec asserts it).
+    */
+  def streamingPercolate(docs: DataFrame,
+                         queries: Array[(Long, Seq[String])])
+                        (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    docs
+      .select(col("doc_id"), graft.ops.SearchOps.analyze(col("text")).as("toks"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, toks) =>
+        val ts = toks.toSet
+        queries.iterator.filter(_._2.forall(ts)).map(q => (id, q._1))
+      }
+      .toDF("doc_id", "query_id")
+  }
+
   /** Custom stateful operator: gap-based sessionization via
     * flatMapGroupsWithState (KeyValueGroupedDataset), event-time timeout.
     * Emits a session when the gap since the last event exceeds `gapMs`

@@ -230,4 +230,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(est >= 0.5, s"planted near-dup must clear the threshold, got $est")
     streamed.foreach { case (_, _, e) => assert(e === est) }
   }
+
+  test("streamingPercolate: alerts fire in-batch; union over any slicing ≡ the batch percolate") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val queries = graft.ops.SearchOps.percolatorQueries(spark, sf)
+    assert(queries.length === 11 && queries.forall(_._2.length === 2))
+    // the same batch slice the batch face uses, streamed in two pieces
+    val batchDocs = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(97L)) === 0)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(batchDocs.length >= 2)
+    val (first, second) = batchDocs.splitAt(batchDocs.length / 2)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.streamingPercolate(
+        input.toDF().toDF("doc_id", "text"), queries)
+      .writeStream.format("memory").queryName("perc").outputMode("append").start()
+    try {
+      input.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      val afterFirst = spark.table("perc").count()
+      input.addData(second.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("perc").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // stateless: the first slice's alerts were already out before slice 2
+      assert(afterFirst === streamed.count { case (d, _) => first.exists(_._1 == d) })
+      val batch = graft.ops.SearchOps.percolate(spark, sf, k = 10000).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch, "streamed alert set must equal the batch percolate")
+    } finally q.stop()
+  }
 }
