@@ -40,6 +40,8 @@ object SparkEntry {
     "q_facet_filter"     -> (RelationalOps.facetFilter(_, _)),
     "q_facet_rollup"     -> (RelationalOps.facetRollup(_, _)),
     "q_histogram_agg"    -> ((s, d) => RelationalOps.histogramAgg(s, d)),
+    "q_stats_agg"        -> (RelationalOps.extendedStats(_, _)),
+    "q_percentile_ranks" -> ((s, d) => RelationalOps.percentileRanks(s, d)),
     "q_composite_agg"    -> ((s, d) => RelationalOps.compositeAgg(s, d)),
     "q_topk_per_group"   -> ((s, d) => RelationalOps.topkPerGroup(s, d)),
     "q_approx_distinct"  -> (RelationalOps.approxDistinct(_, _)),

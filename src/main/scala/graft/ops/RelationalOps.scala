@@ -397,6 +397,52 @@ object RelationalOps {
         min("n_chars").as("min_chars"),
         max("n_chars").as("max_chars"))
 
+  /** ES `extended_stats` aggregation over an integer metric: count / min /
+    * max / sum / sum-of-squares as EXACT longs, avg and variance as doubles
+    * derived from those exact moments with the IDENTICAL operation order on
+    * both engines (one division for avg; `(Σx² − Σx·Σx/n)/n` for the
+    * population variance ES reports) and 6dp rounding — the proven
+    * cross-engine float device. One partial-first hash aggregate.
+    */
+  def extendedStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        sum("n_chars").as("sum_chars"),
+        sum(col("n_chars") * col("n_chars")).as("sum_sq"))
+      .select(col("lang"), col("n"), col("min_chars"), col("max_chars"),
+        col("sum_chars"), col("sum_sq"),
+        round(col("sum_chars").cast("double") / col("n"), 6).as("avg_chars"),
+        round((col("sum_sq").cast("double") -
+          col("sum_chars").cast("double") * col("sum_chars").cast("double") /
+            col("n")) / col("n"), 6).as("variance"))
+
+  /** ES `percentile_ranks` aggregation, exact-count face: for each probe
+    * value, the share of docs at or below it — all-integer 2^20 fixed
+    * point (`100·count_le·2^20 div n`), no interpolation arithmetic to
+    * diverge cross-engine. The probe values ride as a broadcast literal
+    * frame; counting is conditional sums in ONE partial-first aggregate
+    * per (lang, value) — at scale this is the same single-shuffle shape
+    * as any keyed count.
+    */
+  def percentileRanks(spark: SparkSession, dir: String,
+                      values: Seq[Long] = Seq(500L, 2000L)): DataFrame = {
+    import spark.implicits._
+    require(values.nonEmpty)
+    val probes = values.map(Tuple1(_)).toDF("value")
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"))
+      .crossJoin(broadcast(probes)) // |values|-fold fan-out of a 2-col slice
+      .groupBy(col("lang"), col("value"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_chars") <= col("value"), 1L).otherwise(0L)).as("n_le"))
+      .select(col("lang"), col("value"), col("n"), col("n_le"),
+        expr("(104857600 * n_le) div n").as("rank_fp"))
+  }
+
   /** PIVOT crosstab (orders: priority × status counts) — the admin
     * dashboard's two-dimensional rollup, and the relational face ES serves
     * as nested terms-in-terms aggregations. Pivot values are an EXPLICIT
@@ -432,6 +478,26 @@ object RelationalOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_stats_agg" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_sq,
+        |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+        |  round((CAST(SUM(n_chars * n_chars) AS DOUBLE)
+        |         - CAST(SUM(n_chars) AS DOUBLE) * CAST(SUM(n_chars) AS DOUBLE)
+        |           / COUNT(*)) / COUNT(*), 6) AS variance
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_percentile_ranks" ->
+      """SELECT d.lang, v.value,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN d.n_chars <= v.value THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_le,
+        |  CAST((104857600 * SUM(CASE WHEN d.n_chars <= v.value THEN 1 ELSE 0 END))
+        |       // COUNT(*) AS BIGINT) AS rank_fp
+        |FROM documents d CROSS JOIN (VALUES (CAST(500 AS BIGINT)),
+        |                                    (CAST(2000 AS BIGINT))) v(value)
+        |GROUP BY d.lang, v.value""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority AS priority,
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",

@@ -164,4 +164,37 @@ class RelationalSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("extendedStats: moments reconcile; variance non-negative and matches a JVM replay") {
+    val rows = graft.ops.RelationalOps.extendedStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val chars = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
+    rows.foreach { r =>
+      val xs = chars(r.getString(0))
+      assert(r.getLong(1) === xs.length.toLong)
+      assert(r.getLong(2) === xs.min && r.getLong(3) === xs.max)
+      assert(r.getLong(4) === xs.sum)
+      assert(r.getLong(5) === xs.map(x => x * x).sum)
+      assert(r.getDouble(7) >= 0.0, "population variance must be non-negative")
+    }
+  }
+
+  test("percentileRanks: fixed point bounded, monotone in the probe value, counts reconcile") {
+    val rows = graft.ops.RelationalOps.percentileRanks(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case ((lang, v), (n, nLe, fp)) =>
+      assert(nLe <= n, s"$lang@$v")
+      assert(fp >= 0L && fp <= 104857600L, s"$lang@$v fixed point out of range")
+      assert(fp === 104857600L * nLe / n)
+    }
+    // monotone: rank at 2000 >= rank at 500 for every lang
+    rows.keys.map(_._1).toSeq.distinct.foreach { lang =>
+      assert(rows((lang, 2000L))._3 >= rows((lang, 500L))._3, lang)
+    }
+  }
 }
