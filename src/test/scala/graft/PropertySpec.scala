@@ -238,4 +238,64 @@ class PropertySpec extends SparkSpecBase {
       assert(graft.ops.SearchOps.autoFuzz(t) === expected, s"token '$t'")
     }
   }
+
+  /** Arbitrary small raster: random bytes, boundary dimensions (1-pixel
+    * rows/cols, non-multiples of filters' bpp alignment).
+    */
+  private val imageGen: Gen[graft.ops.BmpCodec.Image] = for {
+    w <- Gen.chooseNum(1, 21)
+    h <- Gen.chooseNum(1, 17)
+    bytes <- Gen.listOfN(w * h * 3, Gen.chooseNum(-128, 127).map(_.toByte))
+  } yield graft.ops.BmpCodec.Image(w, h, bytes.toArray)
+
+  test("property: PNG encode∘decode is EXACT on arbitrary rasters (all five filters in play)") {
+    samples(imageGen, 40).foreach { img =>
+      val round = graft.ops.PngCodec.decode(graft.ops.PngCodec.encode(img))
+      assert(round.width === img.width && round.height === img.height)
+      assert(round.rgb.toSeq === img.rgb.toSeq,
+        s"${img.width}x${img.height} raster did not round-trip")
+    }
+  }
+
+  test("property: JPEG decode∘encode preserves dims and bounds error on arbitrary rasters") {
+    samples(imageGen, 25).foreach { img =>
+      val out = graft.ops.JpegCodec.decode(graft.ops.JpegCodec.encode(img))
+      assert(out.width === img.width && out.height === img.height)
+      var k = 0
+      while (k < img.rgb.length) {
+        val e = math.abs((img.rgb(k) & 0xff) - (out.rgb(k) & 0xff))
+        assert(e <= 96, s"${img.width}x${img.height}: error $e at byte $k")
+        k += 1
+      }
+    }
+  }
+
+  test("property: constant-color JPEG blocks are bit-exact under the DC law at any dims") {
+    val gen = for {
+      wb <- Gen.chooseNum(1, 4); hb <- Gen.chooseNum(1, 3)
+      r <- Gen.chooseNum(0, 255); g <- Gen.chooseNum(0, 255); b <- Gen.chooseNum(0, 255)
+    } yield (wb, hb, r, g, b)
+    samples(gen, 30).foreach { case (wb, hb, r, g, b) =>
+      val w = wb * 8; val h = hb * 8
+      val rgb = Array.tabulate(w * h * 3)(i => (i % 3 match {
+        case 0 => r; case 1 => g; case _ => b
+      }).toByte)
+      val out = graft.ops.JpegCodec.decode(
+        graft.ops.JpegCodec.encode(graft.ops.BmpCodec.Image(w, h, rgb)))
+      def dc(ch: Int, q: Int): Int = {
+        val a = 64 * (ch - 128)
+        val dq = if (a >= 0) (a + 4 * q) / (8 * q) else -((-a + 4 * q) / (8 * q))
+        math.min(255, math.max(0, 128 + ((dq * q + 4) >> 3)))
+      }
+      val y2 = dc(graft.ops.JpegCodec.rgbToY(r, g, b), 6)
+      val cb2 = dc(graft.ops.JpegCodec.rgbToCb(r, g, b), 8)
+      val cr2 = dc(graft.ops.JpegCodec.rgbToCr(r, g, b), 8)
+      val exp = Seq(graft.ops.JpegCodec.yccToR(y2, cr2),
+        graft.ops.JpegCodec.yccToG(y2, cb2, cr2),
+        graft.ops.JpegCodec.yccToB(y2, cb2))
+      out.rgb.zipWithIndex.foreach { case (v, i) =>
+        assert((v & 0xff) === exp(i % 3), s"const ($r,$g,$b) ${w}x$h byte $i")
+      }
+    }
+  }
 }
