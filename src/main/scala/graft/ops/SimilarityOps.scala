@@ -325,6 +325,50 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos_sim"))
   }
 
+  /** The ADAPTIVE face of [[annIvfFiltered]]: probe width escalates
+    * (doubling from `nprobe0`) until the filtered candidate pool holds k
+    * survivors or every cell is probed — the dynamic `num_candidates`
+    * loop a production system runs when the filter's selectivity is
+    * unknown. Each round is the same pruned-partition + pushed-predicate
+    * scan; the count probe per round is a cheap aggregate over the pruned
+    * files only, and rounds are log₂(nlist) at worst. Results equal the
+    * static face whenever the static width already yields k (spec-pinned),
+    * and equal the brute filtered top-k at full escalation.
+    */
+  def annIvfFilteredAdaptive(spark: SparkSession, dir: String,
+                             queryVecId: Long = 0L, filterLabel: Long = 3L,
+                             nlist: Int = 16, nprobe0: Int = 2,
+                             k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", toDouble(col("embedding")))
+    val codebook = collectCodebook(emb, nlist)
+    val qv = if (queryVecId >= 0 && queryVecId < nlist) codebook(queryVecId.toInt)._2
+             else collectVec(emb, queryVecId)
+    val store = servedCellStore(spark, dir, emb, codebook, nlist)
+    var nprobe = math.min(nprobe0, nlist)
+    var done = false
+    var result: DataFrame = null
+    while (!done) {
+      val cells = rankProbeCells(qv, codebook, nprobe)
+      val cand = store
+        .filter(col("cell").isin(cells: _*) && col("label") === filterLabel)
+      // count probe: an aggregate over the PRUNED partitions only — the
+      // cheap "did this width fill k?" check, never a full-store scan
+      val n = cand.select(count(lit(1))).head.getLong(0)
+      if (n >= k || nprobe >= nlist) {
+        result = cand
+          .select(col("vec_id"), col("label"),
+            cosine(col("v"), planeLit(qv)).as("cos_raw"))
+          .orderBy(col("cos_raw").desc, col("vec_id").asc)
+          .limit(k)
+          .select(col("vec_id"), col("label"),
+            round(col("cos_raw"), 6).as("cos_sim"))
+        done = true
+      } else nprobe = math.min(nprobe * 2, nlist)
+    }
+    result
+  }
+
   private val cellStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

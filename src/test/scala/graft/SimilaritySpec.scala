@@ -522,4 +522,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got(2L) === ((false, false)))
     assert(got(3L) === ((false, false)))
   }
+
+  test("annIvfFilteredAdaptive: full escalation equals the brute filtered ranking; early stop fills k consistently") {
+    import org.apache.spark.sql.functions._
+    // brute filtered ranking: cosine of every label-3 vector to vec 0
+    val brute = SimilarityOps.cosineTopK(spark, sf, 0L, Int.MaxValue)
+      .filter(col("label") === 3L)
+      .collect().map(_.getLong(0))
+    assert(brute.length > 10, "fixture needs more than k label-3 vectors")
+    // k beyond the label's population forces escalation to the full probe:
+    // the result IS the brute filtered ranking, in order
+    val full = SimilarityOps.annIvfFilteredAdaptive(spark, sf, k = 100000)
+      .collect().map(_.getLong(0))
+    assert(full.toSeq === brute.toSeq)
+    // default k: exactly k rows, ordered consistently with the brute rank
+    val k10 = SimilarityOps.annIvfFilteredAdaptive(spark, sf).collect().map(_.getLong(0))
+    assert(k10.length === 10)
+    val pos = brute.zipWithIndex.toMap
+    val ranks = k10.map(pos)
+    assert(ranks.toSeq === ranks.sorted.toSeq, "early-stop results must respect the global order")
+  }
 }
