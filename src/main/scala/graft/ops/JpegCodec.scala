@@ -416,7 +416,11 @@ object JpegCodec {
     while (scanStart < 0) {
       require(pos + 4 <= bytes.length, "truncated marker stream")
       require((bytes(pos) & 0xff) == 0xff, f"expected marker at $pos")
+      // the spec allows 0xFF fill bytes before any marker — skip runs
+      while (pos + 4 <= bytes.length && (bytes(pos + 1) & 0xff) == 0xff) pos += 1
       val m = bytes(pos + 1) & 0xff
+      require(m != 0xd9, "EOI before any scan (no image data)")
+      require(m < 0xd0 || m > 0xd7, "unexpected RST marker in the header section")
       val len = u16(pos + 2)
       require(pos + 2 + len <= bytes.length, f"truncated segment 0xFF$m%02X")
       val body = pos + 4

@@ -94,6 +94,14 @@ class JpegCodecSpec extends SparkSpecBase {
     }
     assert(flipped)
     intercept[IllegalArgumentException](JpegCodec.decode(prog))
+    // 0xFF fill bytes before a marker are spec-legal — splice one before DQT
+    val dqtPos = (2 until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xdb).get
+    val filled = good.take(dqtPos) ++ Array(0xff.toByte) ++ good.drop(dqtPos)
+    assert(JpegCodec.decode(filled).rgb.toSeq === JpegCodec.decode(good).rgb.toSeq)
+    // EOI with no scan must be an explicit reject, not a garbage parse
+    val noScan = good.take(2) ++ Array(0xff.toByte, 0xd9.toByte)
+    intercept[IllegalArgumentException](JpegCodec.decode(noScan))
   }
 
   test("MJPEG pipeline: sampled frames are real JPEGs; features match the frame law replay") {
