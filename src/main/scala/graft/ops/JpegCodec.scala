@@ -410,7 +410,7 @@ object JpegCodec {
     val quant = new Array[Array[Int]](4)
     val dcTabs = new Array[Huff](4); val acTabs = new Array[Huff](4)
     var compQ: Array[Int] = null; var compDc: Array[Int] = null
-    var compAc: Array[Int] = null
+    var compAc: Array[Int] = null; var sofIds: Array[Int] = null
     var scanStart = -1
     def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
     while (scanStart < 0) {
@@ -430,6 +430,7 @@ object JpegCodec {
           while (o < pos + 2 + len) {
             val pq = (bytes(o) & 0xff) >> 4; val tq = bytes(o) & 0x0f
             require(pq == 0, "16-bit quant tables unsupported")
+            require(tq <= 3, s"quant table id $tq out of range")
             val t = new Array[Int](64)
             var i = 0
             while (i < 64) { t(zigzag(i)) = bytes(o + 1 + i) & 0xff; i += 1 }
@@ -442,15 +443,19 @@ object JpegCodec {
           val nc = bytes(body + 5) & 0xff
           require(nc == 3, s"only 3-component images ($nc)")
           compQ = new Array[Int](3)
+          sofIds = new Array[Int](3)
           for (ci <- 0 until 3) {
             val o = body + 6 + ci * 3
+            sofIds(ci) = bytes(o) & 0xff
             require((bytes(o + 1) & 0xff) == 0x11, "only 1x1 sampling (4:4:4)")
             compQ(ci) = bytes(o + 2) & 0xff
+            require(compQ(ci) <= 3, s"quant table id ${compQ(ci)} out of range")
           }
         case 0xc4 => // DHT (possibly several tables)
           var o = body
           while (o < pos + 2 + len) {
             val tc = (bytes(o) & 0xff) >> 4; val th = bytes(o) & 0x0f
+            require(tc <= 1 && th <= 3, s"DHT class/id ($tc, $th) out of range")
             val bits = Array.tabulate(16)(i => bytes(o + 1 + i) & 0xff)
             val n = bits.sum
             val vals = Array.tabulate(n)(i => bytes(o + 17 + i) & 0xff)
@@ -461,10 +466,16 @@ object JpegCodec {
         case 0xda =>
           val ns = bytes(body) & 0xff
           require(ns == 3, "single interleaved 3-component scan only")
+          require(sofIds != null, "SOS before SOF")
           compDc = new Array[Int](3); compAc = new Array[Int](3)
           for (ci <- 0 until 3) {
+            val cs = bytes(body + 1 + ci * 2) & 0xff
+            require(cs == sofIds(ci),
+              s"scan component order ($cs) diverges from SOF (${sofIds(ci)})")
             val sel = bytes(body + 2 + ci * 2) & 0xff
             compDc(ci) = sel >> 4; compAc(ci) = sel & 0x0f
+            require(compDc(ci) <= 3 && compAc(ci) <= 3,
+              s"Huffman table selector out of range for component $ci")
           }
           scanStart = pos + 2 + len
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
@@ -477,6 +488,11 @@ object JpegCodec {
     }
     require(w > 0 && h > 0 && w <= (1 << 15) && h <= (1 << 15),
       s"implausible dimensions ${w}x$h")
+    // pixel-count cap in LONG: w*h*3 wraps Int inside the per-dimension
+    // allowance (e.g. 27000x27000), which would turn the reject into a
+    // NegativeArraySizeException — and bounds the plane allocations
+    require(w.toLong * h <= (1L << 24),
+      s"raster ${w}x$h exceeds the 16M-pixel decode cap")
     val wb = (w + 7) / 8; val hb = (h + 7) / 8
     val br = new BitReader(bytes, scanStart)
     def readSym(huff: Huff): Int = {

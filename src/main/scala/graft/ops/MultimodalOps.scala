@@ -122,6 +122,24 @@ object MultimodalOps {
       .toDF("doc_id", "payload", "media_type")
   }
 
+
+  /** Per-channel byte sums of a top-down RGB raster — the one copy of the
+    * byte-walk the image/JPEG/MJPEG feature queries share.
+    */
+  private def channelSums(rgb: Array[Byte]): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var k = 0
+    while (k < rgb.length) {
+      (k % 3: @annotation.switch) match {
+        case 0 => sr += rgb(k) & 0xff
+        case 1 => sg += rgb(k) & 0xff
+        case _ => sb += rgb(k) & 0xff
+      }
+      k += 1
+    }
+    (sr, sg, sb)
+  }
+
   /** A decoded-image feature row — every field an exact integer. */
   case class ImageFeatures(
       doc_id: Long, width: Int, height: Int,
@@ -148,16 +166,11 @@ object MultimodalOps {
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
           val img = PngCodec.decode(payload)
-          var sr = 0L; var sg = 0L; var sb = 0L; var mx = 0
+          val (sr, sg, sb) = channelSums(img.rgb)
+          var mx = 0
           var k = 0
           while (k < img.rgb.length) {
-            val v = img.rgb(k) & 0xff
-            (k % 3: @annotation.switch) match {
-              case 0 => sr += v
-              case 1 => sg += v
-              case _ => sb += v
-            }
-            if (v > mx) mx = v
+            if ((img.rgb(k) & 0xff) > mx) mx = img.rgb(k) & 0xff
             k += 1
           }
           val g = BmpCodec.resizeNearest(img, 8, 8)
@@ -218,16 +231,7 @@ object MultimodalOps {
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
           val img = JpegCodec.decode(payload)
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var k = 0
-          while (k < img.rgb.length) {
-            (k % 3: @annotation.switch) match {
-              case 0 => sr += img.rgb(k) & 0xff
-              case 1 => sg += img.rgb(k) & 0xff
-              case _ => sb += img.rgb(k) & 0xff
-            }
-            k += 1
-          }
+          val (sr, sg, sb) = channelSums(img.rgb)
           JpegFeatures(id, img.width, img.height, sr, sg, sb)
         }
       }
@@ -357,16 +361,7 @@ object MultimodalOps {
         rows.flatMap { case (id, payload) =>
           AviCodec.sampledFrames(payload, every).map { case (fi, fb) =>
             val img = JpegCodec.decode(fb)
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var k = 0
-            while (k < img.rgb.length) {
-              (k % 3: @annotation.switch) match {
-                case 0 => sr += img.rgb(k) & 0xff
-                case 1 => sg += img.rgb(k) & 0xff
-                case _ => sb += img.rgb(k) & 0xff
-              }
-              k += 1
-            }
+            val (sr, sg, sb) = channelSums(img.rgb)
             (id, fi, sr, sg, sb)
           }
         }

@@ -73,6 +73,10 @@ object PngCodec {
           require(width > 0 && height > 0 &&
             width <= (1 << 15) && height <= (1 << 15),
             s"implausible dimensions ${width}x$height")
+          // LONG pixel cap: (3w+1)h wraps Int inside the per-dimension
+          // allowance, which would crash allocation instead of rejecting
+          require(width.toLong * height <= (1L << 24),
+            s"raster ${width}x$height exceeds the 16M-pixel decode cap")
           sawIhdr = true
         case "IDAT" =>
           require(sawIhdr, "IDAT before IHDR")

@@ -546,13 +546,7 @@ object SearchOps {
     val pp = Tables.derivedStorePath(spark, "mfpostings", dir, "documents.parquet")
     val pd = Tables.derivedStorePath(spark, "mfdict", dir, "documents.parquet")
     val pg = Tables.derivedStorePath(spark, "mfgrams", dir, "documents.parquet")
-    def buildIfAbsent(path: String)(df: => DataFrame): String = {
-      val hp = new org.apache.hadoop.fs.Path(path)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(hp)) graft.sinks.AtomicSwap.replace(spark, df, path)
-      path
-    }
-    servedStores.computeIfAbsent(pp, path => buildIfAbsent(path) {
+    servedStores.computeIfAbsent(pp, path => buildIfAbsent(spark, path) {
       def tagged(f: String, toks: Column): Column =
         transform(toks, t => struct(lit(f).as("field"), t.as("token")))
       val names = Tables.customer(spark, dir)
@@ -569,12 +563,12 @@ object SearchOps {
           col("doc_id"))
         .distinct()
     })
-    servedStores.computeIfAbsent(pd, path => buildIfAbsent(path) {
+    servedStores.computeIfAbsent(pd, path => buildIfAbsent(spark, path) {
       Tables.parquetCached(spark, pp)
         .filter(col("field") =!= "lang").select(col("token")).distinct()
         .withColumn("tok_len", length(col("token")))
     })
-    servedStores.computeIfAbsent(pg, path => buildIfAbsent(path) {
+    servedStores.computeIfAbsent(pg, path => buildIfAbsent(spark, path) {
       dictGrams(Tables.parquetCached(spark, pd))
     })
     (Tables.parquetCached(spark, pp), Tables.parquetCached(spark, pd),
@@ -684,6 +678,21 @@ object SearchOps {
     */
   private val servedStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-or-serve guard for version-stamped stores — the one copy of the
+    * fs.exists + AtomicSwap boilerplate every store builder shares.
+    * RULE: resolve any DEPENDENCY store (e.g. [[servedPostings]]) BEFORE
+    * entering the enclosing `servedStores.computeIfAbsent` — a nested
+    * computeIfAbsent on the same map throws ConcurrentHashMap
+    * "Recursive update" when the outer key resolves first on a cold JVM.
+    */
+  private def buildIfAbsent(spark: SparkSession, path: String)
+                           (df: => DataFrame): String = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) graft.sinks.AtomicSwap.replace(spark, df, path)
+    path
+  }
 
   def servedPostings(spark: SparkSession, dir: String): DataFrame = {
     // version-stamped path: a rewritten documents table yields a NEW store
@@ -978,15 +987,9 @@ object SearchOps {
     // one's mapping function — ConcurrentHashMap throws "Recursive update"
     val posts = servedPostings(spark, dir) // one row per (token, doc_id)
     val p = Tables.derivedStorePath(spark, "vocabdf", dir, "documents.parquet")
-    servedStores.computeIfAbsent(p, path => {
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
-        graft.sinks.AtomicSwap.replace(spark,
-          posts.groupBy(col("token")).agg(count(lit(1)).as("df"))
-            .withColumn("tok_len", length(col("token"))),
-          path)
-      path
+    servedStores.computeIfAbsent(p, path => buildIfAbsent(spark, path) {
+      posts.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .withColumn("tok_len", length(col("token")))
     })
     Tables.parquetCached(spark, p)
   }
@@ -1012,20 +1015,40 @@ object SearchOps {
                   q: String = "strem window custmer qurey",
                   maxEdits: Int = 2, prefixLen: Int = 1,
                   topK: Int = 5): DataFrame = {
-    import spark.implicits._
     require(maxEdits >= 1 && prefixLen >= 1 && topK >= 1)
     val terms = analyzeQuery(q).distinct
     require(terms.nonEmpty, s"query '$q' analyzed to no terms")
     val v = servedVocabDf(spark, dir)
-    val present = v.filter(col("token").isInCollection(terms))
-      .select("token").collect().map(_.getString(0)).toSet // ≤ |terms| rows
-    val missing = terms.filterNot(present)
+    val missing = terms.filterNot(vocabPresent(v, terms))
+    suggestCandidates(spark, v, missing, maxEdits, prefixLen, topK)
+      .orderBy(col("term").asc, col("dist").asc, col("df").desc,
+        col("suggestion").asc)
+  }
+
+  /** Term-presence probe: a pushed token IN-list on the vocab store, a
+    * ≤ |terms|-row collect (a model-artifact read).
+    */
+  private def vocabPresent(vocab: DataFrame, terms: Seq[String]): Set[String] =
+    vocab.filter(col("token").isInCollection(terms))
+      .select("token").collect().map(_.getString(0)).toSet
+
+  /** The ONE candidate-generation law both suggesters compile onto (and
+    * both DuckDB oracles replay): per index-absent term, vocab tokens
+    * within `maxEdits` sharing the first `prefixLen` chars, ranked
+    * (dist asc, df desc, token asc), cut to `topK`. One vocab-store scan
+    * broadcast-hash-joined to the tiny query frame on the prefix, length
+    * band + threshold levenshtein map-side.
+    */
+  private def suggestCandidates(spark: SparkSession, vocab: DataFrame,
+      missing: Seq[String], maxEdits: Int, prefixLen: Int,
+      topK: Int): DataFrame = {
+    import spark.implicits._
     val qdf = missing.map(t => (t, t.take(prefixLen), t.length))
       .toDF("term", "pfx", "q_len")
     val dist = levenshtein(col("token"), col("term"), maxEdits)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
       .orderBy(col("dist").asc, col("df").desc, col("suggestion").asc)
-    v.withColumn("pfx", substring(col("token"), 1, prefixLen))
+    vocab.withColumn("pfx", substring(col("token"), 1, prefixLen))
       .join(broadcast(qdf), Seq("pfx")) // local relation: no build job
       .filter(abs(col("tok_len") - col("q_len")) <= maxEdits &&
         dist.between(1, maxEdits)) // -1 = over threshold; 0 = exact
@@ -1034,8 +1057,6 @@ object SearchOps {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select(col("term"), col("suggestion"), col("dist"), col("df"))
-      .orderBy(col("term").asc, col("dist").asc, col("df").desc,
-        col("suggestion").asc)
   }
 
   /** Served StupidBackoff bigram LM over ANALYZED tokens — the scorer
@@ -1118,27 +1139,15 @@ object SearchOps {
     val terms = analyzeQuery(phrase)
     require(terms.length >= 2, s"phrase '$phrase' analyzed to < 2 terms")
     val v = servedVocabDf(spark, dir)
-    val present = v.filter(col("token").isInCollection(terms))
-      .select("token").collect().map(_.getString(0)).toSet // ≤ |terms| rows
+    val present = vocabPresent(v, terms)
     val missing = terms.distinct.filterNot(present)
     val candMap: Map[String, Seq[String]] = if (missing.isEmpty) Map.empty
-    else {
-      val qdf = missing.map(t => (t, t.take(1), t.length))
-        .toDF("term", "pfx", "q_len")
-      val dist = levenshtein(col("token"), col("term"), 2)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
-        .orderBy(col("dist").asc, col("df").desc, col("token").asc)
-      v.withColumn("pfx", substring(col("token"), 1, 1))
-        .join(broadcast(qdf), Seq("pfx"))
-        .filter(abs(col("tok_len") - col("q_len")) <= 2 && dist.between(1, 2))
-        .select(col("term"), col("token"), dist.as("dist"), col("df"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= perTerm)
-        .select("term", "token")
-        .collect() // bounded: ≤ |missing| × perTerm rows
-        .groupBy(_.getString(0))
-        .map { case (t, rs) => t -> rs.map(_.getString(1)).toSeq.sorted }
-    }
+    else suggestCandidates(spark, v, missing, maxEdits = 2, prefixLen = 1,
+        topK = perTerm)
+      .select("term", "suggestion")
+      .collect() // bounded: ≤ |missing| × perTerm rows
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getString(1)).toSeq.sorted }
     // a position with NO in-vocab candidate yields no corrected phrase at
     // all (the empty cross product) — same rule the oracle replays
     val slots = terms.map(t =>
@@ -1195,7 +1204,9 @@ object SearchOps {
                      pattern: String = "s?a*", k: Int = 20): DataFrame = {
     require(pattern.exists(c => c != '*' && c != '?'),
       s"refusing degenerate all-wildcard pattern '$pattern'")
-    val like = pattern.replace("%", "\\%").replace("_", "\\_")
+    // escape the escape char FIRST, then LIKE metachars; * and ? last
+    val like = pattern.replace("\\", "\\\\")
+      .replace("%", "\\%").replace("_", "\\_")
       .replace('*', '%').replace('?', '_')
     servedPostings(spark, dir)
       .filter(col("token").like(like))
@@ -1364,27 +1375,20 @@ object SearchOps {
   private def servedPercolator(spark: SparkSession, dir: String): DataFrame = {
     val vocab = servedVocabDf(spark, dir) // resolves OUTSIDE computeIfAbsent
     val p = Tables.derivedStorePath(spark, "percolator", dir, "documents.parquet")
-    servedStores.computeIfAbsent(p, path => {
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("df").desc, col("token").asc)
-        val ranked = vocab.select(col("token"), col("df"))
-          .withColumn("r", row_number().over(w)) // top-12: tiny, one task
-          .filter(col("r") <= 12)
-        val pairs = ranked.select((col("r") - 1).cast("long").as("query_id"),
-            col("token"))
-          .unionByName(ranked.filter(col("r") >= 2)
-            .select((col("r") - 2).cast("long").as("query_id"), col("token")))
-          .filter(col("query_id") <= 10)
-        graft.sinks.AtomicSwap.replace(spark,
-          pairs.withColumn("n_req",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("query_id")))),
-          path)
-      }
-      path
+    servedStores.computeIfAbsent(p, path => buildIfAbsent(spark, path) {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("df").desc, col("token").asc)
+      val ranked = vocab.select(col("token"), col("df"))
+        .withColumn("r", row_number().over(w)) // top-12: tiny, one task
+        .filter(col("r") <= 12)
+      val pairs = ranked.select((col("r") - 1).cast("long").as("query_id"),
+          col("token"))
+        .unionByName(ranked.filter(col("r") >= 2)
+          .select((col("r") - 2).cast("long").as("query_id"), col("token")))
+        .filter(col("query_id") <= 10)
+      pairs.withColumn("n_req",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))))
     })
     Tables.parquetCached(spark, p)
   }
@@ -1774,24 +1778,12 @@ object SearchOps {
     val posts = servedPostings(spark, dir)
     val pd = Tables.derivedStorePath(spark, "fuzzydict", dir, "documents.parquet")
     val pg = Tables.derivedStorePath(spark, "fuzzygrams", dir, "documents.parquet")
-    servedStores.computeIfAbsent(pd, path => {
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
-        val dict = posts.select(col("token")).distinct()
-          .withColumn("tok_len", length(col("token")))
-        graft.sinks.AtomicSwap.replace(spark, dict, path)
-      }
-      path
+    servedStores.computeIfAbsent(pd, path => buildIfAbsent(spark, path) {
+      posts.select(col("token")).distinct()
+        .withColumn("tok_len", length(col("token")))
     })
-    servedStores.computeIfAbsent(pg, path => {
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
-        val grams = dictGrams(Tables.parquetCached(spark, pd))
-        graft.sinks.AtomicSwap.replace(spark, grams, path)
-      }
-      path
+    servedStores.computeIfAbsent(pg, path => buildIfAbsent(spark, path) {
+      dictGrams(Tables.parquetCached(spark, pd))
     })
     (Tables.parquetCached(spark, pd), Tables.parquetCached(spark, pg))
   }
