@@ -744,6 +744,34 @@ object TextOps {
     packOn(Tables.documents(spark, dir), metrics.getField("n_tokens"),
       nShards, ctxTokens)
 
+  /** Deterministic GLOBAL SHUFFLE of the packed training chunks — the
+    * "shuffle once at write time" trick every epoch-based trainer needs:
+    * each chunk gets a seeded-hash shuffle shard and a within-shard
+    * position, so readers stream shards in `pos` order and consume a
+    * reproducible pseudorandom permutation of the corpus with NO global
+    * sort — a new epoch is a new `seed`, not a new shuffle of the data.
+    *
+    * Shape at 100 TB: ONE hash repartition (the shard assignment) + a
+    * local per-shard sort — exactly the write path; the permutation is
+    * pure arithmetic on chunk ids (md5-based hash60), so any engine
+    * replays it and a resumed run re-derives the same order from the
+    * seed alone.
+    */
+  def shuffleOrder(spark: SparkSession, dir: String, seed: Long = 17L,
+                   nShuffleShards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShuffleShards >= 1)
+    val h = DedupOps.hash60(concat(col("chunk_id").cast("string"),
+      lit(":"), lit(seed).cast("string")))
+    val w = Window.partitionBy(col("shuffle_shard"))
+      .orderBy(col("h").asc, col("chunk_id").asc)
+    packChunks(spark, dir).select(col("chunk_id")).distinct()
+      .withColumn("h", h)
+      .withColumn("shuffle_shard", pmod(col("h"), lit(nShuffleShards.toLong)))
+      .withColumn("pos", row_number().over(w))
+      .select(col("chunk_id"), col("shuffle_shard"), col("pos"))
+  }
+
   /** [[packChunks]] with the budget measured by the REAL subword tokenizer
     * (`bpe_count`) instead of the whitespace count — what a training
     * pipeline actually packs by, since the context window is a subword
@@ -1747,6 +1775,32 @@ object TextOps {
         |  shard * 4294967296 + CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT)
         |    AS chunk_id
         |FROM c""".stripMargin,
+    "q_shuffle_order" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 8 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM t),
+        |chunks AS (
+        |  SELECT DISTINCT
+        |    shard * 4294967296 + CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT)
+        |      AS chunk_id
+        |  FROM c),
+        |hashed AS (
+        |  SELECT chunk_id,
+        |    CAST('0x' || substr(md5(CAST(chunk_id AS VARCHAR) || ':17'),1,15) AS BIGINT)
+        |      AS h
+        |  FROM chunks)
+        |SELECT chunk_id, h % 16 AS shuffle_shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 16
+        |    ORDER BY h ASC, chunk_id ASC) AS INT) AS pos
+        |FROM hashed""".stripMargin,
     "q_filter_chain" ->
       """WITH q AS (
         |  SELECT doc_id,

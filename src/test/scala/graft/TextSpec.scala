@@ -575,4 +575,25 @@ class TextSpec extends SparkSpecBase {
     assert(keys.sliding(2).forall { case Array((o1, g1), (o2, g2)) =>
       o1 > o2 || (o1 == o2 && g1 < g2) })
   }
+
+  test("shuffleOrder: a seeded bijection — every chunk exactly once, contiguous positions, seed-sensitive") {
+    import org.apache.spark.sql.functions.col
+    val chunks = graft.ops.TextOps.packChunks(spark, sf)
+      .select("chunk_id").distinct().collect().map(_.getLong(0)).toSet
+    val out = graft.ops.TextOps.shuffleOrder(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet === chunks, "must be a permutation of the chunk set")
+    assert(out.length === chunks.size)
+    out.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to rows.length),
+        s"shard $shard positions not contiguous")
+    }
+    // deterministic under the same seed, different under another
+    val again = graft.ops.TextOps.shuffleOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again === out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+    val other = graft.ops.TextOps.shuffleOrder(spark, sf, seed = 18L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(other.map(_._1) === chunks, "every epoch still a bijection")
+    assert(other !== again, "a new seed must yield a different permutation")
+  }
 }
