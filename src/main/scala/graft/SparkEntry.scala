@@ -121,6 +121,7 @@ object SparkEntry {
     "q_top_ngrams"       -> ((s, d) => TextOps.topNgrams(s, d)),
     "q_pack"             -> ((s, d) => TextOps.packChunks(s, d)),
     "q_shuffle_order"    -> ((s, d) => TextOps.shuffleOrder(s, d)),
+    "q_icp_pack"         -> ((s, d) => TextOps.icpPack(s, d)),
     "q_curriculum_pack"  -> ((s, d) => TextOps.curriculumPack(s, d)),
     "q_chunk_docs"       -> (TextOps.chunkDocs(_, _)),
     "q_pack_bpe"         -> ((s, d) => TextOps.packChunksBpe(s, d)),

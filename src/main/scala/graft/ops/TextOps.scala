@@ -817,6 +817,38 @@ object TextOps {
           .as("chunk_id"))
   }
 
+  /** IN-CONTEXT PRETRAINING packing (Shi et al. 2023, arXiv:2310.10638):
+    * context windows filled with RELATED documents instead of random ones —
+    * the paper's trick for teaching long-range use of context. Their
+    * scalable approximation is exactly the distributable one: cluster the
+    * corpus, then order within each cluster by similarity and pack
+    * neighbors together. Here the clusters are the IVF cells the vector
+    * tier already maintains and the within-cell order is the
+    * centroid-similarity rank ([[graft.ops.SimilarityOps.protoScore]] —
+    * the same oracled seam SemDedup/prototypicality use), so packing
+    * inherits the ANN tier's served assignment rather than running its
+    * own clustering. One keyed join (docs ⨝ assignment) + per-cell
+    * windows: parallelism is nlist-wide, the id arithmetic is
+    * cross-cell-coordination-free like [[packChunks]]'s, and a trainer
+    * reading a chunk gets semantically adjacent documents.
+    */
+  def icpPack(spark: SparkSession, dir: String,
+              ctxTokens: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val proto = graft.ops.SimilarityOps.protoScore(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("cell"), col("proto_rank"))
+    val w = Window.partitionBy("cell").orderBy("proto_rank")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), metrics.getField("n_tokens").as("n_tokens"))
+      .join(proto, Seq("doc_id"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("cell"), col("proto_rank"), col("n_tokens"),
+        col("cum_tokens"),
+        (col("cell").cast("long") * lit(1L << 32) +
+          floor((col("cum_tokens") - col("n_tokens")) / lit(ctxTokens.toDouble)))
+          .as("chunk_id"))
+  }
+
   /** The packing core over any per-doc token-budget column. */
   private def packOn(d: DataFrame, nTokens: Column, nShards: Int,
                      ctxTokens: Int): DataFrame = {
@@ -1775,6 +1807,40 @@ object TextOps {
         |  shard * 4294967296 + CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT)
         |    AS chunk_id
         |FROM c""".stripMargin,
+    "q_icp_pack" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid DESC) AS rn
+        |  FROM e CROSS JOIN c),
+        |cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE rn = 1),
+        |sc AS (
+        |  SELECT t.vec_id, t.cell, list_cosine_similarity(t.v, c.cv) AS pr
+        |  FROM cells t JOIN c ON c.cid = t.cell),
+        |pr AS (
+        |  SELECT vec_id, cell,
+        |    CAST(row_number() OVER (PARTITION BY cell
+        |      ORDER BY pr DESC, vec_id ASC) AS BIGINT) AS proto_rank
+        |  FROM sc),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |j AS (
+        |  SELECT t.doc_id, pr.cell, pr.proto_rank, t.n_tokens
+        |  FROM t JOIN pr ON pr.vec_id = t.doc_id),
+        |cum AS (
+        |  SELECT doc_id, cell, proto_rank, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY cell ORDER BY proto_rank)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM j)
+        |SELECT doc_id, cell, proto_rank, n_tokens, cum_tokens,
+        |  cell * 4294967296 + CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT)
+        |    AS chunk_id
+        |FROM cum""".stripMargin,
     "q_shuffle_order" ->
       """WITH t AS (
         |  SELECT doc_id,

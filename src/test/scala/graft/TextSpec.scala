@@ -576,6 +576,29 @@ class TextSpec extends SparkSpecBase {
       o1 > o2 || (o1 == o2 && g1 < g2) })
   }
 
+  test("icpPack: chunks hold same-cell (related) docs in similarity order; id arithmetic tiles") {
+    val out = graft.ops.TextOps.icpPack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3).toLong, r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, cell, _, _, _, chunkId) =>
+      assert((chunkId >> 32) === cell.toLong, "cell must ride the chunk id's top bits")
+    }
+    // within a cell: ranks are 1..n and cum_tokens is their running sum
+    out.groupBy(_._2).foreach { case (cell, rows) =>
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq === (1L to rows.length), s"cell $cell ranks")
+      var cum = 0L
+      byRank.foreach { case (_, _, _, n, c, _) =>
+        cum += n
+        assert(c === cum, s"cell $cell cum drift")
+      }
+    }
+    // a chunk groups only docs of ONE cell (semantic adjacency by construction)
+    out.groupBy(_._6).foreach { case (cid, rows) =>
+      assert(rows.map(_._2).distinct.length === 1, s"chunk $cid mixes cells")
+    }
+  }
+
   test("shuffleOrder: a seeded bijection — every chunk exactly once, contiguous positions, seed-sensitive") {
     import org.apache.spark.sql.functions.col
     val chunks = graft.ops.TextOps.packChunks(spark, sf)
