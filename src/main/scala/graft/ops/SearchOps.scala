@@ -1174,6 +1174,60 @@ object SearchOps {
       .limit(size)
   }
 
+  /** ES `rank_feature` query — static-feature relevance boosting (the
+    * pagerank/popularity signal folded into the score): ES's default
+    * `saturation` function `f / (f + pivot)` over a stored numeric
+    * feature, here in exact 2^20 fixed point (`f·2^20 div (f + pivot)` —
+    * one integer division, no float on either engine), added to the
+    * term-match score scaled to the same fixed point. Uses `n_chars` as
+    * the feature (longer docs boosted toward the pivot asymptote — the
+    * doc-quality prior a catalog search actually ships).
+    *
+    * One map-only corpus pass, same shape as [[matchQuery]]; at scale the
+    * feature column rides the same pruned scan as the text.
+    */
+  def rankFeatureSearch(spark: SparkSession, dir: String,
+                        q: String = "data stream", pivot: Long = 1000L,
+                        k: Int = 20): DataFrame = {
+    val toks = analyze(col("text"))
+    val hits = analyzeQuery(q)
+      .map(t => array_contains(toks, t).cast("int")).reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), hits.as("hits"),
+        expr(s"(n_chars * 1048576) div (n_chars + $pivot)").as("feat_fp"))
+      .filter(col("hits") > 0)
+      .select(col("doc_id"), col("hits"),
+        (col("hits").cast("long") * lit(1048576L) + col("feat_fp"))
+          .as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** ES `distance_feature` query — recency boosting: docs scored by
+    * closeness of a date field to an origin, ES's
+    * `boost · pivot / (pivot + |field − origin|)` in exact fixed point
+    * over integer milliseconds. Composed over the events stream (the
+    * freshest-activity signal per user): each user's LAST event time is
+    * the field, the corpus max is the origin, pivot = 24 h. The aggregate
+    * is one partial-first shuffle; the scoring is map-side arithmetic.
+    */
+  def distanceFeatureSearch(spark: SparkSession, dir: String,
+                            pivotMs: Long = 86400000L,
+                            k: Int = 20): DataFrame = {
+    val lastPerUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(unix_millis(col("ts"))).as("last_ms"),
+        count(lit(1)).as("n_events"))
+    val origin = lastPerUser.agg(max(col("last_ms"))).head.getLong(0) // 1-row
+    lastPerUser
+      .select(col("user_id"), col("n_events"),
+        expr(s"(${pivotMs}L * 1048576L) div (${pivotMs}L + (${origin}L - last_ms))")
+          .as("recency_fp"))
+      .orderBy(col("recency_fp").desc, col("n_events").desc,
+        col("user_id").asc)
+      .limit(k)
+  }
+
   /** ES `completion` suggester — prefix autocomplete over the INDEXED
     * vocabulary ranked by document frequency (the search-box analog of the
     * admin `q_prefix_search`, which autocompletes a stored COLUMN instead).
@@ -1924,6 +1978,8 @@ object SearchOps {
     "q_search_suggest" -> suggestOracle,
     "q_search_phrase_suggest" -> phraseSuggestOracle,
     "q_search_dis_max" -> disMaxOracle,
+    "q_rank_feature" -> rankFeatureOracle,
+    "q_distance_feature" -> distanceFeatureOracle,
     "q_percolate" -> percolateOracle,
     "q_search_complete" ->
       s"""WITH p AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
@@ -2413,6 +2469,31 @@ object SearchOps {
        |  FROM c)
        |SELECT term, suggestion, dist, df FROM r WHERE rnk <= 5""".stripMargin
   }
+
+  private def rankFeatureOracle: String = {
+    val hits = analyzeQuery("data stream").distinct
+      .map(t => s"CAST(list_contains(toks, '$t') AS INT)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, n_chars, $duckToks AS toks FROM documents),
+       |s AS (SELECT doc_id, ($hits) AS hits,
+       |    (n_chars * 1048576) // (n_chars + 1000) AS feat_fp
+       |  FROM t)
+       |SELECT doc_id, hits,
+       |  CAST(hits AS BIGINT) * 1048576 + feat_fp AS score_fp
+       |FROM s WHERE hits > 0
+       |ORDER BY score_fp DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
+  private def distanceFeatureOracle: String =
+    """WITH lp AS (
+      |  SELECT user_id, epoch_ms(max(ts)) AS last_ms,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY user_id),
+      |o AS (SELECT max(last_ms) AS origin FROM lp)
+      |SELECT user_id, n_events,
+      |  CAST((CAST(86400000 AS BIGINT) * 1048576) // (86400000 + (o.origin - lp.last_ms))
+      |    AS BIGINT) AS recency_fp
+      |FROM lp, o
+      |ORDER BY recency_fp DESC, n_events DESC, user_id ASC LIMIT 20""".stripMargin
 
   private def disMaxOracle: String = {
     val clauses = Seq("data stream", "window batch", "slow query")

@@ -135,6 +135,27 @@ class SuggestSpec extends SparkSpecBase {
     }
   }
 
+  test("rankFeature + distanceFeature: fixed-point laws replayed; saturation and recency bounded") {
+    val rf = SearchOps.rankFeatureSearch(spark, sf).collect()
+    assert(rf.nonEmpty)
+    val chars = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rf.foreach { r =>
+      val f = chars(r.getLong(0))
+      val featFp = f * 1048576L / (f + 1000L)
+      assert(r.getLong(2) === r.getInt(1).toLong * 1048576L + featFp, s"doc ${r.getLong(0)}")
+      assert(featFp >= 0L && featFp < 1048576L, "saturation must stay below 1.0")
+    }
+    val dfq = SearchOps.distanceFeatureSearch(spark, sf).collect()
+    assert(dfq.nonEmpty)
+    val fps = dfq.map(_.getLong(2))
+    assert(fps.max === 1048576L, "the origin user scores exactly 1.0")
+    assert(fps.forall(v => v > 0L && v <= 1048576L))
+    assert(fps.toSeq === fps.sortBy(-_).toSeq)
+  }
+
   /** Independent classic-Levenshtein replay (no early exit). */
   private def jvmLev(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
