@@ -491,8 +491,8 @@ object JpegCodec {
     // pixel-count cap in LONG: w*h*3 wraps Int inside the per-dimension
     // allowance (e.g. 27000x27000), which would turn the reject into a
     // NegativeArraySizeException — and bounds the plane allocations
-    require(w.toLong * h <= (1L << 24),
-      s"raster ${w}x$h exceeds the 16M-pixel decode cap")
+    require(w.toLong * h <= (1L << 28),
+      s"raster ${w}x$h exceeds the 268M-pixel decode cap (well under the Int wrap; bounds buffers to ~1 GiB)")
     val wb = (w + 7) / 8; val hb = (h + 7) / 8
     val br = new BitReader(bytes, scanStart)
     def readSym(huff: Huff): Int = {

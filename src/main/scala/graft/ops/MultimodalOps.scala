@@ -126,18 +126,20 @@ object MultimodalOps {
   /** Per-channel byte sums of a top-down RGB raster — the one copy of the
     * byte-walk the image/JPEG/MJPEG feature queries share.
     */
-  private def channelSums(rgb: Array[Byte]): (Long, Long, Long) = {
-    var sr = 0L; var sg = 0L; var sb = 0L
+  private def channelSums(rgb: Array[Byte]): (Long, Long, Long, Int) = {
+    var sr = 0L; var sg = 0L; var sb = 0L; var mx = 0
     var k = 0
     while (k < rgb.length) {
+      val v = rgb(k) & 0xff
       (k % 3: @annotation.switch) match {
-        case 0 => sr += rgb(k) & 0xff
-        case 1 => sg += rgb(k) & 0xff
-        case _ => sb += rgb(k) & 0xff
+        case 0 => sr += v
+        case 1 => sg += v
+        case _ => sb += v
       }
+      if (v > mx) mx = v
       k += 1
     }
-    (sr, sg, sb)
+    (sr, sg, sb, mx)
   }
 
   /** A decoded-image feature row — every field an exact integer. */
@@ -166,13 +168,7 @@ object MultimodalOps {
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
           val img = PngCodec.decode(payload)
-          val (sr, sg, sb) = channelSums(img.rgb)
-          var mx = 0
-          var k = 0
-          while (k < img.rgb.length) {
-            if ((img.rgb(k) & 0xff) > mx) mx = img.rgb(k) & 0xff
-            k += 1
-          }
+          val (sr, sg, sb, mx) = channelSums(img.rgb)
           val g = BmpCodec.resizeNearest(img, 8, 8)
           var lum = 0L
           var i = 0
@@ -231,7 +227,7 @@ object MultimodalOps {
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
           val img = JpegCodec.decode(payload)
-          val (sr, sg, sb) = channelSums(img.rgb)
+          val (sr, sg, sb, _) = channelSums(img.rgb)
           JpegFeatures(id, img.width, img.height, sr, sg, sb)
         }
       }
@@ -361,7 +357,7 @@ object MultimodalOps {
         rows.flatMap { case (id, payload) =>
           AviCodec.sampledFrames(payload, every).map { case (fi, fb) =>
             val img = JpegCodec.decode(fb)
-            val (sr, sg, sb) = channelSums(img.rgb)
+            val (sr, sg, sb, _) = channelSums(img.rgb)
             (id, fi, sr, sg, sb)
           }
         }

@@ -75,8 +75,8 @@ object PngCodec {
             s"implausible dimensions ${width}x$height")
           // LONG pixel cap: (3w+1)h wraps Int inside the per-dimension
           // allowance, which would crash allocation instead of rejecting
-          require(width.toLong * height <= (1L << 24),
-            s"raster ${width}x$height exceeds the 16M-pixel decode cap")
+          require(width.toLong * height <= (1L << 28),
+            s"raster ${width}x$height exceeds the 268M-pixel decode cap (well under the Int wrap; bounds buffers to ~1 GiB)")
           sawIhdr = true
         case "IDAT" =>
           require(sawIhdr, "IDAT before IHDR")

@@ -1189,8 +1189,11 @@ object SearchOps {
   def rankFeatureSearch(spark: SparkSession, dir: String,
                         q: String = "data stream", pivot: Long = 1000L,
                         k: Int = 20): DataFrame = {
+    require(pivot > 0, s"pivot must be positive ($pivot)")
+    val terms = analyzeQuery(q).distinct // the oracle's law: distinct terms
+    require(terms.nonEmpty, s"query '$q' analyzed to no terms")
     val toks = analyze(col("text"))
-    val hits = analyzeQuery(q)
+    val hits = terms
       .map(t => array_contains(toks, t).cast("int")).reduce(_ + _)
     Tables.documents(spark, dir)
       .select(col("doc_id"), hits.as("hits"),
@@ -1214,11 +1217,14 @@ object SearchOps {
   def distanceFeatureSearch(spark: SparkSession, dir: String,
                             pivotMs: Long = 86400000L,
                             k: Int = 20): DataFrame = {
+    require(pivotMs > 0, s"pivot must be positive ($pivotMs ms)")
     val lastPerUser = Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(max(unix_millis(col("ts"))).as("last_ms"),
         count(lit(1)).as("n_events"))
-    val origin = lastPerUser.agg(max(col("last_ms"))).head.getLong(0) // 1-row
+    val head = lastPerUser.agg(max(col("last_ms"))).head // 1-row
+    require(!head.isNullAt(0), "events table is empty — no origin timestamp")
+    val origin = head.getLong(0)
     lastPerUser
       .select(col("user_id"), col("n_events"),
         expr(s"(${pivotMs}L * 1048576L) div (${pivotMs}L + (${origin}L - last_ms))")

@@ -808,13 +808,9 @@ object TextOps {
       .select(col("doc_id"), bnum.as("bucket_n"),
         metrics.getField("n_tokens").as("n_tokens"),
         pmod(DedupOps.hash60(col("doc_id").cast("string")), lit(nShards)).as("shard"))
-    val w = Window.partitionBy("bucket_n", "shard").orderBy("doc_id")
-    d.withColumn("cum_tokens", sum("n_tokens").over(w))
-      .select(col("doc_id"), col("bucket_n"), col("shard"), col("n_tokens"),
-        col("cum_tokens"),
-        (col("bucket_n") * lit(1L << 40) + col("shard") * lit(1L << 32) +
-          floor((col("cum_tokens") - col("n_tokens")) / lit(ctxTokens.toDouble)))
-          .as("chunk_id"))
+    packWindows(d, Seq("bucket_n", "shard"), "doc_id",
+      col("bucket_n") * lit(1L << 40) + col("shard") * lit(1L << 32), ctxTokens)
+      .select("doc_id", "bucket_n", "shard", "n_tokens", "cum_tokens", "chunk_id")
   }
 
   /** IN-CONTEXT PRETRAINING packing (Shi et al. 2023, arXiv:2310.10638):
@@ -837,31 +833,39 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val proto = graft.ops.SimilarityOps.protoScore(spark, dir)
       .select(col("vec_id").as("doc_id"), col("cell"), col("proto_rank"))
-    val w = Window.partitionBy("cell").orderBy("proto_rank")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), metrics.getField("n_tokens").as("n_tokens"))
-      .join(proto, Seq("doc_id"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
-      .select(col("doc_id"), col("cell"), col("proto_rank"), col("n_tokens"),
-        col("cum_tokens"),
-        (col("cell").cast("long") * lit(1L << 32) +
-          floor((col("cum_tokens") - col("n_tokens")) / lit(ctxTokens.toDouble)))
-          .as("chunk_id"))
+    packWindows(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), metrics.getField("n_tokens").as("n_tokens"))
+        .join(proto, Seq("doc_id")),
+      Seq("cell"), "proto_rank",
+      col("cell").cast("long") * lit(1L << 32), ctxTokens)
+      .select("doc_id", "cell", "proto_rank", "n_tokens", "cum_tokens", "chunk_id")
   }
 
   /** The packing core over any per-doc token-budget column. */
-  private def packOn(d: DataFrame, nTokens: Column, nShards: Int,
-                     ctxTokens: Int): DataFrame = {
+  /** THE packing law, one copy: running token sums within each partition
+    * (ordered by `orderCol`) and the cross-partition-coordination-free
+    * chunk id `idBase + floor((cum − n) / ctx)`. Every packer —
+    * [[packChunks]]/[[packChunksBpe]], [[curriculumPack]], [[icpPack]] —
+    * composes this with its own partitioning and id base.
+    */
+  private def packWindows(d: DataFrame, partCols: Seq[String],
+                          orderCol: String, idBase: Column,
+                          ctxTokens: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("shard").orderBy("doc_id")
-    d.select(col("doc_id"), nTokens.as("n_tokens"),
-        pmod(DedupOps.hash60(col("doc_id").cast("string")), lit(nShards)).as("shard"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
-      .select(col("doc_id"), col("shard"), col("n_tokens"), col("cum_tokens"),
-        (col("shard") * lit(1L << 32) +
-          floor((col("cum_tokens") - col("n_tokens")) / lit(ctxTokens.toDouble)))
-          .as("chunk_id"))
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCol)
+    d.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("chunk_id", idBase +
+        floor((col("cum_tokens") - col("n_tokens")) / lit(ctxTokens.toDouble)))
   }
+
+  private def packOn(d: DataFrame, nTokens: Column, nShards: Int,
+                     ctxTokens: Int): DataFrame =
+    packWindows(
+      d.select(col("doc_id"), nTokens.as("n_tokens"),
+        pmod(DedupOps.hash60(col("doc_id").cast("string")), lit(nShards)).as("shard")),
+      Seq("shard"), "doc_id", col("shard") * lit(1L << 32), ctxTokens)
+      .select("doc_id", "shard", "n_tokens", "cum_tokens", "chunk_id")
 
   /** The curation filter chain, composed end-to-end: language-ID agreement,
     * quality score, and repetition caps fold into one keep/drop verdict with
