@@ -93,6 +93,8 @@ object SparkEntry {
     "q_search_phrase_suggest" -> ((s, d) => SearchOps.phraseSuggest(s, d)),
     "q_search_dis_max"   -> ((s, d) => SearchOps.disMaxSearch(s, d)),
     "q_rank_feature"     -> ((s, d) => SearchOps.rankFeatureSearch(s, d)),
+    "q_adjacency_matrix" -> ((s, d) => SearchOps.adjacencyMatrix(s, d)),
+    "q_sampler_terms"    -> ((s, d) => SearchOps.samplerTerms(s, d)),
     "q_distance_feature" -> ((s, d) => SearchOps.distanceFeatureSearch(s, d)),
     "q_percolate"        -> ((s, d) => SearchOps.percolate(s, d)),
     "q_search_wildcard"  -> ((s, d) => SearchOps.wildcardSearch(s, d)),

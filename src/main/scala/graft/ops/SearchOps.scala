@@ -1174,6 +1174,64 @@ object SearchOps {
       .limit(size)
   }
 
+  /** ES `adjacency_matrix` aggregation — co-occurrence counts of named
+    * filters: one bucket per filter and one per filter PAIR intersection
+    * (the graph-dashboard agg: "how many docs match both A and B").
+    * Compiles to per-row boolean indicators and sums of their products —
+    * ONE map-only pass with partial aggregation, every count exact; at any
+    * scale this is a single scan ending in an F+F·(F−1)/2-column fold.
+    * Emitted tall (key, doc_count) like ES's response buckets, empty
+    * intersections omitted (ES semantics).
+    */
+  def adjacencyMatrix(spark: SparkSession, dir: String,
+                      filters: Seq[(String, String)] = Seq(
+                        "data" -> "data", "stream" -> "stream",
+                        "window" -> "window"),
+                      k: Int = 100): DataFrame = {
+    require(filters.nonEmpty && filters.size <= 16, "1..16 named filters")
+    val toks = analyze(col("text"))
+    val ind = filters.map { case (name, term) =>
+      name -> array_contains(toks, analyzeQuery(term).head).cast("long")
+    }
+    val cells: Seq[(String, Column)] =
+      ind.map { case (n, c) => n -> sum(c) } ++
+        (for {
+          i <- ind.indices; j <- (i + 1) until ind.size
+        } yield s"${ind(i)._1}&${ind(j)._1}" ->
+          sum(ind(i)._2 * ind(j)._2))
+    val agg = Tables.documents(spark, dir)
+      .agg(cells.head._2.as("c0"),
+        cells.tail.zipWithIndex.map { case ((_, c), i) => c.as(s"c${i + 1}") }: _*)
+    val row = agg.head // 1-row fold of the single aggregate
+    import spark.implicits._
+    cells.zipWithIndex.map { case ((key, _), i) => (key, row.getLong(i)) }
+      .filter(_._2 > 0L)
+      .toDF("key", "doc_count")
+      .orderBy(col("key").asc)
+      .limit(k)
+  }
+
+  /** ES `sampler` aggregation — sub-aggregate over a bounded, DETERMINISTIC
+    * sample of the corpus instead of all of it (the cost-control wrapper
+    * dashboards put around expensive sub-aggs). ES samples the top
+    * `shard_size` docs per shard; the distributable deterministic analog is
+    * a hash gate (`hash60(doc_id) mod 10 = 0` → a reproducible ~10%
+    * sample with no RNG and no coordination), here feeding a terms
+    * sub-aggregation. The gate predicate is map-side on the scan; the
+    * sub-agg touches only sampled rows.
+    */
+  def samplerTerms(spark: SparkSession, dir: String, mod: Long = 10L,
+                   k: Int = 15): DataFrame = {
+    require(mod >= 2)
+    Tables.documents(spark, dir)
+      .filter(pmod(DedupOps.hash60(col("doc_id").cast("string")), lit(mod)) === 0)
+      .select(explode(array_distinct(analyze(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** ES `rank_feature` query — static-feature relevance boosting (the
     * pagerank/popularity signal folded into the score): ES's default
     * `saturation` function `f / (f + pivot)` over a stored numeric
@@ -1985,6 +2043,8 @@ object SearchOps {
     "q_search_phrase_suggest" -> phraseSuggestOracle,
     "q_search_dis_max" -> disMaxOracle,
     "q_rank_feature" -> rankFeatureOracle,
+    "q_adjacency_matrix" -> adjacencyOracle,
+    "q_sampler_terms" -> samplerOracle,
     "q_distance_feature" -> distanceFeatureOracle,
     "q_percolate" -> percolateOracle,
     "q_search_complete" ->
@@ -2475,6 +2535,39 @@ object SearchOps {
        |  FROM c)
        |SELECT term, suggestion, dist, df FROM r WHERE rnk <= 5""".stripMargin
   }
+
+  private def adjacencyOracle: String = {
+    val names = Seq("data", "stream", "window")
+    val inds = names.zipWithIndex.map { case (n, i) =>
+      s"CAST(list_contains(toks, '$n') AS BIGINT) AS i$i"
+    }.mkString(",\n       |    ")
+    val singles = names.zipWithIndex.map { case (n, i) =>
+      s"SELECT '$n' AS key, CAST(SUM(i$i) AS BIGINT) AS doc_count FROM i"
+    }
+    val pairs = for {
+      a <- names.indices; b <- (a + 1) until names.size
+    } yield s"SELECT '${names(a)}&${names(b)}' AS key, " +
+      s"CAST(SUM(i$a * i$b) AS BIGINT) AS doc_count FROM i"
+    val union = (singles ++ pairs).mkString("\n       |  UNION ALL ")
+    s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
+       |i AS (SELECT
+       |    $inds
+       |  FROM t),
+       |u AS (
+       |  $union)
+       |SELECT key, doc_count FROM u WHERE doc_count > 0
+       |ORDER BY key ASC LIMIT 100""".stripMargin
+  }
+
+  private def samplerOracle: String =
+    s"""WITH sdocs AS (
+       |  SELECT doc_id, $duckToks AS toks FROM documents
+       |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+       |        % 10 = 0),
+       |p AS (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM sdocs)
+       |SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_count
+       |FROM p GROUP BY token
+       |ORDER BY doc_count DESC, token ASC LIMIT 15""".stripMargin
 
   private def rankFeatureOracle: String = {
     val hits = analyzeQuery("data stream").distinct

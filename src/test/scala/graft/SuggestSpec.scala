@@ -156,6 +156,36 @@ class SuggestSpec extends SparkSpecBase {
     assert(fps.toSeq === fps.sortBy(-_).toSeq)
   }
 
+  test("adjacencyMatrix: intersections bounded by singles; counts match an analyzer replay") {
+    val out = SearchOps.adjacencyMatrix(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    import org.apache.spark.sql.functions.col
+    val toks = Tables.documents(spark, sf)
+      .select(SearchOps.analyze(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0).toSet)
+    def n(p: Set[String] => Boolean) = toks.count(p).toLong
+    Seq("data", "stream", "window").foreach { t =>
+      assert(out(t) === n(_.contains(t)), s"single $t")
+    }
+    assert(out("data&stream") === n(s => s("data") && s("stream")))
+    assert(out("data&stream") <= math.min(out("data"), out("stream")))
+    assert(out("stream&window") <= math.min(out("stream"), out("window")))
+  }
+
+  test("samplerTerms: deterministic hash gate; counts bounded by the sampled-doc population") {
+    val a = SearchOps.samplerTerms(spark, sf).collect().map(r => (r.getString(0), r.getLong(1)))
+    val b = SearchOps.samplerTerms(spark, sf).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq, "hash-gated sample must be reproducible")
+    import org.apache.spark.sql.functions._
+    val nSampled = Tables.documents(spark, sf)
+      .filter(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(10L)) === 0).count()
+    assert(nSampled > 0)
+    a.foreach { case (t, c) => assert(c <= nSampled, s"token $t count exceeds sample size") }
+    assert(a.map(_._2).toSeq === a.map(_._2).sortBy(-_).toSeq)
+  }
+
   /** Independent classic-Levenshtein replay (no early exit). */
   private def jvmLev(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
