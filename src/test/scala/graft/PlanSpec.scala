@@ -695,6 +695,24 @@ class PlanSpec extends SparkSpecBase {
     assert(!pp.contains("SortMergeJoin"), s"percolation must never shuffle the batch for the join:\n$pp")
   }
 
+  test("feature queries + sampler: map-only scans, partial aggs, no joins") {
+    // rank_feature: one corpus pass, no join, partial top-k
+    val pr = plan(graft.ops.SearchOps.rankFeatureSearch(spark, sf))
+    assert(!pr.contains("Join") && pr.contains("TakeOrderedAndProject"),
+      s"rank_feature must be a joinless scan + partial top-k:\n$pr")
+    // distance_feature: one keyed aggregate with map-side partials, no join
+    val pd = plan(graft.ops.SearchOps.distanceFeatureSearch(spark, sf))
+    assert(!pd.contains("Join"), s"distance_feature must not join:\n$pd")
+    assert(pd.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"per-user aggregate must combine map-side:\n$pd")
+    // sampler: the hash gate is a Filter ON the scan side, before the agg
+    val ps = plan(graft.ops.SearchOps.samplerTerms(spark, sf))
+    assert(ps.contains("Filter") && !ps.contains("Join"),
+      s"sampler gate must be a map-side filter:\n$ps")
+    assert(ps.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"terms sub-agg must combine map-side:\n$ps")
+  }
+
   test("dateHistogramFilled: spine from a 1-row agg, fill join broadcast, partial-first bucket agg") {
     val p = plan(EventsOps.dateHistogramFilled(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
