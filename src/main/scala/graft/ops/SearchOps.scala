@@ -1189,9 +1189,15 @@ object SearchOps {
                         "window" -> "window"),
                       k: Int = 100): DataFrame = {
     require(filters.nonEmpty && filters.size <= 16, "1..16 named filters")
+    require(filters.map(_._1).distinct.size == filters.size,
+      "filter names must be unique (pair keys would collide)")
+    require(filters.forall(f => !f._1.contains("&")),
+      "filter names must not contain '&' (the pair-key separator)")
     val toks = analyze(col("text"))
     val ind = filters.map { case (name, term) =>
-      name -> array_contains(toks, analyzeQuery(term).head).cast("long")
+      val ts = analyzeQuery(term)
+      require(ts.nonEmpty, s"filter '$name': term '$term' analyzed to nothing")
+      name -> array_contains(toks, ts.head).cast("long")
     }
     val cells: Seq[(String, Column)] =
       ind.map { case (n, c) => n -> sum(c) } ++
