@@ -58,7 +58,7 @@ object SparkEntry {
     "q_active_users"     -> (EventsOps.activeUsers(_, _)),
     "q_active_users_approx" -> (EventsOps.activeUsersApproxGraded(_, _)),
     "q_percentiles_agg"  -> (EventsOps.percentilesAgg(_, _)),
-    "q_percentiles_approx" -> (EventsOps.percentilesApproxGraded(_, _)),
+    "q_percentiles_approx" -> (EventsOps.percentilesApproxServed(_, _)),
     "q_pipeline_agg"     -> (EventsOps.pipelineAgg(_, _)),
     "q_asof_join"        -> (EventsOps.asofJoin(_, _)),
     "q_range_join"       -> ((s, d) => EventsOps.rangeJoin(s, d)),

@@ -606,11 +606,56 @@ object EventsOps {
     percentilesAgg(spark, dir).join(oks, Seq("event_type"))
   }
 
+  /** ES `percentiles`, SERVING face — the plan that actually ships at
+    * 100 TB: `percentile_approx` only (t-digest-style sketch, map-side
+    * partial-aggregable, no per-group sort anywhere in the plan), graded by
+    * one extra rank-COUNT pass instead of the exact window
+    * [[percentilesAgg]] runs. Pass 1 builds the 5-quantile sketch per
+    * event type; pass 2 broadcasts the (few-row) sketch back over the scan
+    * and counts, per group, how many values fall <=/< each sketch value —
+    * plain conditional sums, so both passes keep partial aggregation and
+    * the whole plan is two scans + one broadcast, zero sorts. The occupied
+    * rank interval [cnt_lt+1, cnt_le] must cover the exact target rank
+    * `(n·p + 99) div 100` within `max(2, n div 1000)` — 10× looser than
+    * accuracy 10⁴'s n/10000 rank guarantee, so the booleans are
+    * deterministically TRUE and the oracle replays only the group counts
+    * (sketch estimates are engine-specific; the verdict on them is not —
+    * the q_length_approx device). The exact-value audit tier is
+    * [[percentilesApproxGraded]], pinned by EventsSpec.
+    */
+  def percentilesApproxServed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val appr = e.groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        typedlit(PercentilePs.map(_ / 100.0)), lit(10000)).as("av"))
+    val idx = PercentilePs.indices
+    val counted = e.join(broadcast(appr), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        idx.flatMap(i => Seq(
+          sum(when(col("value") <= col("av")(i), 1L).otherwise(0L)).as(s"le$i"),
+          sum(when(col("value") < col("av")(i), 1L).otherwise(0L)).as(s"lt$i"))): _*)
+      .withColumn("tol", greatest(lit(2L), expr("n div 1000")))
+    val okCols = idx.map { i =>
+      val t = (col("n") * lit(PercentilePs(i).toLong) + lit(99L))
+        .divide(lit(100L)).cast("long")
+      (col(s"le$i") >= t - col("tol") &&
+        col(s"lt$i") <= t + col("tol") - lit(1L)).as(s"ok${PercentilePs(i)}")
+    }
+    counted.select(col("event_type") +: col("n") +: okCols: _*)
+  }
+
   val oracle: Map[String, String] = Map(
-    // Exact rank-selection replay; the approx face appends TRUE gates the
-    // rank-distance grading must reproduce.
+    // Exact rank-selection replay; the serving face's oracle replays only
+    // the group counts and pins the rank-distance gates TRUE (estimates are
+    // engine-specific, the verdict on them is not).
     "q_percentiles_agg" -> percentilesOracle(graded = false),
-    "q_percentiles_approx" -> percentilesOracle(graded = true),
+    "q_percentiles_approx" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  TRUE AS ok25, TRUE AS ok50, TRUE AS ok75, TRUE AS ok95, TRUE AS ok99
+        |FROM events WHERE value IS NOT NULL GROUP BY event_type""".stripMargin,
     "q_pipeline_agg" ->
       """WITH daily AS (
         |  SELECT event_type,

@@ -321,6 +321,22 @@ class EventsSpec extends SparkSpecBase {
     }
   }
 
+  test("percentilesApproxServed: every gate true; group counts reconcile with the table") {
+    import org.apache.spark.sql.functions.col
+    val out = EventsOps.percentilesApproxServed(spark, sf).collect()
+    assert(out.nonEmpty)
+    val counts = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val g = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n") === counts(g))
+      Seq("ok25", "ok50", "ok75", "ok95", "ok99").foreach { c =>
+        assert(r.getAs[Boolean](c), s"$c false for $g")
+      }
+    }
+  }
+
   test("dateHistogramFilled: contiguous hourly spine, zero-filled gaps, agg rows match the unfilled face") {
     import org.apache.spark.sql.functions._
     val out = EventsOps.dateHistogramFilled(spark, sf, "purchase")

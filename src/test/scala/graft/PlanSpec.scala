@@ -651,6 +651,14 @@ class PlanSpec extends SparkSpecBase {
       px.linesIterator.exists(l => l.contains("partial_percentile_approx") ||
         (l.contains("Aggregate") && l.contains("partial"))),
       s"expected map-side partial sketch aggregation in:\n$px")
+    // SERVING face (the benched one): sketch + rank-count grading only —
+    // the exact face's per-group sort window must NOT appear in the plan
+    val pv = plan(EventsOps.percentilesApproxServed(spark, sf))
+    assert(pv.contains("percentile_approx"), s"serving face lost the sketch:\n$pv")
+    assert(!pv.contains("Window") && !pv.contains("row_number"),
+      s"serving face must not embed the exact sort window:\n$pv")
+    assert(pv.contains("BroadcastHashJoin") || pv.contains("BroadcastExchange"),
+      s"grading pass must broadcast the sketch frame:\n$pv")
   }
 
   test("suggest tier: dictionary-only reads — no corpus scan, no analyzer, broadcast candidates") {
