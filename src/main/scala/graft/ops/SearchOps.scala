@@ -219,6 +219,40 @@ object SearchOps {
       .limit(k)
   }
 
+  /** Version-keyed store of the function_score popularity factor — the
+    * per-order lineitem count is a STATIC rank feature (ES would hold it as
+    * an indexed doc field, reference search/es_index_schema.json's numeric
+    * fields), so it is aggregated ONCE per corpus version and served, the
+    * same build-or-serve discipline as [[servedPostings]]/the IVF cell
+    * store: a rewritten lineitem table yields a new store path, a stale
+    * factor is never read again. Serving plans read ~n_orders pre-counted
+    * rows instead of re-aggregating the fact table per query; here the
+    * artifact broadcasts into the orders scan (it is orders-of-magnitude
+    * narrower than lineitem), and at warehouse scale both sides bucket on
+    * the order key so the join stays co-located with no broadcast ceiling.
+    */
+  private[graft] def servedOrderPopularity(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.derivedStorePath(spark, "orderpop", dir, "lineitem.parquet")
+    servedStores.computeIfAbsent(p, path => buildIfAbsent(spark, path) {
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+    })
+    Tables.parquetCached(spark, p)
+  }
+
+  /** Shared first stage of the decay trio: orders joined to the SERVED
+    * popularity artifact (broadcast — no lineitem subtree, no shuffle of
+    * orders) with the integer day distance to `origin` projected per row.
+    */
+  private def decayScoredOrders(spark: SparkSession, dir: String,
+                                origin: String): DataFrame = {
+    val pop = servedOrderPopularity(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+    o.join(broadcast(pop), o("o_orderkey") === pop("l_orderkey"))
+      .withColumn("days_old", datediff(to_date(lit(origin)), col("od")))
+  }
+
   /** ES `function_score` — relevance rewritten by document-level signals:
     * a recency DECAY function multiplied by a popularity field factor, the
     * canonical "boost fresh + popular" listing query (ES function_score
@@ -235,20 +269,17 @@ object SearchOps {
     * that cost q_sig_terms its r9 hash; linear is the shape with an exact
     * integer form, so the scores — and the ranking — replay bit-for-bit.
     *
-    * Scale: lineitem pre-aggregates map-side to (orderkey, n_items) before
-    * the keyed join (never a row-level join then count), the decay is a
+    * Scale: the popularity factor is a STATIC per-entity rank feature, so
+    * it is built once per corpus version ([[servedOrderPopularity]]) and
+    * every query joins the served artifact — the lineitem aggregate never
+    * appears in a serving plan (PlanSpec pins its absence). The decay is a
     * per-row projection on the join output, and the listing is a partial
     * top-k (TakeOrderedAndProject), not a sort.
     */
   def functionScore(spark: SparkSession, dir: String,
                     origin: String = "2001-08-01", offsetDays: Int = 60,
                     scaleDays: Int = 730, k: Int = 50): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
-    val o = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
-    o.join(li, o("o_orderkey") === li("l_orderkey"))
-      .withColumn("days_old", datediff(to_date(lit(origin)), col("od")))
+    decayScoredOrders(spark, dir, origin)
       .withColumn("decay_fp",
         expr(s"(1048576L * greatest(0, $scaleDays - greatest(0, days_old - $offsetDays))) div $scaleDays"))
       .select(col("o_orderkey"), col("n_items"), col("decay_fp"),
@@ -285,12 +316,7 @@ object SearchOps {
                          scaleDays: Int = 365, k: Int = 50): DataFrame = {
     val s2 = scaleDays.toLong * scaleDays
     val tblSql = GaussDecayTable.mkString("array(", "L, ", "L)")
-    val li = Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
-    val o = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
-    o.join(li, o("o_orderkey") === li("l_orderkey"))
-      .withColumn("days_old", datediff(to_date(lit(origin)), col("od")))
+    decayScoredOrders(spark, dir, origin)
       .withColumn("x", greatest(lit(0), abs(col("days_old")) - lit(offsetDays)))
       .withColumn("u", col("x").cast("long") * col("x"))
       .withColumn("decay_fp", expr(
@@ -314,12 +340,7 @@ object SearchOps {
                        origin: String = "2001-08-01", offsetDays: Int = 60,
                        scaleDays: Int = 365, k: Int = 50): DataFrame = {
     val tblSql = GaussDecayTable.mkString("array(", "L, ", "L)")
-    val li = Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
-    val o = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
-    o.join(li, o("o_orderkey") === li("l_orderkey"))
-      .withColumn("days_old", datediff(to_date(lit(origin)), col("od")))
+    decayScoredOrders(spark, dir, origin)
       .withColumn("x",
         greatest(lit(0), abs(col("days_old")) - lit(offsetDays)).cast("long"))
       .withColumn("decay_fp", expr(

@@ -509,17 +509,23 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast vocab join in:\n$p")
   }
 
-  test("functionScore: lineitem pre-aggregated before the join; listing is partial top-k") {
-    val p = plan(SearchOps.functionScore(spark, sf))
-    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"unexpected product join in:\n$p")
-    // the aggregate must sit BELOW the join: count per orderkey, then join
-    val lines = p.linesIterator.toSeq
-    val aggIdx = lines.indexWhere(l => l.contains("HashAggregate") && l.contains("count"))
-    val joinIdx = lines.indexWhere(_.contains("Join"))
-    assert(aggIdx > joinIdx && joinIdx >= 0,
-      s"lineitem count should pre-aggregate below the join in:\n$p")
+  test("functionScore trio: popularity SERVED from the store — no lineitem aggregate in any plan") {
+    for (df <- Seq(SearchOps.functionScore(spark, sf),
+                   SearchOps.functionScoreGauss(spark, sf),
+                   SearchOps.functionScoreExp(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"unexpected product join in:\n$p")
+      // the static rank feature is a store read, never a per-query
+      // fact-table re-aggregation: no lineitem scan, no count aggregate
+      assert(!p.contains("lineitem.parquet"),
+        s"serving plan must read the popularity store, not lineitem:\n$p")
+      assert(!p.contains("HashAggregate"),
+        s"no aggregate may appear in the serving plan:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"popularity artifact should broadcast into the orders scan:\n$p")
+    }
   }
 
   test("highlight: map-only corpus pass finished by TakeOrderedAndProject — no shuffle, no join") {
