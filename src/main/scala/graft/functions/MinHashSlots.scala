@@ -736,6 +736,7 @@ object GraftFunctions {
         registry.functionExists(FunctionIdentifier("ru_en_analyze")) &&
         registry.functionExists(FunctionIdentifier("lsh_sig")) &&
         registry.functionExists(FunctionIdentifier("vec_cosine")) &&
+        registry.functionExists(FunctionIdentifier("vec_sanity")) &&
         registry.functionExists(FunctionIdentifier("ivf_assign")) &&
         registry.functionExists(FunctionIdentifier("gram_hash60")) &&
         registry.functionExists(FunctionIdentifier("gram_hash60_pos")) &&
@@ -757,6 +758,8 @@ object GraftFunctions {
       "lsh_sig", VectorFunctionBuilders.lshSig _, "built-in")
     registry.createOrReplaceTempFunction(
       "vec_cosine", VectorFunctionBuilders.vecCosine _, "built-in")
+    registry.createOrReplaceTempFunction(
+      "vec_sanity", VectorFunctionBuilders.vecSanity _, "built-in")
     registry.createOrReplaceTempFunction(
       "ivf_assign", VectorFunctionBuilders.ivfAssign _, "built-in")
     registry.createOrReplaceTempFunction(

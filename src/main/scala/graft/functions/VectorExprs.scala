@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Deterministic pseudo-random hyperplanes for sign-LSH (fixed seed — the
   * same planes every run, every round, and in the DuckDB oracle, which
@@ -222,6 +222,70 @@ case class IvfAssign(child: Expression, codebook: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Native embedding-sanitation kernel: the fixed-point squared norm and the
+  * non-finite flag in ONE codegen'd traversal —
+  * `struct(norm2_fp BIGINT, has_nan BOOLEAN)`.
+  *
+  * Bit-identical to the composed pair the r12 face ran (asserted in
+  * FunctionsSpec):
+  *   `aggregate(v, 0L, (acc, x) -> acc + CASE nonfinite -> 0
+  *      ELSE round(least(1048576.0·x², 1e15))::long)` and
+  *   `exists(v, nonfinite)`
+  * — per-component contributions round HALF_UP (the exact `BigDecimal`
+  * discipline Spark's `round` uses, so no Math.round midpoint hazard) to
+  * 2^20 grain BEFORE the integer sum: order-independent by construction,
+  * capped at the exactly-representable 1e15 per component. The composed
+  * form walked the vector twice through interpreted lambda frames (no
+  * codegen, no CSE — 1 cpu-s for 500 vectors in BENCH_r12); this is one
+  * primitive loop. NULL input yields NULL (both composed HOFs do).
+  */
+case class VecSanity(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("norm2_fp", LongType, nullable = false),
+    StructField("has_nan", BooleanType, nullable = false)))
+  override def prettyName: String = "vec_sanity"
+
+  override def nullSafeEval(input: Any): Any =
+    VecSanity.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = VecSanity.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $cls.compute($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecSanity =
+    copy(child = newChild)
+}
+
+object VecSanity {
+  /** Shared by interpreted eval and codegen. */
+  def compute(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    var norm2 = 0L
+    var hasNan = false
+    var i = 0
+    while (i < n) {
+      // a null element NULLs both composed HOF results — propagate
+      if (arr.isNullAt(i)) return null
+      val x = arr.getDouble(i)
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) {
+        hasNan = true // contributes 0 to the norm
+      } else {
+        val d = 1048576.0 * x * x
+        val capped = if (d > 1.0e15) 1.0e15 else d
+        // Spark round(double) = BigDecimal HALF_UP — replicated exactly
+        norm2 += java.math.BigDecimal.valueOf(capped)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(norm2, hasNan)
+  }
+}
+
 /** Expression builders shared by [[GraftFunctions.register]] and
   * `GraftExtensions.injectFunction` so the SQL surface is identical on both
   * registration paths.
@@ -242,6 +306,11 @@ object VectorFunctionBuilders {
   def vecCosine(exprs: Seq[Expression]): Expression = {
     require(exprs.size == 2, "vec_cosine(a, b)")
     VecCosine(exprs.head, exprs(1))
+  }
+
+  def vecSanity(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 1, "vec_sanity(vec)")
+    VecSanity(exprs.head)
   }
 
   def ivfAssign(exprs: Seq[Expression]): Expression = {

@@ -345,6 +345,9 @@ object SimilarityOps {
     val qv = if (queryVecId >= 0 && queryVecId < nlist) codebook(queryVecId.toInt)._2
              else collectVec(emb, queryVecId)
     val store = servedCellStore(spark, dir, emb, codebook, nlist)
+    // nprobe0 <= 0 would pin the escalation at 0 forever (0*2 = 0): the
+    // loop could never terminate (r12 advice)
+    require(nprobe0 >= 1, s"nprobe0 must be >= 1 (got $nprobe0)")
     var nprobe = math.min(nprobe0, nlist)
     var done = false
     var result: DataFrame = null
@@ -883,23 +886,34 @@ object SimilarityOps {
   def embedSanity(spark: SparkSession, dir: String,
                   minNorm2Fp: Long = 1L,                 // > 0: kills exact zeros
                   maxNorm2Fp: Long = 1048576L * 10000): DataFrame = {
-    val v = toDouble(col("embedding"))
-    // non-finite components contribute 0 to the norm (their row is already
-    // killed by has_nan; NaN² would NaN the whole fold and ANSI-overflow
-    // the cast) and finite ones cap at 1e15 fp units per component — an
-    // exactly-representable double both engines cast identically, far past
-    // any sane norm yet far from Long overflow at any dim
+    graft.functions.GraftFunctions.register(spark)
+    // native one-pass kernel (norm + flag in a single codegen'd traversal);
+    // ≡ the composed HOF pair [[sanityComposed]], asserted in FunctionsSpec
+    val s = call_function("vec_sanity", toDouble(col("embedding")))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"),
+        s.getField("norm2_fp").as("norm2_fp"), s.getField("has_nan").as("has_nan"))
+      .select(col("vec_id"), col("dim"), col("norm2_fp"), col("has_nan"),
+        (!col("has_nan") && col("norm2_fp") >= minNorm2Fp &&
+          col("norm2_fp") <= maxNorm2Fp).as("keep"))
+  }
+
+  /** The composed (HOF-lambda) sanitation pair — the semantic reference
+    * `vec_sanity` is bit-equality-tested against in FunctionsSpec; too slow
+    * for hot paths (interpreted per-element frames, two traversals).
+    * Non-finite components contribute 0 to the norm (their row is already
+    * killed by has_nan; NaN² would NaN the whole fold and ANSI-overflow the
+    * cast) and finite ones cap at 1e15 fp units per component — an
+    * exactly-representable double both engines cast identically, far past
+    * any sane norm yet far from Long overflow at any dim.
+    */
+  private[graft] def sanityComposed(v: Column): (Column, Column) = {
     val norm2Fp = aggregate(v, lit(0L),
       (acc, x) => acc + when(isnan(x) || abs(x) === Double.PositiveInfinity, lit(0L))
         .otherwise(round(least(lit(1048576.0) * x * x, lit(1.0e15))).cast("long")))
     val hasNan = exists(v, x => isnan(x) || x === Double.PositiveInfinity ||
       x === Double.NegativeInfinity)
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"),
-        norm2Fp.as("norm2_fp"), hasNan.as("has_nan"))
-      .select(col("vec_id"), col("dim"), col("norm2_fp"), col("has_nan"),
-        (!col("has_nan") && col("norm2_fp") >= minNorm2Fp &&
-          col("norm2_fp") <= maxNorm2Fp).as("keep"))
+    (norm2Fp, hasNan)
   }
 
   /** Retrieval-quality evaluation: recall@k and reciprocal rank of the IVF

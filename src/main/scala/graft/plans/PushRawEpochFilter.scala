@@ -172,6 +172,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.VecCosine].getName, "vec_cosine"),
       { exprs: Seq[Expression] => graft.functions.VectorFunctionBuilders.vecCosine(exprs) }))
     ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_sanity"),
+      new ExpressionInfo(classOf[graft.functions.VecSanity].getName, "vec_sanity"),
+      { exprs: Seq[Expression] => graft.functions.VectorFunctionBuilders.vecSanity(exprs) }))
+    ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("ivf_assign"),
       new ExpressionInfo(classOf[graft.functions.IvfAssign].getName, "ivf_assign"),
       { exprs: Seq[Expression] => graft.functions.VectorFunctionBuilders.ivfAssign(exprs) }))

@@ -403,6 +403,43 @@ class FunctionsSpec extends SparkSpecBase {
     }
   }
 
+  test("vec_sanity ≡ composed aggregate/exists pair — bit-identical on the real corpus and hostile vectors") {
+    GraftFunctions.register(spark)
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val nan = Double.NaN; val pinf = Double.PositiveInfinity
+    val hostile = Seq(
+      (9001L, Seq(1.0, nan, 3.0)),               // NaN component
+      (9002L, Seq(pinf, 1.0)),                   // +Inf
+      (9003L, Seq(-pinf, 0.5)),                  // -Inf
+      (9004L, Seq.empty[Double]),                // empty → norm 0, no flag
+      (9005L, Seq(0.0, 0.0)),                    // exact zero norm
+      (9006L, Seq(1.0e200, 1.0)),                // per-component cap hits
+      (9007L, Seq(0.7071067811865476)),          // rounding midpoint region
+      (9008L, Seq(1.0e-10))                      // rounds to 0 at 2^20 grain
+    ).toDF("vec_id", "v")
+    for (df <- Seq(emb, hostile)) {
+      val (normRef, nanRef) = graft.ops.SimilarityOps.sanityComposed(col("v"))
+      val rows = df.select(col("vec_id"),
+          expr("vec_sanity(v)").as("s"), normRef.as("n_ref"), nanRef.as("h_ref"))
+        .select(col("vec_id"), col("s.norm2_fp"), col("s.has_nan"),
+          col("n_ref"), col("h_ref"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getLong(1) === r.getLong(3), s"norm2_fp vec ${r.getLong(0)}")
+        assert(r.getBoolean(2) === r.getBoolean(4), s"has_nan vec ${r.getLong(0)}")
+      }
+    }
+    // NULL vector and null element propagate like the composed HOFs
+    val nulls = Seq((1L, Option.empty[Seq[java.lang.Double]]),
+        (2L, Some(Seq[java.lang.Double](1.0, null))))
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+      .select(expr("vec_sanity(v)").as("s")).collect()
+    nulls.foreach(r => assert(r.isNullAt(0), "null input must yield NULL"))
+  }
+
   test("cosDriver ≡ vec_cosine — the driver-side probe ranking replays the plan bit-for-bit") {
     GraftFunctions.register(spark)
     val emb = graft.Tables.embeddings(spark, sf)
