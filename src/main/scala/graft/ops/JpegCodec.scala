@@ -421,6 +421,10 @@ object JpegCodec {
       val m = bytes(pos + 1) & 0xff
       require(m != 0xd9, "EOI before any scan (no image data)")
       require(m < 0xd0 || m > 0xd7, "unexpected RST marker in the header section")
+      // TEM (0x01) and a stray stuffed 0x00 are LENGTH-LESS: reading
+      // u16(pos+2) as a segment length would misparse the stream
+      require(m != 0x00 && m != 0x01,
+        f"standalone marker 0xFF$m%02X carries no length segment")
       val len = u16(pos + 2)
       require(pos + 2 + len <= bytes.length, f"truncated segment 0xFF$m%02X")
       val body = pos + 4
@@ -524,8 +528,10 @@ object JpegCodec {
       while (k < 64 && !done) {
         val sym = readSym(acH)
         if (sym == 0x00) done = true // EOB
-        else if (sym == 0xF0) k += 16 // ZRL
-        else {
+        else if (sym == 0xF0) {
+          k += 16 // ZRL: 16 zeros, no coefficient
+          require(k <= 64, "ZRL overruns the block")
+        } else {
           k += sym >> 4
           require(k < 64, "AC run overruns the block")
           val sz = sym & 0x0f
