@@ -64,8 +64,11 @@ object MultimodalOps {
     } else if (JpegCodec.isJpeg(payload)) {
       val img = JpegCodec.decode(payload)
       (img.width, img.height, 0, 1)
+    } else if (FlacCodec.isFlac(payload)) {
+      val a = FlacCodec.decode(payload)
+      (0, 0, a.sampleRate, a.samples.length)
     } else {
-      // further codecs (H.264 frames, WebP, FLAC) drop in here;
+      // further codecs (H.264 frames, WebP) drop in here;
       // deterministic fake below keeps the remaining plumbing tested
       val h = java.util.Arrays.hashCode(payload).abs
       mediaType match {
@@ -402,6 +405,71 @@ object MultimodalOps {
           }
           AudioFeatures(id, a.sampleRate, s.length,
             s.length.toLong * 1000L / a.sampleRate, sumSq, zc, peak)
+        }
+      }
+      .toDF()
+  }
+
+  /** Ingest face with REAL compressed-audio payloads: audio rows carry a
+    * deterministic synthetic FLAC ([[FlacCodec]] — fixed predictors + Rice
+    * coding + CRC-8/CRC-16/MD5 integrity chain) built from the closed-form
+    * sample law, the same device as [[wavMediaTable]] with the lossless
+    * COMPRESSED format. Map-side synthesis; nothing shuffles.
+    */
+  def flacMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("doc_id", "payload", "media_type")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, mt) =>
+          if (mt == "audio")
+            (id, FlacCodec.synth(id, 512 + (id % 512).toInt,
+              8000 + (id % 4).toInt * 2000), mt)
+          else (id, payload, mt)
+        }
+      }
+      .toDF("doc_id", "payload", "media_type")
+  }
+
+  /** [[AudioFeatures]] plus the lossless-compression verdict. */
+  case class FlacFeatures(
+      doc_id: Long, sample_rate: Int, n_samples: Int, duration_ms: Long,
+      sum_sq: Long, zero_cross: Long, peak: Int, compressed: Boolean)
+
+  /** The FLAC face of [[audioFeatures]]: synth → FLAC encode (fixed
+    * predictors, Rice residuals) → full decode (CRC-8 + CRC-16 +
+    * STREAMINFO MD5 verified) → exact-integer features. The oracle replays
+    * the sample law with NO codec, so any bit the compressed round trip
+    * flips in rate, length, or samples breaks the hash gate — and the
+    * `compressed` gate (payload strictly smaller than the 16-bit raw
+    * stream) pins that the predictor/Rice stage actually compresses, not
+    * just round-trips. Map-side `mapPartitions`; payloads never shuffle.
+    */
+  def flacAudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    flacMediaTable(spark, dir)
+      .filter(col("media_type") === "audio")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val a = FlacCodec.decode(payload)
+          val s = a.samples
+          var sumSq = 0L
+          var zc = 0L
+          var peak = 0
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toInt
+            sumSq += v.toLong * v
+            if (i > 0 && s(i - 1).toInt * v < 0) zc += 1
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          FlacFeatures(id, a.sampleRate, s.length,
+            s.length.toLong * 1000L / a.sampleRate, sumSq, zc, peak,
+            payload.length < 2 * s.length)
         }
       }
       .toDF()
@@ -762,6 +830,25 @@ object MultimodalOps {
         |  CAST(len(list_filter(range(2, CAST(n_samples AS BIGINT) + 1),
         |    i -> s[i-1] * s[i] < 0)) AS BIGINT) AS zero_cross,
         |  CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER) AS peak
+        |FROM a""".stripMargin,
+    // Same device over the COMPRESSED audio round trip (FLAC sample law,
+    // distinct mixing constants); `compressed` pins that the
+    // predictor/Rice stage beat the raw 16-bit stream on every row.
+    "q_flac_features" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 4) * 2000 AS INTEGER) AS sample_rate,
+        |    CAST(512 + (doc_id % 512) AS INTEGER) AS n_samples,
+        |    list_transform(range(0, 512 + (doc_id % 512)), i ->
+        |      (doc_id * 241 + i * 661) % 4001 - 2000) AS s
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT doc_id, sample_rate, n_samples,
+        |  CAST((n_samples * 1000) // sample_rate AS BIGINT) AS duration_ms,
+        |  CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sum_sq,
+        |  CAST(len(list_filter(range(2, CAST(n_samples AS BIGINT) + 1),
+        |    i -> s[i-1] * s[i] < 0)) AS BIGINT) AS zero_cross,
+        |  CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER) AS peak,
+        |  TRUE AS compressed
         |FROM a""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,

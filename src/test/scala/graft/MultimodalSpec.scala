@@ -187,6 +187,90 @@ class MultimodalSpec extends SparkSpecBase {
       n.toLong * 1000L / (8000 + (id % 4).toInt * 2000))
   }
 
+  test("FlacCodec: encode∘decode is the identity across block shapes, extremes, and subframe types") {
+    import graft.ops.FlacCodec
+    // lengths straddle the 4096 block: single sample, partial, exact,
+    // multi-frame with partial tail
+    for (n <- Seq(1, 5, 511, 4096, 4097, 9001)) {
+      val a = FlacCodec.Audio(22050, FlacCodec.synthSamples(seed = 7, n = n))
+      val round = FlacCodec.decode(FlacCodec.encode(a))
+      assert(round.sampleRate === a.sampleRate, s"rate at n=$n")
+      assert(round.samples.toSeq === a.samples.toSeq, s"samples at n=$n")
+    }
+    // CONSTANT subframe: an all-equal block takes that arm and round-trips
+    val const = FlacCodec.Audio(8000, Array.fill[Short](5000)(-123))
+    assert(FlacCodec.decode(FlacCodec.encode(const)).samples.toSeq === const.samples.toSeq)
+    // hostile extremes: full 16-bit range, alternating (max order-1 residuals)
+    val rnd = new scala.util.Random(5)
+    val extreme = Array.tabulate[Short](6000) {
+      case i if i % 97 == 0 => Short.MinValue
+      case i if i % 89 == 0 => Short.MaxValue
+      case _                => (rnd.nextInt(65536) - 32768).toShort
+    }
+    val ea = FlacCodec.Audio(48000, extreme)
+    assert(FlacCodec.decode(FlacCodec.encode(ea)).samples.toSeq === extreme.toSeq)
+    // the law samples must genuinely COMPRESS (predictor+Rice beats raw)
+    val law = FlacCodec.Audio(16000, FlacCodec.synthSamples(seed = 11, n = 2048))
+    assert(FlacCodec.encode(law).length < 2 * law.samples.length,
+      "fixed-predictor Rice coding must beat the raw 16-bit stream on the sample law")
+  }
+
+  test("FlacCodec: integrity chain trips on corruption; unknown metadata blocks walk through") {
+    import graft.ops.FlacCodec
+    val a = FlacCodec.Audio(16000, FlacCodec.synthSamples(seed = 21, n = 1000))
+    val enc = FlacCodec.encode(a)
+    // a PADDING metadata block (type 1) spliced before frames is walked over
+    val siEnd = 4 + 4 + 34 // magic + STREAMINFO header + body
+    val pad = Array[Byte](1, 0, 0, 3, 0, 0, 0) // type 1, len 3 (last flag on STREAMINFO cleared)
+    val spliced = new Array[Byte](enc.length + pad.length)
+    System.arraycopy(enc, 0, spliced, 0, siEnd)
+    System.arraycopy(pad, 0, spliced, siEnd, pad.length)
+    System.arraycopy(enc, siEnd, spliced, siEnd + pad.length, enc.length - siEnd)
+    spliced(4) = (spliced(4) & 0x7f).toByte // STREAMINFO no longer last
+    spliced(siEnd) = (spliced(siEnd) | 0x80).toByte // padding block is last
+    val walked = FlacCodec.decode(spliced)
+    assert(walked.samples.toSeq === a.samples.toSeq)
+    // flip one payload byte mid-frame: CRC-16 (or the MD5) must trip
+    val corrupt = enc.clone()
+    corrupt(enc.length - 40) = (corrupt(enc.length - 40) ^ 0x40).toByte
+    intercept[IllegalArgumentException](FlacCodec.decode(corrupt))
+    // flip a frame-header byte: CRC-8 must trip
+    val hdrCorrupt = enc.clone()
+    hdrCorrupt(siEnd + 2) = (hdrCorrupt(siEnd + 2) ^ 0x01).toByte
+    intercept[IllegalArgumentException](FlacCodec.decode(hdrCorrupt))
+    // truncation and non-FLAC payloads reject loudly
+    intercept[IllegalArgumentException](FlacCodec.decode(
+      java.util.Arrays.copyOf(enc, enc.length - 3)))
+    intercept[IllegalArgumentException](FlacCodec.decode(new Array[Byte](100)))
+    assert(!FlacCodec.isFlac("fLaCnot actually a flac stream".getBytes.take(3)))
+  }
+
+  test("real FLAC path end-to-end: ingest compressed audio → real decode → law-checked features") {
+    val media = MultimodalOps.flacMediaTable(spark, sf)
+    val decoded = MultimodalOps.decodeMediaOf(spark, media).collect()
+      .filter(_.media_type == "audio")
+    assert(decoded.nonEmpty)
+    // decodeMedia dispatches on the fLaC magic and reports the REAL
+    // STREAMINFO rate/length, not a hash-derived fake
+    decoded.foreach { m =>
+      assert(m.sample_rate === 8000 + (m.doc_id % 4).toInt * 2000)
+      assert(m.n_frames === 512 + (m.doc_id % 512).toInt)
+    }
+    val feats = MultimodalOps.flacAudioFeatures(spark, sf).collect()
+    assert(feats.nonEmpty)
+    feats.foreach(r => assert(r.getAs[Boolean]("compressed"),
+      s"doc ${r.getAs[Long]("doc_id")} did not compress"))
+    val id = decoded.head.doc_id
+    val n = 512 + (id % 512).toInt
+    val law = Array.tabulate(n)(i => (id * 241 + i.toLong * 661) % 4001 - 2000)
+    val r = feats.map(x => x.getAs[Long]("doc_id") -> x).toMap.apply(id)
+    assert(r.getAs[Int]("n_samples") === n)
+    assert(r.getAs[Long]("sum_sq") === law.map(v => v * v).sum)
+    assert(r.getAs[Long]("zero_cross") ===
+      law.sliding(2).count(p => p(0) * p(1) < 0).toLong)
+    assert(r.getAs[Int]("peak") === law.map(math.abs).max.toInt)
+  }
+
   test("frameSample: every k-th frame of videos only; count = ceil(n_frames/k)") {
     val every = 7
     val frames = MultimodalOps.frameSample(spark, sf, every).collect()
