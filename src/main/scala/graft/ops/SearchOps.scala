@@ -915,6 +915,127 @@ object SearchOps {
                  k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25PostingsSearch(servedPostings(spark, dir), q, k, k1, b)
 
+  /** Token-bucket count of the bucketed postings layout. 64 here; at a real
+    * deployment size it so one bucket of postings is a few GB (100 TB corpus
+    * → O(10⁴) buckets) — the pruned read stays O(query terms' df).
+    */
+  private[graft] val PostingsBuckets = 64
+
+  /** Driver-side replica of `pmod(hash60(token), PostingsBuckets)` — the
+    * bucket routing must be computable on the QUERY side without a Spark
+    * job, so the partition filter is a literal IN-list at planning time.
+    * Bit-equality with the Spark-side expression is pinned in SearchSpec.
+    */
+  private[graft] def tokenBucket(t: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % PostingsBuckets).toInt
+  }
+
+  /** The token-BUCKETED postings layout — the mitigation BASELINE.md names
+    * for the one data-proportional serving path (q_search_bm25's
+    * 0.32 s/decade): the flat store re-laid as a directory-partitioned
+    * relation keyed by `tok_bucket = hash60(token) mod 64`, with rows
+    * sorted by token inside each bucket file so parquet row-group min/max
+    * stats prune WITHIN the bucket too. A query then reads only its terms'
+    * buckets (PartitionFilters at planning time — ScaleLayoutSpec pins the
+    * pruned scan), and of those only the row groups whose token span
+    * covers a query term: the read is O(Σ df(t)), not O(corpus).
+    *
+    * Document length is DENORMALIZED onto each posting row (`dl`, the
+    * Lucene norms trick): BM25's length normalization then needs no join
+    * against a corpus-wide lengths relation — the one remaining
+    * data-proportional subtree the flat face carries. The corpus constants
+    * (n_docs, avgdl) live in the 1-row [[servedBm25Stats]] artifact.
+    * Version-keyed like every store: a rewritten corpus yields a new path.
+    */
+  private[graft] def servedPostingsBucketed(spark: SparkSession, dir: String): DataFrame = {
+    // resolve the postings dependency BEFORE entering computeIfAbsent
+    // (nested computeIfAbsent on servedStores throws "Recursive update")
+    val posts = servedPostings(spark, dir)
+    val p = Tables.derivedStorePath(spark, "postingsbkt", dir, "documents.parquet")
+    servedStores.computeIfAbsent(p, path => {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp)) {
+        val lens = posts.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
+        val rows = posts.join(lens, Seq("doc_id"))
+          .withColumn("tok_bucket",
+            pmod(graft.ops.DedupOps.hash60(col("token")), lit(PostingsBuckets)))
+        graft.sinks.AtomicSwap.replaceWith(spark, path) { staging =>
+          // hash-repartition on the bucket key: each bucket directory is
+          // written by exactly one task → one file, token-sorted
+          rows.repartition(col("tok_bucket"))
+            .sortWithinPartitions("token", "doc_id")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy("tok_bucket").parquet(staging)
+        }
+      }
+      path
+    })
+    Tables.parquetCached(spark, p)
+  }
+
+  /** 1-row corpus-constant artifact for BM25 over the bucketed layout:
+    * (n_docs, avgdl) — the only quantities the pruned read cannot supply.
+    */
+  private[graft] def servedBm25Stats(spark: SparkSession, dir: String): DataFrame = {
+    val posts = servedPostings(spark, dir)
+    val p = Tables.derivedStorePath(spark, "bm25stats", dir, "documents.parquet")
+    servedStores.computeIfAbsent(p, path => buildIfAbsent(spark, path) {
+      posts.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          (sum("dl") / count(lit(1))).as("avgdl"))
+    })
+    Tables.parquetCached(spark, p)
+  }
+
+  /** BM25 served from the BUCKETED layout — same score algebra as
+    * [[bm25ScoredOf]] term for term (same operand order, same rounding, so
+    * the q_search_bm25 oracle replays it unchanged), but the plan reads
+    * only the query terms' buckets and joins nothing data-sized: df comes
+    * from the pruned read itself (the pruned scan contains EVERY posting
+    * of each query term, so the count is the exact corpus df), dl rides
+    * the posting row, and (n_docs, avgdl) broadcast from the 1-row stats
+    * artifact. This is the 100 TB face of the one serving path
+    * BASELINE.md's two-decade table names as data-proportional.
+    */
+  def bm25BucketedSearch(spark: SparkSession, dir: String,
+                         q: String = "data stream window", k: Int = 20,
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val store = servedPostingsBucketed(spark, dir)
+    val stats = servedBm25Stats(spark, dir)
+    val terms = analyzeQuery(q).distinct.sorted // FIXED fold order, oracle-shared
+    require(terms.nonEmpty, s"query '$q' analyzed to no terms")
+    val buckets = terms.map(tokenBucket).distinct
+    val matched = store.filter(
+      col("tok_bucket").isInCollection(buckets) &&
+        col("token").isInCollection(terms))
+    val idfs = matched.groupBy("token")
+      .agg(count(lit(1)).as("df")) // pruned read holds ALL of a term's postings
+      .crossJoin(broadcast(stats))
+      .select(col("token"),
+        log(lit(1.0) + (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))).as("idf"),
+        col("avgdl"))
+    val w = (col("idf") * (col("tf").cast("double") * (lit(k1) + lit(1.0)))) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val partials = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, w)).as(s"_s$i")
+    }
+    val total = terms.indices
+      .map(i => coalesce(col(s"_s$i"), lit(0.0)))
+      .reduce(_ + _)
+    matched.join(broadcast(idfs), Seq("token"))
+      .groupBy("doc_id")
+      .agg(partials.head, partials.tail: _*)
+      .select(col("doc_id"), round(total, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** BM25 over any (token, doc_id, tf) postings relation — the
     * materialized-index face, and the seam SearchSpec drives synthetic
     * corpora through to pin saturation/length-norm behavior.
@@ -1218,7 +1339,10 @@ object SearchOps {
     val ind = filters.map { case (name, term) =>
       val ts = analyzeQuery(term)
       require(ts.nonEmpty, s"filter '$name': term '$term' analyzed to nothing")
-      name -> array_contains(toks, ts.head).cast("long")
+      // a multi-token filter is a full query (ES semantics): ALL its
+      // analyzed terms must hit — head-only matching silently widened
+      // "data stream" to "data" (r12 advice)
+      name -> ts.map(t => array_contains(toks, t)).reduce(_ && _).cast("long")
     }
     val cells: Seq[(String, Column)] =
       ind.map { case (n, c) => n -> sum(c) } ++
@@ -2413,6 +2537,8 @@ object SearchOps {
          |ORDER BY phrase_freq DESC, doc_id ASC LIMIT 20""".stripMargin
     },
     "q_search_bm25" -> bm25Oracle,
+    // the bucketed layout changes the PLAN, not the algebra: same oracle
+    "q_search_bm25_bucketed" -> bm25Oracle,
     "q_search_rescore" -> rescoreOracle,
     "q_search_boosting" -> boostingOracle,
     // the indexed face is output-identical by construction; same oracle

@@ -51,6 +51,41 @@ class ScaleLayoutSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS b_postings")
   }
 
+  test("SERVED bucketed postings: bm25 plan is partition-pruned to the query terms' buckets; scores identical to the flat face") {
+    val bucketed = graft.ops.SearchOps.bm25BucketedSearch(spark, sf)
+    bucketed.collect()
+    val plan = bucketed.queryExecution.executedPlan.toString
+    // every scan of the bucketed store carries the tok_bucket partition
+    // IN-list — the planning-time prune that makes the read O(terms' df)
+    val storeScans = plan.linesIterator.filter(_.contains("graft-postingsbkt")).toSeq
+    assert(storeScans.nonEmpty, s"expected scans of the bucketed store in:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("tok_bucket"),
+      s"expected tok_bucket partition filters in:\n$plan")
+    // the flat store and the corpus must not appear: dl is denormalized,
+    // stats are a 1-row artifact, df comes from the pruned read
+    assert(!plan.contains("graft-postings-"),
+      s"bucketed face must not scan the flat postings store:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"bucketed face must not scan the corpus:\n$plan")
+    // same algebra ⇒ bit-identical scores and order vs the flat face
+    val flat = graft.ops.SearchOps.bm25Search(spark, sf).collect()
+    assert(bucketed.collect().toSeq === flat.toSeq)
+  }
+
+  test("tokenBucket (driver-side) ≡ pmod(hash60(token), 64) (Spark-side) on the real vocabulary") {
+    val toks = graft.ops.SearchOps.postingsIndex(spark, sf)
+      .select(col("token")).distinct().limit(500)
+    val both = toks.withColumn("spark_b",
+        pmod(graft.ops.DedupOps.hash60(col("token")),
+          lit(graft.ops.SearchOps.PostingsBuckets)).cast("int"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(graft.ops.SearchOps.tokenBucket(r.getString(0)) === r.getInt(1),
+        s"bucket mismatch for token '${r.getString(0)}'")
+    }
+  }
+
   test("colocatedJoin of co-bucketed tables has zero shuffle exchanges") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -173,6 +173,25 @@ class SuggestSpec extends SparkSpecBase {
     assert(out("stream&window") <= math.min(out("stream"), out("window")))
   }
 
+  test("adjacencyMatrix: a multi-word filter is a full query — ALL its terms must hit (r12 advice)") {
+    import org.apache.spark.sql.functions.col
+    val out = SearchOps.adjacencyMatrix(spark, sf, filters = Seq(
+      "ds" -> "data stream", "w" -> "window")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = Tables.documents(spark, sf)
+      .select(SearchOps.analyze(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0).toSet)
+    def n(p: Set[String] => Boolean) = toks.count(p).toLong
+    // the two-word filter counts docs containing BOTH terms — not, as the
+    // pre-fix head-only matching did, every doc containing just "data"
+    assert(out("ds") === n(s => s("data") && s("stream")))
+    assert(out("ds") < n(_.contains("data")),
+      "a conjunctive filter must be strictly narrower than its first term here")
+    out.get("ds&w").foreach { c =>
+      assert(c === n(s => s("data") && s("stream") && s("window")))
+    }
+  }
+
   test("samplerTerms: deterministic hash gate; counts bounded by the sampled-doc population") {
     val a = SearchOps.samplerTerms(spark, sf).collect().map(r => (r.getString(0), r.getLong(1)))
     val b = SearchOps.samplerTerms(spark, sf).collect().map(r => (r.getString(0), r.getLong(1)))
