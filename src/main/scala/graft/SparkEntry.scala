@@ -76,6 +76,7 @@ object SparkEntry {
     "q_inverted_search"  -> ((s, d) => SearchOps.invertedSearch(s, d)),
     "q_search_ranked"    -> ((s, d) => SearchOps.rankedSearch(s, d)),
     "q_search_bm25"      -> ((s, d) => SearchOps.bm25Search(s, d)),
+    "q_search_bm25_bucketed" -> ((s, d) => SearchOps.bm25BucketedSearch(s, d)),
     "q_search_rescore"   -> ((s, d) => SearchOps.rescore(s, d)),
     "q_search_collapse"  -> ((s, d) => SearchOps.collapseSearch(s, d)),
     "q_incremental_dedup" -> ((s, d) => DedupOps.incrementalDedup(s, d)),
@@ -180,6 +181,7 @@ object SparkEntry {
     // Multimodal plumbing
     "q_multimodal_meta"  -> (MultimodalOps.multimodalMeta(_, _)),
     "q_audio_features"   -> (MultimodalOps.audioFeatures(_, _)),
+    "q_flac_features"    -> (MultimodalOps.flacAudioFeatures(_, _)),
     "q_frame_sample"     -> ((s, d) => MultimodalOps.frameSampleAvi(s, d)),
     "q_image_features"   -> (MultimodalOps.imageFeatures(_, _)),
     "q_jpeg_features"    -> (MultimodalOps.jpegFeatures(_, _)),
