@@ -182,6 +182,7 @@ object SparkEntry {
     "q_multimodal_meta"  -> (MultimodalOps.multimodalMeta(_, _)),
     "q_audio_features"   -> (MultimodalOps.audioFeatures(_, _)),
     "q_flac_features"    -> (MultimodalOps.flacAudioFeatures(_, _)),
+    "q_gif_frames"       -> ((s, d) => MultimodalOps.gifFrameFeatures(s, d)),
     "q_frame_sample"     -> ((s, d) => MultimodalOps.frameSampleAvi(s, d)),
     "q_image_features"   -> (MultimodalOps.imageFeatures(_, _)),
     "q_jpeg_features"    -> (MultimodalOps.jpegFeatures(_, _)),

@@ -67,6 +67,9 @@ object MultimodalOps {
     } else if (FlacCodec.isFlac(payload)) {
       val a = FlacCodec.decode(payload)
       (0, 0, a.sampleRate, a.samples.length)
+    } else if (GifCodec.isGif(payload)) {
+      val g = GifCodec.decode(payload)
+      (g.width, g.height, 0, g.frames.length)
     } else {
       // further codecs (H.264 frames, WebP) drop in here;
       // deterministic fake below keeps the remaining plumbing tested
@@ -352,7 +355,7 @@ object MultimodalOps {
                          every: Int = 5): DataFrame = {
     import spark.implicits._
     require(every > 0)
-    mjpegMediaTable(spark, dir)
+    servedMediaStore(spark, dir, "mjpeg")(mjpegMediaTable(spark, dir))
       .filter(col("media_type") === "video")
       .select("doc_id", "payload")
       .as[(Long, Array[Byte])]
@@ -366,6 +369,83 @@ object MultimodalOps {
         }
       }
       .toDF("doc_id", "frame_idx", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Ingest face with REAL animated-GIF videos: doc_ids that map to
+    * `video` carry a GIF89a stream ([[GifCodec]] — global palette,
+    * per-frame Graphics Control Extensions, real variable-width LZW)
+    * built from the closed-form index/palette laws. Map-side synthesis;
+    * payloads never shuffle.
+    */
+  def gifMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("doc_id", "payload", "media_type")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, mt) =>
+          if (mt == "video")
+            (id, GifCodec.synth(id, 8 + (id % 10).toInt,
+              24 + (id % 8).toInt, 15 + (id % 8).toInt), mt)
+          else (id, payload, mt)
+        }
+      }
+      .toDF("doc_id", "payload", "media_type")
+  }
+
+  /** The animated-GIF frame path — container walk, LZW decompression, AND
+    * palette mapping in one oracle: every `every`-th frame streams lazily
+    * out of the block sequence (skipped frames are walked by sub-block
+    * lengths alone, never decompressed — the sampling win at scale), is
+    * LZW-decoded, palette-mapped, and reduced to per-channel pixel sums
+    * plus the frame's GCE delay. The oracle replays frame selection, the
+    * index law, the palette law, and the delay law as pure integer
+    * arithmetic with no codec — a wrong bit anywhere in the LZW variable
+    * code widths, the clear/EOI handling, the sub-block walk, or the GCE
+    * parse breaks the hash. Map-side flatMap; payloads never shuffle;
+    * output rows = ⌈n/every⌉ per video, never n.
+    */
+  def gifFrameFeatures(spark: SparkSession, dir: String,
+                       every: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(every > 0)
+    servedMediaStore(spark, dir, "gif")(gifMediaTable(spark, dir))
+      .filter(col("media_type") === "video")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          GifCodec.sampledRgbFrames(payload, every).map { case (fi, delay, rgb) =>
+            val (sr, sg, sb, _) = channelSums(rgb)
+            (id, fi, delay, sr, sg, sb)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "delay_cs", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** One entry per served media-store path this JVM has resolved. */
+  private val servedMedia = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Version-keyed served media store: the synthesized payload table is
+    * written ONCE per corpus version and read thereafter — the ingest-once
+    * discipline every other served artifact in the repo follows. The
+    * compression-heavy feature faces (MJPEG, GIF, FLAC) read payloads from
+    * here so their queries measure the DECODE serving path, not a per-query
+    * re-ENCODE of the whole corpus: at 100 TB media bytes are written by
+    * the ingest pipeline exactly once and every downstream query is a
+    * payload-column scan + map-side decode.
+    */
+  private def servedMediaStore(spark: SparkSession, dir: String, kind: String)
+                              (build: => DataFrame): DataFrame = {
+    val p = Tables.derivedStorePath(spark, s"media$kind", dir, "documents.parquet")
+    servedMedia.computeIfAbsent(p, path => {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp)) graft.sinks.AtomicSwap.replace(spark, build, path)
+      path
+    })
+    Tables.parquetCached(spark, p)
   }
 
   /** A decoded-audio feature row — every field an exact integer. */
@@ -448,7 +528,7 @@ object MultimodalOps {
     */
   def flacAudioFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    flacMediaTable(spark, dir)
+    servedMediaStore(spark, dir, "flac")(flacMediaTable(spark, dir))
       .filter(col("media_type") === "audio")
       .select("doc_id", "payload")
       .as[(Long, Array[Byte])]
@@ -850,6 +930,29 @@ object MultimodalOps {
         |  CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER) AS peak,
         |  TRUE AS compressed
         |FROM a""".stripMargin,
+    // Animated GIF: frame selection, the index/palette/delay laws — the
+    // whole container+LZW+palette chain replayed codec-free. One wrong
+    // bit in a variable code width, clear/EOI step, sub-block boundary,
+    // or GCE field shifts a sum or a delay and breaks the hash.
+    "q_gif_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CAST(24 + (doc_id % 8) AS BIGINT) AS w,
+        |    CAST(15 + (doc_id % 8) AS BIGINT) AS h,
+        |    8 + (doc_id % 10) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, w, h, UNNEST(range(0, nf, 3)) AS i FROM v),
+        |px AS (
+        |  SELECT doc_id, i, list_transform(range(0, w * h), p ->
+        |    (doc_id * 131 + i * 977 + p * 37) % 64) AS idx
+        |  FROM f)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(4 + (i % 6) AS INTEGER) AS delay_cs,
+        |  CAST(list_sum(list_transform(idx, j -> (j * 41) % 256)) AS BIGINT) AS sum_r,
+        |  CAST(list_sum(list_transform(idx, j -> (j * 97) % 256)) AS BIGINT) AS sum_g,
+        |  CAST(list_sum(list_transform(idx, j -> (j * 163) % 256)) AS BIGINT) AS sum_b
+        |FROM px""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

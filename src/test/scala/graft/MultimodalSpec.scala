@@ -271,6 +271,126 @@ class MultimodalSpec extends SparkSpecBase {
     assert(r.getAs[Int]("peak") === law.map(math.abs).max.toInt)
   }
 
+  test("GifCodec: encode∘decode is the identity across frame counts, dims, palettes, and the 4096-dict reset") {
+    import graft.ops.GifCodec
+    for ((nf, w, h) <- Seq((1, 1, 1), (3, 24, 15), (12, 31, 17), (9, 64, 48))) {
+      val enc = GifCodec.synth(seed = 7, nFrames = nf, width = w, height = h)
+      val g = GifCodec.decode(enc)
+      assert((g.width, g.height, g.frames.length) === ((w, h, nf)))
+      assert(g.palette.toSeq === GifCodec.synthPalette().toSeq)
+      for (i <- 0 until nf) {
+        assert(g.frames(i).delayCs === 4 + (i % 6), s"delay at frame $i")
+        assert(g.frames(i).indexes.toSeq ===
+          GifCodec.synthIndexes(7, i, w * h).toSeq, s"pixels at frame $i")
+      }
+    }
+    // incompressible 256-entry-palette raster big enough to overflow the
+    // 4096-code dictionary: exercises the CLEAR-and-reset arm both ways
+    val rnd = new scala.util.Random(3)
+    val pal256 = Array.tabulate[Byte](256 * 3)(k => ((k * 89) % 256).toByte)
+    val noisy = Array.fill[Byte](128 * 128)(rnd.nextInt(256).toByte)
+    val big = GifCodec.Gif(128, 128, pal256,
+      IndexedSeq(GifCodec.GifFrame(10, noisy)))
+    val round = GifCodec.decode(GifCodec.encode(big))
+    assert(round.frames.head.indexes.toSeq === noisy.toSeq)
+    // constant frame (single dict chain) and the stride law must COMPRESS:
+    // whole payload under 1 byte/pixel, headers included
+    val law = GifCodec.synth(seed = 11, nFrames = 10, width = 24, height = 15)
+    assert(law.length < 10 * 24 * 15,
+      "LZW must beat 1 byte/pixel on the period-64 stride law")
+    val const = GifCodec.Gif(40, 30, GifCodec.synthPalette(),
+      IndexedSeq(GifCodec.GifFrame(0, new Array[Byte](1200))))
+    assert(GifCodec.decode(GifCodec.encode(const)).frames.head.indexes.forall(_ == 0))
+    // 2-entry palette: gctBits 1 but LZW roots floored at min code size 2
+    val bw = Array.tabulate[Byte](77)(p => (p % 2).toByte)
+    val tiny = GifCodec.decode(GifCodec.encode(GifCodec.Gif(7, 11,
+      Array[Byte](0, 0, 0, -1, -1, -1), IndexedSeq(GifCodec.GifFrame(2, bw)))))
+    assert(tiny.palette.length === 6)
+    assert(tiny.frames.head.indexes.toSeq === bw.toSeq)
+  }
+
+  test("GifCodec: structural validation trips loudly; foreign extensions walk through") {
+    import graft.ops.GifCodec
+    val enc = GifCodec.synth(seed = 21, nFrames = 5, width = 24, height = 15)
+    val g = GifCodec.decode(enc)
+    // a comment extension spliced after the color table is walked over
+    val gctEnd = 13 + 64 * 3
+    val comment = Array[Byte](0x21, 0xfe.toByte, 3, 'h', 'i', '!', 0)
+    val spliced = new Array[Byte](enc.length + comment.length)
+    System.arraycopy(enc, 0, spliced, 0, gctEnd)
+    System.arraycopy(comment, 0, spliced, gctEnd, comment.length)
+    System.arraycopy(enc, gctEnd, spliced, gctEnd + comment.length, enc.length - gctEnd)
+    assert(GifCodec.decode(spliced).frames.length === 5)
+    // truncation, missing trailer, unknown blocks, unsupported features
+    intercept[IllegalArgumentException](GifCodec.decode(
+      java.util.Arrays.copyOf(enc, enc.length - 2)))
+    intercept[IllegalArgumentException](GifCodec.decode(
+      java.util.Arrays.copyOf(enc, 10)))
+    intercept[IllegalArgumentException](GifCodec.decode(new Array[Byte](50)))
+    val badBlock = enc.clone(); badBlock(gctEnd) = 0x55
+    intercept[IllegalArgumentException](GifCodec.decode(badBlock))
+    // set the interlace flag on the first image descriptor (it directly
+    // follows the first frame's 8-byte GCE)
+    val interlaced = enc.clone()
+    val idPacked = gctEnd + 8 + 9
+    assert((interlaced(gctEnd + 8) & 0xff) === 0x2c, "fixture drift: descriptor offset")
+    interlaced(idPacked) = (interlaced(idPacked) | 0x40).toByte
+    intercept[IllegalArgumentException](GifCodec.decode(interlaced))
+    // GIF carries no checksums: corruption shows up structurally — chop a
+    // frame's final data sub-block terminator into a bogus length
+    assert(!GifCodec.isGif("GIF10x".getBytes))
+    // encoder refuses out-of-palette indexes and non-power-of-two palettes
+    intercept[IllegalArgumentException](GifCodec.encode(GifCodec.Gif(
+      2, 1, GifCodec.synthPalette(), IndexedSeq(GifCodec.GifFrame(0, Array[Byte](1, 80))))))
+    intercept[IllegalArgumentException](GifCodec.encode(GifCodec.Gif(
+      1, 1, new Array[Byte](9), IndexedSeq(GifCodec.GifFrame(0, Array[Byte](0))))))
+  }
+
+  test("GifCodec: lazy sampling decompresses only the selected frames and matches the eager decode") {
+    import graft.ops.GifCodec
+    val enc = GifCodec.synth(seed = 33, nFrames = 11, width = 24, height = 15)
+    val eager = GifCodec.decode(enc)
+    val sampled = GifCodec.sampledIndexFrames(enc, 4).toSeq
+    assert(sampled.map(_._1) === Seq(0, 4, 8))
+    for ((i, d, px) <- sampled) {
+      assert(d === eager.frames(i).delayCs)
+      assert(px.toSeq === eager.frames(i).indexes.toSeq)
+    }
+    val rgb = GifCodec.sampledRgbFrames(enc, 4).toSeq
+    assert(rgb.map(_._1) === Seq(0, 4, 8))
+    assert(rgb.head._3.toSeq ===
+      GifCodec.toRgb(eager.palette, eager.frames.head.indexes).toSeq)
+  }
+
+  test("real GIF path end-to-end: ingest animated GIFs → real decode → law-checked frame features") {
+    val media = MultimodalOps.gifMediaTable(spark, sf)
+    val decoded = MultimodalOps.decodeMediaOf(spark, media).collect()
+      .filter(_.media_type == "video")
+    assert(decoded.nonEmpty)
+    // decodeMedia dispatches on the GIF magic and reports the REAL
+    // screen descriptor dims and frame count, not a hash-derived fake
+    decoded.foreach { m =>
+      assert(m.width === 24 + (m.doc_id % 8).toInt)
+      assert(m.height === 15 + (m.doc_id % 8).toInt)
+      assert(m.n_frames === 8 + (m.doc_id % 10).toInt)
+    }
+    val feats = MultimodalOps.gifFrameFeatures(spark, sf).collect()
+    val id = decoded.head.doc_id
+    val w = 24 + (id % 8).toInt; val h = 15 + (id % 8).toInt
+    val mine = feats.filter(_.getAs[Long]("doc_id") == id)
+      .sortBy(_.getAs[Int]("frame_idx"))
+    assert(mine.map(_.getAs[Int]("frame_idx")).toSeq ===
+      (0 until 8 + (id % 10).toInt by 3).toSeq)
+    for (r <- mine) {
+      val i = r.getAs[Int]("frame_idx")
+      val idx = Array.tabulate(w * h)(p => ((id * 131 + i * 977 + p * 37) % 64).toInt)
+      assert(r.getAs[Int]("delay_cs") === 4 + (i % 6))
+      assert(r.getAs[Long]("sum_r") === idx.map(j => (j * 41) % 256).foldLeft(0L)(_ + _))
+      assert(r.getAs[Long]("sum_g") === idx.map(j => (j * 97) % 256).foldLeft(0L)(_ + _))
+      assert(r.getAs[Long]("sum_b") === idx.map(j => (j * 163) % 256).foldLeft(0L)(_ + _))
+    }
+  }
+
   test("frameSample: every k-th frame of videos only; count = ceil(n_frames/k)") {
     val every = 7
     val frames = MultimodalOps.frameSample(spark, sf, every).collect()
