@@ -366,6 +366,31 @@ object GifCodec {
     out
   }
 
+  /** Nearest-neighbor resize in INDEX space — palette-preserving, the same
+    * integer source mapping as `BmpCodec.resizeNearest` (`sx = x·srcW/tw`),
+    * applied per frame with delays kept. Index-space scaling is the
+    * palette-format analog of raster scaling: no color arithmetic exists
+    * that stays inside the palette, so nearest is the only faithful kernel.
+    */
+  def resizeNearest(g: Gif, tw: Int, th: Int): Gif = {
+    require(tw > 0 && th > 0 && tw <= 0xffff && th <= 0xffff, s"bad target ${tw}x$th")
+    val frames = g.frames.map { f =>
+      val out = new Array[Byte](tw * th)
+      var y = 0
+      while (y < th) {
+        val sy = (y.toLong * g.height / th).toInt
+        var x = 0
+        while (x < tw) {
+          out(y * tw + x) = f.indexes(sy * g.width + (x.toLong * g.width / tw).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      GifFrame(f.delayCs, out)
+    }
+    Gif(tw, th, g.palette, frames)
+  }
+
   // -------------------------------------------------------------- synth --
 
   /** Closed-form 64-entry palette: `pal[j] = (41j, 97j, 163j) mod 256` —

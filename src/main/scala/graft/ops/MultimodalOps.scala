@@ -616,6 +616,10 @@ object MultimodalOps {
           } else if (JpegCodec.isJpeg(payload)) {
             val scaled = BmpCodec.resizeNearest(JpegCodec.decode(payload), targetW, targetH)
             ResizedMedia(id, mt, JpegCodec.encode(scaled), targetW, targetH)
+          } else if (GifCodec.isGif(payload)) {
+            // animated: every frame scales in index space, palette kept
+            val scaled = GifCodec.resizeNearest(GifCodec.decode(payload), targetW, targetH)
+            ResizedMedia(id, mt, GifCodec.encode(scaled), targetW, targetH)
           } else {
             // ??? <- further codecs' scalers go here; deterministic stub:
             // clamp payload to the target raster size
@@ -628,16 +632,25 @@ object MultimodalOps {
   }
 
   /** Frame-sampling stage: one video row fans out to every `every`-th frame
-    * (the contact-sheet / keyframe extraction step). Stubbed frame bytes
-    * (md5 of payload+index); the real part is the bounded fan-out shape —
-    * an iterator `flatMap` inside `mapPartitions`, so a 2-hour video's
-    * frames stream out without materializing the whole list, and the output
-    * row count is n_frames/every, never n_frames.
+    * (the contact-sheet / keyframe extraction step). REAL for AVI (movi
+    * walk, actual frame bytes) and animated GIF (lazy LZW decode of only
+    * the sampled frames); payloads with neither magic fall to a stub
+    * digest that keeps the fan-out shape tested. Either way the shape is
+    * the point at scale: an iterator `flatMap` inside `mapPartitions`, so
+    * a 2-hour video's frames stream out without materializing the whole
+    * list, and the output row count is n_frames/every, never n_frames.
     */
-  def frameSample(spark: SparkSession, dir: String, every: Int = 10): Dataset[Frame] = {
+  def frameSample(spark: SparkSession, dir: String, every: Int = 10): Dataset[Frame] =
+    frameSampleOf(spark, mediaTable(spark, dir), every)
+
+  /** [[frameSample]] over ANY (doc_id, payload, media_type) frame — the
+    * seam the real-container paths (AVI, animated GIF) share with the
+    * opaque ingest face. */
+  def frameSampleOf(spark: SparkSession, mediaDf: DataFrame,
+                    every: Int = 10): Dataset[Frame] = {
     import spark.implicits._
     require(every > 0)
-    mediaTable(spark, dir)
+    mediaDf
       .filter(col("media_type") === "video")
       .select("doc_id", "media_type", "payload")
       .as[(Long, String, Array[Byte])]
@@ -647,15 +660,32 @@ object MultimodalOps {
         val md = java.security.MessageDigest.getInstance("MD5")
         val idx = java.nio.ByteBuffer.allocate(4)
         rows.flatMap { case (id, mt, payload) =>
-          val (_, _, _, nFrames) = stubDecode(payload, mt)
-          Iterator.range(0, nFrames, every).map { i =>
-            // ??? <- real frame grab goes here; deterministic stub digest
-            md.reset()
-            md.update(payload)
-            idx.clear(); idx.putInt(i)
-            md.update(idx.array())
-            val hex = md.digest().map("%02x".format(_)).mkString
-            Frame(id, i, hex, payload.length.toLong)
+          if (AviCodec.isAvi(payload)) {
+            // REAL grab: every k-th frame's actual bytes out of the movi walk
+            AviCodec.sampledFrames(payload, every).map { case (i, fb) =>
+              md.reset()
+              val hex = md.digest(fb).map("%02x".format(_)).mkString
+              Frame(id, i, hex, fb.length.toLong)
+            }
+          } else if (GifCodec.isGif(payload)) {
+            // REAL grab: lazy LZW decode of only the sampled frames
+            GifCodec.sampledIndexFrames(payload, every).map { case (i, _, px) =>
+              md.reset()
+              val hex = md.digest(px).map("%02x".format(_)).mkString
+              Frame(id, i, hex, px.length.toLong)
+            }
+          } else {
+            val (_, _, _, nFrames) = stubDecode(payload, mt)
+            Iterator.range(0, nFrames, every).map { i =>
+              // ??? <- further containers' frame grabs go here (H.264);
+              // deterministic stub digest keeps the fan-out shape tested
+              md.reset()
+              md.update(payload)
+              idx.clear(); idx.putInt(i)
+              md.update(idx.array())
+              val hex = md.digest().map("%02x".format(_)).mkString
+              Frame(id, i, hex, payload.length.toLong)
+            }
           }
         }
       }

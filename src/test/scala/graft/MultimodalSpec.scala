@@ -391,6 +391,43 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("generic stages dispatch GIF for real: resize scales every frame in index space; frameSample digests real decoded frames") {
+    import graft.ops.GifCodec
+    val media = MultimodalOps.gifMediaTable(spark, sf)
+    val one = MultimodalOps.resizeStageOf(spark, media, 12, 8).collect()
+      .filter(_.media_type == "video")
+    assert(one.nonEmpty)
+    for (r <- one.take(3)) {
+      val g = GifCodec.decode(r.payload)
+      assert((g.width, g.height) === ((12, 8)))
+      val id = r.doc_id
+      val srcW = 24 + (id % 8).toInt; val srcH = 15 + (id % 8).toInt
+      assert(g.frames.length === 8 + (id % 10).toInt, "resize must keep every frame")
+      // nearest-neighbor integer mapping replayed straight from the law
+      for (i <- Seq(0, g.frames.length - 1); y <- 0 until 8; x <- 0 until 12) {
+        val sx = x.toLong * srcW / 12; val sy = y.toLong * srcH / 8
+        val want = ((id * 131 + i * 977 + (sy * srcW + sx) * 37) % 64).toByte
+        assert(g.frames(i).indexes(y * 12 + x) === want, s"doc $id frame $i ($x,$y)")
+      }
+      assert(g.frames.head.delayCs === 4, "delays survive the resize")
+    }
+    val every = 4
+    val frames = MultimodalOps.frameSampleOf(spark, media, every).collect()
+    val id = one.head.doc_id
+    val nf = 8 + (id % 10).toInt
+    val mine = frames.filter(_.doc_id == id).sortBy(_.frame_idx)
+    assert(mine.map(_.frame_idx).toSeq === (0 until nf by every).toSeq)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (f <- mine) {
+      val px = GifCodec.synthIndexes(id, f.frame_idx,
+        (24 + (id % 8).toInt) * (15 + (id % 8).toInt))
+      md.reset()
+      assert(f.frame_md5 === md.digest(px).map("%02x".format(_)).mkString,
+        s"frame ${f.frame_idx} digest must be the REAL decoded pixels")
+      assert(f.byte_len === px.length.toLong)
+    }
+  }
+
   test("frameSample: every k-th frame of videos only; count = ceil(n_frames/k)") {
     val every = 7
     val frames = MultimodalOps.frameSample(spark, sf, every).collect()
