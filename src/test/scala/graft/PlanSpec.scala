@@ -528,6 +528,21 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("media feature faces: payloads SERVED from the media store — no corpus scan, no re-encode, no shuffle") {
+    for (df <- Seq(graft.ops.MultimodalOps.mjpegFrameFeatures(spark, sf),
+                   graft.ops.MultimodalOps.gifFrameFeatures(spark, sf),
+                   graft.ops.MultimodalOps.flacAudioFeatures(spark, sf))) {
+      df.collect() // store built (or served) before the plan is read
+      val p = plan(df)
+      assert(p.contains("graft-media"),
+        s"feature face must scan the served media store:\n$p")
+      assert(!p.contains("documents.parquet"),
+        s"serving plan must not re-synthesize payloads from the corpus:\n$p")
+      assert(!p.contains("Exchange"), s"decode is map-side; no shuffle in:\n$p")
+      assert(!p.contains("Join"), s"no join belongs in a decode scan:\n$p")
+    }
+  }
+
   test("highlight: map-only corpus pass finished by TakeOrderedAndProject — no shuffle, no join") {
     val p = plan(SearchOps.highlight(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
