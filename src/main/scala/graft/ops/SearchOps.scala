@@ -943,24 +943,27 @@ object SearchOps {
     * pruned scan), and of those only the row groups whose token span
     * covers a query term: the read is O(Σ df(t)), not O(corpus).
     *
-    * Document length is DENORMALIZED onto each posting row (`dl`, the
-    * Lucene norms trick): BM25's length normalization then needs no join
-    * against a corpus-wide lengths relation — the one remaining
-    * data-proportional subtree the flat face carries. The corpus constants
-    * (n_docs, avgdl) live in the 1-row [[servedBm25Stats]] artifact.
+    * Document length AND document frequency are DENORMALIZED onto each
+    * posting row (`dl` — the Lucene norms trick — and `df`, the statistic
+    * Lucene keeps in its term dictionary): BM25 then needs no join against
+    * a corpus-wide lengths relation and NO per-query df aggregate — both
+    * were data-proportional subtrees, and df-at-query-time would scan the
+    * pruned read twice. The corpus constants (n_docs, avgdl) live in the
+    * 1-row [[servedBm25Stats]] artifact.
     * Version-keyed like every store: a rewritten corpus yields a new path.
     */
   private[graft] def servedPostingsBucketed(spark: SparkSession, dir: String): DataFrame = {
     // resolve the postings dependency BEFORE entering computeIfAbsent
     // (nested computeIfAbsent on servedStores throws "Recursive update")
     val posts = servedPostings(spark, dir)
-    val p = Tables.derivedStorePath(spark, "postingsbkt", dir, "documents.parquet")
+    val p = Tables.derivedStorePath(spark, "postingsbkt2", dir, "documents.parquet")
     servedStores.computeIfAbsent(p, path => {
       val hp = new org.apache.hadoop.fs.Path(path)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(hp)) {
         val lens = posts.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
-        val rows = posts.join(lens, Seq("doc_id"))
+        val dfs = posts.groupBy("token").agg(count(lit(1)).as("df"))
+        val rows = posts.join(lens, Seq("doc_id")).join(dfs, Seq("token"))
           .withColumn("tok_bucket",
             pmod(graft.ops.DedupOps.hash60(col("token")), lit(PostingsBuckets)))
         graft.sinks.AtomicSwap.replaceWith(spark, path) { staging =>
@@ -993,13 +996,13 @@ object SearchOps {
 
   /** BM25 served from the BUCKETED layout — same score algebra as
     * [[bm25ScoredOf]] term for term (same operand order, same rounding, so
-    * the q_search_bm25 oracle replays it unchanged), but the plan reads
-    * only the query terms' buckets and joins nothing data-sized: df comes
-    * from the pruned read itself (the pruned scan contains EVERY posting
-    * of each query term, so the count is the exact corpus df), dl rides
-    * the posting row, and (n_docs, avgdl) broadcast from the 1-row stats
-    * artifact. This is the 100 TB face of the one serving path
-    * BASELINE.md's two-decade table names as data-proportional.
+    * the q_search_bm25 oracle replays it unchanged), but the plan is ONE
+    * pruned scan and one keyed aggregate: df and dl both ride the posting
+    * row (store-build statistics, Lucene's term-dictionary/norms split),
+    * so no per-query statistics pass exists at all, and (n_docs, avgdl)
+    * broadcast from the 1-row stats artifact. This is the 100 TB face of
+    * the one serving path BASELINE.md's two-decade table names as
+    * data-proportional.
     */
   def bm25BucketedSearch(spark: SparkSession, dir: String,
                          q: String = "data stream window", k: Int = 20,
@@ -1012,14 +1015,12 @@ object SearchOps {
     val matched = store.filter(
       col("tok_bucket").isInCollection(buckets) &&
         col("token").isInCollection(terms))
-    val idfs = matched.groupBy("token")
-      .agg(count(lit(1)).as("df")) // pruned read holds ALL of a term's postings
-      .crossJoin(broadcast(stats))
-      .select(col("token"),
-        log(lit(1.0) + (col("n_docs") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))).as("idf"),
-        col("avgdl"))
-    val w = (col("idf") * (col("tf").cast("double") * (lit(k1) + lit(1.0)))) /
+      .crossJoin(broadcast(stats)) // 1 row: n_docs, avgdl
+    // identical double spelling to the flat face: idf first, then the
+    // saturation/length-norm quotient, multiplied in the same order
+    val idf = log(lit(1.0) + (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)))
+    val w = (idf * (col("tf").cast("double") * (lit(k1) + lit(1.0)))) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
     val partials = terms.zipWithIndex.map { case (t, i) =>
@@ -1028,7 +1029,7 @@ object SearchOps {
     val total = terms.indices
       .map(i => coalesce(col(s"_s$i"), lit(0.0)))
       .reduce(_ + _)
-    matched.join(broadcast(idfs), Seq("token"))
+    matched
       .groupBy("doc_id")
       .agg(partials.head, partials.tail: _*)
       .select(col("doc_id"), round(total, 6).as("score"))

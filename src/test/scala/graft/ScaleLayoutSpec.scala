@@ -57,8 +57,15 @@ class ScaleLayoutSpec extends SparkSpecBase {
     val plan = bucketed.queryExecution.executedPlan.toString
     // every scan of the bucketed store carries the tok_bucket partition
     // IN-list — the planning-time prune that makes the read O(terms' df)
-    val storeScans = plan.linesIterator.filter(_.contains("graft-postingsbkt")).toSeq
-    assert(storeScans.nonEmpty, s"expected scans of the bucketed store in:\n$plan")
+    // df and dl are store-build statistics riding the posting row, so the
+    // serving plan is ONE pruned scan — a second scan would be the
+    // per-query df pass this layout exists to eliminate. (AQE's toString
+    // prints the Initial Plan below the Final one; count the final only.)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val storeScans = finalPlan.linesIterator
+      .filter(l => l.contains("graft-postingsbkt") && l.contains("Scan")).toSeq
+    assert(storeScans.size === 1,
+      s"expected exactly one scan of the bucketed store, got ${storeScans.size} in:\n$plan")
     assert(plan.contains("PartitionFilters") && plan.contains("tok_bucket"),
       s"expected tok_bucket partition filters in:\n$plan")
     // the flat store and the corpus must not appear: dl is denormalized,
