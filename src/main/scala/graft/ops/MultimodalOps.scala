@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
   * columns with typed metadata, and a batch decode/feature-extract stage.
   *
-  * The codec tier is REAL, pure-JVM, for five formats — BMP and PNG
-  * (raster + DEFLATE image), baseline JPEG (transform-coded image),
-  * WAV/RIFF PCM16 (audio), AVI/RIFF (video container) — each with an
-  * oracle-validated round trip. Payloads with none of those magics fall
-  * through to a clearly-marked deterministic fake (`stubDecode`'s last
-  * arm), which is where a production build drops further codecs (e.g. a
-  * JNI H.264 or an Arrow batch UDF) into the same match.
+  * The codec tier is REAL, pure-JVM, for eight formats — BMP, PNG
+  * (DEFLATE), baseline JPEG (transform-coded), lossless WebP/VP8L
+  * (entropy-coded) images; WAV/RIFF PCM16 and FLAC (fixed predictors +
+  * Rice) audio; AVI/RIFF (+MJPEG composition) and animated GIF89a (LZW)
+  * video — each with an oracle-validated round trip, and the lossless
+  * image/audio formats additionally proven against the JDK's independent
+  * decoders (CodecConformanceSpec). Payloads with none of those magics
+  * fall through to a clearly-marked deterministic fake (`stubDecode`'s
+  * last arm), which is where a production build drops the one remaining
+  * format family (e.g. a JNI H.264) into the same match.
   *
   * Scale notes: payloads never pass through a shuffle here (decode is
   * map-side, before any wide op); metadata-only projections prune the binary
@@ -70,8 +73,11 @@ object MultimodalOps {
     } else if (GifCodec.isGif(payload)) {
       val g = GifCodec.decode(payload)
       (g.width, g.height, 0, g.frames.length)
+    } else if (WebpCodec.isWebp(payload)) {
+      val img = WebpCodec.decode(payload)
+      (img.width, img.height, 0, 1)
     } else {
-      // further codecs (H.264 frames, WebP) drop in here;
+      // further codecs (H.264 frames) drop in here;
       // deterministic fake below keeps the remaining plumbing tested
       val h = java.util.Arrays.hashCode(payload).abs
       mediaType match {
@@ -424,6 +430,61 @@ object MultimodalOps {
       .toDF("doc_id", "frame_idx", "delay_cs", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Ingest face with REAL lossless-WebP payloads: image docs carry a
+    * VP8L stream ([[WebpCodec]] — canonical prefix codes over ARGB
+    * literals) built from the closed-form pixel law. Map-side synthesis;
+    * nothing shuffles.
+    */
+  def webpMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("doc_id", "payload", "media_type")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, mt) =>
+          if (mt == "image")
+            (id, WebpCodec.synth(id, 21 + (id % 13).toInt, 14 + (id % 11).toInt), mt)
+          else (id, payload, mt)
+        }
+      }
+      .toDF("doc_id", "payload", "media_type")
+  }
+
+  /** The VP8L face of [[imageFeatures]]: synth → entropy encode → decode →
+    * exact-integer channel features. The oracle replays the pixel law with
+    * NO codec, so one wrong bit anywhere in the prefix-code serialization,
+    * the canonical code assignment, or the literal decode shifts a sum and
+    * breaks the hash; `compressed` pins that the entropy coder genuinely
+    * beats 3 bytes/pixel on the 64-level law. Payloads read from the
+    * served media store (ingest-once); map-side decode, no shuffle.
+    */
+  def webpImageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    servedMediaStore(spark, dir, "webp")(webpMediaTable(spark, dir))
+      .filter(col("media_type") === "image")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img = WebpCodec.decode(payload)
+          var sr = 0L; var sg = 0L; var sb = 0L; var mx = 0
+          var i = 0
+          while (i < img.argb.length) {
+            val p = img.argb(i)
+            val r = (p >>> 16) & 0xff; val g = (p >>> 8) & 0xff; val b = p & 0xff
+            sr += r; sg += g; sb += b
+            if (r > mx) mx = r
+            if (g > mx) mx = g
+            if (b > mx) mx = b
+            i += 1
+          }
+          (id, img.width, img.height, sr, sg, sb, mx,
+            payload.length < 3 * img.width * img.height)
+        }
+      }
+      .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b", "peak", "compressed")
+  }
+
   /** One entry per served media-store path this JVM has resolved. */
   private val servedMedia = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -620,6 +681,9 @@ object MultimodalOps {
             // animated: every frame scales in index space, palette kept
             val scaled = GifCodec.resizeNearest(GifCodec.decode(payload), targetW, targetH)
             ResizedMedia(id, mt, GifCodec.encode(scaled), targetW, targetH)
+          } else if (WebpCodec.isWebp(payload)) {
+            val scaled = WebpCodec.resizeNearest(WebpCodec.decode(payload), targetW, targetH)
+            ResizedMedia(id, mt, WebpCodec.encode(scaled), targetW, targetH)
           } else {
             // ??? <- further codecs' scalers go here; deterministic stub:
             // clamp payload to the target raster size
@@ -960,6 +1024,28 @@ object MultimodalOps {
         |  CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER) AS peak,
         |  TRUE AS compressed
         |FROM a""".stripMargin,
+    // VP8L WebP: the pixel law replayed codec-free — one wrong bit in the
+    // prefix-code machinery or the literal decode shifts a channel sum.
+    "q_webp_features" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CAST(21 + (doc_id % 13) AS BIGINT) AS w,
+        |    CAST(14 + (doc_id % 11) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, w, h, list_transform(range(0, w * h), p ->
+        |    (doc_id * 149 + ((p * 37) % 64) * 3) % 256) AS base
+        |  FROM v)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(list_sum(base) AS BIGINT) AS sum_r,
+        |  CAST(list_sum(list_transform(base, x -> (x + 97) % 256)) AS BIGINT) AS sum_g,
+        |  CAST(list_sum(list_transform(base, x -> (x + 194) % 256)) AS BIGINT) AS sum_b,
+        |  greatest(
+        |    CAST(list_max(base) AS INTEGER),
+        |    CAST(list_max(list_transform(base, x -> (x + 97) % 256)) AS INTEGER),
+        |    CAST(list_max(list_transform(base, x -> (x + 194) % 256)) AS INTEGER)) AS peak,
+        |  TRUE AS compressed
+        |FROM px""".stripMargin,
     // Animated GIF: frame selection, the index/palette/delay laws — the
     // whole container+LZW+palette chain replayed codec-free. One wrong
     // bit in a variable code width, clear/EOI step, sub-block boundary,

@@ -428,6 +428,41 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("real WebP path end-to-end: ingest VP8L images → real decode → law-checked features; resize round-trips") {
+    import graft.ops.WebpCodec
+    val media = MultimodalOps.webpMediaTable(spark, sf)
+    val decoded = MultimodalOps.decodeMediaOf(spark, media).collect()
+      .filter(_.media_type == "image")
+    assert(decoded.nonEmpty)
+    decoded.foreach { m =>
+      assert(m.width === 21 + (m.doc_id % 13).toInt)
+      assert(m.height === 14 + (m.doc_id % 11).toInt)
+    }
+    val feats = MultimodalOps.webpImageFeatures(spark, sf).collect()
+    assert(feats.nonEmpty)
+    feats.foreach(r => assert(r.getAs[Boolean]("compressed"),
+      s"doc ${r.getAs[Long]("doc_id")} did not compress"))
+    val id = decoded.head.doc_id
+    val w = 21 + (id % 13).toInt; val h = 14 + (id % 11).toInt
+    val base = Array.tabulate(w * h)(p => ((id * 149 + ((p * 37) % 64) * 3) % 256).toInt)
+    val r = feats.map(x => x.getAs[Long]("doc_id") -> x).toMap.apply(id)
+    assert(r.getAs[Long]("sum_r") === base.foldLeft(0L)(_ + _))
+    assert(r.getAs[Long]("sum_g") === base.foldLeft(0L)((a, x) => a + (x + 97) % 256))
+    assert(r.getAs[Long]("sum_b") === base.foldLeft(0L)((a, x) => a + (x + 194) % 256))
+    // the generic resize stage dispatches VP8L: re-encoded at target dims,
+    // nearest-neighbor law replayed
+    val one = MultimodalOps.resizeStageOf(spark, media, 9, 6).collect()
+      .filter(_.media_type == "image").head
+    val img = WebpCodec.decode(one.payload)
+    assert((img.width, img.height) === ((9, 6)))
+    val srcW = 21 + (one.doc_id % 13).toInt; val srcH = 14 + (one.doc_id % 11).toInt
+    val full = WebpCodec.synthArgb(one.doc_id, srcW, srcH)
+    for (y <- 0 until 6; x <- 0 until 9) {
+      val sx = (x.toLong * srcW / 9).toInt; val sy = (y.toLong * srcH / 6).toInt
+      assert(img.argb(y * 9 + x) === full.argb(sy * srcW + sx), s"(${x},${y})")
+    }
+  }
+
   test("frameSample: every k-th frame of videos only; count = ceil(n_frames/k)") {
     val every = 7
     val frames = MultimodalOps.frameSample(spark, sf, every).collect()

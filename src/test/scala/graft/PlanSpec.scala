@@ -531,7 +531,8 @@ class PlanSpec extends SparkSpecBase {
   test("media feature faces: payloads SERVED from the media store — no corpus scan, no re-encode, no shuffle") {
     for (df <- Seq(graft.ops.MultimodalOps.mjpegFrameFeatures(spark, sf),
                    graft.ops.MultimodalOps.gifFrameFeatures(spark, sf),
-                   graft.ops.MultimodalOps.flacAudioFeatures(spark, sf))) {
+                   graft.ops.MultimodalOps.flacAudioFeatures(spark, sf),
+                   graft.ops.MultimodalOps.webpImageFeatures(spark, sf))) {
       df.collect() // store built (or served) before the plan is read
       val p = plan(df)
       assert(p.contains("graft-media"),
