@@ -184,6 +184,7 @@ object SparkEntry {
     "q_flac_features"    -> (MultimodalOps.flacAudioFeatures(_, _)),
     "q_gif_frames"       -> ((s, d) => MultimodalOps.gifFrameFeatures(s, d)),
     "q_webp_features"    -> (MultimodalOps.webpImageFeatures(_, _)),
+    "q_dedup_eval"       -> ((s, d) => DedupOps.dedupEval(s, d)),
     "q_frame_sample"     -> ((s, d) => MultimodalOps.frameSampleAvi(s, d)),
     "q_image_features"   -> (MultimodalOps.imageFeatures(_, _)),
     "q_jpeg_features"    -> (MultimodalOps.jpegFeatures(_, _)),

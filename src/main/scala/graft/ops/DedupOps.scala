@@ -672,6 +672,71 @@ object DedupOps {
       .limit(50))
   }
 
+  /** Dedup-ESTIMATOR eval — the QA harness a production dedup pipeline
+    * runs before trusting its signatures (the [[SimilarityOps]] tier's
+    * retrievalEval analog): over a deterministic hash-gated document
+    * sample, compare the 8-slot MinHash similarity estimate against the
+    * EXACT word-trigram Jaccard on every in-sample pair at `threshold`,
+    * and emit one row of (pairs, truth, predicted, hits, precision,
+    * recall, f1).
+    *
+    * Scale shape: ground truth requires exact Jaccard, which must never
+    * go all-pairs over the corpus — instead a deterministic gated PROBE
+    * set BROADCASTS against one corpus scan: O(probes × corpus), the same
+    * join direction percolate uses, never corpus². The probe modulus
+    * SCALES with the corpus (max(20, n/25), derived from the same count
+    * in both engines) so the probe count stays ~25 no matter the corpus
+    * size — the eval is constant-width at any scale. The estimator
+    * verdict transfers because the signature law is identical everywhere.
+    */
+  def dedupEval(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val nDocs = Tables.documents(spark, dir).count() // 1-value driver artifact
+    val modulus = math.max(20L, nDocs / 25L)
+    val toks = Tables.documents(spark, dir).select(col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val grams = transform(sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+      i => concat_ws(" ", try_element_at(col("toks"), i), try_element_at(col("toks"), i + 1),
+                          try_element_at(col("toks"), i + 2)))
+    // exact Jaccard runs on the HASHED gram sets (int64 intersects, not
+    // string compares — identical values in both engines because the
+    // oracle replays the same hash60; collisions at 2^60 are negligible
+    // and, crucially, identical on both sides of the gate)
+    val base = toks.select(col("doc_id"),
+        transform(array_distinct(grams), g => hash60(g)).as("gh"))
+      .withColumn("sig", expr("minhash_slots(gh, 8)"))
+    val probes = base.filter(pmod(col("doc_id"), lit(modulus)) === 3)
+      .select(col("doc_id").as("left_id"), col("gh").as("lg"), col("sig").as("lsig"))
+    val corpus = base
+      .select(col("doc_id").as("right_id"), col("gh").as("rg"), col("sig").as("rsig"))
+    val est = (1 to 8).map(i =>
+        when(element_at(col("lsig"), i) === element_at(col("rsig"), i), lit(1))
+          .otherwise(lit(0)))
+      .reduce(_ + _).cast("double") / lit(8.0)
+    // size bound: j ≥ θ is impossible unless the smaller set holds at
+    // least θ× the larger — skip the O(n+m) intersect for those pairs
+    val sizeOk = least(size(col("lg")), size(col("rg"))).cast("double") >=
+      lit(threshold) * greatest(size(col("lg")), size(col("rg"))).cast("double")
+    val exact = size(array_intersect(col("lg"), col("rg"))).cast("double") /
+      size(array_union(col("lg"), col("rg"))).cast("double")
+    val pairs = broadcast(probes).crossJoin(corpus) // probes × corpus scan
+      .filter(col("left_id") =!= col("right_id"))
+      .select((sizeOk && exact >= threshold).as("truth"), (est >= threshold).as("pred"))
+    val p = when(col("n_pred") > 0,
+      col("n_hit").cast("double") / col("n_pred").cast("double")).otherwise(lit(0.0))
+    val rr = when(col("n_truth") > 0,
+      col("n_hit").cast("double") / col("n_truth").cast("double")).otherwise(lit(0.0))
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("truth"), 1L).otherwise(0L)).as("n_truth"),
+        sum(when(col("pred"), 1L).otherwise(0L)).as("n_pred"),
+        sum(when(col("truth") && col("pred"), 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("precision", p)
+      .withColumn("recall", rr)
+      .withColumn("f1", when(col("precision") + col("recall") > 0,
+        lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+        .otherwise(lit(0.0)))
+  }
+
   /** Shared CTE chain: shingles → portable hashes → affine signature →
     * banding → census guard → candidate pairs (lsig/rsig attached).
     */
@@ -858,6 +923,52 @@ object DedupOps {
        |WHERE jaccard >= 0.2
        |ORDER BY jaccard DESC, left_id, right_id
        |LIMIT 50""".stripMargin
+  }
+
+  /** DuckDB replay of the estimator eval: the same trigram/signature laws
+    * as [[ngramJaccardOracle]], the doc_id%20=3 probe set against every
+    * other document, counts and ratios with the guards spelled identically.
+    */
+  private def dedupEvalOracle: String = {
+    val slots = (0 until 8).map(slotSql).mkString(",\n    ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+       |    for i in range(1, greatest(len(toks)-2, 1)+1)]) AS grams
+       |  FROM tk),
+       |ms AS (SELECT doc_id, [${sql60("s")} for s in grams] AS m FROM g),
+       |sg AS (SELECT doc_id, m, [
+       |    $slots] AS sig FROM ms),
+       |pairs AS (
+       |  SELECT
+       |    (CAST(least(len(l.m), len(r.m)) AS DOUBLE)
+       |       >= 0.5 * greatest(len(l.m), len(r.m)))
+       |    AND ((CAST(len(list_intersect(l.m, r.m)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(l.m, r.m)))) >= 0.5) AS truth,
+       |    (CAST(len([i for i in range(1,9) if l.sig[i] = r.sig[i]]) AS DOUBLE) / 8)
+       |      >= 0.5 AS pred
+       |  FROM (SELECT * FROM sg
+       |        WHERE doc_id % (SELECT greatest(20, count(*) // 25) FROM documents) = 3) l
+       |  JOIN sg r ON l.doc_id <> r.doc_id),
+       |agg AS (
+       |  SELECT count(*) AS n_pairs,
+       |    sum(CASE WHEN truth THEN 1 ELSE 0 END) AS n_truth,
+       |    sum(CASE WHEN pred THEN 1 ELSE 0 END) AS n_pred,
+       |    sum(CASE WHEN truth AND pred THEN 1 ELSE 0 END) AS n_hit
+       |  FROM pairs),
+       |pr AS (
+       |  SELECT CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_truth AS BIGINT) AS n_truth,
+       |    CAST(n_pred AS BIGINT) AS n_pred, CAST(n_hit AS BIGINT) AS n_hit,
+       |    CASE WHEN n_pred > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE)
+       |         ELSE 0.0 END AS precision,
+       |    CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+       |         ELSE 0.0 END AS recall
+       |  FROM agg)
+       |SELECT *, CASE WHEN precision + recall > 0
+       |  THEN 2.0 * precision * recall / (precision + recall) ELSE 0.0 END AS f1
+       |FROM pr""".stripMargin
   }
 
   /** DuckDB replay of simhash64 over hash60 tokens: per-bit sign votes.
@@ -1219,6 +1330,7 @@ object DedupOps {
     "q_dup_best" -> dupBestOracle,
     "q_dup_rate" -> dupRateOracle,
     "q_ngram_jaccard" -> ngramJaccardOracle,
+    "q_dedup_eval" -> dedupEvalOracle,
     "q_simhash" -> simhashOracle,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies

@@ -254,6 +254,32 @@ class DedupSpec extends SparkSpecBase {
     assert(nVal > 0 && nVal < out.length)
   }
 
+  test("dedupEval: counts cohere, ratios replay the integer counts, estimator beats chance on the dup corpus") {
+    val r = DedupOps.dedupEval(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val nPairs = row.getAs[Long]("n_pairs")
+    val nTruth = row.getAs[Long]("n_truth")
+    val nPred = row.getAs[Long]("n_pred")
+    val nHit = row.getAs[Long]("n_hit")
+    // probes × (corpus − self): the bounded broadcast shape, never corpus²
+    val nAll = graft.Tables.documents(spark, sf).count()
+    val nProbes = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(20)) === 3).count()
+    assert(nPairs === nProbes * (nAll - 1))
+    assert(nHit <= math.min(nTruth, nPred))
+    assert(nTruth > 0, "the synthetic corpus carries near-dups; truth must be non-empty")
+    val p = row.getAs[Double]("precision"); val rec = row.getAs[Double]("recall")
+    val f1 = row.getAs[Double]("f1")
+    assert(p === (if (nPred > 0) nHit.toDouble / nPred else 0.0))
+    assert(rec === (if (nTruth > 0) nHit.toDouble / nTruth else 0.0))
+    if (p + rec > 0) assert(math.abs(f1 - 2.0 * p * rec / (p + rec)) < 1e-12)
+    // 8 slots is coarse but must beat chance decisively on this corpus
+    assert(f1 > 0.5, s"estimator f1 $f1 should beat chance on the dup-heavy corpus")
+  }
+
   test("incrementalDedup: full batch coverage, threshold/verdict coherence, batch broadcasts into the served store") {
     import graft.ops.DedupOps
     val out = DedupOps.incrementalDedup(spark, sf).collect()
