@@ -305,14 +305,33 @@ object GifCodec {
                 "sub-rectangle frames are outside the supported surface")
               val packed = b(pos + 9) & 0xff
               require((packed & 0x80) == 0, "local color tables are outside the supported surface")
-              require((packed & 0x40) == 0, "interlaced frames are outside the supported surface")
+              val interlaced = (packed & 0x40) != 0
               require(pos + 11 <= b.length, "truncated LZW min code size")
               val minCode = b(pos + 10) & 0xff
               val take = frameIdx % every == 0
               if (take) {
                 val sink = new java.io.ByteArrayOutputStream()
                 pos = subBlocks(b, pos + 11, sink)
-                val px = lzwDecode(minCode, sink.toByteArray, w * h)
+                val raw = lzwDecode(minCode, sink.toByteArray, w * h)
+                // GIF89a interlace: rows arrive in four passes
+                // (y=0 step 8; y=4 step 8; y=2 step 4; y=1 step 2) —
+                // scatter them back to raster order. Our encoder never
+                // interlaces, but conformant streams (the JDK writer
+                // among them) do.
+                val px =
+                  if (!interlaced) raw
+                  else {
+                    val out = new Array[Byte](raw.length)
+                    var src = 0
+                    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+                      var y = start
+                      while (y < h) {
+                        System.arraycopy(raw, src * w, out, y * w, w)
+                        src += 1; y += step
+                      }
+                    }
+                    out
+                  }
                 var k = 0
                 while (k < px.length) {
                   require((px(k) & 0xff) < palN, s"pixel index beyond the $palN-entry palette")

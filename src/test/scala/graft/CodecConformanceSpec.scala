@@ -116,6 +116,69 @@ class CodecConformanceSpec extends SparkSpecBase {
     }
   }
 
+  test("REVERSE direction: JDK-encoded BMP/PNG/GIF/WAV streams decode under OUR decoders") {
+    import graft.ops.{BmpCodec, GifCodec, PngCodec, WavCodec}
+    // a colorful truecolor raster (forces 24-bit output from the writers)
+    val w = 23; val h = 17
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = y * w + x
+      img.setRGB(x, y, ((p * 131 % 256) << 16) | ((p * 97 % 256) << 8) | (p * 41 % 256))
+    }
+    def write(fmt: String, im: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, fmt, bos), s"JDK cannot write $fmt")
+      bos.toByteArray
+    }
+    val wantRgb = (0 until w * h).map { p =>
+      (p * 131 % 256, p * 97 % 256, p * 41 % 256)
+    }
+    // BMP: JDK writes 24-bit BI_RGB — our chunk walker must accept it
+    val bmp = BmpCodec.decode(write("bmp", img))
+    assert((bmp.width, bmp.height) === ((w, h)))
+    assert((0 until w * h).map(p => (bmp.rgb(3 * p) & 0xff,
+      bmp.rgb(3 * p + 1) & 0xff, bmp.rgb(3 * p + 2) & 0xff)) === wantRgb, "JDK BMP drift")
+    // PNG: JDK writes 8-bit truecolor with its own filter choices — our
+    // inflate+unfilter must recover the exact raster
+    val png = PngCodec.decode(write("png", img))
+    assert((png.width, png.height) === ((w, h)))
+    assert((0 until w * h).map(p => (png.rgb(3 * p) & 0xff,
+      png.rgb(3 * p + 1) & 0xff, png.rgb(3 * p + 2) & 0xff)) === wantRgb, "JDK PNG drift")
+    // GIF: JDK writes its own LZW stream over an indexed image — our
+    // decoder must recover the palette-mapped raster
+    val pal = GifCodec.synthPalette()
+    val cm = new java.awt.image.IndexColorModel(8, 64,
+      Array.tabulate[Byte](64)(j => pal(3 * j)),
+      Array.tabulate[Byte](64)(j => pal(3 * j + 1)),
+      Array.tabulate[Byte](64)(j => pal(3 * j + 2)))
+    val gi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val idx = GifCodec.synthIndexes(5, 0, w * h)
+    gi.getRaster.setDataElements(0, 0, w, h, idx)
+    val gif = GifCodec.decode(write("gif", gi))
+    assert((gif.width, gif.height) === ((w, h)))
+    val mineRgb = GifCodec.toRgb(gif.palette, gif.frames.head.indexes)
+    val wantGif = GifCodec.toRgb(pal, idx)
+    assert(mineRgb.toSeq === wantGif.toSeq, "JDK GIF drift")
+    // WAV: javax.sound writes the RIFF container — our walker reads it
+    val samples = WavCodec.synthSamples(seed = 4, n = 777)
+    val raw = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val wos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wos)
+    val wav = WavCodec.decode(wos.toByteArray)
+    assert(wav.sampleRate === 16000)
+    assert(wav.samples.toSeq === samples.toSeq, "JDK WAV drift")
+  }
+
   test("WAV: javax.sound decodes our RIFF stream to the exact PCM samples") {
     import graft.ops.WavCodec
     for (id <- Seq(1L, 10L, 313L)) {

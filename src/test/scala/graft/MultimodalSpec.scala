@@ -329,13 +329,27 @@ class MultimodalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](GifCodec.decode(new Array[Byte](50)))
     val badBlock = enc.clone(); badBlock(gctEnd) = 0x55
     intercept[IllegalArgumentException](GifCodec.decode(badBlock))
-    // set the interlace flag on the first image descriptor (it directly
-    // follows the first frame's 8-byte GCE)
-    val interlaced = enc.clone()
+    // set the LOCAL-color-table flag on the first image descriptor (it
+    // directly follows the first frame's 8-byte GCE): outside the profile
+    val lct = enc.clone()
     val idPacked = gctEnd + 8 + 9
-    assert((interlaced(gctEnd + 8) & 0xff) === 0x2c, "fixture drift: descriptor offset")
-    interlaced(idPacked) = (interlaced(idPacked) | 0x40).toByte
-    intercept[IllegalArgumentException](GifCodec.decode(interlaced))
+    assert((lct(gctEnd + 8) & 0xff) === 0x2c, "fixture drift: descriptor offset")
+    lct(idPacked) = (lct(idPacked) | 0x80).toByte
+    intercept[IllegalArgumentException](GifCodec.decode(lct))
+    // the INTERLACE flag, by contrast, is supported: flipping it on a
+    // sequentially-written stream decodes to exactly the 4-pass row
+    // permutation of the original frame
+    val il = enc.clone()
+    il(idPacked) = (il(idPacked) | 0x40).toByte
+    val straight = GifCodec.decode(enc).frames.head.indexes
+    val permuted = GifCodec.decode(il).frames.head.indexes
+    val w0 = 24; val h0 = 15
+    val passes = Seq((0, 8), (4, 8), (2, 4), (1, 2))
+      .flatMap { case (s, st) => s until h0 by st }
+    for ((destY, srcY) <- passes.zipWithIndex) {
+      assert(permuted.slice(destY * w0, destY * w0 + w0).toSeq ===
+        straight.slice(srcY * w0, srcY * w0 + w0).toSeq, s"row $destY")
+    }
     // GIF carries no checksums: corruption shows up structurally — chop a
     // frame's final data sub-block terminator into a bogus length
     assert(!GifCodec.isGif("GIF10x".getBytes))
