@@ -253,7 +253,18 @@ case class VecSanity(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = VecSanity.getClass.getName.stripSuffix("$")
-    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $cls.compute($v);")
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("sanr")
+      // compute() returns null for a null ELEMENT (the composed HOFs'
+      // behavior) — the generated code must propagate it into isNull or a
+      // downstream GetStructField dereferences a null row (VecCosine sets
+      // the precedent)
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $r = $cls.compute($v);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): VecSanity =

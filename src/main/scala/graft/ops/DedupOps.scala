@@ -689,7 +689,16 @@ object DedupOps {
     * size — the eval is constant-width at any scale. The estimator
     * verdict transfers because the signature law is identical everywhere.
     */
-  def dedupEval(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  /** The one threshold both the Spark face and the oracle replay — a
+    * parameter here with a hardcoded oracle would silently diverge
+    * (r13 review). */
+  private[graft] val DedupEvalThreshold = 0.5
+
+  def dedupEval(spark: SparkSession, dir: String,
+                threshold: Double = DedupEvalThreshold): DataFrame = {
+    require(threshold == DedupEvalThreshold,
+      s"q_dedup_eval's oracle replays threshold $DedupEvalThreshold; a different " +
+        "threshold needs its own oracle entry")
     val nDocs = Tables.documents(spark, dir).count() // 1-value driver artifact
     val modulus = math.max(20L, nDocs / 25L)
     val toks = Tables.documents(spark, dir).select(col("doc_id"),
@@ -944,11 +953,11 @@ object DedupOps {
        |pairs AS (
        |  SELECT
        |    (CAST(least(len(l.m), len(r.m)) AS DOUBLE)
-       |       >= 0.5 * greatest(len(l.m), len(r.m)))
+       |       >= $DedupEvalThreshold * greatest(len(l.m), len(r.m)))
        |    AND ((CAST(len(list_intersect(l.m, r.m)) AS DOUBLE)
-       |      / len(list_distinct(list_concat(l.m, r.m)))) >= 0.5) AS truth,
+       |      / len(list_distinct(list_concat(l.m, r.m)))) >= $DedupEvalThreshold) AS truth,
        |    (CAST(len([i for i in range(1,9) if l.sig[i] = r.sig[i]]) AS DOUBLE) / 8)
-       |      >= 0.5 AS pred
+       |      >= $DedupEvalThreshold AS pred
        |  FROM (SELECT * FROM sg
        |        WHERE doc_id % (SELECT greatest(20, count(*) // 25) FROM documents) = 3) l
        |  JOIN sg r ON l.doc_id <> r.doc_id),

@@ -14,9 +14,11 @@ package graft.ops
   *    o(n) = Σ (-1)^k C(o,k) s(n-k-1); chosen per subframe by minimal
   *    total residual magnitude, the standard encoder heuristic), plus
   *    CONSTANT and VERBATIM subframes where they win;
-  *  - partitioned-Rice residual coding, method 0, partition order 0, with
-  *    the 4-bit escape (0b1111 → 5-bit raw width) so ANY 16-bit input
-  *    round-trips losslessly — no input can overflow the coder;
+  *  - partitioned-Rice residual coding, method 0, partition order 0; the
+  *    4-bit escape (0b1111 → 5-bit raw width) is DECODE-side only — the
+  *    encoder's lossless ceiling is the VERBATIM subframe (its cost bounds
+  *    the subframe search), while the escape lets the decoder accept
+  *    conformant streams this encoder would not emit;
   *  - real integrity chain: CRC-8 (poly 0x07) over each frame header,
   *    CRC-16 (poly 0x8005) over each whole frame, and the STREAMINFO MD5
   *    of the raw little-endian samples — all three VERIFIED on decode,

@@ -500,12 +500,8 @@ object MultimodalOps {
   private def servedMediaStore(spark: SparkSession, dir: String, kind: String)
                               (build: => DataFrame): DataFrame = {
     val p = Tables.derivedStorePath(spark, s"media$kind", dir, "documents.parquet")
-    servedMedia.computeIfAbsent(p, path => {
-      val hp = new org.apache.hadoop.fs.Path(path)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(hp)) graft.sinks.AtomicSwap.replace(spark, build, path)
-      path
-    })
+    servedMedia.computeIfAbsent(p,
+      path => graft.sinks.AtomicSwap.buildIfAbsent(spark, path)(build))
     Tables.parquetCached(spark, p)
   }
 

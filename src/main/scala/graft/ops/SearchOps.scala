@@ -708,12 +708,8 @@ object SearchOps {
     * "Recursive update" when the outer key resolves first on a cold JVM.
     */
   private def buildIfAbsent(spark: SparkSession, path: String)
-                           (df: => DataFrame): String = {
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hp)) graft.sinks.AtomicSwap.replace(spark, df, path)
-    path
-  }
+                           (df: => DataFrame): String =
+    graft.sinks.AtomicSwap.buildIfAbsent(spark, path)(df)
 
   def servedPostings(spark: SparkSession, dir: String): DataFrame = {
     // version-stamped path: a rewritten documents table yields a NEW store
@@ -956,7 +952,7 @@ object SearchOps {
     // resolve the postings dependency BEFORE entering computeIfAbsent
     // (nested computeIfAbsent on servedStores throws "Recursive update")
     val posts = servedPostings(spark, dir)
-    val p = Tables.derivedStorePath(spark, "postingsbkt2", dir, "documents.parquet")
+    val p = Tables.derivedStorePath(spark, "postingsbkt3", dir, "documents.parquet")
     servedStores.computeIfAbsent(p, path => {
       val hp = new org.apache.hadoop.fs.Path(path)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -968,9 +964,14 @@ object SearchOps {
             pmod(graft.ops.DedupOps.hash60(col("token")), lit(PostingsBuckets)))
         graft.sinks.AtomicSwap.replaceWith(spark, path) { staging =>
           // hash-repartition on the bucket key: each bucket directory is
-          // written by exactly one task → one file, token-sorted
+          // written by exactly one task → one file, token-sorted. The sort
+          // must LEAD with the partition column: FileFormatWriter requires
+          // output ordered by partitionBy columns and would otherwise
+          // insert its own Sort(tok_bucket) ABOVE this one — redoing the
+          // work and voiding the in-file token order when that outer sort
+          // spills (r13 review)
           rows.repartition(col("tok_bucket"))
-            .sortWithinPartitions("token", "doc_id")
+            .sortWithinPartitions("tok_bucket", "token", "doc_id")
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .partitionBy("tok_bucket").parquet(staging)
         }

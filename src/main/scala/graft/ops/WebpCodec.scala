@@ -148,6 +148,24 @@ object WebpCodec {
         require(pick >= 0, "Kraft repair failed (too many symbols for maxLen)")
         lens(pick) += 1
       }
+      // the lengthen loop can overshoot BELOW 2^maxLen — an INCOMPLETE
+      // code, which strict decoders (libwebp's BuildHuffmanTable) reject.
+      // Fill the deficit by shortening the deepest shortenable leaves;
+      // every contribution is a multiple of the smallest one present, so
+      // the greedy always lands exactly on zero.
+      var deficit = (1L << maxLen) - kraft
+      while (deficit > 0) {
+        var pick = -1
+        var i3 = 0
+        while (i3 < n) {
+          if (lens(i3) > 1 && (1L << (maxLen - lens(i3))) <= deficit &&
+            (pick < 0 || lens(i3) > lens(pick))) pick = i3
+          i3 += 1
+        }
+        require(pick >= 0, "Kraft completion failed")
+        deficit -= 1L << (maxLen - lens(pick))
+        lens(pick) -= 1
+      }
     }
     lens
   }

@@ -67,6 +67,18 @@ object AtomicSwap {
       df.write.mode(SaveMode.Overwrite).parquet(staging)
     }
 
+  /** The ONE copy of the build-or-serve guard every store builder shares:
+    * materialize `df` at `path` iff nothing lives there yet, return the
+    * path. Callers memoizing paths in a ConcurrentHashMap must resolve any
+    * DEPENDENT store BEFORE entering their computeIfAbsent mapping — a
+    * nested computeIfAbsent on the same map throws "Recursive update".
+    */
+  def buildIfAbsent(spark: SparkSession, path: String)(df: => DataFrame): String = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    if (!fs(spark, path).exists(hp)) replace(spark, df, path)
+    path
+  }
+
   /** The staged swap with a caller-supplied writer (partitioned layouts,
     * bucketed tables) — the writer targets the STAGING path; the rename
     * dance is identical, so a crash mid-write can never leave a partial

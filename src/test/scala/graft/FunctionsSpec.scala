@@ -431,13 +431,24 @@ class FunctionsSpec extends SparkSpecBase {
         assert(r.getBoolean(2) === r.getBoolean(4), s"has_nan vec ${r.getLong(0)}")
       }
     }
-    // NULL vector and null element propagate like the composed HOFs
-    val nulls = Seq((1L, Option.empty[Seq[java.lang.Double]]),
-        (2L, Some(Seq[java.lang.Double](1.0, null))))
+    // NULL vector and null element propagate like the composed HOFs — and
+    // they must do so through WHOLE-STAGE CODEGEN, not just interpreted
+    // eval: a local relation gets constant-folded, so round-trip the rows
+    // through parquet to force the generated path (this is the shape that
+    // caught the missing isNull propagation in the r13 review)
+    val tmp = java.nio.file.Files.createTempDirectory("vecsan").toString + "/n.parquet"
+    Seq((1L, Option.empty[Seq[java.lang.Double]]),
+        (2L, Some(Seq[java.lang.Double](1.0, null))),
+        (3L, Some(Seq[java.lang.Double](1.0, 2.0))))
       .toDF("vec_id", "v")
       .select(col("vec_id"), col("v").cast("array<double>").as("v"))
-      .select(expr("vec_sanity(v)").as("s")).collect()
-    nulls.foreach(r => assert(r.isNullAt(0), "null input must yield NULL"))
+      .write.mode("overwrite").parquet(tmp)
+    val back = spark.read.parquet(tmp)
+      .select(col("vec_id"), expr("vec_sanity(v)").as("s"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(back(1L).isNullAt(1), "NULL vector must yield NULL under codegen")
+    assert(back(2L).isNullAt(1), "null element must yield NULL under codegen")
+    assert(!back(3L).isNullAt(1), "clean vector must stay non-null under codegen")
   }
 
   test("cosDriver ≡ vec_cosine — the driver-side probe ranking replays the plan bit-for-bit") {

@@ -82,8 +82,10 @@ class WebpCodecSpec extends SparkSpecBase {
         assert((freq(s) > 0) === (lens(s) > 0), s"trial $trial symbol $s coded iff used")
       }
       if (freq.count(_ > 0) >= 2) {
+        // COMPLETE, not just feasible: strict decoders (libwebp) reject
+        // under-subscribed codes, so the Kraft sum must be exactly 1
         val kraft = lens.filter(_ > 0).map(l => math.pow(2, -l)).sum
-        assert(kraft <= 1.0 + 1e-9, s"trial $trial Kraft $kraft > 1")
+        assert(math.abs(kraft - 1.0) < 1e-9, s"trial $trial Kraft $kraft != 1")
         // canonical codes must be prefix-free: sort by (len, code)
         val codes = WebpCodec.canonicalCodes(lens)
         val coded = lens.indices.filter(lens(_) > 0)
@@ -95,11 +97,23 @@ class WebpCodecSpec extends SparkSpecBase {
         }
       }
     }
-    // adversarial: geometric frequencies force a depth-24 tree → repair path
+    // adversarial: geometric frequencies force a depth-24 tree → the
+    // repair path, which must still land on a COMPLETE code
     val skew = Array.tabulate(25)(i => 1L << (24 - i))
     val lens = WebpCodec.huffLengths(skew, 15)
     assert(lens.max <= 15)
     val kraft = lens.filter(_ > 0).map(l => math.pow(2, -l)).sum
-    assert(kraft <= 1.0 + 1e-9)
+    assert(math.abs(kraft - 1.0) < 1e-9, s"repaired code incomplete: Kraft $kraft")
+    // and an image whose channel histogram triggers the repair must still
+    // round-trip through the public encode/decode pair
+    val rnd2 = new scala.util.Random(23)
+    val px = Array.tabulate(60 * 60) { p =>
+      // green channel ~geometric: value v with frequency ~2^-v
+      var v = 0
+      while (v < 24 && rnd2.nextBoolean()) v += 1
+      0xff000000 | ((p % 256) << 16) | (v << 8) | ((p * 7) % 256)
+    }
+    val img = WebpCodec.Argb(60, 60, px)
+    assert(WebpCodec.decode(WebpCodec.encode(img)).argb.toSeq === px.toSeq)
   }
 }
