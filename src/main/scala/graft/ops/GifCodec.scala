@@ -169,6 +169,15 @@ object GifCodec {
       i += 1
     }
     putCode(w)
+    // End-of-stream width desync, the classic GIF pitfall (found by
+    // CodecFuzzSpec): mid-stream the encoder's dictionary runs ONE entry
+    // ahead of the decoder's (the decoder adds nothing on the first
+    // post-clear code) — which the (1<<width)+1 growth rule accounts
+    // for — but the flush code just emitted adds NO encoder entry while
+    // the decoder DOES add one, making the two counts equal. If that
+    // lands exactly on a power of two the decoder widens before reading
+    // EOI, so the encoder must widen here too.
+    if (next == (1 << width) && width < 12) width += 1
     putCode(eoi)
     if (nBits > 0) bytes.write((acc & 0xff).toInt)
     bytes.toByteArray

@@ -415,7 +415,7 @@ object MultimodalOps {
                        every: Int = 3): DataFrame = {
     import spark.implicits._
     require(every > 0)
-    servedMediaStore(spark, dir, "gif")(gifMediaTable(spark, dir))
+    servedMediaStore(spark, dir, "gif2")(gifMediaTable(spark, dir))
       .filter(col("media_type") === "video")
       .select("doc_id", "payload")
       .as[(Long, Array[Byte])]
