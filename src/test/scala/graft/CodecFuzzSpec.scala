@@ -93,6 +93,76 @@ class CodecFuzzSpec extends SparkSpecBase {
     }
   }
 
+  test("BMP/PNG/WAV/AVI fuzz: exact round trips over random dims, rasters, samples, and frame shapes") {
+    import graft.ops.{AviCodec, BmpCodec, PngCodec, WavCodec}
+    val gen = for {
+      w <- Gen.choose(1, 50)
+      h <- Gen.choose(1, 40)
+      seed <- Gen.choose(0L, 1L << 40)
+    } yield (w, h, seed)
+    for ((w, h, seed) <- samples(gen, 80, 17L)) {
+      val rnd = new scala.util.Random(seed)
+      val rgb = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      val img = BmpCodec.Image(w, h, rgb)
+      assert(BmpCodec.decode(BmpCodec.encode(img)).rgb.toSeq === rgb.toSeq,
+        s"BMP ${w}x$h seed=$seed")
+      assert(PngCodec.decode(PngCodec.encode(img)).rgb.toSeq === rgb.toSeq,
+        s"PNG ${w}x$h seed=$seed")
+    }
+    for ((n0, rate, seed) <- samples(gen, 60, 19L)) {
+      val n = n0 * 37 + 1
+      val rnd = new scala.util.Random(seed)
+      val s = Array.fill[Short](n)((rnd.nextInt(65536) - 32768).toShort)
+      val back = WavCodec.decode(WavCodec.encode(WavCodec.Audio(rate * 997 + 1, s)))
+      assert(back.sampleRate === rate * 997 + 1, s"WAV rate n=$n seed=$seed")
+      assert(back.samples.toSeq === s.toSeq, s"WAV samples n=$n seed=$seed")
+    }
+    val aviGen = for {
+      nf <- Gen.choose(1, 8)
+      w <- Gen.choose(1, 64)
+      h <- Gen.choose(1, 48)
+      seed <- Gen.choose(0L, 1L << 40)
+    } yield (nf, w, h, seed)
+    for ((nf, w, h, seed) <- samples(aviGen, 60, 23L)) {
+      val rnd = new scala.util.Random(seed)
+      // frame byte lengths deliberately mix odd/even to exercise pad bytes
+      val frames = IndexedSeq.fill(nf)(Array.fill[Byte](1 + rnd.nextInt(300))(
+        rnd.nextInt(256).toByte))
+      val a = AviCodec.Avi(w, h, 33366, frames)
+      val back = AviCodec.decode(AviCodec.encode(a))
+      assert((back.width, back.height, back.frames.length) === ((w, h, nf)),
+        s"AVI shape seed=$seed")
+      for (i <- 0 until nf)
+        assert(back.frames(i).toSeq === frames(i).toSeq, s"AVI frame $i seed=$seed")
+    }
+  }
+
+  test("JPEG fuzz: random rasters survive the lossy chain inside the spec-pinned error bound") {
+    import graft.ops.{BmpCodec, JpegCodec}
+    val gen = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 32)
+      seed <- Gen.choose(0L, 1L << 40)
+    } yield (w, h, seed)
+    for ((w, h, seed) <- samples(gen, 40, 29L)) {
+      val rnd = new scala.util.Random(seed)
+      val rgb = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      val back = JpegCodec.decode(JpegCodec.encode(BmpCodec.Image(w, h, rgb)))
+      assert((back.width, back.height) === ((w, h)), s"JPEG dims ${w}x$h seed=$seed")
+      var maxErr = 0
+      var k = 0
+      while (k < rgb.length) {
+        val e = math.abs((back.rgb(k) & 0xff) - (rgb(k) & 0xff))
+        if (e > maxErr) maxErr = e
+        k += 1
+      }
+      // random noise is JPEG's worst case; the per-pixel bound is looser
+      // than the structured-raster 64 the targeted spec pins, but still a
+      // hard invariant of the quantizer tables in use
+      assert(maxErr <= 128, s"JPEG ${w}x$h seed=$seed: max per-pixel error $maxErr")
+    }
+  }
+
   test("FLAC fuzz: encode∘decode identity over random rates, lengths, and sample distributions") {
     import graft.ops.FlacCodec
     val gen = for {
