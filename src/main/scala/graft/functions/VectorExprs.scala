@@ -246,6 +246,12 @@ case class VecSanity(child: Expression)
   override def dataType: DataType = StructType(Seq(
     StructField("norm2_fp", LongType, nullable = false),
     StructField("has_nan", BooleanType, nullable = false)))
+  // compute() returns null for a null ELEMENT even when the child itself
+  // is non-nullable (e.g. vec_sanity(array(a, b))): without this override
+  // nullSafeCodeGen pins isNull to FalseLiteral (breaking the generated
+  // assignment) and the optimizer constant-folds isnull() to false
+  // (VecCosine sets the precedent; r13 second review)
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_sanity"
 
   override def nullSafeEval(input: Any): Any =

@@ -694,11 +694,11 @@ object DedupOps {
     * (r13 review). */
   private[graft] val DedupEvalThreshold = 0.5
 
-  def dedupEval(spark: SparkSession, dir: String,
-                threshold: Double = DedupEvalThreshold): DataFrame = {
-    require(threshold == DedupEvalThreshold,
-      s"q_dedup_eval's oracle replays threshold $DedupEvalThreshold; a different " +
-        "threshold needs its own oracle entry")
+  def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+    // no threshold parameter on purpose: the oracle interpolates
+    // DedupEvalThreshold, so a divergent value is a compile-time
+    // impossibility rather than a runtime require (r13 second review)
+    val threshold = DedupEvalThreshold
     val nDocs = Tables.documents(spark, dir).count() // 1-value driver artifact
     val modulus = math.max(20L, nDocs / 25L)
     val toks = Tables.documents(spark, dir).select(col("doc_id"),

@@ -953,31 +953,25 @@ object SearchOps {
     // (nested computeIfAbsent on servedStores throws "Recursive update")
     val posts = servedPostings(spark, dir)
     val p = Tables.derivedStorePath(spark, "postingsbkt3", dir, "documents.parquet")
-    servedStores.computeIfAbsent(p, path => {
-      val hp = new org.apache.hadoop.fs.Path(path)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(hp)) {
+    servedStores.computeIfAbsent(p, path =>
+      graft.sinks.AtomicSwap.buildIfAbsentWith(spark, path) { staging =>
         val lens = posts.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
         val dfs = posts.groupBy("token").agg(count(lit(1)).as("df"))
         val rows = posts.join(lens, Seq("doc_id")).join(dfs, Seq("token"))
           .withColumn("tok_bucket",
             pmod(graft.ops.DedupOps.hash60(col("token")), lit(PostingsBuckets)))
-        graft.sinks.AtomicSwap.replaceWith(spark, path) { staging =>
-          // hash-repartition on the bucket key: each bucket directory is
-          // written by exactly one task → one file, token-sorted. The sort
-          // must LEAD with the partition column: FileFormatWriter requires
-          // output ordered by partitionBy columns and would otherwise
-          // insert its own Sort(tok_bucket) ABOVE this one — redoing the
-          // work and voiding the in-file token order when that outer sort
-          // spills (r13 review)
-          rows.repartition(col("tok_bucket"))
-            .sortWithinPartitions("tok_bucket", "token", "doc_id")
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .partitionBy("tok_bucket").parquet(staging)
-        }
-      }
-      path
-    })
+        // hash-repartition on the bucket key: each bucket directory is
+        // written by exactly one task → one file, token-sorted. The sort
+        // must LEAD with the partition column: FileFormatWriter requires
+        // output ordered by partitionBy columns and would otherwise
+        // insert its own Sort(tok_bucket) ABOVE this one — redoing the
+        // work and voiding the in-file token order when that outer sort
+        // spills (r13 review)
+        rows.repartition(col("tok_bucket"))
+          .sortWithinPartitions("tok_bucket", "token", "doc_id")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("tok_bucket").parquet(staging)
+      })
     Tables.parquetCached(spark, p)
   }
 

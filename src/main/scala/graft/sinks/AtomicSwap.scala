@@ -73,9 +73,18 @@ object AtomicSwap {
     * DEPENDENT store BEFORE entering their computeIfAbsent mapping — a
     * nested computeIfAbsent on the same map throws "Recursive update".
     */
-  def buildIfAbsent(spark: SparkSession, path: String)(df: => DataFrame): String = {
+  def buildIfAbsent(spark: SparkSession, path: String)(df: => DataFrame): String =
+    buildIfAbsentWith(spark, path)(staging =>
+      df.write.mode(SaveMode.Overwrite).parquet(staging))
+
+  /** Writer-flavored [[buildIfAbsent]] for stores needing a custom write
+    * (partitioned layouts, sorted files): same guard, the caller supplies
+    * the staging write.
+    */
+  def buildIfAbsentWith(spark: SparkSession, path: String)
+                       (write: String => Unit): String = {
     val hp = new org.apache.hadoop.fs.Path(path)
-    if (!fs(spark, path).exists(hp)) replace(spark, df, path)
+    if (!fs(spark, path).exists(hp)) replaceWith(spark, path)(write)
     path
   }
 

@@ -436,7 +436,13 @@ class FunctionsSpec extends SparkSpecBase {
     // eval: a local relation gets constant-folded, so round-trip the rows
     // through parquet to force the generated path (this is the shape that
     // caught the missing isNull propagation in the r13 review)
-    val tmp = java.nio.file.Files.createTempDirectory("vecsan").toString + "/n.parquet"
+    val tmpDir = java.nio.file.Files.createTempDirectory("vecsan")
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    val tmp = tmpDir.toString + "/n.parquet"
     Seq((1L, Option.empty[Seq[java.lang.Double]]),
         (2L, Some(Seq[java.lang.Double](1.0, null))),
         (3L, Some(Seq[java.lang.Double](1.0, 2.0))))
@@ -449,6 +455,21 @@ class FunctionsSpec extends SparkSpecBase {
     assert(back(1L).isNullAt(1), "NULL vector must yield NULL under codegen")
     assert(back(2L).isNullAt(1), "null element must yield NULL under codegen")
     assert(!back(3L).isNullAt(1), "clean vector must stay non-null under codegen")
+    // NON-NULLABLE child (CreateArray): without the nullable=true override
+    // the optimizer constant-folds isnull() to false and codegen's
+    // non-nullable branch emits an assignment to an undeclared isNull var
+    val tmp2 = tmpDir.toString + "/nn.parquet"
+    Seq((1L, Some(1.0): Option[Double], Some(2.0): Option[Double]),
+        (2L, Some(1.0), Option.empty[Double]))
+      .toDF("id", "a", "b").write.mode("overwrite").parquet(tmp2)
+    val nn = spark.read.parquet(tmp2)
+      .select(col("id"), expr("vec_sanity(array(a, b))").as("s"))
+    val nnRows = nn.collect().map(r => r.getLong(0) -> r).toMap
+    assert(!nnRows(1L).isNullAt(1), "clean non-nullable-child row stays non-null")
+    assert(nnRows(2L).isNullAt(1),
+      "null element under a NON-NULLABLE child must still yield NULL")
+    assert(nn.filter(expr("vec_sanity(array(a, b)) IS NULL")).count() === 1L,
+      "isnull over the non-nullable child must not constant-fold away")
   }
 
   test("cosDriver ≡ vec_cosine — the driver-side probe ranking replays the plan bit-for-bit") {
