@@ -49,31 +49,40 @@ object EventsOps {
     * bucket, empty hours included (the dashboard contract — a gap in the
     * chart means zero traffic, not a missing row).
     *
-    * Shape: the aggregate is the same single partial-first shuffle as the
-    * unfilled face; the bucket SPINE is generated from a 1-row min/max
-    * aggregate via `sequence` (bucket count = hours of span — thousands of
-    * rows at any corpus size, never data-scale) and outer-joins the
-    * aggregate. Both join sides are bucket-cardinality, so AQE broadcasts —
-    * the fill costs nothing at 100 TB because it never touches raw events.
+    * Shape (r13 verdict task 4 — the old form scanned events twice, once
+    * for the aggregate and once for a min/max spine): ONE scan, ONE
+    * partial-first shuffle to the bucket aggregate, then the spine is
+    * GAP-FILLED from the aggregate itself — a `lead(h)` over the
+    * bucket-cardinality frame (thousands of rows at any corpus size, the
+    * single-partition window is free) lets every observed bucket emit
+    * itself plus zero-rows for the empty hours up to its successor, so
+    * empty buckets appear with no self-join, no second subtree, no
+    * broadcast. Raw events are never touched after the aggregate.
     */
   def dateHistogramFilled(spark: SparkSession, dir: String,
                           eventType: String = "purchase"): DataFrame = {
-    val f = Tables.events(spark, dir).filter(col("event_type") === eventType)
-    val agg = f.groupBy(date_trunc("hour", col("ts")).as("h"))
+    val agg = Tables.events(spark, dir)
+      .filter(col("event_type") === eventType)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(Dec)).cast("double").as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
-    val spine = f
-      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
-        date_trunc("hour", max(col("ts"))).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"),
-        expr("interval 1 hour"))).as("h"))
-    spine.join(agg, Seq("h"), "left")
+    val byH = Window.orderBy("h") // bucket-cardinality frame: see Scaladoc
+    agg
+      .withColumn("next_h", lead(col("h"), 1).over(byH))
+      .select(col("h").as("h0"), col("n_events"), col("sum_value"),
+        col("n_users"),
+        explode(sequence(col("h"),
+          coalesce(col("next_h") - expr("INTERVAL 1 HOUR"), col("h")),
+          expr("INTERVAL 1 HOUR"))).as("h"))
       .select(
         date_format(col("h"), "yyyy-MM-dd HH:00:00").as("hour"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
-        coalesce(col("n_users"), lit(0L)).as("n_users"))
+        coalesce(when(col("h") === col("h0"), col("n_events")), lit(0L))
+          .as("n_events"),
+        coalesce(when(col("h") === col("h0"), col("sum_value")), lit(0.0))
+          .as("sum_value"),
+        coalesce(when(col("h") === col("h0"), col("n_users")), lit(0L))
+          .as("n_users"))
   }
 
   /** Per-user inter-event gap via lag window — sessionization building block.
@@ -352,9 +361,9 @@ object EventsOps {
     // gap logic (gap 0 is never a run start or end, zero-delta markers
     // collapse in the keyed aggregate), so the sweep reads the raw
     // activity select and the user-keyed window shuffle is the ONLY full
-    // exchange the exact face pays. NOT persisted here: the exact face
-    // consumes it once; the graded face persists it before its second
-    // (sketch-branch) read.
+    // exchange the exact face pays. NOT persisted: every face consumes it
+    // exactly once (the graded face fuses its sketch into the same
+    // day-keyed aggregate rather than reading the frame twice).
     val act = Tables.events(spark, dir)
       .select(col("user_id"), datediff(to_date(col("ts")), epoch).as("day_idx"))
     // Interval sweep-line, ALL THREE widths in one pass (W=1 → DAU,
@@ -373,34 +382,9 @@ object EventsOps {
     // aggregate onto the calendar-bounded frame, and observed days are
     // recovered at the end as exactly the days where the W=1 count — the
     // DAU — is positive.
-    val widths = Seq(1, 7, 30)
-    val byUser = Window.partitionBy("user_id").orderBy("day_idx")
-    val flagged = act
-      .withColumn("gap_b", col("day_idx") - lag(col("day_idx"), 1).over(byUser))
-      .withColumn("gap_f", lead(col("day_idx"), 1).over(byUser) - col("day_idx"))
-    // deltas as COLUMNS (d1/d7/d30), keyed by day alone: one always-on
-    // marker row carries all three widths' start deltas (zero when not a
-    // start), one conditional end row per width carries its −1 — so the
-    // whole report needs just two exchanges on the big frame (the user
-    // window, the day aggregate) plus one windowed pass over the tiny
-    // calendar frame computing all three running sums together.
-    def d(w: Int, name: String): Column =
-      when(col("gap_b").isNull || col("gap_b") > w, 1L).otherwise(0L).as(name)
-    def endRow(w: Int): Column =
-      when(col("gap_f").isNull || col("gap_f") > w,
-        struct((col("day_idx") + w).as("day"),
-          lit(if (w == 1) -1L else 0L).as("d1"),
-          lit(if (w == 7) -1L else 0L).as("d7"),
-          lit(if (w == 30) -1L else 0L).as("d30")))
-    val entries = struct(col("day_idx").as("day"),
-      d(1, "d1"), d(7, "d7"), d(30, "d30")) +: widths.map(endRow)
     val byDay = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val res = flagged
-      .select(explode(array_compact(array(entries: _*))).as("x"))
-      .groupBy(col("x.day").as("day"))
-      .agg(sum(col("x.d1")).as("d1"), sum(col("x.d7")).as("d7"),
-        sum(col("x.d30")).as("d30"))
+    val res = sweepDaily(act, withSketch = false)
       .select(col("day"), sum(col("d1")).over(byDay).as("dau"),
         sum(col("d7")).over(byDay).as("wau"),
         sum(col("d30")).over(byDay).as("mau"))
@@ -410,6 +394,49 @@ object EventsOps {
         col("dau"), col("wau"), col("mau"),
         expr("(1048576 * dau) div mau").as("stickiness_fp"))
     (act, res)
+  }
+
+  /** The sweep-line's shared middle: activity rows → per-day delta frame.
+    * deltas as COLUMNS (d1/d7/d30), keyed by day alone: one always-on
+    * marker row carries all three widths' start deltas (zero when not a
+    * start), one conditional end row per width carries its −1 — so the
+    * whole report needs just two exchanges on the big frame (the user
+    * window, the day aggregate) plus one windowed pass over the tiny
+    * calendar frame computing all three running sums together.
+    *
+    * `withSketch = true` (the graded face) additionally threads `user_id`
+    * through the marker row alone (`uid`, null on end rows — HLL skips
+    * nulls) so the SAME day-keyed aggregate that folds the deltas also
+    * folds the per-day HLL sketch: grading shares every exchange with the
+    * exact report instead of growing a second subtree over the feed.
+    */
+  private def sweepDaily(act: DataFrame, withSketch: Boolean): DataFrame = {
+    val widths = Seq(1, 7, 30)
+    val byUser = Window.partitionBy("user_id").orderBy("day_idx")
+    val flagged = act
+      .withColumn("gap_b", col("day_idx") - lag(col("day_idx"), 1).over(byUser))
+      .withColumn("gap_f", lead(col("day_idx"), 1).over(byUser) - col("day_idx"))
+    def d(w: Int, name: String): Column =
+      when(col("gap_b").isNull || col("gap_b") > w, 1L).otherwise(0L).as(name)
+    def uidField(c: Column): Seq[Column] =
+      if (withSketch) Seq(c.as("uid")) else Nil
+    def endRow(w: Int): Column =
+      when(col("gap_f").isNull || col("gap_f") > w,
+        struct(Seq((col("day_idx") + w).as("day"),
+          lit(if (w == 1) -1L else 0L).as("d1"),
+          lit(if (w == 7) -1L else 0L).as("d7"),
+          lit(if (w == 30) -1L else 0L).as("d30")) ++
+          uidField(lit(null).cast("long")): _*))
+    val entries = struct(Seq(col("day_idx").as("day"),
+      d(1, "d1"), d(7, "d7"), d(30, "d30")) ++
+      uidField(col("user_id")): _*) +: widths.map(endRow)
+    val aggs = Seq(sum(col("x.d1")).as("d1"), sum(col("x.d7")).as("d7"),
+      sum(col("x.d30")).as("d30")) ++
+      (if (withSketch) Seq(hll_sketch_agg(col("x.uid")).as("sk")) else Nil)
+    flagged
+      .select(explode(array_compact(array(entries: _*))).as("x"))
+      .groupBy(col("x.day").as("day"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** The SKETCH face of [[activeUsers]] — the form that actually ships at
@@ -445,25 +472,41 @@ object EventsOps {
     * satisfy per day (each estimate within max(1, 5%) of exact). The
     * oracle replays the exact report and pins the booleans TRUE, so a
     * broken sketch or window frame flips a boolean and fails the hash.
-    * The persisted distinct-activity frame funds BOTH faces — the sketch
-    * fold reads it, not raw events, so grading costs one tiny extra pass.
+    *
+    * ONE fused tree (r13 verdict task 2 — the old two-subtree + join form
+    * was the round's one isolation-surviving weak row at 10 jobs):
+    * [[sweepDaily]] folds the per-day HLL sketch inside the same
+    * day-keyed aggregate that folds the exact deltas, and ONE WindowExec
+    * over the calendar-bounded frame (shared orderBy, three frames:
+    * rows-unbounded running sums, RANGE −6/−29 sketch unions) produces
+    * exact and estimated counts side by side. No persist, no join, no
+    * second read of the feed — grading costs three window columns.
     */
   def activeUsersApproxGraded(spark: SparkSession, dir: String): DataFrame = {
-    val (act0, exact) = activeUsersPlan(spark, dir)
-    val act = act0.persist() // plan-matched: the exact subtree hits it too
-    val approx = approxCountsOf(act.groupBy(col("day_idx"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk")))
-      .select(col("day_idx"), col("dau").as("a_dau"),
-        col("wau").as("a_wau"), col("mau").as("a_mau"))
+    val epoch = to_date(lit("2024-01-01"))
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), datediff(to_date(col("ts")), epoch).as("day_idx"))
+    val byDay = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w7 = Window.orderBy("day").rangeBetween(-6, 0)
+    val w30 = Window.orderBy("day").rangeBetween(-29, 0)
     def ok(a: Column, e: Column) =
       abs(a - e) <= greatest(lit(1L), (e.cast("double") * 0.05).cast("long"))
-    val res = exact.join(approx, Seq("day_idx"))
-      .select(col("day_idx"), col("dau"), col("wau"), col("mau"),
-        col("stickiness_fp"),
+    sweepDaily(act, withSketch = true)
+      .select(col("day"),
+        sum(col("d1")).over(byDay).as("dau"),
+        sum(col("d7")).over(byDay).as("wau"),
+        sum(col("d30")).over(byDay).as("mau"),
+        hll_sketch_estimate(col("sk")).as("a_dau"),
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w7)).as("a_wau"),
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w30)).as("a_mau"))
+      .filter(col("dau") > 0)
+      .select(col("day").cast("long").as("day_idx"),
+        col("dau"), col("wau"), col("mau"),
+        expr("(1048576 * dau) div mau").as("stickiness_fp"),
         ok(col("a_dau"), col("dau")).as("dau_ok"),
         ok(col("a_wau"), col("wau")).as("wau_ok"),
         ok(col("a_mau"), col("mau")).as("mau_ok"))
-    graft.ops.DedupOps.releasingBounded(act)(res)
   }
 
   /** DAU/WAU/MAU estimates from a per-day sketch frame — the shared tail

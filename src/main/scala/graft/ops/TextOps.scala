@@ -1024,9 +1024,38 @@ object TextOps {
     * swap-in is [[lengthApprox]]'s device: percentile_approx thresholds at
     * 1/3 and 2/3 per lang (a lang-count-sized artifact), then a map-only
     * CASE — same output contract, no per-lang sort.
+    *
+    * SERVED (r13 verdict task 5): the assignment is a static
+    * per-corpus-version artifact exactly like the unigram model it derives
+    * from, so it materializes ONCE into a version-keyed store
+    * (servedOrderPopularity's device) and every consumer — this query,
+    * [[curriculumPack]], the graded sketch gate — reads a doc-count-sized
+    * store scan with no LM-scoring corpus scan and no NTILE sort in its
+    * plan (PlanSpec pins the absence).
     */
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
-    bucketsExactOf(scoredWithLang(spark, dir))
+    servedPerplexityBuckets(spark, dir)
+
+  private val pplBucketStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Version-keyed served store of the EXACT bucket assignment
+    * (doc_id, lang, avg_logprob, bucket); a rewritten corpus re-derives it
+    * via the version-stamped path. Build cost is one LM-scoring scan +
+    * one per-lang NTILE — paid per corpus version, never per query.
+    */
+  private[graft] def servedPerplexityBuckets(spark: SparkSession,
+                                             dir: String): DataFrame = {
+    // resolve the DEPENDENT unigram-model store first (buildIfAbsent's
+    // contract: no nested builds inside a computeIfAbsent mapping)
+    servedUnigramModel(spark, dir)
+    val p = Tables.derivedStorePath(spark, "pplbuckets", dir, "documents.parquet")
+    pplBucketStores.computeIfAbsent(p, path =>
+      graft.sinks.AtomicSwap.buildIfAbsent(spark, path) {
+        bucketsExactOf(scoredWithLang(spark, dir))
+      })
+    Tables.parquetCached(spark, p)
+  }
 
   /** LM-scored corpus with the language key — the one frame BOTH bucketing
     * faces derive from, factored out so the graded-contract query scores the
@@ -1126,21 +1155,16 @@ object TextOps {
     * booleans TRUE.
     */
   def perplexityBucketsApproxGraded(spark: SparkSession, dir: String): DataFrame = {
-    // the contract inherently derives BOTH bucketings; score the corpus
-    // ONCE and persist — the LM scan is the dominant cost and without this
-    // each face re-ran it (in-bench 0.52s → the scan halves out). The
-    // per-lang report is bounded: collect it, release the scored cache
-    // (r10 ADVICE — no per-call cache accumulation in long-lived sessions)
-    val scored = scoredWithLang(spark, dir).persist()
-    // BOTH bucketings derive on the SAME rows in one pipeline — the exact
-    // NTILE rides the per-lang sort window, the sketch CASE rides the
-    // broadcast cuts — so grading needs no doc_id re-join (one exchange
-    // and its AQE jobs gone; the join was the r12 wall after the scan
-    // itself was already shared)
-    val cuts = scored.groupBy("lang")
+    // the served store already carries BOTH grading inputs — the exact
+    // NTILE bucket AND the avg_logprob the sketch cuts derive from — so
+    // the whole gate runs off the doc-count-sized store: no LM scan, no
+    // NTILE sort, no persist/release dance (they were the r12 wall; the
+    // store build pays them once per corpus version)
+    val store = servedPerplexityBuckets(spark, dir)
+    val cuts = store.groupBy("lang")
       .agg(percentile_approx(col("avg_logprob"),
         array(lit(2.0 / 3), lit(1.0 / 3)), lit(10000)).as("t"))
-    val res = bucketsExactOf(scored)
+    val res = store
       .withColumnRenamed("bucket", "e_bucket")
       .join(broadcast(cuts), Seq("lang"))
       .withColumn("a_bucket",
@@ -1155,7 +1179,7 @@ object TextOps {
         (col("agree").cast("double") / col("n_docs") >= lit(0.9)).as("agree_90"),
         (abs(col("heads").cast("double") / col("n_docs") - lit(1.0 / 3)) <= lit(0.1))
           .as("head_share_ok"))
-    DedupOps.releasingBounded(scored)(res)
+    res
   }
 
   /** Per-source KL divergence from the corpus unigram distribution —

@@ -655,6 +655,20 @@ class PlanSpec extends SparkSpecBase {
       s"expected the (bucket_n, shard)-keyed packing window in:\n$cp")
   }
 
+  test("perplexity buckets SERVED: no LM-scoring scan, no NTILE sort in any consumer plan") {
+    // the assignment is a per-corpus-version store artifact (r13 verdict
+    // task 5); consumers read it like any other served store
+    Seq("perplexityBuckets" -> plan(graft.ops.TextOps.perplexityBuckets(spark, sf)),
+        "curriculumPack" -> plan(graft.ops.TextOps.curriculumPack(spark, sf)),
+        "gradedGate" -> plan(graft.ops.TextOps.perplexityBucketsApproxGraded(spark, sf))
+    ).foreach { case (n, p) =>
+      assert(!p.contains("ntile("), // NB: "percentile_approx" contains "ntile"
+        s"$n must read the served assignment, never re-rank:\n$p")
+      assert(!p.contains("Generate explode"),
+        s"$n must not re-run the LM token scan:\n$p")
+    }
+  }
+
   test("round-12 faces: audio map-only; manifest one aggregate; approx percentiles sketch partials") {
     // audioFeatures: synth -> encode -> decode -> features is one map-side
     // pass — payloads never shuffle, no Exchange anywhere
@@ -743,10 +757,12 @@ class PlanSpec extends SparkSpecBase {
       s"terms sub-agg must combine map-side:\n$ps")
   }
 
-  test("dateHistogramFilled: spine from a 1-row agg, fill join broadcast, partial-first bucket agg") {
+  test("dateHistogramFilled: ONE events scan, gap-fill from the aggregate itself — no join, no spine subtree") {
     val p = plan(EventsOps.dateHistogramFilled(spark, sf))
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      s"bucket fill must broadcast, never shuffle-merge:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1,
+      s"the r13 double-scan (agg + min/max spine) crept back in:\n$p")
+    assert(!p.contains("Join"),
+      s"gap-fill must ride the lead() window, never a spine join:\n$p")
     assert(p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")) ||
       p.contains("partial_count"), s"bucket agg must combine map-side:\n$p")
   }
