@@ -360,21 +360,22 @@ object SearchOps {
     * (`start = pos − i`) and an n−1-way equi-join on (doc_id, start)
     * keeps exactly the aligned windows; phrase_freq = surviving starts.
     *
-    * Scale story: with the postings store token-bucketed, each term's
-    * postings read is a bucket-pruned scan ~df(t) rows, and the joins key
-    * on (doc_id, start) — the rarest term bounds the join input, so a
-    * selective phrase touches a vanishing fraction of the corpus (the
-    * corpus-scan face reads every token of every doc). Correctness anchor:
-    * SearchSpec pins this face's frequencies ≡ [[phraseSearch]]'s native
-    * rolling scan.
+    * Scale story: the positions come from the SERVED bucketed positional
+    * store ([[servedPositionalBucketed]]) — each term's read is a
+    * partition-pruned, IN-list-pushed scan of ~occurrences(t) rows, and
+    * the joins key on (doc_id, start) — the rarest term bounds the join
+    * input, so a selective phrase touches a vanishing fraction of the
+    * corpus (the r13 form re-analyzed every token of every doc per query:
+    * 0.78 s/decade; this face measures flat across two decades —
+    * BASELINE.md r14). Correctness anchor: SearchSpec pins this face's
+    * frequencies ≡ [[phraseSearch]]'s native rolling scan;
+    * ScaleLayoutSpec pins the pruned-scan plan.
     */
   def phraseSearchIndexed(spark: SparkSession, dir: String,
                           phrase: String = "data stream", k: Int = 20): DataFrame = {
     val ph = analyzeQuery(phrase)
     require(ph.length >= 2, s"phrase '$phrase' analyzed to < 2 terms")
-    val pp = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(analyze(col("text"))).as(Seq("pos", "token")))
-      .filter(col("token").isInCollection(ph.distinct)) // term-pruned read
+    val pp = positionalFor(spark, dir, ph.distinct)
     val parts = ph.zipWithIndex.map { case (t, i) =>
       pp.filter(col("token") === t)
         .select(col("doc_id"), (col("pos") - i).as("start"))
@@ -393,15 +394,16 @@ object SearchOps {
     * frequency summed over expansions. Closes the last gap in the
     * match/phrase family (match → match_phrase → match_phrase_prefix).
     *
-    * Scale shape: the expansion set comes from the SERVED postings store's
-    * term dictionary (a distinct + prefix-pruned + partial top-50 — at
-    * warehouse scale a bucket-pruned dictionary range scan, Lucene's term
-    * browse); it rides a BROADCAST into the positional-postings
-    * intersection, which is [[phraseSearchIndexed]]'s plan verbatim —
-    * term-pruned read, anchor-shifted (n−1)-way equi-join on (doc_id,
-    * start), so the rarest fixed term bounds the join input. One token
-    * occupies one position, so aligned windows count each occurrence once
-    * regardless of how many expansions exist.
+    * Scale shape: the expansion set comes from the term DICTIONARY (the
+    * served vocab store — ~√corpus-sized, Lucene's term browse), collected
+    * driver-side (≤ maxExpansions rows, a model-artifact read) so the
+    * positional read can bucket-route on the expansions exactly like the
+    * fixed terms; the intersection is then [[phraseSearchIndexed]]'s plan
+    * verbatim over the bucket-pruned positional store — anchor-shifted
+    * (n−1)-way equi-join on (doc_id, start), the rarest fixed term
+    * bounding the join input. One token occupies one position, so aligned
+    * windows count each occurrence once regardless of how many expansions
+    * exist.
     */
   def phrasePrefixSearch(spark: SparkSession, dir: String,
                          phrase: String = "data st", k: Int = 20,
@@ -410,20 +412,21 @@ object SearchOps {
     require(ph.length >= 2, s"phrase '$phrase' analyzed to < 2 terms")
     val fixed = ph.init
     val prefix = ph.last
-    val dict = servedPostings(spark, dir)
-      .select(col("token")).distinct()
+    // bounded collect: ≤ maxExpansions dictionary rows (ES's
+    // max_expansions contract), read from the vocab store — never the
+    // corpus — so the expansions can join the driver-side bucket routing
+    val expansions = servedVocabDf(spark, dir)
       .filter(col("token").startsWith(prefix))
-      .orderBy(col("token").asc)
+      .select(col("token")).orderBy(col("token").asc)
       .limit(maxExpansions)
-    val pp = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(analyze(col("text"))).as(Seq("pos", "token")))
-      .filter(col("token").isInCollection(fixed.distinct) ||
-        col("token").startsWith(prefix)) // term-pruned read
+      .collect().map(_.getString(0)).toSeq
+    val pp = positionalFor(spark, dir, (fixed ++ expansions).distinct)
     val fixedParts = fixed.zipWithIndex.map { case (t, i) =>
       pp.filter(col("token") === t)
         .select(col("doc_id"), (col("pos") - i).as("start"))
     }
-    val lastPart = pp.join(broadcast(dict), Seq("token")) // the ≤50 expansions
+    val lastPart = (if (expansions.isEmpty) pp.filter(lit(false)) // no match
+      else pp.filter(col("token").isInCollection(expansions))) // ≤50 expansions
       .select(col("doc_id"), (col("pos") - (ph.length - 1)).as("start"))
     (fixedParts :+ lastPart).reduce((a, b) => a.join(b, Seq("doc_id", "start")))
       .groupBy("doc_id")
@@ -973,6 +976,51 @@ object SearchOps {
           .partitionBy("tok_bucket").parquet(staging)
       })
     Tables.parquetCached(spark, p)
+  }
+
+  /** POSITIONAL postings store, bucketed — (token, doc_id, pos) in the
+    * same `tok_bucket = hash60(token) mod 64` directory-partitioned,
+    * token-sorted layout as [[servedPostingsBucketed]], built once per
+    * corpus version from ONE analyze pass. This is Lucene's positions
+    * file next to its frequencies file: phrase queries read only their
+    * terms' buckets (planning-time PartitionFilters + pushed token
+    * IN-list), so the read is O(Σ occurrences(term)) instead of the
+    * full-corpus re-analyze the r13 phrase faces paid — measured 0.78
+    * s/decade there (sf0.1 1.0 s → sf10 38 s), the worst exponent in the
+    * engine (BASELINE.md r14 table).
+    */
+  private[graft] def servedPositionalBucketed(spark: SparkSession,
+                                              dir: String): DataFrame = {
+    val p = Tables.derivedStorePath(spark, "posbkt1", dir, "documents.parquet")
+    servedStores.computeIfAbsent(p, path =>
+      graft.sinks.AtomicSwap.buildIfAbsentWith(spark, path) { staging =>
+        val rows = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            posexplode(analyze(col("text"))).as(Seq("pos", "token")))
+          .withColumn("tok_bucket",
+            pmod(graft.ops.DedupOps.hash60(col("token")), lit(PostingsBuckets)))
+        // partition column leads the sort: FileFormatWriter would
+        // otherwise insert its own Sort(tok_bucket) above this one and
+        // void the in-file token order on spill (the r13 review finding)
+        rows.repartition(col("tok_bucket"))
+          .sortWithinPartitions("tok_bucket", "token", "doc_id", "pos")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("tok_bucket").parquet(staging)
+      })
+    Tables.parquetCached(spark, p)
+  }
+
+  /** Bucket-routed positional read for a driver-known term set — the
+    * bm25BucketedSearch routing applied to positions: tok_bucket IN-list
+    * prunes partitions at planning time, token IN-list pushes into the
+    * pruned scan.
+    */
+  private def positionalFor(spark: SparkSession, dir: String,
+                            terms: Seq[String]): DataFrame = {
+    val buckets = terms.map(tokenBucket).distinct
+    servedPositionalBucketed(spark, dir)
+      .filter(col("tok_bucket").isInCollection(buckets) &&
+        col("token").isInCollection(terms))
   }
 
   /** 1-row corpus-constant artifact for BM25 over the bucketed layout:

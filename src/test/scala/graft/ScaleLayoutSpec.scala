@@ -79,6 +79,26 @@ class ScaleLayoutSpec extends SparkSpecBase {
     assert(bucketed.collect().toSeq === flat.toSeq)
   }
 
+  test("SERVED positional store: phrase faces are partition-pruned — no corpus scan, no re-analyze") {
+    for (q <- Seq(graft.ops.SearchOps.phraseSearchIndexed(spark, sf),
+                  graft.ops.SearchOps.phrasePrefixSearch(spark, sf))) {
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      val finalPlan = plan.split("== Initial Plan ==").head
+      // every positional read carries the tok_bucket partition IN-list —
+      // the planning-time prune that makes a phrase O(its terms'
+      // occurrences) instead of the r13 full-corpus re-analyze
+      assert(finalPlan.contains("graft-posbkt"),
+        s"phrase face must read the positional store:\n$plan")
+      assert(plan.contains("PartitionFilters") && plan.contains("tok_bucket"),
+        s"expected tok_bucket partition filters in:\n$plan")
+      assert(!plan.contains("documents.parquet"),
+        s"phrase face must never scan the corpus:\n$plan")
+      assert(!plan.contains("ru_en_analyze"),
+        s"phrase face must never re-analyze text at query time:\n$plan")
+    }
+  }
+
   test("tokenBucket (driver-side) ≡ pmod(hash60(token), 64) (Spark-side) on the real vocabulary") {
     val toks = graft.ops.SearchOps.postingsIndex(spark, sf)
       .select(col("token")).distinct().limit(500)
