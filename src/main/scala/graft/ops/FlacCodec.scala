@@ -422,7 +422,9 @@ object FlacCodec {
       pos += 4 + len
     }
     require(rate > 0 && totalSamples >= 0, "no STREAMINFO block")
-    require(totalSamples <= (1L << 31), "implausible sample count")
+    // strict < Int.MaxValue: .toInt of 2^31 would wrap negative and throw
+    // NegativeArraySizeException instead of this named require (r13 ADVICE)
+    require(totalSamples < Int.MaxValue, "implausible sample count")
 
     val outSamples = new Array[Short](totalSamples.toInt)
     var written = 0

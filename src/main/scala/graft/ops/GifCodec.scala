@@ -104,6 +104,7 @@ object GifCodec {
         done = true
       } else if (prev == -1) {
         require(code < clear, s"first code after CLEAR must be a root, got $code")
+        require(outN < expected, "LZW emits more pixels than the raster holds")
         out(outN) = code.toByte; outN += 1
         prev = code
       } else {

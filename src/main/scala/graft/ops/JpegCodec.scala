@@ -530,7 +530,11 @@ object JpegCodec {
         if (sym == 0x00) done = true // EOB
         else if (sym == 0xF0) {
           k += 16 // ZRL: 16 zeros, no coefficient
-          require(k <= 64, "ZRL overruns the block")
+          // strict <: conformant encoders must use EOB at the block end, and
+          // a ZRL landing exactly on 64 would exit the loop without
+          // consuming the terminator — decoding would continue misaligned
+          // and fail far from the offending block (r13 ADVICE)
+          require(k < 64, "ZRL overruns the block")
         } else {
           k += sym >> 4
           require(k < 64, "AC run overruns the block")

@@ -264,10 +264,13 @@ class DedupSpec extends SparkSpecBase {
     val nHit = row.getAs[Long]("n_hit")
     // probes × (corpus − self): the bounded broadcast shape, never corpus²
     val nAll = graft.Tables.documents(spark, sf).count()
+    // same modulus law as dedupEval itself (max(20, n/25)) — a hardcoded
+    // 20 silently breaks past 500 docs (r13 ADVICE)
+    val modulus = math.max(20L, nAll / 25L)
     val nProbes = graft.Tables.documents(spark, sf)
       .filter(org.apache.spark.sql.functions.pmod(
         org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.lit(20)) === 3).count()
+        org.apache.spark.sql.functions.lit(modulus)) === 3).count()
     assert(nPairs === nProbes * (nAll - 1))
     assert(nHit <= math.min(nTruth, nPred))
     assert(nTruth > 0, "the synthetic corpus carries near-dups; truth must be non-empty")
