@@ -55,6 +55,8 @@ object SparkEntry {
     "q_funnel"           -> (EventsOps.funnel(_, _)),
     "q_retention"        -> (EventsOps.retention(_, _)),
     "q_volume_anomaly"   -> (EventsOps.volumeAnomaly(_, _)),
+    "q_geo_distance"     -> ((s, d) => GeoOps.geoDistance(s, d)),
+    "q_geo_grid"         -> ((s, d) => GeoOps.geoGrid(s, d)),
     "q_active_users"     -> (EventsOps.activeUsers(_, _)),
     "q_active_users_approx" -> (EventsOps.activeUsersApproxGraded(_, _)),
     "q_percentiles_agg"  -> (EventsOps.percentilesAgg(_, _)),
@@ -207,5 +209,6 @@ object SparkEntry {
     RelationalOps.oracle ++ EventsOps.oracle ++ TextOps.oracle ++
       DedupOps.oracle ++ SimilarityOps.oracle ++ MultimodalOps.oracle ++
       SearchOps.oracle ++ DocumentOps.oracle ++ CurationOps.oracle ++
-      PipelineOps.oracle ++ graft.streaming.ComposedEtlQuery.oracle
+      PipelineOps.oracle ++ GeoOps.oracle ++
+      graft.streaming.ComposedEtlQuery.oracle
 }

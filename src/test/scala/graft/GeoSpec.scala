@@ -1,0 +1,95 @@
+package graft
+
+import graft.ops.GeoOps
+import org.apache.spark.sql.functions._
+
+/** The geo tier (GeoOps): geo_distance membership and the geohash-4 cell
+  * law, each checked against an INDEPENDENT spelling — the distance from
+  * first-principles integer arithmetic on the returned coordinates, the
+  * geohash against a classic interval-halving reference encoder (the
+  * public algorithm, not the production bit-interleave).
+  */
+class GeoSpec extends SparkSpecBase {
+  private val B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Reference geohash-4: interval halving in QUARTER-micro-degrees so
+    * every midpoint at depth ≤ 10 is an exact integer (360e6·4 and
+    * 180e6·4 are both divisible by 2^10) — no float anywhere.
+    */
+  private def refGeohash4(latUd: Long, lonUd: Long): String = {
+    var loLat = -90000000L * 4; var hiLat = 90000000L * 4
+    var loLon = -180000000L * 4; var hiLon = 180000000L * 4
+    val (lat4, lon4) = (latUd * 4, lonUd * 4)
+    val sb = new StringBuilder
+    var isLon = true
+    var bits = 0; var ch = 0
+    while (sb.length < 4) {
+      if (isLon) {
+        val mid = (loLon + hiLon) / 2
+        if (lon4 >= mid) { ch = (ch << 1) | 1; loLon = mid }
+        else { ch = ch << 1; hiLon = mid }
+      } else {
+        val mid = (loLat + hiLat) / 2
+        if (lat4 >= mid) { ch = (ch << 1) | 1; loLat = mid }
+        else { ch = ch << 1; hiLat = mid }
+      }
+      isLon = !isLon
+      bits += 1
+      if (bits == 5) { sb.append(B32(ch)); bits = 0; ch = 0 }
+    }
+    sb.toString
+  }
+
+  test("reference encoder pins the public geohash anchors") {
+    // geohash.org canon: (0, 0) = s000…, equator/antimeridian corners
+    assert(refGeohash4(0L, 0L) === "s000")
+    assert(refGeohash4(-90000000L, -180000000L) === "0000") // SW corner
+    assert(refGeohash4(90000000L, 180000000L) === "zzzz")   // NE edge (clamped)
+  }
+
+  test("geoDistance: dist2 is the exact integer law; every hit inside the radius") {
+    val r = 10000000L
+    val rows = GeoOps.geoDistance(spark, sf, r).collect()
+    assert(rows.nonEmpty, "radius must catch events at this sf")
+    val cosK = math.round(math.cos(math.toRadians(40.0)) * (1L << 20))
+    rows.foreach { row =>
+      val lat = row.getAs[Long]("lat_ud"); val lon = row.getAs[Long]("lon_ud")
+      val dlat = lat - 40000000L
+      val dx = (math.abs(lon - -74000000L) * cosK) / 1048576L
+      assert(row.getAs[Long]("dist2") === dlat * dlat + dx * dx)
+      assert(row.getAs[Long]("dist2") <= r * r)
+    }
+    // complement: no in-radius event is dropped (recompute membership over
+    // the full derived-coordinate frame and compare counts)
+    val full = Tables.events(spark, sf).select(col("event_id").cast("string").as("e"))
+      .select(
+        (pmod(conv(substring(md5(col("e")), 1, 15), 16, 10).cast("long"),
+          lit(180000001L)) - lit(90000000L)).as("lat_ud"),
+        (pmod(conv(substring(md5(concat(col("e"), lit("x"))), 1, 15), 16, 10)
+          .cast("long"), lit(360000001L)) - lit(180000000L)).as("lon_ud"))
+      .collect().count { row =>
+        val dlat = row.getAs[Long]("lat_ud") - 40000000L
+        val dx = (math.abs(row.getAs[Long]("lon_ud") - -74000000L) * cosK) / 1048576L
+        dlat * dlat + dx * dx <= r * r
+      }
+    assert(rows.length === full)
+  }
+
+  test("geohash cells match the interval-halving reference on every in-radius event") {
+    val cells = GeoOps.gridCells(spark, sf, 10000000L).collect()
+    assert(cells.nonEmpty)
+    cells.foreach { row =>
+      assert(row.getAs[String]("geohash") ===
+        refGeohash4(row.getAs[Long]("lat_ud"), row.getAs[Long]("lon_ud")),
+        s"cell law diverges at (${row.getAs[Long]("lat_ud")}, ${row.getAs[Long]("lon_ud")})")
+    }
+  }
+
+  test("geoGrid: bucket counts partition the in-radius events; users bounded") {
+    val grid = GeoOps.geoGrid(spark, sf).collect()
+    val hits = GeoOps.geoDistance(spark, sf).count()
+    assert(grid.map(_.getAs[Long]("n_events")).sum === hits)
+    grid.foreach(r =>
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_events")))
+  }
+}
