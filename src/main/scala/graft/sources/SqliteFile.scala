@@ -1,0 +1,344 @@
+package graft.sources
+
+import java.io.RandomAccessFile
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Pure-JVM read-only SQLite database-file reader — the REAL ingestion
+  * face of SURVEY §2 S1 (reference:
+  * my_app/sqlite_to_postgres/sqlite_extractor_file.py:13-20, the paged
+  * `LIMIT step OFFSET n` extractor with step = 3000 from config.py:11).
+  *
+  * No sqlite-jdbc jar can exist in this offline sandbox (verified each
+  * round), but the driver was only ever one route: the SQLite file format
+  * is public and stable (sqlite.org/fileformat2.html), and this engine
+  * already decodes eight binary formats from their public specs. This
+  * reader implements the subset a table extraction needs, all of it real:
+  *
+  *  - the 100-byte header (page size, reserved space, UTF-8 text
+  *    encoding required);
+  *  - the table B-tree: interior pages (type 5, left-child pointers +
+  *    rightmost pointer) and leaf pages (type 13, cell pointer arrays);
+  *  - varints (1–9 bytes, high-bit continuation, 9th byte full);
+  *  - the record format (header of serial types + body): NULL, 1/2/3/4/
+  *    6/8-byte big-endian signed ints, 8-byte IEEE double, the 0/1
+  *    constants, blobs (even ≥ 12) and UTF-8 text (odd ≥ 13);
+  *  - payload OVERFLOW chains (the spec's minLocal/maxLocal spill rule +
+  *    linked overflow pages), so a row larger than a page reads intact;
+  *  - `sqlite_master` (root at page 1, cells offset by the 100-byte
+  *    header) for table roots and CREATE TABLE sql, with a minimal
+  *    column parser (quoted identifiers, depth-0 comma split, trailing
+  *    table-constraint clauses skipped);
+  *  - the rowid-alias rule: an `INTEGER PRIMARY KEY` column stores NULL
+  *    in the record and takes the cell's rowid.
+  *
+  * Scale shape — the Spark face partitions EXACTLY the way the
+  * reference's step-3000 paging intends (bounded memory per unit), but
+  * in parallel instead of a serial cursor: the driver walks only the
+  * INTERIOR pages (fanout-hundreds — a few pages even for huge tables)
+  * plus one 8-byte header peek per leaf for its exact cell count, packs
+  * leaf pages into partitions of ≤ `stepRows` rows, and each task opens
+  * the file and decodes only its own leaves. No LIMIT/OFFSET re-scan
+  * per page (the O(n²) the reference's OFFSET paging pays), no driver
+  * materialization.
+  *
+  * Declared-type mapping: INT* → LongType, REAL/FLOA/DOUB → DoubleType,
+  * BLOB → BinaryType, everything else (TEXT/uuid/timestamp — SQLite
+  * affinity rules collapse them to text here) → StringType, with
+  * defensive value coercion since SQLite cells are dynamically typed.
+  */
+object SqliteFile {
+
+  // ---------- low-level format ----------
+
+  private final class Db(val f: RandomAccessFile) {
+    val header = new Array[Byte](100)
+    f.seek(0); f.readFully(header)
+    require(new String(header, 0, 16, StandardCharsets.ISO_8859_1)
+      .startsWith("SQLite format 3"), "not a SQLite 3 database file")
+    val pageSize: Int = {
+      val raw = ((header(16) & 0xff) << 8) | (header(17) & 0xff)
+      if (raw == 1) 65536 else raw
+    }
+    val reserved: Int = header(20) & 0xff
+    val usable: Int = pageSize - reserved
+    require(u32(header, 56) == 1L, "only UTF-8 text encoding is supported")
+
+    def page(n: Int): Array[Byte] = {
+      val b = new Array[Byte](pageSize)
+      f.seek((n - 1).toLong * pageSize); f.readFully(b)
+      b
+    }
+  }
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  /** (value, bytesRead) — SQLite varint: up to 8 continuation bytes of 7
+    * bits, a 9th byte contributes all 8.
+    */
+  private def varint(b: Array[Byte], o: Int): (Long, Int) = {
+    var v = 0L; var i = 0
+    while (i < 8) {
+      val x = b(o + i) & 0xff
+      v = (v << 7) | (x & 0x7f)
+      if ((x & 0x80) == 0) return (v, i + 1)
+      i += 1
+    }
+    ((v << 8) | (b(o + 8) & 0xff), 9)
+  }
+
+  /** B-tree page header offset: page 1 carries the 100-byte db header. */
+  private def hdrOff(pageNo: Int): Int = if (pageNo == 1) 100 else 0
+
+  /** Leaf page numbers of a table b-tree, in key order — interior pages
+    * only are touched (type 5: n left-child cells + rightmost pointer).
+    */
+  private def leafPages(db: Db, root: Int): Vector[Int] = {
+    val b = db.page(root)
+    val off = hdrOff(root)
+    (b(off) & 0xff) match {
+      case 13 => Vector(root)
+      case 5 =>
+        val n = u16(b, off + 3)
+        val kids = (0 until n).map { i =>
+          val cp = u16(b, off + 12 + 2 * i)
+          u32(b, cp).toInt
+        } :+ u32(b, off + 8).toInt
+        kids.toVector.flatMap(leafPages(db, _))
+      case t => throw new IllegalArgumentException(
+        s"page $root is not a table b-tree page (type $t)")
+    }
+  }
+
+  /** Full payload of a leaf cell, following the overflow chain when the
+    * record spills (fileformat2 §B-tree Pages: maxLocal = U−35,
+    * minLocal = (U−12)·32/255 − 23, surplus rule, then a 4-byte next
+    * pointer heads each overflow page).
+    */
+  private def cellPayload(db: Db, page: Array[Byte], cellOff: Int): (Array[Byte], Long) = {
+    val (payloadLen, n1) = varint(page, cellOff)
+    val (rowid, n2) = varint(page, cellOff + n1)
+    val u = db.usable
+    val maxLocal = u - 35
+    val local =
+      if (payloadLen <= maxLocal) payloadLen.toInt
+      else {
+        val minLocal = (u - 12) * 32 / 255 - 23
+        val k = minLocal + ((payloadLen - minLocal) % (u - 4)).toInt
+        if (k > maxLocal) minLocal else k
+      }
+    val out = new Array[Byte](payloadLen.toInt)
+    System.arraycopy(page, cellOff + n1 + n2, out, 0, local)
+    var got = local
+    if (got < payloadLen) {
+      var next = u32(page, cellOff + n1 + n2 + local).toInt
+      while (got < payloadLen) {
+        require(next != 0, "overflow chain ended before the payload did")
+        val op = db.page(next)
+        val take = math.min(u - 4, payloadLen.toInt - got)
+        System.arraycopy(op, 4, out, got, take)
+        got += take
+        next = u32(op, 0).toInt
+      }
+    }
+    (out, rowid)
+  }
+
+  /** Decode a record payload into column values (serial-type header). */
+  private def record(payload: Array[Byte]): Array[Any] = {
+    val (hdrLen, n0) = varint(payload, 0)
+    var ho = n0
+    val types = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (ho < hdrLen) {
+      val (t, n) = varint(payload, ho); types += t; ho += n
+    }
+    var bo = hdrLen.toInt
+    types.map { t =>
+      def sint(len: Int): Long = {
+        var v = (payload(bo).toLong << 56) >> 56 // sign-extend first byte
+        var i = 1
+        while (i < len) { v = (v << 8) | (payload(bo + i) & 0xffL); i += 1 }
+        bo += len; v
+      }
+      t match {
+        case 0 => null
+        case 1 => sint(1)
+        case 2 => sint(2)
+        case 3 => sint(3)
+        case 4 => sint(4)
+        case 5 => sint(6)
+        case 6 => sint(8)
+        case 7 => java.lang.Double.longBitsToDouble(sint(8))
+        case 8 => 0L
+        case 9 => 1L
+        case n if n >= 12 && n % 2 == 0 =>
+          val len = ((n - 12) / 2).toInt
+          val b = java.util.Arrays.copyOfRange(payload, bo, bo + len); bo += len; b
+        case n if n >= 13 =>
+          val len = ((n - 13) / 2).toInt
+          val s = new String(payload, bo, len, StandardCharsets.UTF_8); bo += len; s
+        case n => throw new IllegalArgumentException(s"reserved serial type $n")
+      }
+    }.toArray
+  }
+
+  /** All (rowid, values) of one leaf page. */
+  private def leafRows(db: Db, pageNo: Int): Seq[(Long, Array[Any])] = {
+    val b = db.page(pageNo)
+    val off = hdrOff(pageNo)
+    require((b(off) & 0xff) == 13, s"page $pageNo is not a table leaf")
+    val n = u16(b, off + 3)
+    (0 until n).map { i =>
+      val cp = u16(b, off + 8 + 2 * i)
+      val (payload, rowid) = cellPayload(db, b, cp)
+      (rowid, record(payload))
+    }
+  }
+
+  // ---------- schema (sqlite_master + CREATE TABLE parse) ----------
+
+  final case class TableDef(name: String, rootPage: Int, sql: String) {
+    /** (column name, declared type or "") with the rowid-alias flag. */
+    lazy val columns: Seq[(String, String, Boolean)] = parseColumns(sql)
+  }
+
+  /** Minimal CREATE TABLE column parser: the parenthesized body split on
+    * depth-0 commas; a piece starting with a table-constraint keyword
+    * ends the column list; identifiers may be "quoted", `quoted`, or
+    * [quoted].
+    */
+  private[sources] def parseColumns(sql: String): Seq[(String, String, Boolean)] = {
+    val open = sql.indexOf('(')
+    val body = sql.substring(open + 1, sql.lastIndexOf(')'))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; val cur = new StringBuilder
+    body.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => parts += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    parts += cur.toString
+    val constraintKw = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+      .takeWhile(p => !constraintKw(p.split("[\\s(]+").head.toUpperCase))
+      .map { p =>
+        val (name, rest) = p.head match {
+          case '"' | '`' =>
+            val q = p.head; val e = p.indexOf(q, 1)
+            (p.substring(1, e), p.substring(e + 1).trim)
+          case '[' =>
+            val e = p.indexOf(']')
+            (p.substring(1, e), p.substring(e + 1).trim)
+          case _ =>
+            val e = p.indexWhere(_.isWhitespace)
+            if (e < 0) (p, "") else (p.substring(0, e), p.substring(e).trim)
+        }
+        val declared = rest.split("[\\s(]+").headOption.getOrElse("").toUpperCase
+        val isRowidAlias = declared == "INTEGER" &&
+          rest.toUpperCase.contains("PRIMARY KEY")
+        (name, declared, isRowidAlias)
+      }
+  }
+
+  /** sqlite_master rows (type='table'), read from the page-1 b-tree. */
+  def tables(path: String): Seq[TableDef] = {
+    val f = new RandomAccessFile(path, "r")
+    try {
+      val db = new Db(f)
+      leafPages(db, 1).flatMap(leafRows(db, _)).collect {
+        case (_, vals) if vals(0) == "table" =>
+          TableDef(vals(1).asInstanceOf[String],
+            vals(3).asInstanceOf[Long].toInt, vals(4).asInstanceOf[String])
+      }
+    } finally f.close()
+  }
+
+  // ---------- Spark face ----------
+
+  private def sparkType(declared: String): DataType = declared match {
+    case d if d.contains("INT") => LongType
+    case "REAL" | "FLOAT" | "FLOA" | "DOUBLE" | "DOUB" | "NUMERIC" => DoubleType
+    case "BLOB" => BinaryType
+    case _ => StringType
+  }
+
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (l: Long, LongType) => l
+    case (l: Long, DoubleType) => l.toDouble
+    case (d: Double, DoubleType) => d
+    case (l: Long, StringType) => l.toString
+    case (d: Double, StringType) => d.toString
+    case (s: String, StringType) => s
+    case (b: Array[Byte], BinaryType) => b
+    case (other, _) => throw new IllegalArgumentException(
+      s"cell value ${other.getClass.getSimpleName} does not fit declared $dt")
+  }
+
+  /** Read one table as a DataFrame, partitioned at the reference's
+    * step-3000 granularity: leaf pages packed into partitions of at most
+    * `stepRows` rows (exact per-leaf cell counts from an 8-byte header
+    * peek), each task decoding only its own pages.
+    */
+  def read(spark: SparkSession, path: String, table: String,
+           stepRows: Int = 3000): DataFrame = {
+    require(stepRows >= 1, "stepRows must be positive")
+    val t = tables(path).find(_.name == table).getOrElse(
+      throw new IllegalArgumentException(s"no table '$table' in $path"))
+    val cols = t.columns
+    val schema = StructType(cols.map { case (n, d, _) =>
+      StructField(n, sparkType(d), nullable = true) })
+    val types = cols.map(c => sparkType(c._2)).toArray
+    val rowidIdx = cols.indexWhere(_._3)
+    // driver: interior walk + one cell-count peek per leaf, then pack
+    val (leaves, counts) = {
+      val f = new RandomAccessFile(path, "r")
+      try {
+        val db = new Db(f)
+        val ls = leafPages(db, t.rootPage)
+        val ns = ls.map { p =>
+          val b = new Array[Byte](8)
+          f.seek((p - 1).toLong * db.pageSize + hdrOff(p)); f.readFully(b)
+          u16(b, 3)
+        }
+        (ls, ns)
+      } finally f.close()
+    }
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
+    var cur = Vector.empty[Int]; var n = 0
+    leaves.zip(counts).foreach { case (p, c) =>
+      if (cur.nonEmpty && n + c > stepRows) { chunks += cur; cur = Vector.empty; n = 0 }
+      cur :+= p; n += c
+    }
+    if (cur.nonEmpty) chunks += cur
+    val parts = if (chunks.isEmpty) Seq(Vector.empty[Int]) else chunks.toSeq
+    val rdd = spark.sparkContext
+      .parallelize(parts, parts.size)
+      .mapPartitions { it =>
+        it.flatMap { pages =>
+          if (pages.isEmpty) Iterator.empty
+          else {
+            val f = new RandomAccessFile(path, "r")
+            val db = new Db(f)
+            val rows = pages.iterator.flatMap(leafRows(db, _)).map {
+              case (rowid, vals) =>
+                Row.fromSeq(types.indices.map { i =>
+                  if (i == rowidIdx) rowid
+                  else coerce(vals(i), types(i))
+                })
+            }.toVector // leaf chunk ≤ stepRows rows: bounded by contract
+            f.close()
+            rows
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+}
