@@ -29,6 +29,28 @@ object Migrate {
                 key: String): Long =
     DedupeAppendSink.append(spark.read.parquet(srcPath), dstPath, key)
 
+  /** The reference's WHOLE migration (load_data.py:37-70 — discover every
+    * table in sqlite_master, page it out, ON-CONFLICT-DO-NOTHING load,
+    * then reconcile) run end-to-end over a REAL `.sqlite` file through
+    * the pure-JVM reader: each table streams out in step-3000 leaf-page
+    * partitions, lands in a parquet warehouse via the dedupe-append sink
+    * (idempotent re-runs, like the reference's ON CONFLICT), and is
+    * reconciled counts/keys/columns/checksum. Returns (appended rows,
+    * report) per table.
+    */
+  def migrateSqliteDb(spark: SparkSession, sqlitePath: String,
+                      dstRoot: String, key: String = "id",
+                      stepRows: Int = 3000): Map[String, (Long, ReconcileReport)] =
+    graft.sources.SqliteFile.tables(sqlitePath).map { t =>
+      val src = graft.sources.SqliteFile.read(spark, sqlitePath, t.name, stepRows)
+      // tables without the conventional key column fall back to their
+      // first column (the fixture's types_zoo keys on its rowid alias)
+      val keyCol = if (src.columns.contains(key)) key else src.columns.head
+      val dst = s"$dstRoot/${t.name}"
+      val appended = DedupeAppendSink.append(src, dst, keyCol)
+      t.name -> ((appended, reconcile(src, spark.read.parquet(dst), keyCol)))
+    }.toMap
+
   /** Source↔sink reconciliation: counts, key anti-joins both ways, column
     * sets, and an order-independent whole-table checksum (sum of per-row
     * xxhash64 over canonically-ordered columns). One pass per side.

@@ -76,6 +76,25 @@ class SqliteSpec extends SparkSpecBase {
     assert(rows(6).getAs[Double]("r") === -1e-300)
   }
 
+  test("full migration off the real file: every table lands, reconciles, and re-runs idempotently") {
+    val dst = java.nio.file.Files.createTempDirectory("sqlite_migrate").toString
+    val first = graft.migrate.Migrate.migrateSqliteDb(spark, fixture, dst)
+    assert(first.keySet === Set("film_work", "genre", "person",
+      "genre_film_work", "person_film_work", "types_zoo"))
+    first.foreach { case (t, (appended, report)) =>
+      assert(report.ok, s"$t failed reconciliation: $report")
+      assert(appended === report.srcRows, s"$t first run must append every row")
+    }
+    assert(first("film_work")._1 === 7000L)
+    // the reference loader's ON CONFLICT DO NOTHING re-run: zero appends,
+    // reconciliation still whole
+    val second = graft.migrate.Migrate.migrateSqliteDb(spark, fixture, dst)
+    second.foreach { case (t, (appended, report)) =>
+      assert(appended === 0L, s"$t re-run must be a no-op")
+      assert(report.ok, s"$t failed post-rerun reconciliation: $report")
+    }
+  }
+
   test("bridge tables reconcile: every person_film_work row joins a film and a person") {
     val fw = SqliteFile.read(spark, fixture, "film_work").select(col("id").as("film_work_id"))
     val p = SqliteFile.read(spark, fixture, "person").select(col("id").as("person_id"))
