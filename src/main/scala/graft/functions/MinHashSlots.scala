@@ -627,6 +627,86 @@ object GramBuckets {
   }
 }
 
+/** Native robust-winnowing selection (Schleimer/Wilkerson/Aiken 2003):
+  * over a positional hash array, the 1-based positions of each w-window's
+  * RIGHTMOST minimum, distinct and ascending.
+  *
+  * Semantics are bit-identical to the composed form DedupOps.winnowCore
+  * shipped through r13 (asserted in FunctionsSpec):
+  * `array_sort(array_distinct(transform(sequence(1, greatest(n-w+1, 1)),
+  *   i => i + size(win_i) - array_position(reverse(win_i), array_min(win_i)))))`
+  * — rightmost-tie realized as first-match over the reversed window; an
+  * array shorter than one window winnows whole; empty input → empty.
+  *
+  * Why native: the composed form allocates a slice AND a reversed copy
+  * per window and walks each twice (min, then position) — O(n·w) with
+  * four array allocations per element (the engine's one remaining local
+  * weak-gate row, q_winnow, spent its whole 0.9 cpu-s here). This is the
+  * classic monotonic-deque sliding minimum: O(n) total, zero per-window
+  * allocation; popping `>=` keeps the NEWEST equal candidate, which IS
+  * the rightmost-min rule. Null elements are skipped as candidates
+  * (array_min's null-ignoring semantics; they cannot occur from
+  * gram_hash60_pos).
+  */
+case class WinnowSelect(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(w >= 1, "w must be >= 1")
+
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_select"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowSelect.compute(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = WinnowSelect.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $cls.compute($t, $w);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+}
+
+object WinnowSelect {
+  def compute(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val len = math.min(w, n) // a short array winnows whole: one window
+    val nWin = math.max(n - w + 1, 1)
+    val dq = new Array[Int](n) // candidate indices, values strictly rising
+    var head = 0; var tail = 0
+    var hi = 0 // next element to admit
+    val sel = new Array[Long](nWin)
+    var nSel = 0
+    var lastSel = -1L
+    var i = 0
+    while (i < nWin) {
+      var lim = i + len; if (lim > n) lim = n
+      while (hi < lim) {
+        if (!arr.isNullAt(hi)) {
+          val v = arr.getLong(hi)
+          // >= pops older equal candidates: rightmost-min tie rule
+          while (tail > head && arr.getLong(dq(tail - 1)) >= v) tail -= 1
+          dq(tail) = hi; tail += 1
+        }
+        hi += 1
+      }
+      while (head < tail && dq(head) < i) head += 1
+      if (head < tail) {
+        val s = dq(head) + 1L // 1-based, like the composed arithmetic
+        // window fronts are non-decreasing, so dedup is one comparison
+        if (s != lastSel) { sel(nSel) = s; nSel += 1; lastSel = s }
+      }
+      i += 1
+    }
+    val boxed = new Array[Any](nSel)
+    var t = 0
+    while (t < nSel) { boxed(t) = sel(t); t += 1 }
+    new GenericArrayData(boxed)
+  }
+}
+
 object TextFunctionBuilders {
   def minhashSlots(exprs: Seq[Expression]): Expression = {
     require(exprs.size == 2, "minhash_slots(hashes, k)")
@@ -671,6 +751,16 @@ object TextFunctionBuilders {
         s"gram_hash60_pos n must be an int literal, got $other")
     }
     GramHash60Pos(exprs.head, n)
+  }
+
+  def winnowSelect(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2, "winnow_select(hashes, w)")
+    val w = exprs(1) match {
+      case Literal(i: Int, IntegerType) => i
+      case other => throw new IllegalArgumentException(
+        s"winnow_select w must be an int literal, got $other")
+    }
+    WinnowSelect(exprs.head, w)
   }
 
   def gramBuckets(exprs: Seq[Expression]): Expression = {
@@ -745,7 +835,8 @@ object GraftFunctions {
         registry.functionExists(FunctionIdentifier("text_metrics")) &&
         registry.functionExists(FunctionIdentifier("gram_stats")) &&
         registry.functionExists(FunctionIdentifier("bpe_count")) &&
-        registry.functionExists(FunctionIdentifier("phrase_count"))) return
+        registry.functionExists(FunctionIdentifier("phrase_count")) &&
+        registry.functionExists(FunctionIdentifier("winnow_select"))) return
     registry.createOrReplaceTempFunction(
       "minhash_slots", TextFunctionBuilders.minhashSlots _, "built-in")
     registry.createOrReplaceTempFunction(
@@ -778,6 +869,8 @@ object GraftFunctions {
       "bpe_count", TextFunctionBuilders.bpeCount _, "built-in")
     registry.createOrReplaceTempFunction(
       "phrase_count", TextFunctionBuilders.phraseCount _, "built-in")
+    registry.createOrReplaceTempFunction(
+      "winnow_select", TextFunctionBuilders.winnowSelect _, "built-in")
     ()
   }
 }

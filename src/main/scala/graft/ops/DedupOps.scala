@@ -1238,18 +1238,29 @@ object DedupOps {
     require(k >= 1 && w >= 1, s"need k,w >= 1, got k=$k w=$w")
     val toks = filter(split(lower(trim(col("text"))), "\\s+"),
       t => length(t) > 0)
+    // native one-pass monotonic-deque selection — bit-identical to the
+    // composed slice/reverse/array_min form ([[winnowSelectComposed]],
+    // FunctionsSpec) which allocated four arrays per window and was the
+    // engine's last local weak-gate row
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), expr(s"gram_hash60_pos(toks, $k)").as("gs"))
+      .select(col("doc_id"), col("gs"),
+        expr(s"winnow_select(gs, $w)").as("pos"))
+  }
+
+  /** The r13 composed spelling of the winnowing selection over a `gs`
+    * hash-array column — kept as the independent reference the native
+    * `winnow_select` is bit-equality-tested against (FunctionsSpec).
+    */
+  private[graft] def winnowSelectComposed(w: Int): Column = {
     def sl(i: Column) = slice(col("gs"), i, lit(w))
     val selected = transform(
       sequence(lit(1), greatest(size(col("gs")) - lit(w - 1), lit(1))),
       i => (i.cast("long") + size(sl(i)).cast("long")) -
         array_position(reverse(sl(i)), array_min(sl(i))))
-    val positions = when(size(col("gs")) > 0,
-      array_sort(array_distinct(selected)))
+    when(size(col("gs")) > 0, array_sort(array_distinct(selected)))
       .otherwise(array().cast("array<long>"))
-    docs
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), expr(s"gram_hash60_pos(toks, $k)").as("gs"))
-      .select(col("doc_id"), col("gs"), positions.as("pos"))
   }
 
   /** Exact replay of [[dedupSpans]] at w=8: same tokenizer spelling, same

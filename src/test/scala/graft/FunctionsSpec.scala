@@ -737,6 +737,63 @@ class FunctionsSpec extends SparkSpecBase {
     assert(run("CODEGEN_ONLY") === run("NO_CODEGEN"))
   }
 
+  test("winnow_select ≡ composed slice/reverse/array_min form — bit-identical, real corpus + adversarial ties") {
+    GraftFunctions.register(spark)
+    // random arrays from a SMALL value domain so window-min ties (the
+    // rightmost-tie rule's whole reason to exist) occur constantly
+    val rnd = new scala.util.Random(13)
+    val synth = (1 to 300).map(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(40))(rnd.nextInt(5).toLong)))
+      .toDF("doc_id", "gs")
+    // the real corpus hash stream, THROUGH PARQUET so whole-stage codegen
+    // is actually exercised (local relations constant-fold to interpreted)
+    val p = "/tmp/graft_fn_winnow"
+    Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        expr("gram_hash60_pos(filter(split(lower(trim(text)), '\\\\s+'), t -> length(t) > 0), 4)").as("gs"))
+      .write.mode("overwrite").parquet(p)
+    for ((df, w) <- Seq((synth, 4), (synth, 1), (synth, 7),
+                        (spark.read.parquet(p), 4))) {
+      val both = df.select(col("doc_id"),
+          expr(s"winnow_select(gs, $w)").as("native"),
+          graft.ops.DedupOps.winnowSelectComposed(w).as("ref"))
+        .collect()
+      assert(both.nonEmpty)
+      both.foreach { r =>
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+          s"w=$w doc ${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("winnow_select edge cases + interpreted/codegen agreement") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Some(Seq.empty[Long])),           // empty → empty selection
+      (2L, None),                            // null input → null
+      (3L, Some(Seq(9L))),                   // shorter than one window
+      (4L, Some(Seq(5L, 3L, 3L, 3L, 8L))),   // tie run: rightmost wins
+      (5L, Some(Seq(2L, 2L, 2L, 2L, 2L, 2L)))) // all-equal: one per slide
+      .toDF("doc_id", "gs")
+    def run(codegen: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try df.select(col("doc_id"), expr("winnow_select(gs, 4)").as("s"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1).toSeq))
+        .toMap
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val out = run("CODEGEN_ONLY")
+    assert(out === run("NO_CODEGEN"))
+    assert(out(1L) === Seq())
+    assert(out(2L) === null)
+    assert(out(3L) === Seq(1L))
+    // windows of [5,3,3,3,8]: [5333]→pos4, [3338]→rightmost 3 at pos 4
+    assert(out(4L) === Seq(4L))
+    // all-equal: every window selects its own last element
+    assert(out(5L) === Seq(4L, 5L, 6L))
+  }
+
   test("minhash_slots survives dup detection end-to-end (same text ⇒ same sig)") {
     GraftFunctions.register(spark)
     val df = Seq((1L, "identical shingle text"), (2L, "identical shingle text"),
