@@ -76,6 +76,41 @@ class SqliteSpec extends SparkSpecBase {
     assert(rows(6).getAs[Double]("r") === -1e-300)
   }
 
+  test("hostile inputs fail loud with named requires, never confused downstream errors") {
+    val dir = java.nio.file.Files.createTempDirectory("sqlite_hostile")
+    def write(name: String, bytes: Array[Byte]): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, bytes)
+      p.toString
+    }
+    val real = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixture))
+    // wrong magic
+    val badMagic = real.clone(); badMagic(0) = 'X'.toByte
+    val e1 = intercept[IllegalArgumentException] {
+      SqliteFile.tables(write("magic.sqlite", badMagic))
+    }
+    assert(e1.getMessage.contains("not a SQLite 3 database"))
+    // UTF-16 text encoding declared (header offset 56)
+    val badEnc = real.clone(); badEnc(59) = 2
+    val e2 = intercept[IllegalArgumentException] {
+      SqliteFile.tables(write("enc.sqlite", badEnc))
+    }
+    assert(e2.getMessage.contains("UTF-8"))
+    // truncated mid-tree: the page read itself fails (EOF), not a
+    // wrong-answer decode
+    val cut = java.util.Arrays.copyOfRange(real, 0, real.length / 3)
+    intercept[java.io.IOException] {
+      val p = write("cut.sqlite", cut)
+      SqliteFile.tables(p).foreach(t => SqliteFile.read(spark, p, t.name).count())
+    }
+    // unknown table name is a named error
+    val e4 = intercept[IllegalArgumentException] {
+      SqliteFile.read(spark, fixture, "no_such_table")
+    }
+    assert(e4.getMessage.contains("no table"))
+  }
+
   test("full migration off the real file: every table lands, reconciles, and re-runs idempotently") {
     val dst = java.nio.file.Files.createTempDirectory("sqlite_migrate").toString
     val first = graft.migrate.Migrate.migrateSqliteDb(spark, fixture, dst)
