@@ -41,15 +41,26 @@ object Migrate {
   def migrateSqliteDb(spark: SparkSession, sqlitePath: String,
                       dstRoot: String, key: String = "id",
                       stepRows: Int = 3000): Map[String, (Long, ReconcileReport)] =
-    graft.sources.SqliteFile.tables(sqlitePath).map { t =>
-      val src = graft.sources.SqliteFile.read(spark, sqlitePath, t.name, stepRows)
-      // tables without the conventional key column fall back to their
-      // first column (the fixture's types_zoo keys on its rowid alias)
-      val keyCol = if (src.columns.contains(key)) key else src.columns.head
-      val dst = s"$dstRoot/${t.name}"
-      val appended = DedupeAppendSink.append(src, dst, keyCol)
-      t.name -> ((appended, reconcile(src, spark.read.parquet(dst), keyCol)))
-    }.toMap
+    graft.sources.SqliteFile.tables(sqlitePath)
+      // virtual tables (rootpage 0) hold no b-tree rows, and sqlite_*
+      // internals (sqlite_sequence, sqlite_stat*) are bookkeeping, not
+      // data — neither is part of a table migration (r14 review)
+      .filter(t => t.rootPage >= 1 && !t.name.startsWith("sqlite_"))
+      .map { t =>
+        val src = graft.sources.SqliteFile.read(spark, sqlitePath, t.name, stepRows)
+        // tables without the conventional key column fall back to their
+        // first column (the fixture's types_zoo keys on its rowid alias);
+        // the dedupe-append sink keeps ONE row per key, so a non-unique
+        // key would silently drop rows — fail loud instead (r14 review)
+        val keyCol = if (src.columns.contains(key)) key else src.columns.head
+        val total = src.count()
+        require(src.dropDuplicates(keyCol).count() == total,
+          s"table '${t.name}': key column '$keyCol' is not unique — pass " +
+            "a unique key or the dedupe-append load would drop rows")
+        val dst = s"$dstRoot/${t.name}"
+        val appended = DedupeAppendSink.append(src, dst, keyCol)
+        t.name -> ((appended, reconcile(src, spark.read.parquet(dst), keyCol)))
+      }.toMap
 
   /** Source↔sink reconciliation: counts, key anti-joins both ways, column
     * sets, and an order-independent whole-table checksum (sum of per-row

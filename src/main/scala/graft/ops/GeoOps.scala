@@ -68,11 +68,17 @@ object GeoOps {
     * first stage of both faces. The bounding-box prefilter comes first:
     * a plain range predicate on the coordinate columns (pushable to a
     * scan of stored coordinates — the ES bbox optimization), then the
-    * exact equirectangular test. lon box uses the scaled radius
-    * ceil(r·2^20 / k) so no in-radius point is boxed out.
+    * exact equirectangular test. The lon box admits every |dlon| whose
+    * FLOORED dx can still satisfy dx ≤ r: dx ≤ r ⇔ |dlon|·k < (r+1)·2^20
+    * ⇔ |dlon| ≤ floor(((r+1)·2^20 − 1) / k) — the plain ceil(r·2^20/k)
+    * box was one micro-degree too tight at the exact boundary (a point
+    * with dlat = 0 and dx = r exactly could be boxed out; r14 review).
     */
+  private def lonBoxOf(radiusUd: Long): Long =
+    ((radiusUd + 1) * (1L << 20) - 1) / CosK
+
   private def withinRadius(df: DataFrame, radiusUd: Long): DataFrame = {
-    val lonR = (radiusUd * (1L << 20) + CosK - 1) / CosK // ceil, driver-side
+    val lonR = lonBoxOf(radiusUd) // driver-side literal
     df.filter(col("lat_ud").between(CLat - radiusUd, CLat + radiusUd) &&
         col("lon_ud").between(CLon - lonR, CLon + lonR))
       .withColumn("dlat", col("lat_ud") - lit(CLat))
@@ -142,7 +148,7 @@ object GeoOps {
        |      AND lon_ud BETWEEN ${CLon - lonBox} AND ${CLon + lonBox})
        |  WHERE dlat*dlat + dx*dx <= ${10000000L * 10000000L})""".stripMargin
 
-  private def lonBox: Long = (10000000L * (1L << 20) + CosK - 1) / CosK
+  private def lonBox: Long = lonBoxOf(10000000L)
 
   val oracle: Map[String, String] = Map(
     "q_geo_distance" ->

@@ -530,11 +530,13 @@ object JpegCodec {
         if (sym == 0x00) done = true // EOB
         else if (sym == 0xF0) {
           k += 16 // ZRL: 16 zeros, no coefficient
-          // strict <: conformant encoders must use EOB at the block end, and
-          // a ZRL landing exactly on 64 would exit the loop without
-          // consuming the terminator — decoding would continue misaligned
-          // and fail far from the offending block (r13 ADVICE)
-          require(k < 64, "ZRL overruns the block")
+          // strict <: a ZRL landing exactly on 64 is non-conformant (T.81
+          // F.1.2.2 — trailing zeros shall be coded as EOB, ZRL only
+          // precedes a nonzero coefficient). Such a stream WOULD decode
+          // aligned (a complete block carries no EOB), so this is a
+          // deliberate conformance rejection with a named reason, not a
+          // misalignment guard (r13 ADVICE; premise corrected r14 review)
+          require(k < 64, "non-conformant ZRL at block end (EOB required)")
         } else {
           k += sym >> 4
           require(k < 64, "AC run overruns the block")

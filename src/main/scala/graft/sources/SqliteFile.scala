@@ -203,9 +203,11 @@ object SqliteFile {
 
   // ---------- schema (sqlite_master + CREATE TABLE parse) ----------
 
+  final case class ColumnDef(name: String, declared: String,
+                             isRowidAlias: Boolean, hasDefault: Boolean)
+
   final case class TableDef(name: String, rootPage: Int, sql: String) {
-    /** (column name, declared type or "") with the rowid-alias flag. */
-    lazy val columns: Seq[(String, String, Boolean)] = parseColumns(sql)
+    lazy val columns: Seq[ColumnDef] = parseColumns(sql)
   }
 
   /** Minimal CREATE TABLE column parser: the parenthesized body split on
@@ -213,16 +215,26 @@ object SqliteFile {
     * ends the column list; identifiers may be "quoted", `quoted`, or
     * [quoted].
     */
-  private[sources] def parseColumns(sql: String): Seq[(String, String, Boolean)] = {
+  private[graft] def parseColumns(sql: String): Seq[ColumnDef] = {
     val open = sql.indexOf('(')
     val body = sql.substring(open + 1, sql.lastIndexOf(')'))
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; val cur = new StringBuilder
-    body.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case ',' if depth == 0 => parts += cur.toString; cur.clear()
-      case c => cur += c
+    var depth = 0; var quote: Char = 0; val cur = new StringBuilder
+    // track string/identifier literals: a comma or paren inside
+    // '...'/"..."/`...`/[...] (legal in DEFAULT/CHECK clauses) must not
+    // split or unbalance the column list (r14 review)
+    body.foreach { c =>
+      if (quote != 0) {
+        cur += c
+        if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur += c
+        case '[' => quote = ']'; cur += c
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case other => cur += other
+      }
     }
     parts += cur.toString
     val constraintKw = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
@@ -243,7 +255,8 @@ object SqliteFile {
         val declared = rest.split("[\\s(]+").headOption.getOrElse("").toUpperCase
         val isRowidAlias = declared == "INTEGER" &&
           rest.toUpperCase.contains("PRIMARY KEY")
-        (name, declared, isRowidAlias)
+        ColumnDef(name, declared, isRowidAlias,
+          hasDefault = rest.toUpperCase.contains("DEFAULT"))
       }
   }
 
@@ -292,11 +305,20 @@ object SqliteFile {
     require(stepRows >= 1, "stepRows must be positive")
     val t = tables(path).find(_.name == table).getOrElse(
       throw new IllegalArgumentException(s"no table '$table' in $path"))
+    require(t.rootPage >= 1,
+      s"'$table' has no b-tree root (rootpage ${t.rootPage}): virtual " +
+        "tables and views hold no rows to read")
     val cols = t.columns
-    val schema = StructType(cols.map { case (n, d, _) =>
-      StructField(n, sparkType(d), nullable = true) })
-    val types = cols.map(c => sparkType(c._2)).toArray
-    val rowidIdx = cols.indexWhere(_._3)
+    val schema = StructType(cols.map(c =>
+      StructField(c.name, sparkType(c.declared), nullable = true)))
+    val types = cols.map(c => sparkType(c.declared)).toArray
+    val rowidIdx = cols.indexWhere(_.isRowidAlias)
+    // rows written BEFORE an ALTER TABLE ADD COLUMN store short records;
+    // the format's rule is to substitute the added column's default. A
+    // missing value with no DEFAULT clause is exactly NULL; one WITH a
+    // DEFAULT would need the literal materialized — fail loud rather
+    // than silently misreading it as NULL (r14 review)
+    val defaultedTail = cols.map(_.hasDefault).toArray
     // driver: interior walk + one cell-count peek per leaf, then pack
     val (leaves, counts) = {
       val f = new RandomAccessFile(path, "r")
@@ -311,6 +333,10 @@ object SqliteFile {
         (ls, ns)
       } finally f.close()
     }
+    // page-granular packing: a chunk closes at stepRows, but one leaf is
+    // never split, so a partition holds ≤ max(stepRows, one leaf's cells)
+    // rows — memory stays page-bounded either way (r14 review: the
+    // stronger "≤ stepRows always" claim was false for huge-page files)
     val chunks = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
     var cur = Vector.empty[Int]; var n = 0
     leaves.zip(counts).foreach { case (p, c) =>
@@ -326,16 +352,20 @@ object SqliteFile {
           if (pages.isEmpty) Iterator.empty
           else {
             val f = new RandomAccessFile(path, "r")
-            val db = new Db(f)
-            val rows = pages.iterator.flatMap(leafRows(db, _)).map {
-              case (rowid, vals) =>
-                Row.fromSeq(types.indices.map { i =>
-                  if (i == rowidIdx) rowid
-                  else coerce(vals(i), types(i))
-                })
-            }.toVector // leaf chunk ≤ stepRows rows: bounded by contract
-            f.close()
-            rows
+            try { // close on the decode-failure path too (r14 review)
+              val db = new Db(f)
+              pages.iterator.flatMap(leafRows(db, _)).map {
+                case (rowid, vals) =>
+                  Row.fromSeq(types.indices.map { i =>
+                    if (i == rowidIdx) rowid
+                    else if (i < vals.length) coerce(vals(i), types(i))
+                    else if (defaultedTail(i)) throw new IllegalArgumentException(
+                      s"short record omits column '${cols(i).name}' which " +
+                        "declares a DEFAULT — materializing defaults is unsupported")
+                    else null // pre-ALTER row, no default: NULL by the format
+                  })
+              }.toVector // one chunk: ≤ max(stepRows, one leaf) rows
+            } finally f.close()
           }
         }
       }

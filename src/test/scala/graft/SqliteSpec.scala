@@ -23,7 +23,7 @@ class SqliteSpec extends SparkSpecBase {
     assert(Set("film_work", "genre", "person", "genre_film_work",
       "person_film_work").subsetOf(names))
     val fw = ts.find(_.name == "film_work").get
-    assert(fw.columns.map(_._1) === Seq("id", "title", "description",
+    assert(fw.columns.map(_.name) === Seq("id", "title", "description",
       "creation_date", "file_path", "rating", "type", "created", "modified"))
   }
 
@@ -74,6 +74,47 @@ class SqliteSpec extends SparkSpecBase {
     assert(rows(3).isNullAt(2) && rows(3).isNullAt(3) && rows(3).isNullAt(4))
     assert(rows(5).getAs[Double]("r") === 1e300)
     assert(rows(6).getAs[Double]("r") === -1e-300)
+  }
+
+  test("edge fixture: pre-ALTER short records NULL-fill; defaulted columns fail loud; virtual tables refuse") {
+    val edges = getClass.getResource("/edges_fixture.sqlite").getPath
+    // rows written before ALTER TABLE ADD COLUMN store short records —
+    // the added no-default column reads NULL, the post-ALTER row reads
+    // its stored value (ground truth from sqlite3 itself)
+    val altered = SqliteFile.read(spark, edges, "altered").orderBy("id").collect()
+    assert(altered.map(r => (r.getAs[Long]("id"), r.getAs[String]("a"),
+      r.getAs[String]("b"))).toSeq ===
+      Seq((1L, "one", null), (2L, "two", null), (3L, "three", "full")))
+    // a short record whose missing column DECLARES a default must not be
+    // silently misread as NULL — named loud failure
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val e = intercept[Exception] {
+      SqliteFile.read(spark, edges, "defaulted").collect()
+    }
+    assert(chain(e).contains("DEFAULT"), s"unexpected failure: ${chain(e)}")
+    // virtual tables (rootpage 0) hold no b-tree: named refusal
+    val e2 = intercept[IllegalArgumentException] {
+      SqliteFile.read(spark, edges, "ft")
+    }
+    assert(e2.getMessage.contains("virtual"))
+    // migration over the edge fixture skips the virtual table and the
+    // sqlite_sequence internal (and fails only on 'defaulted', by name)
+    val e3 = intercept[Exception] {
+      graft.migrate.Migrate.migrateSqliteDb(spark, edges,
+        java.nio.file.Files.createTempDirectory("edges_migrate").toString)
+    }
+    assert(chain(e3).contains("DEFAULT"), s"unexpected failure: ${chain(e3)}")
+  }
+
+  test("parseColumns: string literals and doubled quotes never split or unbalance the column list") {
+    val cols = SqliteFile.parseColumns(
+      """CREATE TABLE t (a TEXT DEFAULT 'x,y (z)', "b,weird" INT,
+        |c TEXT DEFAULT 'it''s', d REAL CHECK (d > 0),
+        |PRIMARY KEY (a, "b,weird"))""".stripMargin)
+    assert(cols.map(_.name) === Seq("a", "b,weird", "c", "d"))
+    assert(cols.map(_.hasDefault) === Seq(true, false, true, false))
   }
 
   test("hostile inputs fail loud with named requires, never confused downstream errors") {
