@@ -1,0 +1,354 @@
+package graft.ops
+
+/** H.264/AVC STRUCTURAL codec (ITU-T H.264 / ISO 14496-10, public spec):
+  * the Annex-B byte stream, NAL units, emulation prevention, exp-Golomb,
+  * sequence/picture parameter sets (including frame cropping), slice
+  * headers, and access-unit boundaries — everything a frame-sampling
+  * pipeline needs to walk REAL coded pictures out of a real bitstream.
+  *
+  * What is real here: start-code scanning (3- and 4-byte), the
+  * 00 00 03 emulation-prevention layer both directions, MSB-first bit IO
+  * with ue(v)/se(v), SPS parsing through cropping with the 4:2:0
+  * CropUnit law (width = 16·mbs − 2·(crop_l+crop_r) when
+  * frame_mbs_only), PPS pps→sps binding, slice-header parsing through
+  * frame_num, and the spec's primary-picture boundary rule
+  * (first_mb_in_slice == 0 starts a new access unit — 7.4.1.2.4's
+  * common case). Unsupported features fail LOUD BY NAME (interlaced
+  * streams, POC type 1, high-profile chroma signalling, FMO slice
+  * groups) — the FLAC honest-subset discipline.
+  *
+  * What deliberately is NOT here: slice-DATA entropy decoding
+  * (CAVLC/CABAC residual reconstruction to pixels) — the engine's one
+  * remaining declared stub, now narrowed from "H.264 anything" to
+  * exactly that layer. Frame sampling digests the sampled access
+  * units' actual coded bytes, the same level of realness as the AVI
+  * `movi` walk (which also samples coded frame bytes, not pixels).
+  *
+  * [[synth]] writes structurally conformant baseline streams through
+  * the same bit writer (full slice headers through slice_qp_delta,
+  * emulation prevention applied, deterministic entropy-payload filler),
+  * so fixtures carry every syntax element the parser reads.
+  */
+object H264Codec {
+
+  // ---------- bit IO ----------
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); nBits += 1
+      if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
+    }
+    def bits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit(((v >>> i) & 1L).toInt); i -= 1 }
+    }
+    /** Exp-Golomb ue(v): leadingZeros(bits(v+1)−1) zeros then v+1. */
+    def ue(v: Int): Unit = {
+      require(v >= 0)
+      val x = v + 1
+      val len = 63 - java.lang.Long.numberOfLeadingZeros(x.toLong)
+      bits(0L, len.toInt)
+      bits(x.toLong, len.toInt + 1)
+    }
+    def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    /** rbsp_trailing_bits: stop bit then align. */
+    def trailing(): Unit = { bit(1); while (nBits != 0) bit(0) }
+    def toBytes: Array[Byte] = {
+      require(nBits == 0, "unaligned RBSP (call trailing())")
+      out.toByteArray
+    }
+  }
+
+  private final class BitReader(b: Array[Byte]) {
+    private var pos = 0 // bit position
+    def u(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        require(pos < b.length * 8, "RBSP exhausted mid-field")
+        v = (v << 1) | ((b(pos >> 3) >> (7 - (pos & 7))) & 1)
+        pos += 1; i += 1
+      }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (u(1) == 0) {
+        zeros += 1
+        require(zeros <= 31, "exp-Golomb code longer than 32 bits")
+      }
+      ((1 << zeros) - 1) + u(zeros)
+    }
+    def se(): Int = {
+      val k = ue()
+      if (k % 2 == 1) (k + 1) / 2 else -(k / 2)
+    }
+  }
+
+  // ---------- emulation prevention ----------
+
+  /** Insert 0x03 after any 00 00 followed by 00/01/02/03. */
+  private def ep(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length + 8)
+    var zeros = 0
+    raw.foreach { byte =>
+      if (zeros >= 2 && (byte & 0xff) <= 3) { out.write(3); zeros = 0 }
+      out.write(byte.toInt)
+      zeros = if (byte == 0) zeros + 1 else 0
+    }
+    out.toByteArray
+  }
+
+  /** Strip emulation prevention: 00 00 03 → 00 00. */
+  private def unep(nal: Array[Byte], from: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(nal.length - from)
+    var zeros = 0
+    var i = from
+    while (i < nal.length) {
+      val v = nal(i) & 0xff
+      if (zeros >= 2 && v == 3) zeros = 0 // the EP byte itself: drop
+      else {
+        out.write(v)
+        zeros = if (v == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  // ---------- parsing ----------
+
+  final case class Sps(profileIdc: Int, levelIdc: Int, log2MaxFrameNum: Int,
+                       pocType: Int, widthMbs: Int, heightMapUnits: Int,
+                       cropL: Int, cropR: Int, cropT: Int, cropB: Int) {
+    // 4:2:0 progressive: CropUnitX = CropUnitY = 2 (7-24/7-25)
+    def width: Int = widthMbs * 16 - 2 * (cropL + cropR)
+    def height: Int = heightMapUnits * 16 - 2 * (cropT + cropB)
+  }
+
+  final case class SliceInfo(nalType: Int, firstMb: Int, sliceType: Int,
+                             frameNum: Int)
+
+  final case class VideoInfo(sps: Sps, nFrames: Int, nIdr: Int)
+
+  def isAnnexB(p: Array[Byte]): Boolean =
+    p.length >= 5 && p(0) == 0 && p(1) == 0 &&
+      (p(2) == 1 || (p(2) == 0 && p(3) == 1))
+
+  /** NAL units of an Annex-B stream: (nal_unit_type, nal bytes including
+    * the header byte, EP still applied). Lazy — huge streams walk
+    * without materializing.
+    */
+  def nalUnits(p: Array[Byte]): Iterator[(Int, Array[Byte])] = new Iterator[(Int, Array[Byte])] {
+    private var i = nextStart(0)
+    private def nextStart(from: Int): Int = {
+      var j = from
+      while (j + 2 < p.length) {
+        if (p(j) == 0 && p(j + 1) == 0 && p(j + 2) == 1) return j + 3
+        j += 1
+      }
+      -1
+    }
+    def hasNext: Boolean = i >= 0 && i < p.length
+    def next(): (Int, Array[Byte]) = {
+      val start = i
+      val nxt = nextStart(start)
+      // a start code's leading zeros belong to the PREVIOUS nal's
+      // trailing region; trim them (both 00 00 01 and 00 00 00 01 forms)
+      var end = if (nxt < 0) p.length else nxt - 3
+      while (end > start && p(end - 1) == 0) end -= 1
+      i = nxt
+      val nal = java.util.Arrays.copyOfRange(p, start, end)
+      require(nal.nonEmpty && (nal(0) & 0x80) == 0,
+        "forbidden_zero_bit set: not a NAL header")
+      ((nal(0) & 0x1f), nal)
+    }
+  }
+
+  def parseSps(nal: Array[Byte]): Sps = {
+    val r = new BitReader(unep(nal, 1))
+    val profile = r.u(8)
+    r.u(8) // constraint flags + reserved
+    val level = r.u(8)
+    r.ue() // sps_id
+    val highProfiles = Set(100, 110, 122, 244, 44, 83, 86, 118, 128)
+    require(!highProfiles.contains(profile),
+      s"high-profile chroma signalling unsupported (profile_idc $profile)")
+    val log2MaxFrameNum = r.ue() + 4
+    val pocType = r.ue()
+    pocType match {
+      case 0 => r.ue() // log2_max_pic_order_cnt_lsb_minus4
+      case 2 => ()
+      case t => throw new IllegalArgumentException(
+        s"pic_order_cnt_type $t unsupported (0 and 2 only)")
+    }
+    r.ue() // max_num_ref_frames
+    r.u(1) // gaps_in_frame_num_value_allowed
+    val wMbs = r.ue() + 1
+    val hUnits = r.ue() + 1
+    val frameMbsOnly = r.u(1)
+    require(frameMbsOnly == 1, "interlaced streams unsupported (frame_mbs_only_flag 0)")
+    r.u(1) // direct_8x8_inference
+    val (cl, cr, ct, cb) =
+      if (r.u(1) == 1) (r.ue(), r.ue(), r.ue(), r.ue()) else (0, 0, 0, 0)
+    Sps(profile, level, log2MaxFrameNum, pocType, wMbs, hUnits, cl, cr, ct, cb)
+  }
+
+  /** pps_id → sps_id, plus the FMO guard. */
+  def parsePps(nal: Array[Byte]): (Int, Int) = {
+    val r = new BitReader(unep(nal, 1))
+    val ppsId = r.ue()
+    val spsId = r.ue()
+    r.u(2) // entropy_coding_mode, bottom_field_poc_present
+    require(r.ue() == 0, "FMO slice groups unsupported (num_slice_groups > 1)")
+    (ppsId, spsId)
+  }
+
+  /** Slice header through frame_num — all the AU rule needs. */
+  def parseSliceHeader(nal: Array[Byte], sps: Sps): SliceInfo = {
+    val r = new BitReader(unep(nal, 1))
+    val firstMb = r.ue()
+    val sliceType = r.ue()
+    r.ue() // pps_id
+    val frameNum = r.u(sps.log2MaxFrameNum)
+    SliceInfo(nal(0) & 0x1f, firstMb, sliceType, frameNum)
+  }
+
+  /** Whole-stream structural parse: dimensions from the SPS, access-unit
+    * count from the primary-picture rule, IDR count from NAL types.
+    */
+  def info(p: Array[Byte]): VideoInfo = {
+    var sps: Sps = null
+    var nFrames = 0
+    var nIdr = 0
+    nalUnits(p).foreach { case (t, nal) =>
+      t match {
+        case 7 => sps = parseSps(nal)
+        case 8 => parsePps(nal) // binding + FMO guard
+        case 1 | 5 =>
+          require(sps != null, "slice NAL before any SPS")
+          val s = parseSliceHeader(nal, sps)
+          if (s.firstMb == 0) { // new primary coded picture (7.4.1.2.4)
+            nFrames += 1
+            if (t == 5) nIdr += 1
+          }
+        case _ => () // SEI / AUD / filler: legal, no structural content
+      }
+    }
+    require(sps != null, "no SPS in stream")
+    VideoInfo(sps, nFrames, nIdr)
+  }
+
+  /** Every `every`-th access unit's first slice NAL — REAL coded-picture
+    * bytes, lazily (the AVI `movi` walk's contract). (auIndex, nalBytes).
+    */
+  def sampledAccessUnits(p: Array[Byte], every: Int): Iterator[(Int, Array[Byte])] = {
+    require(every > 0)
+    var sps: Sps = null
+    var au = -1
+    nalUnits(p).flatMap { case (t, nal) =>
+      t match {
+        case 7 => sps = parseSps(nal); Iterator.empty
+        case 1 | 5 =>
+          require(sps != null, "slice NAL before any SPS")
+          if (parseSliceHeader(nal, sps).firstMb == 0) {
+            au += 1
+            if (au % every == 0) Iterator((au, nal)) else Iterator.empty
+          } else Iterator.empty
+        case _ => Iterator.empty
+      }
+    }
+  }
+
+  // ---------- synthesis ----------
+
+  /** Structurally conformant baseline (profile 66) Annex-B stream:
+    * SPS + PPS + `nFrames` pictures (an IDR every `idrEvery`, P slices
+    * between), each with a complete slice header and a deterministic
+    * entropy-payload filler (the layer the engine's declared stub
+    * covers). Cropping exercises the SPS law: width/height shrink by
+    * 2·crop from the macroblock raster.
+    */
+  def synth(seed: Long, nFrames: Int, widthMb: Int, heightMb: Int,
+            cropRight: Int = 0, cropBottom: Int = 0,
+            idrEvery: Int = 10): Array[Byte] = {
+    require(nFrames >= 1 && widthMb >= 1 && heightMb >= 1)
+    require(cropRight * 2 < 16 && cropBottom * 2 < 16,
+      "crop must stay inside the last macroblock")
+    val out = new java.io.ByteArrayOutputStream()
+    def nal(header: Int, rbsp: Array[Byte], long: Boolean): Unit = {
+      if (long) out.write(0)
+      out.write(0); out.write(0); out.write(1)
+      out.write(header)
+      val eped = ep(rbsp)
+      out.write(eped, 0, eped.length)
+    }
+    // SPS (nal_ref_idc 3, type 7)
+    val sps = new BitWriter
+    sps.bits(66, 8) // profile_idc: baseline
+    sps.bits(0xc0, 8) // constraint_set0/1, reserved zero
+    sps.bits(30, 8) // level 3.0
+    sps.ue(0) // sps_id
+    sps.ue(0) // log2_max_frame_num_minus4 → 4-bit frame_num
+    sps.ue(2) // pic_order_cnt_type 2: order = decode order, no POC bits
+    sps.ue(1) // max_num_ref_frames
+    sps.bit(0) // gaps_in_frame_num
+    sps.ue(widthMb - 1)
+    sps.ue(heightMb - 1)
+    sps.bit(1) // frame_mbs_only
+    sps.bit(1) // direct_8x8_inference
+    if (cropRight > 0 || cropBottom > 0) {
+      sps.bit(1); sps.ue(0); sps.ue(cropRight); sps.ue(0); sps.ue(cropBottom)
+    } else sps.bit(0)
+    sps.bit(0) // vui absent
+    sps.trailing()
+    nal(0x67, sps.toBytes, long = true)
+    // PPS (type 8)
+    val pps = new BitWriter
+    pps.ue(0); pps.ue(0) // pps_id, sps_id
+    pps.bit(0) // CAVLC
+    pps.bit(0) // bottom_field_poc_present
+    pps.ue(0) // one slice group
+    pps.ue(0); pps.ue(0) // default ref list sizes − 1
+    pps.bit(0) // weighted_pred
+    pps.bits(0, 2) // weighted_bipred
+    pps.se(0); pps.se(0); pps.se(0) // init qp/qs, chroma offset
+    pps.bit(0); pps.bit(0); pps.bit(0) // deblock-ctrl, constrained-intra, redundant
+    pps.trailing()
+    nal(0x68, pps.toBytes, long = true)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < nFrames) {
+      val idr = i % idrEvery == 0
+      val w = new BitWriter
+      w.ue(0) // first_mb_in_slice: AU boundary
+      w.ue(if (idr) 7 else 5) // I / P (the all-slices-same-type spellings)
+      w.ue(0) // pps_id
+      w.bits((i % 16).toLong, 4) // frame_num (log2 4)
+      if (idr) w.ue(i / idrEvery) // idr_pic_id
+      if (!idr) {
+        w.bit(0) // num_ref_idx_active_override
+        w.bit(0) // ref_pic_list_modification_l0
+      }
+      // dec_ref_pic_marking (nal_ref_idc > 0)
+      if (idr) { w.bit(0); w.bit(0) } // no_output_of_prior, long_term
+      else w.bit(0) // adaptive_ref_pic_marking_mode
+      w.se(0) // slice_qp_delta
+      w.trailing() // byte-align before the filler (real CAVLC continues
+      // bit-contiguous from the header — that contiguity lives in the
+      // stubbed residual layer, so alignment here is the honest seam)
+      val header = w.toBytes
+      // deterministic filler standing in for CAVLC residuals — the one
+      // declared stub layer; EP on write keeps start codes unemulable
+      md.reset()
+      md.update(java.nio.ByteBuffer.allocate(12).putLong(seed).putInt(i).array())
+      val fill = java.util.Arrays.copyOf(md.digest(), 8 + (((seed + i) % 9) + 1).toInt)
+      nal(if (idr) 0x65 else 0x41, header ++ fill, long = false)
+      i += 1
+    }
+    out.toByteArray
+  }
+}

@@ -324,6 +324,49 @@ object MultimodalOps {
       .toDF("doc_id", "frame_idx", "frame_md5", "byte_len")
   }
 
+  /** Ingest face with REAL H.264 elementary streams: video rows carry a
+    * structurally conformant Annex-B baseline bitstream
+    * ([[H264Codec.synth]] — SPS with cropping, PPS, full slice headers,
+    * IDR cadence) whose synthesis parameters are doc_id arithmetic, so
+    * the DuckDB oracle replays the parsed METADATA with no bitstream at
+    * all: the hash gate proves the SPS/slice/AU parse against the law
+    * the stream was built from.
+    */
+  def h264MediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("doc_id", "payload", "media_type")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, mt) =>
+          if (mt == "video")
+            (id, H264Codec.synth(id, 20 + (id % 30).toInt,
+              4 + (id % 8).toInt, 3 + (id % 5).toInt,
+              cropRight = (id % 3).toInt, cropBottom = (id % 2).toInt), mt)
+          else (id, payload, mt)
+        }
+      }
+      .toDF("doc_id", "payload", "media_type")
+  }
+
+  /** Structural H.264 metadata off the real bitstream: dimensions from
+    * the SPS cropping law, access units from the slice-header AU rule,
+    * IDR count from NAL types. Map-only; payloads never shuffle.
+    */
+  def h264Meta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    h264MediaTable(spark, dir)
+      .filter(col("media_type") === "video")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val v = H264Codec.info(payload)
+        (id, v.sps.profileIdc, v.sps.width, v.sps.height, v.nFrames.toLong,
+          v.nIdr.toLong)
+      })
+      .toDF("doc_id", "profile_idc", "width", "height", "n_frames", "n_idr")
+  }
+
   /** Ingest face with REAL MJPEG videos: doc_ids that map to `video` carry
     * an AVI whose frames are ACTUAL baseline JPEGs (16×8, two constant
     * blocks per frame, frame seed `doc_id + 7·i`) — the composition that
@@ -693,12 +736,16 @@ object MultimodalOps {
 
   /** Frame-sampling stage: one video row fans out to every `every`-th frame
     * (the contact-sheet / keyframe extraction step). REAL for AVI (movi
-    * walk, actual frame bytes) and animated GIF (lazy LZW decode of only
-    * the sampled frames); payloads with neither magic fall to a stub
-    * digest that keeps the fan-out shape tested. Either way the shape is
-    * the point at scale: an iterator `flatMap` inside `mapPartitions`, so
-    * a 2-hour video's frames stream out without materializing the whole
-    * list, and the output row count is n_frames/every, never n_frames.
+    * walk, actual frame bytes), animated GIF (lazy LZW decode of only
+    * the sampled frames), and H.264 Annex-B elementary streams (NAL walk
+    * + slice-header access-unit rule, [[H264Codec]] — sampled coded
+    * pictures' actual bytes; residual-to-pixel reconstruction is the one
+    * remaining declared stub layer); payloads with none of those magics
+    * fall to a stub digest that keeps the fan-out shape tested. Either
+    * way the shape is the point at scale: an iterator `flatMap` inside
+    * `mapPartitions`, so a 2-hour video's frames stream out without
+    * materializing the whole list, and the output row count is
+    * n_frames/every, never n_frames.
     */
   def frameSample(spark: SparkSession, dir: String, every: Int = 10): Dataset[Frame] =
     frameSampleOf(spark, mediaTable(spark, dir), every)
@@ -734,10 +781,20 @@ object MultimodalOps {
               val hex = md.digest(px).map("%02x".format(_)).mkString
               Frame(id, i, hex, px.length.toLong)
             }
+          } else if (H264Codec.isAnnexB(payload)) {
+            // REAL grab: every k-th ACCESS UNIT's first slice NAL walked
+            // lazily off the Annex-B stream (start codes, emulation
+            // prevention, slice-header AU rule — H264Codec); coded
+            // picture bytes digested, the AVI movi walk's realness level
+            H264Codec.sampledAccessUnits(payload, every).map { case (i, nal) =>
+              md.reset()
+              val hex = md.digest(nal).map("%02x".format(_)).mkString
+              Frame(id, i, hex, nal.length.toLong)
+            }
           } else {
             val (_, _, _, nFrames) = stubDecode(payload, mt)
             Iterator.range(0, nFrames, every).map { i =>
-              // ??? <- further containers' frame grabs go here (H.264);
+              // ??? <- further containers' frame grabs go here;
               // deterministic stub digest keeps the fan-out shape tested
               md.reset()
               md.update(payload)
@@ -931,6 +988,18 @@ object MultimodalOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // Replays the H.264 synthesis law directly (no bitstream): the hash
+    // gate proves the SPS parse (including the 4:2:0 cropping law), the
+    // slice-header access-unit rule, and IDR classification against the
+    // arithmetic the stream was built from — a mis-read exp-Golomb field
+    // or a missed AU boundary breaks a row.
+    "q_h264_meta" ->
+      """SELECT doc_id, CAST(66 AS INT) AS profile_idc,
+        |  CAST(16 * (4 + doc_id % 8) - 2 * (doc_id % 3) AS INT) AS width,
+        |  CAST(16 * (3 + doc_id % 5) - 2 * (doc_id % 2) AS INT) AS height,
+        |  CAST(20 + doc_id % 30 AS BIGINT) AS n_frames,
+        |  CAST((20 + doc_id % 30 + 9) // 10 AS BIGINT) AS n_idr
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
     // Replays the JPEG DC chain (color transform → quantize → dequant →
     // IDCT DC shortcut → inverse color transform) as pure integer
     // arithmetic, no codec: the hash gate validates markers, Huffman,
