@@ -29,7 +29,14 @@ class IncrementalDocPipeline(
     changes: SparkSession => DataFrame,                 // (id, modified) change feed
     storePath: String,
     statePath: String,
-    stampTimestamps: Boolean = false) { // F16: created/modified sink columns
+    stampTimestamps: Boolean = false, // F16: created/modified sink columns
+    // the reference's es.bulk delivery boundary: invoked with the tick's
+    // rebuilt docs AFTER the store upsert and BEFORE the watermark commit,
+    // so a delivery failure (network sink down) leaves the watermark
+    // unmoved and the same dirty ids re-deliver next tick — T2 against a
+    // real wire (see HttpSinkSpec/IncrementalPipelineSpec). Idempotent
+    // delivery (the _id upsert) absorbs the replay.
+    deliver: (SparkSession, DataFrame) => Unit = (_, _) => ()) {
 
   private val Epoch = java.sql.Timestamp.valueOf("1000-01-01 00:00:00")
 
@@ -58,6 +65,7 @@ class IncrementalDocPipeline(
 
     val docs = docBuilder(spark, dirty.select("id").distinct())
     IncrementalDocPipeline.upsertDocs(spark, storePath, docs, stampTimestamps)
+    deliver(spark, docs) // es.bulk boundary: throws ⇒ watermark stays put
     // commit watermark AFTER the sink write (reference commits after es.bulk)
     import spark.implicits._
     Seq(newWm).toDF("wm").write.mode(SaveMode.Overwrite).parquet(statePath)

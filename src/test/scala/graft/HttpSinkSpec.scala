@@ -118,6 +118,71 @@ class HttpSinkSpec extends SparkSpecBase {
     } finally es.stop()
   }
 
+  test("the reference's whole loop over the wire: tick -> rebuild -> es.bulk -> commit-after-sink") {
+    import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+    val base = java.nio.file.Files.createTempDirectory("http_etl").toString
+    val srcPath = s"$base/src"
+    import spark.implicits._
+    def writeSource(rows: Seq[(Long, String, String)], mode: SaveMode): Unit =
+      rows.toDF("id", "val", "m")
+        .withColumn("modified", col("m").cast("timestamp")).drop("m")
+        .write.mode(mode).parquet(srcPath)
+    writeSource(Seq((1L, "a", "2024-01-01 09:00:00"),
+      (2L, "b", "2024-01-01 09:30:00")), SaveMode.Overwrite)
+    // a stub that can be toggled DOWN (every bulk 503s — outage)
+    val down = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val es = new EsStub(0, 0)
+    es.server.removeContext("/")
+    es.server.createContext("/", (x: HttpExchange) => {
+      val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+      def send(code: Int, s: String): Unit = {
+        val b = s.getBytes("UTF-8")
+        x.sendResponseHeaders(code, b.length); x.getResponseBody.write(b); x.close()
+      }
+      if (x.getRequestMethod == "PUT") send(200, """{"acknowledged":true}""")
+      else if (down.get()) send(503, """{"error":"outage"}""")
+      else {
+        val items = body.split("\n").filter(_.nonEmpty).grouped(2).map {
+          case Array(action, doc) =>
+            val id = mapper.readTree(action).path("index").path("_id").asText()
+            es.docs.put(id, doc)
+            """{"index":{"_id":"%s","status":201}}""".format(id)
+        }.toSeq
+        send(200, s"""{"errors":false,"items":[${items.mkString(",")}]}""")
+      }
+    })
+    val p = new graft.streaming.IncrementalDocPipeline(
+      docBuilder = (s: SparkSession, ids: DataFrame) =>
+        s.read.parquet(srcPath).join(ids, Seq("id"), "left_semi")
+          .groupBy("id").agg(max(struct(col("modified"), col("val"))).as("v"))
+          .select(col("id"), upper(col("v.val")).as("doc"), col("v.modified")),
+      changes = (s: SparkSession) => s.read.parquet(srcPath).select("id", "modified"),
+      storePath = s"$base/store", statePath = s"$base/state",
+      deliver = (_, docs) =>
+        BulkHttpSink.post(docs, es.url, "docs", "id", maxRetries = 1))
+    try {
+      // tick 1: both docs deliver, watermark commits
+      assert(p.tick(spark) === 2L)
+      assert(es.docs.size() === 2)
+      val wm1 = p.currentWatermark(spark)
+      assert(wm1 === java.sql.Timestamp.valueOf("2024-01-01 09:30:00"))
+      // a change arrives, but ES is DOWN: the tick must fail and the
+      // watermark must NOT move (commit-after-sink, T2 over a real wire)
+      writeSource(Seq((1L, "c", "2024-01-01 10:00:00")), SaveMode.Append)
+      down.set(true)
+      intercept[Exception] { p.tick(spark) }
+      assert(p.currentWatermark(spark) === wm1,
+        "watermark must stay put when delivery fails")
+      // ES heals: the SAME dirty id re-delivers (idempotent by _id)
+      down.set(false)
+      assert(p.tick(spark) === 1L)
+      assert(mapper.readTree(es.docs.get("1")).path("doc").asText() === "C")
+      assert(p.currentWatermark(spark) ===
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+      assert(p.tick(spark) === 0L) // caught up
+    } finally es.stop()
+  }
+
   test("a poison item fails loud with the server's reason after its retries") {
     val poison = new EsStub(0, 0)
     val server = poison.server
