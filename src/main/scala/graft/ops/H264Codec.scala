@@ -78,7 +78,10 @@ object H264Codec {
       var zeros = 0
       while (u(1) == 0) {
         zeros += 1
-        require(zeros <= 31, "exp-Golomb code longer than 32 bits")
+        // <= 30: at 31 the (1 << 31) − 1 prefix already overflows Int and
+        // a hostile stream would read back a silently-wrong negative
+        // value instead of this named failure (r14 review)
+        require(zeros <= 30, "exp-Golomb code longer than 31 bits")
       }
       ((1 << zeros) - 1) + u(zeros)
     }
@@ -327,7 +330,10 @@ object H264Codec {
       w.ue(0) // first_mb_in_slice: AU boundary
       w.ue(if (idr) 7 else 5) // I / P (the all-slices-same-type spellings)
       w.ue(0) // pps_id
-      w.bits((i % 16).toLong, 4) // frame_num (log2 4)
+      // 7.4.3: an IDR picture SHALL carry frame_num 0, and frame_num
+      // counts reference frames since the last IDR (mod 2^4 here) — the
+      // r14 review caught the plain i%16 spelling violating both
+      w.bits(((i % idrEvery) % 16).toLong, 4) // frame_num (log2 4)
       if (idr) w.ue(i / idrEvery) // idr_pic_id
       if (!idr) {
         w.bit(0) // num_ref_idx_active_override
@@ -342,10 +348,16 @@ object H264Codec {
       // stubbed residual layer, so alignment here is the honest seam)
       val header = w.toBytes
       // deterministic filler standing in for CAVLC residuals — the one
-      // declared stub layer; EP on write keeps start codes unemulable
+      // declared stub layer; EP on write keeps start codes unemulable.
+      // 7.4.1.1: the LAST byte of a NAL unit shall not be 0x00 (a reader
+      // cannot tell it from start-code padding — nalUnits' trim would
+      // silently eat it); lengths stay ≤ the 16-byte digest so copyOf
+      // never zero-pads, and a digest that happens to END in 0x00 gets a
+      // fixed non-zero tail byte (r14 review)
       md.reset()
       md.update(java.nio.ByteBuffer.allocate(12).putLong(seed).putInt(i).array())
-      val fill = java.util.Arrays.copyOf(md.digest(), 8 + (((seed + i) % 9) + 1).toInt)
+      val fill = java.util.Arrays.copyOf(md.digest(), 8 + (((seed + i) % 8) + 1).toInt)
+      if (fill(fill.length - 1) == 0) fill(fill.length - 1) = 0x3f
       nal(if (idr) 0x65 else 0x41, header ++ fill, long = false)
       i += 1
     }

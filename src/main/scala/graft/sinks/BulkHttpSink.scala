@@ -3,7 +3,6 @@ package graft.sinks
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** LIVE Elasticsearch bulk delivery over HTTP — the one reference behavior
@@ -34,25 +33,49 @@ import org.apache.spark.sql.types.StructType
   * zero egress.
   */
 object BulkHttpSink {
+  // a hung endpoint (accepted TCP, no response — dead LB, GC wall) must
+  // become an exception the retry ladder can catch, never a stuck task
+  private val ConnectTimeoutMs = 10000
+  private val ReadTimeoutMs = 60000
 
-  /** PUT the index mapping, create-if-absent. True iff created here. */
-  def bootstrapIndex(baseUrl: String, indexName: String,
-                     schema: StructType): Boolean = {
-    val url = new java.net.URL(s"$baseUrl/$indexName")
-    val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
-    c.setRequestMethod("PUT")
+  // deterministic rejections (mapping conflict, payload too large) must
+  // NOT re-run through the backoff ladder — only transport-shaped
+  // failures retry (r14 review)
+  private val retryOnIo: Throwable => Boolean =
+    _.isInstanceOf[java.io.IOException]
+
+  private def open(url: String, method: String,
+                   contentType: String): java.net.HttpURLConnection = {
+    val c = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestMethod(method)
     c.setDoOutput(true)
-    c.setRequestProperty("Content-Type", "application/json")
-    val body = s"""{"mappings":${schema.json}}"""
-    c.getOutputStream.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val code = c.getResponseCode
-    val resp = readBody(c)
-    c.disconnect()
-    if (code / 100 == 2) true
-    else if (code == 400 && resp.contains("resource_already_exists")) false
-    else throw new java.io.IOException(
-      s"index bootstrap failed: HTTP $code $resp")
+    c.setConnectTimeout(ConnectTimeoutMs)
+    c.setReadTimeout(ReadTimeoutMs)
+    c.setRequestProperty("Content-Type", contentType)
+    c
   }
+
+  /** PUT the index mapping, create-if-absent (retried like any other
+    * transient-failure-prone request — the reference wraps bootstrap in
+    * the same @backoff). True iff created here.
+    */
+  def bootstrapIndex(baseUrl: String, indexName: String,
+                     schema: StructType): Boolean =
+    Retry.withBackoff(retryOn = retryOnIo) {
+      val c = open(s"$baseUrl/$indexName", "PUT", "application/json")
+      val body = s"""{"mappings":${schema.json}}"""
+      c.getOutputStream.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val code = c.getResponseCode
+      val resp = readBody(c)
+      c.disconnect()
+      if (code / 100 == 2) true
+      else if (code == 400 && resp.contains("resource_already_exists")) false
+      else if (code == 429 || code / 100 == 5) throw new java.io.IOException(
+        s"index bootstrap rejected: HTTP $code") // transient: retries
+      else throw new IllegalStateException(
+        s"index bootstrap failed hard: HTTP $code $resp")
+    }
 
   /** POST `df` to `{baseUrl}/_bulk` in `batchSize`-document requests.
     * Returns the number of documents the server acknowledged.
@@ -61,11 +84,9 @@ object BulkHttpSink {
            batchSize: Int = 1000, maxRetries: Int = 5): Long = {
     require(batchSize >= 1)
     bootstrapIndex(baseUrl, indexName, df.schema)
-    val payload = df.select(
-      to_json(struct(struct(
-        lit(indexName).as("_index"),
-        col(idCol).cast("string").as("_id")).as("index"))).as("action"),
-      to_json(struct(df.columns.map(col): _*)).as("doc"))
+    // the file sink's payload law, one copy — same wire format by
+    // construction, not by claim
+    val payload = BulkIndexSink.payloadOf(df, indexName, idCol)
     // NB: a task-level Spark retry re-posts its partition — safe against
     // the INDEX (the _id upsert absorbs re-delivery, T7) but the counter
     // is then an at-least-once lower-bound metric, same contract as the
@@ -88,9 +109,11 @@ object BulkHttpSink {
     var acked = 0L
     var attempt = 0
     while (pending.nonEmpty) {
-      // transport/5xx/429 retries live inside withBackoff; item-level
-      // partial failures come back as the next `pending` set
-      val failures = Retry.withBackoff(maxRetries = maxRetries) {
+      // transport/5xx/429 (IOException-shaped) retries live inside
+      // withBackoff — hard 4xx surfaces immediately; item-level partial
+      // failures come back as the next `pending` set
+      val failures = Retry.withBackoff(maxRetries = maxRetries,
+        retryOn = retryOnIo) {
         postOnce(baseUrl, pending)
       }
       acked += pending.size - failures.size
@@ -113,11 +136,7 @@ object BulkHttpSink {
     val body = pairs.iterator
       .map { case (a, d) => a + "\n" + d }
       .mkString("", "\n", "\n")
-    val url = new java.net.URL(s"$baseUrl/_bulk")
-    val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
-    c.setRequestMethod("POST")
-    c.setDoOutput(true)
-    c.setRequestProperty("Content-Type", "application/x-ndjson")
+    val c = open(s"$baseUrl/_bulk", "POST", "application/x-ndjson")
     c.getOutputStream.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val code = c.getResponseCode
     val resp = readBody(c)

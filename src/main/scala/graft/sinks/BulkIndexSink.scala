@@ -34,20 +34,27 @@ object BulkIndexSink {
     }
   }
 
+  /** THE bulk payload law, one copy (shared with [[BulkHttpSink]] so the
+    * two delivery faces cannot drift): (action, doc) built with codegen'd
+    * to_json, no driver funnel. The action line goes through to_json too
+    * (not string concat) so an id containing a quote/backslash is escaped
+    * instead of corrupting the line.
+    */
+  private[sinks] def payloadOf(df: DataFrame, indexName: String,
+                               idCol: String): DataFrame =
+    df.select(
+      to_json(struct(struct(
+        lit(indexName).as("_index"),
+        col(idCol).cast("string").as("_id")).as("index"))).as("action"),
+      to_json(struct(df.columns.map(col): _*)).as("doc"))
+
   /** Write `df` as bulk-API payload files under `outDir`, `_id` taken from
     * `idCol`. Returns the number of documents written.
     */
   def write(df: DataFrame, outDir: String, indexName: String, idCol: String,
             batchSize: Int = 1000): Long = {
     bootstrapIndex(outDir, indexName, df.schema)
-    // one pass: (action, doc) built with codegen'd to_json, no driver funnel.
-    // The action line goes through to_json too (not string concat) so an id
-    // containing a quote/backslash is escaped instead of corrupting the line.
-    val payload = df.select(
-      to_json(struct(struct(
-        lit(indexName).as("_index"),
-        col(idCol).cast("string").as("_id")).as("index"))).as("action"),
-      to_json(struct(df.columns.map(col): _*)).as("doc"))
+    val payload = payloadOf(df, indexName, idCol)
     // T6: the whole bulk action retries with expo backoff (reference:
     // @backoff on save_movies, etl/main.py:156-158); file names are
     // deterministic per (partition, batch), so a re-run overwrites rather

@@ -24,19 +24,24 @@ object Retry {
   /** Run `op`, retrying up to `maxRetries` times on non-fatal failure.
     * `sleeper` is injectable for tests; delays are
     * `uniform(0, baseDelayMs * 2^attempt)` capped at `maxDelayMs`.
+    * `retryOn` narrows WHICH failures retry (default: every NonFatal) —
+    * a deterministic rejection (HTTP 4xx, validation) should surface
+    * immediately instead of re-running a doomed request through the
+    * whole ladder (r14 review).
     */
   def withBackoff[T](
       maxRetries: Int = 5,
       baseDelayMs: Long = 100,
       maxDelayMs: Long = 30000,
-      sleeper: Long => Unit = Thread.sleep)(op: => T): T = {
+      sleeper: Long => Unit = Thread.sleep,
+      retryOn: Throwable => Boolean = NonFatal(_))(op: => T): T = {
     val rnd = new java.util.Random()
     var attempt = 0
     while (true) {
       try return op
       catch {
         case NonFatal(e) =>
-          if (attempt >= maxRetries) throw e
+          if (!retryOn(e) || attempt >= maxRetries) throw e
           // clamp the exponent: an unguarded `base << attempt` overflows Long
           // past attempt ~56, collapsing the cap (and the backoff) to ~1ms —
           // a tight retry loop exactly when the endpoint is down longest

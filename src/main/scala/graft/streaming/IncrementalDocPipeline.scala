@@ -63,9 +63,16 @@ class IncrementalDocPipeline(
     val newWm = head.getTimestamp(1)
     val nIds = head.getLong(2)
 
-    val docs = docBuilder(spark, dirty.select("id").distinct())
-    IncrementalDocPipeline.upsertDocs(spark, storePath, docs, stampTimestamps)
-    deliver(spark, docs) // es.bulk boundary: throws ⇒ watermark stays put
+    // persist across BOTH consumers: without it the delivery action would
+    // re-run the whole rebuild query, and a concurrently-appended change
+    // row (or a nondeterministic tie) could hand ES a different doc
+    // version than the store committed while the watermark still advances
+    // (r14 review)
+    val docs = docBuilder(spark, dirty.select("id").distinct()).persist()
+    try {
+      IncrementalDocPipeline.upsertDocs(spark, storePath, docs, stampTimestamps)
+      deliver(spark, docs) // es.bulk boundary: throws ⇒ watermark stays put
+    } finally docs.unpersist()
     // commit watermark AFTER the sink write (reference commits after es.bulk)
     import spark.implicits._
     Seq(newWm).toDF("wm").write.mode(SaveMode.Overwrite).parquet(statePath)

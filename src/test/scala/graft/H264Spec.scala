@@ -26,6 +26,23 @@ class H264Spec extends SparkSpecBase {
       assert(v.nIdr === (nFrames + 9) / 10, s"seed $seed IDR cadence")
       // NAL inventory: SPS + PPS + one slice per frame
       assert(H264Codec.nalUnits(p).size === nFrames + 2)
+      // 7.4.1.1: no NAL may end in 0x00 (indistinguishable from
+      // start-code padding — the parser's trim would eat payload)
+      H264Codec.nalUnits(p).foreach { case (_, nal) =>
+        assert(nal.last != 0, s"seed $seed: NAL ends in 0x00")
+      }
+    }
+  }
+
+  test("frame_num law: 0 at every IDR, reference-frame count since the IDR between") {
+    val p = H264Codec.synth(11L, 25, 4, 3)
+    val sps = H264Codec.parseSps(H264Codec.nalUnits(p).next()._2)
+    val slices = H264Codec.nalUnits(p).collect {
+      case (t, nal) if t == 1 || t == 5 => H264Codec.parseSliceHeader(nal, sps)
+    }.toVector
+    slices.zipWithIndex.foreach { case (s, i) =>
+      assert(s.frameNum === (i % 10) % 16, s"frame $i")
+      if (i % 10 == 0) assert(s.nalType === 5 && s.frameNum === 0)
     }
   }
 
@@ -40,7 +57,7 @@ class H264Spec extends SparkSpecBase {
       val s = H264Codec.parseSliceHeader(nal,
         H264Codec.parseSps(H264Codec.nalUnits(p).next()._2))
       assert(s.firstMb === 0)
-      assert(s.frameNum === i % 16)
+      assert(s.frameNum === 0, "7.4.3: IDR pictures carry frame_num 0")
     }
     // a non-aligned step samples P slices too
     val s3 = H264Codec.sampledAccessUnits(p, 3).toVector
