@@ -655,6 +655,24 @@ class PlanSpec extends SparkSpecBase {
       s"expected the (bucket_n, shard)-keyed packing window in:\n$cp")
   }
 
+  test("geo tier: one pruned events scan, map-side radius test, partial-first grid agg") {
+    val pd = plan(graft.ops.GeoOps.geoDistance(spark, sf))
+    assert(pd.linesIterator.count(_.contains("Scan parquet")) === 1,
+      s"geo_distance must scan events once:\n$pd")
+    // column pruning: the derivation needs event_id/user_id only — a scan
+    // hauling ts/props/value for a 2-column projection is wrong
+    val read = pd.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("props") && !read.contains("value"),
+      s"geo scan must prune unused columns:\n$read")
+    assert(!pd.contains("Exchange"),
+      s"geo_distance is map-only — no shuffle:\n$pd")
+    val pg = plan(graft.ops.GeoOps.geoGrid(spark, sf))
+    assert(pg.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"grid agg must combine map-side:\n$pg")
+    assert(!pg.contains("CartesianProduct") && !pg.contains("Join"),
+      s"grid agg is scan → agg, joinless:\n$pg")
+  }
+
   test("perplexity buckets SERVED: no LM-scoring scan, no NTILE sort in any consumer plan") {
     // the assignment is a per-corpus-version store artifact (r13 verdict
     // task 5); consumers read it like any other served store
