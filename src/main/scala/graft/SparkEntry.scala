@@ -57,6 +57,7 @@ object SparkEntry {
     "q_volume_anomaly"   -> (EventsOps.volumeAnomaly(_, _)),
     "q_geo_distance"     -> ((s, d) => GeoOps.geoDistance(s, d)),
     "q_geo_grid"         -> ((s, d) => GeoOps.geoGrid(s, d)),
+    "q_geo_bounds"       -> ((s, d) => GeoOps.geoBounds(s, d)),
     "q_active_users"     -> (EventsOps.activeUsers(_, _)),
     "q_active_users_approx" -> (EventsOps.activeUsersApproxGraded(_, _)),
     "q_percentiles_agg"  -> (EventsOps.percentilesAgg(_, _)),

@@ -609,6 +609,10 @@ object EventsOps {
   private def percentilePick(p: Int): Column =
     max(when(col("rn") === expr(s"(n * $p + 99) div 100"), col("value"))).as(s"p$p")
 
+  // NB: ES `percentile_ranks` lives in RelationalOps.percentileRanks
+  // (q_percentile_ranks, documents/n_chars) — an r14 near-duplicate here
+  // was caught by the Verify output-count diff and removed.
+
   /** ES `percentiles`, approximate face with a graded oracle: the t-digest
     * style sketch (`percentile_approx`, accuracy 10⁴ — partial-aggregable
     * map-side, the only form that ships at 100 TB where the exact face's

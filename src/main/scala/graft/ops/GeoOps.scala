@@ -129,6 +129,17 @@ object GeoOps {
         .mkString("concat(", ", ", ")")))
   }
 
+  /** ES `geo_bounds` aggregation: the tightest box around the in-radius
+    * events — min/max per axis in exact micro-degrees, one row. One more
+    * partial-first aggregate over the same pruned scan as [[geoGrid]].
+    */
+  def geoBounds(spark: SparkSession, dir: String,
+                radiusUd: Long = 10000000L): DataFrame =
+    withinRadius(geoEvents(spark, dir), radiusUd)
+      .agg(count(lit(1)).as("n"),
+        min(col("lat_ud")).as("min_lat_ud"), max(col("lat_ud")).as("max_lat_ud"),
+        min(col("lon_ud")).as("min_lon_ud"), max(col("lon_ud")).as("max_lon_ud"))
+
   // ---- DuckDB oracles: the same integer laws, spelled identically ----
 
   private val geoCte =
@@ -154,6 +165,12 @@ object GeoOps {
     "q_geo_distance" ->
       s"""WITH $geoCte
          |SELECT event_id, lat_ud, lon_ud, dist2 FROM f""".stripMargin,
+    "q_geo_bounds" ->
+      s"""WITH $geoCte
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  MIN(lat_ud) AS min_lat_ud, MAX(lat_ud) AS max_lat_ud,
+         |  MIN(lon_ud) AS min_lon_ud, MAX(lon_ud) AS max_lon_ud
+         |FROM f""".stripMargin,
     "q_geo_grid" -> {
       val ih = (0 to 9).map(i =>
         s"(((gx >> $i) & 1) << ${2 * i + 1}) + (((gy >> $i) & 1) << ${2 * i})")

@@ -86,6 +86,24 @@ class H264Spec extends SparkSpecBase {
     assert(e3.getMessage.contains("SPS") || e3.getMessage.contains("sps"))
   }
 
+  test("mutation fuzz: corrupt streams parse or fail with a NAMED error, never a raw index crash") {
+    val rnd = new scala.util.Random(8191)
+    val base = H264Codec.synth(5L, 12, 5, 4, 1, 1)
+    var named = 0
+    for (_ <- 1 to 400) {
+      val p = base.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        p(rnd.nextInt(p.length)) = rnd.nextInt(256).toByte
+      try { H264Codec.info(p); () }
+      catch {
+        // the require(...) discipline — anything else (AIOOBE, negative
+        // size) fails this test by propagating
+        case _: IllegalArgumentException => named += 1
+      }
+    }
+    assert(named > 0, "the sweep must hit at least some loud failures")
+  }
+
   test("frameSample over the H.264 media table: real AU digests, ceil(n/every) rows per video") {
     val df = MultimodalOps.frameSampleOf(spark,
       MultimodalOps.h264MediaTable(spark, sf), every = 10).toDF()
