@@ -62,8 +62,13 @@ object SqliteFile {
       val raw = ((header(16) & 0xff) << 8) | (header(17) & 0xff)
       if (raw == 1) 65536 else raw
     }
+    // the format: a power of two in [512, 65536] — anything else is
+    // corruption and every downstream offset would be garbage
+    require(pageSize >= 512 && (pageSize & (pageSize - 1)) == 0,
+      s"implausible page size $pageSize")
     val reserved: Int = header(20) & 0xff
     val usable: Int = pageSize - reserved
+    require(usable >= 480, s"reserved space $reserved leaves no usable page")
     require(u32(header, 56) == 1L, "only UTF-8 text encoding is supported")
 
     def page(n: Int): Array[Byte] = {
@@ -73,23 +78,32 @@ object SqliteFile {
     }
   }
 
-  private def u16(b: Array[Byte], o: Int): Int =
+  // bounds-checked primitives: a corrupt offset must fail HERE by name,
+  // never as a raw index crash downstream (r14 mutation fuzz)
+  private def u16(b: Array[Byte], o: Int): Int = {
+    require(o >= 0 && o + 1 < b.length, s"u16 read at $o outside the page")
     ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
-  private def u32(b: Array[Byte], o: Int): Long =
+  }
+  private def u32(b: Array[Byte], o: Int): Long = {
+    require(o >= 0 && o + 3 < b.length, s"u32 read at $o outside the page")
     ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
       ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  }
 
   /** (value, bytesRead) — SQLite varint: up to 8 continuation bytes of 7
     * bits, a 9th byte contributes all 8.
     */
   private def varint(b: Array[Byte], o: Int): (Long, Int) = {
+    require(o >= 0, s"varint read at negative offset $o")
     var v = 0L; var i = 0
     while (i < 8) {
+      require(o + i < b.length, "varint runs off the page")
       val x = b(o + i) & 0xff
       v = (v << 7) | (x & 0x7f)
       if ((x & 0x80) == 0) return (v, i + 1)
       i += 1
     }
+    require(o + 8 < b.length, "varint runs off the page")
     ((v << 8) | (b(o + 8) & 0xff), 9)
   }
 
@@ -99,7 +113,14 @@ object SqliteFile {
   /** Leaf page numbers of a table b-tree, in key order — interior pages
     * only are touched (type 5: n left-child cells + rightmost pointer).
     */
-  private def leafPages(db: Db, root: Int): Vector[Int] = {
+  private def leafPages(db: Db, root: Int): Vector[Int] =
+    leafPagesWalk(db, root, new java.util.HashSet[Int]())
+
+  private def leafPagesWalk(db: Db, root: Int,
+                            seen: java.util.HashSet[Int]): Vector[Int] = {
+    // a corrupt child pointer can form a cycle: fail by name, never
+    // recurse to a StackOverflowError (r14 mutation fuzz)
+    require(seen.add(root), s"b-tree page cycle through page $root")
     val b = db.page(root)
     val off = hdrOff(root)
     (b(off) & 0xff) match {
@@ -110,7 +131,7 @@ object SqliteFile {
           val cp = u16(b, off + 12 + 2 * i)
           u32(b, cp).toInt
         } :+ u32(b, off + 8).toInt
-        kids.toVector.flatMap(leafPages(db, _))
+        kids.toVector.flatMap(leafPagesWalk(db, _, seen))
       case t => throw new IllegalArgumentException(
         s"page $root is not a table b-tree page (type $t)")
     }
@@ -124,6 +145,8 @@ object SqliteFile {
   private def cellPayload(db: Db, page: Array[Byte], cellOff: Int): (Array[Byte], Long) = {
     val (payloadLen, n1) = varint(page, cellOff)
     val (rowid, n2) = varint(page, cellOff + n1)
+    require(payloadLen >= 0 && payloadLen < Int.MaxValue,
+      s"implausible cell payload length $payloadLen")
     val u = db.usable
     val maxLocal = u - 35
     val local =
@@ -133,6 +156,8 @@ object SqliteFile {
         val k = minLocal + ((payloadLen - minLocal) % (u - 4)).toInt
         if (k > maxLocal) minLocal else k
       }
+    require(cellOff + n1 + n2 + local <= page.length,
+      "cell's local payload runs off the page")
     val out = new Array[Byte](payloadLen.toInt)
     System.arraycopy(page, cellOff + n1 + n2, out, 0, local)
     var got = local
@@ -159,12 +184,23 @@ object SqliteFile {
       val (t, n) = varint(payload, ho); types += t; ho += n
     }
     var bo = hdrLen.toInt
+    require(bo >= 0 && bo <= payload.length,
+      "record header length exceeds the payload")
+    // every read checks the body actually holds what the serial-type
+    // header declares — a corrupt header must fail HERE by name, not as
+    // an index crash mid-string (caught by the r14 mutation fuzz)
+    def take(len: Int): Int = {
+      require(bo + len <= payload.length,
+        s"record body shorter than its serial-type header declares")
+      val at = bo; bo += len; at
+    }
     types.map { t =>
       def sint(len: Int): Long = {
-        var v = (payload(bo).toLong << 56) >> 56 // sign-extend first byte
+        val at = take(len)
+        var v = (payload(at).toLong << 56) >> 56 // sign-extend first byte
         var i = 1
-        while (i < len) { v = (v << 8) | (payload(bo + i) & 0xffL); i += 1 }
-        bo += len; v
+        while (i < len) { v = (v << 8) | (payload(at + i) & 0xffL); i += 1 }
+        v
       }
       t match {
         case 0 => null
@@ -179,10 +215,12 @@ object SqliteFile {
         case 9 => 1L
         case n if n >= 12 && n % 2 == 0 =>
           val len = ((n - 12) / 2).toInt
-          val b = java.util.Arrays.copyOfRange(payload, bo, bo + len); bo += len; b
+          val at = take(len)
+          java.util.Arrays.copyOfRange(payload, at, at + len)
         case n if n >= 13 =>
           val len = ((n - 13) / 2).toInt
-          val s = new String(payload, bo, len, StandardCharsets.UTF_8); bo += len; s
+          val at = take(len)
+          new String(payload, at, len, StandardCharsets.UTF_8)
         case n => throw new IllegalArgumentException(s"reserved serial type $n")
       }
     }.toArray

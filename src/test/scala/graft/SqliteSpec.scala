@@ -152,6 +152,43 @@ class SqliteSpec extends SparkSpecBase {
     assert(e4.getMessage.contains("no table"))
   }
 
+  test("mutation fuzz: corrupt database bytes fail loud (named require / IO error), never a raw index crash") {
+    val real = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixture))
+    val dir = java.nio.file.Files.createTempDirectory("sqlite_fuzz")
+    val rnd = new scala.util.Random(8191)
+    var loud = 0
+    for (trial <- 1 to 120) {
+      val p = real.clone()
+      // bias mutations toward the structural head (header, page 1,
+      // early b-tree pages) where a flipped byte derails the walk
+      for (_ <- 0 to rnd.nextInt(4)) {
+        val at = if (rnd.nextBoolean()) rnd.nextInt(math.min(p.length, 32768))
+                 else rnd.nextInt(p.length)
+        p(at) = rnd.nextInt(256).toByte
+      }
+      val f = dir.resolve(s"m$trial.sqlite")
+      java.nio.file.Files.write(f, p)
+      try {
+        SqliteFile.tables(f.toString).foreach { t =>
+          if (t.rootPage >= 1)
+            SqliteFile.read(spark, f.toString, t.name).count()
+        }
+      } catch {
+        // the fail-loud surface: named requires, named IAE, real IO
+        // errors (truncation/EOF), Spark-wrapped versions of the same
+        case e: Throwable =>
+          val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq
+          assert(chain.exists(c =>
+            c.isInstanceOf[IllegalArgumentException] ||
+            c.isInstanceOf[java.io.IOException]),
+            s"trial $trial: unnamed crash ${chain.map(_.getClass.getSimpleName).mkString(" <- ")}: ${e.getMessage}")
+          loud += 1
+      }
+    }
+    assert(loud > 0, "the sweep must hit at least some loud failures")
+  }
+
   test("full migration off the real file: every table lands, reconciles, and re-runs idempotently") {
     val dst = java.nio.file.Files.createTempDirectory("sqlite_migrate").toString
     val first = graft.migrate.Migrate.migrateSqliteDb(spark, fixture, dst)
