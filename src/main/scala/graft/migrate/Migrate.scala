@@ -53,8 +53,10 @@ object Migrate {
         // the dedupe-append sink keeps ONE row per key, so a non-unique
         // key would silently drop rows — fail loud instead (r14 review)
         val keyCol = if (src.columns.contains(key)) key else src.columns.head
-        val total = src.count()
-        require(src.dropDuplicates(keyCol).count() == total,
+        // one job for the uniqueness gate, not a count + a dedup-count
+        val u = src.agg(count(lit(1)).as("n"),
+          countDistinct(col(keyCol)).as("d")).head
+        require(u.getLong(0) == u.getLong(1),
           s"table '${t.name}': key column '$keyCol' is not unique — pass " +
             "a unique key or the dedupe-append load would drop rows")
         val dst = s"$dstRoot/${t.name}"

@@ -52,16 +52,15 @@ object GeoOps {
   private val CLon = -74000000L
   private val CosK = math.round(math.cos(math.toRadians(40.0)) * (1L << 20))
 
-  private def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
-  /** events with derived integer micro-degree coordinates (see Scaladoc). */
+  /** events with derived integer micro-degree coordinates (see Scaladoc;
+    * hash60 is the shared LSH-oracle device, one copy in DedupOps).
+    */
   private def geoEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
       col("event_id"), col("user_id"),
-      (pmod(hash60(col("event_id").cast("string")), lit(180000001L)) -
-        lit(90000000L)).as("lat_ud"),
-      (pmod(hash60(concat(col("event_id").cast("string"), lit("x"))),
+      (pmod(DedupOps.hash60(col("event_id").cast("string")),
+        lit(180000001L)) - lit(90000000L)).as("lat_ud"),
+      (pmod(DedupOps.hash60(concat(col("event_id").cast("string"), lit("x"))),
         lit(360000001L)) - lit(180000000L)).as("lon_ud"))
 
   /** Radius-filtered frame with the exact integer dist2 — the shared

@@ -37,6 +37,8 @@ object BulkHttpSink {
   // become an exception the retry ladder can catch, never a stuck task
   private val ConnectTimeoutMs = 10000
   private val ReadTimeoutMs = 60000
+  // thread-safe for reads; one per JVM, not one per request
+  private val mapper = new ObjectMapper()
 
   // deterministic rejections (mapping conflict, payload too large) must
   // NOT re-run through the backoff ladder — only transport-shaped
@@ -145,7 +147,7 @@ object BulkHttpSink {
       throw new java.io.IOException(s"bulk rejected: HTTP $code")
     if (code / 100 != 2)
       throw new IllegalStateException(s"bulk failed hard: HTTP $code $resp")
-    val root = new ObjectMapper().readTree(resp)
+    val root = mapper.readTree(resp)
     if (!root.path("errors").asBoolean(false)) Seq.empty
     else {
       val items = root.path("items")

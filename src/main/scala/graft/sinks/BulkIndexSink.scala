@@ -74,16 +74,13 @@ object BulkIndexSink {
       val counter = df.sparkSession.sparkContext.longAccumulator("bulk_docs")
       payload.foreachPartition { rows: Iterator[Row] =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      var batch = 0
-      val grouped = rows.grouped(batchSize)
-      grouped.zipWithIndex.foreach { case (chunk, i) =>
+      rows.grouped(batchSize).zipWithIndex.foreach { case (chunk, i) =>
         val body = chunk.iterator
           .map(r => r.getString(0) + "\n" + r.getString(1))
           .mkString("", "\n", "\n")
         val f = java.nio.file.Paths.get(outDir, f"bulk-$pid%05d-$i%05d.ndjson")
         java.nio.file.Files.writeString(f, body)
         counter.add(chunk.size)
-        batch += 1
       }
       }
       counter.value

@@ -213,10 +213,7 @@ class HttpSinkSpec extends SparkSpecBase {
       val e = intercept[Exception] {
         BulkHttpSink.post(df, poison.url, "docs", "doc_id", maxRetries = 2)
       }
-      def chain(t: Throwable): String =
-        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
-      assert(chain(e).contains("forever_rejected"), s"got: ${chain(e)}")
+      assert(causeChain(e).contains("forever_rejected"), s"got: ${causeChain(e)}")
     } finally poison.stop()
   }
 }

@@ -23,4 +23,12 @@ abstract class SparkSpecBase extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   /** Small scale for unit specs; sf0.01 is the driver's correctness scale. */
   val sf: String = "/root/testdata/sf0.001"
+
+  /** All messages down a throwable's cause chain — the one copy of the
+    * "did the NAMED failure survive Spark's task-failure wrapping"
+    * assertion helper (fail-loud specs across sqlite/http/codec tiers).
+    */
+  protected def causeChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
 }

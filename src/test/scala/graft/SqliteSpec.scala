@@ -87,13 +87,10 @@ class SqliteSpec extends SparkSpecBase {
       Seq((1L, "one", null), (2L, "two", null), (3L, "three", "full")))
     // a short record whose missing column DECLARES a default must not be
     // silently misread as NULL — named loud failure
-    def chain(t: Throwable): String =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
     val e = intercept[Exception] {
       SqliteFile.read(spark, edges, "defaulted").collect()
     }
-    assert(chain(e).contains("DEFAULT"), s"unexpected failure: ${chain(e)}")
+    assert(causeChain(e).contains("DEFAULT"), s"unexpected failure: ${causeChain(e)}")
     // virtual tables (rootpage 0) hold no b-tree: named refusal
     val e2 = intercept[IllegalArgumentException] {
       SqliteFile.read(spark, edges, "ft")
@@ -105,7 +102,7 @@ class SqliteSpec extends SparkSpecBase {
       graft.migrate.Migrate.migrateSqliteDb(spark, edges,
         java.nio.file.Files.createTempDirectory("edges_migrate").toString)
     }
-    assert(chain(e3).contains("DEFAULT"), s"unexpected failure: ${chain(e3)}")
+    assert(causeChain(e3).contains("DEFAULT"), s"unexpected failure: ${causeChain(e3)}")
   }
 
   test("parseColumns: string literals and doubled quotes never split or unbalance the column list") {
