@@ -42,6 +42,9 @@ object H264Codec {
       if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
     }
     def bits(v: Long, n: Int): Unit = {
+      // aligned byte fast path: PCM sample runs are byte-aligned by the
+      // format, and the bit-by-bit loop was the synth cpu at scale
+      if (n == 8 && nBits == 0) { out.write((v & 0xffL).toInt); return }
       var i = n - 1
       while (i >= 0) { bit(((v >>> i) & 1L).toInt); i -= 1 }
     }
@@ -56,6 +59,8 @@ object H264Codec {
     def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
     /** rbsp_trailing_bits: stop bit then align. */
     def trailing(): Unit = { bit(1); while (nBits != 0) bit(0) }
+    /** pcm_alignment_zero_bit run: plain zero-fill to the byte boundary. */
+    def alignZero(): Unit = while (nBits != 0) bit(0)
     def toBytes: Array[Byte] = {
       require(nBits == 0, "unaligned RBSP (call trailing())")
       out.toByteArray
@@ -65,6 +70,13 @@ object H264Codec {
   private final class BitReader(b: Array[Byte]) {
     private var pos = 0 // bit position
     def u(n: Int): Int = {
+      // aligned byte fast path (PCM sample runs — see BitWriter.bits)
+      if (n == 8 && (pos & 7) == 0) {
+        require(pos < b.length * 8, "RBSP exhausted mid-field")
+        val v = b(pos >> 3) & 0xff
+        pos += 8
+        return v
+      }
       var v = 0
       var i = 0
       while (i < n) {
@@ -89,37 +101,49 @@ object H264Codec {
       val k = ue()
       if (k % 2 == 1) (k + 1) / 2 else -(k / 2)
     }
+    /** Skip pcm_alignment_zero_bits to the byte boundary. */
+    def alignToByte(): Unit = while ((pos & 7) != 0) {
+      require(u(1) == 0, "nonzero pcm alignment bit")
+    }
   }
 
   // ---------- emulation prevention ----------
 
-  /** Insert 0x03 after any 00 00 followed by 00/01/02/03. */
+  /** Insert 0x03 after any 00 00 followed by 00/01/02/03. Tight index
+    * loop into a pre-sized buffer — this runs once per NAL byte and was
+    * the q_h264_pixels cpu after the bit-IO fast paths landed.
+    */
   private def ep(raw: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(raw.length + 8)
+    val out = new Array[Byte](raw.length + raw.length / 2 + 4)
+    var n = 0
     var zeros = 0
-    raw.foreach { byte =>
-      if (zeros >= 2 && (byte & 0xff) <= 3) { out.write(3); zeros = 0 }
-      out.write(byte.toInt)
-      zeros = if (byte == 0) zeros + 1 else 0
+    var i = 0
+    while (i < raw.length) {
+      val b = raw(i)
+      if (zeros >= 2 && (b & 0xff) <= 3) { out(n) = 3; n += 1; zeros = 0 }
+      out(n) = b; n += 1
+      zeros = if (b == 0) zeros + 1 else 0
+      i += 1
     }
-    out.toByteArray
+    java.util.Arrays.copyOf(out, n)
   }
 
   /** Strip emulation prevention: 00 00 03 → 00 00. */
   private def unep(nal: Array[Byte], from: Int): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(nal.length - from)
+    val out = new Array[Byte](nal.length - from)
+    var n = 0
     var zeros = 0
     var i = from
     while (i < nal.length) {
-      val v = nal(i) & 0xff
+      val v = nal(i)
       if (zeros >= 2 && v == 3) zeros = 0 // the EP byte itself: drop
       else {
-        out.write(v)
+        out(n) = v; n += 1
         zeros = if (v == 0) zeros + 1 else 0
       }
       i += 1
     }
-    out.toByteArray
+    java.util.Arrays.copyOf(out, n)
   }
 
   // ---------- parsing ----------
@@ -362,5 +386,124 @@ object H264Codec {
       i += 1
     }
     out.toByteArray
+  }
+
+  // ---------- I_PCM: the DECODABLE coding path ----------
+
+  /** Deterministic PCM pixel laws — shared by [[synthPcm]], the decoder
+    * spec, and the DuckDB oracle (which replays them as arithmetic with
+    * no bitstream at all). `c` indexes the MB's chroma samples 0..127
+    * (7.3.5: first 64 Cb, then 64 Cr).
+    */
+  def pcmLuma(seed: Long, frame: Int, mb: Int, p: Int): Int =
+    ((seed * 131 + frame * 17 + mb * 7 + p * 3) % 256).toInt
+  def pcmChroma(seed: Long, frame: Int, mb: Int, c: Int): Int =
+    ((seed * 59 + frame * 13 + mb * 5 + c * 11 + 128) % 256).toInt
+
+  /** Fully-decodable baseline stream: every picture an IDR I-slice whose
+    * macroblocks are ALL I_PCM (mb_type 25 — raw samples, 7.3.5: byte
+    * alignment then 256 luma + 128 chroma bytes per MB in 4:2:0). I_PCM
+    * is the one H.264 coding path with NO entropy layer, so this stream
+    * decodes to exact pixels end to end — the engine's declared stub
+    * thereby narrows to exactly the CAVLC/CABAC residual paths.
+    */
+  def synthPcm(seed: Long, nFrames: Int, widthMb: Int, heightMb: Int): Array[Byte] = {
+    require(nFrames >= 1 && widthMb >= 1 && heightMb >= 1)
+    val out = new java.io.ByteArrayOutputStream()
+    def nal(header: Int, rbsp: Array[Byte], long: Boolean): Unit = {
+      if (long) out.write(0)
+      out.write(0); out.write(0); out.write(1)
+      out.write(header)
+      val eped = ep(rbsp)
+      out.write(eped, 0, eped.length)
+    }
+    val sps = new BitWriter
+    sps.bits(66, 8); sps.bits(0xc0, 8); sps.bits(30, 8)
+    sps.ue(0); sps.ue(0); sps.ue(2); sps.ue(1); sps.bit(0)
+    sps.ue(widthMb - 1); sps.ue(heightMb - 1)
+    sps.bit(1); sps.bit(1); sps.bit(0); sps.bit(0)
+    sps.trailing()
+    nal(0x67, sps.toBytes, long = true)
+    val pps = new BitWriter
+    pps.ue(0); pps.ue(0); pps.bit(0); pps.bit(0); pps.ue(0)
+    pps.ue(0); pps.ue(0); pps.bit(0); pps.bits(0, 2)
+    pps.se(0); pps.se(0); pps.se(0); pps.bit(0); pps.bit(0); pps.bit(0)
+    pps.trailing()
+    nal(0x68, pps.toBytes, long = true)
+    val nMb = widthMb * heightMb
+    var f = 0
+    while (f < nFrames) {
+      val w = new BitWriter
+      w.ue(0) // first_mb_in_slice
+      w.ue(7) // slice_type: I (all slices of the picture)
+      w.ue(0) // pps_id
+      w.bits(0L, 4) // frame_num: every picture an IDR ⇒ always 0 (7.4.3)
+      w.ue(f % 4) // idr_pic_id (alternating is enough; 7.4.3's rule is
+      // about consecutive IDRs of the same picture)
+      w.bit(0); w.bit(0) // dec_ref_pic_marking (IDR)
+      w.se(0) // slice_qp_delta
+      var mb = 0
+      while (mb < nMb) {
+        w.ue(25) // mb_type: I_PCM in an I slice
+        w.alignZero() // pcm_alignment_zero_bit run
+        var p = 0
+        while (p < 256) { w.bits(pcmLuma(seed, f, mb, p).toLong, 8); p += 1 }
+        var c = 0
+        while (c < 128) { w.bits(pcmChroma(seed, f, mb, c).toLong, 8); c += 1 }
+        mb += 1
+      }
+      w.trailing() // rbsp_slice_trailing_bits
+      nal(0x65, w.toBytes, long = false)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decoded planes of one all-I_PCM IDR slice: (luma W×H raster,
+    * cb, cr at W/2×H/2). Raw-sample parse only — a compressed
+    * (non-I_PCM) macroblock fails loud by name, which IS the engine's
+    * declared stub boundary.
+    */
+  final case class PcmFrame(width: Int, height: Int, luma: Array[Byte],
+                            cb: Array[Byte], cr: Array[Byte])
+
+  def decodeIPcmSlice(nal: Array[Byte], sps: Sps): PcmFrame = {
+    require((nal(0) & 0x1f) == 5, "I_PCM decode expects an IDR slice NAL")
+    val r = new BitReader(unep(nal, 1))
+    require(r.ue() == 0, "slice must start at macroblock 0")
+    val st = r.ue()
+    require(st == 2 || st == 7, s"not an I slice (slice_type $st)")
+    r.ue() // pps_id
+    r.u(sps.log2MaxFrameNum) // frame_num
+    r.ue() // idr_pic_id
+    r.u(2) // dec_ref_pic_marking (IDR, nal_ref_idc > 0)
+    r.se() // slice_qp_delta
+    val (wMb, hMb) = (sps.widthMbs, sps.heightMapUnits)
+    val (w, h) = (wMb * 16, hMb * 16)
+    val luma = new Array[Byte](w * h)
+    val cb = new Array[Byte]((w / 2) * (h / 2))
+    val cr = new Array[Byte]((w / 2) * (h / 2))
+    var mb = 0
+    while (mb < wMb * hMb) {
+      val mbType = r.ue()
+      require(mbType == 25,
+        s"mb_type $mbType is entropy-coded — only I_PCM decodes (the declared stub boundary)")
+      r.alignToByte()
+      val (mx, my) = (mb % wMb, mb / wMb)
+      var p = 0
+      while (p < 256) {
+        luma((my * 16 + p / 16) * w + mx * 16 + p % 16) = r.u(8).toByte
+        p += 1
+      }
+      var c = 0
+      while (c < 128) {
+        val plane = if (c < 64) cb else cr
+        val k = c % 64
+        plane((my * 8 + k / 8) * (w / 2) + mx * 8 + k % 8) = r.u(8).toByte
+        c += 1
+      }
+      mb += 1
+    }
+    PcmFrame(w, h, luma, cb, cr)
   }
 }

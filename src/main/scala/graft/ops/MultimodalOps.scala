@@ -367,6 +367,54 @@ object MultimodalOps {
       .toDF("doc_id", "profile_idc", "width", "height", "n_frames", "n_idr")
   }
 
+  /** Ingest face with fully-DECODABLE H.264: video rows carry an
+    * all-I_PCM baseline stream ([[H264Codec.synthPcm]] — raw samples,
+    * the one H.264 coding path with no entropy layer), synthesis
+    * parameters pure doc_id arithmetic.
+    */
+  def h264PcmMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("doc_id", "payload", "media_type")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, payload, mt) =>
+        if (mt == "video")
+          (id, H264Codec.synthPcm(id, 1 + (id % 4).toInt,
+            2 + (id % 5).toInt, 1 + (id % 2).toInt), mt)
+        else (id, payload, mt)
+      })
+      .toDF("doc_id", "payload", "media_type")
+  }
+
+  /** REAL H.264 pixel decode (I_PCM path): frame 0's luma/chroma planes
+    * parsed straight off the bitstream — NAL walk, slice header, per-MB
+    * raw-sample layout — summed per plane. The DuckDB oracle replays the
+    * pixel LAW as arithmetic with no bitstream, so the hash gate
+    * validates the whole chain: start codes, emulation prevention,
+    * exp-Golomb header fields, PCM byte alignment, and the MB raster
+    * placement (a swapped plane or shifted macroblock breaks a sum).
+    * Map-only; payloads never shuffle.
+    */
+  def h264PcmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    h264PcmMediaTable(spark, dir)
+      .filter(col("media_type") === "video")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val nals = H264Codec.nalUnits(payload).toVector
+        val sps = H264Codec.parseSps(nals.collectFirst {
+          case (7, nal) => nal }.get)
+        val frame0 = H264Codec.decodeIPcmSlice(nals.collectFirst {
+          case (5, nal) => nal }.get, sps)
+        def s(a: Array[Byte]) = a.iterator.map(_ & 0xff).map(_.toLong).sum
+        (id, frame0.width, frame0.height, s(frame0.luma), s(frame0.cb),
+          s(frame0.cr), frame0.luma.iterator.map(_ & 0xff).max)
+      })
+      .toDF("doc_id", "width", "height", "sum_luma", "sum_cb", "sum_cr",
+        "max_luma")
+  }
+
   /** Ingest face with REAL MJPEG videos: doc_ids that map to `video` carry
     * an AVI whose frames are ACTUAL baseline JPEGs (16×8, two constant
     * blocks per frame, frame seed `doc_id + 7·i`) — the composition that
@@ -993,6 +1041,29 @@ object MultimodalOps {
     // slice-header access-unit rule, and IDR classification against the
     // arithmetic the stream was built from — a mis-read exp-Golomb field
     // or a missed AU boundary breaks a row.
+    // Replays the I_PCM pixel LAW as arithmetic (no bitstream): any bit
+    // the NAL walk / EP strip / exp-Golomb header parse / PCM alignment /
+    // MB raster placement misreads flips a plane sum or the max.
+    "q_h264_pixels" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    (2 + doc_id % 5) * (1 + doc_id % 2) AS nmb,
+        |    CAST(16 * (2 + doc_id % 5) AS INT) AS width,
+        |    CAST(16 * (1 + doc_id % 2) AS INT) AS height
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |s AS (
+        |  SELECT doc_id, width, height,
+        |    list_transform(range(0, nmb * 256), k ->
+        |      (doc_id * 131 + (k // 256) * 7 + (k % 256) * 3) % 256) AS ly,
+        |    list_transform(range(0, nmb * 128), k ->
+        |      (doc_id * 59 + (k // 128) * 5 + (k % 128) * 11 + 128) % 256) AS ch
+        |  FROM v)
+        |SELECT doc_id, width, height,
+        |  CAST(list_sum(ly) AS BIGINT) AS sum_luma,
+        |  CAST(list_sum(list_filter(ch, (x, i) -> (i - 1) % 128 < 64)) AS BIGINT) AS sum_cb,
+        |  CAST(list_sum(list_filter(ch, (x, i) -> (i - 1) % 128 >= 64)) AS BIGINT) AS sum_cr,
+        |  CAST(list_max(ly) AS INT) AS max_luma
+        |FROM s""".stripMargin,
     "q_h264_meta" ->
       """SELECT doc_id, CAST(66 AS INT) AS profile_idc,
         |  CAST(16 * (4 + doc_id % 8) - 2 * (doc_id % 3) AS INT) AS width,

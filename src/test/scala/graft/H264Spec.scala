@@ -86,6 +86,47 @@ class H264Spec extends SparkSpecBase {
     assert(e3.getMessage.contains("SPS") || e3.getMessage.contains("sps"))
   }
 
+  test("I_PCM: decoded planes match the pixel law POSITIONALLY — every sample, every plane") {
+    for (seed <- Seq(3L, 8L, 21L)) {
+      val (wMb, hMb) = (2 + (seed % 5).toInt, 1 + (seed % 2).toInt)
+      val p = H264Codec.synthPcm(seed, 2, wMb, hMb)
+      val nals = H264Codec.nalUnits(p).toVector
+      val sps = H264Codec.parseSps(nals.collectFirst { case (7, n) => n }.get)
+      // frame 1 (not 0): the frame index must reach the law
+      val slice = nals.collect { case (5, n) => n }(1)
+      val fr = H264Codec.decodeIPcmSlice(slice, sps)
+      assert(fr.width === wMb * 16 && fr.height === hMb * 16)
+      for (mb <- 0 until wMb * hMb; pix <- 0 until 256) {
+        val (mx, my) = (mb % wMb, mb / wMb)
+        val at = (my * 16 + pix / 16) * fr.width + mx * 16 + pix % 16
+        assert((fr.luma(at) & 0xff) === H264Codec.pcmLuma(seed, 1, mb, pix),
+          s"seed $seed luma mb $mb pix $pix")
+      }
+      for (mb <- 0 until wMb * hMb; c <- 0 until 128) {
+        val (mx, my) = (mb % wMb, mb / wMb)
+        val k = c % 64
+        val at = (my * 8 + k / 8) * (fr.width / 2) + mx * 8 + k % 8
+        val plane = if (c < 64) fr.cb else fr.cr
+        assert((plane(at) & 0xff) === H264Codec.pcmChroma(seed, 1, mb, c),
+          s"seed $seed chroma mb $mb c $c")
+      }
+      // structural faces agree on the PCM stream too
+      val v = H264Codec.info(p)
+      assert(v.nFrames === 2 && v.nIdr === 2)
+    }
+  }
+
+  test("I_PCM decoder refuses entropy-coded macroblocks BY NAME — the declared stub boundary") {
+    val compressed = H264Codec.synth(9L, 3, 3, 2)
+    val nals = H264Codec.nalUnits(compressed).toVector
+    val sps = H264Codec.parseSps(nals.collectFirst { case (7, n) => n }.get)
+    val e = intercept[IllegalArgumentException] {
+      H264Codec.decodeIPcmSlice(nals.collectFirst { case (5, n) => n }.get, sps)
+    }
+    assert(e.getMessage.contains("entropy-coded") || e.getMessage.contains("I_PCM")
+      || e.getMessage.contains("I slice"))
+  }
+
   test("mutation fuzz: corrupt streams parse or fail with a NAMED error, never a raw index crash") {
     val rnd = new scala.util.Random(8191)
     val base = H264Codec.synth(5L, 12, 5, 4, 1, 1)
