@@ -53,9 +53,16 @@ object Migrate {
         // the dedupe-append sink keeps ONE row per key, so a non-unique
         // key would silently drop rows — fail loud instead (r14 review)
         val keyCol = if (src.columns.contains(key)) key else src.columns.head
-        // one job for the uniqueness gate, not a count + a dedup-count
+        // one job for the whole key gate. NULL keys are rejected BY NAME
+        // (not folded into "not unique"): the dedupe-append anti-join can
+        // never match a NULL key, so such rows would re-append on every
+        // run — non-idempotent, the exact property the sink exists for
         val u = src.agg(count(lit(1)).as("n"),
-          countDistinct(col(keyCol)).as("d")).head
+          countDistinct(col(keyCol)).as("d"),
+          count(when(col(keyCol).isNull, 1)).as("nulls")).head
+        require(u.getLong(2) == 0,
+          s"table '${t.name}': key column '$keyCol' contains NULLs — the " +
+            "dedupe-append anti-join cannot match them; pass a non-null key")
         require(u.getLong(0) == u.getLong(1),
           s"table '${t.name}': key column '$keyCol' is not unique — pass " +
             "a unique key or the dedupe-append load would drop rows")

@@ -479,6 +479,14 @@ object H264Codec {
     r.u(2) // dec_ref_pic_marking (IDR, nal_ref_idc > 0)
     r.se() // slice_qp_delta
     val (wMb, hMb) = (sps.widthMbs, sps.heightMapUnits)
+    // plausibility before allocation: a corrupt SPS can claim any ue
+    // raster (Int overflow / multi-GB planes — an unnamed Error, not the
+    // fail-loud contract), and the NAL must actually hold nMb·384 raw
+    // sample bytes (r14 third review; covered by the PCM fuzz)
+    require(wMb >= 1 && hMb >= 1 && wMb <= 1024 && hMb <= 1024,
+      s"implausible raster ${wMb}x$hMb macroblocks")
+    require(nal.length.toLong >= wMb.toLong * hMb * 384,
+      s"NAL of ${nal.length} bytes cannot hold ${wMb * hMb} I_PCM macroblocks")
     val (w, h) = (wMb * 16, hMb * 16)
     val luma = new Array[Byte](w * h)
     val cb = new Array[Byte]((w / 2) * (h / 2))

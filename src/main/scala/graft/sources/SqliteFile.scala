@@ -114,13 +114,17 @@ object SqliteFile {
     * only are touched (type 5: n left-child cells + rightmost pointer).
     */
   private def leafPages(db: Db, root: Int): Vector[Int] =
-    leafPagesWalk(db, root, new java.util.HashSet[Int]())
+    leafPagesWalk(db, root, new java.util.HashSet[Int](), depth = 0)
 
   private def leafPagesWalk(db: Db, root: Int,
-                            seen: java.util.HashSet[Int]): Vector[Int] = {
-    // a corrupt child pointer can form a cycle: fail by name, never
-    // recurse to a StackOverflowError (r14 mutation fuzz)
+                            seen: java.util.HashSet[Int],
+                            depth: Int): Vector[Int] = {
+    // a corrupt child pointer can form a cycle OR an acyclic chain of
+    // fresh pages: both must fail by name, never recurse to a
+    // StackOverflowError (a real table b-tree is a handful of levels —
+    // fanout hundreds — so 32 is generous)
     require(seen.add(root), s"b-tree page cycle through page $root")
+    require(depth <= 32, s"b-tree deeper than 32 levels at page $root")
     val b = db.page(root)
     val off = hdrOff(root)
     (b(off) & 0xff) match {
@@ -131,7 +135,7 @@ object SqliteFile {
           val cp = u16(b, off + 12 + 2 * i)
           u32(b, cp).toInt
         } :+ u32(b, off + 8).toInt
-        kids.toVector.flatMap(leafPagesWalk(db, _, seen))
+        kids.toVector.flatMap(leafPagesWalk(db, _, seen, depth + 1))
       case t => throw new IllegalArgumentException(
         s"page $root is not a table b-tree page (type $t)")
     }
@@ -145,7 +149,10 @@ object SqliteFile {
   private def cellPayload(db: Db, page: Array[Byte], cellOff: Int): (Array[Byte], Long) = {
     val (payloadLen, n1) = varint(page, cellOff)
     val (rowid, n2) = varint(page, cellOff + n1)
-    require(payloadLen >= 0 && payloadLen < Int.MaxValue,
+    // bound by the FILE length, not Int.MaxValue: a corrupt varint must
+    // fail here by name, not as a multi-GB allocation (OOM is an Error
+    // the fail-loud contract doesn't cover)
+    require(payloadLen >= 0 && payloadLen <= db.f.length(),
       s"implausible cell payload length $payloadLen")
     val u = db.usable
     val maxLocal = u - 35
@@ -178,6 +185,9 @@ object SqliteFile {
   /** Decode a record payload into column values (serial-type header). */
   private def record(payload: Array[Byte]): Array[Any] = {
     val (hdrLen, n0) = varint(payload, 0)
+    // the header length includes its own varint: anything shorter is a
+    // corrupt record that would otherwise decode to a silent empty row
+    require(hdrLen >= n0, s"record header length $hdrLen shorter than its own varint")
     var ho = n0
     val types = scala.collection.mutable.ArrayBuffer.empty[Long]
     while (ho < hdrLen) {
@@ -304,9 +314,15 @@ object SqliteFile {
     try {
       val db = new Db(f)
       leafPages(db, 1).flatMap(leafRows(db, _)).collect {
-        case (_, vals) if vals(0) == "table" =>
-          TableDef(vals(1).asInstanceOf[String],
-            vals(3).asInstanceOf[Long].toInt, vals(4).asInstanceOf[String])
+        // corrupt sqlite_master records can carry any serial type in any
+        // slot: validate by pattern, fail by name — never ClassCastException
+        case (_, vals) if vals.length >= 5 && vals(0) == "table" =>
+          (vals(1), vals(3), vals(4)) match {
+            case (name: String, root: java.lang.Long, sql: String) =>
+              TableDef(name, root.toInt, sql)
+            case other => throw new IllegalArgumentException(
+              s"malformed sqlite_master table row: $other")
+          }
       }
     } finally f.close()
   }

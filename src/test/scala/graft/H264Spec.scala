@@ -145,6 +145,32 @@ class H264Spec extends SparkSpecBase {
     assert(named > 0, "the sweep must hit at least some loud failures")
   }
 
+  test("PCM mutation fuzz: the pixel DECODER is fail-loud too — corrupt SPS/slice bytes never crash raw") {
+    val rnd = new scala.util.Random(4099)
+    val base = H264Codec.synthPcm(6L, 2, 3, 2)
+    var named = 0
+    for (_ <- 1 to 300) {
+      val p = base.clone()
+      // bias toward the structural head (SPS/PPS/slice header bytes):
+      // a flipped raster field must fail the plausibility gate, not
+      // allocate garbage planes
+      for (_ <- 0 to rnd.nextInt(3)) {
+        val at = if (rnd.nextBoolean()) rnd.nextInt(math.min(64, p.length))
+                 else rnd.nextInt(p.length)
+        p(at) = rnd.nextInt(256).toByte
+      }
+      try {
+        val nals = H264Codec.nalUnits(p).toVector
+        for (sps <- nals.collectFirst { case (7, n) => H264Codec.parseSps(n) };
+             slice <- nals.collectFirst { case (5, n) => n })
+          H264Codec.decodeIPcmSlice(slice, sps)
+      } catch {
+        case _: IllegalArgumentException => named += 1
+      }
+    }
+    assert(named > 0, "the sweep must hit at least some loud failures")
+  }
+
   test("frameSample over the H.264 media table: real AU digests, ceil(n/every) rows per video") {
     val df = MultimodalOps.frameSampleOf(spark,
       MultimodalOps.h264MediaTable(spark, sf), every = 10).toDF()
