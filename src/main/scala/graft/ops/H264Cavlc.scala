@@ -1,0 +1,1714 @@
+package graft.ops
+
+import H264Codec.{BitReader, BitWriter, Pps, Sps, ep, unep}
+
+/** H.264/AVC CAVLC intra pixel decode (ITU-T H.264 / ISO 14496-10,
+  * public spec) — the layer the engine previously declared as its one
+  * remaining stub, now real for baseline all-intra CAVLC streams:
+  *
+  *   - residual entropy decode per clause 9.2: coeff_token with the
+  *     full nC neighbor-context law (Table 9-5, all four luma contexts
+  *     plus the chroma-DC table), trailing-one signs, level
+  *     prefix/suffix with adaptive suffixLength and both escape forms,
+  *     total_zeros (Tables 9-7/9-8, chroma-DC 9-9(a)), run_before
+  *     (Table 9-10);
+  *   - macroblock layer per 7.3.5: I_NxN / I_16x16 / I_PCM mb types
+  *     (Table 7-11), prev_intra4x4_pred_mode signalling (8.3.1.1),
+  *     intra_chroma_pred_mode, the coded_block_pattern me(v) mapping
+  *     (Table 9-4, intra column), mb_qp_delta with the mod-52 QP law;
+  *   - intra prediction per 8.3: all nine 4x4 modes with the z-scan
+  *     top-right availability law, all four 16x16 modes (incl. Plane),
+  *     all four chroma modes (incl. the DC quadrant rules and Plane);
+  *   - inverse transforms per 8.5: the 4x4 integer core transform with
+  *     the (x+32)>>6 rounding, the 16x16 luma-DC Hadamard with its
+  *     qp-branched scaling, the 2x2 chroma-DC Hadamard, and the exact
+  *     flat-matrix dequant law d = c · V(qp%6,pos) << (qp/6).
+  *
+  * The in-loop deblocking filter (8.7) is real too: Table 8-16/8-17
+  * thresholds, the all-intra boundary-strength law (bS 4 on macroblock
+  * edges, 3 internal), both the strong and the clipped normal filters,
+  * per-edge QP averaging with the I_PCM qP=0 rule, chroma at
+  * luma-multiple-of-8 edges, and slice-level alpha/beta offsets. What
+  * remains stubbed (failing loud by name at its dispatch points):
+  * CABAC entropy (PPS entropy_coding_mode_flag 1) and inter prediction
+  * (P/B slices) — i.e. this file decodes conformant BASELINE ALL-INTRA
+  * streams end to end. Decoding is bit-exact against [[synthCavlc]]'s
+  * encoder-side reconstruction loop, and the q_h264_cavlc DuckDB oracle
+  * replays a closed-form pixel law through the whole chain with no
+  * bitstream at all.
+  *
+  * Verification boundary, stated honestly: the VLC table constants are
+  * transcribed from the public spec and pinned by structural property
+  * tests (prefix-freeness per table, the Table 9-4 permutation law,
+  * Kraft sums) plus encoder/decoder round trips — but NO independent
+  * H.264 implementation exists in this offline sandbox (no ffmpeg, no
+  * JM, no JDK support), so bit-level conformance of the rarely-hit
+  * high-TotalCoeff codewords against an external decoder is the one
+  * check this environment cannot run. The same caveat was recorded for
+  * the structural layer in [[H264Codec]]; every OTHER codec in this
+  * repo has a JDK differential precisely because one exists for it.
+  */
+object H264Cavlc {
+
+  // ---------------------------------------------------------------
+  // Tables (clause 9.2). Layout: per (TotalCoeff 0..16, TrailingOnes
+  // 0..3), length and bit pattern, one array pair per nC context.
+  // A (len, bits) of (0, 0) marks a combination with no codeword
+  // (TrailingOnes > TotalCoeff or > 3).
+  // ---------------------------------------------------------------
+
+  /** Table 9-5, 0 <= nC < 2. Row = TotalCoeff, 4 entries (T1s 0..3). */
+  private val coeffTokenLen0: Array[Int] = Array(
+    1, 0, 0, 0,
+    6, 2, 0, 0, 8, 6, 3, 0, 9, 8, 7, 5, 10, 9, 8, 6,
+    11, 10, 9, 7, 13, 11, 10, 8, 13, 13, 11, 9, 13, 13, 13, 10,
+    14, 14, 13, 11, 14, 14, 14, 13, 15, 15, 14, 14, 15, 15, 15, 14,
+    16, 15, 15, 15, 16, 16, 16, 15, 16, 16, 16, 16, 16, 16, 16, 16)
+  private val coeffTokenBits0: Array[Int] = Array(
+    1, 0, 0, 0,
+    5, 1, 0, 0, 7, 4, 1, 0, 7, 6, 5, 3, 7, 6, 5, 3,
+    7, 6, 5, 4, 15, 6, 5, 4, 11, 14, 5, 4, 8, 10, 13, 4,
+    15, 14, 9, 4, 11, 10, 13, 12, 15, 14, 9, 12, 11, 10, 13, 8,
+    15, 1, 9, 12, 11, 14, 13, 8, 7, 10, 9, 12, 4, 6, 5, 8)
+
+  /** Table 9-5, 2 <= nC < 4. */
+  private val coeffTokenLen1: Array[Int] = Array(
+    2, 0, 0, 0,
+    6, 2, 0, 0, 6, 5, 3, 0, 7, 6, 6, 4, 8, 6, 6, 4,
+    8, 7, 7, 5, 9, 8, 8, 6, 11, 9, 9, 6, 11, 11, 11, 7,
+    12, 11, 11, 9, 12, 12, 12, 11, 12, 12, 12, 11, 13, 13, 13, 12,
+    13, 13, 13, 13, 13, 14, 13, 13, 14, 14, 14, 13, 14, 14, 14, 14)
+  private val coeffTokenBits1: Array[Int] = Array(
+    3, 0, 0, 0,
+    11, 2, 0, 0, 7, 7, 3, 0, 7, 10, 9, 5, 7, 6, 5, 4,
+    4, 6, 5, 6, 7, 6, 5, 8, 15, 6, 5, 4, 11, 14, 13, 4,
+    15, 10, 9, 4, 11, 14, 13, 12, 8, 10, 9, 8, 15, 14, 13, 12,
+    11, 10, 9, 12, 7, 11, 6, 8, 9, 8, 10, 1, 7, 6, 5, 4)
+
+  /** Table 9-5, 4 <= nC < 8. */
+  private val coeffTokenLen2: Array[Int] = Array(
+    4, 0, 0, 0,
+    6, 4, 0, 0, 6, 5, 4, 0, 6, 5, 5, 4, 7, 5, 5, 4,
+    7, 5, 5, 4, 7, 6, 6, 4, 7, 6, 6, 4, 8, 7, 7, 5,
+    8, 8, 7, 6, 9, 8, 8, 7, 9, 9, 8, 8, 9, 9, 9, 8,
+    10, 9, 9, 9, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10)
+  private val coeffTokenBits2: Array[Int] = Array(
+    15, 0, 0, 0,
+    15, 14, 0, 0, 11, 15, 13, 0, 8, 12, 14, 12, 15, 10, 11, 11,
+    11, 8, 9, 10, 9, 14, 13, 9, 8, 10, 9, 8, 15, 14, 13, 13,
+    11, 14, 10, 12, 15, 10, 13, 12, 11, 14, 9, 12, 8, 10, 13, 8,
+    13, 7, 9, 12, 9, 12, 11, 10, 5, 8, 7, 2, 1, 4, 3, 0)
+
+  /** Table 9-5, chroma DC (nC == -1), 4:2:0: TotalCoeff 0..4. */
+  private val coeffTokenLenC: Array[Int] = Array(
+    2, 0, 0, 0,
+    6, 1, 0, 0, 6, 6, 3, 0, 6, 7, 7, 6, 6, 8, 8, 7)
+  private val coeffTokenBitsC: Array[Int] = Array(
+    1, 0, 0, 0,
+    7, 1, 0, 0, 4, 6, 1, 0, 3, 3, 2, 5, 2, 3, 2, 0)
+
+  /** Tables 9-7/9-8 (total_zeros, 4x4 blocks): row = TotalCoeff-1,
+    * entry = total_zeros value 0..(16-TotalCoeff).
+    */
+  private val totalZerosLen: Array[Array[Int]] = Array(
+    Array(1, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9, 9),
+    Array(3, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 6, 6, 6, 6),
+    Array(4, 3, 3, 3, 4, 4, 3, 3, 4, 5, 5, 6, 5, 6),
+    Array(5, 3, 4, 4, 3, 3, 3, 4, 3, 4, 5, 5, 5),
+    Array(4, 4, 4, 3, 3, 3, 3, 3, 4, 5, 4, 5),
+    Array(6, 5, 3, 3, 3, 3, 3, 3, 4, 3, 6),
+    Array(6, 5, 3, 3, 3, 2, 3, 4, 3, 6),
+    Array(6, 4, 5, 3, 2, 2, 3, 3, 6),
+    Array(6, 6, 4, 2, 2, 3, 2, 5),
+    Array(5, 5, 3, 2, 2, 2, 4),
+    Array(4, 4, 3, 3, 1, 3),
+    Array(4, 4, 2, 1, 3),
+    Array(3, 3, 1, 2),
+    Array(2, 2, 1),
+    Array(1, 1))
+  private val totalZerosBits: Array[Array[Int]] = Array(
+    Array(1, 3, 2, 3, 2, 3, 2, 3, 2, 3, 2, 3, 2, 3, 2, 1),
+    Array(7, 6, 5, 4, 3, 5, 4, 3, 2, 3, 2, 3, 2, 1, 0),
+    Array(5, 7, 6, 5, 4, 3, 4, 3, 2, 3, 2, 1, 1, 0),
+    Array(3, 7, 5, 4, 6, 5, 4, 3, 3, 2, 2, 1, 0),
+    Array(5, 4, 3, 7, 6, 5, 4, 3, 2, 1, 1, 0),
+    Array(1, 1, 7, 6, 5, 4, 3, 2, 1, 1, 0),
+    Array(1, 1, 5, 4, 3, 3, 2, 1, 1, 0),
+    Array(1, 1, 1, 3, 3, 2, 2, 1, 0),
+    Array(1, 0, 1, 3, 2, 1, 1, 1),
+    Array(1, 0, 1, 3, 2, 1, 1),
+    Array(0, 1, 1, 2, 1, 3),
+    Array(0, 1, 1, 1, 1),
+    Array(0, 1, 1, 1),
+    Array(0, 1, 1),
+    Array(0, 1))
+
+  /** Table 9-9(a): total_zeros for chroma DC, 4:2:0 (maxNumCoeff 4). */
+  private val chromaDcTzLen: Array[Array[Int]] = Array(
+    Array(1, 2, 3, 3), Array(1, 2, 2), Array(1, 1))
+  private val chromaDcTzBits: Array[Array[Int]] = Array(
+    Array(1, 1, 1, 0), Array(1, 1, 0), Array(1, 0))
+
+  /** Table 9-10: run_before, row = min(zerosLeft, 7) - 1. */
+  private val runBeforeLen: Array[Array[Int]] = Array(
+    Array(1, 1),
+    Array(1, 2, 2),
+    Array(2, 2, 2, 2),
+    Array(2, 2, 2, 3, 3),
+    Array(2, 2, 3, 3, 3, 3),
+    Array(2, 3, 3, 3, 3, 3, 3),
+    Array(3, 3, 3, 3, 3, 3, 3, 4, 5, 6, 7, 8, 9, 10, 11))
+  private val runBeforeBits: Array[Array[Int]] = Array(
+    Array(1, 0),
+    Array(1, 1, 0),
+    Array(3, 2, 1, 0),
+    Array(3, 2, 1, 1, 0),
+    Array(3, 2, 3, 2, 1, 0),
+    Array(3, 0, 1, 3, 2, 5, 4),
+    Array(7, 6, 5, 4, 3, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1))
+
+  /** Table 9-4, intra column: me(v) codeNum → coded_block_pattern.
+    * Pinned by a permutation-of-0..47 property test.
+    */
+  private[graft] val cbpIntra: Array[Int] = Array(
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+  private val cbpIntraInv: Array[Int] = {
+    val inv = new Array[Int](48)
+    var i = 0
+    while (i < 48) { inv(cbpIntra(i)) = i; i += 1 }
+    inv
+  }
+
+  /** Dequant V matrix (8.5.9, flat weight matrix folded in): per qp%6,
+    * the three position classes v0 (both-even), v1 (both-odd), v2.
+    */
+  private val dequantV: Array[Array[Int]] = Array(
+    Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+    Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+
+  private def vClass(pos: Int): Int = {
+    val (i, j) = (pos >> 2, pos & 3)
+    if ((i & 1) == 0 && (j & 1) == 0) 0
+    else if ((i & 1) == 1 && (j & 1) == 1) 1
+    else 2
+  }
+
+  /** Zig-zag scan (Table 8-13): scan position → raster position. */
+  private[graft] val zigzag: Array[Int] =
+    Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  /** QPc from clipped QPy + offset (Table 8-15). */
+  private val chromaQpMap: Array[Int] = {
+    val base = (0 until 30).toArray
+    val tail = Array(29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36,
+      37, 37, 37, 38, 38, 38, 39, 39, 39, 39)
+    base ++ tail
+  }
+  private[graft] def chromaQp(qpY: Int, offset: Int): Int =
+    chromaQpMap(math.max(0, math.min(51, qpY + offset)))
+
+  /** Z-scan within a macroblock: luma4x4BlkIdx → (bx, by) block units. */
+  private[graft] def blkPos(idx: Int): (Int, Int) =
+    (2 * ((idx % 8) / 4) + (idx % 2), 2 * (idx / 8) + ((idx % 4) / 2))
+  /** (bx, by) block units → luma4x4BlkIdx (inverse z-scan). */
+  private[graft] def blkIdx(bx: Int, by: Int): Int =
+    8 * (by / 2) + 4 * (bx / 2) + 2 * (by % 2) + (bx % 2)
+
+  // ---------------------------------------------------------------
+  // VLC primitives. Decode walks the prefix code bit by bit against
+  // flat per-length symbol arrays (symbol+1, 0 = no codeword) — one
+  // array index per bit, allocation- and boxing-free (this lookup is
+  // the per-coefficient inner loop of the whole decoder).
+  // ---------------------------------------------------------------
+
+  private def decodeTable(pairs: Seq[((Int, Int), Int)]): Array[Array[Int]] = {
+    val t = Array.tabulate(17)(l => new Array[Int](1 << l))
+    pairs.foreach { case ((len, bits), sym) =>
+      require(t(len)(bits) == 0, "duplicate VLC codeword")
+      t(len)(bits) = sym + 1
+    }
+    t
+  }
+
+  private val coeffTokenDec: Array[Array[Array[Int]]] = {
+    def build(len: Array[Int], bits: Array[Int], rows: Int) = decodeTable(
+      (0 until rows * 4).collect {
+        case k if len(k) > 0 => ((len(k), bits(k)), k) // symbol = tc*4+t1s
+      })
+    Array(build(coeffTokenLen0, coeffTokenBits0, 17),
+      build(coeffTokenLen1, coeffTokenBits1, 17),
+      build(coeffTokenLen2, coeffTokenBits2, 17),
+      build(coeffTokenLenC, coeffTokenBitsC, 5))
+  }
+  private val totalZerosDec: Array[Array[Array[Int]]] =
+    totalZerosLen.indices.toArray.map { i =>
+      decodeTable(totalZerosLen(i).indices.map(j =>
+        ((totalZerosLen(i)(j), totalZerosBits(i)(j)), j)))
+    }
+  private val chromaDcTzDec: Array[Array[Array[Int]]] =
+    chromaDcTzLen.indices.toArray.map { i =>
+      decodeTable(chromaDcTzLen(i).indices.map(j =>
+        ((chromaDcTzLen(i)(j), chromaDcTzBits(i)(j)), j)))
+    }
+  private val runBeforeDec: Array[Array[Array[Int]]] =
+    runBeforeLen.indices.toArray.map { i =>
+      decodeTable(runBeforeLen(i).indices.map(j =>
+        ((runBeforeLen(i)(j), runBeforeBits(i)(j)), j)))
+    }
+
+  private def readVlc(r: BitReader, m: Array[Array[Int]], what: String): Int = {
+    var len = 0
+    var bits = 0
+    while (len < 16) {
+      bits = (bits << 1) | r.u(1)
+      len += 1
+      val s = m(len)(bits)
+      if (s != 0) return s - 1
+    }
+    throw new IllegalArgumentException(s"invalid $what VLC codeword")
+  }
+
+  /** coeff_token context index from nC (9.2.1): 0,1,2 variable tables,
+    * 3 = chroma DC (nC == -1). nC >= 8 is the 6-bit FLC, handled inline.
+    */
+  private def readCoeffToken(r: BitReader, nC: Int): (Int, Int) = {
+    if (nC >= 8) {
+      val v = r.u(6)
+      if (v == 3) (0, 0) // the TC=0 spelling in the FLC regime
+      else {
+        val (tc, t1) = ((v >> 2) + 1, v & 3)
+        require(t1 <= math.min(3, tc), s"FLC coeff_token $v malformed")
+        (tc, t1)
+      }
+    } else {
+      val ctx = if (nC < 0) 3 else if (nC < 2) 0 else if (nC < 4) 1 else 2
+      val sym = readVlc(r, coeffTokenDec(ctx), "coeff_token")
+      (sym / 4, sym % 4)
+    }
+  }
+
+  private def writeCoeffToken(w: BitWriter, nC: Int, tc: Int, t1s: Int): Unit = {
+    if (nC >= 8) {
+      val v = if (tc == 0) 3 else ((tc - 1) << 2) | t1s
+      w.bits(v.toLong, 6)
+    } else {
+      val (len, bits) =
+        if (nC < 0) (coeffTokenLenC(tc * 4 + t1s), coeffTokenBitsC(tc * 4 + t1s))
+        else if (nC < 2) (coeffTokenLen0(tc * 4 + t1s), coeffTokenBits0(tc * 4 + t1s))
+        else if (nC < 4) (coeffTokenLen1(tc * 4 + t1s), coeffTokenBits1(tc * 4 + t1s))
+        else (coeffTokenLen2(tc * 4 + t1s), coeffTokenBits2(tc * 4 + t1s))
+      require(len > 0, s"no coeff_token codeword for tc=$tc t1s=$t1s")
+      w.bits(bits.toLong, len)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Residual block (9.2.2-9.2.4): levels in scan order. maxCoeff is 16
+  // (LumaLevel4x4 / Intra16x16DCLevel), 15 (AC blocks), or 4 (chromaDC).
+  // Returns the coefficient array in scan order (length maxCoeff) and
+  // TotalCoeff (the caller stores it for later nC contexts).
+  // ---------------------------------------------------------------
+
+  private[graft] def readResidualBlock(r: BitReader, nC: Int, maxCoeff: Int): (Array[Int], Int) = {
+    val coeffs = new Array[Int](maxCoeff)
+    val (tc, t1s) = readCoeffToken(r, nC)
+    require(tc <= maxCoeff, s"TotalCoeff $tc exceeds block size $maxCoeff")
+    if (tc == 0) return (coeffs, 0)
+    val levels = new Array[Int](tc)
+    var i = 0
+    while (i < t1s) { // trailing ones: sign bits, high-frequency first
+      levels(i) = if (r.u(1) == 1) -1 else 1
+      i += 1
+    }
+    var suffixLength = if (tc > 10 && t1s < 3) 1 else 0
+    while (i < tc) {
+      var prefix = 0
+      while (r.u(1) == 0) {
+        prefix += 1
+        require(prefix <= 19, "level_prefix longer than the 8-bit-depth bound")
+      }
+      val suffixSize =
+        if (prefix >= 15) prefix - 3
+        else if (prefix == 14 && suffixLength == 0) 4
+        else suffixLength
+      var levelCode = (math.min(15, prefix) << suffixLength) +
+        (if (suffixSize > 0) r.u(suffixSize) else 0)
+      if (prefix >= 15 && suffixLength == 0) levelCode += 15
+      if (prefix >= 16) levelCode += (1 << (prefix - 3)) - 4096
+      if (i == t1s && t1s < 3) levelCode += 2
+      levels(i) = if (levelCode % 2 == 0) (levelCode + 2) >> 1
+      else -((levelCode + 1) >> 1)
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(levels(i)) > (3 << (suffixLength - 1)) && suffixLength < 6)
+        suffixLength += 1
+      i += 1
+    }
+    var totalZeros = 0
+    if (tc < maxCoeff) {
+      totalZeros =
+        if (maxCoeff == 4) readVlc(r, chromaDcTzDec(tc - 1), "chromaDC total_zeros")
+        else readVlc(r, totalZerosDec(tc - 1), "total_zeros")
+    }
+    require(tc + totalZeros <= maxCoeff,
+      s"TotalCoeff $tc + total_zeros $totalZeros overruns block size $maxCoeff")
+    // place levels: decode order is highest scan position downward
+    var zerosLeft = totalZeros
+    var pos = tc + totalZeros - 1 // scan index of the highest nonzero
+    i = 0
+    while (i < tc) {
+      coeffs(pos) = levels(i)
+      if (i < tc - 1) {
+        val run =
+          if (zerosLeft == 0) 0
+          else readVlc(r, runBeforeDec(math.min(zerosLeft, 7) - 1), "run_before")
+        require(run <= zerosLeft, s"run_before $run exceeds zerosLeft $zerosLeft")
+        zerosLeft -= run
+        pos -= run + 1
+      }
+      i += 1
+    }
+    (coeffs, tc)
+  }
+
+  /** Inverse of [[readResidualBlock]]: CAVLC-encode `coeffs` (scan
+    * order, length maxCoeff). Returns TotalCoeff for context storage.
+    */
+  private[graft] def writeResidualBlock(w: BitWriter, nC: Int, coeffs: Array[Int]): Int = {
+    val maxCoeff = coeffs.length
+    val nz = coeffs.indices.filter(coeffs(_) != 0)
+    val tc = nz.size
+    require(tc <= maxCoeff)
+    if (tc == 0) { writeCoeffToken(w, nC, 0, 0); return 0 }
+    // trailing ones: |1| coefficients at the highest scan positions, <= 3
+    var t1s = 0
+    while (t1s < math.min(3, tc) &&
+      math.abs(coeffs(nz(tc - 1 - t1s))) == 1) t1s += 1
+    writeCoeffToken(w, nC, tc, t1s)
+    var i = 0
+    while (i < t1s) {
+      w.bit(if (coeffs(nz(tc - 1 - i)) < 0) 1 else 0)
+      i += 1
+    }
+    var suffixLength = if (tc > 10 && t1s < 3) 1 else 0
+    while (i < tc) {
+      val level = coeffs(nz(tc - 1 - i))
+      var levelCode = if (level > 0) 2 * level - 2 else -2 * level - 1
+      if (i == t1s && t1s < 3) {
+        require(math.abs(level) >= 2,
+          "first non-trailing level must be |>=2| when TrailingOnes < 3")
+        levelCode -= 2
+      }
+      val escBase = 15 << suffixLength
+      if (suffixLength == 0 && levelCode >= 14 && levelCode < 30) {
+        w.bits(0L, 14); w.bit(1) // level_prefix 14: 4-bit escape
+        w.bits((levelCode - 14).toLong, 4)
+      } else if (suffixLength == 0 && levelCode >= 30) {
+        val s = levelCode - 30
+        require(s < 4096, s"level $level unencodable at suffixLength 0")
+        w.bits(0L, 15); w.bit(1)
+        w.bits(s.toLong, 12)
+      } else if (suffixLength > 0 && levelCode >= escBase) {
+        val s = levelCode - escBase
+        require(s < 4096, s"level $level unencodable at suffixLength $suffixLength")
+        w.bits(0L, 15); w.bit(1)
+        w.bits(s.toLong, 12)
+      } else {
+        val prefix = levelCode >> suffixLength
+        w.bits(0L, prefix); w.bit(1)
+        if (suffixLength > 0)
+          w.bits((levelCode & ((1 << suffixLength) - 1)).toLong, suffixLength)
+      }
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(level) > (3 << (suffixLength - 1)) && suffixLength < 6)
+        suffixLength += 1
+      i += 1
+    }
+    val totalZeros = nz.last + 1 - tc
+    if (tc < maxCoeff) {
+      if (maxCoeff == 4)
+        w.bits(chromaDcTzBits(tc - 1)(totalZeros).toLong, chromaDcTzLen(tc - 1)(totalZeros))
+      else
+        w.bits(totalZerosBits(tc - 1)(totalZeros).toLong, totalZerosLen(tc - 1)(totalZeros))
+    }
+    var zerosLeft = totalZeros
+    i = tc - 1
+    while (i > 0 && zerosLeft > 0) { // runs, highest coefficient first
+      val run = nz(i) - nz(i - 1) - 1
+      val row = math.min(zerosLeft, 7) - 1
+      w.bits(runBeforeBits(row)(run).toLong, runBeforeLen(row)(run))
+      zerosLeft -= run
+      i -= 1
+    }
+    tc
+  }
+
+  // ---------------------------------------------------------------
+  // Transforms + dequant (8.5). All integer-exact per the spec's flat
+  // scaling-matrix laws; shared by the decoder and the encoder's
+  // reconstruction loop (they are pure laws — the differential tier
+  // gates the BITSTREAM layers, which are written twice).
+  // ---------------------------------------------------------------
+
+  /** Regular (non-DC-separated) dequant: d = c · V(qp%6, pos) << (qp/6)
+    * — exact for every qp (8.5.12.1's rounding branches cancel under
+    * the flat weight matrix; derivation in the round-14 narrative).
+    */
+  private def dequant(c: Int, qp: Int, pos: Int): Int =
+    (c * dequantV(qp % 6)(vClass(pos))) << (qp / 6)
+
+  /** 16x16 luma DC scaling (8.5.10), applied AFTER the inverse
+    * Hadamard: qp/6 >= 2 shifts up, below that rounds.
+    */
+  private def lumaDcDequant(f: Int, qp: Int): Int = {
+    val v = dequantV(qp % 6)(0)
+    if (qp / 6 >= 2) (f * v) << (qp / 6 - 2)
+    else (f * v + (1 << (1 - qp / 6))) >> (2 - qp / 6)
+  }
+
+  /** Chroma DC scaling (8.5.11, 4:2:0), after the 2x2 Hadamard. */
+  private def chromaDcDequant(f: Int, qp: Int): Int =
+    ((f * dequantV(qp % 6)(0)) << (qp / 6)) >> 1
+
+  /** Inverse 4x4 core transform (8.5.12.2) on raster-order input,
+    * WITHOUT the final rounding — callers add (x + 32) >> 6.
+    */
+  private def idct4x4(d: Array[Int]): Array[Int] = {
+    val t = new Array[Int](16)
+    var i = 0
+    while (i < 4) { // rows
+      val (d0, d1, d2, d3) = (d(4 * i), d(4 * i + 1), d(4 * i + 2), d(4 * i + 3))
+      val e0 = d0 + d2; val e1 = d0 - d2
+      val e2 = (d1 >> 1) - d3; val e3 = d1 + (d3 >> 1)
+      t(4 * i) = e0 + e3; t(4 * i + 1) = e1 + e2
+      t(4 * i + 2) = e1 - e2; t(4 * i + 3) = e0 - e3
+      i += 1
+    }
+    val out = new Array[Int](16)
+    var j = 0
+    while (j < 4) { // columns
+      val (d0, d1, d2, d3) = (t(j), t(4 + j), t(8 + j), t(12 + j))
+      val e0 = d0 + d2; val e1 = d0 - d2
+      val e2 = (d1 >> 1) - d3; val e3 = d1 + (d3 >> 1)
+      out(j) = e0 + e3; out(4 + j) = e1 + e2
+      out(8 + j) = e1 - e2; out(12 + j) = e0 - e3
+      j += 1
+    }
+    out
+  }
+
+  /** Inverse 4x4 Hadamard (8.5.10's DC transform): the core butterfly
+    * without the >>1 taps and without rounding.
+    */
+  private def ihadamard4x4(d: Array[Int]): Array[Int] = {
+    val t = new Array[Int](16)
+    var i = 0
+    while (i < 4) {
+      val (d0, d1, d2, d3) = (d(4 * i), d(4 * i + 1), d(4 * i + 2), d(4 * i + 3))
+      val e0 = d0 + d2; val e1 = d0 - d2; val e2 = d1 - d3; val e3 = d1 + d3
+      t(4 * i) = e0 + e3; t(4 * i + 1) = e1 + e2
+      t(4 * i + 2) = e1 - e2; t(4 * i + 3) = e0 - e3
+      i += 1
+    }
+    val out = new Array[Int](16)
+    var j = 0
+    while (j < 4) {
+      val (d0, d1, d2, d3) = (t(j), t(4 + j), t(8 + j), t(12 + j))
+      val e0 = d0 + d2; val e1 = d0 - d2; val e2 = d1 - d3; val e3 = d1 + d3
+      out(j) = e0 + e3; out(4 + j) = e1 + e2
+      out(8 + j) = e1 - e2; out(12 + j) = e0 - e3
+      j += 1
+    }
+    out
+  }
+
+  /** Scan-order coefficients → residual samples, raster 4x4: zig-zag
+    * placement, dequant, inverse transform, (x+32)>>6. `acOnly` shifts
+    * the scan by one (15-coefficient AC blocks) and injects `dc`.
+    */
+  private def residual4x4(coeffs: Array[Int], qp: Int, acOnly: Boolean,
+                          dc: Int): Array[Int] = {
+    val d = new Array[Int](16)
+    if (acOnly) {
+      var k = 0
+      while (k < 15) {
+        val pos = zigzag(k + 1)
+        d(pos) = dequant(coeffs(k), qp, pos)
+        k += 1
+      }
+      d(0) = dc
+    } else {
+      var k = 0
+      while (k < 16) {
+        val pos = zigzag(k)
+        d(pos) = dequant(coeffs(k), qp, pos)
+        k += 1
+      }
+    }
+    val r = idct4x4(d)
+    var k = 0
+    while (k < 16) { r(k) = (r(k) + 32) >> 6; k += 1 }
+    r
+  }
+
+  private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  // ---------------------------------------------------------------
+  // Intra prediction (8.3) over a plane under construction. Planes are
+  // Int rasters 0..255; `avail` is resolved by the caller from frame
+  // edges (constrained_intra_pred off; all-intra slices).
+  // ---------------------------------------------------------------
+
+  /** 4x4 luma prediction (8.3.1.2), written into out(16) raster. x0,y0
+    * are the block's top-left sample in the plane; `trAvail` resolves
+    * the z-scan top-right law. p(x, -1) for x in 4..7 substitutes
+    * p(3, -1) when the top-right is unavailable (8.3.1.2.1's rule for
+    * modes 3 and 7).
+    */
+  private[graft] def predict4x4(plane: Array[Int], w: Int, x0: Int, y0: Int,
+                              mode: Int, leftAvail: Boolean, topAvail: Boolean,
+                              tlAvail: Boolean, trAvail: Boolean): Array[Int] = {
+    val out = new Array[Int](16)
+    def top(x: Int): Int =
+      if (x <= 3 || trAvail) plane((y0 - 1) * w + x0 + x)
+      else plane((y0 - 1) * w + x0 + 3)
+    def left(y: Int): Int = plane((y0 + y) * w + x0 - 1)
+    def tl: Int = plane((y0 - 1) * w + x0 - 1)
+    mode match {
+      case 0 => // Vertical
+        require(topAvail, "Intra_4x4_Vertical needs the top neighbor")
+        var k = 0
+        while (k < 16) { out(k) = top(k % 4); k += 1 }
+      case 1 => // Horizontal
+        require(leftAvail, "Intra_4x4_Horizontal needs the left neighbor")
+        var k = 0
+        while (k < 16) { out(k) = left(k / 4); k += 1 }
+      case 2 => // DC
+        val v =
+          if (topAvail && leftAvail)
+            (top(0) + top(1) + top(2) + top(3) +
+              left(0) + left(1) + left(2) + left(3) + 4) >> 3
+          else if (topAvail) (top(0) + top(1) + top(2) + top(3) + 2) >> 2
+          else if (leftAvail) (left(0) + left(1) + left(2) + left(3) + 2) >> 2
+          else 128
+        var k = 0
+        while (k < 16) { out(k) = v; k += 1 }
+      case 3 => // Diagonal down-left
+        require(topAvail, "Intra_4x4_Diagonal_Down_Left needs the top neighbor")
+        var k = 0
+        while (k < 16) {
+          val (x, y) = (k % 4, k / 4)
+          out(k) =
+            if (x == 3 && y == 3) (top(6) + 3 * top(7) + 2) >> 2
+            else (top(x + y) + 2 * top(x + y + 1) + top(x + y + 2) + 2) >> 2
+          k += 1
+        }
+      case 4 => // Diagonal down-right
+        require(topAvail && leftAvail && tlAvail,
+          "Intra_4x4_Diagonal_Down_Right needs left+top+top-left")
+        def topX(i: Int): Int = if (i < 0) tl else top(i) // p[-1,-1] at i == -1
+        def leftY(j: Int): Int = if (j < 0) tl else left(j)
+        var k = 0
+        while (k < 16) {
+          val (x, y) = (k % 4, k / 4)
+          out(k) =
+            if (x > y) (topX(x - y - 2) + 2 * topX(x - y - 1) + topX(x - y) + 2) >> 2
+            else if (x < y) (leftY(y - x - 2) + 2 * leftY(y - x - 1) + leftY(y - x) + 2) >> 2
+            else (top(0) + 2 * tl + left(0) + 2) >> 2
+          k += 1
+        }
+      case 5 => // Vertical-right
+        require(topAvail && leftAvail && tlAvail,
+          "Intra_4x4_Vertical_Right needs left+top+top-left")
+        def topX(i: Int): Int = if (i < 0) tl else top(i)
+        def leftY(j: Int): Int = if (j < 0) tl else left(j)
+        var k = 0
+        while (k < 16) {
+          val (x, y) = (k % 4, k / 4)
+          val z = 2 * x - y
+          val i = x - (y >> 1)
+          out(k) =
+            if (z >= 0 && z % 2 == 0) (topX(i - 1) + topX(i) + 1) >> 1
+            else if (z >= 0) (topX(i - 2) + 2 * topX(i - 1) + topX(i) + 2) >> 2
+            else if (z == -1) (left(0) + 2 * tl + top(0) + 2) >> 2
+            else (leftY(y - 1) + 2 * leftY(y - 2) + leftY(y - 3) + 2) >> 2
+          k += 1
+        }
+      case 6 => // Horizontal-down
+        require(topAvail && leftAvail && tlAvail,
+          "Intra_4x4_Horizontal_Down needs left+top+top-left")
+        def topX(i: Int): Int = if (i < 0) tl else top(i)
+        def leftY(j: Int): Int = if (j < 0) tl else left(j)
+        var k = 0
+        while (k < 16) {
+          val (x, y) = (k % 4, k / 4)
+          val z = 2 * y - x
+          val i = y - (x >> 1)
+          out(k) =
+            if (z >= 0 && z % 2 == 0) (leftY(i - 1) + leftY(i) + 1) >> 1
+            else if (z >= 0) (leftY(i - 2) + 2 * leftY(i - 1) + leftY(i) + 2) >> 2
+            else if (z == -1) (top(0) + 2 * tl + left(0) + 2) >> 2
+            else (topX(x - 1) + 2 * topX(x - 2) + topX(x - 3) + 2) >> 2
+          k += 1
+        }
+      case 7 => // Vertical-left
+        require(topAvail, "Intra_4x4_Vertical_Left needs the top neighbor")
+        var k = 0
+        while (k < 16) {
+          val (x, y) = (k % 4, k / 4)
+          val i = x + (y >> 1)
+          out(k) =
+            if (y % 2 == 0) (top(i) + top(i + 1) + 1) >> 1
+            else (top(i) + 2 * top(i + 1) + top(i + 2) + 2) >> 2
+          k += 1
+        }
+      case 8 => // Horizontal-up
+        require(leftAvail, "Intra_4x4_Horizontal_Up needs the left neighbor")
+        var k = 0
+        while (k < 16) {
+          val (x, y) = (k % 4, k / 4)
+          val z = x + 2 * y
+          out(k) =
+            if (z > 5) left(3)
+            else if (z == 5) (left(2) + 3 * left(3) + 2) >> 2
+            else if (z % 2 == 0) (left(y + (x >> 1)) + left(y + (x >> 1) + 1) + 1) >> 1
+            else (left(y + (x >> 1)) + 2 * left(y + (x >> 1) + 1) +
+              left(y + (x >> 1) + 2) + 2) >> 2
+          k += 1
+        }
+      case m => throw new IllegalArgumentException(s"intra 4x4 mode $m out of range")
+    }
+    out
+  }
+
+  /** 16x16 luma prediction (8.3.3), into out(256) raster. */
+  private[graft] def predict16x16(plane: Array[Int], w: Int, x0: Int, y0: Int,
+                                mode: Int, leftAvail: Boolean,
+                                topAvail: Boolean): Array[Int] = {
+    val out = new Array[Int](256)
+    def top(x: Int): Int = plane((y0 - 1) * w + x0 + x)
+    def left(y: Int): Int = plane((y0 + y) * w + x0 - 1)
+    mode match {
+      case 0 =>
+        require(topAvail, "Intra_16x16_Vertical needs the top neighbor")
+        var k = 0
+        while (k < 256) { out(k) = top(k % 16); k += 1 }
+      case 1 =>
+        require(leftAvail, "Intra_16x16_Horizontal needs the left neighbor")
+        var k = 0
+        while (k < 256) { out(k) = left(k / 16); k += 1 }
+      case 2 =>
+        var (st, sl) = (0, 0)
+        var i = 0
+        while (i < 16) {
+          if (topAvail) st += top(i)
+          if (leftAvail) sl += left(i)
+          i += 1
+        }
+        val v =
+          if (topAvail && leftAvail) (st + sl + 16) >> 5
+          else if (topAvail) (st + 8) >> 4
+          else if (leftAvail) (sl + 8) >> 4
+          else 128
+        var k = 0
+        while (k < 256) { out(k) = v; k += 1 }
+      case 3 =>
+        require(topAvail && leftAvail,
+          "Intra_16x16_Plane needs left and top neighbors")
+        def tl: Int = plane((y0 - 1) * w + x0 - 1)
+        var hSum = 0; var vSum = 0
+        var x = 0
+        while (x < 8) {
+          hSum += (x + 1) * (top(8 + x) - (if (x == 7) tl else top(6 - x)))
+          vSum += (x + 1) * (left(8 + x) - (if (x == 7) tl else left(6 - x)))
+          x += 1
+        }
+        val a = 16 * (left(15) + top(15))
+        val b = (5 * hSum + 32) >> 6
+        val c = (5 * vSum + 32) >> 6
+        var k = 0
+        while (k < 256) {
+          out(k) = clip255((a + b * ((k % 16) - 7) + c * ((k / 16) - 7) + 16) >> 5)
+          k += 1
+        }
+      case m => throw new IllegalArgumentException(s"intra 16x16 mode $m out of range")
+    }
+    out
+  }
+
+  /** 8x8 chroma prediction (8.3.4), into out(64). Mode numbering per
+    * intra_chroma_pred_mode: 0 DC, 1 Horizontal, 2 Vertical, 3 Plane.
+    */
+  private[graft] def predictChroma(plane: Array[Int], w: Int, x0: Int, y0: Int,
+                                 mode: Int, leftAvail: Boolean,
+                                 topAvail: Boolean): Array[Int] = {
+    val out = new Array[Int](64)
+    def top(x: Int): Int = plane((y0 - 1) * w + x0 + x)
+    def left(y: Int): Int = plane((y0 + y) * w + x0 - 1)
+    mode match {
+      case 0 => // DC with the quadrant law (8.3.4.1)
+        def sum4t(from: Int) = top(from) + top(from + 1) + top(from + 2) + top(from + 3)
+        def sum4l(from: Int) = left(from) + left(from + 1) + left(from + 2) + left(from + 3)
+        var q = 0
+        while (q < 4) {
+          val (qx, qy) = (q % 2, q / 2)
+          val v =
+            if (qx == qy) { // (0,0) and (1,1): both neighbors if available
+              if (topAvail && leftAvail) (sum4t(4 * qx) + sum4l(4 * qy) + 4) >> 3
+              else if (topAvail) (sum4t(4 * qx) + 2) >> 2
+              else if (leftAvail) (sum4l(4 * qy) + 2) >> 2
+              else 128
+            } else if (qx == 1) { // (1,0): prefer top
+              if (topAvail) (sum4t(4) + 2) >> 2
+              else if (leftAvail) (sum4l(0) + 2) >> 2
+              else 128
+            } else { // (0,1): prefer left
+              if (leftAvail) (sum4l(4) + 2) >> 2
+              else if (topAvail) (sum4t(0) + 2) >> 2
+              else 128
+            }
+          var k = 0
+          while (k < 16) {
+            out((4 * qy + k / 4) * 8 + 4 * qx + k % 4) = v
+            k += 1
+          }
+          q += 1
+        }
+      case 1 =>
+        require(leftAvail, "Intra_Chroma_Horizontal needs the left neighbor")
+        var k = 0
+        while (k < 64) { out(k) = left(k / 8); k += 1 }
+      case 2 =>
+        require(topAvail, "Intra_Chroma_Vertical needs the top neighbor")
+        var k = 0
+        while (k < 64) { out(k) = top(k % 8); k += 1 }
+      case 3 =>
+        require(topAvail && leftAvail,
+          "Intra_Chroma_Plane needs left and top neighbors")
+        def tl: Int = plane((y0 - 1) * w + x0 - 1)
+        var hSum = 0; var vSum = 0
+        var x = 0
+        while (x < 4) {
+          hSum += (x + 1) * (top(4 + x) - (if (x == 3) tl else top(2 - x)))
+          vSum += (x + 1) * (left(4 + x) - (if (x == 3) tl else left(2 - x)))
+          x += 1
+        }
+        val a = 16 * (left(7) + top(7))
+        val b = (17 * hSum + 16) >> 5
+        val c = (17 * vSum + 16) >> 5
+        var k = 0
+        while (k < 64) {
+          out(k) = clip255((a + b * ((k % 8) - 3) + c * ((k / 8) - 3) + 16) >> 5)
+          k += 1
+        }
+      case m => throw new IllegalArgumentException(s"intra chroma mode $m out of range")
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------
+  // Slice decode (7.3.3 header + 7.3.5 macroblock layer + 8.3/8.5
+  // reconstruction), baseline all-intra CAVLC. One slice covers the
+  // whole picture (first_mb_in_slice == 0; the synthesizer's shape and
+  // the common case for baseline encoders at these resolutions).
+  // ---------------------------------------------------------------
+
+  /** A decoded 4:2:0 picture: Int planes, luma W×H, chroma W/2×H/2. */
+  final case class Yuv(width: Int, height: Int, luma: Array[Int],
+                       cb: Array[Int], cr: Array[Int])
+
+  def decodeISlice(nal: Array[Byte], sps: Sps, pps: Pps): Yuv = {
+    require(!pps.cabac,
+      "CABAC entropy decoding unsupported (the declared stub boundary)")
+    require((nal(0) & 0x1f) == 5, "CAVLC intra decode expects an IDR slice NAL")
+    val r = new BitReader(unep(nal, 1))
+    require(r.ue() == 0, "slice must start at macroblock 0 (multi-slice pictures unsupported)")
+    val st = r.ue()
+    require(st == 2 || st == 7, s"not an I slice (slice_type $st)")
+    r.ue() // pps_id (binding validated by the caller's SPS/PPS pairing)
+    r.u(sps.log2MaxFrameNum) // frame_num (0 for IDR per 7.4.3)
+    r.ue() // idr_pic_id
+    // pic_order_cnt_lsb's field width is an SPS field [[Sps]] does not
+    // carry; misparsing it would desync every later bit — fail loud
+    require(sps.pocType == 2,
+      s"pic_order_cnt_type ${sps.pocType} unsupported in pixel decode (type 2 only)")
+    r.u(2) // dec_ref_pic_marking: no_output_of_prior, long_term_reference
+    var qpY = pps.picInitQp + r.se()
+    require(qpY >= 0 && qpY <= 51, s"slice QP $qpY out of range")
+    // deblocking control: absent from the PPS means the filter applies
+    // with zero offsets (7.4.3's inference); idc 2 ("not across slice
+    // boundaries") equals idc 0 here — one slice covers the picture
+    var applyDeblock = true
+    var (offA, offB) = (0, 0)
+    if (pps.deblockingControlPresent) {
+      val idc = r.ue()
+      require(idc <= 2, s"disable_deblocking_filter_idc $idc out of range")
+      applyDeblock = idc != 1
+      if (idc != 1) {
+        offA = 2 * r.se()
+        offB = 2 * r.se()
+        require(offA >= -12 && offA <= 12 && offB >= -12 && offB <= 12,
+          "deblocking alpha/beta offset out of range")
+      }
+    }
+
+    val (wMb, hMb) = (sps.widthMbs, sps.heightMapUnits)
+    require(wMb >= 1 && hMb >= 1 && wMb <= 1024 && hMb <= 1024,
+      s"implausible raster ${wMb}x$hMb macroblocks")
+    val (w, h) = (wMb * 16, hMb * 16)
+    val (wc, hc) = (w / 2, h / 2)
+    val luma = new Array[Int](w * h)
+    val cbP = new Array[Int](wc * hc)
+    val crP = new Array[Int](wc * hc)
+    val (wb, hb) = (wMb * 4, hMb * 4) // luma 4x4 block grid
+    val lumaTc = new Array[Int](wb * hb)
+    val modes = Array.fill(wb * hb)(2) // non-I_NxN MBs read as DC (8.3.1.1)
+    val cbTc = new Array[Int]((wMb * 2) * (hMb * 2))
+    val crTc = new Array[Int]((wMb * 2) * (hMb * 2))
+    val nMb = wMb * hMb
+    val mbQp = new Array[Int](nMb) // per-MB QP for the filter; I_PCM -> 0 (8.7.2)
+
+    def lumaNc(gx: Int, gy: Int): Int = blockNc(lumaTc, wb, gx, gy)
+
+    var mbIdx = 0
+    while (mbIdx < nMb) {
+      val (mbX, mbY) = (mbIdx % wMb, mbIdx / wMb)
+      val mbType = r.ue()
+      if (mbType == 25) {
+        // I_PCM: raw samples; neighbors read its blocks as nN = 16 (9.2.1)
+        r.alignToByte()
+        var p = 0
+        while (p < 256) {
+          luma((mbY * 16 + p / 16) * w + mbX * 16 + p % 16) = r.u(8)
+          p += 1
+        }
+        var c = 0
+        while (c < 128) {
+          val plane = if (c < 64) cbP else crP
+          val k = c % 64
+          plane((mbY * 8 + k / 8) * wc + mbX * 8 + k % 8) = r.u(8)
+          c += 1
+        }
+        var b = 0
+        while (b < 16) {
+          val (bx, by) = blkPos(b)
+          lumaTc((mbY * 4 + by) * wb + mbX * 4 + bx) = 16
+          b += 1
+        }
+        var cb = 0
+        while (cb < 4) {
+          cbTc((mbY * 2 + cb / 2) * (wMb * 2) + mbX * 2 + cb % 2) = 16
+          crTc((mbY * 2 + cb / 2) * (wMb * 2) + mbX * 2 + cb % 2) = 16
+          cb += 1
+        }
+      } else if (mbType == 0) {
+        // ---------------- I_NxN (Intra_4x4) ----------------
+        val blkModes = new Array[Int](16)
+        var b = 0
+        while (b < 16) {
+          val (bx, by) = blkPos(b)
+          val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
+          val mA = if (gx > 0) modes(gy * wb + gx - 1) else 2
+          val mB = if (gy > 0) modes((gy - 1) * wb + gx) else 2
+          val pred = math.min(mA, mB)
+          val mode =
+            if (r.u(1) == 1) pred
+            else { val rem = r.u(3); if (rem < pred) rem else rem + 1 }
+          blkModes(b) = mode
+          modes(gy * wb + gx) = mode
+          b += 1
+        }
+        val chromaMode = r.ue()
+        require(chromaMode <= 3, s"intra_chroma_pred_mode $chromaMode out of range")
+        val cbpCode = r.ue()
+        require(cbpCode <= 47, s"coded_block_pattern codeNum $cbpCode out of range")
+        val cbp = cbpIntra(cbpCode)
+        val cbpLuma = cbp & 15
+        val cbpChroma = cbp >> 4
+        if (cbp != 0) {
+          val delta = r.se()
+          require(delta >= -26 && delta <= 25, s"mb_qp_delta $delta out of range")
+          qpY = (qpY + delta + 52) % 52
+        }
+        // residual parse (tc contexts first; pixels reconstructed after)
+        val lumaCoeffs = new Array[Array[Int]](16)
+        b = 0
+        while (b < 16) {
+          val (bx, by) = blkPos(b)
+          val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
+          if ((cbpLuma & (1 << (b / 4))) != 0) {
+            val (cf, tc) = readResidualBlock(r, lumaNc(gx, gy), 16)
+            lumaCoeffs(b) = cf
+            lumaTc(gy * wb + gx) = tc
+          } else lumaTc(gy * wb + gx) = 0
+          b += 1
+        }
+        val (dcCb, dcCr, acCb, acCr) =
+          readChromaResidual(r, cbpChroma, cbTc, crTc, mbX, mbY, wMb)
+        reconLumaINxN(luma, w, wMb, mbIdx, blkModes, lumaCoeffs, qpY)
+        reconChroma(cbP, crP, wc, mbX, mbY, chromaMode, cbpChroma,
+          dcCb, dcCr, acCb, acCr, chromaQp(qpY, pps.chromaQpIndexOffset),
+          mbX > 0, mbY > 0)
+      } else if (mbType >= 1 && mbType <= 24) {
+        // ---------------- I_16x16 (Table 7-11's encoding) ----------------
+        val predMode16 = (mbType - 1) % 4
+        val cbpChroma = ((mbType - 1) / 4) % 3
+        val cbpLuma = if (mbType >= 13) 15 else 0
+        val chromaMode = r.ue()
+        require(chromaMode <= 3, s"intra_chroma_pred_mode $chromaMode out of range")
+        val delta = r.se() // mb_qp_delta: always present for Intra_16x16
+        require(delta >= -26 && delta <= 25, s"mb_qp_delta $delta out of range")
+        qpY = (qpY + delta + 52) % 52
+        // DC block: nC as for luma4x4BlkIdx 0 (9.2.1); stores no context
+        val (dcScan, _) = readResidualBlock(r, lumaNc(mbX * 4, mbY * 4), 16)
+        val acCoeffs = new Array[Array[Int]](16)
+        var b = 0
+        while (b < 16) {
+          val (bx, by) = blkPos(b)
+          val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
+          if (cbpLuma != 0) {
+            val (cf, tc) = readResidualBlock(r, lumaNc(gx, gy), 15)
+            acCoeffs(b) = cf
+            lumaTc(gy * wb + gx) = tc
+          } else lumaTc(gy * wb + gx) = 0
+          b += 1
+        }
+        val (dcCb, dcCr, acCb, acCr) =
+          readChromaResidual(r, cbpChroma, cbTc, crTc, mbX, mbY, wMb)
+        reconLumaI16x16(luma, w, mbX, mbY, predMode16, dcScan, acCoeffs, qpY)
+        reconChroma(cbP, crP, wc, mbX, mbY, chromaMode, cbpChroma,
+          dcCb, dcCr, acCb, acCr, chromaQp(qpY, pps.chromaQpIndexOffset),
+          mbX > 0, mbY > 0)
+      } else throw new IllegalArgumentException(
+        s"mb_type $mbType is not an I-slice intra type (Table 7-11)")
+      mbQp(mbIdx) = if (mbType == 25) 0 else qpY
+      mbIdx += 1
+    }
+    if (applyDeblock)
+      deblockFrame(luma, cbP, crP, w, h, mbQp, pps.chromaQpIndexOffset, offA, offB)
+    Yuv(w, h, luma, cbP, crP)
+  }
+
+  /** nC context (9.2.1) from a stored-TotalCoeff grid of width wRow:
+    * both neighbors available → rounded average; one → it; none → 0.
+    * Availability is the frame edge (whole-picture all-intra slices).
+    */
+  private def blockNc(tc: Array[Int], wRow: Int, gx: Int, gy: Int): Int = {
+    val a = if (gx > 0) tc(gy * wRow + gx - 1) else -1
+    val b = if (gy > 0) tc((gy - 1) * wRow + gx) else -1
+    if (a >= 0 && b >= 0) (a + b + 1) >> 1
+    else if (a >= 0) a else if (b >= 0) b else 0
+  }
+
+  /** Top-right neighbor availability for 4x4 block (gx, gy): exists in
+    * the frame AND decoded before z-index curZ of macroblock mbIdx
+    * (6.4.11's derivation specialized to one whole-picture slice).
+    */
+  private def trAvailable(gx: Int, gy: Int, wb: Int, wMb: Int,
+                          mbIdx: Int, curZ: Int): Boolean =
+    gy > 0 && gx + 1 < wb && {
+      val trMb = ((gy - 1) / 4) * wMb + (gx + 1) / 4
+      trMb < mbIdx || (trMb == mbIdx && blkIdx((gx + 1) % 4, (gy - 1) % 4) < curZ)
+    }
+
+  /** I_NxN luma reconstruction: per 4x4 block in z-scan, prediction off
+    * the plane under construction + inverse-transformed residual.
+    * Shared by the decoder and the encoder's reconstruction loop.
+    */
+  private def reconLumaINxN(luma: Array[Int], w: Int, wMb: Int, mbIdx: Int,
+                            blkModes: Array[Int], coeffs: Array[Array[Int]],
+                            qpY: Int): Unit = {
+    val wb = w / 4
+    val (mbX, mbY) = (mbIdx % wMb, mbIdx / wMb)
+    var b = 0
+    while (b < 16) {
+      val (bx, by) = blkPos(b)
+      val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
+      val (x0, y0) = (gx * 4, gy * 4)
+      val pred = predict4x4(luma, w, x0, y0, blkModes(b),
+        gx > 0, gy > 0, gx > 0 && gy > 0,
+        trAvailable(gx, gy, wb, wMb, mbIdx, b))
+      val res =
+        if (coeffs(b) == null) null
+        else residual4x4(coeffs(b), qpY, acOnly = false, dc = 0)
+      var k = 0
+      while (k < 16) {
+        luma((y0 + k / 4) * w + x0 + k % 4) =
+          clip255(pred(k) + (if (res == null) 0 else res(k)))
+        k += 1
+      }
+      b += 1
+    }
+  }
+
+  /** I_16x16 luma reconstruction: whole-MB prediction, zig-zag DC
+    * placement, inverse Hadamard, qp-branched DC scaling, per-block AC.
+    */
+  private def reconLumaI16x16(luma: Array[Int], w: Int, mbX: Int, mbY: Int,
+                              predMode16: Int, dcScan: Array[Int],
+                              acCoeffs: Array[Array[Int]], qpY: Int): Unit = {
+    val pred = predict16x16(luma, w, mbX * 16, mbY * 16, predMode16,
+      mbX > 0, mbY > 0)
+    val dcIn = new Array[Int](16)
+    var k = 0
+    while (k < 16) { dcIn(zigzag(k)) = dcScan(k); k += 1 }
+    val had = ihadamard4x4(dcIn)
+    var b = 0
+    while (b < 16) {
+      val (bx, by) = blkPos(b)
+      val dc = lumaDcDequant(had(by * 4 + bx), qpY)
+      val res = residual4x4(
+        if (acCoeffs(b) == null) new Array[Int](15) else acCoeffs(b),
+        qpY, acOnly = true, dc = dc)
+      var j = 0
+      while (j < 16) {
+        val (px, py) = (bx * 4 + j % 4, by * 4 + j / 4)
+        luma((mbY * 16 + py) * w + mbX * 16 + px) =
+          clip255(pred(py * 16 + px) + res(j))
+        j += 1
+      }
+      b += 1
+    }
+  }
+
+  /** Chroma residual parse (7.3.5.3.3's chroma section): both planes'
+    * DC blocks (nC = -1), then both planes' AC blocks. Returns
+    * (dcCb, dcCr, acCb, acCr); AC entries null when absent.
+    */
+  private def readChromaResidual(r: BitReader, cbpChroma: Int,
+                                 cbTc: Array[Int], crTc: Array[Int],
+                                 mbX: Int, mbY: Int, wMb: Int):
+  (Array[Int], Array[Int], Array[Array[Int]], Array[Array[Int]]) = {
+    var dcCb: Array[Int] = null
+    var dcCr: Array[Int] = null
+    val acCb = new Array[Array[Int]](4)
+    val acCr = new Array[Array[Int]](4)
+    if ((cbpChroma & 3) != 0) {
+      dcCb = readResidualBlock(r, -1, 4)._1
+      dcCr = readResidualBlock(r, -1, 4)._1
+    }
+    var plane = 0
+    while (plane < 2) {
+      val (tc, ac) = if (plane == 0) (cbTc, acCb) else (crTc, acCr)
+      var blk = 0
+      while (blk < 4) {
+        val (gx, gy) = (mbX * 2 + blk % 2, mbY * 2 + blk / 2)
+        if ((cbpChroma & 2) != 0) {
+          val (cf, n) = readResidualBlock(r, blockNc(tc, wMb * 2, gx, gy), 15)
+          ac(blk) = cf
+          tc(gy * (wMb * 2) + gx) = n
+        } else tc(gy * (wMb * 2) + gx) = 0
+        blk += 1
+      }
+      plane += 1
+    }
+    (dcCb, dcCr, acCb, acCr)
+  }
+
+  /** Chroma reconstruction for one MB: 8x8 prediction, 2x2 Hadamard DC,
+    * per-4x4 AC residuals.
+    */
+  private def reconChroma(cbP: Array[Int], crP: Array[Int], wc: Int,
+                          mbX: Int, mbY: Int, mode: Int, cbpChroma: Int,
+                          dcCb: Array[Int], dcCr: Array[Int],
+                          acCb: Array[Array[Int]], acCr: Array[Array[Int]],
+                          qpc: Int, leftAvail: Boolean, topAvail: Boolean): Unit = {
+    var plane = 0
+    while (plane < 2) {
+      val (p, dcs, acs) =
+        if (plane == 0) (cbP, dcCb, acCb) else (crP, dcCr, acCr)
+      val pred = predictChroma(p, wc, mbX * 8, mbY * 8, mode, leftAvail, topAvail)
+      if (cbpChroma == 0) {
+        var k = 0
+        while (k < 64) {
+          p((mbY * 8 + k / 8) * wc + mbX * 8 + k % 8) = clip255(pred(k))
+          k += 1
+        }
+      } else {
+        // 2x2 inverse Hadamard on the raster-scanned DC coefficients
+        val f0 = dcs(0) + dcs(1) + dcs(2) + dcs(3)
+        val f1 = dcs(0) - dcs(1) + dcs(2) - dcs(3)
+        val f2 = dcs(0) + dcs(1) - dcs(2) - dcs(3)
+        val f3 = dcs(0) - dcs(1) - dcs(2) + dcs(3)
+        val dc = Array(f0, f1, f2, f3).map(chromaDcDequant(_, qpc))
+        var blk = 0
+        while (blk < 4) {
+          val res = residual4x4(
+            if (acs(blk) == null) new Array[Int](15) else acs(blk),
+            qpc, acOnly = true, dc = dc(blk))
+          val (ox, oy) = ((blk % 2) * 4, (blk / 2) * 4)
+          var k = 0
+          while (k < 16) {
+            val (px, py) = (ox + k % 4, oy + k / 4)
+            p((mbY * 8 + py) * wc + mbX * 8 + px) =
+              clip255(pred(py * 8 + px) + res(k))
+            k += 1
+          }
+          blk += 1
+        }
+      }
+      plane += 1
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // In-loop deblocking filter (8.7). For all-intra pictures the
+  // boundary-strength law collapses: bS = 4 on macroblock edges, 3 on
+  // internal 4x4 edges. Intra prediction reads UNfiltered samples and
+  // every picture here is an IDR, so the filter is a per-picture post
+  // pass over the reconstructed planes — shared verbatim by decoder
+  // and encoder reconstruction.
+  // ---------------------------------------------------------------
+
+  /** Table 8-16: alpha and beta thresholds, index 0..51. */
+  private[graft] val alphaTab: Array[Int] =
+    Array.fill(16)(0) ++ Array(4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17,
+      20, 22, 25, 28, 32, 36, 40, 45, 50, 56, 63, 71, 80, 90, 101, 113,
+      127, 144, 162, 182, 203, 226, 255, 255)
+  private[graft] val betaTab: Array[Int] =
+    Array.fill(16)(0) ++ Array(2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7,
+      8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16,
+      16, 17, 17, 18, 18)
+
+  /** Table 8-17: tc0 per (bS 1..3, index 0..51). */
+  private[graft] val tc0Tab: Array[Array[Int]] = {
+    val bs1 = Array(0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+      2, 2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13)
+    val bs2 = Array(0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2,
+      3, 3, 3, 4, 4, 4, 5, 5, 6, 6, 7, 8, 8, 10, 11, 12, 13, 15, 17)
+    val bs3 = Array(0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3,
+      3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 23, 25)
+    Array(bs1, bs2, bs3).map(t => Array.fill(16)(0) ++ t)
+  }
+
+  private def clip3(lo: Int, hi: Int, v: Int): Int =
+    if (v < lo) lo else if (v > hi) hi else v
+
+  /** Filter one 8-sample line p3..p0|q0..q3 across an edge. `plane` is
+    * indexed pIdx(i) for p_i and qIdx(i) for q_i. Updates are computed
+    * from the line's original samples (simultaneous within a line).
+    */
+  private[graft] def filterLine(plane: Array[Int], pIdx: Int => Int, qIdx: Int => Int,
+                         bS: Int, indexA: Int, indexB: Int,
+                         chroma: Boolean): Unit = {
+    val alpha = alphaTab(indexA)
+    val beta = betaTab(indexB)
+    val p0 = plane(pIdx(0)); val p1 = plane(pIdx(1))
+    val q0 = plane(qIdx(0)); val q1 = plane(qIdx(1))
+    if (!(math.abs(p0 - q0) < alpha && math.abs(p1 - p0) < beta &&
+      math.abs(q1 - q0) < beta)) return
+    val p2 = if (chroma) 0 else plane(pIdx(2))
+    val q2 = if (chroma) 0 else plane(qIdx(2))
+    val ap = !chroma && math.abs(p2 - p0) < beta
+    val aq = !chroma && math.abs(q2 - q0) < beta
+    if (bS == 4) {
+      if (chroma) {
+        plane(pIdx(0)) = (2 * p1 + p0 + q1 + 2) >> 2
+        plane(qIdx(0)) = (2 * q1 + q0 + p1 + 2) >> 2
+      } else {
+        val smallGap = math.abs(p0 - q0) < ((alpha >> 2) + 2)
+        if (ap && smallGap) {
+          val p3 = plane(pIdx(3))
+          plane(pIdx(0)) = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+          plane(pIdx(1)) = (p2 + p1 + p0 + q0 + 2) >> 2
+          plane(pIdx(2)) = (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+        } else plane(pIdx(0)) = (2 * p1 + p0 + q1 + 2) >> 2
+        if (aq && smallGap) {
+          val q3 = plane(qIdx(3))
+          plane(qIdx(0)) = (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+          plane(qIdx(1)) = (q2 + q1 + q0 + p0 + 2) >> 2
+          plane(qIdx(2)) = (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+        } else plane(qIdx(0)) = (2 * q1 + q0 + p1 + 2) >> 2
+      }
+    } else {
+      val tc0 = tc0Tab(bS - 1)(indexA)
+      val tc = if (chroma) tc0 + 1
+      else tc0 + (if (ap) 1 else 0) + (if (aq) 1 else 0)
+      val delta = clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+      plane(pIdx(0)) = clip255(p0 + delta)
+      plane(qIdx(0)) = clip255(q0 - delta)
+      if (ap) plane(pIdx(1)) =
+        p1 + clip3(-tc0, tc0, (p2 + ((p0 + q0 + 1) >> 1) - (p1 << 1)) >> 1)
+      if (aq) plane(qIdx(1)) =
+        q1 + clip3(-tc0, tc0, (q2 + ((p0 + q0 + 1) >> 1) - (q1 << 1)) >> 1)
+    }
+  }
+
+  /** Whole-picture deblocking for an all-intra frame (8.7): macroblocks
+    * in raster order, each MB's vertical edges left-to-right then its
+    * horizontal edges top-to-bottom; luma internal edges every 4
+    * samples, chroma (4:2:0) only at luma multiples of 8. `mbQp` is the
+    * per-MB luma QP as decoded (0 for I_PCM — 8.7.2's rule); per-edge
+    * qPav averages the two sides' QPs on MB edges.
+    */
+  private def deblockFrame(luma: Array[Int], cbP: Array[Int], crP: Array[Int],
+                           w: Int, h: Int, mbQp: Array[Int],
+                           chromaQpOffset: Int, offA: Int, offB: Int): Unit = {
+    val (wMb, hMb) = (w / 16, h / 16)
+    val wc = w / 2
+    var mbY = 0
+    while (mbY < hMb) {
+      var mbX = 0
+      while (mbX < wMb) {
+        val mb = mbY * wMb + mbX
+        val qpCur = mbQp(mb)
+        def idx(qpA: Int, qpB: Int, off: Int): Int =
+          clip3(0, 51, ((qpA + qpB + 1) >> 1) + off)
+        // ---- luma vertical edges (filtering across columns) ----
+        var e = 0
+        while (e < 4) {
+          val x = mbX * 16 + e * 4
+          if (x > 0 && (e > 0 || mbX > 0)) {
+            val bS = if (e == 0) 4 else 3
+            val qpOther = if (e == 0) mbQp(mb - 1) else qpCur
+            val iA = idx(qpOther, qpCur, offA)
+            val iB = idx(qpOther, qpCur, offB)
+            var y = 0
+            while (y < 16) {
+              val row = (mbY * 16 + y) * w
+              filterLine(luma, i => row + x - 1 - i, i => row + x + i,
+                bS, iA, iB, chroma = false)
+              y += 1
+            }
+          }
+          e += 1
+        }
+        // ---- luma horizontal edges (filtering across rows) ----
+        e = 0
+        while (e < 4) {
+          val y = mbY * 16 + e * 4
+          if (y > 0 && (e > 0 || mbY > 0)) {
+            val bS = if (e == 0) 4 else 3
+            val qpOther = if (e == 0) mbQp(mb - wMb) else qpCur
+            val iA = idx(qpOther, qpCur, offA)
+            val iB = idx(qpOther, qpCur, offB)
+            var x = 0
+            while (x < 16) {
+              val col = mbX * 16 + x
+              filterLine(luma, i => (y - 1 - i) * w + col, i => (y + i) * w + col,
+                bS, iA, iB, chroma = false)
+              x += 1
+            }
+          }
+          e += 1
+        }
+        // ---- chroma edges: luma multiples of 8 -> chroma x/y in {0, 4} ----
+        var plane = 0
+        while (plane < 2) {
+          val p = if (plane == 0) cbP else crP
+          e = 0
+          while (e < 2) {
+            val x = mbX * 8 + e * 4
+            if (x > 0 && (e > 0 || mbX > 0)) {
+              val bS = if (e == 0) 4 else 3
+              val qpOther = if (e == 0) mbQp(mb - 1) else qpCur
+              val iA = idx(chromaQp(qpOther, chromaQpOffset),
+                chromaQp(qpCur, chromaQpOffset), offA)
+              val iB = idx(chromaQp(qpOther, chromaQpOffset),
+                chromaQp(qpCur, chromaQpOffset), offB)
+              var y = 0
+              while (y < 8) {
+                val row = (mbY * 8 + y) * wc
+                filterLine(p, i => row + x - 1 - i, i => row + x + i,
+                  bS, iA, iB, chroma = true)
+                y += 1
+              }
+            }
+            e += 1
+          }
+          e = 0
+          while (e < 2) {
+            val y = mbY * 8 + e * 4
+            if (y > 0 && (e > 0 || mbY > 0)) {
+              val bS = if (e == 0) 4 else 3
+              val qpOther = if (e == 0) mbQp(mb - wMb) else qpCur
+              val iA = idx(chromaQp(qpOther, chromaQpOffset),
+                chromaQp(qpCur, chromaQpOffset), offA)
+              val iB = idx(chromaQp(qpOther, chromaQpOffset),
+                chromaQp(qpCur, chromaQpOffset), offB)
+              var x = 0
+              while (x < 8) {
+                val col = mbX * 8 + x
+                filterLine(p, i => (y - 1 - i) * wc + col, i => (y + i) * wc + col,
+                  bS, iA, iB, chroma = true)
+                x += 1
+              }
+            }
+            e += 1
+          }
+          plane += 1
+        }
+        mbX += 1
+      }
+      mbY += 1
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Synthesis: a real CAVLC intra encoder (the write direction of every
+  // law above) with an in-loop reconstruction identical to the
+  // decoder's — its output frames ARE the conformant decode, which the
+  // spec tier pins the decoder against bit-exactly. Two faces:
+  //   rich = false: the ORACLE face — I_NxN only, DC-only residuals at
+  //     qp 28 (where dequant+IDCT collapse to residual = 4·level
+  //     exactly), DC prediction on block row 0 and Vertical below, no
+  //     chroma residual. Every pixel then has the closed form
+  //     v(x,y) = 128 + 4·Σ_{0<j<=y} L(x,j), which DuckDB replays with
+  //     no bitstream (q_h264_cavlc).
+  //   rich = true: the SPEC face — law-driven mb types (I_NxN, all
+  //     I_16x16 variants, I_PCM), all nine 4x4 / four 16x16 / four
+  //     chroma modes availability permits, full sparse coefficient
+  //     blocks (trailing-one runs, suffix adaptation, both escapes),
+  //     law-walked mb_qp_delta across qp 6..50, chroma DC+AC.
+  // ---------------------------------------------------------------
+
+  final case class CavlcStream(bytes: Array[Byte], frames: Vector[Yuv])
+
+  /** Deterministic law mixer (splitmix-style), non-negative. */
+  private[graft] def mix(parts: Long*): Long = {
+    var h = 0x9e3779b97f4a7c15L
+    parts.foreach { p =>
+      h ^= p
+      h *= 0xbf58476d1ce4e5b9L
+      h ^= h >>> 31
+    }
+    h & Long.MaxValue
+  }
+
+  /** The oracle face's DC level law: 0 on block row 0 (keeps the
+    * closed-form column prefix inside 0..255 — no clipping), else in
+    * -2..2. Spelled identically in the q_h264_cavlc DuckDB oracle.
+    */
+  def oracleLevel(docId: Long, frame: Int, gx: Int, gy: Int): Int =
+    if (gy == 0) 0
+    else (((docId * 7 + frame * 131 + gx * 31 + gy * 17) % 5) - 2).toInt
+
+  /** Sparse coefficient law for the rich face. `cap` bounds magnitudes
+    * where the downstream arithmetic headroom demands it (the 16x16
+    * luma DC path multiplies Hadamard gain x dequant shift x IDCT gain
+    * — unbounded levels there would overflow Int at high qp).
+    */
+  private def lawCoeffs(n: Int, h: Long, cap: Int = 499): Array[Int] = {
+    val c = new Array[Int](n)
+    val density = (h % 4).toInt
+    var k = 0
+    while (k < n) {
+      val r = mix(h, k)
+      if (r % 16 < 3 + 2 * density) {
+        val m = r % 100
+        val mag =
+          if (m < 60) 1
+          else if (m < 85) 2 + (r % 3).toInt
+          else if (m < 97) 5 + (r % 30).toInt
+          else 200 + (r % 300).toInt
+        c(k) = (if ((r >> 7) % 2 == 0) 1 else -1) * math.min(cap, mag)
+      }
+      k += 1
+    }
+    c
+  }
+
+  /** Write direction of [[readChromaResidual]], maintaining the same
+    * nC context grids.
+    */
+  private def writeChromaResidual(w: BitWriter, cbpChroma: Int,
+                                  cbTc: Array[Int], crTc: Array[Int],
+                                  mbX: Int, mbY: Int, wMb: Int,
+                                  dcCb: Array[Int], dcCr: Array[Int],
+                                  acCb: Array[Array[Int]],
+                                  acCr: Array[Array[Int]]): Unit = {
+    if ((cbpChroma & 3) != 0) {
+      writeResidualBlock(w, -1, dcCb)
+      writeResidualBlock(w, -1, dcCr)
+    }
+    var plane = 0
+    while (plane < 2) {
+      val (tc, ac) = if (plane == 0) (cbTc, acCb) else (crTc, acCr)
+      var blk = 0
+      while (blk < 4) {
+        val (gx, gy) = (mbX * 2 + blk % 2, mbY * 2 + blk / 2)
+        if ((cbpChroma & 2) != 0) {
+          val n = writeResidualBlock(w, blockNc(tc, wMb * 2, gx, gy),
+            if (ac(blk) == null) new Array[Int](15) else ac(blk))
+          tc(gy * (wMb * 2) + gx) = n
+        } else tc(gy * (wMb * 2) + gx) = 0
+        blk += 1
+      }
+      plane += 1
+    }
+  }
+
+  def synthCavlc(seed: Long, nFrames: Int, wMb: Int, hMb: Int,
+                 rich: Boolean): CavlcStream = {
+    require(nFrames >= 1 && wMb >= 1 && hMb >= 1 && wMb <= 64 && hMb <= 64)
+    val picInitQp = if (rich) 26 else 28
+    val out = new java.io.ByteArrayOutputStream()
+    def nal(header: Int, rbsp: Array[Byte], long: Boolean): Unit = {
+      if (long) out.write(0)
+      out.write(0); out.write(0); out.write(1)
+      out.write(header)
+      val eped = ep(rbsp)
+      out.write(eped, 0, eped.length)
+    }
+    val sps = new BitWriter
+    sps.bits(66, 8); sps.bits(0xc0, 8); sps.bits(30, 8)
+    sps.ue(0); sps.ue(0); sps.ue(2); sps.ue(1); sps.bit(0)
+    sps.ue(wMb - 1); sps.ue(hMb - 1)
+    sps.bit(1); sps.bit(1); sps.bit(0); sps.bit(0)
+    sps.trailing()
+    nal(0x67, sps.toBytes, long = true)
+    val pps = new BitWriter
+    pps.ue(0); pps.ue(0); pps.bit(0) // pps_id, sps_id, CAVLC
+    pps.bit(0); pps.ue(0) // bottom_field_poc, one slice group
+    pps.ue(0); pps.ue(0); pps.bit(0); pps.bits(0, 2)
+    pps.se(picInitQp - 26); pps.se(0); pps.se(0) // init qp/qs, chroma offset
+    pps.bit(1) // deblocking_filter_control_present: slices say "disabled"
+    pps.bit(0); pps.bit(0) // constrained_intra_pred, redundant_pic_cnt
+    pps.trailing()
+    nal(0x68, pps.toBytes, long = true)
+
+    val (w, h) = (wMb * 16, hMb * 16)
+    val (wc, wb) = (w / 2, w / 4)
+    val nMb = wMb * hMb
+    val frames = Vector.newBuilder[Yuv]
+    var f = 0
+    while (f < nFrames) {
+      val bw = new BitWriter
+      val qpSlice =
+        if (rich) 8 + (mix(seed, f, 1L) % 38).toInt else picInitQp
+      bw.ue(0); bw.ue(7); bw.ue(0) // first_mb, slice_type I, pps_id
+      bw.bits(0L, 4) // frame_num: all-IDR stream (7.4.3)
+      bw.ue(f % 4) // idr_pic_id
+      bw.bit(0); bw.bit(0) // dec_ref_pic_marking
+      bw.se(qpSlice - picInitQp) // slice_qp_delta
+      // the rich face alternates deblocking on/off by law (offsets
+      // walked too); the oracle face disables it so the closed form holds
+      val idc = if (rich && mix(seed, f, 30L) % 2 == 0) 0 else 1
+      val (offADiv2, offBDiv2) =
+        if (idc != 1) (((mix(seed, f, 31L) % 5) - 2).toInt,
+          ((mix(seed, f, 32L) % 5) - 2).toInt)
+        else (0, 0)
+      bw.ue(idc)
+      if (idc != 1) { bw.se(offADiv2); bw.se(offBDiv2) }
+      var qpY = qpSlice
+      val luma = new Array[Int](w * h)
+      val cbP = new Array[Int](wc * (h / 2))
+      val crP = new Array[Int](wc * (h / 2))
+      val lumaTc = new Array[Int](wb * (h / 4))
+      val modes = Array.fill(wb * (h / 4))(2)
+      val cbTc = new Array[Int]((wMb * 2) * (hMb * 2))
+      val crTc = new Array[Int]((wMb * 2) * (hMb * 2))
+      val mbQp = new Array[Int](nMb)
+      var mbIdx = 0
+      while (mbIdx < nMb) {
+        val (mbX, mbY) = (mbIdx % wMb, mbIdx / wMb)
+        val mh = mix(seed, f, mbIdx, 2L)
+        val kind =
+          if (!rich) 0 // oracle face: I_NxN only
+          else (mh % 6).toInt match {
+            case 5 => 2 // I_PCM
+            case 3 | 4 => 1 // I_16x16
+            case _ => 0 // I_NxN
+          }
+        if (kind == 2) {
+          bw.ue(25)
+          bw.alignZero()
+          var p = 0
+          while (p < 256) {
+            val v = (mix(seed, f, mbIdx, p, 3L) % 256).toInt
+            bw.bits(v.toLong, 8)
+            luma((mbY * 16 + p / 16) * w + mbX * 16 + p % 16) = v
+            p += 1
+          }
+          var c = 0
+          while (c < 128) {
+            val v = (mix(seed, f, mbIdx, c, 4L) % 256).toInt
+            bw.bits(v.toLong, 8)
+            val plane = if (c < 64) cbP else crP
+            val k = c % 64
+            plane((mbY * 8 + k / 8) * wc + mbX * 8 + k % 8) = v
+            c += 1
+          }
+          var b = 0
+          while (b < 16) {
+            val (bx, by) = blkPos(b)
+            lumaTc((mbY * 4 + by) * wb + mbX * 4 + bx) = 16
+            b += 1
+          }
+          var cc = 0
+          while (cc < 4) {
+            cbTc((mbY * 2 + cc / 2) * (wMb * 2) + mbX * 2 + cc % 2) = 16
+            crTc((mbY * 2 + cc / 2) * (wMb * 2) + mbX * 2 + cc % 2) = 16
+            cc += 1
+          }
+        } else if (kind == 1) {
+          // ---- I_16x16 ----
+          val avail16 =
+            Seq(2) ++ (if (mbY > 0) Seq(0) else Nil) ++
+              (if (mbX > 0) Seq(1) else Nil) ++
+              (if (mbX > 0 && mbY > 0) Seq(3) else Nil)
+          val predMode16 = avail16((mix(mh, 5L) % avail16.size).toInt)
+          val cbpLuma = if (mix(mh, 6L) % 2 == 0) 0 else 15
+          val cbpChroma = (mix(mh, 7L) % 3).toInt
+          bw.ue(1 + predMode16 + 4 * cbpChroma + (if (cbpLuma == 15) 12 else 0))
+          val availC =
+            Seq(0) ++ (if (mbX > 0) Seq(1) else Nil) ++
+              (if (mbY > 0) Seq(2) else Nil) ++
+              (if (mbX > 0 && mbY > 0) Seq(3) else Nil)
+          val chromaMode = availC((mix(mh, 8L) % availC.size).toInt)
+          bw.ue(chromaMode)
+          val qpNew = math.min(50, math.max(6, qpY + (mix(mh, 9L) % 7).toInt - 3))
+          bw.se(qpNew - qpY)
+          qpY = qpNew
+          val dcScan = lawCoeffs(16, mix(mh, 10L), cap = 30)
+          writeResidualBlock(bw, blockNc(lumaTc, wb, mbX * 4, mbY * 4), dcScan)
+          val acCoeffs = new Array[Array[Int]](16)
+          var b = 0
+          while (b < 16) {
+            val (bx, by) = blkPos(b)
+            val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
+            if (cbpLuma != 0) {
+              val cf = lawCoeffs(15, mix(mh, 11L, b))
+              val tc = writeResidualBlock(bw, blockNc(lumaTc, wb, gx, gy), cf)
+              acCoeffs(b) = cf
+              lumaTc(gy * wb + gx) = tc
+            } else lumaTc(gy * wb + gx) = 0
+            b += 1
+          }
+          val (dcCb, dcCr, acCb, acCr) = chromaLaw(mh, cbpChroma)
+          writeChromaResidual(bw, cbpChroma, cbTc, crTc, mbX, mbY, wMb,
+            dcCb, dcCr, acCb, acCr)
+          reconLumaI16x16(luma, w, mbX, mbY, predMode16, dcScan, acCoeffs, qpY)
+          reconChroma(cbP, crP, wc, mbX, mbY, chromaMode, cbpChroma,
+            dcCb, dcCr, acCb, acCr, chromaQp(qpY, 0), mbX > 0, mbY > 0)
+        } else {
+          // ---- I_NxN ----
+          bw.ue(0) // mb_type: I_NxN in an I slice (Table 7-11)
+          val blkModes = new Array[Int](16)
+          var b = 0
+          while (b < 16) {
+            val (bx, by) = blkPos(b)
+            val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
+            val mA = if (gx > 0) modes(gy * wb + gx - 1) else 2
+            val mB = if (gy > 0) modes((gy - 1) * wb + gx) else 2
+            val pred = math.min(mA, mB)
+            val mode =
+              if (!rich) { if (gy == 0) 2 else 0 }
+              else {
+                val avail =
+                  Seq(2) ++ (if (gy > 0) Seq(0, 3, 7) else Nil) ++
+                    (if (gx > 0) Seq(1, 8) else Nil) ++
+                    (if (gx > 0 && gy > 0) Seq(4, 5, 6) else Nil)
+                avail((mix(mh, 12L, b) % avail.size).toInt)
+              }
+            if (mode == pred) bw.bit(1)
+            else {
+              bw.bit(0)
+              bw.bits((if (mode < pred) mode else mode - 1).toLong, 3)
+            }
+            blkModes(b) = mode
+            modes(gy * wb + gx) = mode
+            b += 1
+          }
+          val chromaMode =
+            if (!rich) 0
+            else {
+              val availC =
+                Seq(0) ++ (if (mbX > 0) Seq(1) else Nil) ++
+                  (if (mbY > 0) Seq(2) else Nil) ++
+                  (if (mbX > 0 && mbY > 0) Seq(3) else Nil)
+              availC((mix(mh, 13L) % availC.size).toInt)
+            }
+          bw.ue(chromaMode)
+          val cbpLuma = if (!rich) 15 else (mix(mh, 14L) & 15L).toInt
+          val cbpChroma = if (!rich) 0 else (mix(mh, 15L) % 3).toInt
+          bw.ue(cbpIntraInv(cbpLuma | (cbpChroma << 4)))
+          if ((cbpLuma | cbpChroma) != 0) {
+            val qpNew =
+              if (!rich) qpY
+              else math.min(50, math.max(6, qpY + (mix(mh, 16L) % 7).toInt - 3))
+            bw.se(qpNew - qpY)
+            qpY = qpNew
+          }
+          val lumaCoeffs = new Array[Array[Int]](16)
+          b = 0
+          while (b < 16) {
+            val (bx, by) = blkPos(b)
+            val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
+            if ((cbpLuma & (1 << (b / 4))) != 0) {
+              val cf =
+                if (!rich) {
+                  val c = new Array[Int](16)
+                  c(0) = oracleLevel(seed, f, gx, gy)
+                  c
+                } else lawCoeffs(16, mix(mh, 17L, b))
+              val tc = writeResidualBlock(bw, blockNc(lumaTc, wb, gx, gy), cf)
+              lumaCoeffs(b) = cf
+              lumaTc(gy * wb + gx) = tc
+            } else lumaTc(gy * wb + gx) = 0
+            b += 1
+          }
+          val (dcCb, dcCr, acCb, acCr) = chromaLaw(mh, cbpChroma)
+          writeChromaResidual(bw, cbpChroma, cbTc, crTc, mbX, mbY, wMb,
+            dcCb, dcCr, acCb, acCr)
+          reconLumaINxN(luma, w, wMb, mbIdx, blkModes, lumaCoeffs, qpY)
+          reconChroma(cbP, crP, wc, mbX, mbY, chromaMode, cbpChroma,
+            dcCb, dcCr, acCb, acCr, chromaQp(qpY, 0), mbX > 0, mbY > 0)
+        }
+        mbQp(mbIdx) = if (kind == 2) 0 else qpY
+        mbIdx += 1
+      }
+      bw.trailing()
+      nal(0x65, bw.toBytes, long = false)
+      if (idc != 1)
+        deblockFrame(luma, cbP, crP, w, h, mbQp, 0, 2 * offADiv2, 2 * offBDiv2)
+      frames += Yuv(w, h, luma, cbP, crP)
+      f += 1
+    }
+    CavlcStream(out.toByteArray, frames.result())
+  }
+
+  /** Chroma coefficient laws for the rich face: DC blocks (4 coeffs)
+    * when cbpChroma >= 1, AC blocks when == 2.
+    */
+  private def chromaLaw(mh: Long, cbpChroma: Int):
+  (Array[Int], Array[Int], Array[Array[Int]], Array[Array[Int]]) = {
+    val dcCb = if (cbpChroma >= 1) lawCoeffs(4, mix(mh, 20L)) else null
+    val dcCr = if (cbpChroma >= 1) lawCoeffs(4, mix(mh, 21L)) else null
+    val acCb = new Array[Array[Int]](4)
+    val acCr = new Array[Array[Int]](4)
+    if (cbpChroma == 2) {
+      var i = 0
+      while (i < 4) {
+        acCb(i) = lawCoeffs(15, mix(mh, 22L, i))
+        acCr(i) = lawCoeffs(15, mix(mh, 23L, i))
+        i += 1
+      }
+    }
+    (dcCb, dcCr, acCb, acCr)
+  }
+
+  // table access for the structural property tests (prefix-freeness,
+  // Kraft sums) — the spec pins these without re-transcribing values
+  private[graft] def coeffTokenTables: Seq[(String, Seq[(Int, Int)])] = {
+    def flat(len: Array[Int], bits: Array[Int], rows: Int) =
+      (0 until rows * 4).collect {
+        case k if len(k) > 0 => (len(k), bits(k))
+      }
+    Seq(
+      ("coeff_token nC<2", flat(coeffTokenLen0, coeffTokenBits0, 17)),
+      ("coeff_token 2<=nC<4", flat(coeffTokenLen1, coeffTokenBits1, 17)),
+      ("coeff_token 4<=nC<8", flat(coeffTokenLen2, coeffTokenBits2, 17)),
+      ("coeff_token chromaDC", flat(coeffTokenLenC, coeffTokenBitsC, 5))) ++
+      totalZerosLen.zipWithIndex.map { case (row, i) =>
+        (s"total_zeros tc=${i + 1}", row.indices.map(j => (row(j), totalZerosBits(i)(j))).toSeq)
+      } ++
+      chromaDcTzLen.zipWithIndex.map { case (row, i) =>
+        (s"chromaDC total_zeros tc=${i + 1}", row.indices.map(j => (row(j), chromaDcTzBits(i)(j))).toSeq)
+      } ++
+      runBeforeLen.zipWithIndex.map { case (row, i) =>
+        (s"run_before zl=${i + 1}", row.indices.map(j => (row(j), runBeforeBits(i)(j))).toSeq)
+      }
+  }
+}

@@ -17,12 +17,16 @@ package graft.ops
   * streams, POC type 1, high-profile chroma signalling, FMO slice
   * groups) — the FLAC honest-subset discipline.
   *
-  * What deliberately is NOT here: slice-DATA entropy decoding
-  * (CAVLC/CABAC residual reconstruction to pixels) — the engine's one
-  * remaining declared stub, now narrowed from "H.264 anything" to
-  * exactly that layer. Frame sampling digests the sampled access
-  * units' actual coded bytes, the same level of realness as the AVI
-  * `movi` walk (which also samples coded frame bytes, not pixels).
+  * What is NOT in this file: slice-DATA decoding. I_PCM decodes below
+  * ([[decodeIPcmSlice]]); CAVLC intra residual decoding to pixels —
+  * including the in-loop deblocking filter — is REAL in [[H264Cavlc]]
+  * (coeff_token/total_zeros/run_before, intra prediction, dequant +
+  * inverse transforms, clause-8.7 filtering), so conformant baseline
+  * ALL-INTRA streams decode end to end. The remaining declared stub
+  * layers, failing loud by name at their dispatch points, are CABAC
+  * entropy and inter (P/B) prediction. Frame sampling digests the
+  * sampled access units' actual coded bytes, the same level of
+  * realness as the AVI `movi` walk.
   *
   * [[synth]] writes structurally conformant baseline streams through
   * the same bit writer (full slice headers through slice_qp_delta,
@@ -31,9 +35,9 @@ package graft.ops
   */
 object H264Codec {
 
-  // ---------- bit IO ----------
+  // ---------- bit IO (shared with the CAVLC layer, H264Cavlc) ----------
 
-  private final class BitWriter {
+  private[graft] final class BitWriter {
     private val out = new java.io.ByteArrayOutputStream()
     private var cur = 0
     private var nBits = 0
@@ -67,7 +71,7 @@ object H264Codec {
     }
   }
 
-  private final class BitReader(b: Array[Byte]) {
+  private[graft] final class BitReader(b: Array[Byte]) {
     private var pos = 0 // bit position
     def u(n: Int): Int = {
       // aligned byte fast path (PCM sample runs — see BitWriter.bits)
@@ -113,7 +117,7 @@ object H264Codec {
     * loop into a pre-sized buffer — this runs once per NAL byte and was
     * the q_h264_pixels cpu after the bit-IO fast paths landed.
     */
-  private def ep(raw: Array[Byte]): Array[Byte] = {
+  private[ops] def ep(raw: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](raw.length + raw.length / 2 + 4)
     var n = 0
     var zeros = 0
@@ -129,7 +133,7 @@ object H264Codec {
   }
 
   /** Strip emulation prevention: 00 00 03 → 00 00. */
-  private def unep(nal: Array[Byte], from: Int): Array[Byte] = {
+  private[ops] def unep(nal: Array[Byte], from: Int): Array[Byte] = {
     val out = new Array[Byte](nal.length - from)
     var n = 0
     var zeros = 0
@@ -226,12 +230,39 @@ object H264Codec {
 
   /** pps_id → sps_id, plus the FMO guard. */
   def parsePps(nal: Array[Byte]): (Int, Int) = {
+    val p = parsePpsFull(nal)
+    (p.ppsId, p.spsId)
+  }
+
+  /** The PPS fields the CAVLC pixel-decode layer consumes (7.3.2.2). */
+  final case class Pps(ppsId: Int, spsId: Int, cabac: Boolean,
+                       picInitQp: Int, chromaQpIndexOffset: Int,
+                       deblockingControlPresent: Boolean,
+                       constrainedIntraPred: Boolean,
+                       redundantPicCntPresent: Boolean)
+
+  /** Full baseline PPS parse (7.3.2.2), FMO-guarded like [[parsePps]]. */
+  def parsePpsFull(nal: Array[Byte]): Pps = {
     val r = new BitReader(unep(nal, 1))
     val ppsId = r.ue()
     val spsId = r.ue()
-    r.u(2) // entropy_coding_mode, bottom_field_poc_present
+    val cabac = r.u(1) == 1
+    r.u(1) // bottom_field_pic_order_in_frame_present
     require(r.ue() == 0, "FMO slice groups unsupported (num_slice_groups > 1)")
-    (ppsId, spsId)
+    r.ue(); r.ue() // num_ref_idx_l{0,1}_default_active_minus1
+    r.u(1) // weighted_pred_flag
+    r.u(2) // weighted_bipred_idc
+    val picInitQp = 26 + r.se()
+    r.se() // pic_init_qs_minus26
+    val chromaOff = r.se()
+    val deblockCtl = r.u(1) == 1
+    val constrainedIntra = r.u(1) == 1
+    val redundant = r.u(1) == 1
+    require(picInitQp >= 0 && picInitQp <= 51, s"pic_init_qp $picInitQp out of range")
+    require(chromaOff >= -12 && chromaOff <= 12,
+      s"chroma_qp_index_offset $chromaOff out of range")
+    Pps(ppsId, spsId, cabac, picInitQp, chromaOff, deblockCtl,
+      constrainedIntra, redundant)
   }
 
   /** Slice header through frame_num — all the AU rule needs. */
@@ -371,8 +402,9 @@ object H264Codec {
       // bit-contiguous from the header — that contiguity lives in the
       // stubbed residual layer, so alignment here is the honest seam)
       val header = w.toBytes
-      // deterministic filler standing in for CAVLC residuals — the one
-      // declared stub layer; EP on write keeps start codes unemulable.
+      // deterministic filler standing in for residual data (this is the
+      // STRUCTURAL face; fully-decodable streams come from synthPcm and
+      // H264Cavlc.synthCavlc); EP on write keeps start codes unemulable.
       // 7.4.1.1: the LAST byte of a NAL unit shall not be 0x00 (a reader
       // cannot tell it from start-code padding — nalUnits' trim would
       // silently eat it); lengths stay ≤ the 16-byte digest so copyOf
@@ -495,7 +527,8 @@ object H264Codec {
     while (mb < wMb * hMb) {
       val mbType = r.ue()
       require(mbType == 25,
-        s"mb_type $mbType is entropy-coded — only I_PCM decodes (the declared stub boundary)")
+        s"mb_type $mbType is entropy-coded — this raw-sample path decodes only I_PCM " +
+          "(CAVLC intra pixel decode lives in H264Cavlc.decodeISlice)")
       r.alignToByte()
       val (mx, my) = (mb % wMb, mb / wMb)
       var p = 0

@@ -415,6 +415,75 @@ object MultimodalOps {
         "max_luma")
   }
 
+  /** Ingest face with fully-decodable CAVLC H.264: video rows carry a
+    * baseline all-intra stream whose residuals are REAL CAVLC entropy
+    * coding ([[H264Cavlc.synthCavlc]]'s oracle face — DC-only levels at
+    * qp 28, DC/Vertical intra prediction), synthesis parameters pure
+    * doc_id arithmetic so DuckDB replays the decoded pixels closed-form.
+    */
+  def h264CavlcMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("doc_id", "payload", "media_type")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, payload, mt) =>
+        if (mt == "video")
+          (id, H264Cavlc.synthCavlc(id, 1 + (id % 3).toInt,
+            2 + (id % 5).toInt, 1 + (id % 3).toInt, rich = false).bytes, mt)
+        else (id, payload, mt)
+      })
+      .toDF("doc_id", "payload", "media_type")
+  }
+
+  /** REAL H.264 CAVLC pixel decode: every access unit of every video
+    * decoded to planes straight off the bitstream — NAL walk, slice
+    * header, mb_type/pred-mode/cbp syntax, coeff_token with neighbor nC
+    * contexts, total_zeros/run_before, dequant, inverse 4x4 transform,
+    * intra prediction, raster placement — then plane sums + a
+    * position-weighted luma sum (weight 1 + 3·(px/4) + 7·(py/4): a
+    * level landing in the wrong block breaks it even when the plain sum
+    * survives). The DuckDB oracle replays the closed-form pixel law
+    * with no bitstream. Map-only; payloads never shuffle.
+    */
+  def h264CavlcFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    servedMediaStore(spark, dir, "h264cavlc")(h264CavlcMediaTable(spark, dir))
+      .filter(col("media_type") === "video")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val nals = H264Codec.nalUnits(payload).toVector
+        val sps = H264Codec.parseSps(nals.collectFirst { case (7, n) => n }.get)
+        val pps = H264Codec.parsePpsFull(nals.collectFirst { case (8, n) => n }.get)
+        var (sumLuma, wsumLuma, sumCb, sumCr) = (0L, 0L, 0L, 0L)
+        var nFrames = 0L
+        var (w, h) = (0, 0)
+        nals.foreach {
+          case (5, nal) =>
+            val f = H264Cavlc.decodeISlice(nal, sps, pps)
+            w = f.width; h = f.height
+            nFrames += 1
+            var py = 0
+            while (py < h) {
+              var px = 0
+              while (px < w) {
+                val v = f.luma(py * w + px)
+                sumLuma += v
+                wsumLuma += (1 + 3 * (px / 4) + 7 * (py / 4)).toLong * v
+                px += 1
+              }
+              py += 1
+            }
+            var k = 0
+            while (k < f.cb.length) { sumCb += f.cb(k); sumCr += f.cr(k); k += 1 }
+          case _ => ()
+        }
+        (id, w, h, nFrames, sumLuma, wsumLuma, sumCb, sumCr)
+      })
+      .toDF("doc_id", "width", "height", "n_frames", "sum_luma",
+        "wsum_luma", "sum_cb", "sum_cr")
+  }
+
   /** Ingest face with REAL MJPEG videos: doc_ids that map to `video` carry
     * an AVI whose frames are ACTUAL baseline JPEGs (16×8, two constant
     * blocks per frame, frame seed `doc_id + 7·i`) — the composition that
@@ -787,8 +856,9 @@ object MultimodalOps {
     * walk, actual frame bytes), animated GIF (lazy LZW decode of only
     * the sampled frames), and H.264 Annex-B elementary streams (NAL walk
     * + slice-header access-unit rule, [[H264Codec]] — sampled coded
-    * pictures' actual bytes; residual-to-pixel reconstruction is the one
-    * remaining declared stub layer); payloads with none of those magics
+    * pictures' actual bytes; pixel reconstruction is real for baseline
+    * all-intra streams incl. deblocking, [[H264Cavlc]] — the declared
+    * stubs are CABAC and inter prediction); payloads with none of those magics
     * fall to a stub digest that keeps the fan-out shape tested. Either
     * way the shape is the point at scale: an iterator `flatMap` inside
     * `mapPartitions`, so a 2-hour video's frames stream out without
@@ -1044,6 +1114,48 @@ object MultimodalOps {
     // Replays the I_PCM pixel LAW as arithmetic (no bitstream): any bit
     // the NAL walk / EP strip / exp-Golomb header parse / PCM alignment /
     // MB raster placement misreads flips a plane sum or the max.
+    // Replays the CAVLC-face pixel law CLOSED-FORM (no bitstream, no
+    // decoder): every 4x4 block reconstructs flat to
+    // v = 128 + 4*sum_{0<j<=y} L(f,x,j) (DC-only residual at qp 28 is
+    // exactly 4*level; DC prediction on block row 0, Vertical below),
+    // so the plane sums and the position-weighted luma sum are linear
+    // functionals of the level law. Any slip anywhere in the chain —
+    // coeff_token table, nC context, total_zeros, run placement, level
+    // sign, dequant scale, IDCT rounding, prediction source, raster
+    // placement — shifts a sum. wsum_luma weights each block by
+    // 1 + 3*gx + 7*gy so a level landing in the wrong COLUMN breaks it
+    // even when the plain sum survives.
+    "q_h264_cavlc" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CAST(2 + doc_id % 5 AS BIGINT) AS wmb,
+        |    CAST(1 + doc_id % 3 AS BIGINT) AS hmb,
+        |    CAST(1 + doc_id % 3 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |g AS (SELECT doc_id, wmb, hmb, nf, 4*wmb AS wb, 4*hmb AS hb FROM v),
+        |e AS (
+        |  SELECT doc_id, wmb, hmb, nf, wb, hb,
+        |    t.k // (wb*(hb-1)) AS f,
+        |    (t.k % (wb*(hb-1))) % wb AS x,
+        |    1 + (t.k % (wb*(hb-1))) // wb AS j
+        |  FROM g, UNNEST(range(0, nf * wb * (hb-1))) AS t(k)),
+        |a AS (
+        |  SELECT doc_id, any_value(wmb) AS wmb, any_value(hmb) AS hmb,
+        |    any_value(nf) AS nf, any_value(wb) AS wb, any_value(hb) AS hb,
+        |    SUM((((doc_id*7 + f*131 + x*31 + j*17) % 5) - 2) * (hb - j)) AS lsum,
+        |    SUM((((doc_id*7 + f*131 + x*31 + j*17) % 5) - 2)
+        |        * ((hb - j) * (1 + 3*x) + 7*((hb-1)*hb//2 - (j-1)*j//2))) AS wlsum
+        |  FROM e GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(16*wmb AS INT) AS width,
+        |  CAST(16*hmb AS INT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(nf*2048*wb*hb + 64*lsum AS BIGINT) AS sum_luma,
+        |  CAST(nf*2048*(wb*hb + 3*hb*(wb-1)*wb//2 + 7*wb*(hb-1)*hb//2)
+        |       + 64*wlsum AS BIGINT) AS wsum_luma,
+        |  CAST(nf*128*64*wmb*hmb AS BIGINT) AS sum_cb,
+        |  CAST(nf*128*64*wmb*hmb AS BIGINT) AS sum_cr
+        |FROM a""".stripMargin,
     "q_h264_pixels" ->
       """WITH v AS (
         |  SELECT doc_id,
