@@ -25,17 +25,27 @@ import H264Codec.{BitReader, BitWriter, Pps, Sps, ep, unep}
   *     flat-matrix dequant law d = c · V(qp%6,pos) << (qp/6).
   *
   * The in-loop deblocking filter (8.7) is real too: Table 8-16/8-17
-  * thresholds, the all-intra boundary-strength law (bS 4 on macroblock
-  * edges, 3 internal), both the strong and the clipped normal filters,
-  * per-edge QP averaging with the I_PCM qP=0 rule, chroma at
-  * luma-multiple-of-8 edges, and slice-level alpha/beta offsets. What
-  * remains stubbed (failing loud by name at its dispatch points):
-  * CABAC entropy (PPS entropy_coding_mode_flag 1) and inter prediction
-  * (P/B slices) — i.e. this file decodes conformant BASELINE ALL-INTRA
-  * streams end to end. Decoding is bit-exact against [[synthCavlc]]'s
-  * encoder-side reconstruction loop, and the q_h264_cavlc DuckDB oracle
-  * replays a closed-form pixel law through the whole chain with no
-  * bitstream at all.
+  * thresholds, the full boundary-strength law (intra 4/3, coefficient
+  * 2, mv-delta 1, skip 0 — per 4x4 edge segment), both the strong and
+  * the clipped normal filters, per-edge QP averaging with the I_PCM
+  * qP=0 rule, chroma at luma-multiple-of-8 edges, and slice-level
+  * alpha/beta offsets. And so is INTER prediction (8.4): P slices with
+  * mb_skip_run, every Table 7-13/7-18 partition shape down to 4x4,
+  * mvd + the 8.4.1.3 median/directional mv prediction, the 8.4.1.1
+  * P_Skip rule, quarter-pel 6-tap luma MC with Table 8-12 averaging,
+  * eighth-pel bilinear chroma, the Table 9-4 inter cbp mapping, and
+  * intra macroblocks inside P slices — [[decodeBaselineStream]] decodes
+  * whole conformant BASELINE CAVLC VIDEOS (IDR + P) end to end, MC
+  * referencing the previously deblocked picture. The ONE remaining
+  * declared stub, failing loud by name: CABAC entropy (PPS
+  * entropy_coding_mode_flag 1) — kept a stub deliberately, because its
+  * context-initialization tables admit no structural self-check (no
+  * prefix/Kraft law) and no independent H.264 decoder exists in this
+  * sandbox, so a mistranscribed-but-self-consistent table would pass
+  * every internal gate silently. Decoding is bit-exact against
+  * [[synthCavlc]]/[[synthCavlcInter]]'s encoder-side reconstruction
+  * loops, and the q_h264_cavlc / q_h264_inter DuckDB oracles replay
+  * closed-form pixel laws through the whole chain with no bitstream.
   *
   * Verification boundary, stated honestly: the VLC table constants are
   * transcribed from the public spec and pinned by structural property
@@ -224,7 +234,11 @@ object H264Cavlc {
   // ---------------------------------------------------------------
 
   private def decodeTable(pairs: Seq[((Int, Int), Int)]): Array[Array[Int]] = {
-    val t = Array.tabulate(17)(l => new Array[Int](1 << l))
+    // pyramid sized to the table's real max codeword length (run_before
+    // is 11 bits, total_zeros 9, chroma tables 8): a flat 17-level
+    // pyramid per table retains ~15 MB of dead zeros per executor JVM
+    val maxLen = pairs.iterator.map(_._1._1).max
+    val t = Array.tabulate(maxLen + 1)(l => new Array[Int](1 << l))
     pairs.foreach { case ((len, bits), sym) =>
       require(t(len)(bits) == 0, "duplicate VLC codeword")
       t(len)(bits) = sym + 1
@@ -261,7 +275,8 @@ object H264Cavlc {
   private def readVlc(r: BitReader, m: Array[Array[Int]], what: String): Int = {
     var len = 0
     var bits = 0
-    while (len < 16) {
+    val maxLen = m.length - 1
+    while (len < maxLen) {
       bits = (bits << 1) | r.u(1)
       len += 1
       val s = m(len)(bits)
@@ -818,23 +833,90 @@ object H264Cavlc {
   final case class Yuv(width: Int, height: Int, luma: Array[Int],
                        cb: Array[Int], cr: Array[Int])
 
-  def decodeISlice(nal: Array[Byte], sps: Sps, pps: Pps): Yuv = {
+  /** Per-picture decode state: planes under construction plus every
+    * context grid the syntax needs (TotalCoeff for nC, intra modes for
+    * 8.3.1.1 prediction, per-4x4 motion vectors + block kind for P-MB
+    * mvp neighbors and the inter deblocking bS law, per-MB QP for the
+    * filter). Shared by the decoder and the encoder reconstruction.
+    */
+  private[graft] final class PicState(val sps: Sps, val pps: Pps) {
+    val wMb: Int = sps.widthMbs
+    val hMb: Int = sps.heightMapUnits
+    require(wMb >= 1 && hMb >= 1 && wMb <= 1024 && hMb <= 1024,
+      s"implausible raster ${wMb}x$hMb macroblocks")
+    val w: Int = wMb * 16
+    val h: Int = hMb * 16
+    val wc: Int = w / 2
+    val wb: Int = wMb * 4
+    val hb: Int = hMb * 4
+    val nMb: Int = wMb * hMb
+    val luma = new Array[Int](w * h)
+    val cb = new Array[Int](wc * (h / 2))
+    val cr = new Array[Int](wc * (h / 2))
+    val lumaTc = new Array[Int](wb * hb)
+    val modes: Array[Int] = Array.fill(wb * hb)(2) // non-I_NxN read as DC (8.3.1.1)
+    val cbTc = new Array[Int]((wMb * 2) * (hMb * 2))
+    val crTc = new Array[Int]((wMb * 2) * (hMb * 2))
+    val mbQp = new Array[Int](nMb) // I_PCM -> 0 (8.7.2's filter rule)
+    /** 0 = not yet decoded, 1 = inter, 2 = intra — per 4x4 block. */
+    val blkKind = new Array[Byte](wb * hb)
+    val mvX = new Array[Int](wb * hb)
+    val mvY = new Array[Int](wb * hb)
+    def lumaNc(gx: Int, gy: Int): Int = blockNc(lumaTc, wb, gx, gy)
+    def markIntraMb(mbIdx: Int): Unit = {
+      val (mbX, mbY) = (mbIdx % wMb, mbIdx / wMb)
+      var b = 0
+      while (b < 16) {
+        val (bx, by) = blkPos(b)
+        blkKind((mbY * 4 + by) * wb + mbX * 4 + bx) = 2
+        b += 1
+      }
+    }
+    def toYuv: Yuv = Yuv(w, h, luma, cb, cr)
+  }
+
+  /** Slice-header fields the MB layer needs. */
+  private final case class SliceHead(sliceType: Int, qpY: Int,
+                                     applyDeblock: Boolean, offA: Int, offB: Int)
+
+  /** Slice header parse (7.3.3) for baseline I and P slices. */
+  private def parseSliceHead(r: BitReader, sps: Sps, pps: Pps,
+                             nalType: Int, nalRefIdc: Int): SliceHead = {
     require(!pps.cabac,
       "CABAC entropy decoding unsupported (the declared stub boundary)")
-    require((nal(0) & 0x1f) == 5, "CAVLC intra decode expects an IDR slice NAL")
-    val r = new BitReader(unep(nal, 1))
     require(r.ue() == 0, "slice must start at macroblock 0 (multi-slice pictures unsupported)")
     val st = r.ue()
-    require(st == 2 || st == 7, s"not an I slice (slice_type $st)")
+    require(st == 2 || st == 7 || st == 0 || st == 5,
+      s"slice_type $st unsupported (baseline I/P only — B slices are inter territory beyond the engine)")
+    val isP = st == 0 || st == 5
+    require(!isP || nalType == 1, "P slices arrive in non-IDR NALs")
     r.ue() // pps_id (binding validated by the caller's SPS/PPS pairing)
-    r.u(sps.log2MaxFrameNum) // frame_num (0 for IDR per 7.4.3)
-    r.ue() // idr_pic_id
+    r.u(sps.log2MaxFrameNum) // frame_num
+    if (nalType == 5) r.ue() // idr_pic_id
     // pic_order_cnt_lsb's field width is an SPS field [[Sps]] does not
     // carry; misparsing it would desync every later bit — fail loud
     require(sps.pocType == 2,
       s"pic_order_cnt_type ${sps.pocType} unsupported in pixel decode (type 2 only)")
-    r.u(2) // dec_ref_pic_marking: no_output_of_prior, long_term_reference
-    var qpY = pps.picInitQp + r.se()
+    if (pps.redundantPicCntPresent) {
+      // the field must be CONSUMED or every later bit desyncs; redundant
+      // (non-primary) pictures themselves are out of scope — fail loud
+      require(r.ue() == 0,
+        "redundant coded pictures unsupported (redundant_pic_cnt > 0)")
+    }
+    if (isP) {
+      if (r.u(1) == 1) // num_ref_idx_active_override_flag
+        require(r.ue() == 0,
+          "multiple reference pictures unsupported (num_ref_idx_l0_active > 1)")
+      require(r.u(1) == 0,
+        "ref_pic_list_modification unsupported (single-reference baseline)")
+      // pred_weight_table absent: PPS weighted_pred_flag is 0 in scope
+    }
+    if (nalRefIdc != 0) {
+      if (nalType == 5) r.u(2) // no_output_of_prior, long_term_reference
+      else require(r.u(1) == 0,
+        "adaptive_ref_pic_marking unsupported (sliding-window only)")
+    }
+    val qpY = pps.picInitQp + r.se()
     require(qpY >= 0 && qpY <= 51, s"slice QP $qpY out of range")
     // deblocking control: absent from the PPS means the filter applies
     // with zero offsets (7.4.3's inference); idc 2 ("not across slice
@@ -852,142 +934,145 @@ object H264Cavlc {
           "deblocking alpha/beta offset out of range")
       }
     }
+    SliceHead(st, qpY, applyDeblock, offA, offB)
+  }
 
-    val (wMb, hMb) = (sps.widthMbs, sps.heightMapUnits)
-    require(wMb >= 1 && hMb >= 1 && wMb <= 1024 && hMb <= 1024,
-      s"implausible raster ${wMb}x$hMb macroblocks")
-    val (w, h) = (wMb * 16, hMb * 16)
-    val (wc, hc) = (w / 2, h / 2)
-    val luma = new Array[Int](w * h)
-    val cbP = new Array[Int](wc * hc)
-    val crP = new Array[Int](wc * hc)
-    val (wb, hb) = (wMb * 4, hMb * 4) // luma 4x4 block grid
-    val lumaTc = new Array[Int](wb * hb)
-    val modes = Array.fill(wb * hb)(2) // non-I_NxN MBs read as DC (8.3.1.1)
-    val cbTc = new Array[Int]((wMb * 2) * (hMb * 2))
-    val crTc = new Array[Int]((wMb * 2) * (hMb * 2))
-    val nMb = wMb * hMb
-    val mbQp = new Array[Int](nMb) // per-MB QP for the filter; I_PCM -> 0 (8.7.2)
-
-    def lumaNc(gx: Int, gy: Int): Int = blockNc(lumaTc, wb, gx, gy)
-
-    var mbIdx = 0
-    while (mbIdx < nMb) {
-      val (mbX, mbY) = (mbIdx % wMb, mbIdx / wMb)
-      val mbType = r.ue()
-      if (mbType == 25) {
-        // I_PCM: raw samples; neighbors read its blocks as nN = 16 (9.2.1)
-        r.alignToByte()
-        var p = 0
-        while (p < 256) {
-          luma((mbY * 16 + p / 16) * w + mbX * 16 + p % 16) = r.u(8)
-          p += 1
-        }
-        var c = 0
-        while (c < 128) {
-          val plane = if (c < 64) cbP else crP
-          val k = c % 64
-          plane((mbY * 8 + k / 8) * wc + mbX * 8 + k % 8) = r.u(8)
-          c += 1
-        }
-        var b = 0
-        while (b < 16) {
-          val (bx, by) = blkPos(b)
-          lumaTc((mbY * 4 + by) * wb + mbX * 4 + bx) = 16
-          b += 1
-        }
-        var cb = 0
-        while (cb < 4) {
-          cbTc((mbY * 2 + cb / 2) * (wMb * 2) + mbX * 2 + cb % 2) = 16
-          crTc((mbY * 2 + cb / 2) * (wMb * 2) + mbX * 2 + cb % 2) = 16
-          cb += 1
-        }
-      } else if (mbType == 0) {
-        // ---------------- I_NxN (Intra_4x4) ----------------
-        val blkModes = new Array[Int](16)
-        var b = 0
-        while (b < 16) {
-          val (bx, by) = blkPos(b)
-          val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
-          val mA = if (gx > 0) modes(gy * wb + gx - 1) else 2
-          val mB = if (gy > 0) modes((gy - 1) * wb + gx) else 2
-          val pred = math.min(mA, mB)
-          val mode =
-            if (r.u(1) == 1) pred
-            else { val rem = r.u(3); if (rem < pred) rem else rem + 1 }
-          blkModes(b) = mode
-          modes(gy * wb + gx) = mode
-          b += 1
-        }
-        val chromaMode = r.ue()
-        require(chromaMode <= 3, s"intra_chroma_pred_mode $chromaMode out of range")
-        val cbpCode = r.ue()
-        require(cbpCode <= 47, s"coded_block_pattern codeNum $cbpCode out of range")
-        val cbp = cbpIntra(cbpCode)
-        val cbpLuma = cbp & 15
-        val cbpChroma = cbp >> 4
-        if (cbp != 0) {
-          val delta = r.se()
-          require(delta >= -26 && delta <= 25, s"mb_qp_delta $delta out of range")
-          qpY = (qpY + delta + 52) % 52
-        }
-        // residual parse (tc contexts first; pixels reconstructed after)
-        val lumaCoeffs = new Array[Array[Int]](16)
-        b = 0
-        while (b < 16) {
-          val (bx, by) = blkPos(b)
-          val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
-          if ((cbpLuma & (1 << (b / 4))) != 0) {
-            val (cf, tc) = readResidualBlock(r, lumaNc(gx, gy), 16)
-            lumaCoeffs(b) = cf
-            lumaTc(gy * wb + gx) = tc
-          } else lumaTc(gy * wb + gx) = 0
-          b += 1
-        }
-        val (dcCb, dcCr, acCb, acCr) =
-          readChromaResidual(r, cbpChroma, cbTc, crTc, mbX, mbY, wMb)
-        reconLumaINxN(luma, w, wMb, mbIdx, blkModes, lumaCoeffs, qpY)
-        reconChroma(cbP, crP, wc, mbX, mbY, chromaMode, cbpChroma,
-          dcCb, dcCr, acCb, acCr, chromaQp(qpY, pps.chromaQpIndexOffset),
-          mbX > 0, mbY > 0)
-      } else if (mbType >= 1 && mbType <= 24) {
-        // ---------------- I_16x16 (Table 7-11's encoding) ----------------
-        val predMode16 = (mbType - 1) % 4
-        val cbpChroma = ((mbType - 1) / 4) % 3
-        val cbpLuma = if (mbType >= 13) 15 else 0
-        val chromaMode = r.ue()
-        require(chromaMode <= 3, s"intra_chroma_pred_mode $chromaMode out of range")
-        val delta = r.se() // mb_qp_delta: always present for Intra_16x16
+  /** One intra macroblock: syntax parse + reconstruction (the I-slice
+    * mb layer, also reached from P slices via mb_type - 5). Returns the
+    * MB-updated qpY.
+    */
+  private def decodeIntraMb(r: BitReader, st: PicState, mbIdx: Int,
+                            mbType: Int, qpYIn: Int): Int = {
+    import st._
+    var qpY = qpYIn
+    val (mbX, mbY) = (mbIdx % wMb, mbIdx / wMb)
+    if (mbType == 25) {
+      // I_PCM: raw samples; neighbors read its blocks as nN = 16 (9.2.1)
+      r.alignToByte()
+      var p = 0
+      while (p < 256) {
+        luma((mbY * 16 + p / 16) * w + mbX * 16 + p % 16) = r.u(8)
+        p += 1
+      }
+      var c = 0
+      while (c < 128) {
+        val plane = if (c < 64) cb else cr
+        val k = c % 64
+        plane((mbY * 8 + k / 8) * wc + mbX * 8 + k % 8) = r.u(8)
+        c += 1
+      }
+      var b = 0
+      while (b < 16) {
+        val (bx, by) = blkPos(b)
+        lumaTc((mbY * 4 + by) * wb + mbX * 4 + bx) = 16
+        b += 1
+      }
+      var cc = 0
+      while (cc < 4) {
+        cbTc((mbY * 2 + cc / 2) * (wMb * 2) + mbX * 2 + cc % 2) = 16
+        crTc((mbY * 2 + cc / 2) * (wMb * 2) + mbX * 2 + cc % 2) = 16
+        cc += 1
+      }
+    } else if (mbType == 0) {
+      // ---------------- I_NxN (Intra_4x4) ----------------
+      val blkModes = new Array[Int](16)
+      var b = 0
+      while (b < 16) {
+        val (bx, by) = blkPos(b)
+        val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
+        val mA = if (gx > 0) modes(gy * wb + gx - 1) else 2
+        val mB = if (gy > 0) modes((gy - 1) * wb + gx) else 2
+        val pred = math.min(mA, mB)
+        val mode =
+          if (r.u(1) == 1) pred
+          else { val rem = r.u(3); if (rem < pred) rem else rem + 1 }
+        blkModes(b) = mode
+        modes(gy * wb + gx) = mode
+        b += 1
+      }
+      val chromaMode = r.ue()
+      require(chromaMode <= 3, s"intra_chroma_pred_mode $chromaMode out of range")
+      val cbpCode = r.ue()
+      require(cbpCode <= 47, s"coded_block_pattern codeNum $cbpCode out of range")
+      val cbp = cbpIntra(cbpCode)
+      val cbpLuma = cbp & 15
+      val cbpChroma = cbp >> 4
+      if (cbp != 0) {
+        val delta = r.se()
         require(delta >= -26 && delta <= 25, s"mb_qp_delta $delta out of range")
         qpY = (qpY + delta + 52) % 52
-        // DC block: nC as for luma4x4BlkIdx 0 (9.2.1); stores no context
-        val (dcScan, _) = readResidualBlock(r, lumaNc(mbX * 4, mbY * 4), 16)
-        val acCoeffs = new Array[Array[Int]](16)
-        var b = 0
-        while (b < 16) {
-          val (bx, by) = blkPos(b)
-          val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
-          if (cbpLuma != 0) {
-            val (cf, tc) = readResidualBlock(r, lumaNc(gx, gy), 15)
-            acCoeffs(b) = cf
-            lumaTc(gy * wb + gx) = tc
-          } else lumaTc(gy * wb + gx) = 0
-          b += 1
-        }
-        val (dcCb, dcCr, acCb, acCr) =
-          readChromaResidual(r, cbpChroma, cbTc, crTc, mbX, mbY, wMb)
-        reconLumaI16x16(luma, w, mbX, mbY, predMode16, dcScan, acCoeffs, qpY)
-        reconChroma(cbP, crP, wc, mbX, mbY, chromaMode, cbpChroma,
-          dcCb, dcCr, acCb, acCr, chromaQp(qpY, pps.chromaQpIndexOffset),
-          mbX > 0, mbY > 0)
-      } else throw new IllegalArgumentException(
-        s"mb_type $mbType is not an I-slice intra type (Table 7-11)")
-      mbQp(mbIdx) = if (mbType == 25) 0 else qpY
+      }
+      // residual parse (tc contexts first; pixels reconstructed after)
+      val lumaCoeffs = new Array[Array[Int]](16)
+      b = 0
+      while (b < 16) {
+        val (bx, by) = blkPos(b)
+        val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
+        if ((cbpLuma & (1 << (b / 4))) != 0) {
+          val (cf, tc) = readResidualBlock(r, lumaNc(gx, gy), 16)
+          lumaCoeffs(b) = cf
+          lumaTc(gy * wb + gx) = tc
+        } else lumaTc(gy * wb + gx) = 0
+        b += 1
+      }
+      val (dcCb, dcCr, acCb, acCr) =
+        readChromaResidual(r, cbpChroma, cbTc, crTc, mbX, mbY, wMb)
+      reconLumaINxN(luma, w, wMb, mbIdx, blkModes, lumaCoeffs, qpY)
+      reconChroma(cb, cr, wc, mbX, mbY, chromaMode, cbpChroma,
+        dcCb, dcCr, acCb, acCr, chromaQp(qpY, pps.chromaQpIndexOffset),
+        mbX > 0, mbY > 0)
+    } else if (mbType >= 1 && mbType <= 24) {
+      // ---------------- I_16x16 (Table 7-11's encoding) ----------------
+      val predMode16 = (mbType - 1) % 4
+      val cbpChroma = ((mbType - 1) / 4) % 3
+      val cbpLuma = if (mbType >= 13) 15 else 0
+      val chromaMode = r.ue()
+      require(chromaMode <= 3, s"intra_chroma_pred_mode $chromaMode out of range")
+      val delta = r.se() // mb_qp_delta: always present for Intra_16x16
+      require(delta >= -26 && delta <= 25, s"mb_qp_delta $delta out of range")
+      qpY = (qpY + delta + 52) % 52
+      // DC block: nC as for luma4x4BlkIdx 0 (9.2.1); stores no context
+      val (dcScan, _) = readResidualBlock(r, lumaNc(mbX * 4, mbY * 4), 16)
+      val acCoeffs = new Array[Array[Int]](16)
+      var b = 0
+      while (b < 16) {
+        val (bx, by) = blkPos(b)
+        val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
+        if (cbpLuma != 0) {
+          val (cf, tc) = readResidualBlock(r, lumaNc(gx, gy), 15)
+          acCoeffs(b) = cf
+          lumaTc(gy * wb + gx) = tc
+        } else lumaTc(gy * wb + gx) = 0
+        b += 1
+      }
+      val (dcCb, dcCr, acCb, acCr) =
+        readChromaResidual(r, cbpChroma, cbTc, crTc, mbX, mbY, wMb)
+      reconLumaI16x16(luma, w, mbX, mbY, predMode16, dcScan, acCoeffs, qpY)
+      reconChroma(cb, cr, wc, mbX, mbY, chromaMode, cbpChroma,
+        dcCb, dcCr, acCb, acCr, chromaQp(qpY, pps.chromaQpIndexOffset),
+        mbX > 0, mbY > 0)
+    } else throw new IllegalArgumentException(
+      s"mb_type $mbType is not an I-slice intra type (Table 7-11)")
+    st.markIntraMb(mbIdx)
+    mbQp(mbIdx) = if (mbType == 25) 0 else qpY
+    qpY
+  }
+
+  def decodeISlice(nal: Array[Byte], sps: Sps, pps: Pps): Yuv = {
+    require((nal(0) & 0x1f) == 5, "CAVLC intra decode expects an IDR slice NAL")
+    val r = new BitReader(unep(nal, 1))
+    val head = parseSliceHead(r, sps, pps, nalType = 5, nalRefIdc = (nal(0) >> 5) & 3)
+    require(head.sliceType == 2 || head.sliceType == 7,
+      s"not an I slice (slice_type ${head.sliceType})")
+    val st = new PicState(sps, pps)
+    var qpY = head.qpY
+    var mbIdx = 0
+    while (mbIdx < st.nMb) {
+      qpY = decodeIntraMb(r, st, mbIdx, r.ue(), qpY)
       mbIdx += 1
     }
-    if (applyDeblock)
-      deblockFrame(luma, cbP, crP, w, h, mbQp, pps.chromaQpIndexOffset, offA, offB)
-    Yuv(w, h, luma, cbP, crP)
+    if (head.applyDeblock) deblockFrame(st, head.offA, head.offB)
+    st.toYuv
   }
 
   /** nC context (9.2.1) from a stored-TotalCoeff grid of width wRow:
@@ -1119,36 +1204,46 @@ object H264Cavlc {
       val (p, dcs, acs) =
         if (plane == 0) (cbP, dcCb, acCb) else (crP, dcCr, acCr)
       val pred = predictChroma(p, wc, mbX * 8, mbY * 8, mode, leftAvail, topAvail)
-      if (cbpChroma == 0) {
+      applyChromaResidual(p, wc, mbX, mbY, pred, cbpChroma, dcs, acs, qpc)
+      plane += 1
+    }
+  }
+
+  /** Chroma residual application over an 8x8 prediction patch (shared
+    * by the intra path above and the inter MC path): 2x2 inverse
+    * Hadamard on the raster-scanned DC coefficients, per-4x4 AC.
+    */
+  private def applyChromaResidual(p: Array[Int], wc: Int, mbX: Int, mbY: Int,
+                                  pred: Array[Int], cbpChroma: Int,
+                                  dcs: Array[Int], acs: Array[Array[Int]],
+                                  qpc: Int): Unit = {
+    if (cbpChroma == 0) {
+      var k = 0
+      while (k < 64) {
+        p((mbY * 8 + k / 8) * wc + mbX * 8 + k % 8) = clip255(pred(k))
+        k += 1
+      }
+    } else {
+      val f0 = dcs(0) + dcs(1) + dcs(2) + dcs(3)
+      val f1 = dcs(0) - dcs(1) + dcs(2) - dcs(3)
+      val f2 = dcs(0) + dcs(1) - dcs(2) - dcs(3)
+      val f3 = dcs(0) - dcs(1) - dcs(2) + dcs(3)
+      val dc = Array(f0, f1, f2, f3).map(chromaDcDequant(_, qpc))
+      var blk = 0
+      while (blk < 4) {
+        val res = residual4x4(
+          if (acs(blk) == null) new Array[Int](15) else acs(blk),
+          qpc, acOnly = true, dc = dc(blk))
+        val (ox, oy) = ((blk % 2) * 4, (blk / 2) * 4)
         var k = 0
-        while (k < 64) {
-          p((mbY * 8 + k / 8) * wc + mbX * 8 + k % 8) = clip255(pred(k))
+        while (k < 16) {
+          val (px, py) = (ox + k % 4, oy + k / 4)
+          p((mbY * 8 + py) * wc + mbX * 8 + px) =
+            clip255(pred(py * 8 + px) + res(k))
           k += 1
         }
-      } else {
-        // 2x2 inverse Hadamard on the raster-scanned DC coefficients
-        val f0 = dcs(0) + dcs(1) + dcs(2) + dcs(3)
-        val f1 = dcs(0) - dcs(1) + dcs(2) - dcs(3)
-        val f2 = dcs(0) + dcs(1) - dcs(2) - dcs(3)
-        val f3 = dcs(0) - dcs(1) - dcs(2) + dcs(3)
-        val dc = Array(f0, f1, f2, f3).map(chromaDcDequant(_, qpc))
-        var blk = 0
-        while (blk < 4) {
-          val res = residual4x4(
-            if (acs(blk) == null) new Array[Int](15) else acs(blk),
-            qpc, acOnly = true, dc = dc(blk))
-          val (ox, oy) = ((blk % 2) * 4, (blk / 2) * 4)
-          var k = 0
-          while (k < 16) {
-            val (px, py) = (ox + k % 4, oy + k / 4)
-            p((mbY * 8 + py) * wc + mbX * 8 + px) =
-              clip255(pred(py * 8 + px) + res(k))
-            k += 1
-          }
-          blk += 1
-        }
+        blk += 1
       }
-      plane += 1
     }
   }
 
@@ -1235,18 +1330,26 @@ object H264Cavlc {
     }
   }
 
-  /** Whole-picture deblocking for an all-intra frame (8.7): macroblocks
-    * in raster order, each MB's vertical edges left-to-right then its
-    * horizontal edges top-to-bottom; luma internal edges every 4
-    * samples, chroma (4:2:0) only at luma multiples of 8. `mbQp` is the
-    * per-MB luma QP as decoded (0 for I_PCM — 8.7.2's rule); per-edge
-    * qPav averages the two sides' QPs on MB edges.
+  /** Whole-picture deblocking (8.7): macroblocks in raster order, each
+    * MB's vertical edges left-to-right then its horizontal edges
+    * top-to-bottom; luma internal edges every 4 samples, chroma (4:2:0)
+    * only at luma multiples of 8 (inheriting the luma blocks' bS).
+    * Boundary strength per 4x4 block pair, progressive single-reference
+    * form of 8.7.2.1: intra on either side -> 4 at MB edges / 3
+    * internal; else 2 when either block carries coefficients; else 1
+    * when the motion vectors differ by >= 4 quarter-pel in a component;
+    * else 0 (no filtering). Per-edge qPav averages the two sides' QPs
+    * (I_PCM carries 0 — 8.7.2's rule).
     */
-  private def deblockFrame(luma: Array[Int], cbP: Array[Int], crP: Array[Int],
-                           w: Int, h: Int, mbQp: Array[Int],
-                           chromaQpOffset: Int, offA: Int, offB: Int): Unit = {
-    val (wMb, hMb) = (w / 16, h / 16)
-    val wc = w / 2
+  private def deblockFrame(st: PicState, offA: Int, offB: Int): Unit = {
+    import st._
+    def bsOf(pb: Int, qb: Int, mbEdge: Boolean): Int =
+      if (blkKind(pb) == 2 || blkKind(qb) == 2) { if (mbEdge) 4 else 3 }
+      else if (lumaTc(pb) > 0 || lumaTc(qb) > 0) 2
+      else if (math.abs(mvX(pb) - mvX(qb)) >= 4 ||
+        math.abs(mvY(pb) - mvY(qb)) >= 4) 1
+      else 0
+    val cqOff = pps.chromaQpIndexOffset
     var mbY = 0
     while (mbY < hMb) {
       var mbX = 0
@@ -1259,16 +1362,19 @@ object H264Cavlc {
         var e = 0
         while (e < 4) {
           val x = mbX * 16 + e * 4
-          if (x > 0 && (e > 0 || mbX > 0)) {
-            val bS = if (e == 0) 4 else 3
+          if (x > 0) {
             val qpOther = if (e == 0) mbQp(mb - 1) else qpCur
             val iA = idx(qpOther, qpCur, offA)
             val iB = idx(qpOther, qpCur, offB)
             var y = 0
             while (y < 16) {
-              val row = (mbY * 16 + y) * w
-              filterLine(luma, i => row + x - 1 - i, i => row + x + i,
-                bS, iA, iB, chroma = false)
+              val gy = mbY * 4 + y / 4
+              val bS = bsOf(gy * wb + x / 4 - 1, gy * wb + x / 4, e == 0)
+              if (bS > 0) {
+                val row = (mbY * 16 + y) * w
+                filterLine(luma, i => row + x - 1 - i, i => row + x + i,
+                  bS, iA, iB, chroma = false)
+              }
               y += 1
             }
           }
@@ -1277,18 +1383,21 @@ object H264Cavlc {
         // ---- luma horizontal edges (filtering across rows) ----
         e = 0
         while (e < 4) {
-          val y = mbY * 16 + e * 4
-          if (y > 0 && (e > 0 || mbY > 0)) {
-            val bS = if (e == 0) 4 else 3
+          val yy = mbY * 16 + e * 4
+          if (yy > 0) {
             val qpOther = if (e == 0) mbQp(mb - wMb) else qpCur
             val iA = idx(qpOther, qpCur, offA)
             val iB = idx(qpOther, qpCur, offB)
-            var x = 0
-            while (x < 16) {
-              val col = mbX * 16 + x
-              filterLine(luma, i => (y - 1 - i) * w + col, i => (y + i) * w + col,
-                bS, iA, iB, chroma = false)
-              x += 1
+            var xx = 0
+            while (xx < 16) {
+              val gx = mbX * 4 + xx / 4
+              val bS = bsOf((yy / 4 - 1) * wb + gx, (yy / 4) * wb + gx, e == 0)
+              if (bS > 0) {
+                val col = mbX * 16 + xx
+                filterLine(luma, i => (yy - 1 - i) * w + col,
+                  i => (yy + i) * w + col, bS, iA, iB, chroma = false)
+              }
+              xx += 1
             }
           }
           e += 1
@@ -1296,22 +1405,23 @@ object H264Cavlc {
         // ---- chroma edges: luma multiples of 8 -> chroma x/y in {0, 4} ----
         var plane = 0
         while (plane < 2) {
-          val p = if (plane == 0) cbP else crP
+          val p = if (plane == 0) cb else cr
           e = 0
           while (e < 2) {
-            val x = mbX * 8 + e * 4
-            if (x > 0 && (e > 0 || mbX > 0)) {
-              val bS = if (e == 0) 4 else 3
+            val xc = mbX * 8 + e * 4
+            if (xc > 0) {
               val qpOther = if (e == 0) mbQp(mb - 1) else qpCur
-              val iA = idx(chromaQp(qpOther, chromaQpOffset),
-                chromaQp(qpCur, chromaQpOffset), offA)
-              val iB = idx(chromaQp(qpOther, chromaQpOffset),
-                chromaQp(qpCur, chromaQpOffset), offB)
+              val iA = idx(chromaQp(qpOther, cqOff), chromaQp(qpCur, cqOff), offA)
+              val iB = idx(chromaQp(qpOther, cqOff), chromaQp(qpCur, cqOff), offB)
               var y = 0
               while (y < 8) {
-                val row = (mbY * 8 + y) * wc
-                filterLine(p, i => row + x - 1 - i, i => row + x + i,
-                  bS, iA, iB, chroma = true)
+                val gy = mbY * 4 + y / 2 // luma block row of chroma line y
+                val bS = bsOf(gy * wb + xc / 2 - 1, gy * wb + xc / 2, e == 0)
+                if (bS > 0) {
+                  val row = (mbY * 8 + y) * wc
+                  filterLine(p, i => row + xc - 1 - i, i => row + xc + i,
+                    bS, iA, iB, chroma = true)
+                }
                 y += 1
               }
             }
@@ -1319,19 +1429,20 @@ object H264Cavlc {
           }
           e = 0
           while (e < 2) {
-            val y = mbY * 8 + e * 4
-            if (y > 0 && (e > 0 || mbY > 0)) {
-              val bS = if (e == 0) 4 else 3
+            val yc = mbY * 8 + e * 4
+            if (yc > 0) {
               val qpOther = if (e == 0) mbQp(mb - wMb) else qpCur
-              val iA = idx(chromaQp(qpOther, chromaQpOffset),
-                chromaQp(qpCur, chromaQpOffset), offA)
-              val iB = idx(chromaQp(qpOther, chromaQpOffset),
-                chromaQp(qpCur, chromaQpOffset), offB)
+              val iA = idx(chromaQp(qpOther, cqOff), chromaQp(qpCur, cqOff), offA)
+              val iB = idx(chromaQp(qpOther, cqOff), chromaQp(qpCur, cqOff), offB)
               var x = 0
               while (x < 8) {
-                val col = mbX * 8 + x
-                filterLine(p, i => (y - 1 - i) * wc + col, i => (y + i) * wc + col,
-                  bS, iA, iB, chroma = true)
+                val gx = mbX * 4 + x / 2
+                val bS = bsOf((yc / 2 - 1) * wb + gx, (yc / 2) * wb + gx, e == 0)
+                if (bS > 0) {
+                  val col = mbX * 8 + x
+                  filterLine(p, i => (yc - 1 - i) * wc + col,
+                    i => (yc + i) * wc + col, bS, iA, iB, chroma = true)
+                }
                 x += 1
               }
             }
@@ -1343,6 +1454,388 @@ object H264Cavlc {
       }
       mbY += 1
     }
+  }
+
+  // ---------------------------------------------------------------
+  // Inter prediction (8.4): quarter-pel luma motion compensation with
+  // the (1,-5,20,20,-5,1) 6-tap half-pel filter and Table 8-12's
+  // quarter-pel averaging law, eighth-pel bilinear chroma, the
+  // median/directional motion-vector prediction of 8.4.1.3, the P_Skip
+  // mv rule of 8.4.1.1, and the P-slice macroblock layer (Table 7-13
+  // mb types, Table 7-18 sub-mb types, mb_skip_run, the Table 9-4
+  // INTER cbp mapping). With these the decoder handles conformant
+  // baseline CAVLC streams: I + P, the whole profile minus nothing —
+  // CABAC is a different entropy coder, not part of baseline.
+  // ---------------------------------------------------------------
+
+  /** Table 9-4, inter column: me(v) codeNum → coded_block_pattern.
+    * Pinned a permutation of 0..47 by the spec.
+    */
+  private[graft] val cbpInter: Array[Int] = Array(
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
+  private val cbpInterInv: Array[Int] = {
+    val inv = new Array[Int](48)
+    var i = 0
+    while (i < 48) { inv(cbpInter(i)) = i; i += 1 }
+    inv
+  }
+
+  /** Clamped reference-plane sample (8.4.2.2's edge extension). */
+  @inline private def refS(ref: Array[Int], w: Int, h: Int, x: Int, y: Int): Int =
+    ref(clip3(0, h - 1, y) * w + clip3(0, w - 1, x))
+
+  /** Quarter-pel luma motion compensation (8.4.2.2.1): a bw x bh
+    * prediction block for destination top-left (x0, y0) and quarter-pel
+    * mv. Half-pel via the 6-tap (1,-5,20,20,-5,1) with (x+16)>>5
+    * rounding; the center position j filters RAW (unclipped) vertical
+    * sums with (x+512)>>10; quarter positions average per Table 8-12.
+    */
+  private[graft] def mcLuma(ref: Array[Int], w: Int, h: Int, x0: Int, y0: Int,
+                            bw: Int, bh: Int, mvx: Int, mvy: Int): Array[Int] = {
+    val out = new Array[Int](bw * bh)
+    val fx = mvx & 3
+    val fy = mvy & 3
+    val bx = x0 + (mvx >> 2)
+    val by = y0 + (mvy >> 2)
+    def s(x: Int, y: Int): Int = refS(ref, w, h, x, y)
+    def hRaw(x: Int, y: Int): Int =
+      s(x - 2, y) - 5 * s(x - 1, y) + 20 * s(x, y) +
+        20 * s(x + 1, y) - 5 * s(x + 2, y) + s(x + 3, y)
+    def vRaw(x: Int, y: Int): Int =
+      s(x, y - 2) - 5 * s(x, y - 1) + 20 * s(x, y) +
+        20 * s(x, y + 1) - 5 * s(x, y + 2) + s(x, y + 3)
+    def b(x: Int, y: Int): Int = clip255((hRaw(x, y) + 16) >> 5)
+    def hh(x: Int, y: Int): Int = clip255((vRaw(x, y) + 16) >> 5)
+    def j(x: Int, y: Int): Int = clip255((vRaw(x - 2, y) - 5 * vRaw(x - 1, y) +
+      20 * vRaw(x, y) + 20 * vRaw(x + 1, y) - 5 * vRaw(x + 2, y) +
+      vRaw(x + 3, y) + 512) >> 10)
+    var k = 0
+    while (k < bw * bh) {
+      val x = bx + k % bw
+      val y = by + k / bw
+      out(k) = (fy * 4 + fx: @scala.annotation.switch) match {
+        case 0 => s(x, y) // G
+        case 1 => (s(x, y) + b(x, y) + 1) >> 1 // a
+        case 2 => b(x, y)
+        case 3 => (s(x + 1, y) + b(x, y) + 1) >> 1 // c
+        case 4 => (s(x, y) + hh(x, y) + 1) >> 1 // d
+        case 5 => (b(x, y) + hh(x, y) + 1) >> 1 // e
+        case 6 => (b(x, y) + j(x, y) + 1) >> 1 // f
+        case 7 => (b(x, y) + hh(x + 1, y) + 1) >> 1 // g
+        case 8 => hh(x, y)
+        case 9 => (hh(x, y) + j(x, y) + 1) >> 1 // i
+        case 10 => j(x, y)
+        case 11 => (j(x, y) + hh(x + 1, y) + 1) >> 1 // k
+        case 12 => (s(x, y + 1) + hh(x, y) + 1) >> 1 // n
+        case 13 => (hh(x, y) + b(x, y + 1) + 1) >> 1 // p
+        case 14 => (j(x, y) + b(x, y + 1) + 1) >> 1 // q
+        case 15 => (hh(x + 1, y) + b(x, y + 1) + 1) >> 1 // r
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** Eighth-pel bilinear chroma motion compensation (8.4.2.2.2);
+    * 4:2:0 mvC equals the luma mv (8.4.1.4).
+    */
+  private[graft] def mcChroma(ref: Array[Int], wc: Int, hc: Int, x0: Int, y0: Int,
+                              bw: Int, bh: Int, mvx: Int, mvy: Int): Array[Int] = {
+    val out = new Array[Int](bw * bh)
+    val fx = mvx & 7
+    val fy = mvy & 7
+    val bx = x0 + (mvx >> 3)
+    val by = y0 + (mvy >> 3)
+    var k = 0
+    while (k < bw * bh) {
+      val x = bx + k % bw
+      val y = by + k / bw
+      out(k) = ((8 - fx) * (8 - fy) * refS(ref, wc, hc, x, y) +
+        fx * (8 - fy) * refS(ref, wc, hc, x + 1, y) +
+        (8 - fx) * fy * refS(ref, wc, hc, x, y + 1) +
+        fx * fy * refS(ref, wc, hc, x + 1, y + 1) + 32) >> 6
+      k += 1
+    }
+    out
+  }
+
+  /** Neighbor motion data for mvp (8.4.1.3.2): (mvx, mvy, refMatches,
+    * blockAvailable). Availability = inside the frame AND already
+    * decoded this picture; intra neighbors are available with zero mv
+    * and refIdx -1 (never a ref match).
+    */
+  private def mvNeighbor(st: PicState, gx: Int, gy: Int): (Int, Int, Boolean, Boolean) =
+    if (gx < 0 || gy < 0 || gx >= st.wb || gy >= st.hb) (0, 0, false, false)
+    else (st.blkKind(gy * st.wb + gx): @scala.annotation.switch) match {
+      case 0 => (0, 0, false, false)
+      case 2 => (0, 0, false, true)
+      case _ => (st.mvX(gy * st.wb + gx), st.mvY(gy * st.wb + gx), true, true)
+    }
+
+  /** Motion vector prediction (8.4.1.3) for the partition whose
+    * top-left 4x4 block is (px, py), pw blocks wide. `shape`: 0 = the
+    * median law (16x16, 8x8 and sub-partitions), 1/2 = 16x8 top/bottom,
+    * 3/4 = 8x16 left/right (the directional rules).
+    */
+  private[graft] def mvPred(st: PicState, px: Int, py: Int, pw: Int, shape: Int): (Int, Int) = {
+    val a = mvNeighbor(st, px - 1, py)
+    val b0 = mvNeighbor(st, px, py - 1)
+    val cRaw = mvNeighbor(st, px + pw, py - 1)
+    val c0 = if (cRaw._4) cRaw else mvNeighbor(st, px - 1, py - 1) // D fallback
+    shape match {
+      case 1 if b0._3 => (b0._1, b0._2)
+      case 2 if a._3 => (a._1, a._2)
+      case 3 if a._3 => (a._1, a._2)
+      case 4 if c0._3 => (c0._1, c0._2)
+      case _ =>
+        // 8.4.1.3.1: B and C both unavailable with A available -> copy A
+        val (b, c) =
+          if (!b0._4 && !c0._4 && a._4) (a, a) else (b0, c0)
+        val ms = Seq(a, b, c).filter(_._3)
+        if (ms.size == 1) (ms.head._1, ms.head._2)
+        else {
+          def med(x: Int, y: Int, z: Int): Int =
+            math.max(math.min(x, y), math.min(math.max(x, y), z))
+          (med(a._1, b._1, c._1), med(a._2, b._2, c._2))
+        }
+    }
+  }
+
+  /** P_Skip motion vector (8.4.1.1): the 16x16 mvp, zeroed when either
+    * 16x16 neighbor is unavailable or is a zero-mv ref-0 block.
+    */
+  private[graft] def skipMv(st: PicState, mbX: Int, mbY: Int): (Int, Int) = {
+    val a = mvNeighbor(st, mbX * 4 - 1, mbY * 4)
+    val b = mvNeighbor(st, mbX * 4, mbY * 4 - 1)
+    if (!a._4 || !b._4 ||
+      (a._3 && a._1 == 0 && a._2 == 0) ||
+      (b._3 && b._1 == 0 && b._2 == 0)) (0, 0)
+    else mvPred(st, mbX * 4, mbY * 4, 4, 0)
+  }
+
+  /** Record a partition's mv over its covered 4x4 blocks. */
+  private[graft] def assignMv(st: PicState, px: Int, py: Int, pw: Int, ph: Int,
+                       mvx: Int, mvy: Int): Unit = {
+    var dy = 0
+    while (dy < ph) {
+      var dx = 0
+      while (dx < pw) {
+        val i = (py + dy) * st.wb + px + dx
+        st.blkKind(i) = 1
+        st.mvX(i) = mvx
+        st.mvY(i) = mvy
+        dx += 1
+      }
+      dy += 1
+    }
+  }
+
+  /** MC prediction for one partition into the MB-relative patches. */
+  private def mcPart(st: PicState, ref: Yuv, mbX: Int, mbY: Int,
+                     bx: Int, by: Int, pwB: Int, phB: Int, mvx: Int, mvy: Int,
+                     predL: Array[Int], predCb: Array[Int], predCr: Array[Int]): Unit = {
+    import st._
+    val l = mcLuma(ref.luma, w, h, (mbX * 4 + bx) * 4, (mbY * 4 + by) * 4,
+      pwB * 4, phB * 4, mvx, mvy)
+    var k = 0
+    while (k < l.length) {
+      predL((by * 4 + k / (pwB * 4)) * 16 + bx * 4 + k % (pwB * 4)) = l(k)
+      k += 1
+    }
+    val cbp = mcChroma(ref.cb, wc, h / 2, (mbX * 4 + bx) * 2, (mbY * 4 + by) * 2,
+      pwB * 2, phB * 2, mvx, mvy)
+    val crp = mcChroma(ref.cr, wc, h / 2, (mbX * 4 + bx) * 2, (mbY * 4 + by) * 2,
+      pwB * 2, phB * 2, mvx, mvy)
+    k = 0
+    while (k < cbp.length) {
+      val at = (by * 2 + k / (pwB * 2)) * 8 + bx * 2 + k % (pwB * 2)
+      predCb(at) = cbp(k)
+      predCr(at) = crp(k)
+      k += 1
+    }
+  }
+
+  /** The P-slice partition list per mb_type (Table 7-13) and sub_mb_type
+    * (Table 7-18): (bx, by, pw, ph in 4x4-block units, mvp shape).
+    */
+  private def pPartitions(mbType: Int, subTypes: Array[Int]): Seq[(Int, Int, Int, Int, Int)] =
+    mbType match {
+      case 0 => Seq((0, 0, 4, 4, 0))
+      case 1 => Seq((0, 0, 4, 2, 1), (0, 2, 4, 2, 2))
+      case 2 => Seq((0, 0, 2, 4, 3), (2, 0, 2, 4, 4))
+      case 3 | 4 =>
+        (0 until 4).flatMap { p8 =>
+          val (ox, oy) = (2 * (p8 % 2), 2 * (p8 / 2))
+          subTypes(p8) match {
+            case 0 => Seq((ox, oy, 2, 2, 0))
+            case 1 => Seq((ox, oy, 2, 1, 0), (ox, oy + 1, 2, 1, 0))
+            case 2 => Seq((ox, oy, 1, 2, 0), (ox + 1, oy, 1, 2, 0))
+            case 3 => Seq((ox, oy, 1, 1, 0), (ox + 1, oy, 1, 1, 0),
+              (ox, oy + 1, 1, 1, 0), (ox + 1, oy + 1, 1, 1, 0))
+            case t => throw new IllegalArgumentException(
+              s"sub_mb_type $t is not a P sub-macroblock type (Table 7-18)")
+          }
+        }
+      case t => throw new IllegalArgumentException(
+        s"mb_type $t is not a P-slice type (Table 7-13)")
+    }
+
+  /** One P_Skip macroblock: skip-mv MC, no residual. */
+  private def decodeSkipMb(st: PicState, ref: Yuv, mbIdx: Int, qpY: Int): Unit = {
+    import st._
+    val (mbX, mbY) = (mbIdx % wMb, mbIdx / wMb)
+    val (mvx, mvy) = skipMv(st, mbX, mbY)
+    assignMv(st, mbX * 4, mbY * 4, 4, 4, mvx, mvy)
+    val predL = new Array[Int](256)
+    val predCb = new Array[Int](64)
+    val predCr = new Array[Int](64)
+    mcPart(st, ref, mbX, mbY, 0, 0, 4, 4, mvx, mvy, predL, predCb, predCr)
+    var k = 0
+    while (k < 256) {
+      luma((mbY * 16 + k / 16) * w + mbX * 16 + k % 16) = predL(k)
+      k += 1
+    }
+    k = 0
+    while (k < 64) {
+      val at = (mbY * 8 + k / 8) * wc + mbX * 8 + k % 8
+      cb(at) = predCb(k)
+      cr(at) = predCr(k)
+      k += 1
+    }
+    mbQp(mbIdx) = qpY
+  }
+
+  /** One inter P macroblock: partition mvds, MC prediction, inter cbp,
+    * residual decode, reconstruction. Returns the updated qpY.
+    */
+  private def decodePMb(r: BitReader, st: PicState, ref: Yuv, mbIdx: Int,
+                        mbType: Int, qpYIn: Int): Int = {
+    import st._
+    var qpY = qpYIn
+    val (mbX, mbY) = (mbIdx % wMb, mbIdx / wMb)
+    // ref_idx_l0 is te(v) with cMax 0 under one active reference: 0 bits
+    val subTypes = new Array[Int](4)
+    if (mbType == 3 || mbType == 4) {
+      var p8 = 0
+      while (p8 < 4) { subTypes(p8) = r.ue(); p8 += 1 }
+    }
+    val parts = pPartitions(mbType, subTypes)
+    val mvds = parts.map(_ => (r.se(), r.se()))
+    val predL = new Array[Int](256)
+    val predCb = new Array[Int](64)
+    val predCr = new Array[Int](64)
+    parts.zip(mvds).foreach { case ((bx, by, pw, ph, shape), (mvdX, mvdY)) =>
+      val (px, py) = (mbX * 4 + bx, mbY * 4 + by)
+      val (mpx, mpy) = mvPred(st, px, py, pw, shape)
+      val (mvx, mvy) = (mpx + mvdX, mpy + mvdY)
+      assignMv(st, px, py, pw, ph, mvx, mvy)
+      mcPart(st, ref, mbX, mbY, bx, by, pw, ph, mvx, mvy, predL, predCb, predCr)
+    }
+    val cbpCode = r.ue()
+    require(cbpCode <= 47, s"coded_block_pattern codeNum $cbpCode out of range")
+    val cbp = cbpInter(cbpCode)
+    val cbpLuma = cbp & 15
+    val cbpChroma = cbp >> 4
+    if (cbp != 0) {
+      val delta = r.se()
+      require(delta >= -26 && delta <= 25, s"mb_qp_delta $delta out of range")
+      qpY = (qpY + delta + 52) % 52
+    }
+    val lumaCoeffs = new Array[Array[Int]](16)
+    var b = 0
+    while (b < 16) {
+      val (bx, by) = blkPos(b)
+      val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
+      if ((cbpLuma & (1 << (b / 4))) != 0) {
+        val (cf, tc) = readResidualBlock(r, lumaNc(gx, gy), 16)
+        lumaCoeffs(b) = cf
+        lumaTc(gy * wb + gx) = tc
+      } else lumaTc(gy * wb + gx) = 0
+      b += 1
+    }
+    val (dcCb, dcCr, acCb, acCr) =
+      readChromaResidual(r, cbpChroma, cbTc, crTc, mbX, mbY, wMb)
+    // reconstruction: MC prediction + inter residual (no DC separation)
+    b = 0
+    while (b < 16) {
+      val (bx, by) = blkPos(b)
+      val res =
+        if (lumaCoeffs(b) == null) null
+        else residual4x4(lumaCoeffs(b), qpY, acOnly = false, dc = 0)
+      var k = 0
+      while (k < 16) {
+        val (x, y) = (bx * 4 + k % 4, by * 4 + k / 4)
+        luma((mbY * 16 + y) * w + mbX * 16 + x) =
+          clip255(predL(y * 16 + x) + (if (res == null) 0 else res(k)))
+        k += 1
+      }
+      b += 1
+    }
+    val qpc = chromaQp(qpY, pps.chromaQpIndexOffset)
+    applyChromaResidual(cb, wc, mbX, mbY, predCb, cbpChroma, dcCb, acCb, qpc)
+    applyChromaResidual(cr, wc, mbX, mbY, predCr, cbpChroma, dcCr, acCr, qpc)
+    mbQp(mbIdx) = qpY
+    qpY
+  }
+
+  /** Decode a whole baseline CAVLC Annex-B stream: IDR I-slices plus
+    * P-slices referencing the previously DEBLOCKED picture (the in-loop
+    * contract). Returns every decoded picture in decode order.
+    */
+  def decodeBaselineStream(p: Array[Byte]): Vector[Yuv] = {
+    var sps: Sps = null
+    var pps: Pps = null
+    var refFrame: Yuv = null
+    val out = Vector.newBuilder[Yuv]
+    H264Codec.nalUnits(p).foreach { case (t, nal) =>
+      t match {
+        case 7 => sps = H264Codec.parseSps(nal)
+        case 8 => pps = H264Codec.parsePpsFull(nal)
+        case 5 | 1 =>
+          require(sps != null && pps != null, "slice NAL before SPS/PPS")
+          val r = new BitReader(unep(nal, 1))
+          val head = parseSliceHead(r, sps, pps, t, (nal(0) >> 5) & 3)
+          val isP = head.sliceType == 0 || head.sliceType == 5
+          require(!isP || refFrame != null,
+            "P slice with no decoded reference picture")
+          val st = new PicState(sps, pps)
+          var qpY = head.qpY
+          var mbIdx = 0
+          if (isP) {
+            while (mbIdx < st.nMb) {
+              val skipRun = r.ue()
+              require(mbIdx + skipRun <= st.nMb,
+                s"mb_skip_run $skipRun overruns the picture")
+              var sk = 0
+              while (sk < skipRun) {
+                decodeSkipMb(st, refFrame, mbIdx, qpY)
+                mbIdx += 1
+                sk += 1
+              }
+              if (mbIdx < st.nMb) {
+                val mbType = r.ue()
+                qpY =
+                  if (mbType >= 5) decodeIntraMb(r, st, mbIdx, mbType - 5, qpY)
+                  else decodePMb(r, st, refFrame, mbIdx, mbType, qpY)
+                mbIdx += 1
+              }
+            }
+          } else {
+            while (mbIdx < st.nMb) {
+              qpY = decodeIntraMb(r, st, mbIdx, r.ue(), qpY)
+              mbIdx += 1
+            }
+          }
+          if (head.applyDeblock) deblockFrame(st, head.offA, head.offB)
+          val yuv = st.toYuv
+          refFrame = yuv
+          out += yuv
+        case _ => () // SEI / AUD / filler
+      }
+    }
+    out.result()
   }
 
   // ---------------------------------------------------------------
@@ -1439,6 +1932,181 @@ object H264Cavlc {
     }
   }
 
+
+  /** One intra macroblock's ENCODE: law-driven syntax choice, bitstream
+    * write, and in-loop reconstruction on the shared PicState — the
+    * write direction of [[decodeIntraMb]]. `typeOffset` is 0 in I
+    * slices and 5 in P slices (Table 7-11's note). Returns the updated
+    * qpY.
+    */
+  private def encodeIntraMb(bw: BitWriter, st: PicState, mbIdx: Int,
+                            qpYIn: Int, seed: Long, f: Int, rich: Boolean,
+                            typeOffset: Int): Int = {
+    import st.{luma, lumaTc, modes, cbTc, crTc, mbQp, wMb, w, wc, wb, nMb}
+    val _ = nMb
+    val cbP = st.cb
+    val crP = st.cr
+    var qpY = qpYIn
+    val (mbX, mbY) = (mbIdx % wMb, mbIdx / wMb)
+    val mh = mix(seed, f, mbIdx, 2L)
+    val kind =
+      if (!rich) 0 // oracle face: I_NxN only
+      else (mh % 6).toInt match {
+        case 5 => 2 // I_PCM
+        case 3 | 4 => 1 // I_16x16
+        case _ => 0 // I_NxN
+      }
+    if (kind == 2) {
+      bw.ue(25 + typeOffset)
+      bw.alignZero()
+      var p = 0
+      while (p < 256) {
+        val v = (mix(seed, f, mbIdx, p, 3L) % 256).toInt
+        bw.bits(v.toLong, 8)
+        luma((mbY * 16 + p / 16) * w + mbX * 16 + p % 16) = v
+        p += 1
+      }
+      var c = 0
+      while (c < 128) {
+        val v = (mix(seed, f, mbIdx, c, 4L) % 256).toInt
+        bw.bits(v.toLong, 8)
+        val plane = if (c < 64) cbP else crP
+        val k = c % 64
+        plane((mbY * 8 + k / 8) * wc + mbX * 8 + k % 8) = v
+        c += 1
+      }
+      var b = 0
+      while (b < 16) {
+        val (bx, by) = blkPos(b)
+        lumaTc((mbY * 4 + by) * wb + mbX * 4 + bx) = 16
+        b += 1
+      }
+      var cc = 0
+      while (cc < 4) {
+        cbTc((mbY * 2 + cc / 2) * (wMb * 2) + mbX * 2 + cc % 2) = 16
+        crTc((mbY * 2 + cc / 2) * (wMb * 2) + mbX * 2 + cc % 2) = 16
+        cc += 1
+      }
+    } else if (kind == 1) {
+      // ---- I_16x16 ----
+      val avail16 =
+        Seq(2) ++ (if (mbY > 0) Seq(0) else Nil) ++
+          (if (mbX > 0) Seq(1) else Nil) ++
+          (if (mbX > 0 && mbY > 0) Seq(3) else Nil)
+      val predMode16 = avail16((mix(mh, 5L) % avail16.size).toInt)
+      val cbpLuma = if (mix(mh, 6L) % 2 == 0) 0 else 15
+      val cbpChroma = (mix(mh, 7L) % 3).toInt
+      bw.ue(1 + typeOffset + predMode16 + 4 * cbpChroma + (if (cbpLuma == 15) 12 else 0))
+      val availC =
+        Seq(0) ++ (if (mbX > 0) Seq(1) else Nil) ++
+          (if (mbY > 0) Seq(2) else Nil) ++
+          (if (mbX > 0 && mbY > 0) Seq(3) else Nil)
+      val chromaMode = availC((mix(mh, 8L) % availC.size).toInt)
+      bw.ue(chromaMode)
+      val qpNew = math.min(50, math.max(6, qpY + (mix(mh, 9L) % 7).toInt - 3))
+      bw.se(qpNew - qpY)
+      qpY = qpNew
+      val dcScan = lawCoeffs(16, mix(mh, 10L), cap = 30)
+      writeResidualBlock(bw, blockNc(lumaTc, wb, mbX * 4, mbY * 4), dcScan)
+      val acCoeffs = new Array[Array[Int]](16)
+      var b = 0
+      while (b < 16) {
+        val (bx, by) = blkPos(b)
+        val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
+        if (cbpLuma != 0) {
+          val cf = lawCoeffs(15, mix(mh, 11L, b))
+          val tc = writeResidualBlock(bw, blockNc(lumaTc, wb, gx, gy), cf)
+          acCoeffs(b) = cf
+          lumaTc(gy * wb + gx) = tc
+        } else lumaTc(gy * wb + gx) = 0
+        b += 1
+      }
+      val (dcCb, dcCr, acCb, acCr) = chromaLaw(mh, cbpChroma)
+      writeChromaResidual(bw, cbpChroma, cbTc, crTc, mbX, mbY, wMb,
+        dcCb, dcCr, acCb, acCr)
+      reconLumaI16x16(luma, w, mbX, mbY, predMode16, dcScan, acCoeffs, qpY)
+      reconChroma(cbP, crP, wc, mbX, mbY, chromaMode, cbpChroma,
+        dcCb, dcCr, acCb, acCr, chromaQp(qpY, 0), mbX > 0, mbY > 0)
+    } else {
+      // ---- I_NxN ----
+      bw.ue(typeOffset) // mb_type: I_NxN (+5 in P slices, Table 7-11)
+      val blkModes = new Array[Int](16)
+      var b = 0
+      while (b < 16) {
+        val (bx, by) = blkPos(b)
+        val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
+        val mA = if (gx > 0) modes(gy * wb + gx - 1) else 2
+        val mB = if (gy > 0) modes((gy - 1) * wb + gx) else 2
+        val pred = math.min(mA, mB)
+        val mode =
+          if (!rich) { if (gy == 0) 2 else 0 }
+          else {
+            val avail =
+              Seq(2) ++ (if (gy > 0) Seq(0, 3, 7) else Nil) ++
+                (if (gx > 0) Seq(1, 8) else Nil) ++
+                (if (gx > 0 && gy > 0) Seq(4, 5, 6) else Nil)
+            avail((mix(mh, 12L, b) % avail.size).toInt)
+          }
+        if (mode == pred) bw.bit(1)
+        else {
+          bw.bit(0)
+          bw.bits((if (mode < pred) mode else mode - 1).toLong, 3)
+        }
+        blkModes(b) = mode
+        modes(gy * wb + gx) = mode
+        b += 1
+      }
+      val chromaMode =
+        if (!rich) 0
+        else {
+          val availC =
+            Seq(0) ++ (if (mbX > 0) Seq(1) else Nil) ++
+              (if (mbY > 0) Seq(2) else Nil) ++
+              (if (mbX > 0 && mbY > 0) Seq(3) else Nil)
+          availC((mix(mh, 13L) % availC.size).toInt)
+        }
+      bw.ue(chromaMode)
+      val cbpLuma = if (!rich) 15 else (mix(mh, 14L) & 15L).toInt
+      val cbpChroma = if (!rich) 0 else (mix(mh, 15L) % 3).toInt
+      bw.ue(cbpIntraInv(cbpLuma | (cbpChroma << 4)))
+      if ((cbpLuma | cbpChroma) != 0) {
+        val qpNew =
+          if (!rich) qpY
+          else math.min(50, math.max(6, qpY + (mix(mh, 16L) % 7).toInt - 3))
+        bw.se(qpNew - qpY)
+        qpY = qpNew
+      }
+      val lumaCoeffs = new Array[Array[Int]](16)
+      b = 0
+      while (b < 16) {
+        val (bx, by) = blkPos(b)
+        val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
+        if ((cbpLuma & (1 << (b / 4))) != 0) {
+          val cf =
+            if (!rich) {
+              val c = new Array[Int](16)
+              c(0) = oracleLevel(seed, f, gx, gy)
+              c
+            } else lawCoeffs(16, mix(mh, 17L, b))
+          val tc = writeResidualBlock(bw, blockNc(lumaTc, wb, gx, gy), cf)
+          lumaCoeffs(b) = cf
+          lumaTc(gy * wb + gx) = tc
+        } else lumaTc(gy * wb + gx) = 0
+        b += 1
+      }
+      val (dcCb, dcCr, acCb, acCr) = chromaLaw(mh, cbpChroma)
+      writeChromaResidual(bw, cbpChroma, cbTc, crTc, mbX, mbY, wMb,
+        dcCb, dcCr, acCb, acCr)
+      reconLumaINxN(luma, w, wMb, mbIdx, blkModes, lumaCoeffs, qpY)
+      reconChroma(cbP, crP, wc, mbX, mbY, chromaMode, cbpChroma,
+        dcCb, dcCr, acCb, acCr, chromaQp(qpY, 0), mbX > 0, mbY > 0)
+    }
+
+    st.markIntraMb(mbIdx)
+    mbQp(mbIdx) = if (kind == 2) 0 else qpY
+    qpY
+  }
+
   def synthCavlc(seed: Long, nFrames: Int, wMb: Int, hMb: Int,
                  rich: Boolean): CavlcStream = {
     require(nFrames >= 1 && wMb >= 1 && hMb >= 1 && wMb <= 64 && hMb <= 64)
@@ -1492,178 +2160,222 @@ object H264Cavlc {
       bw.ue(idc)
       if (idc != 1) { bw.se(offADiv2); bw.se(offBDiv2) }
       var qpY = qpSlice
-      val luma = new Array[Int](w * h)
-      val cbP = new Array[Int](wc * (h / 2))
-      val crP = new Array[Int](wc * (h / 2))
-      val lumaTc = new Array[Int](wb * (h / 4))
-      val modes = Array.fill(wb * (h / 4))(2)
-      val cbTc = new Array[Int]((wMb * 2) * (hMb * 2))
-      val crTc = new Array[Int]((wMb * 2) * (hMb * 2))
-      val mbQp = new Array[Int](nMb)
+      // the encoder mirrors the decoder's state object exactly — its
+      // reconstruction IS the conformant decode the spec tier pins
+      val st = new PicState(
+        Sps(66, 30, 4, 2, wMb, hMb, 0, 0, 0, 0),
+        Pps(0, 0, cabac = false, picInitQp, 0,
+          deblockingControlPresent = true, constrainedIntraPred = false,
+          redundantPicCntPresent = false))
+      import st.{luma, lumaTc, modes, cbTc, crTc, mbQp}
+      val cbP = st.cb
+      val crP = st.cr
       var mbIdx = 0
       while (mbIdx < nMb) {
-        val (mbX, mbY) = (mbIdx % wMb, mbIdx / wMb)
-        val mh = mix(seed, f, mbIdx, 2L)
-        val kind =
-          if (!rich) 0 // oracle face: I_NxN only
-          else (mh % 6).toInt match {
-            case 5 => 2 // I_PCM
-            case 3 | 4 => 1 // I_16x16
-            case _ => 0 // I_NxN
-          }
-        if (kind == 2) {
-          bw.ue(25)
-          bw.alignZero()
-          var p = 0
-          while (p < 256) {
-            val v = (mix(seed, f, mbIdx, p, 3L) % 256).toInt
-            bw.bits(v.toLong, 8)
-            luma((mbY * 16 + p / 16) * w + mbX * 16 + p % 16) = v
-            p += 1
-          }
-          var c = 0
-          while (c < 128) {
-            val v = (mix(seed, f, mbIdx, c, 4L) % 256).toInt
-            bw.bits(v.toLong, 8)
-            val plane = if (c < 64) cbP else crP
-            val k = c % 64
-            plane((mbY * 8 + k / 8) * wc + mbX * 8 + k % 8) = v
-            c += 1
-          }
-          var b = 0
-          while (b < 16) {
-            val (bx, by) = blkPos(b)
-            lumaTc((mbY * 4 + by) * wb + mbX * 4 + bx) = 16
-            b += 1
-          }
-          var cc = 0
-          while (cc < 4) {
-            cbTc((mbY * 2 + cc / 2) * (wMb * 2) + mbX * 2 + cc % 2) = 16
-            crTc((mbY * 2 + cc / 2) * (wMb * 2) + mbX * 2 + cc % 2) = 16
-            cc += 1
-          }
-        } else if (kind == 1) {
-          // ---- I_16x16 ----
-          val avail16 =
-            Seq(2) ++ (if (mbY > 0) Seq(0) else Nil) ++
-              (if (mbX > 0) Seq(1) else Nil) ++
-              (if (mbX > 0 && mbY > 0) Seq(3) else Nil)
-          val predMode16 = avail16((mix(mh, 5L) % avail16.size).toInt)
-          val cbpLuma = if (mix(mh, 6L) % 2 == 0) 0 else 15
-          val cbpChroma = (mix(mh, 7L) % 3).toInt
-          bw.ue(1 + predMode16 + 4 * cbpChroma + (if (cbpLuma == 15) 12 else 0))
-          val availC =
-            Seq(0) ++ (if (mbX > 0) Seq(1) else Nil) ++
-              (if (mbY > 0) Seq(2) else Nil) ++
-              (if (mbX > 0 && mbY > 0) Seq(3) else Nil)
-          val chromaMode = availC((mix(mh, 8L) % availC.size).toInt)
-          bw.ue(chromaMode)
-          val qpNew = math.min(50, math.max(6, qpY + (mix(mh, 9L) % 7).toInt - 3))
-          bw.se(qpNew - qpY)
-          qpY = qpNew
-          val dcScan = lawCoeffs(16, mix(mh, 10L), cap = 30)
-          writeResidualBlock(bw, blockNc(lumaTc, wb, mbX * 4, mbY * 4), dcScan)
-          val acCoeffs = new Array[Array[Int]](16)
-          var b = 0
-          while (b < 16) {
-            val (bx, by) = blkPos(b)
-            val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
-            if (cbpLuma != 0) {
-              val cf = lawCoeffs(15, mix(mh, 11L, b))
-              val tc = writeResidualBlock(bw, blockNc(lumaTc, wb, gx, gy), cf)
-              acCoeffs(b) = cf
-              lumaTc(gy * wb + gx) = tc
-            } else lumaTc(gy * wb + gx) = 0
-            b += 1
-          }
-          val (dcCb, dcCr, acCb, acCr) = chromaLaw(mh, cbpChroma)
-          writeChromaResidual(bw, cbpChroma, cbTc, crTc, mbX, mbY, wMb,
-            dcCb, dcCr, acCb, acCr)
-          reconLumaI16x16(luma, w, mbX, mbY, predMode16, dcScan, acCoeffs, qpY)
-          reconChroma(cbP, crP, wc, mbX, mbY, chromaMode, cbpChroma,
-            dcCb, dcCr, acCb, acCr, chromaQp(qpY, 0), mbX > 0, mbY > 0)
-        } else {
-          // ---- I_NxN ----
-          bw.ue(0) // mb_type: I_NxN in an I slice (Table 7-11)
-          val blkModes = new Array[Int](16)
-          var b = 0
-          while (b < 16) {
-            val (bx, by) = blkPos(b)
-            val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
-            val mA = if (gx > 0) modes(gy * wb + gx - 1) else 2
-            val mB = if (gy > 0) modes((gy - 1) * wb + gx) else 2
-            val pred = math.min(mA, mB)
-            val mode =
-              if (!rich) { if (gy == 0) 2 else 0 }
-              else {
-                val avail =
-                  Seq(2) ++ (if (gy > 0) Seq(0, 3, 7) else Nil) ++
-                    (if (gx > 0) Seq(1, 8) else Nil) ++
-                    (if (gx > 0 && gy > 0) Seq(4, 5, 6) else Nil)
-                avail((mix(mh, 12L, b) % avail.size).toInt)
-              }
-            if (mode == pred) bw.bit(1)
-            else {
-              bw.bit(0)
-              bw.bits((if (mode < pred) mode else mode - 1).toLong, 3)
-            }
-            blkModes(b) = mode
-            modes(gy * wb + gx) = mode
-            b += 1
-          }
-          val chromaMode =
-            if (!rich) 0
-            else {
-              val availC =
-                Seq(0) ++ (if (mbX > 0) Seq(1) else Nil) ++
-                  (if (mbY > 0) Seq(2) else Nil) ++
-                  (if (mbX > 0 && mbY > 0) Seq(3) else Nil)
-              availC((mix(mh, 13L) % availC.size).toInt)
-            }
-          bw.ue(chromaMode)
-          val cbpLuma = if (!rich) 15 else (mix(mh, 14L) & 15L).toInt
-          val cbpChroma = if (!rich) 0 else (mix(mh, 15L) % 3).toInt
-          bw.ue(cbpIntraInv(cbpLuma | (cbpChroma << 4)))
-          if ((cbpLuma | cbpChroma) != 0) {
-            val qpNew =
-              if (!rich) qpY
-              else math.min(50, math.max(6, qpY + (mix(mh, 16L) % 7).toInt - 3))
-            bw.se(qpNew - qpY)
-            qpY = qpNew
-          }
-          val lumaCoeffs = new Array[Array[Int]](16)
-          b = 0
-          while (b < 16) {
-            val (bx, by) = blkPos(b)
-            val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
-            if ((cbpLuma & (1 << (b / 4))) != 0) {
-              val cf =
-                if (!rich) {
-                  val c = new Array[Int](16)
-                  c(0) = oracleLevel(seed, f, gx, gy)
-                  c
-                } else lawCoeffs(16, mix(mh, 17L, b))
-              val tc = writeResidualBlock(bw, blockNc(lumaTc, wb, gx, gy), cf)
-              lumaCoeffs(b) = cf
-              lumaTc(gy * wb + gx) = tc
-            } else lumaTc(gy * wb + gx) = 0
-            b += 1
-          }
-          val (dcCb, dcCr, acCb, acCr) = chromaLaw(mh, cbpChroma)
-          writeChromaResidual(bw, cbpChroma, cbTc, crTc, mbX, mbY, wMb,
-            dcCb, dcCr, acCb, acCr)
-          reconLumaINxN(luma, w, wMb, mbIdx, blkModes, lumaCoeffs, qpY)
-          reconChroma(cbP, crP, wc, mbX, mbY, chromaMode, cbpChroma,
-            dcCb, dcCr, acCb, acCr, chromaQp(qpY, 0), mbX > 0, mbY > 0)
-        }
-        mbQp(mbIdx) = if (kind == 2) 0 else qpY
+        qpY = encodeIntraMb(bw, st, mbIdx, qpY, seed, f, rich, typeOffset = 0)
         mbIdx += 1
       }
       bw.trailing()
       nal(0x65, bw.toBytes, long = false)
-      if (idc != 1)
-        deblockFrame(luma, cbP, crP, w, h, mbQp, 0, 2 * offADiv2, 2 * offBDiv2)
-      frames += Yuv(w, h, luma, cbP, crP)
+      if (idc != 1) deblockFrame(st, 2 * offADiv2, 2 * offBDiv2)
+      frames += st.toYuv
+      f += 1
+    }
+    CavlcStream(out.toByteArray, frames.result())
+  }
+
+  /** One inter P macroblock's ENCODE (write direction of
+    * [[decodePMb]]): law-chosen partition shape, target mvs (mvd = mv
+    * minus the shared mvp derivation), inter cbp, residual laws, and
+    * the same reconstruction. Returns the updated qpY.
+    */
+  private def encodePMb(bw: BitWriter, st: PicState, ref: Yuv, mbIdx: Int,
+                        qpYIn: Int, mh: Long, rich: Boolean,
+                        omv: (Int, Int)): Int = {
+    import st._
+    var qpY = qpYIn
+    val (mbX, mbY) = (mbIdx % wMb, mbIdx / wMb)
+    val mbType = if (!rich) 0 else (mix(mh, 40L) % 4).toInt
+    val subTypes = Array.tabulate(4)(i =>
+      if (mbType == 3) (mix(mh, 41L, i) % 4).toInt else 0)
+    bw.ue(mbType)
+    if (mbType == 3) subTypes.foreach(t => bw.ue(t))
+    val parts = pPartitions(mbType, subTypes)
+    val predL = new Array[Int](256)
+    val predCb = new Array[Int](64)
+    val predCr = new Array[Int](64)
+    parts.zipWithIndex.foreach { case ((bx, by, pw, ph, shape), pi) =>
+      val (px, py) = (mbX * 4 + bx, mbY * 4 + by)
+      val (mpx, mpy) = mvPred(st, px, py, pw, shape)
+      val (mvx, mvy) =
+        if (!rich) omv // the oracle face's global per-frame mv
+        else ((mix(mh, 42L, pi) % 39).toInt - 19, (mix(mh, 43L, pi) % 39).toInt - 19)
+      bw.se(mvx - mpx)
+      bw.se(mvy - mpy)
+      assignMv(st, px, py, pw, ph, mvx, mvy)
+      mcPart(st, ref, mbX, mbY, bx, by, pw, ph, mvx, mvy, predL, predCb, predCr)
+    }
+    val cbpLuma = if (!rich) 0 else (mix(mh, 44L) & 15L).toInt
+    val cbpChroma = if (!rich) 0 else (mix(mh, 45L) % 3).toInt
+    bw.ue(cbpInterInv(cbpLuma | (cbpChroma << 4)))
+    if ((cbpLuma | cbpChroma) != 0) {
+      val qpNew = math.min(50, math.max(6, qpY + (mix(mh, 46L) % 7).toInt - 3))
+      bw.se(qpNew - qpY)
+      qpY = qpNew
+    }
+    val lumaCoeffs = new Array[Array[Int]](16)
+    var b = 0
+    while (b < 16) {
+      val (bx, by) = blkPos(b)
+      val (gx, gy) = (mbX * 4 + bx, mbY * 4 + by)
+      if ((cbpLuma & (1 << (b / 4))) != 0) {
+        val cf = lawCoeffs(16, mix(mh, 47L, b))
+        val tc = writeResidualBlock(bw, blockNc(lumaTc, wb, gx, gy), cf)
+        lumaCoeffs(b) = cf
+        lumaTc(gy * wb + gx) = tc
+      } else lumaTc(gy * wb + gx) = 0
+      b += 1
+    }
+    val (dcCb, dcCr, acCb, acCr) = chromaLaw(mh, cbpChroma)
+    writeChromaResidual(bw, cbpChroma, cbTc, crTc, mbX, mbY, wMb,
+      dcCb, dcCr, acCb, acCr)
+    b = 0
+    while (b < 16) {
+      val (bx, by) = blkPos(b)
+      val res =
+        if (lumaCoeffs(b) == null) null
+        else residual4x4(lumaCoeffs(b), qpY, acOnly = false, dc = 0)
+      var k = 0
+      while (k < 16) {
+        val (x, y) = (bx * 4 + k % 4, by * 4 + k / 4)
+        luma((mbY * 16 + y) * w + mbX * 16 + x) =
+          clip255(predL(y * 16 + x) + (if (res == null) 0 else res(k)))
+        k += 1
+      }
+      b += 1
+    }
+    val qpc = chromaQp(qpY, pps.chromaQpIndexOffset)
+    applyChromaResidual(cb, wc, mbX, mbY, predCb, cbpChroma, dcCb, acCb, qpc)
+    applyChromaResidual(cr, wc, mbX, mbY, predCr, cbpChroma, dcCr, acCr, qpc)
+    mbQp(mbIdx) = qpY
+    qpY
+  }
+
+  /** The oracle P face's global per-frame motion vector: block-aligned
+    * integer pel (quarter-pel units, multiples of 16) so the translated
+    * picture stays block-flat and chroma fractions stay zero — and the
+    * law is plain modular arithmetic so the DuckDB oracle replays it
+    * with no bitstream (splitmix's Long wraparound is not SQL-friendly).
+    */
+  def oracleMv(seed: Long, f: Int): (Int, Int) =
+    (16 * (((seed * 31 + f * 17) % 5).toInt - 2),
+      16 * (((seed * 13 + f * 23) % 5).toInt - 2))
+
+  /** IDR + P baseline stream with encoder-side reconstruction (MC reads
+    * the DEBLOCKED reference — the in-loop contract). Oracle face
+    * (rich = false): frame 0 is the DC-only I face; every later frame
+    * is all-P_L0_16x16 with ONE law mv per frame ([[oracleMv]]), zero
+    * residual, deblocking off — every pixel closed-form (a translated
+    * block-flat field with edge clamping). Rich face: law-driven skip
+    * runs, all four P partition shapes with sub-partitions, fractional
+    * mvs (the 6-tap + bilinear paths), inter cbp residuals, qp walks,
+    * intra MBs inside P slices, and per-frame deblocking laws.
+    */
+  def synthCavlcInter(seed: Long, nFrames: Int, wMb: Int, hMb: Int,
+                      rich: Boolean): CavlcStream = {
+    require(nFrames >= 1 && wMb >= 1 && hMb >= 1 && wMb <= 64 && hMb <= 64)
+    val picInitQp = if (rich) 26 else 28
+    val out = new java.io.ByteArrayOutputStream()
+    def nal(header: Int, rbsp: Array[Byte], long: Boolean): Unit = {
+      if (long) out.write(0)
+      out.write(0); out.write(0); out.write(1)
+      out.write(header)
+      val eped = ep(rbsp)
+      out.write(eped, 0, eped.length)
+    }
+    val sps = new BitWriter
+    sps.bits(66, 8); sps.bits(0xc0, 8); sps.bits(30, 8)
+    sps.ue(0); sps.ue(0); sps.ue(2); sps.ue(1); sps.bit(0)
+    sps.ue(wMb - 1); sps.ue(hMb - 1)
+    sps.bit(1); sps.bit(1); sps.bit(0); sps.bit(0)
+    sps.trailing()
+    nal(0x67, sps.toBytes, long = true)
+    val pps = new BitWriter
+    pps.ue(0); pps.ue(0); pps.bit(0)
+    pps.bit(0); pps.ue(0)
+    pps.ue(0); pps.ue(0); pps.bit(0); pps.bits(0, 2)
+    pps.se(picInitQp - 26); pps.se(0); pps.se(0)
+    pps.bit(1) // deblocking_filter_control_present
+    pps.bit(0); pps.bit(0)
+    pps.trailing()
+    nal(0x68, pps.toBytes, long = true)
+
+    val frames = Vector.newBuilder[Yuv]
+    var refFrame: Yuv = null
+    var f = 0
+    while (f < nFrames) {
+      val isIdr = f == 0
+      val bw = new BitWriter
+      val qpSlice =
+        if (rich) 8 + (mix(seed, f, 1L) % 38).toInt else picInitQp
+      bw.ue(0) // first_mb_in_slice
+      bw.ue(if (isIdr) 7 else 5) // slice_type: I / P (all-slices spellings)
+      bw.ue(0) // pps_id
+      bw.bits((f % 16).toLong, 4) // frame_num: every picture a reference
+      if (isIdr) bw.ue(0) // idr_pic_id
+      if (!isIdr) {
+        bw.bit(0) // num_ref_idx_active_override_flag
+        bw.bit(0) // ref_pic_list_modification_flag_l0
+      }
+      if (isIdr) { bw.bit(0); bw.bit(0) } // dec_ref_pic_marking (IDR)
+      else bw.bit(0) // adaptive_ref_pic_marking_mode_flag
+      bw.se(qpSlice - picInitQp)
+      val idc = if (rich && mix(seed, f, 30L) % 2 == 0) 0 else 1
+      val (offADiv2, offBDiv2) =
+        if (idc != 1) (((mix(seed, f, 31L) % 5) - 2).toInt,
+          ((mix(seed, f, 32L) % 5) - 2).toInt)
+        else (0, 0)
+      bw.ue(idc)
+      if (idc != 1) { bw.se(offADiv2); bw.se(offBDiv2) }
+      var qpY = qpSlice
+      val st = new PicState(
+        Sps(66, 30, 4, 2, wMb, hMb, 0, 0, 0, 0),
+        Pps(0, 0, cabac = false, picInitQp, 0,
+          deblockingControlPresent = true, constrainedIntraPred = false,
+          redundantPicCntPresent = false))
+      var mbIdx = 0
+      if (isIdr) {
+        while (mbIdx < st.nMb) {
+          qpY = encodeIntraMb(bw, st, mbIdx, qpY, seed, f, rich, typeOffset = 0)
+          mbIdx += 1
+        }
+      } else {
+        var skipRun = 0
+        while (mbIdx < st.nMb) {
+          val mh = mix(seed, f, mbIdx, 2L)
+          val roll = if (!rich) 5 else (mix(mh, 38L) % 10).toInt
+          if (roll < 2) { // P_Skip
+            decodeSkipMb(st, refFrame, mbIdx, qpY)
+            skipRun += 1
+          } else {
+            bw.ue(skipRun)
+            skipRun = 0
+            if (roll >= 8) // intra MB in a P slice (mb_type + 5)
+              qpY = encodeIntraMb(bw, st, mbIdx, qpY, seed, f, rich, typeOffset = 5)
+            else
+              qpY = encodePMb(bw, st, refFrame, mbIdx, qpY, mh, rich,
+                oracleMv(seed, f))
+          }
+          mbIdx += 1
+        }
+        if (skipRun > 0) bw.ue(skipRun) // trailing skip run ends the slice
+      }
+      bw.trailing()
+      nal(if (isIdr) 0x65 else 0x41, bw.toBytes, long = false)
+      if (idc != 1) deblockFrame(st, 2 * offADiv2, 2 * offBDiv2)
+      val yuv = st.toYuv
+      refFrame = yuv
+      frames += yuv
       f += 1
     }
     CavlcStream(out.toByteArray, frames.result())

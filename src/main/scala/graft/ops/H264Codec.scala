@@ -18,15 +18,14 @@ package graft.ops
   * groups) — the FLAC honest-subset discipline.
   *
   * What is NOT in this file: slice-DATA decoding. I_PCM decodes below
-  * ([[decodeIPcmSlice]]); CAVLC intra residual decoding to pixels —
-  * including the in-loop deblocking filter — is REAL in [[H264Cavlc]]
-  * (coeff_token/total_zeros/run_before, intra prediction, dequant +
-  * inverse transforms, clause-8.7 filtering), so conformant baseline
-  * ALL-INTRA streams decode end to end. The remaining declared stub
-  * layers, failing loud by name at their dispatch points, are CABAC
-  * entropy and inter (P/B) prediction. Frame sampling digests the
-  * sampled access units' actual coded bytes, the same level of
-  * realness as the AVI `movi` walk.
+  * ([[decodeIPcmSlice]]); CAVLC pixel decoding — intra prediction,
+  * inter (P-slice) prediction with quarter-pel motion compensation,
+  * and the in-loop deblocking filter — is REAL in [[H264Cavlc]], whose
+  * [[H264Cavlc.decodeBaselineStream]] decodes whole conformant
+  * baseline CAVLC videos (IDR + P) end to end. The one remaining
+  * declared stub, failing loud by name at its dispatch point, is CABAC
+  * entropy. Frame sampling digests the sampled access units' actual
+  * coded bytes, the same level of realness as the AVI `movi` walk.
   *
   * [[synth]] writes structurally conformant baseline streams through
   * the same bit writer (full slice headers through slice_qp_delta,

@@ -476,9 +476,74 @@ object MultimodalOps {
             }
             var k = 0
             while (k < f.cb.length) { sumCb += f.cb(k); sumCr += f.cr(k); k += 1 }
-          case _ => ()
+          case (1, _) =>
+            // a non-IDR coded slice silently skipped would undercount
+            // every sum — fail loud instead (r14 review)
+            throw new IllegalArgumentException(
+              "non-IDR coded slice (nal_unit_type 1) in the CAVLC feature face — synthCavlc emits all-IDR streams")
+          case _ => () // SPS/PPS/SEI/AUD: no pixel content
         }
         (id, w, h, nFrames, sumLuma, wsumLuma, sumCb, sumCr)
+      })
+      .toDF("doc_id", "width", "height", "n_frames", "sum_luma",
+        "wsum_luma", "sum_cb", "sum_cr")
+  }
+
+  /** Ingest face with fully-decodable INTER-coded H.264: video rows
+    * carry an IDR + P-frame baseline stream ([[H264Cavlc.synthCavlcInter]]'s
+    * oracle face — DC-only IDR, all-P_L0_16x16 frames with one
+    * block-aligned law mv per frame, zero P residual), so the decoded
+    * pixels of every frame have the closed form "clamped block
+    * translation of the previous frame" that DuckDB replays.
+    */
+  def h264InterMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("doc_id", "payload", "media_type")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, payload, mt) =>
+        if (mt == "video")
+          (id, H264Cavlc.synthCavlcInter(id, 2 + (id % 2).toInt,
+            2 + (id % 5).toInt, 1 + (id % 3).toInt, rich = false).bytes, mt)
+        else (id, payload, mt)
+      })
+      .toDF("doc_id", "payload", "media_type")
+  }
+
+  /** REAL H.264 INTER pixel decode: the whole IDR + P stream decoded —
+    * mb_skip_run, P mb types, mvd + median motion-vector prediction,
+    * quarter-pel motion compensation off the previously decoded
+    * picture, inter cbp — then the same plane sums + position-weighted
+    * luma sum as the intra face. The DuckDB oracle replays the
+    * translated-block-field law with no decoder; a wrong mvp, a
+    * mis-signed mvd, or a broken clamp shifts a sum. Map-only.
+    */
+  def h264InterFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    servedMediaStore(spark, dir, "h264inter")(h264InterMediaTable(spark, dir))
+      .filter(col("media_type") === "video")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val frames = H264Cavlc.decodeBaselineStream(payload)
+        var (sumLuma, wsumLuma, sumCb, sumCr) = (0L, 0L, 0L, 0L)
+        frames.foreach { f =>
+          var py = 0
+          while (py < f.height) {
+            var px = 0
+            while (px < f.width) {
+              val v = f.luma(py * f.width + px)
+              sumLuma += v
+              wsumLuma += (1 + 3 * (px / 4) + 7 * (py / 4)).toLong * v
+              px += 1
+            }
+            py += 1
+          }
+          var k = 0
+          while (k < f.cb.length) { sumCb += f.cb(k); sumCr += f.cr(k); k += 1 }
+        }
+        (id, frames.head.width, frames.head.height, frames.length.toLong,
+          sumLuma, wsumLuma, sumCb, sumCr)
       })
       .toDF("doc_id", "width", "height", "n_frames", "sum_luma",
         "wsum_luma", "sum_cb", "sum_cr")
@@ -856,9 +921,10 @@ object MultimodalOps {
     * walk, actual frame bytes), animated GIF (lazy LZW decode of only
     * the sampled frames), and H.264 Annex-B elementary streams (NAL walk
     * + slice-header access-unit rule, [[H264Codec]] — sampled coded
-    * pictures' actual bytes; pixel reconstruction is real for baseline
-    * all-intra streams incl. deblocking, [[H264Cavlc]] — the declared
-    * stubs are CABAC and inter prediction); payloads with none of those magics
+    * pictures' actual bytes; pixel reconstruction is real for whole
+    * baseline CAVLC videos — IDR + P with quarter-pel MC and in-loop
+    * deblocking, [[H264Cavlc]] — the one declared stub is CABAC);
+    * payloads with none of those magics
     * fall to a stub digest that keeps the fan-out shape tested. Either
     * way the shape is the point at scale: an iterator `flatMap` inside
     * `mapPartitions`, so a 2-hour video's frames stream out without
@@ -1153,6 +1219,57 @@ object MultimodalOps {
         |  CAST(nf*2048*wb*hb + 64*lsum AS BIGINT) AS sum_luma,
         |  CAST(nf*2048*(wb*hb + 3*hb*(wb-1)*wb//2 + 7*wb*(hb-1)*hb//2)
         |       + 64*wlsum AS BIGINT) AS wsum_luma,
+        |  CAST(nf*128*64*wmb*hmb AS BIGINT) AS sum_cb,
+        |  CAST(nf*128*64*wmb*hmb AS BIGINT) AS sum_cr
+        |FROM a""".stripMargin,
+    // Replays the INTER face's pixel law with no decoder: frame 0 is
+    // the DC-only closed form (a window prefix sum per block column);
+    // every P frame is a CLAMPED BLOCK TRANSLATION of the previous one
+    // by the per-frame mv law (nested LEAST/GREATEST compose the <= 2
+    // P-frame chain exactly). The hash gate thereby pins mb_skip_run,
+    // P mb types, mvd signs, the median mvp chain, quarter-pel MC's
+    // integer path with edge clamping, and frame ordering — a wrong
+    // anything translates blocks to the wrong place and breaks a sum.
+    "q_h264_inter" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CAST(2 + doc_id % 5 AS BIGINT) AS wmb,
+        |    CAST(1 + doc_id % 3 AS BIGINT) AS hmb,
+        |    CAST(2 + doc_id % 2 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |g AS (SELECT doc_id, wmb, hmb, nf, 4*wmb AS wb, 4*hmb AS hb,
+        |    ((doc_id*31 + 17) % 5) - 2 AS kx1, ((doc_id*13 + 23) % 5) - 2 AS ky1,
+        |    ((doc_id*31 + 34) % 5) - 2 AS kx2, ((doc_id*13 + 46) % 5) - 2 AS ky2
+        |  FROM v),
+        |b0 AS (
+        |  SELECT doc_id, t.k % wb AS x, t.k // wb AS y,
+        |    128 + 4 * SUM(CASE WHEN t.k // wb = 0 THEN 0
+        |      ELSE ((doc_id*7 + (t.k % wb) * 31 + (t.k // wb) * 17) % 5) - 2 END)
+        |      OVER (PARTITION BY doc_id, t.k % wb ORDER BY t.k // wb) AS val
+        |  FROM g, UNNEST(range(0, wb * hb)) AS t(k)),
+        |d AS (
+        |  SELECT g.doc_id, t.k % wb AS x, t.k // wb AS y, wmb, hmb, nf,
+        |    CASE fr.f WHEN 0 THEN t.k % wb
+        |      WHEN 1 THEN LEAST(wb-1, GREATEST(0, t.k % wb + kx1))
+        |      ELSE LEAST(wb-1, GREATEST(0,
+        |        LEAST(wb-1, GREATEST(0, t.k % wb + kx2)) + kx1)) END AS sx,
+        |    CASE fr.f WHEN 0 THEN t.k // wb
+        |      WHEN 1 THEN LEAST(hb-1, GREATEST(0, t.k // wb + ky1))
+        |      ELSE LEAST(hb-1, GREATEST(0,
+        |        LEAST(hb-1, GREATEST(0, t.k // wb + ky2)) + ky1)) END AS sy
+        |  FROM g, UNNEST(range(0, wb * hb)) AS t(k), UNNEST(range(0, nf)) AS fr(f)),
+        |a AS (
+        |  SELECT d.doc_id, any_value(d.wmb) AS wmb, any_value(d.hmb) AS hmb,
+        |    any_value(d.nf) AS nf,
+        |    SUM(b0.val) AS sv, SUM((1 + 3*d.x + 7*d.y) * b0.val) AS wv
+        |  FROM d JOIN b0 ON b0.doc_id = d.doc_id AND b0.x = d.sx AND b0.y = d.sy
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id,
+        |  CAST(16*wmb AS INT) AS width,
+        |  CAST(16*hmb AS INT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(16*sv AS BIGINT) AS sum_luma,
+        |  CAST(16*wv AS BIGINT) AS wsum_luma,
         |  CAST(nf*128*64*wmb*hmb AS BIGINT) AS sum_cb,
         |  CAST(nf*128*64*wmb*hmb AS BIGINT) AS sum_cr
         |FROM a""".stripMargin,

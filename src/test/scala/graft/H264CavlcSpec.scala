@@ -233,6 +233,170 @@ class H264CavlcSpec extends SparkSpecBase {
     assert(c.toSeq === Seq(100, 102, 104, 106, 108, 108, 106, 104))
   }
 
+  test("Table 9-4 inter cbp mapping is a permutation of 0..47 with cbp 0 on the shortest code") {
+    assert(H264Cavlc.cbpInter.sorted.toSeq === (0 until 48))
+    // P MBs most often carry no residual: codeNum 0 -> cbp 0; the next
+    // spots go to chroma-DC-only (16) and single-8x8 patterns
+    assert(H264Cavlc.cbpInter.take(4).toSeq === Seq(0, 16, 1, 2))
+  }
+
+  test("quarter-pel MC hand vectors: the 6-tap preserves a linear ramp, Table 8-12 averaging, edge clamping") {
+    // 1-row reference: a pure ramp 0,10,20,... — the half-pel 6-tap
+    // reproduces the midpoint exactly (it has unit DC gain and is
+    // symmetric): b at G=20 is (0 - 50 + 400 + 600 - 200 + 50 + 16)>>5 = 25
+    val ramp = Array.tabulate(8)(_ * 10)
+    def mc(mvx: Int, mvy: Int, x0: Int = 2) =
+      H264Cavlc.mcLuma(ramp, 8, 1, x0, 0, 1, 1, mvx, mvy)(0)
+    assert(mc(0, 0) === 20)
+    assert(mc(2, 0) === 25, "horizontal half-pel on a ramp")
+    assert(mc(1, 0) === ((20 + 25 + 1) >> 1), "quarter = avg(int, half)")
+    assert(mc(3, 0) === ((30 + 25 + 1) >> 1))
+    // vertical on a transposed ramp (h=8, w=1)
+    assert(H264Cavlc.mcLuma(ramp, 1, 8, 0, 2, 1, 1, 0, 2)(0) === 25)
+    // edge clamping: mv far left of the frame reads the clamped column
+    assert(mc(-160, 0, x0 = 0) === 0, "clamp to column 0")
+    assert(mc(160, 0, x0 = 7) === 70, "clamp to the last column")
+    // center position j on a bilinear field x+y: j(0.5, 0.5) = 1 exactly
+    val bilin = Array.tabulate(64)(k => (k % 8) + (k / 8))
+    assert(H264Cavlc.mcLuma(bilin, 8, 8, 3, 3, 1, 1, 2, 2)(0) === 7,
+      "j at (3.5, 3.5) of the x+y field")
+    // chroma eighth-pel bilinear: between 40 and 48 at fx=3: ((8-3)*40 + 3*48 + ... 1-row
+    val cramp = Array.tabulate(8)(_ * 8)
+    val c = H264Cavlc.mcChroma(cramp, 8, 1, 2, 0, 1, 1, 3, 0)
+    // weights (8-fx)(8-fy), fy = 0: (5*8*16 + 3*8*24 + 32) >> 6 = 19
+    assert(c(0) === ((5 * 8 * 16 + 3 * 8 * 24 + 32) >> 6), "eighth-pel bilinear")
+  }
+
+  test("mvp law unit cases: median, single-ref-match, B&C-unavailable collapse, 16x8/8x16 directional, skip rules") {
+    import H264Codec.{Sps, Pps}
+    val sps = Sps(66, 30, 4, 2, 4, 4, 0, 0, 0, 0)
+    val pps = Pps(0, 0, cabac = false, 28, 0, deblockingControlPresent = true,
+      constrainedIntraPred = false, redundantPicCntPresent = false)
+    def fresh() = new H264Cavlc.PicState(sps, pps)
+    // median of three distinct inter neighbors
+    val st1 = fresh()
+    H264Cavlc.assignMv(st1, 3, 4, 1, 1, 10, 2) // A (left of (4,4))
+    H264Cavlc.assignMv(st1, 4, 3, 1, 1, 4, 8) // B (above)
+    H264Cavlc.assignMv(st1, 5, 3, 1, 1, -6, 5) // C (above-right of 1-wide part)
+    assert(H264Cavlc.mvPred(st1, 4, 4, 1, 0) === ((4, 5)), "component-wise median")
+    // exactly one ref match (others intra) -> that neighbor verbatim
+    val st2 = fresh()
+    H264Cavlc.assignMv(st2, 3, 4, 1, 1, 10, 2)
+    st2.blkKind(3 * st2.wb + 4) = 2 // B intra
+    st2.blkKind(3 * st2.wb + 5) = 2 // C intra
+    assert(H264Cavlc.mvPred(st2, 4, 4, 1, 0) === ((10, 2)), "single match wins")
+    // B and C unavailable (frame edge), A available -> A (the collapse)
+    val st3 = fresh()
+    H264Cavlc.assignMv(st3, 0, 0, 1, 1, 7, -3)
+    assert(H264Cavlc.mvPred(st3, 1, 0, 1, 0) === ((7, -3)), "top-row collapse to A")
+    // 16x8 directional: top partition takes B verbatim when B matches
+    val st4 = fresh()
+    H264Cavlc.assignMv(st4, 4, 3, 4, 1, 9, 9) // B row above the partition
+    H264Cavlc.assignMv(st4, 3, 4, 1, 1, 1, 1) // A would give a different answer
+    assert(H264Cavlc.mvPred(st4, 4, 4, 4, 1) === ((9, 9)), "16x8 top takes B")
+    assert(H264Cavlc.mvPred(st4, 4, 4, 4, 2) === ((1, 1)), "16x8 bottom takes A")
+    // skip mv: zero when A is a zero-mv ref-0 block
+    val st5 = fresh()
+    H264Cavlc.assignMv(st5, 3, 4, 1, 4, 0, 0) // A zero-mv inter
+    H264Cavlc.assignMv(st5, 4, 3, 4, 1, 6, 6) // B nonzero
+    assert(H264Cavlc.skipMv(st5, 1, 1) === ((0, 0)), "zero-mv A forces skip mv 0")
+    // skip mv: the 16x16 mvp when both neighbors are live nonzero inter
+    val st6 = fresh()
+    H264Cavlc.assignMv(st6, 3, 4, 1, 4, 6, 2) // A
+    H264Cavlc.assignMv(st6, 4, 3, 4, 1, 6, 2) // B
+    H264Cavlc.assignMv(st6, 8, 3, 1, 1, 6, 2) // C
+    assert(H264Cavlc.skipMv(st6, 1, 1) === ((6, 2)), "skip inherits the 16x16 mvp")
+  }
+
+  test("inter oracle face: P frames are clamped block translations — closed form AND decoder == encoder") {
+    for (seed <- 1L to 15L) {
+      val (wMb, hMb) = (2 + (seed % 5).toInt, 1 + (seed % 3).toInt)
+      val nFrames = 2 + (seed % 2).toInt // 1 IDR + 1..2 P
+      val s = H264Cavlc.synthCavlcInter(seed, nFrames, wMb, hMb, rich = false)
+      val dec = H264Cavlc.decodeBaselineStream(s.bytes)
+      assert(dec.length === nFrames)
+      val (wb, hb) = (wMb * 4, hMb * 4)
+      // closed-form block values, frame by frame
+      var prev: Array[Int] = null
+      for (f <- 0 until nFrames) {
+        val cur = new Array[Int](wb * hb)
+        if (f == 0) {
+          for (gx <- 0 until wb; gy <- 0 until hb) {
+            var v = 128
+            for (j <- 1 to gy) v += 4 * H264Cavlc.oracleLevel(seed, 0, gx, j)
+            cur(gy * wb + gx) = v
+          }
+        } else {
+          val (mvx, mvy) = H264Cavlc.oracleMv(seed, f)
+          val (kx, ky) = (mvx / 16, mvy / 16)
+          // H.264 mvs point INTO the reference: pred(x) = ref(x + mv)
+          for (gx <- 0 until wb; gy <- 0 until hb)
+            cur(gy * wb + gx) = prev(
+              math.max(0, math.min(hb - 1, gy + ky)) * wb +
+                math.max(0, math.min(wb - 1, gx + kx)))
+        }
+        // every pixel of the decoded frame equals its block's closed form
+        val d = dec(f)
+        for (py <- 0 until d.height; px <- 0 until d.width)
+          assert(d.luma(py * d.width + px) === cur((py / 4) * wb + px / 4),
+            s"seed $seed frame $f pixel ($px,$py)")
+        assert(d.cb.forall(_ == 128) && d.cr.forall(_ == 128), s"seed $seed frame $f chroma")
+        assert(d.luma.toSeq === s.frames(f).luma.toSeq, s"seed $seed frame $f recon")
+        prev = cur
+      }
+    }
+  }
+
+  test("inter rich differential: skip runs, all P shapes, fractional mvs, residuals, intra-in-P, deblock laws") {
+    for (seed <- 1L to 25L) {
+      val (wMb, hMb) = (1 + (seed % 5).toInt, 1 + (seed % 3).toInt)
+      val nFrames = 2 + (seed % 3).toInt
+      val s = H264Cavlc.synthCavlcInter(seed, nFrames, wMb, hMb, rich = true)
+      val dec = H264Cavlc.decodeBaselineStream(s.bytes)
+      assert(dec.length === nFrames, s"seed $seed")
+      for (f <- 0 until nFrames) {
+        assert(dec(f).luma.toSeq === s.frames(f).luma.toSeq, s"seed $seed frame $f luma")
+        assert(dec(f).cb.toSeq === s.frames(f).cb.toSeq, s"seed $seed frame $f cb")
+        assert(dec(f).cr.toSeq === s.frames(f).cr.toSeq, s"seed $seed frame $f cr")
+      }
+    }
+  }
+
+  test("the inter law sweep exercises every P shape, every sub shape, skips, and intra-in-P") {
+    var shapes = Set.empty[Int]
+    var subs = Set.empty[Int]
+    var rolls = Set.empty[String]
+    for (seed <- 1L to 25L; f <- 1 until 4; mb <- 0 until 15) {
+      val mh = H264Cavlc.mix(seed, f, mb, 2L)
+      val roll = (H264Cavlc.mix(mh, 38L) % 10).toInt
+      rolls += (if (roll < 2) "skip" else if (roll >= 8) "intra" else "inter")
+      if (roll >= 2 && roll < 8) {
+        val t = (H264Cavlc.mix(mh, 40L) % 4).toInt
+        shapes += t
+        if (t == 3) for (i <- 0 until 4) subs += (H264Cavlc.mix(mh, 41L, i) % 4).toInt
+      }
+    }
+    assert(rolls === Set("skip", "inter", "intra"))
+    assert(shapes === Set(0, 1, 2, 3), "P 16x16/16x8/8x16/8x8 all reached")
+    assert(subs === Set(0, 1, 2, 3), "sub 8x8/8x4/4x8/4x4 all reached")
+  }
+
+  test("inter mutation fuzz: corrupt P-stream bytes fail loud (named require), never a raw crash or hang") {
+    val rnd = new scala.util.Random(90001)
+    val s = H264Cavlc.synthCavlcInter(7L, 3, 3, 2, rich = true)
+    var named = 0
+    for (_ <- 1 to 300) {
+      val p = s.bytes.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        p(rnd.nextInt(p.length)) = rnd.nextInt(256).toByte
+      try { H264Cavlc.decodeBaselineStream(p); () }
+      catch {
+        case _: IllegalArgumentException => named += 1
+      }
+    }
+    assert(named > 0, "the sweep must hit at least some loud failures")
+  }
+
   test("mutation fuzz: corrupt CAVLC slice bytes fail loud (named require), never a raw crash or hang") {
     val rnd = new scala.util.Random(52711)
     val s = H264Cavlc.synthCavlc(9L, 2, 3, 2, rich = true)
