@@ -1682,6 +1682,30 @@ object H264Cavlc {
         s"mb_type $t is not a P-slice type (Table 7-13)")
     }
 
+  /** Inter luma residual application over a 16x16 MC prediction patch
+    * (shared by [[decodePMb]] and [[encodePMb]]'s reconstruction — the
+    * luma sibling of [[applyChromaResidual]]).
+    */
+  private def applyLumaResidual(luma: Array[Int], w: Int, mbX: Int, mbY: Int,
+                                predL: Array[Int], coeffs: Array[Array[Int]],
+                                qpY: Int): Unit = {
+    var b = 0
+    while (b < 16) {
+      val (bx, by) = blkPos(b)
+      val res =
+        if (coeffs(b) == null) null
+        else residual4x4(coeffs(b), qpY, acOnly = false, dc = 0)
+      var k = 0
+      while (k < 16) {
+        val (x, y) = (bx * 4 + k % 4, by * 4 + k / 4)
+        luma((mbY * 16 + y) * w + mbX * 16 + x) =
+          clip255(predL(y * 16 + x) + (if (res == null) 0 else res(k)))
+        k += 1
+      }
+      b += 1
+    }
+  }
+
   /** One P_Skip macroblock: skip-mv MC, no residual. */
   private def decodeSkipMb(st: PicState, ref: Yuv, mbIdx: Int, qpY: Int): Unit = {
     import st._
@@ -1758,21 +1782,7 @@ object H264Cavlc {
     val (dcCb, dcCr, acCb, acCr) =
       readChromaResidual(r, cbpChroma, cbTc, crTc, mbX, mbY, wMb)
     // reconstruction: MC prediction + inter residual (no DC separation)
-    b = 0
-    while (b < 16) {
-      val (bx, by) = blkPos(b)
-      val res =
-        if (lumaCoeffs(b) == null) null
-        else residual4x4(lumaCoeffs(b), qpY, acOnly = false, dc = 0)
-      var k = 0
-      while (k < 16) {
-        val (x, y) = (bx * 4 + k % 4, by * 4 + k / 4)
-        luma((mbY * 16 + y) * w + mbX * 16 + x) =
-          clip255(predL(y * 16 + x) + (if (res == null) 0 else res(k)))
-        k += 1
-      }
-      b += 1
-    }
+    applyLumaResidual(luma, w, mbX, mbY, predL, lumaCoeffs, qpY)
     val qpc = chromaQp(qpY, pps.chromaQpIndexOffset)
     applyChromaResidual(cb, wc, mbX, mbY, predCb, cbpChroma, dcCb, acCb, qpc)
     applyChromaResidual(cr, wc, mbX, mbY, predCr, cbpChroma, dcCr, acCr, qpc)
@@ -1801,12 +1811,18 @@ object H264Cavlc {
           require(!isP || refFrame != null,
             "P slice with no decoded reference picture")
           val st = new PicState(sps, pps)
+          // a mid-stream SPS geometry change must not index the old
+          // (smaller) reference planes raw (r14 review)
+          require(!isP || (refFrame.width == st.w && refFrame.height == st.h),
+            s"reference picture ${refFrame.width}x${refFrame.height} does not match the SPS raster ${st.w}x${st.h}")
           var qpY = head.qpY
           var mbIdx = 0
           if (isP) {
             while (mbIdx < st.nMb) {
               val skipRun = r.ue()
-              require(mbIdx + skipRun <= st.nMb,
+              // subtraction, not addition: a hostile 2^31-ish run must
+              // not wrap the Int and slip past the guard (r14 review)
+              require(skipRun <= st.nMb - mbIdx,
                 s"mb_skip_run $skipRun overruns the picture")
               var sk = 0
               while (sk < skipRun) {
@@ -1830,7 +1846,10 @@ object H264Cavlc {
           }
           if (head.applyDeblock) deblockFrame(st, head.offA, head.offB)
           val yuv = st.toYuv
-          refFrame = yuv
+          // only REFERENCE pictures (nal_ref_idc != 0) enter the
+          // single-slot DPB; a disposable P frame must not become the
+          // next slice's MC source (r14 review)
+          if (((nal(0) >> 5) & 3) != 0) refFrame = yuv
           out += yuv
         case _ => () // SEI / AUD / filler
       }
@@ -2239,21 +2258,7 @@ object H264Cavlc {
     val (dcCb, dcCr, acCb, acCr) = chromaLaw(mh, cbpChroma)
     writeChromaResidual(bw, cbpChroma, cbTc, crTc, mbX, mbY, wMb,
       dcCb, dcCr, acCb, acCr)
-    b = 0
-    while (b < 16) {
-      val (bx, by) = blkPos(b)
-      val res =
-        if (lumaCoeffs(b) == null) null
-        else residual4x4(lumaCoeffs(b), qpY, acOnly = false, dc = 0)
-      var k = 0
-      while (k < 16) {
-        val (x, y) = (bx * 4 + k % 4, by * 4 + k / 4)
-        luma((mbY * 16 + y) * w + mbX * 16 + x) =
-          clip255(predL(y * 16 + x) + (if (res == null) 0 else res(k)))
-        k += 1
-      }
-      b += 1
-    }
+    applyLumaResidual(luma, w, mbX, mbY, predL, lumaCoeffs, qpY)
     val qpc = chromaQp(qpY, pps.chromaQpIndexOffset)
     applyChromaResidual(cb, wc, mbX, mbY, predCb, cbpChroma, dcCb, acCb, qpc)
     applyChromaResidual(cr, wc, mbX, mbY, predCr, cbpChroma, dcCr, acCr, qpc)

@@ -248,8 +248,14 @@ object H264Codec {
     val cabac = r.u(1) == 1
     r.u(1) // bottom_field_pic_order_in_frame_present
     require(r.ue() == 0, "FMO slice groups unsupported (num_slice_groups > 1)")
-    r.ue(); r.ue() // num_ref_idx_l{0,1}_default_active_minus1
-    r.u(1) // weighted_pred_flag
+    // the P-slice parser reads ref_idx as te(v) with cMax 0 and no
+    // pred_weight_table — a PPS that changes either would silently
+    // desync every later slice bit, so both fail loud here (r14 review)
+    require(r.ue() == 0,
+      "multiple reference pictures unsupported (num_ref_idx_l0_default_active > 1)")
+    r.ue() // num_ref_idx_l1_default_active_minus1 (B-slice territory, unread)
+    require(r.u(1) == 0,
+      "weighted prediction unsupported (weighted_pred_flag set)")
     r.u(2) // weighted_bipred_idc
     val picInitQp = 26 + r.se()
     r.se() // pic_init_qs_minus26

@@ -397,7 +397,7 @@ object MultimodalOps {
     */
   def h264PcmFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    h264PcmMediaTable(spark, dir)
+    servedMediaStore(spark, dir, "h264pcm")(h264PcmMediaTable(spark, dir))
       .filter(col("media_type") === "video")
       .select("doc_id", "payload")
       .as[(Long, Array[Byte])]
@@ -445,6 +445,30 @@ object MultimodalOps {
     * survives). The DuckDB oracle replays the closed-form pixel law
     * with no bitstream. Map-only; payloads never shuffle.
     */
+  /** Plane sums + the position-weighted luma sum (weight
+    * 1 + 3·(px/4) + 7·(py/4) — a value landing in the wrong 4x4 block
+    * breaks it even when the plain sum survives) of one decoded
+    * picture. Shared by both H.264 pixel-decode faces so the weight
+    * law cannot diverge from its two DuckDB oracles.
+    */
+  private def yuvSums(f: H264Cavlc.Yuv): (Long, Long, Long, Long) = {
+    var (sumLuma, wsumLuma, sumCb, sumCr) = (0L, 0L, 0L, 0L)
+    var py = 0
+    while (py < f.height) {
+      var px = 0
+      while (px < f.width) {
+        val v = f.luma(py * f.width + px)
+        sumLuma += v
+        wsumLuma += (1 + 3 * (px / 4) + 7 * (py / 4)).toLong * v
+        px += 1
+      }
+      py += 1
+    }
+    var k = 0
+    while (k < f.cb.length) { sumCb += f.cb(k); sumCr += f.cr(k); k += 1 }
+    (sumLuma, wsumLuma, sumCb, sumCr)
+  }
+
   def h264CavlcFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     servedMediaStore(spark, dir, "h264cavlc")(h264CavlcMediaTable(spark, dir))
@@ -463,19 +487,8 @@ object MultimodalOps {
             val f = H264Cavlc.decodeISlice(nal, sps, pps)
             w = f.width; h = f.height
             nFrames += 1
-            var py = 0
-            while (py < h) {
-              var px = 0
-              while (px < w) {
-                val v = f.luma(py * w + px)
-                sumLuma += v
-                wsumLuma += (1 + 3 * (px / 4) + 7 * (py / 4)).toLong * v
-                px += 1
-              }
-              py += 1
-            }
-            var k = 0
-            while (k < f.cb.length) { sumCb += f.cb(k); sumCr += f.cr(k); k += 1 }
+            val (sl, wl, scb, scr) = yuvSums(f)
+            sumLuma += sl; wsumLuma += wl; sumCb += scb; sumCr += scr
           case (1, _) =>
             // a non-IDR coded slice silently skipped would undercount
             // every sum — fail loud instead (r14 review)
@@ -528,19 +541,8 @@ object MultimodalOps {
         val frames = H264Cavlc.decodeBaselineStream(payload)
         var (sumLuma, wsumLuma, sumCb, sumCr) = (0L, 0L, 0L, 0L)
         frames.foreach { f =>
-          var py = 0
-          while (py < f.height) {
-            var px = 0
-            while (px < f.width) {
-              val v = f.luma(py * f.width + px)
-              sumLuma += v
-              wsumLuma += (1 + 3 * (px / 4) + 7 * (py / 4)).toLong * v
-              px += 1
-            }
-            py += 1
-          }
-          var k = 0
-          while (k < f.cb.length) { sumCb += f.cb(k); sumCr += f.cr(k); k += 1 }
+          val (sl, wl, scb, scr) = yuvSums(f)
+          sumLuma += sl; wsumLuma += wl; sumCb += scb; sumCr += scr
         }
         (id, frames.head.width, frames.head.height, frames.length.toLong,
           sumLuma, wsumLuma, sumCb, sumCr)
