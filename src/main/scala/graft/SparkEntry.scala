@@ -197,6 +197,7 @@ object SparkEntry {
     "q_jpeg_features"    -> (MultimodalOps.jpegFeatures(_, _)),
     "q_mjpeg_frames"     -> ((s, d) => MultimodalOps.mjpegFrameFeatures(s, d)),
     "q_media_ann"        -> ((s, d) => MultimodalOps.mediaAnn(s, d)),
+    "q_media_ann_decoded" -> ((s, d) => MultimodalOps.mediaAnnDecoded(s, d)),
     // Corpus curation (hashed-ngram models)
     "q_dsir_weight"      -> ((s, d) => CurationOps.dsirWeights(s, d)),
     "q_dsir_resample"    -> ((s, d) => CurationOps.dsirResample(s, d)),
