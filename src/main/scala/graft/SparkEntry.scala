@@ -193,6 +193,7 @@ object SparkEntry {
     "q_h264_pixels"      -> ((s, d) => MultimodalOps.h264PcmFeatures(s, d)),
     "q_h264_cavlc"       -> ((s, d) => MultimodalOps.h264CavlcFeatures(s, d)),
     "q_h264_inter"       -> ((s, d) => MultimodalOps.h264InterFeatures(s, d)),
+    "q_video_motion"     -> ((s, d) => MultimodalOps.videoMotion(s, d)),
     "q_image_features"   -> (MultimodalOps.imageFeatures(_, _)),
     "q_jpeg_features"    -> (MultimodalOps.jpegFeatures(_, _)),
     "q_mjpeg_frames"     -> ((s, d) => MultimodalOps.mjpegFrameFeatures(s, d)),

@@ -1790,11 +1790,26 @@ object H264Cavlc {
     qpY
   }
 
+  /** Coding statistics of a decoded stream — the bitstream-derived
+    * features a video-curation pipeline gates on (motion energy, skip
+    * ratio, intra refresh density). `sumAbsMv`/`maxAbsMv` are over the
+    * per-4x4-block motion field in quarter-pel units (skip blocks
+    * included — they carry the inherited skip mv).
+    */
+  final class StreamStats {
+    var nIntraMb: Long = 0L
+    var nInterMb: Long = 0L
+    var nSkipMb: Long = 0L
+    var sumAbsMv: Long = 0L
+    var maxAbsMv: Int = 0
+  }
+
   /** Decode a whole baseline CAVLC Annex-B stream: IDR I-slices plus
     * P-slices referencing the previously DEBLOCKED picture (the in-loop
-    * contract). Returns every decoded picture in decode order.
+    * contract). Returns every decoded picture in decode order;
+    * `stats`, when non-null, accumulates coding statistics.
     */
-  def decodeBaselineStream(p: Array[Byte]): Vector[Yuv] = {
+  def decodeBaselineStream(p: Array[Byte], stats: StreamStats = null): Vector[Yuv] = {
     var sps: Sps = null
     var pps: Pps = null
     var refFrame: Yuv = null
@@ -1830,11 +1845,16 @@ object H264Cavlc {
                 mbIdx += 1
                 sk += 1
               }
+              if (stats != null) stats.nSkipMb += skipRun
               if (mbIdx < st.nMb) {
                 val mbType = r.ue()
-                qpY =
-                  if (mbType >= 5) decodeIntraMb(r, st, mbIdx, mbType - 5, qpY)
-                  else decodePMb(r, st, refFrame, mbIdx, mbType, qpY)
+                if (mbType >= 5) {
+                  qpY = decodeIntraMb(r, st, mbIdx, mbType - 5, qpY)
+                  if (stats != null) stats.nIntraMb += 1
+                } else {
+                  qpY = decodePMb(r, st, refFrame, mbIdx, mbType, qpY)
+                  if (stats != null) stats.nInterMb += 1
+                }
                 mbIdx += 1
               }
             }
@@ -1842,6 +1862,19 @@ object H264Cavlc {
             while (mbIdx < st.nMb) {
               qpY = decodeIntraMb(r, st, mbIdx, r.ue(), qpY)
               mbIdx += 1
+            }
+            if (stats != null) stats.nIntraMb += st.nMb
+          }
+          if (stats != null && isP) {
+            // the frame's motion field, per 4x4 block (inter + skip)
+            var i = 0
+            while (i < st.blkKind.length) {
+              if (st.blkKind(i) == 1) {
+                stats.sumAbsMv += math.abs(st.mvX(i)) + math.abs(st.mvY(i))
+                stats.maxAbsMv = math.max(stats.maxAbsMv,
+                  math.max(math.abs(st.mvX(i)), math.abs(st.mvY(i))))
+              }
+              i += 1
             }
           }
           if (head.applyDeblock) deblockFrame(st, head.offA, head.offB)
@@ -1961,8 +1994,7 @@ object H264Cavlc {
   private def encodeIntraMb(bw: BitWriter, st: PicState, mbIdx: Int,
                             qpYIn: Int, seed: Long, f: Int, rich: Boolean,
                             typeOffset: Int): Int = {
-    import st.{luma, lumaTc, modes, cbTc, crTc, mbQp, wMb, w, wc, wb, nMb}
-    val _ = nMb
+    import st.{luma, lumaTc, modes, cbTc, crTc, mbQp, wMb, w, wc, wb}
     val cbP = st.cb
     val crP = st.cr
     var qpY = qpYIn

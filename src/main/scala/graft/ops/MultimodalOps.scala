@@ -551,6 +551,30 @@ object MultimodalOps {
         "wsum_luma", "sum_cb", "sum_cr")
   }
 
+  /** Bitstream-derived video CODING statistics — the features a video
+    * curation pipeline gates on (motion energy, skip density, intra
+    * refresh) — computed by actually decoding every stream: per-4x4
+    * motion-field magnitudes in quarter-pel units, MB-kind counts. The
+    * DuckDB oracle replays the inter face's mv/kind laws with no
+    * decoder: a mis-signed mvd or broken mvp chain shifts the motion
+    * sums. Map-only over the served payload store.
+    */
+  def videoMotion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    servedMediaStore(spark, dir, "h264inter")(h264InterMediaTable(spark, dir))
+      .filter(col("media_type") === "video")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val stats = new H264Cavlc.StreamStats
+        val frames = H264Cavlc.decodeBaselineStream(payload, stats)
+        (id, frames.length.toLong, stats.nIntraMb, stats.nInterMb,
+          stats.nSkipMb, stats.sumAbsMv, stats.maxAbsMv)
+      })
+      .toDF("doc_id", "n_frames", "n_intra_mb", "n_inter_mb", "n_skip_mb",
+        "sum_abs_mv", "max_abs_mv")
+  }
+
   /** Ingest face with REAL MJPEG videos: doc_ids that map to `video` carry
     * an AVI whose frames are ACTUAL baseline JPEGs (16×8, two constant
     * blocks per frame, frame seed `doc_id + 7·i`) — the composition that
@@ -1363,6 +1387,32 @@ object MultimodalOps {
         |  CAST(nf*128*64*wmb*hmb AS BIGINT) AS sum_cb,
         |  CAST(nf*128*64*wmb*hmb AS BIGINT) AS sum_cr
         |FROM a""".stripMargin,
+    // Replays the inter face's MB-kind and motion laws directly: every
+    // P macroblock is explicit inter (no skips in the oracle face), the
+    // per-frame mv is 16*k quarter-pel over 16 blocks per MB, so the
+    // motion sums are pure arithmetic over the kx/ky laws.
+    "q_video_motion" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CAST((2 + doc_id % 5) * (1 + doc_id % 3) AS BIGINT) AS nmb,
+        |    CAST(2 + doc_id % 2 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |mv AS (
+        |  SELECT doc_id, nmb, nf,
+        |    SUM(abs(((doc_id*31 + f.f*17) % 5) - 2)
+        |      + abs(((doc_id*13 + f.f*23) % 5) - 2)) AS ksum,
+        |    MAX(GREATEST(abs(((doc_id*31 + f.f*17) % 5) - 2),
+        |      abs(((doc_id*13 + f.f*23) % 5) - 2))) AS kmax
+        |  FROM v, UNNEST(range(1, nf)) AS f(f)
+        |  GROUP BY doc_id, nmb, nf)
+        |SELECT doc_id,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(nmb AS BIGINT) AS n_intra_mb,
+        |  CAST(nmb * (nf - 1) AS BIGINT) AS n_inter_mb,
+        |  CAST(0 AS BIGINT) AS n_skip_mb,
+        |  CAST(256 * nmb * ksum AS BIGINT) AS sum_abs_mv,
+        |  CAST(16 * kmax AS INT) AS max_abs_mv
+        |FROM mv""".stripMargin,
     "q_h264_pixels" ->
       """WITH v AS (
         |  SELECT doc_id,

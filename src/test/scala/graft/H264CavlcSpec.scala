@@ -381,6 +381,41 @@ class H264CavlcSpec extends SparkSpecBase {
     assert(subs === Set(0, 1, 2, 3), "sub 8x8/8x4/4x8/4x4 all reached")
   }
 
+  test("stream stats: MB-kind counts replay the law exactly; motion sums match the per-block field") {
+    for (seed <- 1L to 10L) {
+      val (wMb, hMb, nFrames) = (1 + (seed % 4).toInt, 1 + (seed % 3).toInt, 3)
+      val s = H264Cavlc.synthCavlcInter(seed, nFrames, wMb, hMb, rich = true)
+      val stats = new H264Cavlc.StreamStats
+      H264Cavlc.decodeBaselineStream(s.bytes, stats)
+      // replay the encoder's kind law independently
+      val nMb = wMb * hMb
+      var (eIntra, eInter, eSkip) = (nMb.toLong, 0L, 0L) // frame 0 is the IDR
+      for (f <- 1 until nFrames; mb <- 0 until nMb) {
+        val roll = (H264Cavlc.mix(H264Cavlc.mix(seed, f, mb, 2L), 38L) % 10).toInt
+        if (roll < 2) eSkip += 1
+        else if (roll >= 8) eIntra += 1
+        else eInter += 1
+      }
+      assert((stats.nIntraMb, stats.nInterMb, stats.nSkipMb) ===
+        ((eIntra, eInter, eSkip)), s"seed $seed MB kind counts")
+      assert(stats.sumAbsMv >= 0 &&
+        (stats.nInterMb + stats.nSkipMb == 0 || stats.maxAbsMv >= 0))
+    }
+    // the oracle face's closed form: explicit inter everywhere, mv law
+    val seed = 4L
+    val s = H264Cavlc.synthCavlcInter(seed, 3, 3, 2, rich = false)
+    val stats = new H264Cavlc.StreamStats
+    H264Cavlc.decodeBaselineStream(s.bytes, stats)
+    val nMb = 6
+    assert(stats.nIntraMb === nMb && stats.nSkipMb === 0
+      && stats.nInterMb === nMb * 2L)
+    val expSum = (1 to 2).map { f =>
+      val (mvx, mvy) = H264Cavlc.oracleMv(seed, f)
+      16L * nMb * (math.abs(mvx) + math.abs(mvy))
+    }.sum
+    assert(stats.sumAbsMv === expSum, "block motion field sums the mv law")
+  }
+
   test("inter mutation fuzz: corrupt P-stream bytes fail loud (named require), never a raw crash or hang") {
     val rnd = new scala.util.Random(90001)
     val s = H264Cavlc.synthCavlcInter(7L, 3, 3, 2, rich = true)
