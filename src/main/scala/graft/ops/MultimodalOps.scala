@@ -119,6 +119,20 @@ object MultimodalOps {
     * feature directly while Spark recovers the bytes THROUGH the codec:
     * synth → filter+deflate+CRC encode → inflate+unfilter decode.
     */
+  /** The per-format payload synthesis laws — ONE spelling each, shared
+    * by the per-format media tables and [[decodedMediaTable]] so the
+    * decoded-ANN store cannot silently drift from the faces it mirrors
+    * (r14 review). Each law is also re-stated arithmetically in the
+    * corresponding DuckDB oracles.
+    */
+  private def synthImagePayload(id: Long): Array[Byte] =
+    PngCodec.synth(id, 8 + (id % 24).toInt, 8 + (id % 16).toInt)
+  private def synthAudioPayload(id: Long): Array[Byte] =
+    WavCodec.synth(id, 512 + (id % 512).toInt, 8000 + (id % 4).toInt * 2000)
+  private def synthVideoCavlcPayload(id: Long): Array[Byte] =
+    H264Cavlc.synthCavlc(id, 1 + (id % 3).toInt,
+      2 + (id % 5).toInt, 1 + (id % 3).toInt, rich = false).bytes
+
   def pngMediaTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
@@ -126,8 +140,7 @@ object MultimodalOps {
       .as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
         rows.map { case (id, payload, mt) =>
-          if (mt == "image")
-            (id, PngCodec.synth(id, 8 + (id % 24).toInt, 8 + (id % 16).toInt), mt)
+          if (mt == "image") (id, synthImagePayload(id), mt)
           else (id, payload, mt)
         }
       }
@@ -261,9 +274,7 @@ object MultimodalOps {
       .as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
         rows.map { case (id, payload, mt) =>
-          if (mt == "audio")
-            (id, WavCodec.synth(id, 512 + (id % 512).toInt,
-              8000 + (id % 4).toInt * 2000), mt)
+          if (mt == "audio") (id, synthAudioPayload(id), mt)
           else (id, payload, mt)
         }
       }
@@ -427,9 +438,7 @@ object MultimodalOps {
       .select("doc_id", "payload", "media_type")
       .as[(Long, Array[Byte], String)]
       .mapPartitions(_.map { case (id, payload, mt) =>
-        if (mt == "video")
-          (id, H264Cavlc.synthCavlc(id, 1 + (id % 3).toInt,
-            2 + (id % 5).toInt, 1 + (id % 3).toInt, rich = false).bytes, mt)
+        if (mt == "video") (id, synthVideoCavlcPayload(id), mt)
         else (id, payload, mt)
       })
       .toDF("doc_id", "payload", "media_type")
@@ -1084,18 +1093,17 @@ object MultimodalOps {
     */
   def decodedMediaTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // doc_id + media_type only: the raw text payload is replaced by
+    // synthesis for EVERY row, so reading it is pure wasted I/O at
+    // store build (r14 review)
     mediaTable(spark, dir)
-      .select("doc_id", "payload", "media_type")
-      .as[(Long, Array[Byte], String)]
-      .mapPartitions(_.map { case (id, _, mt) =>
+      .select("doc_id", "media_type")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, mt) =>
         val payload = mt match {
-          case "image" =>
-            PngCodec.synth(id, 8 + (id % 24).toInt, 8 + (id % 16).toInt)
-          case "audio" =>
-            WavCodec.synth(id, 512 + (id % 512).toInt, 8000 + (id % 4).toInt * 2000)
-          case _ =>
-            H264Cavlc.synthCavlc(id, 1 + (id % 3).toInt,
-              2 + (id % 5).toInt, 1 + (id % 3).toInt, rich = false).bytes
+          case "image" => synthImagePayload(id)
+          case "audio" => synthAudioPayload(id)
+          case _ => synthVideoCavlcPayload(id)
         }
         (id, payload, mt)
       })
@@ -1118,7 +1126,23 @@ object MultimodalOps {
       case "image" => BmpCodec.pixelEmbed(PngCodec.decode(payload))
       case "audio" => WavCodec.sampleEmbed(WavCodec.decode(payload))
       case _ =>
-        val f = H264Cavlc.decodeBaselineStream(payload).head
+        // only the FIRST picture feeds the embedding: decode just that
+        // access unit instead of the whole stream (r14 review)
+        val nals = H264Codec.nalUnits(payload)
+        var sps: H264Codec.Sps = null
+        var pps: H264Codec.Pps = null
+        var f: H264Cavlc.Yuv = null
+        while (f == null && nals.hasNext) {
+          nals.next() match {
+            case (7, n) => sps = H264Codec.parseSps(n)
+            case (8, n) => pps = H264Codec.parsePpsFull(n)
+            case (5, n) =>
+              require(sps != null && pps != null, "slice NAL before SPS/PPS")
+              f = H264Cavlc.decodeISlice(n, sps, pps)
+            case _ => ()
+          }
+        }
+        require(f != null, "no decodable IDR picture in the video payload")
         val rgb = new Array[Byte](f.width * f.height * 3)
         var k = 0
         while (k < f.luma.length) {

@@ -398,8 +398,9 @@ class H264CavlcSpec extends SparkSpecBase {
       }
       assert((stats.nIntraMb, stats.nInterMb, stats.nSkipMb) ===
         ((eIntra, eInter, eSkip)), s"seed $seed MB kind counts")
-      assert(stats.sumAbsMv >= 0 &&
-        (stats.nInterMb + stats.nSkipMb == 0 || stats.maxAbsMv >= 0))
+      // the rich face's mv VALUES are pinned transitively: a wrong mv
+      // breaks the pixel differential (MC reads it); the stats SCAN
+      // itself is pinned exactly by the oracle face below
     }
     // the oracle face's closed form: explicit inter everywhere, mv law
     val seed = 4L
@@ -414,6 +415,11 @@ class H264CavlcSpec extends SparkSpecBase {
       16L * nMb * (math.abs(mvx) + math.abs(mvy))
     }.sum
     assert(stats.sumAbsMv === expSum, "block motion field sums the mv law")
+    val expMax = (1 to 2).map { f =>
+      val (mvx, mvy) = H264Cavlc.oracleMv(seed, f)
+      math.max(math.abs(mvx), math.abs(mvy))
+    }.max
+    assert(stats.maxAbsMv === expMax, "max |mv| component matches the law")
   }
 
   test("inter mutation fuzz: corrupt P-stream bytes fail loud (named require), never a raw crash or hang") {
