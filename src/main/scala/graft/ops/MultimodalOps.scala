@@ -1179,6 +1179,8 @@ object MultimodalOps {
   def mediaAnnDecoded(spark: SparkSession, dir: String, queryDocId: Long = 0L,
                       k: Int = 10): DataFrame = {
     val m = servedDecodedEmbeddings(spark, dir)
+    // bounded collect: one query doc's single vector (the literal-query
+    // plan — same shape as mediaAnn below)
     val qRows = m.filter(col("doc_id") === queryDocId).select(col("v")).collect()
     require(qRows.nonEmpty, s"query doc_id=$queryDocId has no media embedding")
     val qv = array(qRows.head.getSeq[Double](0).map(lit(_)): _*)

@@ -42,6 +42,23 @@ class IncrementalMediaSpec extends SparkSpecBase {
     assert(IncrementalMedia.load(spark, path).count() === full.count())
   }
 
+  test("the machinery is kind-agnostic: the r14 H.264 inter store CDC-maintains the same way") {
+    val path = store("incmedia3")
+    val full = MultimodalOps.h264InterMediaTable(spark, sf)
+    val firstHalf = full.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val secondHalf = full.filter(pmod(col("doc_id"), lit(2)) === 1)
+    IncrementalMedia.upsert(spark, path, firstHalf)
+    IncrementalMedia.upsert(spark, path, secondHalf)
+    assert(canon(IncrementalMedia.load(spark, path)) === canon(full),
+      "incremental merges of IDR+P payloads must equal the full build")
+    // and the merged payloads remain DECODABLE video, not just bytes
+    val one = IncrementalMedia.load(spark, path)
+      .filter(col("media_type") === "video")
+      .orderBy("doc_id").select("doc_id", "payload").head()
+    val frames = graft.ops.H264Cavlc.decodeBaselineStream(one.getAs[Array[Byte]]("payload"))
+    assert(frames.length === 2 + (one.getLong(0) % 2).toInt)
+  }
+
   test("a dirty batch replaces exactly its own rows and the encode work is O(dirty)") {
     val path = store("incmedia2")
     IncrementalMedia.upsert(spark, path, MultimodalOps.gifMediaTable(spark, sf))
