@@ -438,6 +438,29 @@ class H264CavlcSpec extends SparkSpecBase {
     assert(named > 0, "the sweep must hit at least some loud failures")
   }
 
+  test("PPS guards fail loud by name: multi-reference defaults, weighted prediction") {
+    // hand-built PPS RBSPs — the two fields the P parser assumes zero
+    def ppsBytes(numRefMinus1: Int, weighted: Boolean): Array[Byte] = {
+      val w = new H264Codec.BitWriter
+      w.ue(0); w.ue(0); w.bit(0); w.bit(0); w.ue(0)
+      w.ue(numRefMinus1); w.ue(0)
+      w.bit(if (weighted) 1 else 0); w.bits(0, 2)
+      w.se(0); w.se(0); w.se(0)
+      w.bit(1); w.bit(0); w.bit(0)
+      w.trailing()
+      0x68.toByte +: w.toBytes
+    }
+    H264Codec.parsePpsFull(ppsBytes(0, weighted = false)) // sanity: legal form parses
+    val e1 = intercept[IllegalArgumentException] {
+      H264Codec.parsePpsFull(ppsBytes(1, weighted = false))
+    }
+    assert(e1.getMessage.contains("reference"))
+    val e2 = intercept[IllegalArgumentException] {
+      H264Codec.parsePpsFull(ppsBytes(0, weighted = true))
+    }
+    assert(e2.getMessage.contains("weighted"))
+  }
+
   test("mutation fuzz: corrupt CAVLC slice bytes fail loud (named require), never a raw crash or hang") {
     val rnd = new scala.util.Random(52711)
     val s = H264Cavlc.synthCavlc(9L, 2, 3, 2, rich = true)
