@@ -63,7 +63,7 @@ object Bench {
     }
   }
 
-  private final case class QueryDiag(
+  private[graft] final case class QueryDiag(
       wall: Double, jobs: Long, cpuSec: Double, runSec: Double, gcSec: Double,
       walls: Seq[Double], pos: Int = -1) {
     def json: String = {
@@ -76,6 +76,25 @@ object Bench {
       s"""{"pos":$pos,"jobs":$jobs,"cpuSec":${f(cpuSec)},"runSec":${f(runSec)},""" +
         s""""gcSec":${f(gcSec)},"walls":[${walls.map(f).mkString(",")}]}"""
     }
+  }
+
+  /** The official weak gate the verdicts adjudicate: > 0.8s absolute AND
+    * > 2x the DuckDB baseline. Factored out so BenchSpec can pin the
+    * second-pass trigger condition without running a bench.
+    */
+  private[graft] def weakGateBreach(wallSec: Double, duckSec: Double): Boolean =
+    wallSec > 0.8 && wallSec > 2.0 * duckSec
+
+  /** Min-merge a second-pass re-measure into a first-pass diag: the
+    * reported wall (and its attribution fields) come from whichever run was
+    * faster — min is the contention-robust statistic — while `walls` keeps
+    * every measurement so the artifact still shows the spread a judge needs
+    * to see the contention window. First-pass walls come first, the
+    * second-pass wall is appended last.
+    */
+  private[graft] def minMerge(first: QueryDiag, second: QueryDiag): QueryDiag = {
+    val best = if (second.wall < first.wall) second else first
+    best.copy(walls = first.walls :+ second.wall, pos = first.pos)
   }
 
   def main(args: Array[String]): Unit = {
@@ -171,17 +190,52 @@ object Bench {
       if (unknown.nonEmpty)
         System.err.println(s"[bench] SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
-    val diags = SparkEntry.queries.toSeq.sortBy(_._1)
+    val baseline = readBaseline(sfDir)
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex
       .map { case ((name, fn), i) =>
-        name -> timeOne(name, fn).map(_.copy(pos = i)) }
+        (name, fn, timeOne(name, fn).map(_.copy(pos = i))) }
+    // End-of-run contention second pass (r14 verdict task 2): the in-bench
+    // max/min>1.4 rescue re-runs INSIDE the contention window, so a window
+    // that outlasts all measured runs (r14: positions 19-20 and 44-50
+    // uniformly ~7x inflated, walls stable-within-window) sails through
+    // min-of-N untouched. Contention windows rarely span the whole bench
+    // AND a pass that starts after it ends, so: once the alphabetical sweep
+    // completes, re-measure (one unmeasured re-warm + one measured run,
+    // min-merged) every query whose first-pass wall breaches the official
+    // weak gate (> 0.8s AND > 2x DuckDB) against DUCKDB_BASELINE.json. A
+    // genuine plan regression reproduces in the second pass and keeps its
+    // wall; a contention artifact reverts to family. Charged against the
+    // same shared rescue budget so a fully-contended host still terminates.
+    val diags = firstPass.map { case (name, fn, dOpt) =>
+      val merged = dOpt.map { d =>
+        val breaches = baseline.exists { case (_, bq) =>
+          bq.get(name).exists(b => weakGateBreach(d.wall, b)) }
+        if (breaches && remeasureBudgetSec > 0) {
+          scala.util.Try {
+            runOnce(fn) // re-warm: page cache + codegen may have aged out
+            diag.quiesce()
+            val (j0, c0, r0, g0) = diag.snapshot
+            val t0 = System.nanoTime()
+            runOnce(fn)
+            val wall = (System.nanoTime() - t0) / 1e9
+            diag.quiesce()
+            val (j1, c1, r1, g1) = diag.snapshot
+            remeasureBudgetSec -= wall
+            val fresh = QueryDiag(wall, j1 - j0, (c1 - c0) / 1e9,
+              (r1 - r0) / 1e3, (g1 - g0) / 1e3, Nil, pos = d.pos)
+            minMerge(d, fresh)
+          }.getOrElse(d)
+        } else d
+      }
+      name -> merged
+    }
     val results = diags.map { case (k, d) => k -> d.map(_.wall).getOrElse(-1.0) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val diagJson = diags.collect { case (k, Some(d)) => "\"" + k + "\":" + d.json }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val baseline = readBaseline(sfDir)
     val baselineJson = baseline match {
       case Some((meta, bq)) =>
         // ratio over the INTERSECTION only (queries that both ran in Spark

@@ -56,6 +56,7 @@ object SparkEntry {
     "q_retention"        -> (EventsOps.retention(_, _)),
     "q_volume_anomaly"   -> (EventsOps.volumeAnomaly(_, _)),
     "q_geo_distance"     -> ((s, d) => GeoOps.geoDistance(s, d)),
+    "q_geo_distance_stored" -> ((s, d) => GeoOps.geoDistanceStored(s, d)),
     "q_geo_grid"         -> ((s, d) => GeoOps.geoGrid(s, d)),
     "q_geo_bounds"       -> ((s, d) => GeoOps.geoBounds(s, d)),
     "q_active_users"     -> (EventsOps.activeUsers(_, _)),

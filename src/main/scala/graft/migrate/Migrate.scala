@@ -40,12 +40,20 @@ object Migrate {
     */
   def migrateSqliteDb(spark: SparkSession, sqlitePath: String,
                       dstRoot: String, key: String = "id",
-                      stepRows: Int = 3000): Map[String, (Long, ReconcileReport)] =
-    graft.sources.SqliteFile.tables(sqlitePath)
+                      stepRows: Int = 3000): Map[String, (Long, ReconcileReport)] = {
+    val ordered = graft.sources.SqliteFile.tables(sqlitePath)
       // virtual tables (rootpage 0) hold no b-tree rows, and sqlite_*
       // internals (sqlite_sequence, sqlite_stat*) are bookkeeping, not
       // data — neither is part of a table migration (r14 review)
       .filter(t => t.rootPage >= 1 && !t.name.startsWith("sqlite_"))
+      // the reference loads tables in NAME-LENGTH order
+      // (load_data.py:47 `db_name_list.sort(key=len)`, a stable sort, so
+      // equal-length names keep sqlite_master order — as does sortBy).
+      // Semantically inert for a parquet warehouse with no FK cascades,
+      // but it is the last observable divergence from the reference's
+      // migration and costs nothing (r14 verdict task 4). The returned
+      // ListMap iterates in load order so SqliteSpec can pin it.
+      .sortBy(_.name.length)
       .map { t =>
         val src = graft.sources.SqliteFile.read(spark, sqlitePath, t.name, stepRows)
         // tables without the conventional key column fall back to their
@@ -69,7 +77,9 @@ object Migrate {
         val dst = s"$dstRoot/${t.name}"
         val appended = DedupeAppendSink.append(src, dst, keyCol)
         t.name -> ((appended, reconcile(src, spark.read.parquet(dst), keyCol)))
-      }.toMap
+      }
+    scala.collection.immutable.ListMap(ordered: _*)
+  }
 
   /** Source↔sink reconciliation: counts, key anti-joins both ways, column
     * sets, and an order-independent whole-table checksum (sum of per-row

@@ -94,6 +94,52 @@ object GeoOps {
     withinRadius(geoEvents(spark, dir), radiusUd)
       .select(col("event_id"), col("lat_ud"), col("lon_ud"), col("dist2"))
 
+  private val geoStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Derived store with REAL stored integer coordinates: events persisted
+    * once with (lat_ud, lon_ud) as plain int64 columns, range-sorted by
+    * (lat_ud, lon_ud) so parquet row-group min/max statistics cluster —
+    * the layout a geo deployment writes (sort/Z-order on the coordinate).
+    * Version-keyed on the events source like every served store; the
+    * build is one pass through [[geoEvents]] + the staged atomic swap.
+    */
+  private def servedGeoStore(spark: SparkSession, dir: String): DataFrame = {
+    val p = graft.Tables.derivedStorePath(spark, "geocoords", dir, "events.parquet")
+    geoStores.computeIfAbsent(p, path => {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp))
+        // global range sort: each output file covers a narrow lat band, so
+        // a bbox predicate prunes whole row groups by footer stats alone
+        graft.sinks.AtomicSwap.replace(spark,
+          geoEvents(spark, dir).sort("lat_ud", "lon_ud"), path)
+      path
+    })
+    graft.Tables.parquetCached(spark, p)
+  }
+
+  /** The stored-coordinates face of [[geoDistance]] (r14 verdict task 5):
+    * identical rows, but the bbox prefilter now lands on REAL columns of a
+    * parquet scan — `.explain` shows PushedFilters on both lat_ud and
+    * lon_ud bounds (PlanSpec pins it), and the range-sorted layout turns
+    * them into row-group pruning. This is the plan the ES geo_distance
+    * bounding-box optimization actually is; the hash-derivation face keeps
+    * the oracle exact, this face shows the scan shape. At 100 TB the store
+    * is the geo-sorted projection of the event log and the radius query
+    * reads only the bbox's row groups.
+    */
+  def geoDistanceStored(spark: SparkSession, dir: String,
+                        radiusUd: Long = 10000000L): DataFrame =
+    withinRadius(servedGeoStore(spark, dir), radiusUd)
+      .select(col("event_id"), col("lat_ud"), col("lon_ud"), col("dist2"))
+
+  /** The scan [[geoDistanceStored]] filters — exposed so PlanSpec can pin
+    * the pushed bounds without rebuilding the query's tail projection.
+    */
+  private[graft] def storedGeoScan(spark: SparkSession, dir: String): DataFrame =
+    servedGeoStore(spark, dir)
+
   /** ES `geo_distance` filter + `geohash_grid` aggregation at precision 4:
     * bucket counts + distinct users per geohash cell over the in-radius
     * events.
@@ -162,6 +208,13 @@ object GeoOps {
 
   val oracle: Map[String, String] = Map(
     "q_geo_distance" ->
+      s"""WITH $geoCte
+         |SELECT event_id, lat_ud, lon_ud, dist2 FROM f""".stripMargin,
+    // the stored face returns the SAME membership set — the oracle replays
+    // the derivation because DuckDB reads the immutable testdata, not the
+    // engine's derived store; what changes on the Spark side is the PLAN
+    // (pushed range predicates on stored columns), which PlanSpec pins
+    "q_geo_distance_stored" ->
       s"""WITH $geoCte
          |SELECT event_id, lat_ud, lon_ud, dist2 FROM f""".stripMargin,
     "q_geo_bounds" ->

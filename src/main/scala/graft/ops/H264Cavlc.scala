@@ -872,7 +872,41 @@ object H264Cavlc {
         b += 1
       }
     }
-    def toYuv: Yuv = Yuv(w, h, luma, cb, cr)
+    /** Output picture with the 7-24/7-25 frame-cropping law applied
+      * (ADVICE r14: previously non-zero crop offsets returned the
+      * uncropped macroblock raster, inconsistent with q_h264_meta's
+      * cropped geometry). 4:2:0 progressive: CropUnitX/Y = 2, so the
+      * luma window drops 2·crop samples per edge and the half-res
+      * chroma planes drop crop samples. The DPB / MC reference must
+      * stay the FULL raster ([[toYuvFull]]) — clause 8.4.2.2's edge
+      * extension may reference cropped-away samples.
+      */
+    def toYuv: Yuv = {
+      if (sps.cropL == 0 && sps.cropR == 0 && sps.cropT == 0 && sps.cropB == 0)
+        toYuvFull
+      else {
+        val cw = sps.width; val ch = sps.height
+        require(cw >= 1 && ch >= 1,
+          s"frame cropping leaves no picture: ${cw}x$ch from ${w}x$h")
+        def plane(src: Array[Int], sw: Int, x0: Int, y0: Int,
+                  ow: Int, oh: Int): Array[Int] = {
+          val o = new Array[Int](ow * oh)
+          var y = 0
+          while (y < oh) {
+            System.arraycopy(src, (y0 + y) * sw + x0, o, y * ow, ow)
+            y += 1
+          }
+          o
+        }
+        Yuv(cw, ch,
+          plane(luma, w, 2 * sps.cropL, 2 * sps.cropT, cw, ch),
+          plane(cb, wc, sps.cropL, sps.cropT, cw / 2, ch / 2),
+          plane(cr, wc, sps.cropL, sps.cropT, cw / 2, ch / 2))
+      }
+    }
+
+    /** The full macroblock raster — the in-loop (DPB/MC) picture. */
+    def toYuvFull: Yuv = Yuv(w, h, luma, cb, cr)
   }
 
   /** Slice-header fields the MB layer needs. */
@@ -1463,9 +1497,14 @@ object H264Cavlc {
   // median/directional motion-vector prediction of 8.4.1.3, the P_Skip
   // mv rule of 8.4.1.1, and the P-slice macroblock layer (Table 7-13
   // mb types, Table 7-18 sub-mb types, mb_skip_run, the Table 9-4
-  // INTER cbp mapping). With these the decoder handles conformant
-  // baseline CAVLC streams: I + P, the whole profile minus nothing —
-  // CABAC is a different entropy coder, not part of baseline.
+  // INTER cbp mapping). With these the decoder handles the honest
+  // baseline CAVLC subset it declares: SINGLE-slice, single-reference
+  // (num_ref_idx 1, no ref_idx/MMCO), POC-type-2 I + P streams —
+  // conformant features outside that subset (POC types 0/1, multi-slice
+  // pictures, multiple reference frames, FMO/ASO, redundant slices)
+  // are rejected loudly BY NAME in parseSliceHead/decodeBaselineStream,
+  // never silently misdecoded. CABAC is a different entropy coder, not
+  // part of baseline at all.
   // ---------------------------------------------------------------
 
   /** Table 9-4, inter column: me(v) codeNum → coded_block_pattern.
@@ -1878,12 +1917,13 @@ object H264Cavlc {
             }
           }
           if (head.applyDeblock) deblockFrame(st, head.offA, head.offB)
-          val yuv = st.toYuv
           // only REFERENCE pictures (nal_ref_idc != 0) enter the
           // single-slot DPB; a disposable P frame must not become the
-          // next slice's MC source (r14 review)
-          if (((nal(0) >> 5) & 3) != 0) refFrame = yuv
-          out += yuv
+          // next slice's MC source (r14 review). The DPB slot holds the
+          // FULL raster — MC's edge extension may reach cropped-away
+          // samples — while the emitted picture is display-cropped.
+          if (((nal(0) >> 5) & 3) != 0) refFrame = st.toYuvFull
+          out += st.toYuv
         case _ => () // SEI / AUD / filler
       }
     }

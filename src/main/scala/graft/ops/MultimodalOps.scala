@@ -486,8 +486,14 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
         val nals = H264Codec.nalUnits(payload).toVector
-        val sps = H264Codec.parseSps(nals.collectFirst { case (7, n) => n }.get)
-        val pps = H264Codec.parsePpsFull(nals.collectFirst { case (8, n) => n }.get)
+        // fail loud by name (ADVICE r14): a payload missing either
+        // parameter set must not die as a bare NoSuchElementException
+        val spsNal = nals.collectFirst { case (7, n) => n }
+        val ppsNal = nals.collectFirst { case (8, n) => n }
+        require(spsNal.isDefined, s"doc $id: no SPS NAL (type 7) in the CAVLC feature payload")
+        require(ppsNal.isDefined, s"doc $id: no PPS NAL (type 8) in the CAVLC feature payload")
+        val sps = H264Codec.parseSps(spsNal.get)
+        val pps = H264Codec.parsePpsFull(ppsNal.get)
         var (sumLuma, wsumLuma, sumCb, sumCr) = (0L, 0L, 0L, 0L)
         var nFrames = 0L
         var (w, h) = (0, 0)

@@ -43,7 +43,18 @@ class ComposedEtlPipeline(
     postingsStorePath: String,
     vectorStorePath: String,
     statePath: String,
-    stampTimestamps: Boolean = false) {
+    stampTimestamps: Boolean = false,
+    // the reference's es.bulk network delivery under the COMPOSED tick
+    // (r14 verdict task 7): invoked with the tick's rebuilt docs after all
+    // three stores commit and before the single watermark commit — so a
+    // delivery failure (sink down mid-outage) leaves the watermark
+    // unmoved, the next tick re-detects the SAME dirty batch, the three
+    // idempotent store upserts converge to identical bytes, and delivery
+    // retries until the wire heals (ComposedEtlSpec proves it against a
+    // live in-process ES stub with injected faults). Same named no-op
+    // sentinel as [[IncrementalDocPipeline]]: with no deliverer wired the
+    // rebuilt docs have one consumer and skip the persist.
+    deliver: (SparkSession, DataFrame) => Unit = IncrementalDocPipeline.NoDeliver) {
 
   private val Epoch = java.sql.Timestamp.valueOf("1000-01-01 00:00:00")
 
@@ -99,28 +110,45 @@ class ComposedEtlPipeline(
         .persist()
       try {
         // stage 1: full-document rebuild for the dirty ids (T4 dirty-ids-
-        // first semantics — docBuilder prunes its sources by semi-join)
-        val docs = docBuilder(spark, dirty.select("id").distinct())
-        IncrementalDocPipeline.upsertDocs(spark, docStorePath, docs, stampTimestamps)
-        afterStage("docs")
+        // first semantics — docBuilder prunes its sources by semi-join).
+        // With a deliverer wired the rebuilt docs gain a second consumer
+        // (the network delivery below), so they persist across both — the
+        // same two-consumer rule as the per-store pipeline: the delivery
+        // must ship the exact doc version the store committed.
+        val delivering = deliver ne IncrementalDocPipeline.NoDeliver
+        val built = docBuilder(spark, dirty.select("id").distinct())
+        val docs = if (delivering) built.persist() else built
+        try {
+          IncrementalDocPipeline.upsertDocs(spark, docStorePath, docs, stampTimestamps)
+          afterStage("docs")
 
-        // stage 2: search index — drop every posting of a dirty id, append
-        // its recomputed rows
-        IncrementalPostings.upsert(spark, postingsStorePath,
-          latest.select(col("id").as("doc_id"), col("text")))
-        afterStage("postings")
+          // stage 2: search index — drop every posting of a dirty id,
+          // append its recomputed rows
+          IncrementalPostings.upsert(spark, postingsStorePath,
+            latest.select(col("id").as("doc_id"), col("text")))
+          afterStage("postings")
 
-        // stage 3: vector index — cell-wise merge, only affected cells
-        // rewritten
-        IncrementalVectors.upsert(spark, vectorStorePath,
-          latest.select(col("id").as("vec_id"), col("label"), col("v")), codebook)
-        afterStage("vectors")
+          // stage 3: vector index — cell-wise merge, only affected cells
+          // rewritten
+          IncrementalVectors.upsert(spark, vectorStorePath,
+            latest.select(col("id").as("vec_id"), col("label"), col("v")), codebook)
+          afterStage("vectors")
 
-        // SINGLE commit, after all three sinks: the watermark never claims
-        // a batch any store has not absorbed
-        import spark.implicits._
-        Seq(newWm).toDF("wm").write.mode(SaveMode.Overwrite).parquet(statePath)
-        head.getLong(2)
+          // stage 4 (when wired): the reference's es.bulk network delivery
+          // — last sink before the commit, so an outage pins the watermark
+          // while the three stores stay converged; re-delivery next tick is
+          // absorbed by the _id upsert (idempotent wire)
+          if (delivering) {
+            deliver(spark, docs)
+            afterStage("deliver")
+          }
+
+          // SINGLE commit, after all sinks: the watermark never claims a
+          // batch any sink has not absorbed
+          import spark.implicits._
+          Seq(newWm).toDF("wm").write.mode(SaveMode.Overwrite).parquet(statePath)
+          head.getLong(2)
+        } finally if (delivering) docs.unpersist()
       } finally latest.unpersist()
     } finally dirty.unpersist()
   }

@@ -35,8 +35,11 @@ class IncrementalDocPipeline(
     // so a delivery failure (network sink down) leaves the watermark
     // unmoved and the same dirty ids re-deliver next tick — T2 against a
     // real wire (see HttpSinkSpec/IncrementalPipelineSpec). Idempotent
-    // delivery (the _id upsert) absorbs the replay.
-    deliver: (SparkSession, DataFrame) => Unit = (_, _) => ()) {
+    // delivery (the _id upsert) absorbs the replay. The default is a NAMED
+    // no-op sentinel: with no deliverer the rebuilt docs have exactly one
+    // consumer (the store upsert), so the two-consumer persist below is
+    // skipped (it cost q_composed_tick +28% — r14 verdict watch item).
+    deliver: (SparkSession, DataFrame) => Unit = IncrementalDocPipeline.NoDeliver) {
 
   private val Epoch = java.sql.Timestamp.valueOf("1000-01-01 00:00:00")
 
@@ -63,16 +66,21 @@ class IncrementalDocPipeline(
     val newWm = head.getTimestamp(1)
     val nIds = head.getLong(2)
 
-    // persist across BOTH consumers: without it the delivery action would
-    // re-run the whole rebuild query, and a concurrently-appended change
-    // row (or a nondeterministic tie) could hand ES a different doc
-    // version than the store committed while the watermark still advances
-    // (r14 review)
-    val docs = docBuilder(spark, dirty.select("id").distinct()).persist()
+    // persist across BOTH consumers when a deliverer is wired: without it
+    // the delivery action would re-run the whole rebuild query, and a
+    // concurrently-appended change row (or a nondeterministic tie) could
+    // hand ES a different doc version than the store committed while the
+    // watermark still advances (r14 review). With the no-op default there
+    // is only ONE consumer, so the materialization would be pure overhead
+    // (measured +28% on q_composed_tick) — skip it.
+    val delivering = deliver ne IncrementalDocPipeline.NoDeliver
+    val built = docBuilder(spark, dirty.select("id").distinct())
+    val docs = if (delivering) built.persist() else built
     try {
       IncrementalDocPipeline.upsertDocs(spark, storePath, docs, stampTimestamps)
-      deliver(spark, docs) // es.bulk boundary: throws ⇒ watermark stays put
-    } finally docs.unpersist()
+      if (delivering)
+        deliver(spark, docs) // es.bulk boundary: throws ⇒ watermark stays put
+    } finally if (delivering) docs.unpersist()
     // commit watermark AFTER the sink write (reference commits after es.bulk)
     import spark.implicits._
     Seq(newWm).toDF("wm").write.mode(SaveMode.Overwrite).parquet(statePath)
@@ -94,6 +102,12 @@ class IncrementalDocPipeline(
 }
 
 object IncrementalDocPipeline {
+
+  /** Named no-op delivery sentinel — reference identity tells [[tick]]
+    * whether a real deliverer is wired (persist + deliver) or not (single
+    * consumer: skip both).
+    */
+  val NoDeliver: (SparkSession, DataFrame) => Unit = (_, _) => ()
 
   /** Idempotent by-id upsert: replace existing versions of the incoming ids,
     * keep everything else. At warehouse scale this is a MERGE / partition

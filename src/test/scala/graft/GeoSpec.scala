@@ -85,6 +85,17 @@ class GeoSpec extends SparkSpecBase {
     }
   }
 
+  test("geoDistanceStored: the stored-coordinate face returns the identical membership set") {
+    // same rows, different plan: the stored face reads persisted (lat_ud,
+    // lon_ud) columns with the bbox pushed to the scan (PlanSpec pins the
+    // PushedFilters); row-for-row equality here proves the store build is
+    // a faithful projection of the derivation
+    val derived = GeoOps.geoDistance(spark, sf).collect().map(_.toSeq.toList).toSet
+    val stored = GeoOps.geoDistanceStored(spark, sf).collect().map(_.toSeq.toList).toSet
+    assert(stored === derived)
+    assert(stored.nonEmpty)
+  }
+
   test("geoGrid: bucket counts partition the in-radius events; users bounded") {
     val grid = GeoOps.geoGrid(spark, sf).collect()
     val hits = GeoOps.geoDistance(spark, sf).count()

@@ -233,6 +233,121 @@ class H264CavlcSpec extends SparkSpecBase {
     assert(c.toSeq === Seq(100, 102, 104, 106, 108, 108, 106, 104))
   }
 
+  test("intra prediction hand vectors: every 4x4 mode, 16x16 Plane, chroma Plane against spec arithmetic") {
+    // ADVICE r14: modes beyond DC/Vertical were proven only by
+    // encoder-decoder self-consistency (both call the same predictor), so
+    // a mistranscribed 8.3 formula would pass every gate. These expected
+    // grids were computed BY HAND from clauses 8.3.1.2.3-8.3.1.2.9 /
+    // 8.3.3.4 / 8.3.4.4 over an asymmetric neighbor line — mirroring the
+    // deblocking and MC vector discipline.
+    //
+    // Neighbor setup (plane 16 wide, block at (4,4)):
+    //   p[x,-1] = 10·(x+1) for x = 0..7   (10,20,...,80)
+    //   p[-1,y] = 90+10y  for y = 0..3    (90,100,110,120)
+    //   p[-1,-1] = 5
+    val w = 16
+    val plane = new Array[Int](w * 16)
+    for (x <- 0 to 7) plane(3 * w + 4 + x) = 10 * (x + 1)
+    for (y <- 0 to 3) plane((4 + y) * w + 3) = 90 + 10 * y
+    plane(3 * w + 3) = 5
+    def p4(mode: Int): Seq[Int] =
+      H264Cavlc.predict4x4(plane, w, 4, 4, mode,
+        leftAvail = true, topAvail = true, tlAvail = true, trAvail = true).toSeq
+    // mode 0 Vertical: each row copies the top line
+    assert(p4(0) === Seq(10, 20, 30, 40, 10, 20, 30, 40, 10, 20, 30, 40, 10, 20, 30, 40))
+    // mode 1 Horizontal: each column copies the left line
+    assert(p4(1) === Seq(90, 90, 90, 90, 100, 100, 100, 100, 110, 110, 110, 110, 120, 120, 120, 120))
+    // mode 2 DC: (100 + 420 + 4) >> 3 = 65
+    assert(p4(2) === Seq.fill(16)(65))
+    // mode 3 Diagonal-Down-Left: 10(x+y)+20, corner (3,3) = (70+3·80+2)>>2 = 78
+    assert(p4(3) === Seq(20, 30, 40, 50, 30, 40, 50, 60, 40, 50, 60, 70, 50, 60, 70, 78))
+    // mode 4 Diagonal-Down-Right: diagonal (10+2·5+90+2)>>2 = 28;
+    // above-diagonal taps through p[-1,-1], below through the left line
+    assert(p4(4) === Seq(28, 11, 20, 30, 71, 28, 11, 20, 100, 71, 28, 11, 110, 100, 71, 28))
+    // mode 5 Vertical-Right (zVR even/odd/-1/<-1 arms all exercised)
+    assert(p4(5) === Seq(8, 15, 25, 35, 28, 11, 20, 30, 71, 8, 15, 25, 100, 28, 11, 20))
+    // mode 6 Horizontal-Down (zHD even/odd/-1/<-1 arms all exercised)
+    assert(p4(6) === Seq(48, 28, 11, 20, 95, 71, 48, 28, 105, 100, 95, 71, 115, 110, 105, 100))
+    // mode 7 Vertical-Left (even/odd rows; reads into the top-right line)
+    assert(p4(7) === Seq(15, 25, 35, 45, 20, 30, 40, 50, 25, 35, 45, 55, 30, 40, 50, 60))
+    // mode 8 Horizontal-Up (half-pel, odd, zHU==5 and >5 saturation arms)
+    assert(p4(8) === Seq(95, 100, 105, 110, 105, 110, 115, 118, 115, 118, 120, 120, 120, 120, 120, 120))
+
+    // ---- 16x16 Plane (8.3.3.4) ----
+    // top(x) = 50+3x, left(y) = 80+5y, tl = 40 (plane 32 wide, block at
+    // (8,8)). Hand derivation: H = 6·Σk²(k=1..7) + 8·(95-40) = 840+440
+    // = 1280; V = 10·Σk² + 8·(155-40) = 1400+920 = 2320;
+    // a = 16·(155+95) = 4000; b = (5·1280+32)>>6 = 100;
+    // c = (5·2320+32)>>6 = 181.
+    val w2 = 32
+    val plane2 = new Array[Int](w2 * 32)
+    for (x <- 0 to 15) plane2(7 * w2 + 8 + x) = 50 + 3 * x
+    for (y <- 0 to 15) plane2((8 + y) * w2 + 7) = 80 + 5 * y
+    plane2(7 * w2 + 7) = 40
+    val p16 = H264Cavlc.predict16x16(plane2, w2, 8, 8, 3,
+      leftAvail = true, topAvail = true)
+    def clip(v: Int) = math.max(0, math.min(255, v))
+    for (y <- 0 to 15; x <- 0 to 15)
+      assert(p16(y * 16 + x) ===
+        clip((4000 + 100 * (x - 7) + 181 * (y - 7) + 16) >> 5),
+        s"16x16 Plane diverges at ($x,$y)")
+    // spot anchors of the hand arithmetic itself
+    assert(p16(0) === 64 && p16(15) === 110 && p16(15 * 16) === 148 &&
+      p16(255) === 195 && p16(7 * 16 + 7) === 125)
+
+    // ---- chroma Plane (8.3.4.4: the 17-multiplier law) ----
+    // top(x) = 30+4x, left(y) = 60+6y, tl = 20 (plane 16 wide, block at
+    // (4,4)). H = (8+32+72) + 4·(58-20) = 264; V = (12+48+108) +
+    // 4·(102-20) = 496; a = 16·(102+58) = 2560; b = (17·264+16)>>5 =
+    // 140; c = (17·496+16)>>5 = 264.
+    val plane3 = new Array[Int](w * 16)
+    for (x <- 0 to 7) plane3(3 * w + 4 + x) = 30 + 4 * x
+    for (y <- 0 to 7) plane3((4 + y) * w + 3) = 60 + 6 * y
+    plane3(3 * w + 3) = 20
+    val pc = H264Cavlc.predictChroma(plane3, w, 4, 4, 3,
+      leftAvail = true, topAvail = true)
+    for (y <- 0 to 7; x <- 0 to 7)
+      assert(pc(y * 8 + x) ===
+        clip((2560 + 140 * (x - 3) + 264 * (y - 3) + 16) >> 5),
+        s"chroma Plane diverges at ($x,$y)")
+    assert(pc(0) === 42 && pc(7) === 73 && pc(7 * 8) === 100 &&
+      pc(63) === 131 && pc(3 * 8 + 3) === 80)
+  }
+
+  test("SPS frame cropping: decoded pictures crop per 7-24/7-25; the in-loop reference stays full-raster") {
+    // ADVICE r14: pixel decode ignored the crop fields q_h264_meta honors.
+    // Decode the same all-intra stream twice — once with the synth's
+    // crop-0 SPS, once with the SAME bitstream under an SPS declaring
+    // crop (the raster fields are identical, so the slice parses the
+    // same) — and pin that the cropped output is exactly the crop window
+    // of the full decode, luma AND both chroma planes.
+    val s = H264Cavlc.synthCavlc(wMb = 3, hMb = 2, nFrames = 1, seed = 77L, rich = true)
+    val nals = H264Codec.nalUnits(s.bytes).toVector
+    val sps0 = H264Codec.parseSps(nals.collectFirst { case (7, n) => n }.get)
+    val pps = H264Codec.parsePpsFull(nals.collectFirst { case (8, n) => n }.get)
+    val idr = nals.collectFirst { case (5, n) => n }.get
+    val full = H264Cavlc.decodeISlice(idr, sps0, pps)
+    assert(full.width === 48 && full.height === 32)
+    val spsC = sps0.copy(cropL = 1, cropR = 2, cropT = 1, cropB = 3)
+    val cropped = H264Cavlc.decodeISlice(idr, spsC, pps)
+    // 7-24/7-25 with CropUnitX/Y = 2: luma drops 2·crop per edge
+    assert(cropped.width === 48 - 2 * (1 + 2) && cropped.height === 32 - 2 * (1 + 3))
+    for (y <- 0 until cropped.height; x <- 0 until cropped.width)
+      assert(cropped.luma(y * cropped.width + x) ===
+        full.luma((y + 2) * full.width + (x + 2)),
+        s"luma crop window diverges at ($x,$y)")
+    val (cw, ch) = (cropped.width / 2, cropped.height / 2)
+    for (y <- 0 until ch; x <- 0 until cw) {
+      assert(cropped.cb(y * cw + x) === full.cb((y + 1) * (full.width / 2) + (x + 1)))
+      assert(cropped.cr(y * cw + x) === full.cr((y + 1) * (full.width / 2) + (x + 1)))
+    }
+    // crop that leaves no picture fails loud, not a negative allocation
+    val e = intercept[IllegalArgumentException] {
+      H264Cavlc.decodeISlice(idr, sps0.copy(cropL = 12, cropR = 12), pps)
+    }
+    assert(e.getMessage.contains("cropping"))
+  }
+
   test("Table 9-4 inter cbp mapping is a permutation of 0..47 with cbp 0 on the shortest code") {
     assert(H264Cavlc.cbpInter.sorted.toSeq === (0 until 48))
     // P MBs most often carry no residual: codeNum 0 -> cbp 0; the next

@@ -24,6 +24,29 @@ class PlanSpec extends SparkSpecBase {
       s"watermark predicate not pushed to scan:\n$p")
   }
 
+  test("geoDistanceStored: bbox bounds pushed into the coordinate-store scan on BOTH axes") {
+    // four pushed predicates overflow the default 100-char metadata
+    // rendering ("PushedFilters: [..., LessThanOrEqual(lat_u...") — widen
+    // it for this assertion so the full list is visible, then restore
+    val key = "spark.sql.maxMetadataStringLength"
+    val prev = spark.conf.get(key)
+    val p = try {
+      spark.conf.set(key, "2000")
+      plan(graft.ops.GeoOps.geoDistanceStored(spark, sf))
+    } finally spark.conf.set(key, prev)
+    // the ES geo_distance bounding-box optimization as a plan property:
+    // with REAL stored integer coordinates the four range bounds land in
+    // PushedFilters (row-group pruning over the range-sorted store) — the
+    // hash-derived face can only filter post-projection. Each predicate
+    // matched independently: rendering order is not contractual.
+    for (want <- Seq("GreaterThanOrEqual(lat_ud", "LessThanOrEqual(lat_ud",
+                     "GreaterThanOrEqual(lon_ud", "LessThanOrEqual(lon_ud"))
+      assert(p.contains(want), s"expected $want pushed into the store scan:\n$p")
+    // and the derivation projection is gone — the scan serves the columns
+    assert(!p.toLowerCase.contains("md5"),
+      s"stored face must not re-derive coordinates:\n$p")
+  }
+
   test("denormDocs: dimension joins broadcast; no shuffle of the fact for dims") {
     val p = plan(RelationalOps.denormDocs(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast dim joins in:\n$p")

@@ -97,12 +97,18 @@ class SqliteSpec extends SparkSpecBase {
     }
     assert(e2.getMessage.contains("virtual"))
     // migration over the edge fixture skips the virtual table and the
-    // sqlite_sequence internal (and fails only on 'defaulted', by name)
+    // sqlite_sequence internal, and fails LOUD on the first unsupported
+    // table in the reference's name-length load order — ft_idx, an fts5
+    // WITHOUT-ROWID shadow table stored as an index b-tree (page type
+    // 10/2), a format the rowid-table reader refuses by name. (The
+    // 'defaulted' DEFAULT refusal is pinned directly above; before the
+    // r15 load-order change it was simply the first failure hit.)
     val e3 = intercept[Exception] {
       graft.migrate.Migrate.migrateSqliteDb(spark, edges,
         java.nio.file.Files.createTempDirectory("edges_migrate").toString)
     }
-    assert(causeChain(e3).contains("DEFAULT"), s"unexpected failure: ${causeChain(e3)}")
+    assert(causeChain(e3).contains("not a table b-tree page"),
+      s"unexpected failure: ${causeChain(e3)}")
   }
 
   test("parseColumns: string literals and doubled quotes never split or unbalance the column list") {
@@ -191,6 +197,12 @@ class SqliteSpec extends SparkSpecBase {
     val first = graft.migrate.Migrate.migrateSqliteDb(spark, fixture, dst)
     assert(first.keySet === Set("film_work", "genre", "person",
       "genre_film_work", "person_film_work", "types_zoo"))
+    // the reference's load order (load_data.py:47 sort(key=len), stable —
+    // film_work before types_zoo because sqlite_master lists it first):
+    // the returned ListMap iterates in the order tables were loaded
+    assert(first.keys.toSeq === Seq("genre", "person", "film_work",
+      "types_zoo", "genre_film_work", "person_film_work"),
+      "migration must load tables in the reference's name-length order")
     first.foreach { case (t, (appended, report)) =>
       assert(report.ok, s"$t failed reconciliation: $report")
       assert(appended === report.srcRows, s"$t first run must append every row")
