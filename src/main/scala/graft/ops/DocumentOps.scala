@@ -56,12 +56,24 @@ object DocumentOps {
 
   private[graft] def orderDocsDF(spark: SparkSession, dir: String,
                                  only: Option[DataFrame] = None): DataFrame = {
-    val liBase = pruneTo(Tables.lineitem(spark, dir), "l_orderkey", only)
     // split aggregation (same pattern as denormDocs): the count must not
     // ride in the ObjectHashAggregate that carries the struct-set buffers —
-    // the numeric side stays a codegen'd HashAggregate over the bare fact
-    // (and needs no part join at all); both sides shuffle on
-    // hash(l_orderkey), so the 1:1 join below is co-partitioned.
+    // the numeric side stays a codegen'd HashAggregate. r15: the fact
+    // repartitions on l_orderkey as a STAGED exchange of raw narrow rows,
+    // and the whole object aggregate (partial+final back-to-back) runs
+    // downstream of it — the former shape serialized the partial
+    // collect_set BUFFERS into the shuffle, which is where the time went
+    // (PlanSpec pins buffers-above-exchange). The part join lands AFTER
+    // the shuffle (broadcast under AQE), and the 1:1 join with the numeric
+    // side is co-partitioned on the same key (broadcast while the order
+    // count is small, SMJ-without-exchange at scale). Note column pruning
+    // keeps the numeric side on its own narrow scan (no exchange reuse) —
+    // measured that is still the right trade: 1.46-1.65 -> 0.94-1.20 s at
+    // sf0.1, 0.73x DuckDB on identical algebra.
+    val liBase = pruneTo(Tables.lineitem(spark, dir), "l_orderkey", only)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_returnflag"))
+      .repartition(col("l_orderkey"))
     val numeric = liBase.groupBy(col("l_orderkey").as("n_orderkey"))
       .agg(count(lit(1)).as("n_lines"))
     // part/customer are UNHINTED (they scale with the corpus; a forced

@@ -77,6 +77,32 @@ class PlanSpec extends SparkSpecBase {
       s"expected codegen HashAggregate carrying partial_count in:\n$p")
   }
 
+  test("denormNested: raw rows shuffle, not object-agg buffers — partial collect_set ABOVE the exchange") {
+    // the r15 rewrite: the fact repartitions on l_orderkey FIRST
+    // (REPARTITION_BY_COL) and the whole object aggregate (partial+final)
+    // runs downstream of that one staged shuffle — serializing partial
+    // collect_set buffers INTO a shuffle (the former shape) measured
+    // 1.46-1.65 s vs 0.96 s at sf0.1. In toString order (top-down tree)
+    // the partial ObjectHashAggregate must print BEFORE its exchange.
+    val p = plan(DocumentOps.denormNested(spark, sf))
+    assert(p.contains("REPARTITION_BY_COL"),
+      s"expected the staged repartition exchange in:\n$p")
+    val lines = p.linesIterator.toSeq
+    val finalIdx = lines.indexWhere(l =>
+      l.contains("ObjectHashAggregate") && l.contains("functions=[collect_set"))
+    val partialIdx = lines.indexWhere(l =>
+      l.contains("ObjectHashAggregate") && l.contains("partial_collect_set"))
+    assert(finalIdx >= 0 && partialIdx > finalIdx,
+      s"expected final-then-partial object agg lines in:\n$p")
+    // partial and final are back-to-back: NO exchange between them (the
+    // former shape shuffled the partial buffers: final / Exchange / partial)
+    assert(!lines.slice(finalIdx + 1, partialIdx).exists(_.contains("Exchange")),
+      s"object-agg buffers still serialize into a shuffle:\n$p")
+    // and the staged repartition feeds the object agg from BELOW it
+    assert(lines.drop(partialIdx).exists(_.contains("REPARTITION_BY_COL")),
+      s"partial object agg must sit above the staged exchange:\n$p")
+  }
+
   test("topkRevenue: partial top-k (TakeOrderedAndProject), not a global sort") {
     val p = plan(RelationalOps.topkRevenue(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
