@@ -214,7 +214,12 @@ object Bench {
           bq.get(name).exists(b => weakGateBreach(d.wall, b)) }
         if (breaches && remeasureBudgetSec > 0) {
           scala.util.Try {
-            runOnce(fn) // re-warm: page cache + codegen may have aged out
+            // re-warm (page cache + codegen may have aged out) — charged
+            // against the budget like the measured run, otherwise a
+            // contended host could spend ~2x the documented cap
+            val tw = System.nanoTime()
+            runOnce(fn)
+            remeasureBudgetSec -= (System.nanoTime() - tw) / 1e9
             diag.quiesce()
             val (j0, c0, r0, g0) = diag.snapshot
             val t0 = System.nanoTime()

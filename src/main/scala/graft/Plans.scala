@@ -41,10 +41,15 @@ object Plans {
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(s"$outDir/$name.txt"), formatted)
         // one-line summary: the operator chain of the simple-string plan,
-        // enough to spot a CartesianProduct / missing broadcast at a glance
+        // enough to spot a CartesianProduct / missing broadcast at a glance.
+        // Whole-stage-codegen nodes render as "*(3) HashAggregate(...)" —
+        // the "*(N) " prefix must strip too or every codegen'd operator
+        // collapses to its meaningless stage id (r15 review)
         val ops = df.queryExecution.executedPlan.toString.linesIterator
-          .map(_.dropWhile(c => c == ' ' || c == '+' || c == '-' || c == ':' || c == '*').trim)
-          .filter(_.nonEmpty).map(_.takeWhile(_ != ' ')).toSeq.distinct
+          .map(_.dropWhile(c => c == ' ' || c == '+' || c == '-' || c == ':').trim)
+          .map(_.replaceFirst("^\\*?\\(\\d+\\)\\s*", ""))
+          .filter(_.nonEmpty).map(_.takeWhile(c => c != ' ' && c != '(')).toSeq
+          .filter(_.nonEmpty).distinct
         index.append(s"$name: ${ops.mkString(" | ")}\n")
       } catch {
         case e: Throwable =>

@@ -57,6 +57,8 @@ object SparkEntry {
     "q_volume_anomaly"   -> (EventsOps.volumeAnomaly(_, _)),
     "q_geo_distance"     -> ((s, d) => GeoOps.geoDistance(s, d)),
     "q_geo_distance_stored" -> ((s, d) => GeoOps.geoDistanceStored(s, d)),
+    "q_geo_grid_stored"   -> ((s, d) => GeoOps.geoGridStored(s, d)),
+    "q_geo_bounds_stored" -> ((s, d) => GeoOps.geoBoundsStored(s, d)),
     "q_geo_grid"         -> ((s, d) => GeoOps.geoGrid(s, d)),
     "q_geo_bounds"       -> ((s, d) => GeoOps.geoBounds(s, d)),
     "q_active_users"     -> (EventsOps.activeUsers(_, _)),

@@ -106,16 +106,13 @@ object GeoOps {
     */
   private def servedGeoStore(spark: SparkSession, dir: String): DataFrame = {
     val p = graft.Tables.derivedStorePath(spark, "geocoords", dir, "events.parquet")
-    geoStores.computeIfAbsent(p, path => {
-      val hp = new org.apache.hadoop.fs.Path(path)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(hp))
-        // global range sort: each output file covers a narrow lat band, so
-        // a bbox predicate prunes whole row groups by footer stats alone
-        graft.sinks.AtomicSwap.replace(spark,
-          geoEvents(spark, dir).sort("lat_ud", "lon_ud"), path)
-      path
-    })
+    geoStores.computeIfAbsent(p, path =>
+      // global range sort: each output file covers a narrow lat band, so
+      // a bbox predicate prunes whole row groups by footer stats alone.
+      // buildIfAbsent is the ONE shared build-or-serve guard (exists check
+      // + staged swap) every store builder rides (r15 review).
+      graft.sinks.AtomicSwap.buildIfAbsent(spark, path)(
+        geoEvents(spark, dir).sort("lat_ud", "lon_ud")))
     graft.Tables.parquetCached(spark, p)
   }
 
@@ -134,20 +131,25 @@ object GeoOps {
     withinRadius(servedGeoStore(spark, dir), radiusUd)
       .select(col("event_id"), col("lat_ud"), col("lon_ud"), col("dist2"))
 
-  /** The scan [[geoDistanceStored]] filters — exposed so PlanSpec can pin
-    * the pushed bounds without rebuilding the query's tail projection.
-    */
-  private[graft] def storedGeoScan(spark: SparkSession, dir: String): DataFrame =
-    servedGeoStore(spark, dir)
-
   /** ES `geo_distance` filter + `geohash_grid` aggregation at precision 4:
     * bucket counts + distinct users per geohash cell over the in-radius
     * events.
     */
   def geoGrid(spark: SparkSession, dir: String,
               radiusUd: Long = 10000000L): DataFrame =
-    gridCells(spark, dir, radiusUd)
-      .groupBy("geohash")
+    gridAgg(gridCells(spark, dir, radiusUd))
+
+  /** [[geoGrid]] over the stored-coordinates store: the identical cell
+    * law and aggregate, but the in-radius frame comes from the pushed
+    * bbox scan — at 100 TB the whole grid reads only the box's row
+    * groups. Same oracle rows as the derived face by construction.
+    */
+  def geoGridStored(spark: SparkSession, dir: String,
+                    radiusUd: Long = 10000000L): DataFrame =
+    gridAgg(cellsOf(withinRadius(servedGeoStore(spark, dir), radiusUd)))
+
+  private def gridAgg(cells: DataFrame): DataFrame =
+    cells.groupBy("geohash")
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"))
 
@@ -155,13 +157,17 @@ object GeoOps {
     * checks against an independent interval-halving reference encoder.
     */
   private[graft] def gridCells(spark: SparkSession, dir: String,
-                               radiusUd: Long): DataFrame = {
+                               radiusUd: Long): DataFrame =
+    cellsOf(withinRadius(geoEvents(spark, dir), radiusUd))
+
+  /** The geohash-4 cell law over any in-radius frame (derived or stored). */
+  private def cellsOf(inRadius: DataFrame): DataFrame = {
     def bit(c: Column, i: Int): Column = shiftright(c, i).bitwiseAND(lit(1L))
     // the true geohash quantization: floor((lon+180)/360 · 2^10); the
     // derived domain is CLOSED at +180/+90 (true geohash wraps +180 to
     // −180), so the single edge cell clamps to 1023 — least() spelled
     // identically in both engines
-    withinRadius(geoEvents(spark, dir), radiusUd)
+    inRadius
       .withColumn("gx",
         expr("least(((lon_ud + 180000000L) * 1024L) div 360000000L, 1023L)"))
       .withColumn("gy",
@@ -180,10 +186,17 @@ object GeoOps {
     */
   def geoBounds(spark: SparkSession, dir: String,
                 radiusUd: Long = 10000000L): DataFrame =
-    withinRadius(geoEvents(spark, dir), radiusUd)
-      .agg(count(lit(1)).as("n"),
-        min(col("lat_ud")).as("min_lat_ud"), max(col("lat_ud")).as("max_lat_ud"),
-        min(col("lon_ud")).as("min_lon_ud"), max(col("lon_ud")).as("max_lon_ud"))
+    boundsAgg(withinRadius(geoEvents(spark, dir), radiusUd))
+
+  /** [[geoBounds]] over the stored-coordinates store (pushed bbox scan). */
+  def geoBoundsStored(spark: SparkSession, dir: String,
+                      radiusUd: Long = 10000000L): DataFrame =
+    boundsAgg(withinRadius(servedGeoStore(spark, dir), radiusUd))
+
+  private def boundsAgg(inRadius: DataFrame): DataFrame =
+    inRadius.agg(count(lit(1)).as("n"),
+      min(col("lat_ud")).as("min_lat_ud"), max(col("lat_ud")).as("max_lat_ud"),
+      min(col("lon_ud")).as("min_lon_ud"), max(col("lon_ud")).as("max_lon_ud"))
 
   // ---- DuckDB oracles: the same integer laws, spelled identically ----
 
@@ -223,23 +236,35 @@ object GeoOps {
          |  MIN(lat_ud) AS min_lat_ud, MAX(lat_ud) AS max_lat_ud,
          |  MIN(lon_ud) AS min_lon_ud, MAX(lon_ud) AS max_lon_ud
          |FROM f""".stripMargin,
-    "q_geo_grid" -> {
-      val ih = (0 to 9).map(i =>
-        s"(((gx >> $i) & 1) << ${2 * i + 1}) + (((gy >> $i) & 1) << ${2 * i})")
-        .mkString(" + ")
-      val gh = (0 to 3).map(c =>
-        s"substr('$B32', CAST((ih >> ${15 - 5 * c}) & 31 AS INT) + 1, 1)")
-        .mkString("|| ")
-      s"""WITH $geoCte,
-         |q AS (
-         |  SELECT user_id,
-         |    least((lon_ud + 180000000) * 1024 // 360000000, 1023) AS gx,
-         |    least((lat_ud + 90000000) * 1024 // 180000000, 1023) AS gy
-         |  FROM f),
-         |c AS (SELECT user_id, $ih AS ih FROM q)
-         |SELECT $gh AS geohash,
-         |  CAST(COUNT(*) AS BIGINT) AS n_events,
-         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-         |FROM c GROUP BY 1""".stripMargin
-    })
+    "q_geo_bounds_stored" ->
+      s"""WITH $geoCte
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  MIN(lat_ud) AS min_lat_ud, MAX(lat_ud) AS max_lat_ud,
+         |  MIN(lon_ud) AS min_lon_ud, MAX(lon_ud) AS max_lon_ud
+         |FROM f""".stripMargin,
+    "q_geo_grid" -> gridSql,
+    // the stored faces return the derived faces' exact rows — the oracle
+    // replays the derivation over the immutable testdata while the engine
+    // reads persisted columns through the pushed bbox scan
+    "q_geo_grid_stored" -> gridSql)
+
+  private def gridSql: String = {
+    val ih = (0 to 9).map(i =>
+      s"(((gx >> $i) & 1) << ${2 * i + 1}) + (((gy >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
+    val gh = (0 to 3).map(c =>
+      s"substr('$B32', CAST((ih >> ${15 - 5 * c}) & 31 AS INT) + 1, 1)")
+      .mkString("|| ")
+    s"""WITH $geoCte,
+       |q AS (
+       |  SELECT user_id,
+       |    least((lon_ud + 180000000) * 1024 // 360000000, 1023) AS gx,
+       |    least((lat_ud + 90000000) * 1024 // 180000000, 1023) AS gy
+       |  FROM f),
+       |c AS (SELECT user_id, $ih AS ih FROM q)
+       |SELECT $gh AS geohash,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM c GROUP BY 1""".stripMargin
+  }
 }

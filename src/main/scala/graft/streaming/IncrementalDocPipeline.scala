@@ -144,7 +144,16 @@ object IncrementalDocPipeline {
         case Some(ex) => graft.sinks.IngestDefaults.stampUpsert(docs, ex)
         case None     => graft.sinks.IngestDefaults.stampInsert(docs)
       }
-    val incoming = stamped.cache()
+    // incoming appears TWICE in the merge (anti-join key side + union), so
+    // it caches for the write — but ONLY when this call introduced the
+    // plan. With stampTimestamps=false `stamped` IS the caller's `docs`:
+    // cache() would alias the caller's persist and the unpersist below
+    // would evict it BEFORE the caller's delivery stage reads it, silently
+    // reintroducing the version-skew hazard the tick's persist exists to
+    // prevent (r15 review).
+    val callerCached =
+      stamped.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val incoming = if (callerCached) stamped else stamped.cache()
     val merged = existing match {
       case Some(ex) =>
         ex.join(incoming.select("id"), Seq("id"), "left_anti")
@@ -154,7 +163,7 @@ object IncrementalDocPipeline {
     // staged write + rename swap (retry/backoff and crash recovery live in
     // AtomicSwap — shared with the compaction utility)
     graft.sinks.AtomicSwap.replace(spark, merged, storePath)
-    incoming.unpersist()
+    if (!callerCached) incoming.unpersist()
     ()
   }
 }

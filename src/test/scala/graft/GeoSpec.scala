@@ -94,6 +94,13 @@ class GeoSpec extends SparkSpecBase {
     val stored = GeoOps.geoDistanceStored(spark, sf).collect().map(_.toSeq.toList).toSet
     assert(stored === derived)
     assert(stored.nonEmpty)
+    // the whole family serves from the same store: grid and bounds too
+    val gridD = GeoOps.geoGrid(spark, sf).collect().map(_.toSeq.toList).toSet
+    val gridS = GeoOps.geoGridStored(spark, sf).collect().map(_.toSeq.toList).toSet
+    assert(gridS === gridD && gridS.nonEmpty)
+    val boundsD = GeoOps.geoBounds(spark, sf).collect().map(_.toSeq.toList).toSet
+    val boundsS = GeoOps.geoBoundsStored(spark, sf).collect().map(_.toSeq.toList).toSet
+    assert(boundsS === boundsD)
   }
 
   test("geoGrid: bucket counts partition the in-radius events; users bounded") {

@@ -197,4 +197,26 @@ class IncrementalPipelineSpec extends SparkSpecBase {
     // watermark advanced: nothing to do
     assert(p.tick(spark) === 0L)
   }
+
+  test("upsertDocs never evicts a caller-persisted frame (delivery reads the store-committed version)") {
+    // r15 review: with stampTimestamps=false the stamped frame IS the
+    // caller's docs, and upsertDocs' internal cache()/unpersist() pair
+    // aliased the caller's persist — evicting it BEFORE the delivery
+    // stage read it, so ES could receive a recomputed (possibly
+    // different) doc version than the store committed. Pin: after
+    // upsertDocs, a caller-persisted frame is still cached.
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("upsert_cache").toString + "/docs"
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("id", "doc").persist()
+    try {
+      docs.count() // materialize the cache
+      IncrementalDocPipeline.upsertDocs(spark, store, docs)
+      assert(docs.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "upsertDocs evicted the caller's persist - the delivery consumer would recompute")
+      // and a second upsert (the existing-store merge path, where incoming
+      // appears twice) must also leave it cached
+      IncrementalDocPipeline.upsertDocs(spark, store, docs)
+      assert(docs.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    } finally docs.unpersist()
+  }
 }

@@ -30,9 +30,11 @@ class PlanSpec extends SparkSpecBase {
     // it for this assertion so the full list is visible, then restore
     val key = "spark.sql.maxMetadataStringLength"
     val prev = spark.conf.get(key)
-    val p = try {
+    val (p, gridBounds) = try {
       spark.conf.set(key, "2000")
-      plan(graft.ops.GeoOps.geoDistanceStored(spark, sf))
+      (plan(graft.ops.GeoOps.geoDistanceStored(spark, sf)),
+        Seq(plan(graft.ops.GeoOps.geoGridStored(spark, sf)),
+          plan(graft.ops.GeoOps.geoBoundsStored(spark, sf))))
     } finally spark.conf.set(key, prev)
     // the ES geo_distance bounding-box optimization as a plan property:
     // with REAL stored integer coordinates the four range bounds land in
@@ -45,6 +47,16 @@ class PlanSpec extends SparkSpecBase {
     // and the derivation projection is gone — the scan serves the columns
     assert(!p.toLowerCase.contains("md5"),
       s"stored face must not re-derive coordinates:\n$p")
+    // grid and bounds ride the same pushed store scan, derivation-free —
+    // each bound matched independently (rendering order not contractual)
+    for (q <- gridBounds) {
+      for (want <- Seq("GreaterThanOrEqual(lat_ud", "LessThanOrEqual(lat_ud",
+                       "GreaterThanOrEqual(lon_ud", "LessThanOrEqual(lon_ud"))
+        assert(q.contains(want),
+          s"stored grid/bounds must push $want into the scan:\n$q")
+      assert(!q.toLowerCase.contains("md5"),
+        s"stored grid/bounds must not re-derive coordinates:\n$q")
+    }
   }
 
   test("denormDocs: dimension joins broadcast; no shuffle of the fact for dims") {
