@@ -169,9 +169,15 @@ object DocumentOps {
     */
   private[graft] def genreDocsDF(spark: SparkSession, dir: String,
                                  only: Option[DataFrame] = None): DataFrame = {
+    // raw narrow rows shuffle via a staged repartition, the object agg
+    // runs whole downstream — the r15 denormNested finding (serializing
+    // partial collect_set buffers into the shuffle is the slow part)
+    // applies family-wide: measured 0.84 -> 0.69 s at sf0.1 here
     val bridge = pruneTo(Tables.lineitem(spark, dir), "l_partkey", only)
+      .select(col("l_partkey"), col("l_orderkey").cast("string").as("fid"))
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"))
-      .agg(sort_array(collect_set(col("l_orderkey").cast("string"))).as("film_ids"))
+      .agg(sort_array(collect_set(col("fid"))).as("film_ids"))
     pruneTo(Tables.part(spark, dir), "p_partkey", only)
       .join(bridge, col("p_partkey") === col("l_partkey"), "left")
       .select(
@@ -200,6 +206,7 @@ object DocumentOps {
   def genreDocs(spark: SparkSession, dir: String): DataFrame = {
     val ids = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_orderkey").cast("string").as("fid"))
+      .repartition(col("l_partkey")) // staged exchange: see genreDocsDF
       .groupBy(col("l_partkey"))
       .agg(sort_array(collect_set(col("fid"))).as("fids"))
     Tables.part(spark, dir)
@@ -220,6 +227,8 @@ object DocumentOps {
   private[graft] def personDocsDF(spark: SparkSession, dir: String,
                                   only: Option[DataFrame] = None): DataFrame = {
     val films = pruneTo(Tables.lineitem(spark, dir), "l_suppkey", only)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_returnflag"))
+      .repartition(col("l_suppkey")) // staged exchange: see genreDocsDF
       .groupBy(col("l_suppkey"))
       .agg(sort_array(collect_set(struct(
         col("l_orderkey").as("film_id"),
@@ -252,13 +261,18 @@ object DocumentOps {
     * and sort_array + concat_ws add <2% on top, so a fused native
     * sorted-concat aggregate has nothing to save; a codegen'd
     * dedup-then-collect_list two-stage was measured 30% SLOWER (second
-    * shuffle). The remaining ~2× vs DuckDB's string_agg DISTINCT is the
-    * per-row cost of Spark's object-hash aggregate, not plan structure.
+    * shuffle). r15 revision of that floor: part of the "collect_set cost"
+    * was serializing PARTIAL set buffers into the shuffle — the staged
+    * repartition (raw rows shuffle, whole object agg downstream, the
+    * denormNested finding) takes the face 0.93–1.09 → 0.82 s measured.
+    * The residual ~1.8× vs DuckDB's string_agg DISTINCT is the per-row
+    * object-hash-aggregate cost, not plan structure.
     */
   def personDocs(spark: SparkSession, dir: String): DataFrame = {
     val refs = Tables.lineitem(spark, dir)
       .select(col("l_suppkey"),
         concat_ws(":", col("l_orderkey"), col("l_returnflag")).as("ref"))
+      .repartition(col("l_suppkey"))
       .groupBy(col("l_suppkey"))
       .agg(sort_array(collect_set(col("ref"))).as("refs"))
     Tables.supplier(spark, dir)
