@@ -33,6 +33,14 @@ object Plans {
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
     val index = new StringBuilder
+    index.append(
+      "# One line per query: distinct physical operators, plan order.\n" +
+      "# Rows showing ONLY LocalTableScan / Scan ExistingRDD are the\n" +
+      "# collected-bounded-artifact pattern: the face returns a calendar-\n" +
+      "# or model-bounded result (<= thousands of rows at any corpus size)\n" +
+      "# whose data-scale build ran at DataFrame-construction time and was\n" +
+      "# eagerly released (see the op's Scaladoc, e.g. EventsOps.activeUsers,\n" +
+      "# TextOps.corpusMix) - not a driver-side shortcut on a data path.\n")
     var failed = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
