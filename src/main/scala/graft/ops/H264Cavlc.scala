@@ -489,7 +489,7 @@ object H264Cavlc {
   /** Inverse 4x4 core transform (8.5.12.2) on raster-order input,
     * WITHOUT the final rounding — callers add (x + 32) >> 6.
     */
-  private def idct4x4(d: Array[Int]): Array[Int] = {
+  private[graft] def idct4x4(d: Array[Int]): Array[Int] = {
     val t = new Array[Int](16)
     var i = 0
     while (i < 4) { // rows
@@ -516,7 +516,7 @@ object H264Cavlc {
   /** Inverse 4x4 Hadamard (8.5.10's DC transform): the core butterfly
     * without the >>1 taps and without rounding.
     */
-  private def ihadamard4x4(d: Array[Int]): Array[Int] = {
+  private[graft] def ihadamard4x4(d: Array[Int]): Array[Int] = {
     val t = new Array[Int](16)
     var i = 0
     while (i < 4) {
@@ -542,7 +542,7 @@ object H264Cavlc {
     * placement, dequant, inverse transform, (x+32)>>6. `acOnly` shifts
     * the scan by one (15-coefficient AC blocks) and injects `dc`.
     */
-  private def residual4x4(coeffs: Array[Int], qp: Int, acOnly: Boolean,
+  private[graft] def residual4x4(coeffs: Array[Int], qp: Int, acOnly: Boolean,
                           dc: Int): Array[Int] = {
     val d = new Array[Int](16)
     if (acOnly) {

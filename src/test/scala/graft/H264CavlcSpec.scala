@@ -233,6 +233,75 @@ class H264CavlcSpec extends SparkSpecBase {
     assert(c.toSeq === Seq(100, 102, 104, 106, 108, 108, 106, 104))
   }
 
+  test("inverse transform hand vectors: 8.5.12.2 and 8.5.10 basis responses pin the butterflies completely") {
+    // Same blind spot as the intra predictors (ADVICE r14): idct4x4 and
+    // ihadamard4x4 are PURE LAWS shared by the encoder reconstruction and
+    // the decoder, so a mistranscribed tap passes every differential gate,
+    // and the DC-only oracle face exercises only the DC path. Both
+    // transforms are LINEAR, so pinning the response to each of the four
+    // basis inputs determines them completely; rows and columns use the
+    // same butterfly, so one row case + its transpose covers 2D. Expected
+    // grids are the H.264 inverse-transform matrix columns by hand:
+    //   core:     [1,1,1,1], [1,1/2,-1/2,-1], [1,-1,-1,1], [1/2,-1,1,-1/2]
+    //   hadamard: [1,1,1,1], [1,1,-1,-1],     [1,-1,-1,1], [1,-1,1,-1]
+    // (x64 input so the half taps stay integral).
+    def basis(pos: Int): Array[Int] = {
+      val d = new Array[Int](16); d(pos) = 64; d
+    }
+    val coreCols = Seq(
+      Seq(64, 64, 64, 64), Seq(64, 32, -32, -64),
+      Seq(64, -64, -64, 64), Seq(32, -64, 64, -32))
+    for (x <- 0 to 3) {
+      val out = H264Cavlc.idct4x4(basis(x)) // row-0 basis: columns constant
+      for (y <- 0 to 3; xx <- 0 to 3)
+        assert(out(y * 4 + xx) === coreCols(x)(xx),
+          s"core row response diverges at basis $x, sample ($xx,$y)")
+      val outT = H264Cavlc.idct4x4(basis(4 * x)) // col-0 basis: rows constant
+      for (y <- 0 to 3; xx <- 0 to 3)
+        assert(outT(y * 4 + xx) === coreCols(x)(y),
+          s"core column response diverges at basis $x, sample ($xx,$y)")
+    }
+    val hadCols = Seq(
+      Seq(64, 64, 64, 64), Seq(64, 64, -64, -64),
+      Seq(64, -64, -64, 64), Seq(64, -64, 64, -64))
+    for (x <- 0 to 3) {
+      val out = H264Cavlc.ihadamard4x4(basis(x))
+      for (y <- 0 to 3; xx <- 0 to 3)
+        assert(out(y * 4 + xx) === hadCols(x)(xx),
+          s"hadamard row response diverges at basis $x, sample ($xx,$y)")
+    }
+    // linearity cross-check on a mixed input: response = sum of scaled
+    // basis responses (catches any input-dependent branch)
+    val mixed = new Array[Int](16)
+    mixed(0) = 64; mixed(1) = -128; mixed(6) = 192
+    val got = H264Cavlc.idct4x4(mixed)
+    val b0 = H264Cavlc.idct4x4(basis(0))
+    val b1 = H264Cavlc.idct4x4(basis(1))
+    val b6 = H264Cavlc.idct4x4(basis(6))
+    for (k <- 0 to 15)
+      assert(got(k) === b0(k) - 2 * b1(k) + 3 * b6(k), s"linearity breaks at $k")
+
+    // residual4x4 end-to-end anchors: single coefficients through zig-zag
+    // placement + dequant (Table LevelScale row qp%6=0: V=(10,16,13)) +
+    // transform + (x+32)>>6. DC coeff 1 at qp 0: d(0)=10, every sample
+    // (10+32)>>6 = 0; DC coeff 8: d(0)=80, (80+32)>>6 = 1.
+    assert(H264Cavlc.residual4x4(Array.fill(16)(0).updated(0, 8), 0,
+      acOnly = false, dc = 0).toSeq === Seq.fill(16)(1))
+    // qp 6 doubles the scale ((c*V) << 1): DC coeff 4 -> d(0)=80 -> all 1
+    assert(H264Cavlc.residual4x4(Array.fill(16)(0).updated(0, 4), 6,
+      acOnly = false, dc = 0).toSeq === Seq.fill(16)(1))
+    // acOnly scan coeff k=0 lands at zig-zag position 1 = raster (x=1,y=0)
+    // — a MIXED-parity position, dequant class v_m2 = 13 at qp 0 (8.5.12.1
+    // row m=0 is (10,16,13): both-even 10, both-odd 16, mixed 13). So
+    // d(1) = 13·6 = 78, pre-round row response 78·[1,1/2,-1/2,-1] =
+    // [78,39,-39,-78], and (x+32)>>6 floors to [1,1,-1,-1] on every row.
+    val ac = H264Cavlc.residual4x4(Array.fill(15)(0).updated(0, 6), 0,
+      acOnly = true, dc = 0)
+    for (y <- 0 to 3)
+      assert(Seq(ac(y * 4), ac(y * 4 + 1), ac(y * 4 + 2), ac(y * 4 + 3)) ===
+        Seq(1, 1, -1, -1), s"AC zig-zag/dequant/transform chain diverges at row $y")
+  }
+
   test("intra prediction hand vectors: every 4x4 mode, 16x16 Plane, chroma Plane against spec arithmetic") {
     // ADVICE r14: modes beyond DC/Vertical were proven only by
     // encoder-decoder self-consistency (both call the same predictor), so
