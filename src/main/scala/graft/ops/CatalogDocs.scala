@@ -67,7 +67,9 @@ object CatalogDocs {
         when(col("role").isInCollection(roles),
           struct(col("person_id").as("id"), col("full_name").as("name")))))
 
-    val persons = pj.groupBy(col("film_work_id"))
+    val persons = pj
+      .repartition(col("film_work_id")) // staged exchange: see genreDocs
+      .groupBy(col("film_work_id"))
       .agg(
         // director: comma-joined names, '' when absent (etl/main.py:78-79)
         concat_ws(",", roleNames(DirectorRoles)).as("director"),
@@ -82,7 +84,9 @@ object CatalogDocs {
       .join(t(spark, dir, "genre")
         .select(col("id").as("genre_id"), col("name"),
           col("modified").as("g_modified")), Seq("genre_id"))
-    val genres = gj.groupBy(col("film_work_id"))
+    val genres = gj
+      .repartition(col("film_work_id")) // staged exchange: see genreDocs
+      .groupBy(col("film_work_id"))
       .agg(sort_array(collect_set(col("name"))).as("genre"),
         max(col("g_modified")).as("g_modified"))
 
@@ -115,6 +119,10 @@ object CatalogDocs {
     val bridge = pruneTo(
       t(spark, dir, "genre_film_work").select(col("genre_id"), col("film_work_id")),
       "genre_id", only)
+      // staged exchange (the r15 denormNested finding, kept in lockstep
+      // with DocumentOps.genreDocsDF): raw rows shuffle, the whole object
+      // aggregate runs downstream — never partial set buffers into the wire
+      .repartition(col("genre_id"))
       .groupBy(col("genre_id"))
       .agg(sort_array(collect_set(col("film_work_id"))).as("film_ids"))
     g.join(bridge, g("id") === bridge("genre_id"), "left")
@@ -133,6 +141,7 @@ object CatalogDocs {
       t(spark, dir, "person_film_work")
         .select(col("person_id"), col("film_work_id"), col("role")),
       "person_id", only)
+      .repartition(col("person_id")) // staged exchange: see genreDocs
       .groupBy(col("person_id"))
       .agg(sort_array(collect_set(
         struct(col("film_work_id").as("film_id"), col("role")))).as("films"))

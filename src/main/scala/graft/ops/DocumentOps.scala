@@ -174,10 +174,13 @@ object DocumentOps {
     // partial collect_set buffers into the shuffle is the slow part)
     // applies family-wide: measured 0.84 -> 0.69 s at sf0.1 here
     val bridge = pruneTo(Tables.lineitem(spark, dir), "l_partkey", only)
-      .select(col("l_partkey"), col("l_orderkey").cast("string").as("fid"))
+      // raw LONGS through the exchange; the string cast happens after the
+      // shuffle inside the aggregate (a UTF8 id is ~2x the long's 8 bytes,
+      // and shuffle bytes are the quantity this shape optimizes)
+      .select(col("l_partkey"), col("l_orderkey"))
       .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"))
-      .agg(sort_array(collect_set(col("fid"))).as("film_ids"))
+      .agg(sort_array(collect_set(col("l_orderkey").cast("string"))).as("film_ids"))
     pruneTo(Tables.part(spark, dir), "p_partkey", only)
       .join(bridge, col("p_partkey") === col("l_partkey"), "left")
       .select(
@@ -205,10 +208,10 @@ object DocumentOps {
     */
   def genreDocs(spark: SparkSession, dir: String): DataFrame = {
     val ids = Tables.lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_orderkey").cast("string").as("fid"))
+      .select(col("l_partkey"), col("l_orderkey")) // longs through the shuffle
       .repartition(col("l_partkey")) // staged exchange: see genreDocsDF
       .groupBy(col("l_partkey"))
-      .agg(sort_array(collect_set(col("fid"))).as("fids"))
+      .agg(sort_array(collect_set(col("l_orderkey").cast("string"))).as("fids"))
     Tables.part(spark, dir)
       .join(ids, col("p_partkey") === col("l_partkey"), "left")
       .select(

@@ -269,6 +269,12 @@ class H264CavlcSpec extends SparkSpecBase {
       for (y <- 0 to 3; xx <- 0 to 3)
         assert(out(y * 4 + xx) === hadCols(x)(xx),
           s"hadamard row response diverges at basis $x, sample ($xx,$y)")
+      // transpose (column-impulse) case: without it the column pass is
+      // exercised only through its d0 taps (r15 re-review)
+      val outT = H264Cavlc.ihadamard4x4(basis(4 * x))
+      for (y <- 0 to 3; xx <- 0 to 3)
+        assert(outT(y * 4 + xx) === hadCols(x)(y),
+          s"hadamard column response diverges at basis $x, sample ($xx,$y)")
     }
     // linearity cross-check on a mixed input: response = sum of scaled
     // basis responses (catches any input-dependent branch)
