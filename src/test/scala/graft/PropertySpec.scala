@@ -298,4 +298,28 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("staged-exchange law: repartition-then-object-agg equals direct groupBy on adversarial keyed data") {
+    // the r15 perf rewrites (denormNested, genre/person builders, the
+    // CatalogDocs twins) all rest on one equivalence: inserting
+    // repartition(key) between a frame and its groupBy(key).agg(collect_set)
+    // changes ONLY the physical exchange placement, never the result.
+    // Lock it on generated data with skewed keys, duplicate rows, nulls in
+    // the collected column, and a mixed numeric aggregate riding along.
+    val rows = samples(for {
+      k <- Gen.chooseNum(0L, 6L)       // few keys -> heavy per-key skew
+      v <- Gen.chooseNum(-50L, 50L)
+      s <- Gen.oneOf("a", "b", null, "\u0000", "dup", "dup")
+    } yield (k, v, s), 400)
+    val df = rows.toDF("k", "v", "s")
+    def agg(in: org.apache.spark.sql.DataFrame) =
+      in.groupBy("k").agg(
+        sort_array(collect_set(col("s"))).as("set"),
+        count(lit(1)).as("n"),
+        sum(col("v")).as("sv"))
+    val direct = agg(df).orderBy("k").collect().map(_.toSeq.toList).toList
+    val staged = agg(df.repartition(col("k"))).orderBy("k").collect()
+      .map(_.toSeq.toList).toList
+    assert(staged === direct)
+  }
 }
