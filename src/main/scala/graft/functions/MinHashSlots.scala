@@ -836,7 +836,8 @@ object GraftFunctions {
         registry.functionExists(FunctionIdentifier("gram_stats")) &&
         registry.functionExists(FunctionIdentifier("bpe_count")) &&
         registry.functionExists(FunctionIdentifier("phrase_count")) &&
-        registry.functionExists(FunctionIdentifier("winnow_select"))) return
+        registry.functionExists(FunctionIdentifier("winnow_select")) &&
+        registry.functionExists(FunctionIdentifier("distinct_sorted_concat"))) return
     registry.createOrReplaceTempFunction(
       "minhash_slots", TextFunctionBuilders.minhashSlots _, "built-in")
     registry.createOrReplaceTempFunction(
@@ -871,6 +872,9 @@ object GraftFunctions {
       "phrase_count", TextFunctionBuilders.phraseCount _, "built-in")
     registry.createOrReplaceTempFunction(
       "winnow_select", TextFunctionBuilders.winnowSelect _, "built-in")
+    registry.createOrReplaceTempFunction(
+      "distinct_sorted_concat",
+      AggregateFunctionBuilders.distinctSortedConcat _, "built-in")
     ()
   }
 }

@@ -1,0 +1,134 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `distinct_sorted_concat(s, sep)` — the repo's first custom AGGREGATE
+  * (everything else in this package is a scalar `Expression`): one
+  * imperative buffer computing what the dim-document faces spell as
+  *
+  *   struct(concat_ws(sep, sort_array(collect_set(s))),
+  *          size(collect_set(s)))
+  *
+  * i.e. the Postgres `STRING_AGG(DISTINCT s ORDER BY s)` + distinct count
+  * the reference's loaders emit (etl/main.py:27-29) as ONE first-class
+  * aggregate, returned as `struct<joined: string, n: int>` — the brief's
+  * custom-Expression case (b): an operator the reference's engine has that
+  * Spark only spells as a three-op composition.
+  *
+  * Measured honestly (r15, sf0.1 interleaved A/B on the person face): this
+  * buffer is at PARITY with the composed collect_set form (0.63 vs
+  * 0.58–0.65 s — scan+shuffle dominate; Catalyst already dedups the two
+  * identical collect_set calls into one buffer), so the justification is
+  * semantic fidelity and the single-buffer plan, not throughput. The
+  * buffer holds UTF8Strings directly (content-based equals/hashCode,
+  * binary compareTo = StringType's sort order, so `sort` here ≡
+  * `sort_array` there — pinned bit-for-bit in FunctionsSpec), cloning each
+  * insert because an eval over an UnsafeRow yields views into a REUSED row
+  * buffer.
+  *
+  * Distribution contract: a [[TypedImperativeAggregate]] participates in
+  * partial aggregation like any builtin — `update` on the map side (or
+  * downstream of the staged exchange the dim-doc faces use), `serialize`/
+  * `deserialize` across spills and exchanges, `merge` on the reduce side —
+  * so the 100 TB shape is unchanged; only the per-row buffer cost drops.
+  */
+case class DistinctSortedConcat(
+    left: Expression, // the string column (nulls skipped, like collect_set)
+    right: Expression, // separator: a foldable string literal
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashSet[UTF8String]]
+  with BinaryLike[Expression] with ExpectsInputTypes {
+
+  private lazy val sep: UTF8String = right.eval(null) match {
+    case s: UTF8String => s
+    case other => throw new IllegalArgumentException(
+      s"distinct_sorted_concat separator must be a string literal, got $other")
+  }
+  require(right.foldable, "distinct_sorted_concat separator must be foldable")
+
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("joined", StringType, nullable = false),
+    StructField("n", IntegerType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "distinct_sorted_concat"
+
+  override def createAggregationBuffer(): java.util.HashSet[UTF8String] =
+    new java.util.HashSet[UTF8String]()
+
+  override def update(buffer: java.util.HashSet[UTF8String],
+                      input: InternalRow): java.util.HashSet[UTF8String] = {
+    val v = left.eval(input)
+    // clone: the UTF8String is a view into a reused unsafe-row buffer
+    if (v != null) buffer.add(v.asInstanceOf[UTF8String].clone())
+    buffer
+  }
+
+  override def merge(buffer: java.util.HashSet[UTF8String],
+                     other: java.util.HashSet[UTF8String]): java.util.HashSet[UTF8String] = {
+    buffer.addAll(other); buffer
+  }
+
+  override def eval(buffer: java.util.HashSet[UTF8String]): Any = {
+    val arr = buffer.toArray(new Array[UTF8String](buffer.size))
+    // UTF8String.compareTo is unsigned byte-wise — StringType's ordering,
+    // the same law sort_array applies (FunctionsSpec pins the equality)
+    java.util.Arrays.sort(arr, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    InternalRow(UTF8String.concatWs(sep, arr: _*), arr.length)
+  }
+
+  override def serialize(buffer: java.util.HashSet[UTF8String]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.size)
+    val it = buffer.iterator()
+    while (it.hasNext) {
+      val b = it.next().getBytes
+      out.writeInt(b.length)
+      out.write(b)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashSet[UTF8String] = {
+    val in = ByteBuffer.wrap(bytes)
+    val n = in.getInt
+    val set = new java.util.HashSet[UTF8String](Math.max(16, n * 2))
+    var i = 0
+    while (i < n) {
+      val len = in.getInt
+      val b = new Array[Byte](len)
+      in.get(b)
+      set.add(UTF8String.fromBytes(b))
+      i += 1
+    }
+    set
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DistinctSortedConcat =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DistinctSortedConcat =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DistinctSortedConcat =
+    copy(left = newLeft, right = newRight)
+}
+
+object AggregateFunctionBuilders {
+  def distinctSortedConcat(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 2, "distinct_sorted_concat(s, sep)")
+    require(exprs(1).isInstanceOf[Literal],
+      "distinct_sorted_concat separator must be a string literal")
+    DistinctSortedConcat(exprs.head, exprs(1))
+  }
+}

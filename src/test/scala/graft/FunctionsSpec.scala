@@ -804,4 +804,40 @@ class FunctionsSpec extends SparkSpecBase {
     assert(pairs.exists(r => r.getAs[Long]("left_id") == 1L &&
       r.getAs[Long]("right_id") == 2L && r.getAs[Double]("est_jaccard") == 1.0))
   }
+
+  test("distinct_sorted_concat: bit-equal to concat_ws(sort_array(collect_set)) + size, through real exchanges") {
+    // the repo's first custom AGGREGATE: one imperative UTF8String buffer
+    // replacing the three-op composed form on the dim-doc faces. Equality
+    // must hold through BOTH physical paths: partial-on-scan + serialized
+    // buffers over the exchange + final merge (no pre-repartition), and
+    // the staged-exchange shape (repartition first, partial+final fused).
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    def composed(in: org.apache.spark.sql.DataFrame) =
+      in.groupBy("k").agg(
+        concat_ws(";", sort_array(collect_set(col("s")))).as("joined"),
+        size(sort_array(collect_set(col("s")))).as("n"))
+        .orderBy("k").collect().map(_.toSeq.toList).toList
+    def native(in: org.apache.spark.sql.DataFrame) =
+      in.groupBy("k").agg(expr("distinct_sorted_concat(s, ';')").as("j"))
+        .select(col("k"), col("j.joined").as("joined"), col("j.n").as("n"))
+        .orderBy("k").collect().map(_.toSeq.toList).toList
+
+    // adversarial rows: unicode, empty string, separator-bearing values,
+    // duplicates, null (skipped like collect_set), a key with ONLY nulls
+    val rows = Seq(
+      (1L, "b"), (1L, "a"), (1L, "a"), (1L, ""), (1L, "x;y"), (1L, null),
+      (2L, "\u0434\u0430"), (2L, "z"), (2L, "\u00e9"), (3L, null),
+      (4L, "solo")) ++ (0 until 500).map(i => (5L, s"v${i % 37}"))
+    // parquet round trip + 8 partitions: real unsafe rows, real exchange
+    val dir = java.nio.file.Files.createTempDirectory("dsc").toString + "/t"
+    rows.toDF("k", "s").repartition(8).write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    assert(native(df) === composed(df), "unstaged path (serialize+merge) diverges")
+    val staged = df.repartition(col("k"))
+    assert(native(staged) === composed(staged), "staged path diverges")
+    // the all-null key produces the empty set -> ("", 0), never null
+    val only3 = native(df).find(_.head == 3L).get
+    assert(only3(1) === "" && only3(2) === 0)
+  }
 }
