@@ -48,12 +48,9 @@ case class DistinctSortedConcat(
   extends TypedImperativeAggregate[java.util.HashSet[UTF8String]]
   with BinaryLike[Expression] with ExpectsInputTypes {
 
-  private lazy val sep: UTF8String = right.eval(null) match {
-    case s: UTF8String => s
-    case other => throw new IllegalArgumentException(
-      s"distinct_sorted_concat separator must be a string literal, got $other")
-  }
-  require(right.foldable, "distinct_sorted_concat separator must be foldable")
+  // non-null by the builder's analysis-time check; evaluated lazily so the
+  // value resolves identically on driver and executors after serialization
+  private lazy val sep: UTF8String = right.eval(null).asInstanceOf[UTF8String]
 
   override def inputTypes = Seq(StringType, StringType)
   override def dataType: DataType = StructType(Seq(
@@ -68,8 +65,13 @@ case class DistinctSortedConcat(
   override def update(buffer: java.util.HashSet[UTF8String],
                       input: InternalRow): java.util.HashSet[UTF8String] = {
     val v = left.eval(input)
-    // clone: the UTF8String is a view into a reused unsafe-row buffer
-    if (v != null) buffer.add(v.asInstanceOf[UTF8String].clone())
+    // dedup on the ZERO-COPY view (equals/hashCode are content-based),
+    // clone only first occurrences — the UTF8String is a view into a
+    // reused unsafe-row buffer, but a duplicate row needs no allocation
+    if (v != null) {
+      val u = v.asInstanceOf[UTF8String]
+      if (!buffer.contains(u)) buffer.add(u.clone())
+    }
     buffer
   }
 
@@ -80,9 +82,9 @@ case class DistinctSortedConcat(
 
   override def eval(buffer: java.util.HashSet[UTF8String]): Any = {
     val arr = buffer.toArray(new Array[UTF8String](buffer.size))
-    // UTF8String.compareTo is unsigned byte-wise — StringType's ordering,
+    // natural Comparable order: unsigned byte-wise — StringType's ordering,
     // the same law sort_array applies (FunctionsSpec pins the equality)
-    java.util.Arrays.sort(arr, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    java.util.Arrays.sort(arr.asInstanceOf[Array[Object]])
     InternalRow(UTF8String.concatWs(sep, arr: _*), arr.length)
   }
 
@@ -127,8 +129,13 @@ case class DistinctSortedConcat(
 object AggregateFunctionBuilders {
   def distinctSortedConcat(exprs: Seq[Expression]): Expression = {
     require(exprs.size == 2, "distinct_sorted_concat(s, sep)")
-    require(exprs(1).isInstanceOf[Literal],
-      "distinct_sorted_concat separator must be a string literal")
+    // full separator contract HERE, at analysis time — a bad separator
+    // must never survive to a mid-job executor failure (r15 review)
+    exprs(1) match {
+      case Literal(s, StringType) if s != null => ()
+      case other => throw new IllegalArgumentException(
+        s"distinct_sorted_concat separator must be a non-null string literal, got $other")
+    }
     DistinctSortedConcat(exprs.head, exprs(1))
   }
 }

@@ -207,6 +207,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("phrase_count"),
       new ExpressionInfo(classOf[graft.functions.PhraseCount].getName, "phrase_count"),
       { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.phraseCount(exprs) }))
+    // keep the TWO registration surfaces identical (r15 review): the
+    // extensions path had drifted behind the GraftFunctions registry by
+    // bpe_count / winnow_select, and distinct_sorted_concat joins both
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_count"),
+      new ExpressionInfo(classOf[graft.functions.BpeCount].getName, "bpe_count"),
+      { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.bpeCount(exprs) }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_select"),
+      new ExpressionInfo(classOf[graft.functions.WinnowSelect].getName, "winnow_select"),
+      { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.winnowSelect(exprs) }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("distinct_sorted_concat"),
+      new ExpressionInfo(classOf[graft.functions.DistinctSortedConcat].getName,
+        "distinct_sorted_concat"),
+      { exprs: Seq[Expression] =>
+        graft.functions.AggregateFunctionBuilders.distinctSortedConcat(exprs) }))
   }
 }
 
