@@ -231,7 +231,15 @@ object Bench {
             val fresh = QueryDiag(wall, j1 - j0, (c1 - c0) / 1e9,
               (r1 - r0) / 1e3, (g1 - g0) / 1e3, Nil, pos = d.pos)
             minMerge(d, fresh)
-          }.getOrElse(d)
+          }.recover { case e =>
+            // keep the first-pass wall but say so: a silent fallback would
+            // leave a contention-inflated number with no audit trail, and
+            // the re-warm budget was already charged
+            System.err.println(
+              s"[bench] $name second-pass re-measure failed, keeping " +
+                s"first-pass wall ${d.wall}: $e")
+            d
+          }.get
         } else d
       }
       name -> merged

@@ -153,7 +153,7 @@ object SparkEntry {
     "q_dedup_exact"      -> (DedupOps.dedupExact(_, _)),
     "q_minhash_sig"      -> (DedupOps.minhashSignature(_, _)),
     "q_minhash_pairs"    -> (DedupOps.minhashPairs(_, _)),
-    "q_dup_clusters"     -> (DedupOps.dupClusters(_, _)),
+    "q_dup_clusters"     -> ((s, d) => DedupOps.servedDupClusters(s, d)),
     "q_dup_best"         -> ((s, d) => DedupOps.dupBest(s, d)),
     "q_dup_rate"         -> ((s, d) => DedupOps.dupRate(s, d)),
     "q_split_leakfree"   -> ((s, d) => DedupOps.splitLeakfree(s, d)),

@@ -53,6 +53,24 @@ case class DistinctSortedConcat(
   private lazy val sep: UTF8String = right.eval(null).asInstanceOf[UTF8String]
 
   override def inputTypes = Seq(StringType, StringType)
+
+  /** The separator contract enforced IN the expression, not only in the
+    * builder (r15 advice): a non-foldable or null `right` must fail at
+    * analysis time, because deferring to `sep`'s lazy eval turns it into
+    * an NPE/ClassCastException mid-job on an executor — for any
+    * construction path, including ones that skip the builder.
+    */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (!right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName separator must be a foldable string literal, got: ${right.sql}")
+    else if (right.eval(null) == null)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName separator must not be null")
+    else base
+  }
   override def dataType: DataType = StructType(Seq(
     StructField("joined", StringType, nullable = false),
     StructField("n", IntegerType, nullable = false)))

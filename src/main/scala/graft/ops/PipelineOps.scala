@@ -31,7 +31,8 @@ object PipelineOps {
       .select(col("doc_id"), col("lang"), col("reason"))
     // clusters read from the SERVED store: the dedup pass is an offline
     // artifact, computed once per corpus version — the gate never re-runs
-    // the CC fixpoint (q_dup_clusters remains the direct compute face)
+    // the CC fixpoint (since r16 q_dup_clusters serves from the same store;
+    // DedupSpec exercises the build path directly)
     val dupDrop = DedupOps.servedDupClusters(spark, dir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"), lit(true).as("is_dup"))

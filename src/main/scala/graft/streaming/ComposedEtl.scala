@@ -119,7 +119,12 @@ class ComposedEtlPipeline(
         val built = docBuilder(spark, dirty.select("id").distinct())
         val docs = if (delivering) built.persist() else built
         try {
-          IncrementalDocPipeline.upsertDocs(spark, docStorePath, docs, stampTimestamps)
+          // keep the COMMITTED frame when delivering: with
+          // stampTimestamps=true it is the stamped version the store
+          // absorbed, and stage 4 must ship exactly that (r15 advice)
+          val committed = IncrementalDocPipeline.upsertDocs(
+            spark, docStorePath, docs, stampTimestamps,
+            retainCommitted = delivering)
           afterStage("docs")
 
           // stage 2: search index — drop every posting of a dirty id,
@@ -139,7 +144,8 @@ class ComposedEtlPipeline(
           // while the three stores stay converged; re-delivery next tick is
           // absorbed by the _id upsert (idempotent wire)
           if (delivering) {
-            deliver(spark, docs)
+            try deliver(spark, committed)
+            finally if (committed ne docs) committed.unpersist()
             afterStage("deliver")
           }
 

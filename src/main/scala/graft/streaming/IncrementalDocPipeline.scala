@@ -77,9 +77,14 @@ class IncrementalDocPipeline(
     val built = docBuilder(spark, dirty.select("id").distinct())
     val docs = if (delivering) built.persist() else built
     try {
-      IncrementalDocPipeline.upsertDocs(spark, storePath, docs, stampTimestamps)
-      if (delivering)
-        deliver(spark, docs) // es.bulk boundary: throws ⇒ watermark stays put
+      // the returned frame is the STORE-COMMITTED version (stamped when
+      // stampTimestamps=true) — deliver THAT, never the pre-stamp `docs`
+      val committed = IncrementalDocPipeline.upsertDocs(
+        spark, storePath, docs, stampTimestamps, retainCommitted = delivering)
+      if (delivering) {
+        try deliver(spark, committed) // es.bulk: throws ⇒ watermark stays put
+        finally if (committed ne docs) committed.unpersist()
+      }
     } finally if (delivering) docs.unpersist()
     // commit watermark AFTER the sink write (reference commits after es.bulk)
     import spark.implicits._
@@ -126,7 +131,8 @@ object IncrementalDocPipeline {
     * the next tick silently rebuilt it from the dirty docs alone.
     */
   def upsertDocs(spark: SparkSession, storePath: String, docs: DataFrame,
-                 stampTimestamps: Boolean = false): Unit = {
+                 stampTimestamps: Boolean = false,
+                 retainCommitted: Boolean = false): DataFrame = {
     // recover from a crash between AtomicSwap's two renames: staging was
     // complete and the live dir is gone — promote it instead of treating
     // this as first-run
@@ -163,7 +169,16 @@ object IncrementalDocPipeline {
     // staged write + rename swap (retry/backoff and crash recovery live in
     // AtomicSwap — shared with the compaction utility)
     graft.sinks.AtomicSwap.replace(spark, merged, storePath)
-    if (!callerCached) incoming.unpersist()
-    ()
+    // Return the COMMITTED frame so a delivery consumer ships the exact
+    // version the store absorbed — with stampTimestamps=true that is the
+    // STAMPED frame, not the caller's `docs` (r15 advice: delivering the
+    // unstamped frame broke the byte-identical promise). The write above
+    // materialized the cache (the union side scans every incoming
+    // partition), so with retainCommitted=true reading the returned frame
+    // after the swap serves cached blocks and never re-resolves `existing`
+    // against the already-swapped store; the caller unpersists it after
+    // delivery (only if it is not the caller's own frame).
+    if (!callerCached && !retainCommitted) incoming.unpersist()
+    incoming
   }
 }

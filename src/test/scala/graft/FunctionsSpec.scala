@@ -840,4 +840,28 @@ class FunctionsSpec extends SparkSpecBase {
     val only3 = native(df).find(_.head == 3L).get
     assert(only3(1) === "" && only3(2) === 0)
   }
+
+  test("distinct_sorted_concat: separator contract enforced by the expression itself, analysis-time") {
+    // r15 advice: a directly-constructed DistinctSortedConcat (bypassing
+    // the builder) with a non-foldable or null separator must fail in
+    // checkInputDataTypes, never as an executor-side NPE mid-job
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    import org.apache.spark.sql.types.StringType
+    val s = AttributeReference("s", StringType)()
+    assert(!graft.functions.DistinctSortedConcat(s, s).checkInputDataTypes().isSuccess,
+      "non-foldable separator must be an analysis-time type-check failure")
+    assert(!graft.functions.DistinctSortedConcat(
+      s, Literal.create(null, StringType)).checkInputDataTypes().isSuccess,
+      "null separator must be an analysis-time type-check failure")
+    assert(graft.functions.DistinctSortedConcat(
+      s, Literal(";")).checkInputDataTypes().isSuccess,
+      "the valid literal shape must stay accepted")
+    // and through SQL the failure surfaces at analysis, before any job runs
+    GraftFunctions.register(spark)
+    intercept[Exception] {
+      spark.range(3).selectExpr("cast(id as string) as s")
+        .groupBy().agg(expr("distinct_sorted_concat(s, s)")).queryExecution
+        .executedPlan
+    }
+  }
 }

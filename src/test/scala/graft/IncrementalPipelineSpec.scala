@@ -219,4 +219,39 @@ class IncrementalPipelineSpec extends SparkSpecBase {
       assert(docs.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
     } finally docs.unpersist()
   }
+
+  test("delivery ships the store-committed STAMPED frame, not the pre-stamp docs") {
+    // r15 advice: with stampTimestamps=true the store commits the
+    // ingest-stamped frame — delivery must ship exactly that version
+    // (created/modified columns included), byte-identical to the store,
+    // not the caller's unstamped rebuild.
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    writeSource(Seq((1L, "a", "2024-01-01 10:00:00"),
+      (2L, "b", "2024-01-01 10:00:05")), SaveMode.Overwrite)
+    var deliveredCols = Set.empty[String]
+    var delivered = Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+    val p = new IncrementalDocPipeline(
+      docBuilder = (s: SparkSession, ids: DataFrame) =>
+        s.read.parquet(srcPath).join(ids, Seq("id"), "left_semi")
+          .groupBy("id").agg(max(struct(col("modified"), col("val"))).as("v"))
+          .select(col("id"), upper(col("v.val")).as("doc"), col("v.modified")),
+      changes = (s: SparkSession) => s.read.parquet(srcPath).select("id", "modified"),
+      storePath = s"$base/store",
+      statePath = s"$base/state",
+      stampTimestamps = true,
+      deliver = (_, df) => {
+        deliveredCols = df.columns.toSet
+        delivered = df.select("id", "created", "modified").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSeq
+      })
+    assert(p.tick(spark) === 2L)
+    assert(deliveredCols.contains("created") && deliveredCols.contains("modified"),
+      "delivery must carry the sink-stamped columns the store committed")
+    val stored = spark.read.parquet(s"$base/store")
+      .select("id", "created", "modified").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSeq
+    assert(delivered.sortBy(_._1) === stored.sortBy(_._1),
+      "the delivered frame must match the store-committed version exactly")
+  }
 }
