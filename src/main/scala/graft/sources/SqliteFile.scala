@@ -69,6 +69,15 @@ object SqliteFile {
     val reserved: Int = header(20) & 0xff
     val usable: Int = pageSize - reserved
     require(usable >= 480, s"reserved space $reserved leaves no usable page")
+    // offsets 18/19 = file-format write/read version: 1 = legacy rollback
+    // journal, 2 = WAL (fileformat2 §1.3). A WAL database's latest
+    // committed pages may live in the uncheckpointed -wal file, so reading
+    // only the main file here would serve STALE rows SILENTLY — the one
+    // failure mode of this decoder that would not be loud. Reject by name.
+    require((header(18) & 0xff) == 1 && (header(19) & 0xff) == 1,
+      s"WAL-journal database (format versions ${header(18) & 0xff}/" +
+        s"${header(19) & 0xff}): uncheckpointed pages in the -wal file " +
+        "would be silently missed; checkpoint to rollback-journal mode first")
     require(u32(header, 56) == 1L, "only UTF-8 text encoding is supported")
 
     def page(n: Int): Array[Byte] = {
@@ -136,6 +145,13 @@ object SqliteFile {
           u32(b, cp).toInt
         } :+ u32(b, off + 8).toInt
         kids.toVector.flatMap(leafPagesWalk(db, _, seen, depth + 1))
+      // index b-tree pages (2 = interior, 10 = leaf) at a table root mean
+      // a WITHOUT ROWID table — its rows live in an index b-tree with a
+      // different cell layout, so decoding them as table cells would be
+      // garbage. Name the failure rather than leaving a generic type error.
+      case 2 | 10 => throw new IllegalArgumentException(
+        s"page $root is an index b-tree page: WITHOUT ROWID tables are " +
+          "not supported by this reader")
       case t => throw new IllegalArgumentException(
         s"page $root is not a table b-tree page (type $t)")
     }
@@ -349,6 +365,19 @@ object SqliteFile {
       s"cell value ${other.getClass.getSimpleName} does not fit declared $dt")
   }
 
+  /** WITHOUT ROWID tables keep their rows in an index b-tree (different
+    * cell layout, no rowid column) — reject from the declared table
+    * options (the text AFTER the closing paren of the column list, so a
+    * string literal inside a column definition can never false-positive),
+    * before any page is read; the page-type walk backstops this for a
+    * schema row that lies about its options.
+    */
+  private[graft] def requireRowidLayout(table: String, sql: String): Unit =
+    require("(?i)\\bWITHOUT\\s+ROWID\\b".r
+      .findFirstIn(sql.substring(sql.lastIndexOf(')') + 1)).isEmpty,
+      s"'$table' is a WITHOUT ROWID table: its rows live in an index " +
+        "b-tree this reader does not decode")
+
   /** Read one table as a DataFrame, partitioned at the reference's
     * step-3000 granularity: leaf pages packed into partitions of at most
     * `stepRows` rows (exact per-leaf cell counts from an 8-byte header
@@ -362,6 +391,7 @@ object SqliteFile {
     require(t.rootPage >= 1,
       s"'$table' has no b-tree root (rootpage ${t.rootPage}): virtual " +
         "tables and views hold no rows to read")
+    requireRowidLayout(table, t.sql)
     val cols = t.columns
     val schema = StructType(cols.map(c =>
       StructField(c.name, sparkType(c.declared), nullable = true)))

@@ -100,14 +100,15 @@ class SqliteSpec extends SparkSpecBase {
     // sqlite_sequence internal, and fails LOUD on the first unsupported
     // table in the reference's name-length load order — ft_idx, an fts5
     // WITHOUT-ROWID shadow table stored as an index b-tree (page type
-    // 10/2), a format the rowid-table reader refuses by name. (The
-    // 'defaulted' DEFAULT refusal is pinned directly above; before the
-    // r15 load-order change it was simply the first failure hit.)
+    // 10/2), which since r16 the page walk refuses BY NAME as a WITHOUT
+    // ROWID layout. (The 'defaulted' DEFAULT refusal is pinned directly
+    // above; before the r15 load-order change it was simply the first
+    // failure hit.)
     val e3 = intercept[Exception] {
       graft.migrate.Migrate.migrateSqliteDb(spark, edges,
         java.nio.file.Files.createTempDirectory("edges_migrate").toString)
     }
-    assert(causeChain(e3).contains("not a table b-tree page"),
+    assert(causeChain(e3).contains("WITHOUT ROWID"),
       s"unexpected failure: ${causeChain(e3)}")
   }
 
@@ -153,6 +154,58 @@ class SqliteSpec extends SparkSpecBase {
       SqliteFile.read(spark, fixture, "no_such_table")
     }
     assert(e4.getMessage.contains("no table"))
+  }
+
+  test("WAL-journal databases are rejected by name, never read stale (r15 verdict)") {
+    // header offsets 18/19 = write/read format version; 2 = WAL. The main
+    // file of a WAL db may be missing every uncheckpointed transaction
+    // sitting in the -wal file — a silent-stale read, the one non-loud
+    // failure mode the decoder had left.
+    val dir = java.nio.file.Files.createTempDirectory("sqlite_wal")
+    val real = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixture))
+    val wal = real.clone(); wal(18) = 2; wal(19) = 2
+    val p = dir.resolve("wal.sqlite")
+    java.nio.file.Files.write(p, wal)
+    val e = intercept[IllegalArgumentException] {
+      SqliteFile.tables(p.toString)
+    }
+    assert(e.getMessage.contains("WAL"), s"wrong rejection: ${e.getMessage}")
+    assert(e.getMessage.contains("checkpoint"), "must tell the user the fix")
+  }
+
+  test("WITHOUT ROWID tables are rejected by name at both layers (r15 verdict)") {
+    // layer 1: the declared table options, before any page is read
+    val e1 = intercept[IllegalArgumentException] {
+      SqliteFile.requireRowidLayout("kv",
+        "CREATE TABLE kv (k TEXT PRIMARY KEY, v TEXT) WITHOUT ROWID")
+    }
+    assert(e1.getMessage.contains("WITHOUT ROWID"))
+    intercept[IllegalArgumentException] {
+      SqliteFile.requireRowidLayout("kv",
+        "CREATE TABLE kv (k TEXT PRIMARY KEY) without\n  rowid, strict")
+    }
+    // a string literal inside the column list must NOT false-positive
+    SqliteFile.requireRowidLayout("ok",
+      "CREATE TABLE ok (note TEXT DEFAULT 'without rowid', n INT)")
+    // layer 2: a schema row that lies about its options still fails by
+    // name at the page walk — point a real table's root at an index-leaf
+    // page type (10)
+    val real = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixture))
+    val pageSize = ((real(16) & 0xff) << 8) | (real(17) & 0xff)
+    val t = SqliteFile.tables(fixture).filter(_.rootPage > 1)
+      .minBy(_.rootPage)
+    val bad = real.clone()
+    bad((t.rootPage - 1) * pageSize) = 10
+    val dir = java.nio.file.Files.createTempDirectory("sqlite_worid")
+    val p = dir.resolve("worid.sqlite")
+    java.nio.file.Files.write(p, bad)
+    val e2 = intercept[Exception] {
+      SqliteFile.read(spark, p.toString, t.name).count()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("WITHOUT ROWID"),
+      s"wrong rejection: ${e2.getMessage}")
   }
 
   test("mutation fuzz: corrupt database bytes fail loud (named require / IO error), never a raw index crash") {
