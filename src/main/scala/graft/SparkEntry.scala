@@ -85,6 +85,7 @@ object SparkEntry {
     "q_search_bm25_bucketed" -> ((s, d) => SearchOps.bm25BucketedSearch(s, d)),
     "q_search_rescore"   -> ((s, d) => SearchOps.rescore(s, d)),
     "q_search_collapse"  -> ((s, d) => SearchOps.collapseSearch(s, d)),
+    "q_top_hits"         -> ((s, d) => SearchOps.topHits(s, d)),
     "q_incremental_dedup" -> ((s, d) => DedupOps.incrementalDedup(s, d)),
     "q_search_boosting"  -> ((s, d) => SearchOps.boostingQuery(s, d)),
     "q_search_boosting_idx" -> ((s, d) => SearchOps.boostingQueryIndexed(s, d)),

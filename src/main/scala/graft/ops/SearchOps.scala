@@ -1158,6 +1158,40 @@ object SearchOps {
       .select(col("lang"), col("doc_id"), col("score"), col("n_hits"))
   }
 
+  /** ES `terms` + nested `top_hits` aggregation — the standard companion
+    * of the terms agg the reference exercises (ETLTests-2.json:291-326):
+    * bucket the matched documents by a keyword field (`lang`), and for
+    * each bucket return its `doc_count` plus the top-`size` hits under
+    * the canonical (score desc, id asc) hit order. Emitted FLAT — one row
+    * per (bucket, hit) with the ES hit rank — the relational spelling of
+    * the nested `hits` array.
+    *
+    * Plan economics are [[collapseSearch]]'s, generalized from top-1 to
+    * top-k: the rank window partitions on the bucket key over
+    * ALREADY-SCORED matches (never a second corpus pass), `rnk <= size`
+    * is pruned to each group's head-k BEFORE the exchange by
+    * WindowGroupLimit (plan-pinned in SearchSpec), and `doc_count` is a
+    * keyed aggregate joined back — a count window would need every group
+    * row and block the prune. At 100 TB the window input is the matched
+    * hit list; buckets are keyword-cardinality.
+    */
+  def topHits(spark: SparkSession, dir: String,
+              q: String = "data stream window", size: Int = 3): DataFrame = {
+    val scored = bm25ScoredOf(servedPostings(spark, dir), q)
+    val byLang = scored.join(
+      graft.Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      Seq("doc_id"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val tops = byLang
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= size)
+    val counts = byLang.groupBy("lang").agg(count(lit(1)).as("doc_count"))
+    tops.join(counts, Seq("lang"))
+      .select(col("lang"), col("doc_count"), col("rnk"),
+        col("doc_id"), col("score"))
+  }
+
   /** Served (token, df, tok_len) vocabulary — the term DICTIONARY with
     * document frequencies, aggregated once per corpus version from the
     * postings store and served from parquet after that (the same
@@ -2599,6 +2633,19 @@ object SearchOps {
          |    COUNT(*) OVER (PARTITION BY lang) AS n_hits
          |  FROM hits)
          |SELECT lang, doc_id, score, n_hits FROM ranked WHERE rnk = 1""".stripMargin,
+    "q_top_hits" ->
+      s"""WITH $bm25Ctes,
+         |hits AS (
+         |  SELECT s.doc_id, round(s.s, 6) AS score, d.lang
+         |  FROM scored s JOIN documents d USING (doc_id)),
+         |ranked AS (
+         |  SELECT lang, doc_id, score,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY score DESC, doc_id ASC) AS rnk,
+         |    COUNT(*) OVER (PARTITION BY lang) AS doc_count
+         |  FROM hits)
+         |SELECT lang, doc_count, rnk, doc_id, score
+         |FROM ranked WHERE rnk <= 3""".stripMargin,
     "q_hybrid_search" ->
       s"""WITH lex AS ($rankedOracle),
          |lexr AS (

@@ -675,6 +675,32 @@ class SearchSpec extends SparkSpecBase {
       s"expected rank-limit pushdown for the collapse head in:\n$plan")
   }
 
+  test("topHits: per-bucket top-k hits in canonical order; doc_count reconciles; head-k pruned pre-exchange") {
+    import graft.ops.SearchOps
+    val out = SearchOps.topHits(spark, sf).collect()
+    assert(out.nonEmpty)
+    // rebuild the expectation from the uncollapsed hit list
+    val all = SearchOps.bm25Search(spark, sf, "data stream window", Int.MaxValue)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val langs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val byLang = all.toSeq.groupBy { case (id, _) => langs(id) }
+    val grouped = out.groupBy(_.getAs[String]("lang"))
+    assert(grouped.keySet === byLang.keySet, "every matched bucket appears")
+    grouped.foreach { case (lang, rows) =>
+      val hits = byLang(lang).sortBy { case (id, sc) => (-sc, id) }
+      // doc_count = ALL bucket hits, rows = min(3, bucket size) in rank order
+      assert(rows.forall(_.getAs[Long]("doc_count") === hits.length.toLong))
+      val expect = hits.take(3).map(_._1)
+      assert(rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("doc_id")).toSeq
+        === expect, s"bucket $lang top-3 order")
+    }
+    // rnk <= k is pruned to each group's head BEFORE the exchange
+    val plan = SearchOps.topHits(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected rank-limit pushdown for the top_hits head in:\n$plan")
+  }
+
   test("boostingQuery: negative matches demote, never exclude; all-integer fixed-point scores") {
     import graft.ops.SearchOps
     import org.apache.spark.sql.functions.{array_contains, col}
