@@ -283,4 +283,129 @@ class ComposedEtlSpec extends SparkSpecBase {
     assert(!postingsOf(dir).map(_._1).contains("alpha"), "rewritten doc's old tokens dropped")
     assert(vectorsOf(dir)(1L)._2 === 2, "re-embedded vector moved cell 0 -> 2")
   }
+
+  test("full composition under Structured Streaming: checkpointed foreachBatch + live es.bulk; crash restart AND a 503 window both converge all three stores plus the index") {
+    // r15 verdict task 6: the SS face (checkpoint replay) and the live
+    // HTTP wire (stage-4 delivery) proven TOGETHER — the reference's whole
+    // deployment shape in one test: readStream feed -> composed tick ->
+    // three stores -> es.bulk -> single commit, with a mid-tick crash and
+    // a network outage each injected against the same checkpoint.
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    import org.apache.spark.sql.types._
+    val mapper = new ObjectMapper()
+    val dir = tmp("sswire")
+    val src = s"$dir/feed"
+    val ckpt = s"$dir/ckpt"
+    def writeFeed(rows: Seq[(Long, String, Int, Seq[Double], String)]): Unit =
+      rows.toDF("id", "text", "label", "v", "m")
+        .withColumn("modified", col("m").cast("timestamp")).drop("m")
+        .write.mode(SaveMode.Append).parquet(src)
+    val feedSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType),
+      StructField("label", IntegerType),
+      StructField("v", ArrayType(DoubleType)),
+      StructField("modified", TimestampType)))
+
+    // in-process ES: PUT acks; POST /_bulk 503s while down, else absorbs
+    // by _id (idempotent, so checkpoint replays never double-index)
+    val down = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val esDocs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.createContext("/", (x: HttpExchange) => {
+      val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+      def send(code: Int, s: String): Unit = {
+        val b = s.getBytes("UTF-8")
+        x.sendResponseHeaders(code, b.length); x.getResponseBody.write(b); x.close()
+      }
+      if (x.getRequestMethod == "PUT") send(200, """{"acknowledged":true}""")
+      else if (down.get()) send(503, """{"error":"outage"}""")
+      else {
+        val items = body.split("\n").filter(_.nonEmpty).grouped(2).map {
+          case Array(action, doc) =>
+            val id = mapper.readTree(action).path("index").path("_id").asText()
+            esDocs.put(id, doc)
+            """{"index":{"_id":"%s","status":201}}""".format(id)
+        }.toSeq
+        send(200, s"""{"errors":false,"items":[${items.mkString(",")}]}""")
+      }
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+    val wire = (_: SparkSession, docs: DataFrame) => {
+      graft.sinks.BulkHttpSink.post(docs, url, "docs", "id", maxRetries = 1); ()
+    }
+
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(): Unit = {
+      val q = spark.readStream.schema(feedSchema).parquet(src)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val builder = (s: org.apache.spark.sql.SparkSession,
+                         ids: org.apache.spark.sql.DataFrame) =>
+            batch.groupBy(col("id"))
+              .agg(max(struct(col("modified"), col("text"))).as("m"))
+              .join(ids, Seq("id"), "left_semi")
+              .select(col("id"), upper(col("m").getField("text")).as("doc"))
+          val p = new ComposedEtlPipeline(
+            _ => batch.toDF(), builder, codebook,
+            docStorePath = s"$dir/docs", postingsStorePath = s"$dir/postings",
+            vectorStorePath = s"$dir/vectors", statePath = s"$dir/state",
+            deliver = wire) {
+            override protected def afterStage(stage: String): Unit =
+              if (stage == "vectors" && crashOnce.getAndSet(false))
+                throw new RuntimeException("injected crash before delivery")
+          }
+          p.tick(spark)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    try {
+      // batch 1, healthy wire: stores + index absorb it through SS
+      writeFeed(Seq(
+        (1L, "alpha beta", 0, Seq(0.9, 0.1), "2024-01-01 00:00:01"),
+        (2L, "beta gamma", 1, Seq(0.1, 0.9), "2024-01-01 00:00:02")))
+      run()
+      assert(docsOf(dir) === Map(1L -> "ALPHA BETA", 2L -> "BETA GAMMA"))
+      assert(mapper.readTree(esDocs.get("1")).path("doc").asText() === "ALPHA BETA")
+
+      // batch 2 arrives during an OUTAGE: the tick dies at stage 4, the
+      // streaming batch does not commit, the watermark holds — stores may
+      // run ahead (idempotent), the index must not
+      writeFeed(Seq((1L, "delta", 0, Seq(-0.9, 0.1), "2024-01-01 00:00:03")))
+      down.set(true)
+      intercept[StreamingQueryException](run())
+      assert(docsOf(dir)(1L) === "DELTA", "stores may run ahead of delivery")
+      assert(mapper.readTree(esDocs.get("1")).path("doc").asText() === "ALPHA BETA",
+        "the index must still hold the pre-outage doc")
+
+      // wire heals: the checkpoint replays the SAME micro-batch; store
+      // upserts converge idempotently, delivery lands, the batch commits
+      down.set(false)
+      run()
+      assert(mapper.readTree(esDocs.get("1")).path("doc").asText() === "DELTA")
+      assert(vectorsOf(dir)(1L)._2 === 2, "re-embedded vector converged with the wire")
+
+      // batch 3 with a crash BETWEEN the last store and delivery: restart
+      // from the checkpoint re-runs the tick; _id upsert absorbs replay
+      writeFeed(Seq((3L, "epsilon", 2, Seq(0.0, -0.8), "2024-01-01 00:00:04")))
+      crashOnce.set(true)
+      intercept[StreamingQueryException](run())
+      assert(esDocs.get("3") === null, "crash before delivery: index untouched")
+      run()
+      assert(mapper.readTree(esDocs.get("3")).path("doc").asText() === "EPSILON")
+      assert(docsOf(dir).keySet === Set(1L, 2L, 3L))
+      assert(postingsOf(dir).map(_._1).contains("epsilon"))
+      run() // and an empty trigger is a clean no-op
+      assert(esDocs.size() === 3)
+    } finally server.stop(0)
+  }
 }
