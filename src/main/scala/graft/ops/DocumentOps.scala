@@ -275,7 +275,11 @@ object DocumentOps {
     * repartition (raw rows shuffle, whole object agg downstream, the
     * denormNested finding) takes the face 0.93–1.09 → 0.82 s measured.
     * The residual ~1.8× vs DuckDB's string_agg DISTINCT is the per-row
-    * object-hash-aggregate cost, not plan structure.
+    * object-hash-aggregate cost, not plan structure. r16 closed the
+    * question: an interleaved A/B against collect_list WITHOUT dedup
+    * (dedup deferred to eval) measured 0.74 vs 0.77 s — every variant
+    * pays the same buffer cost, so ~1.4× is the documented floor
+    * (BASELINE.md round-16 note).
     */
   def personDocs(spark: SparkSession, dir: String): DataFrame = {
     val refs = Tables.lineitem(spark, dir)
