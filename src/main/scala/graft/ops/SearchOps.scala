@@ -667,12 +667,20 @@ object SearchOps {
 
   /** ES `terms` aggregation (ETLTests-2.json:291-326): top-100 analyzed
     * tokens by frequency, deterministic tie-break on token.
+    *
+    * Served from the postings store since r16 — ES itself answers terms
+    * aggs from the inverted index, never by re-analyzing stored _source,
+    * and the r16 decade sweep measured the corpus-rescan face at 0.98/dec
+    * (the whole analyzer pass re-paid per query). Occurrence count =
+    * `sum(tf)` over the store's (token, doc_id, tf) grain — identical rows
+    * to exploding the analyzer output (the store is BUILT from the same
+    * `analyze` law), so the DuckDB oracle is unchanged. The aggregate is
+    * dictionary-keyed (vocabulary-sized, ~√corpus), then TakeOrdered k.
     */
   def termsAgg(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
-    Tables.documents(spark, dir)
-      .select(explode(analyze(col("text"))).as("token"))
+    servedPostings(spark, dir)
       .groupBy("token")
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("tf")).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 

@@ -1377,9 +1377,22 @@ object SimilarityOps {
     * guard, so band-ownership would need each partner's OTHER bucket size
     * — a second exchange anyway.
     */
-  private[graft] def bandedVecPairs(spark: SparkSession, dir: String): DataFrame = {
-    val nPlanes = 24
-    val bandBits = 12
+  private[graft] def bandedVecPairs(spark: SparkSession, dir: String,
+                                    nPlanes: Int = 24,
+                                    bandBits: Int = 12): DataFrame = {
+    // GEOMETRY IS THE SCALE KNOB (r16 decade sweep): with the band-hash
+    // space FIXED at 2^bandBits, expected bucket occupancy grows linearly
+    // with the corpus and candidate pairs grow ~quadratically through the
+    // occupancy transition (q_semdedup measured 1.22/dec over sf0.1→sf1 as
+    // occupancy went 0.5→5, rolling over to 0.59/dec on sf1→sf10 as the
+    // census cap starts discarding saturated buckets — cost is bounded by
+    // buckets × cap², but RECALL degrades once real buckets exceed the
+    // cap). The production setting holds occupancy constant:
+    // bandBits ≈ log2(n / targetOccupancy) per band, with nPlanes =
+    // bands × bandBits — i.e. the hash space grows with the corpus, the
+    // same rule every LSH deployment applies. Defaults stay fixed so the
+    // DuckDB oracle (which inlines the plane literals) replays bucket
+    // assignment exactly at test scale.
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", toDouble(col("embedding")))
       .withColumn("sig", lshSignature(col("v"), nPlanes))
@@ -1427,8 +1440,9 @@ object SimilarityOps {
     * exist as an option. The iterative shape is the scale-correct one;
     * don't trade it for the small-graph constant.
     */
-  def semDedup(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
-    val pairs = bandedVecPairs(spark, dir)
+  def semDedup(spark: SparkSession, dir: String, threshold: Double = 0.2,
+               nPlanes: Int = 24, bandBits: Int = 12): DataFrame = {
+    val pairs = bandedVecPairs(spark, dir, nPlanes, bandBits)
     // no separate checkpoint job: connectedComponents' persisted edge RDD
     // materializes the banded pipeline inside its first round
     val edges = pairs.filter(col("cos_sim") >= threshold)

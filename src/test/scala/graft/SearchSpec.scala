@@ -124,6 +124,14 @@ class SearchSpec extends SparkSpecBase {
     assert(out.length === 10)
     val ns = out.map(_.getAs[Long]("n"))
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // the r16 store-served face is ROW-identical to re-analyzing the
+    // corpus (the store is built from the same analyze law)
+    val direct = Tables.documents(spark, sf)
+      .select(explode(graft.ops.SearchOps.analyze(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === direct)
   }
 
   test("rankedSearch golden: rare-term doc outranks the higher-raw-tf common-term doc") {
