@@ -71,6 +71,7 @@ object SparkEntry {
     "q_composed_tick"    -> (graft.streaming.ComposedEtlQuery.composedTick(_, _)),
     // Full-text search (ES query surface, SURVEY §3.3 / F10-F14 / A9)
     "q_search_match"     -> ((s, d) => SearchOps.matchQuery(s, d)),
+    "q_search_match_idx" -> ((s, d) => SearchOps.matchQueryIndexed(s, d)),
     "q_search_match_ru"  -> ((s, d) => SearchOps.matchQueryRu(s, d)),
     "q_search_fuzzy"     -> ((s, d) => SearchOps.fuzzyQuery(s, d)),
     "q_search_fuzzy_idx" -> ((s, d) => SearchOps.fuzzySearchIndexed(s, d)),

@@ -112,6 +112,39 @@ object SearchOps {
       .limit(k)
   }
 
+  /** The INDEXED twin of [[matchQuery]] — output-identical rows served
+    * from the postings store, the way ES actually answers a match query
+    * (postings probe, never a stored-field scan). The r16 full-suite
+    * decade sweep measured the scan face at 0.97/dec (exactly linear —
+    * 98 s at sf10, the suite's heaviest linear row), making this the one
+    * high-traffic face still missing its store-served scale path.
+    *
+    * Score law preserved exactly: matchQuery's score is the count of
+    * distinct analyzed query terms PRESENT in the document
+    * (`array_contains` per term, summed), and the postings store is
+    * unique on (token, doc_id), so `count(1)` over the IN-filtered
+    * probe is the same integer. Plan: the term IN-list pushes into the
+    * store's parquet scan (pinned in SearchSpec), one doc-keyed partial
+    * aggregate over the few matching postings rows, `lang` joined for
+    * only the matched ids, partial top-k. At 100 TB the probe reads the
+    * query terms' postings, not the corpus.
+    */
+  def matchQueryIndexed(spark: SparkSession, dir: String,
+                        q: String = "data stream window",
+                        k: Int = 20): DataFrame = {
+    val terms = analyzeQuery(q).distinct
+    require(terms.nonEmpty, s"query '$q' analyzed to no terms")
+    val hits = servedPostings(spark, dir)
+      .filter(col("token").isInCollection(terms))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("score")) // distinct-term presence count
+    hits.join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** ES `bool` compound query — the container every production ES query
     * ships in (the reference's searches are single-clause only because the
     * golden corpus is small; real clients wrap them in bool):
@@ -2398,6 +2431,17 @@ object SearchOps {
     // query_string SYNTAX layer itself sits under the hash gate
     "q_search_query_string" -> QueryStringOps.queryStringOracle(),
     "q_search_match" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    CAST(list_contains($duckToks, 'data') AS INT)
+         |    + CAST(list_contains($duckToks, 'stream') AS INT)
+         |    + CAST(list_contains($duckToks, 'window') AS INT) AS score
+         |  FROM documents)
+         |SELECT doc_id, lang, score FROM scored WHERE score > 0
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // the postings-served face is output-identical by construction
+    // (presence count over a unique (token, doc_id) grain): same oracle
+    "q_search_match_idx" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang,
          |    CAST(list_contains($duckToks, 'data') AS INT)

@@ -134,6 +134,20 @@ class SearchSpec extends SparkSpecBase {
     assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === direct)
   }
 
+  test("matchQueryIndexed: row-identical to the scan face; term IN-list pushed into the store scan") {
+    import graft.ops.SearchOps
+    val scan = SearchOps.matchQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    val idx = SearchOps.matchQueryIndexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(idx === scan, "the indexed face must reproduce the scan face exactly")
+    // the probe is a pushed IN-list on the postings store, not a corpus scan
+    val plan = SearchOps.matchQueryIndexed(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"expected the query terms pushed into the postings scan:\n$plan")
+  }
+
   test("rankedSearch golden: rare-term doc outranks the higher-raw-tf common-term doc") {
     val dir = "/tmp/graft_ranked_docs"
     Seq((1L, "alpha beta beta"),              // rare 'beta' ×2 + common 'alpha'
