@@ -420,6 +420,157 @@ object RelationalOps {
           col("sum_chars").cast("double") * col("sum_chars").cast("double") /
             col("n")) / col("n"), 6).as("variance"))
 
+  /** ES `multi_terms` aggregation — the compound-key terms agg (buckets
+    * keyed by a TUPLE of fields, ordered by doc_count like `terms`): the
+    * API ES added in 7.12 because clients kept emulating it with script
+    * keys. One partial-first hash aggregate on the compound key; the
+    * size-cut is a partial top-k (TakeOrderedAndProject), so the exchange
+    * carries at most `size` rows per partition — same economics as the
+    * single-field terms agg at any scale.
+    */
+  def multiTermsAgg(spark: SparkSession, dir: String, size: Int = 10): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("lang").asc, col("source").asc)
+      .limit(size)
+
+  /** ES `filters` aggregation — named buckets from INDEPENDENT predicates
+    * (a document can land in several; ES evaluates each filter separately,
+    * unlike `range`'s partition). Compiles to one corpus scan with one
+    * conditional partial sum per named filter — no exchange carries rows,
+    * only the per-filter partials — then a constant-width `stack` unpivots
+    * the 1-row aggregate into ES's bucket rows. Adding a filter adds a
+    * column to the partial aggregate, never a pass.
+    */
+  def filtersAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .agg(
+        sum(when(col("n_chars") < 500, 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("n_chars") >= 2000, 1L).otherwise(0L)).as("n_long"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .select(expr(
+        "stack(3, 'short', n_short, 'long', n_long, 'en', n_en)")
+        .as(Seq("bucket", "doc_count")))
+
+  /** ES `range` aggregation — from-inclusive / to-exclusive value
+    * partitions with ES's key spelling (`*-500`, `500-2000`, `2000-*`) and
+    * a doc_count + sum sub-agg per bucket. `lo` carries ES's `from` field
+    * (NULL on the unbounded head bucket) so consumers can order buckets
+    * without parsing keys. The bucket key is a map-side CASE projection
+    * and the aggregate is one keyed partial-first hash-agg over ≤3 keys.
+    */
+  def rangeAgg(spark: SparkSession, dir: String,
+               b1: Long = 500L, b2: Long = 2000L): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(
+        when(col("n_chars") < b1, s"*-$b1")
+          .when(col("n_chars") < b2, s"$b1-$b2")
+          .otherwise(s"$b2-*").as("key"),
+        when(col("n_chars") < b1, lit(null).cast("long"))
+          .when(col("n_chars") < b2, lit(b1))
+          .otherwise(lit(b2)).as("lo"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum("n_chars").as("sum_chars"))
+
+  /** ES `weighted_avg` aggregation — Σ(value·weight)/Σ(weight) per group
+    * (price weighted by quantity, the canonical unit-price-of-goods-moved
+    * metric). Cross-engine float discipline: both sums accumulate EXACT
+    * decimals (2dp inputs ⇒ 4dp products, no IEEE accumulation order to
+    * diverge), and the only double op is the final division + 6dp round,
+    * computed identically by both engines from identical exact operands.
+    * One partial-first hash aggregate.
+    */
+  def weightedAvg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(18,2)")).as("wsum"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("wtotal"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("wsum").cast("double") / col("wtotal").cast("double"), 6)
+          .as("weighted_avg_price"))
+
+  /** ES `string_stats` aggregation — count / min_length / max_length /
+    * avg_length / Shannon entropy of a string field's character
+    * distribution. The length moments are exact longs (+ one 6dp-rounded
+    * division, the proven avg device); the entropy follows the engine's
+    * cross-engine float discipline end-to-end: per-character terms
+    * `round(c·ln(c)·2^20)` are fixed-point BIGINTs (deterministic — each
+    * is ONE libm call on an integer-valued operand, the q_more_like_this
+    * precedent), their sum is integer arithmetic, and the final
+    * `(ln N − S/N)/ln 2` is one fixed double chain from integer inputs.
+    *
+    * Scale: the character histogram is a partial-first hash-agg whose
+    * exchange carries ≤|alphabet| partials per partition — the explode
+    * multiplies rows map-side only and combines before the shuffle. The
+    * two 1-row legs (lengths, entropy) cross-join at the end.
+    */
+  def stringStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val lens = d.agg(
+      count(lit(1)).as("n"),
+      min(length(col("text"))).cast("long").as("min_length"),
+      max(length(col("text"))).cast("long").as("max_length"),
+      sum(length(col("text"))).as("sum_length"))
+    // split("") is LINEAR per doc where transform(sequence)+substring(i,1)
+    // is quadratic (each substring seeks from the string head — measured
+    // 1.9 s vs 0.3 s on the 1.5M-char bench corpus); the empty-string
+    // edge elements some JDK split flavors emit are length-filtered out
+    val entropy = d.filter(length(col("text")) > 0)
+      .select(explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .groupBy("ch").agg(count(lit(1)).as("c"))
+      .agg(
+        sum(expr("CAST(round(c * ln(c) * 1048576.0) AS BIGINT)")).as("s_fp"),
+        sum("c").as("n_ch"))
+    lens.crossJoin(entropy).select(
+      col("n"), col("min_length"), col("max_length"),
+      round(col("sum_length").cast("double") / col("n"), 6).as("avg_length"),
+      round((log(col("n_ch").cast("double")) -
+        col("s_fp").cast("double") / lit(1048576.0) / col("n_ch").cast("double"))
+        / lit(math.log(2.0)), 6).as("entropy"))
+  }
+
+  /** ES `boxplot` + `median_absolute_deviation` aggregations, exact face:
+    * per group (lang), the five-number summary (min, q1, median, q3, max)
+    * by the engine's NEAREST-RANK law (`rank = (n·p + 99) div 100` — the
+    * q_percentiles_agg device: all-integer picks, no interpolation
+    * arithmetic to diverge cross-engine) plus MAD = nearest-rank median
+    * of |x − median|. ES computes both from a TDigest sketch; the exact
+    * face is the oracle-checkable contract, and the rank-window shape is
+    * the same keyed single-shuffle plan as the percentile family.
+    *
+    * Two passes by necessity (MAD's deviations need the median first);
+    * the per-group medians come back as a ≤|groups|-row broadcast join,
+    * so pass two is one more keyed window over the same exchange key.
+    */
+  def boxplotMad(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Window.partitionBy("lang")
+    def pick(p: Int, v: String, as: String) =
+      max(when(col("rn") === expr(s"(n * $p + 99) div 100"), col(v))).as(as)
+    val ranked = Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(byLang.orderBy(col("n_chars"))))
+      .withColumn("n", count(lit(1)).over(byLang))
+    val box = ranked.groupBy("lang").agg(
+      max(col("n")).as("n"),
+      min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+      pick(25, "n_chars", "q1"), pick(50, "n_chars", "median"),
+      pick(75, "n_chars", "q3"))
+    val dev = Tables.documents(spark, dir)
+      .join(broadcast(box.select(col("lang"), col("median"))), Seq("lang"))
+      .select(col("lang"), abs(col("n_chars") - col("median")).as("dev"))
+      .withColumn("rn", row_number().over(byLang.orderBy(col("dev"))))
+      .withColumn("n", count(lit(1)).over(byLang))
+    val mad = dev.groupBy("lang").agg(pick(50, "dev", "mad"))
+    box.join(mad, Seq("lang"))
+      .select(col("lang"), col("n"), col("min_chars"), col("q1"),
+        col("median"), col("q3"), col("max_chars"), col("mad"))
+  }
+
   /** ES `percentile_ranks` aggregation, exact-count face: for each probe
     * value, the share of docs at or below it — all-integer 2^20 fixed
     * point (`100·count_le·2^20 div n`), no interpolation arithmetic to
@@ -561,6 +712,87 @@ object RelationalOps {
         |GROUP BY 1, 2
         |HAVING month > '1994-06' OR (month = '1994-06' AND status > 'F')
         |ORDER BY month ASC, status ASC LIMIT 20""".stripMargin,
+    "q_string_stats" ->
+      """WITH lens AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(MIN(length(text)) AS BIGINT) AS min_length,
+        |    CAST(MAX(length(text)) AS BIGINT) AS max_length,
+        |    CAST(SUM(length(text)) AS BIGINT) AS sum_length
+        |  FROM documents),
+        |ch AS (
+        |  SELECT substr(text, CAST(i AS INT), 1) AS ch
+        |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+        |  WHERE length(text) > 0),
+        |hist AS (SELECT ch, COUNT(*) AS c FROM ch GROUP BY ch),
+        |e AS (
+        |  SELECT SUM(CAST(round(c * ln(c) * 1048576.0) AS BIGINT)) AS s_fp,
+        |    CAST(SUM(c) AS BIGINT) AS n_ch
+        |  FROM hist)
+        |SELECT n, min_length, max_length,
+        |  round(CAST(sum_length AS DOUBLE) / n, 6) AS avg_length,
+        |  round((ln(CAST(n_ch AS DOUBLE))
+        |         - CAST(s_fp AS DOUBLE) / 1048576.0 / CAST(n_ch AS DOUBLE))
+        |        / ln(2.0), 6) AS entropy
+        |FROM lens, e""".stripMargin,
+    "q_boxplot_mad" ->
+      """WITH ranked AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |box AS (
+        |  SELECT lang, MAX(n) AS n,
+        |    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |    MAX(CASE WHEN rn = (n*25+99)//100 THEN n_chars END) AS q1,
+        |    MAX(CASE WHEN rn = (n*50+99)//100 THEN n_chars END) AS median,
+        |    MAX(CASE WHEN rn = (n*75+99)//100 THEN n_chars END) AS q3
+        |  FROM ranked GROUP BY lang),
+        |dr AS (
+        |  SELECT d.lang, abs(d.n_chars - b.median) AS dev
+        |  FROM documents d JOIN box b USING (lang)),
+        |dr2 AS (
+        |  SELECT lang, dev,
+        |    row_number() OVER (PARTITION BY lang ORDER BY dev) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM dr),
+        |m AS (
+        |  SELECT lang, MAX(CASE WHEN rn = (n*50+99)//100 THEN dev END) AS mad
+        |  FROM dr2 GROUP BY lang)
+        |SELECT b.lang, b.n, b.min_chars, b.q1, b.median, b.q3, b.max_chars,
+        |  m.mad
+        |FROM box b JOIN m USING (lang)""".stripMargin,
+    "q_multi_terms" ->
+      """SELECT lang, source, COUNT(*) AS doc_count
+        |FROM documents GROUP BY lang, source
+        |ORDER BY doc_count DESC, lang ASC, source ASC LIMIT 10""".stripMargin,
+    "q_filters_agg" ->
+      """WITH a AS (
+        |  SELECT
+        |    SUM(CASE WHEN n_chars < 500 THEN 1 ELSE 0 END) AS n_short,
+        |    SUM(CASE WHEN n_chars >= 2000 THEN 1 ELSE 0 END) AS n_long,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+        |  FROM documents)
+        |SELECT 'short' AS bucket, CAST(n_short AS BIGINT) AS doc_count FROM a
+        |UNION ALL SELECT 'long', CAST(n_long AS BIGINT) FROM a
+        |UNION ALL SELECT 'en', CAST(n_en AS BIGINT) FROM a""".stripMargin,
+    "q_range_agg" ->
+      """SELECT
+        |  CASE WHEN n_chars < 500 THEN '*-500'
+        |       WHEN n_chars < 2000 THEN '500-2000'
+        |       ELSE '2000-*' END AS key,
+        |  CASE WHEN n_chars < 500 THEN CAST(NULL AS BIGINT)
+        |       WHEN n_chars < 2000 THEN CAST(500 AS BIGINT)
+        |       ELSE CAST(2000 AS BIGINT) END AS lo,
+        |  COUNT(*) AS doc_count,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_weighted_avg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |        / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+        |    AS weighted_avg_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -182,6 +182,62 @@ object SearchOps {
       .limit(k)
   }
 
+  /** The INDEXED twin of [[boolQuery]] — the production ES shape (every
+    * real client wraps its clauses in `bool`) served from the postings
+    * store the way ES actually executes it: each clause family resolves
+    * against the inverted index, never against stored fields.
+    *
+    * Compilation: the must/should/must_not term lists become ONE tiny
+    * broadcast relation (token, w, is_must, is_not) — `w` is the term's
+    * multiplicity across the scoring lists (must ∪ should), so a token
+    * shared by both lists contributes twice, exactly the scan face's
+    * per-list presence sum. One IN-list probe of the postings store
+    * covers all three families at once; postings are unique on
+    * (token, doc_id), so per doc `sum(is_must)` is the count of DISTINCT
+    * must terms present (must-satisfaction = equality with the distinct
+    * must-term count), `sum(is_not) > 0` is exclusion, and `sum(w)` is
+    * the score. The filter-context clause (lang) never touches the index:
+    * it joins the documents dim AFTER the probe, ES's bitset-cache
+    * routing. Output-identical to [[boolQuery]] by construction
+    * (SearchSpec pins row equality and the pushed IN-list).
+    *
+    * Scale shape: the probe reads the union clause vocabulary's postings
+    * — a few terms, not the corpus (the scan face measured 0.57/dec in
+    * the r16 full-suite sweep; this face reads O(matched postings)). The
+    * dim join keys on doc_id for only the surviving candidates.
+    */
+  def boolQueryIndexed(spark: SparkSession, dir: String,
+                       must: String = "data", should: String = "stream window",
+                       mustNot: String = "error", filterLang: String = "en",
+                       k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val mustTerms = analyzeQuery(must)
+    val scoringW = (mustTerms ++ analyzeQuery(should))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val notTerms = analyzeQuery(mustNot).distinct
+    val vocab = (scoringW.keySet ++ notTerms).toSeq.sorted
+    val clauses = vocab.map { t =>
+      (t, scoringW.getOrElse(t, 0L),
+        if (mustTerms.contains(t)) 1L else 0L,
+        if (notTerms.contains(t)) 1L else 0L)
+    }.toDF("token", "w", "is_must", "is_not")
+    val nMust = mustTerms.distinct.length
+    val verdicts = servedPostings(spark, dir)
+      .filter(col("token").isInCollection(vocab))
+      .join(broadcast(clauses), Seq("token"))
+      .groupBy("doc_id")
+      .agg(sum("w").as("score"), sum("is_must").as("must_n"),
+        sum("is_not").as("not_n"))
+      .filter(col("must_n") === nMust && col("not_n") === 0)
+    verdicts
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .filter(col("lang") === filterLang) // filter context: dim attribute
+      .select(col("doc_id"), col("lang"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** ES `regexp` query — term-level regular-expression match: a document
     * hits when ANY of its analyzed tokens fully matches the pattern
     * (ES/Lucene regexp queries are implicitly anchored to the whole term),
@@ -468,6 +524,41 @@ object SearchOps {
       .limit(k)
   }
 
+  /** ES `span_near` query — Lucene's proximity primitive beneath
+    * match_phrase: two term clauses match when they occur within `slop`
+    * intervening positions, in document order (`in_order: true`). A
+    * phrase is the slop=0 special case; span_near is what ES compiles
+    * "near but not necessarily adjacent" searches to. Scored by
+    * span_freq = the number of qualifying (first, second) position pairs
+    * per document (Lucene counts every matching span occurrence).
+    *
+    * Served from the bucketed POSITIONAL store like
+    * [[phraseSearchIndexed]]: each clause's read is a partition-pruned,
+    * IN-list-pushed scan of ~occurrences(term) rows; the pair test is a
+    * doc-keyed equi-join with the position-window predicate as a join
+    * residual — per-doc position lists are tiny, so the residual filter
+    * is cheap, and the rarest clause bounds the join input exactly as in
+    * the phrase face. SearchSpec pins the face against an independent
+    * rolling-window rescan of the corpus.
+    */
+  def spanNearSearch(spark: SparkSession, dir: String,
+                     first: String = "data", second: String = "window",
+                     slop: Int = 3, k: Int = 20): DataFrame = {
+    val t1 = analyzeQuery(first).head
+    val t2 = analyzeQuery(second).head
+    require(t1 != t2, "span_near clauses must be distinct terms")
+    val pp = positionalFor(spark, dir, Seq(t1, t2))
+    val a = pp.filter(col("token") === t1).select(col("doc_id"), col("pos").as("p1"))
+    val b = pp.filter(col("token") === t2).select(col("doc_id"), col("pos").as("p2"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("p2") > col("p1") && // in_order: first strictly precedes
+        col("p2") - col("p1") - 1 <= slop) // ≤ slop intervening positions
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("span_freq"))
+      .orderBy(col("span_freq").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** multi_match with fuzziness=auto (ETLTests-2.json:94-131): a query term
     * matches if ANY document token is within its edit-distance budget;
     * score = number of matched query terms.
@@ -715,6 +806,35 @@ object SearchOps {
       .groupBy("token")
       .agg(sum(col("tf")).as("n"))
       .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** ES `rare_terms` aggregation — the long-tail complement of `terms`:
+    * buckets for terms appearing in at most `maxDocCount` documents
+    * (ES's `max_doc_count`, default 1), ordered ascending by doc count.
+    * ES implements it with a CuckooFilter sketch precisely because a
+    * naive "terms agg ordered asc" must materialize the whole vocabulary;
+    * here the postings store makes it exact AND cheap: doc frequency is
+    * `count(1)` over the store's unique (token, doc_id) grain — a
+    * dictionary-keyed aggregate (vocabulary-sized, ~√corpus) with the
+    * max_doc_count filter applied before anything sorts, so the top-k cut
+    * sees only the rare tail, not the dictionary. `k` bounds the face for
+    * the oracle; ES's own default cap is unbounded-ish (size 10 buckets).
+    *
+    * The registered face runs max_doc_count=300: the rotated synthetic
+    * vocabulary has NO true hapaxes (every corpus term's df ≥ 0.6% of
+    * docs), so ES's default of 1 would be a vacuous empty-result query;
+    * 300 isolates the fixture's one genuinely anomalous term — the
+    * planted near-duplicate marker 'dup' at ~0.17% df — at both the gate
+    * (sf0.01) and bench (sf0.1) scales. True max_doc_count=1 semantics
+    * are pinned in SearchSpec on a corpus with real hapaxes.
+    */
+  def rareTermsAgg(spark: SparkSession, dir: String,
+                   maxDocCount: Long = 1L, k: Int = 100): DataFrame =
+    servedPostings(spark, dir)
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_count"))
+      .filter(col("doc_count") <= maxDocCount)
+      .orderBy(col("doc_count").asc, col("token").asc)
       .limit(k)
 
   /** The scale path for repeated interactive search: a materialized postings
@@ -2546,6 +2666,13 @@ object SearchOps {
       s"""SELECT token, COUNT(*) AS n
          |FROM (SELECT unnest($duckToks) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
+    "q_rare_terms" ->
+      s"""WITH p AS (
+         |  SELECT DISTINCT doc_id, token FROM (
+         |    SELECT doc_id, unnest($duckToks) AS token FROM documents))
+         |SELECT token, COUNT(*) AS doc_count FROM p GROUP BY token
+         |HAVING COUNT(*) <= 300
+         |ORDER BY doc_count ASC, token ASC LIMIT 100""".stripMargin,
     "q_search_ranked" -> rankedOracle,
     // lives here (not TextOps.oracle) because the coverage reads the
     // postings store and must replay ITS analyzer (duckToks)
@@ -2567,26 +2694,25 @@ object SearchOps {
          |  CAST(round(CAST(covered_toks AS DOUBLE) / CAST(total_toks AS DOUBLE)
          |             * 1048576.0) AS BIGINT) AS coverage_fp
          |FROM g""".stripMargin,
-    "q_search_bool" -> {
-      val mustT = analyzeQuery("data")
-      val shouldT = analyzeQuery("stream window")
-      val notT = analyzeQuery("error")
-      val score = (mustT ++ shouldT)
-        .map(t => s"CAST(list_contains(toks, '$t') AS INT)")
-        .mkString("\n    + ")
-      val mustOk = mustT.map(t => s"list_contains(toks, '$t')").mkString(" AND ")
-      val notOk = notT.map(t => s"NOT list_contains(toks, '$t')").mkString(" AND ")
-      s"""WITH t AS (
-         |  SELECT doc_id, lang, $duckToks AS toks FROM documents
-         |  WHERE lang = 'en'),
-         |s AS (
-         |  SELECT doc_id, lang,
-         |    $score AS score,
-         |    ($mustOk) AS m, ($notOk) AS n
+    "q_search_bool" -> boolOracle,
+    // the postings-served face is output-identical by construction
+    // (clause families resolved on the unique (token, doc_id) grain)
+    "q_search_bool_idx" -> boolOracle,
+    "q_span_near" -> {
+      val t1 = analyzeQuery("data").head
+      val t2 = analyzeQuery("window").head
+      val slop = 3
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(
+         |      list_filter(range(1, len(toks) + 1), i -> toks[i] = '$t1'),
+         |      i -> len(list_filter(range(1, len(toks) + 1),
+         |        j -> toks[j] = '$t2' AND j > i AND j - i - 1 <= $slop))))
+         |      AS BIGINT) AS span_freq
          |  FROM t)
-         |SELECT doc_id, lang, CAST(score AS BIGINT) AS score
-         |FROM s WHERE m AND n
-         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+         |SELECT doc_id, span_freq FROM f WHERE span_freq > 0
+         |ORDER BY span_freq DESC, doc_id ASC LIMIT 20""".stripMargin
     },
     "q_search_phrase_idx" -> {
       val ph = analyzeQuery("data stream")
@@ -3030,6 +3156,32 @@ object SearchOps {
     s"""WITH $bm25Ctes
        |SELECT doc_id, round(s, 6) AS score FROM scored
        |ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  /** Shared by q_search_bool (scan face) and q_search_bool_idx (the
+    * postings-served twin): the two faces are output-identical, so one
+    * oracle statement replays both.
+    */
+  private def boolOracle: String = {
+    val mustT = analyzeQuery("data")
+    val shouldT = analyzeQuery("stream window")
+    val notT = analyzeQuery("error")
+    val score = (mustT ++ shouldT)
+      .map(t => s"CAST(list_contains(toks, '$t') AS INT)")
+      .mkString("\n    + ")
+    val mustOk = mustT.map(t => s"list_contains(toks, '$t')").mkString(" AND ")
+    val notOk = notT.map(t => s"NOT list_contains(toks, '$t')").mkString(" AND ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $duckToks AS toks FROM documents
+       |  WHERE lang = 'en'),
+       |s AS (
+       |  SELECT doc_id, lang,
+       |    $score AS score,
+       |    ($mustOk) AS m, ($notOk) AS n
+       |  FROM t)
+       |SELECT doc_id, lang, CAST(score AS BIGINT) AS score
+       |FROM s WHERE m AND n
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
 
   private def boostingOracle: String = {
     val pos = analyzeQuery("data stream")

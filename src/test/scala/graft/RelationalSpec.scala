@@ -197,4 +197,71 @@ class RelationalSpec extends SparkSpecBase {
       assert(rows((lang, 2000L))._3 >= rows((lang, 500L))._3, lang)
     }
   }
+
+  test("filtersAgg/rangeAgg/multiTerms: bucket algebra reconciles to the corpus") {
+    val n = Tables.documents(spark, sf).count()
+    // filters: independent predicates — 'short' + 'long' never exceeds n,
+    // and each bucket equals its own direct count
+    val f = RelationalOps.filtersAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f.keySet === Set("short", "long", "en"))
+    assert(f("short") === Tables.documents(spark, sf).filter(col("n_chars") < 500).count())
+    assert(f("en") === Tables.documents(spark, sf).filter(col("lang") === "en").count())
+    // range: a PARTITION — bucket counts sum to n exactly
+    val rg = RelationalOps.rangeAgg(spark, sf).collect()
+    assert(rg.map(_.getAs[Long]("doc_count")).sum === n)
+    assert(rg.map(_.getAs[String]("key")).toSet.subsetOf(
+      Set("*-500", "500-2000", "2000-*")))
+    // multi_terms: compound-key doc_counts are the single-key counts' refinement
+    val mt = RelationalOps.multiTermsAgg(spark, sf, size = 1000).collect()
+    assert(mt.map(_.getAs[Long]("doc_count")).sum === n)
+  }
+
+  test("weightedAvg: matches a direct exact-decimal recomputation per group") {
+    val rows = RelationalOps.weightedAvg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val direct = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(18,2)")).as("pw"),
+        col("l_quantity").cast("decimal(18,2)").as("w"))
+      .groupBy("l_returnflag").agg(sum("pw").as("pws"), sum("w").as("ws"))
+      .collect()
+      .map(r => r.getString(0) ->
+        BigDecimal(r.getDecimal(1)) / BigDecimal(r.getDecimal(2))).toMap
+    rows.foreach { r =>
+      val got = r.getAs[Double]("weighted_avg_price")
+      val want = direct(r.getString(0)).toDouble
+      assert(math.abs(got - want) < 1e-5, r.getString(0))
+    }
+  }
+
+  test("stringStats: closed-form entropy anchor on a hand corpus; fixture sane") {
+    val dir = "/tmp/graft_string_stats_docs"
+    import spark.implicits._
+    // chars: a x2, b x2 -> exactly 1.0 bit of entropy; lengths 3 and 1
+    Seq((1L, "aab"), (2L, "b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val r = RelationalOps.stringStats(spark, dir).head()
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === 1L && r.getLong(2) === 3L)
+    assert(r.getDouble(3) === 2.0)
+    assert(r.getDouble(4) === 1.0, "uniform 2-symbol alphabet = 1 bit")
+    val fx = RelationalOps.stringStats(spark, sf).head()
+    assert(fx.getDouble(4) > 1.0 && fx.getDouble(4) < 8.0,
+      "ASCII text entropy must sit between 1 and 8 bits/char")
+  }
+
+  test("boxplotMad: nearest-rank law on a hand group; MAD from the picked median") {
+    val dir = "/tmp/graft_boxplot_docs"
+    import spark.implicits._
+    Seq.tabulate(8)(i => (i.toLong + 1, "en", "src", "x", i.toLong + 1))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val r = RelationalOps.boxplotMad(spark, dir).head()
+    // ranks over 1..8: q1@rank2=2, median@rank4=4, q3@rank6=6;
+    // deviations |x-4| sorted: 0,1,1,2,2,3,3,4 -> mad@rank4=2
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6), r.getLong(7)) === ((8L, 1L, 2L, 4L, 6L, 8L, 2L)))
+  }
 }

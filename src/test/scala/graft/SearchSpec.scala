@@ -148,6 +148,80 @@ class SearchSpec extends SparkSpecBase {
       s"expected the query terms pushed into the postings scan:\n$plan")
   }
 
+  test("rareTermsAgg: true max_doc_count=1 semantics isolate hapaxes; fixture face finds the planted marker") {
+    import graft.ops.SearchOps
+    val dir = "/tmp/graft_rare_terms_docs"
+    Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val hapax = SearchOps.rareTermsAgg(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hapax === Seq(("beta", 1L), ("gamma", 1L)),
+      "default max_doc_count=1 must return exactly the hapax terms, asc")
+    // the registered face (max_doc_count=300) isolates the fixture's one
+    // anomalous term: the planted near-dup marker 'dup'
+    val fixture = SearchOps.rareTermsAgg(spark, sf, maxDocCount = 300L).collect()
+    assert(fixture.map(_.getString(0)).contains("dup"))
+    assert(fixture.forall(_.getLong(1) <= 300L))
+  }
+
+  test("boolQueryIndexed: row-identical to the scan face; one pushed probe covers all clause families") {
+    import graft.ops.SearchOps
+    val scan = SearchOps.boolQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val idx = SearchOps.boolQueryIndexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(idx === scan, "the indexed bool face must reproduce the scan face exactly")
+    assert(scan.nonEmpty, "fixture must produce bool hits or the pin is vacuous")
+    val plan = SearchOps.boolQueryIndexed(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"expected the union clause vocabulary pushed into the postings scan:\n$plan")
+    // must-exclusion works: a should-only hit that contains the must_not
+    // term never surfaces — verified by clause algebra on a tiny corpus
+    val dir = "/tmp/graft_bool_idx_docs"
+    Seq((1L, "en", "data stream"),      // must + should → score 2
+        (2L, "en", "data error"),       // must_not present → excluded
+        (3L, "en", "stream window"),    // must absent → excluded
+        (4L, "de", "data window"),      // filter-context lang → excluded
+        (5L, "en", "data"))             // must only → score 1
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val rows = SearchOps.boolQueryIndexed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, 2L), (5L, 1L)))
+  }
+
+  test("spanNearSearch: matches an independent rolling-window rescan; slop law exact") {
+    import graft.ops.SearchOps
+    // independent recomputation: per doc, count (p1, p2) pairs over the
+    // analyzed token positions with p2 > p1 and ≤ slop intervening
+    val slop = 3
+    val byDoc = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.ops.SearchOps.analyze(col("text")).as("toks"))
+      .collect()
+      .map { r =>
+        val toks = r.getSeq[String](1)
+        val p1 = toks.zipWithIndex.collect { case ("data", i) => i }
+        val p2 = toks.zipWithIndex.collect { case ("window", i) => i }
+        val n = p1.map(i => p2.count(j => j > i && j - i - 1 <= slop)).sum
+        (r.getLong(0), n.toLong)
+      }
+      .filter(_._2 > 0).toSeq
+      .sortBy { case (id, f) => (-f, id) }.take(20)
+    val got = SearchOps.spanNearSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === byDoc)
+    assert(got.nonEmpty, "fixture must produce span hits or the pin is vacuous")
+    // slop=0 degenerates to the adjacent-bigram phrase law
+    val adj = SearchOps.spanNearSearch(spark, sf, "data", "stream", slop = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val phrase = SearchOps.phraseSearchIndexed(spark, sf, "data stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(adj === phrase,
+      "span_near(slop=0, in_order) over a bigram must equal match_phrase")
+  }
+
   test("rankedSearch golden: rare-term doc outranks the higher-raw-tf common-term doc") {
     val dir = "/tmp/graft_ranked_docs"
     Seq((1L, "alpha beta beta"),              // rare 'beta' ×2 + common 'alpha'
