@@ -191,27 +191,38 @@ object QueryStringOps {
 
   private def phraseNeedle(ts: Seq[String]): String = s" ${ts.mkString(" ")} "
 
-  private def compileSpark(n: Node, toksOf: String => Column,
-                           lang: Column): (Column, Column) = n match {
+  /** The connective algebra, shared by EVERY Spark-side compiler (scan
+    * and index-served): only the LEAF resolution differs between faces,
+    * so the operator/score laws cannot drift apart — one place spells
+    * "NOT scores 0", both faces inherit it.
+    */
+  private def compileTree(n: Node, leaf: Node => (Column, Column)): (Column, Column) = n match {
     case OrN(a, b) =>
-      val ((pa, sa), (pb, sb)) = (compileSpark(a, toksOf, lang), compileSpark(b, toksOf, lang))
+      val ((pa, sa), (pb, sb)) = (compileTree(a, leaf), compileTree(b, leaf))
       (pa || pb, sa + sb)
     case AndN(a, b) =>
-      val ((pa, sa), (pb, sb)) = (compileSpark(a, toksOf, lang), compileSpark(b, toksOf, lang))
+      val ((pa, sa), (pb, sb)) = (compileTree(a, leaf), compileTree(b, leaf))
       (pa && pb, sa + sb)
     case NotN(a) =>
-      (!compileSpark(a, toksOf, lang)._1, lit(0))
-    case TermN("lang", t) =>
-      val p = lang === t; (p, p.cast("int"))
-    case TermN(f, t) =>
-      val p = array_contains(toksOf(f), t); (p, p.cast("int"))
-    case PhraseN(f, ts) =>
-      // analyzed-token adjacency via the padded-join device (token-bounded,
-      // no substring false hits) — same trick as SearchOps.highlight
-      val p = instr(concat(lit(" "), array_join(toksOf(f), " "), lit(" ")),
-        lit(phraseNeedle(ts))) > 0
-      (p, p.cast("int"))
+      (!compileTree(a, leaf)._1, lit(0))
+    case other => leaf(other)
   }
+
+  private def compileSpark(n: Node, toksOf: String => Column,
+                           lang: Column): (Column, Column) =
+    compileTree(n, {
+      case TermN("lang", t) =>
+        val p = lang === t; (p, p.cast("int"))
+      case TermN(f, t) =>
+        val p = array_contains(toksOf(f), t); (p, p.cast("int"))
+      case PhraseN(f, ts) =>
+        // analyzed-token adjacency via the padded-join device (token-bounded,
+        // no substring false hits) — same trick as SearchOps.highlight
+        val p = instr(concat(lit(" "), array_join(toksOf(f), " "), lit(" ")),
+          lit(phraseNeedle(ts))) > 0
+        (p, p.cast("int"))
+      case n => throw new IllegalStateException(s"connective reached leaf: $n")
+    })
 
   // ---- compiler 2: the DuckDB oracle, same tree ------------------------
 
@@ -260,6 +271,116 @@ object QueryStringOps {
     val toksOf = (f: String) => if (f == "title") col("title_toks") else col("toks")
     val (pred, score) = compileSpark(node, toksOf, col("lang"))
     staged.filter(pred)
+      .select(col("doc_id"), col("lang"), score.cast("long").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  // ---- compiler 3: the index-served plan, same AST ----------------------
+
+  /** Index atoms of a tree: the leaves an inverted index resolves (term
+    * and phrase clauses on analyzed fields). `lang` leaves are doc-dim
+    * attributes — ES filter context — and never probe the index.
+    */
+  private def indexAtoms(n: Node): Seq[Node] = n match {
+    case OrN(a, b)  => (indexAtoms(a) ++ indexAtoms(b)).distinct
+    case AndN(a, b) => (indexAtoms(a) ++ indexAtoms(b)).distinct
+    case NotN(a)    => indexAtoms(a)
+    case TermN("lang", _) => Nil
+    case leaf => Seq(leaf)
+  }
+
+  private def langTerms(n: Node): Seq[String] = n match {
+    case OrN(a, b)  => (langTerms(a) ++ langTerms(b)).distinct
+    case AndN(a, b) => (langTerms(a) ++ langTerms(b)).distinct
+    case NotN(a)    => langTerms(a)
+    case TermN("lang", t) => Seq(t)
+    case _ => Nil
+  }
+
+  /** Constant-fold the tree with every index atom FALSE and a given
+    * lang assignment — true means a document with NO index hits can
+    * still match (a NOT-dominated tree), so the index probe does not
+    * bound the candidates and the doc dim must outer-join.
+    */
+  private def matchesWithoutIndexHits(n: Node, langIs: Option[String]): Boolean = n match {
+    case OrN(a, b)  => matchesWithoutIndexHits(a, langIs) || matchesWithoutIndexHits(b, langIs)
+    case AndN(a, b) => matchesWithoutIndexHits(a, langIs) && matchesWithoutIndexHits(b, langIs)
+    case NotN(a)    => !matchesWithoutIndexHits(a, langIs)
+    case TermN("lang", t) => langIs.contains(t)
+    case _ => false // index atom, assumed absent
+  }
+
+  /** [[queryString]] served from the INDEX — the same driver-built AST,
+    * third compiler: term leaves probe the field-tagged postings store
+    * (`mfpostings`; the `title` field is analyzed from the same 48-char
+    * slice as the scan face's staged `title_toks`), phrase leaves run the
+    * [[SearchOps.phraseSearchIndexed]] anchor-shift intersection over the
+    * bucketed positional store, and the boolean/score algebra is the ONE
+    * shared [[compileTree]] over per-doc atom flags — so the scan face,
+    * this face, and the DuckDB oracle all replay one tree.
+    *
+    * Plan shape: every atom probe is a pruned IN-pushed store read; the
+    * union of probes aggregates to one flag row per candidate doc. The
+    * doc dim (doc_id, lang — column-pruned) joins INNER when the
+    * constant-folded tree proves a no-hit document can never match
+    * (checked per possible lang: one-hot over the tree's lang terms plus
+    * the none-of-them case), so NOT-free queries read only candidates;
+    * NOT-dominated trees fall back to a left join over the dim — the
+    * bitset-over-all-docs ES itself pays for pure must_not. Either way
+    * the corpus TEXT is never re-analyzed at query time.
+    */
+  def queryStringIndexed(spark: SparkSession, dir: String,
+                         q: String = DefaultQ, k: Int = 20): DataFrame = {
+    val node = parseQueryString(q)
+      .getOrElse(throw new IllegalArgumentException(
+        s"query_string '$q' analyzed to no effective clauses"))
+    val atoms = indexAtoms(node)
+    val atomIdx = atoms.zipWithIndex.toMap
+    val (mfPosts, _, _) = SearchOps.servedMultiFieldStores(spark, dir)
+
+    def probe(a: Node, i: Int): DataFrame = a match {
+      case TermN(f, t) =>
+        val field = if (f == "title") "title" else "body"
+        mfPosts.filter(col("field") === field && col("token") === t)
+          .select(col("doc_id"), lit(i).as("atom"))
+      case PhraseN(f, ts) =>
+        require(f != "title",
+          "title-field phrases need a positional title store; unsupported")
+        val pp = SearchOps.positionalFor(spark, dir, ts.distinct)
+        ts.zipWithIndex.map { case (t, j) =>
+          pp.filter(col("token") === t)
+            .select(col("doc_id"), (col("pos") - j).as("start"))
+        }.reduce((x, y) => x.join(y, Seq("doc_id", "start")))
+          .select(col("doc_id")).distinct()
+          .select(col("doc_id"), lit(i).as("atom"))
+      case other => throw new IllegalStateException(s"not an index atom: $other")
+    }
+
+    val dim = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val base =
+      if (atoms.isEmpty) dim // lang-only tree: pure dim predicate
+      else {
+        val flags = atoms.zipWithIndex.map { case (a, i) => probe(a, i) }
+          .reduce(_ union _)
+          .groupBy("doc_id")
+          .agg(
+            max(when(col("atom") === 0, lit(true))).as("a0"),
+            atoms.indices.tail.map(i =>
+              max(when(col("atom") === i, lit(true))).as(s"a$i")): _*)
+        // inner join iff NO lang world lets a hit-free doc match
+        val worlds = langTerms(node).map(Option(_)) :+ None
+        val needOuter = worlds.exists(w => matchesWithoutIndexHits(node, w))
+        dim.join(flags, Seq("doc_id"), if (needOuter) "left" else "inner")
+      }
+    val (pred, score) = compileTree(node, {
+      case TermN("lang", t) =>
+        val p = col("lang") === t; (p, p.cast("int"))
+      case atom =>
+        val c = coalesce(col(s"a${atomIdx(atom)}"), lit(false))
+        (c, c.cast("int"))
+    })
+    base.filter(pred)
       .select(col("doc_id"), col("lang"), score.cast("long").as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)

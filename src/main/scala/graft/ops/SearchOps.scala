@@ -689,7 +689,7 @@ object SearchOps {
     * the body — e.g. a word truncated mid-way — which is exactly why the
     * body-only fuzzydict store cannot serve this query).
     */
-  private def servedMultiFieldStores(spark: SparkSession,
+  private[graft] def servedMultiFieldStores(spark: SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame) = {
     val pp = Tables.derivedStorePath(spark, "mfpostings", dir, "documents.parquet")
     val pd = Tables.derivedStorePath(spark, "mfdict", dir, "documents.parquet")
@@ -1176,7 +1176,7 @@ object SearchOps {
     * prunes partitions at planning time, token IN-list pushes into the
     * pruned scan.
     */
-  private def positionalFor(spark: SparkSession, dir: String,
+  private[graft] def positionalFor(spark: SparkSession, dir: String,
                             terms: Seq[String]): DataFrame = {
     val buckets = terms.map(tokenBucket).distinct
     servedPositionalBucketed(spark, dir)
@@ -1650,6 +1650,35 @@ object SearchOps {
       .select(col("doc_id"), col("hits"),
         (col("hits").cast("long") * lit(1048576L) + col("feat_fp"))
           .as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** The INDEXED twin of [[rankFeatureSearch]] — the match-count leg
+    * probes the postings store exactly like [[matchQueryIndexed]] (the
+    * scan face swept 0.88/dec in r16, the same analyzer-band cost), and
+    * the static feature joins from the documents dim for ONLY the
+    * matched ids (`hits > 0` — ES too scores rank_feature only on docs
+    * the query matched, so the dim read is probe-bounded). Score law
+    * identical in exact fixed point: same `hits·2^20 + f·2^20 div
+    * (f+pivot)` integer spelling, postings unique on (token, doc_id)
+    * making `count(1)` ≡ the distinct-term presence sum.
+    */
+  def rankFeatureSearchIndexed(spark: SparkSession, dir: String,
+                               q: String = "data stream", pivot: Long = 1000L,
+                               k: Int = 20): DataFrame = {
+    require(pivot > 0, s"pivot must be positive ($pivot)")
+    val terms = analyzeQuery(q).distinct
+    require(terms.nonEmpty, s"query '$q' analyzed to no terms")
+    val hits = servedPostings(spark, dir)
+      .filter(col("token").isInCollection(terms))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("hits"))
+    hits.join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("hits"),
+        (col("hits").cast("long") * lit(1048576L) +
+          expr(s"(n_chars * 1048576) div (n_chars + $pivot)")).as("score_fp"))
       .orderBy(col("score_fp").desc, col("doc_id").asc)
       .limit(k)
   }
@@ -2433,6 +2462,9 @@ object SearchOps {
     "q_search_phrase_suggest" -> phraseSuggestOracle,
     "q_search_dis_max" -> disMaxOracle,
     "q_rank_feature" -> rankFeatureOracle,
+    // the postings-served face is output-identical by construction
+    // (probe-bounded dim join preserves the exact fixed-point law)
+    "q_rank_feature_idx" -> rankFeatureOracle,
     "q_adjacency_matrix" -> adjacencyOracle,
     "q_sampler_terms" -> samplerOracle,
     "q_distance_feature" -> distanceFeatureOracle,
@@ -2550,6 +2582,8 @@ object SearchOps {
     // generated from the SAME parse tree the Spark face compiles — the
     // query_string SYNTAX layer itself sits under the hash gate
     "q_search_query_string" -> QueryStringOps.queryStringOracle(),
+    // the index-served face replays the same AST: same oracle
+    "q_search_query_string_idx" -> QueryStringOps.queryStringOracle(),
     "q_search_match" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang,

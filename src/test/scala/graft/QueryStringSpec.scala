@@ -104,4 +104,30 @@ class QueryStringSpec extends SparkSpecBase {
     // pure-NOT score: only the positive leaf counts
     assert(out.forall(_.getAs[Long]("score") === 1L))
   }
+
+  test("queryStringIndexed: row-identical to the scan face across clause shapes, incl. the NOT-dominated outer-join path") {
+    val sf001 = "/root/testdata/sf0.001"
+    def both(q: String): (Seq[(Long, String, Long)], Seq[(Long, String, Long)]) = {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      (rows(QueryStringOps.queryString(spark, sf001, q, k = 1000)),
+        rows(QueryStringOps.queryStringIndexed(spark, sf001, q, k = 1000)))
+    }
+    // the default fixture: field prefix + phrase + parens + all operators
+    val (s1, i1) = both(QueryStringOps.DefaultQ)
+    assert(i1 === s1); assert(s1.nonEmpty, "vacuous fixture")
+    // NOT-dominated: a doc with ZERO index hits must still match — this
+    // exercises the constant-fold reachability check and the left join
+    val (s2, i2) = both("lang:en AND NOT error")
+    assert(i2 === s2); assert(s2.nonEmpty)
+    // field-prefixed term + bare adjacency (default operator OR)
+    val (s3, i3) = both("title:data window")
+    assert(i3 === s3); assert(s3.nonEmpty)
+    // phrase-only tree (no term atoms at all)
+    val (s4, i4) = both("\"data stream\"")
+    assert(i4 === s4); assert(s4.nonEmpty)
+    // lang-only tree (no index atoms): the dim-only degenerate path
+    val (s5, i5) = both("lang:ru")
+    assert(i5 === s5)
+  }
 }

@@ -148,6 +148,20 @@ class SearchSpec extends SparkSpecBase {
       s"expected the query terms pushed into the postings scan:\n$plan")
   }
 
+  test("rankFeatureSearchIndexed: row-identical to the scan face; probe-bounded dim join") {
+    import graft.ops.SearchOps
+    val scan = SearchOps.rankFeatureSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val idx = SearchOps.rankFeatureSearchIndexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(idx === scan)
+    assert(scan.nonEmpty, "vacuous fixture")
+    val plan = SearchOps.rankFeatureSearchIndexed(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"expected the query terms pushed into the postings scan:\n$plan")
+  }
+
   test("rareTermsAgg: true max_doc_count=1 semantics isolate hapaxes; fixture face finds the planted marker") {
     import graft.ops.SearchOps
     val dir = "/tmp/graft_rare_terms_docs"
