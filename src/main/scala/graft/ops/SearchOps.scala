@@ -808,6 +808,77 @@ object SearchOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** ES `terms_set` query — match documents containing at least
+    * `minimum_should_match` of the given terms (the "m-of-n" query bool
+    * `should` can't express without per-doc scripting; ES routes it to a
+    * CoveringQuery). Scored by the matched-term count like every
+    * match-family face here. Served from the postings store: one
+    * IN-pushed probe, one doc-keyed count over the unique
+    * (token, doc_id) grain, the m-threshold applied BEFORE the top-k
+    * cut — at scale the probe reads n terms' postings and the filter
+    * discards sub-threshold docs inside the partial aggregate.
+    */
+  def termsSetQuery(spark: SparkSession, dir: String,
+                    terms: Seq[String] = Seq("data", "stream", "window"),
+                    minMatch: Int = 2, k: Int = 20): DataFrame = {
+    val ts = terms.flatMap(t => analyzeQuery(t)).distinct
+    require(ts.nonEmpty, "terms_set analyzed to no terms")
+    require(minMatch >= 1 && minMatch <= ts.length,
+      s"minimum_should_match $minMatch outside 1..${ts.length}")
+    servedPostings(spark, dir)
+      .filter(col("token").isInCollection(ts))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("matched"))
+      .filter(col("matched") >= minMatch)
+      .orderBy(col("matched").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** ES `pinned` query — editorially promoted documents first, in the
+    * exact order given (ES assigns them descending giant scores), then
+    * the organic ranking fills the remaining slots. The organic leg is
+    * the [[matchQueryIndexed]] postings probe (distinct-term presence
+    * count); the pin list rides as a broadcast local relation, unknown
+    * ids drop by the dim join exactly as ES ignores absent pins, and a
+    * pinned doc keeps its organic score for display (0 when the query
+    * doesn't match it — pinning is why it still surfaces).
+    *
+    * The rank window orders a BOUNDED frame (≤ k organic + |pins| rows,
+    * both already cut) — the same bounded-envelope device as the
+    * pagination face, not a corpus-wide sort.
+    */
+  def pinnedQuery(spark: SparkSession, dir: String,
+                  pins: Seq[Long] = Seq(7L, 42L, 13L),
+                  q: String = "data stream window", k: Int = 20): DataFrame = {
+    import spark.implicits._
+    require(pins.nonEmpty && pins.distinct == pins, "pins must be distinct")
+    val terms = analyzeQuery(q).distinct
+    val scores = servedPostings(spark, dir)
+      .filter(col("token").isInCollection(terms))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("score"))
+    val pinsDf = pins.zipWithIndex.map { case (id, i) => (id, i + 1L) }
+      .toDF("doc_id", "pin_order")
+    val pinnedLeg = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(broadcast(pinsDf), Seq("doc_id")) // absent pins drop, ES-style
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), lit(true).as("is_pinned"), col("pin_order"),
+        coalesce(col("score"), lit(0L)).as("score"))
+    val organicLeg = scores
+      .join(broadcast(pinsDf.select("doc_id")), Seq("doc_id"), "left_anti")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k) // upper bound; the rank cut below is the real envelope
+      .select(col("doc_id"), lit(false).as("is_pinned"),
+        lit(0L).as("pin_order"), col("score"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(
+      col("is_pinned").desc, col("pin_order").asc,
+      col("score").desc, col("doc_id").asc)
+    pinnedLeg.unionAll(organicLeg)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("is_pinned"), col("score"))
+  }
+
   /** ES `rare_terms` aggregation — the long-tail complement of `terms`:
     * buckets for terms appearing in at most `maxDocCount` documents
     * (ES's `max_doc_count`, default 1), ordered ascending by doc count.
@@ -2700,6 +2771,42 @@ object SearchOps {
       s"""SELECT token, COUNT(*) AS n
          |FROM (SELECT unnest($duckToks) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
+    "q_terms_set" -> {
+      val ts = Seq("data", "stream", "window").flatMap(t => analyzeQuery(t)).distinct
+      val matched = ts.map(t => s"CAST(list_contains(toks, '$t') AS INT)")
+        .mkString("\n    + ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, $matched AS matched
+         |  FROM (SELECT doc_id, $duckToks AS toks FROM documents))
+         |SELECT doc_id, matched FROM scored WHERE matched >= 2
+         |ORDER BY matched DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+    "q_search_pinned" -> {
+      val ts = analyzeQuery("data stream window").distinct
+      val score = ts.map(t => s"CAST(list_contains(toks, '$t') AS INT)")
+        .mkString("\n    + ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, CAST($score AS BIGINT) AS score
+         |  FROM (SELECT doc_id, $duckToks AS toks FROM documents)),
+         |pins(doc_id, pin_order) AS (VALUES (7, 1), (42, 2), (13, 3)),
+         |p AS (
+         |  SELECT s.doc_id, TRUE AS is_pinned,
+         |    CAST(pin_order AS BIGINT) AS pin_order, s.score
+         |  FROM scored s JOIN pins USING (doc_id)),
+         |o AS (
+         |  SELECT doc_id, FALSE AS is_pinned, CAST(0 AS BIGINT) AS pin_order,
+         |    score
+         |  FROM scored WHERE score > 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM pins)
+         |  ORDER BY score DESC, doc_id ASC LIMIT 20),
+         |u AS (SELECT * FROM p UNION ALL SELECT * FROM o),
+         |r AS (
+         |  SELECT CAST(row_number() OVER (
+         |      ORDER BY is_pinned DESC, pin_order ASC, score DESC, doc_id ASC)
+         |    AS BIGINT) AS rank, doc_id, is_pinned, score
+         |  FROM u)
+         |SELECT rank, doc_id, is_pinned, score FROM r WHERE rank <= 20""".stripMargin
+    },
     "q_rare_terms" ->
       s"""WITH p AS (
          |  SELECT DISTINCT doc_id, token FROM (

@@ -148,6 +148,42 @@ class SearchSpec extends SparkSpecBase {
       s"expected the query terms pushed into the postings scan:\n$plan")
   }
 
+  test("termsSetQuery: m-of-n threshold law; sub-threshold docs never surface") {
+    import graft.ops.SearchOps
+    val dir = "/tmp/graft_terms_set_docs"
+    Seq((1L, "data stream window"), // 3 of 3
+        (2L, "data window"),        // 2 of 3
+        (3L, "data"),               // 1 of 3 — below m=2
+        (4L, "nothing here"))       // 0
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val got = SearchOps.termsSetQuery(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === Seq((1L, 3), (2L, 2)))
+    // the full 3-of-3 threshold degenerates to the conjunctive match
+    val all = SearchOps.termsSetQuery(spark, dir, minMatch = 3).collect()
+      .map(_.getLong(0)).toSeq
+    assert(all === Seq(1L))
+  }
+
+  test("pinnedQuery: pin order first, absent pins drop, organic fills the tail") {
+    import graft.ops.SearchOps
+    val rows = SearchOps.pinnedQuery(spark, sf, pins = Seq(42L, 7L, 999999999L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    // ranks are 1..k dense
+    assert(rows.map(_._1).toSeq === (1L to rows.length).toSeq)
+    // the two EXISTING pins lead in the exact order given; the absent id drops
+    assert(rows.take(2).map(_._2).toSeq === Seq(42L, 7L))
+    assert(rows.take(2).forall(_._3), "pins must be flagged")
+    assert(!rows.exists(_._2 == 999999999L))
+    // organic tail is ordered by (score desc, doc_id asc) and excludes pins
+    val organic = rows.drop(2)
+    assert(organic.forall(!_._3))
+    assert(organic.map(r => (-r._4, r._2)).toSeq ===
+      organic.map(r => (-r._4, r._2)).sortBy(identity).toSeq)
+  }
+
   test("rankFeatureSearchIndexed: row-identical to the scan face; probe-bounded dim join") {
     import graft.ops.SearchOps
     val scan = SearchOps.rankFeatureSearch(spark, sf).collect()
