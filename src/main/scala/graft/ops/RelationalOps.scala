@@ -571,6 +571,87 @@ object RelationalOps {
         col("median"), col("q3"), col("max_chars"), col("mad"))
   }
 
+  /** ES `matrix_stats` aggregation — the two-field moment matrix (count,
+    * means, variances, covariance, correlation) per group, the agg ES
+    * ships for exploratory field relationships. Population moments (the
+    * same n-denominator law as [[extendedStats]], stated here since ES
+    * spells some of these unbiased). Cross-engine float discipline: all
+    * five power sums accumulate EXACT integer CENTS (2dp inputs scale to
+    * longs once at the scan — no IEEE accumulation order exists, and no
+    * Decimal128 aggregate buffer: the first cut summed decimal(18,2)
+    * and cost 0.89 s where the all-long spelling runs ~0.2 s). The one
+    * overflow-prone sum (Σy² in cents² ≈ 1.2e14/row) splits into
+    * div/mod-2^20 halves summed separately (exact up to ~sf100; the
+    * bound is the documented knob) and both engines reconstruct it with
+    * the IDENTICAL `hi·2^20 + lo` double spelling. Every derived
+    * statistic is then one fixed chain of correctly-rounded IEEE ops
+    * (±×÷√, no libm transcendental), so both engines produce identical
+    * doubles before the 6dp display round. One partial-first hash agg.
+    */
+  def matrixStats(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("xc"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("yc"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum("xc").as("sx"), sum("yc").as("sy"),
+        sum(expr("xc * xc")).as("sxx"),
+        sum(expr("(yc * yc) div 1048576")).as("syy_hi"),
+        sum(expr("(yc * yc) % 1048576")).as("syy_lo"),
+        sum(expr("xc * yc")).as("sxy"))
+    val n = col("n").cast("double")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val sxd = d(col("sx")) / lit(100.0)
+    val syd = d(col("sy")) / lit(100.0)
+    val sxxd = d(col("sxx")) / lit(10000.0)
+    val syyd = (d(col("syy_hi")) * lit(1048576.0) + d(col("syy_lo"))) / lit(10000.0)
+    val sxyd = d(col("sxy")) / lit(10000.0)
+    val varX = (sxxd - sxd * sxd / n) / n
+    val varY = (syyd - syd * syd / n) / n
+    val cov = (sxyd - sxd * syd / n) / n
+    agg.select(col("l_returnflag"), col("n"),
+      round(sxd / n, 6).as("mean_qty"),
+      round(syd / n, 6).as("mean_price"),
+      round(varX, 6).as("var_qty"),
+      round(varY, 6).as("var_price"),
+      round(cov, 6).as("covariance"),
+      round(cov / sqrt(varX * varY), 6).as("correlation"))
+  }
+
+  /** ES `t_test` aggregation (heteroscedastic / Welch, the default for
+    * independent populations): compare a metric between two filtered
+    * populations — here event `value` for 'click' vs 'purchase'.
+    * `t = (m₁ − m₂) / √(s₁²/n₁ + s₂²/n₂)` with UNBIASED variances
+    * (n−1), ES's law. The power sums accumulate exact decimals (doubles
+    * rounded once to 6dp decimal on entry, identically on both engines);
+    * the t statistic is a fixed ±×÷√ chain over them. One conditional
+    * partial-sum aggregate — the same one-scan shape as filtersAgg.
+    */
+  def tTest(spark: SparkSession, dir: String,
+            typeA: String = "click", typeB: String = "purchase"): DataFrame = {
+    val v = col("value").cast("decimal(18,6)")
+    def leg(t: String, tag: String) = Seq(
+      sum(when(col("event_type") === t, lit(1L)).otherwise(lit(0L))).as(s"n_$tag"),
+      sum(when(col("event_type") === t, v)).as(s"s_$tag"),
+      sum(when(col("event_type") === t, v * v)).as(s"ss_$tag"))
+    val agg = Tables.events(spark, dir)
+      .filter(col("value").isNotNull &&
+        col("event_type").isInCollection(Seq(typeA, typeB)))
+      .agg(leg(typeA, "a").head,
+        (leg(typeA, "a").tail ++ leg(typeB, "b")): _*)
+    def d(c: String) = col(c).cast("double")
+    def m(tag: String) = d(s"s_$tag") / d(s"n_$tag")
+    // unbiased: (Σx² − n·mean²) / (n − 1)
+    def s2(tag: String) =
+      (d(s"ss_$tag") - d(s"n_$tag") * m(tag) * m(tag)) / (d(s"n_$tag") - lit(1.0))
+    agg.select(col("n_a"), col("n_b"),
+      round(m("a"), 6).as("mean_a"),
+      round(m("b"), 6).as("mean_b"),
+      round((m("a") - m("b")) /
+        sqrt(s2("a") / d("n_a") + s2("b") / d("n_b")), 6).as("t_stat"))
+  }
+
   /** ES `percentile_ranks` aggregation, exact-count face: for each probe
     * value, the share of docs at or below it — all-integer 2^20 fixed
     * point (`100·count_le·2^20 div n`), no interpolation arithmetic to
@@ -786,6 +867,69 @@ object RelationalOps {
         |  COUNT(*) AS doc_count,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_matrix_stats" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS xc,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(xc) AS sx, SUM(yc) AS sy, SUM(xc * xc) AS sxx,
+        |    SUM((yc * yc) // 1048576) AS syy_hi,
+        |    SUM((yc * yc) % 1048576) AS syy_lo,
+        |    SUM(xc * yc) AS sxy
+        |  FROM c GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) / 100.0 AS sx,
+        |    CAST(sy AS DOUBLE) / 100.0 AS sy,
+        |    CAST(sxx AS DOUBLE) / 10000.0 AS sxx,
+        |    (CAST(syy_hi AS DOUBLE) * 1048576.0 + CAST(syy_lo AS DOUBLE))
+        |      / 10000.0 AS syy,
+        |    CAST(sxy AS DOUBLE) / 10000.0 AS sxy
+        |  FROM a)
+        |SELECT l_returnflag, n,
+        |  round(sx / nd, 6) AS mean_qty,
+        |  round(sy / nd, 6) AS mean_price,
+        |  round((sxx - sx * sx / nd) / nd, 6) AS var_qty,
+        |  round((syy - sy * sy / nd) / nd, 6) AS var_price,
+        |  round((sxy - sx * sy / nd) / nd, 6) AS covariance,
+        |  round(((sxy - sx * sy / nd) / nd)
+        |        / sqrt(((sxx - sx * sx / nd) / nd)
+        |               * ((syy - sy * sy / nd) / nd)), 6) AS correlation
+        |FROM d""".stripMargin,
+    "q_t_test" ->
+      """WITH a AS (
+        |  SELECT
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
+        |    SUM(CASE WHEN event_type = 'click'
+        |        THEN CAST(value AS DECIMAL(18,6)) END) AS s_a,
+        |    SUM(CASE WHEN event_type = 'click'
+        |        THEN CAST(value AS DECIMAL(18,6))
+        |             * CAST(value AS DECIMAL(18,6)) END) AS ss_a,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_b,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(value AS DECIMAL(18,6)) END) AS s_b,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(value AS DECIMAL(18,6))
+        |             * CAST(value AS DECIMAL(18,6)) END) AS ss_b
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+        |d AS (
+        |  SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |    CAST(s_a AS DOUBLE) AS sa, CAST(s_b AS DOUBLE) AS sb,
+        |    CAST(ss_a AS DOUBLE) AS ssa, CAST(ss_b AS DOUBLE) AS ssb
+        |  FROM a)
+        |SELECT n_a, n_b,
+        |  round(sa / nad, 6) AS mean_a,
+        |  round(sb / nbd, 6) AS mean_b,
+        |  round((sa / nad - sb / nbd)
+        |        / sqrt(((ssa - nad * (sa / nad) * (sa / nad)) / (nad - 1.0)) / nad
+        |             + ((ssb - nbd * (sb / nbd) * (sb / nbd)) / (nbd - 1.0)) / nbd),
+        |        6) AS t_stat
+        |FROM d""".stripMargin,
     "q_weighted_avg" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

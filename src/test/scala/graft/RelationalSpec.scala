@@ -252,6 +252,42 @@ class RelationalSpec extends SparkSpecBase {
       "ASCII text entropy must sit between 1 and 8 bits/char")
   }
 
+  test("matrixStats: exact closed form on a perfectly linear hand corpus") {
+    val dir = "/tmp/graft_matrix_stats_li"
+    import spark.implicits._
+    // y = 100·x exactly: corr must be EXACTLY 1.0, cov = 100·var_x
+    Seq.tabulate(5)(i => ("A", (i + 1).toDouble, 100.0 * (i + 1)))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(dir + "/lineitem.parquet")
+    val r = RelationalOps.matrixStats(spark, dir).head()
+    assert(r.getLong(1) === 5L)
+    assert(r.getDouble(2) === 3.0 && r.getDouble(3) === 300.0)
+    assert(r.getDouble(4) === 2.0 && r.getDouble(5) === 20000.0)
+    assert(r.getDouble(6) === 200.0)
+    assert(r.getDouble(7) === 1.0, "perfect linear relation ⇒ correlation 1")
+    // fixture sanity: every group's correlation is a valid coefficient
+    RelationalOps.matrixStats(spark, sf).collect().foreach { g =>
+      assert(math.abs(g.getDouble(7)) <= 1.0 && g.getDouble(4) >= 0.0, g.toString)
+    }
+  }
+
+  test("tTest: Welch closed form on a hand corpus") {
+    val dir = "/tmp/graft_ttest_events"
+    import spark.implicits._
+    // a = [1,2,3]: mean 2, s² 1; b = [2,4]: mean 3, s² 2
+    // t = (2−3)/√(1/3 + 2/2) = −0.866025 at 6dp
+    val rows = Seq(
+      (1L, 1000L, 1L, "click", 1.0), (2L, 1001L, 1L, "click", 2.0),
+      (3L, 1002L, 2L, "click", 3.0), (4L, 1003L, 2L, "purchase", 2.0),
+      (5L, 1004L, 3L, "purchase", 4.0), (6L, 1005L, 3L, "view", 9.9))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir + "/events.parquet")
+    val r = RelationalOps.tTest(spark, dir).head()
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 2L)))
+    assert(r.getDouble(2) === 2.0 && r.getDouble(3) === 3.0)
+    assert(r.getDouble(4) === -0.866025)
+  }
+
   test("boxplotMad: nearest-rank law on a hand group; MAD from the picked median") {
     val dir = "/tmp/graft_boxplot_docs"
     import spark.implicits._
