@@ -476,21 +476,27 @@ object RelationalOps {
   /** ES `weighted_avg` aggregation — Σ(value·weight)/Σ(weight) per group
     * (price weighted by quantity, the canonical unit-price-of-goods-moved
     * metric). Cross-engine float discipline: both sums accumulate EXACT
-    * decimals (2dp inputs ⇒ 4dp products, no IEEE accumulation order to
-    * diverge), and the only double op is the final division + 6dp round,
-    * computed identically by both engines from identical exact operands.
-    * One partial-first hash aggregate.
+    * integer cents (2dp inputs scale to longs once at the scan — the
+    * matrixStats lesson: Decimal128 aggregate buffers cost 2× the whole
+    * query), and the only double ops are the final scale-cancel division
+    * + 6dp round, computed identically by both engines from identical
+    * exact operands. One partial-first hash aggregate; Σ(price·qty) in
+    * cents² stays inside a long up to ~sf100.
     */
   def weightedAvg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qc"))
       .groupBy(col("l_returnflag"))
-      .agg(
-        sum(col("l_extendedprice").cast("decimal(18,2)") *
-          col("l_quantity").cast("decimal(18,2)")).as("wsum"),
-        sum(col("l_quantity").cast("decimal(18,2)")).as("wtotal"),
+      .agg(sum(expr("pc * qc")).as("wsum"),
+        sum(col("qc")).as("wtotal"),
         count(lit(1)).as("n"))
+      // cents² / cents: one ×100 rescale folds into the division chain —
+      // spelled identically in the oracle
       .select(col("l_returnflag"), col("n"),
-        round(col("wsum").cast("double") / col("wtotal").cast("double"), 6)
+        round(col("wsum").cast("double") /
+          (col("wtotal").cast("double") * lit(100.0)), 6)
           .as("weighted_avg_price"))
 
   /** ES `string_stats` aggregation — count / min_length / max_length /
@@ -931,12 +937,16 @@ object RelationalOps {
         |        6) AS t_stat
         |FROM d""".stripMargin,
     "q_weighted_avg" ->
-      """SELECT l_returnflag, COUNT(*) AS n,
-        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        |                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-        |        / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qc
+        |  FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  round(CAST(SUM(pc * qc) AS DOUBLE)
+        |        / (CAST(SUM(qc) AS DOUBLE) * 100.0), 6)
         |    AS weighted_avg_price
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+        |FROM c GROUP BY l_returnflag""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
