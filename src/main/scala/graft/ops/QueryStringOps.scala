@@ -332,36 +332,55 @@ object QueryStringOps {
     */
   def queryStringIndexed(spark: SparkSession, dir: String,
                          q: String = DefaultQ, k: Int = 20): DataFrame = {
+    import spark.implicits._
     val node = parseQueryString(q)
       .getOrElse(throw new IllegalArgumentException(
         s"query_string '$q' analyzed to no effective clauses"))
     val atoms = indexAtoms(node)
+    // declared face boundary, checked BEFORE any plan builds: the title
+    // field has no positional store (its truncated-token law means title
+    // positions cannot be derived from the body store), so title phrases
+    // stay on the scan face — fail loud and early, not mid-plan
+    atoms.foreach {
+      case PhraseN("title", ts) => throw new IllegalArgumentException(
+        s"""queryStringIndexed does not serve title-field phrases """ +
+          s"""(no positional title store): title:"${ts.mkString(" ")}"""")
+      case _ =>
+    }
     val atomIdx = atoms.zipWithIndex.toMap
     val (mfPosts, _, _) = SearchOps.servedMultiFieldStores(spark, dir)
 
-    def probe(a: Node, i: Int): DataFrame = a match {
-      case TermN(f, t) =>
-        val field = if (f == "title") "title" else "body"
-        mfPosts.filter(col("field") === field && col("token") === t)
-          .select(col("doc_id"), lit(i).as("atom"))
-      case PhraseN(f, ts) =>
-        require(f != "title",
-          "title-field phrases need a positional title store; unsupported")
-        val pp = SearchOps.positionalFor(spark, dir, ts.distinct)
-        ts.zipWithIndex.map { case (t, j) =>
-          pp.filter(col("token") === t)
-            .select(col("doc_id"), (col("pos") - j).as("start"))
-        }.reduce((x, y) => x.join(y, Seq("doc_id", "start")))
-          .select(col("doc_id")).distinct()
-          .select(col("doc_id"), lit(i).as("atom"))
-      case other => throw new IllegalStateException(s"not an index atom: $other")
+    // ALL term atoms resolve through ONE IN-pushed probe joined to a
+    // broadcast (field, token, atom) relation — the boolQueryIndexed
+    // shape — instead of one store read per atom
+    val termAtoms = atoms.collect { case a @ TermN(f, t) =>
+      (if (f == "title") "title" else "body", t, atomIdx(a)) }
+    val termProbe =
+      if (termAtoms.isEmpty) Nil
+      else Seq(mfPosts
+        .filter(col("field").isInCollection(termAtoms.map(_._1).distinct) &&
+          col("token").isInCollection(termAtoms.map(_._2).distinct))
+        .join(broadcast(termAtoms.toDF("field", "token", "atom")),
+          Seq("field", "token"))
+        .select(col("doc_id"), col("atom")))
+
+    def phraseProbe(ts: Seq[String], i: Int): DataFrame = {
+      val pp = SearchOps.positionalFor(spark, dir, ts.distinct)
+      ts.zipWithIndex.map { case (t, j) =>
+        pp.filter(col("token") === t)
+          .select(col("doc_id"), (col("pos") - j).as("start"))
+      }.reduce((x, y) => x.join(y, Seq("doc_id", "start")))
+        .select(col("doc_id")).distinct()
+        .select(col("doc_id"), lit(i).as("atom"))
     }
+    val phraseProbes = atoms.collect { case a @ PhraseN(_, ts) =>
+      phraseProbe(ts, atomIdx(a)) }
 
     val dim = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
     val base =
       if (atoms.isEmpty) dim // lang-only tree: pure dim predicate
       else {
-        val flags = atoms.zipWithIndex.map { case (a, i) => probe(a, i) }
+        val flags = (termProbe ++ phraseProbes)
           .reduce(_ union _)
           .groupBy("doc_id")
           .agg(

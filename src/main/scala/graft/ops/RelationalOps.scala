@@ -622,7 +622,14 @@ object RelationalOps {
       round(varX, 6).as("var_qty"),
       round(varY, 6).as("var_price"),
       round(cov, 6).as("covariance"),
-      round(cov / sqrt(varX * varY), 6).as("correlation"))
+      // degenerate guard, mirrored in the oracle: a constant field makes
+      // the true variance 0 but float cancellation can leave ±ε, so
+      // 0/0 → Spark NaN vs DuckDB NULL and sqrt(−ε) ERRORS in DuckDB;
+      // the predicate compares the same exact-input doubles both engines
+      // compute, so it agrees cross-engine (correlation undefined → NULL,
+      // ES returns 0-docs semantics for the same case)
+      when(varX > 0 && varY > 0, round(cov / sqrt(varX * varY), 6))
+        .as("correlation"))
   }
 
   /** ES `t_test` aggregation (heteroscedastic / Welch, the default for
@@ -641,21 +648,26 @@ object RelationalOps {
       sum(when(col("event_type") === t, lit(1L)).otherwise(lit(0L))).as(s"n_$tag"),
       sum(when(col("event_type") === t, v)).as(s"s_$tag"),
       sum(when(col("event_type") === t, v * v)).as(s"ss_$tag"))
+    val legA = leg(typeA, "a")
     val agg = Tables.events(spark, dir)
       .filter(col("value").isNotNull &&
         col("event_type").isInCollection(Seq(typeA, typeB)))
-      .agg(leg(typeA, "a").head,
-        (leg(typeA, "a").tail ++ leg(typeB, "b")): _*)
+      .agg(legA.head, (legA.tail ++ leg(typeB, "b")): _*)
     def d(c: String) = col(c).cast("double")
     def m(tag: String) = d(s"s_$tag") / d(s"n_$tag")
     // unbiased: (Σx² − n·mean²) / (n − 1)
     def s2(tag: String) =
       (d(s"ss_$tag") - d(s"n_$tag") * m(tag) * m(tag)) / (d(s"n_$tag") - lit(1.0))
+    // degenerate guard, mirrored in the oracle: a population of 0 gives
+    // null/0 means and one of 1 divides by (n−1)=0 — Spark NaN/Infinity
+    // where DuckDB yields NULL, a silent gate mismatch. Welch's t needs
+    // n ≥ 2 per leg; below that the statistic is NULL on both engines.
+    val defined = col("n_a") > 1 && col("n_b") > 1
     agg.select(col("n_a"), col("n_b"),
-      round(m("a"), 6).as("mean_a"),
-      round(m("b"), 6).as("mean_b"),
-      round((m("a") - m("b")) /
-        sqrt(s2("a") / d("n_a") + s2("b") / d("n_b")), 6).as("t_stat"))
+      when(defined, round(m("a"), 6)).as("mean_a"),
+      when(defined, round(m("b"), 6)).as("mean_b"),
+      when(defined, round((m("a") - m("b")) /
+        sqrt(s2("a") / d("n_a") + s2("b") / d("n_b")), 6)).as("t_stat"))
   }
 
   /** ES `percentile_ranks` aggregation, exact-count face: for each probe
@@ -901,9 +913,12 @@ object RelationalOps {
         |  round((sxx - sx * sx / nd) / nd, 6) AS var_qty,
         |  round((syy - sy * sy / nd) / nd, 6) AS var_price,
         |  round((sxy - sx * sy / nd) / nd, 6) AS covariance,
-        |  round(((sxy - sx * sy / nd) / nd)
-        |        / sqrt(((sxx - sx * sx / nd) / nd)
-        |               * ((syy - sy * sy / nd) / nd)), 6) AS correlation
+        |  CASE WHEN (sxx - sx * sx / nd) / nd > 0
+        |        AND (syy - sy * sy / nd) / nd > 0
+        |    THEN round(((sxy - sx * sy / nd) / nd)
+        |          / sqrt(((sxx - sx * sx / nd) / nd)
+        |                 * ((syy - sy * sy / nd) / nd)), 6)
+        |  END AS correlation
         |FROM d""".stripMargin,
     "q_t_test" ->
       """WITH a AS (
@@ -929,12 +944,14 @@ object RelationalOps {
         |    CAST(ss_a AS DOUBLE) AS ssa, CAST(ss_b AS DOUBLE) AS ssb
         |  FROM a)
         |SELECT n_a, n_b,
-        |  round(sa / nad, 6) AS mean_a,
-        |  round(sb / nbd, 6) AS mean_b,
-        |  round((sa / nad - sb / nbd)
+        |  CASE WHEN n_a > 1 AND n_b > 1 THEN round(sa / nad, 6) END AS mean_a,
+        |  CASE WHEN n_a > 1 AND n_b > 1 THEN round(sb / nbd, 6) END AS mean_b,
+        |  CASE WHEN n_a > 1 AND n_b > 1 THEN
+        |    round((sa / nad - sb / nbd)
         |        / sqrt(((ssa - nad * (sa / nad) * (sa / nad)) / (nad - 1.0)) / nad
         |             + ((ssb - nbd * (sb / nbd) * (sb / nbd)) / (nbd - 1.0)) / nbd),
-        |        6) AS t_stat
+        |        6)
+        |  END AS t_stat
         |FROM d""".stripMargin,
     "q_weighted_avg" ->
       """WITH c AS (

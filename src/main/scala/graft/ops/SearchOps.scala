@@ -132,17 +132,30 @@ object SearchOps {
   def matchQueryIndexed(spark: SparkSession, dir: String,
                         q: String = "data stream window",
                         k: Int = 20): DataFrame = {
-    val terms = analyzeQuery(q).distinct
-    require(terms.nonEmpty, s"query '$q' analyzed to no terms")
-    val hits = servedPostings(spark, dir)
-      .filter(col("token").isInCollection(terms))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("score")) // distinct-term presence count
+    val hits = presenceHits(spark, dir, analyzeQuery(q).distinct)
     hits.join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
         Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("score"))
+      .select(col("doc_id"), col("lang"), col("hits").as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** One IN-pushed probe of the postings store aggregated to the
+    * per-doc DISTINCT-TERM presence count — the shared leg beneath
+    * [[matchQueryIndexed]] / [[rankFeatureSearchIndexed]] /
+    * [[termsSetQuery]] / [[pinnedQuery]]. The load-bearing invariant
+    * lives HERE once: the store is unique on (token, doc_id), so
+    * `count(1)` over the probed rows IS the number of distinct query
+    * terms present — the same integer as the scan faces'
+    * `array_contains` sums.
+    */
+  private[graft] def presenceHits(spark: SparkSession, dir: String,
+                                  terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "presence probe needs at least one analyzed term")
+    servedPostings(spark, dir)
+      .filter(col("token").isInCollection(terms))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("hits"))
   }
 
   /** ES `bool` compound query — the container every production ES query
@@ -544,8 +557,11 @@ object SearchOps {
   def spanNearSearch(spark: SparkSession, dir: String,
                      first: String = "data", second: String = "window",
                      slop: Int = 3, k: Int = 20): DataFrame = {
-    val t1 = analyzeQuery(first).head
-    val t2 = analyzeQuery(second).head
+    val a1 = analyzeQuery(first)
+    val a2 = analyzeQuery(second)
+    require(a1.nonEmpty, s"span_near clause '$first' analyzed to no terms")
+    require(a2.nonEmpty, s"span_near clause '$second' analyzed to no terms")
+    val (t1, t2) = (a1.head, a2.head)
     require(t1 != t2, "span_near clauses must be distinct terms")
     val pp = positionalFor(spark, dir, Seq(t1, t2))
     val a = pp.filter(col("token") === t1).select(col("doc_id"), col("pos").as("p1"))
@@ -825,10 +841,8 @@ object SearchOps {
     require(ts.nonEmpty, "terms_set analyzed to no terms")
     require(minMatch >= 1 && minMatch <= ts.length,
       s"minimum_should_match $minMatch outside 1..${ts.length}")
-    servedPostings(spark, dir)
-      .filter(col("token").isInCollection(ts))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("matched"))
+    presenceHits(spark, dir, ts)
+      .select(col("doc_id"), col("hits").as("matched"))
       .filter(col("matched") >= minMatch)
       .orderBy(col("matched").desc, col("doc_id").asc)
       .limit(k)
@@ -852,11 +866,8 @@ object SearchOps {
                   q: String = "data stream window", k: Int = 20): DataFrame = {
     import spark.implicits._
     require(pins.nonEmpty && pins.distinct == pins, "pins must be distinct")
-    val terms = analyzeQuery(q).distinct
-    val scores = servedPostings(spark, dir)
-      .filter(col("token").isInCollection(terms))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("score"))
+    val scores = presenceHits(spark, dir, analyzeQuery(q).distinct)
+      .select(col("doc_id"), col("hits").cast("long").as("score"))
     val pinsDf = pins.zipWithIndex.map { case (id, i) => (id, i + 1L) }
       .toDF("doc_id", "pin_order")
     val pinnedLeg = Tables.documents(spark, dir).select(col("doc_id"))
@@ -1739,12 +1750,7 @@ object SearchOps {
                                q: String = "data stream", pivot: Long = 1000L,
                                k: Int = 20): DataFrame = {
     require(pivot > 0, s"pivot must be positive ($pivot)")
-    val terms = analyzeQuery(q).distinct
-    require(terms.nonEmpty, s"query '$q' analyzed to no terms")
-    val hits = servedPostings(spark, dir)
-      .filter(col("token").isInCollection(terms))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("hits"))
+    val hits = presenceHits(spark, dir, analyzeQuery(q).distinct)
     hits.join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
         Seq("doc_id"))
       .select(col("doc_id"), col("hits"),
