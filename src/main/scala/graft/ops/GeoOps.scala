@@ -207,6 +207,32 @@ object GeoOps {
       min(col("lat_ud")).as("min_lat_ud"), max(col("lat_ud")).as("max_lat_ud"),
       min(col("lon_ud")).as("min_lon_ud"), max(col("lon_ud")).as("max_lon_ud"))
 
+  /** ES `geo_distance` AGGREGATION — concentric distance rings around the
+    * origin (from-inclusive / to-exclusive on distance, ES's law), each
+    * ring a bucket with doc_count + distinct users. The ring test stays
+    * all-integer: `dist < r ⇔ dist² < r²` (both non-negative), so no
+    * sqrt ever runs, and the keys use the range-agg spelling
+    * (`*-2500000`, `2500000-5000000`, `5000000-*`) with `lo` carrying
+    * ES's `from` (NULL on the head ring). Served from the stored-
+    * coordinates face: the outer-radius bbox pushes into the scan and
+    * the ring key is one map-side CASE — at 100 TB the whole
+    * aggregation reads the box's row groups, then exchanges ≤3 keys.
+    */
+  def geoDistanceRings(spark: SparkSession, dir: String,
+                       radiusUd: Long = 10000000L): DataFrame = {
+    val (r1, r2) = (radiusUd / 4, radiusUd / 2)
+    withinRadius(servedGeoStore(spark, dir), radiusUd)
+      .groupBy(
+        when(col("dist2") < r1 * r1, s"*-$r1")
+          .when(col("dist2") < r2 * r2, s"$r1-$r2")
+          .otherwise(s"$r2-*").as("ring"),
+        when(col("dist2") < r1 * r1, lit(null).cast("long"))
+          .when(col("dist2") < r2 * r2, lit(r1))
+          .otherwise(lit(r2)).as("lo"))
+      .agg(count(lit(1)).as("doc_count"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   // ---- DuckDB oracles: the same integer laws, spelled identically ----
 
   private val geoCte =
@@ -239,6 +265,18 @@ object GeoOps {
     "q_geo_distance_stored" ->
       s"""WITH $geoCte
          |SELECT event_id, lat_ud, lon_ud, dist2 FROM f""".stripMargin,
+    "q_geo_distance_rings" ->
+      s"""WITH $geoCte
+         |SELECT
+         |  CASE WHEN dist2 < ${2500000L * 2500000L} THEN '*-2500000'
+         |       WHEN dist2 < ${5000000L * 5000000L} THEN '2500000-5000000'
+         |       ELSE '5000000-*' END AS ring,
+         |  CASE WHEN dist2 < ${2500000L * 2500000L} THEN CAST(NULL AS BIGINT)
+         |       WHEN dist2 < ${5000000L * 5000000L} THEN CAST(2500000 AS BIGINT)
+         |       ELSE CAST(5000000 AS BIGINT) END AS lo,
+         |  COUNT(*) AS doc_count,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM f GROUP BY 1, 2""".stripMargin,
     "q_geo_bounds" ->
       s"""WITH $geoCte
          |SELECT CAST(COUNT(*) AS BIGINT) AS n,

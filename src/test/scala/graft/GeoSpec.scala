@@ -110,4 +110,22 @@ class GeoSpec extends SparkSpecBase {
     grid.foreach(r =>
       assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_events")))
   }
+
+  test("geoDistanceRings: rings partition the in-radius set; boundary law is from-inclusive on distance") {
+    val rings = GeoOps.geoDistanceRings(spark, sf).collect()
+    val hits = GeoOps.geoDistance(spark, sf).collect()
+    assert(rings.map(_.getAs[Long]("doc_count")).sum === hits.length)
+    // independent recomputation of each ring from the raw distances:
+    // dist < r ⇔ dist² < r² (integers, non-negative)
+    val d2 = hits.map(_.getAs[Long]("dist2"))
+    val r1 = 2500000L; val r2 = 5000000L
+    val want = Map(
+      "*-2500000" -> d2.count(_ < r1 * r1).toLong,
+      "2500000-5000000" -> d2.count(x => x >= r1 * r1 && x < r2 * r2).toLong,
+      "5000000-*" -> d2.count(_ >= r2 * r2).toLong).filter(_._2 > 0)
+    assert(rings.map(r => r.getAs[String]("ring") -> r.getAs[Long]("doc_count"))
+      .toMap === want)
+    rings.foreach(r =>
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("doc_count")))
+  }
 }
