@@ -85,6 +85,59 @@ object EventsOps {
           .as("n_users"))
   }
 
+  /** ES `auto_date_histogram` interval ladder in MICROseconds (ES's own
+    * rounding ladder: s/m/h multiples, then days/weeks/months/years as
+    * fixed spans — calendar drift is out of scope for the exact face).
+    * Defined ONCE; the Spark plan and the DuckDB oracle both compile
+    * their interval CASE from this list, so the ladders cannot drift.
+    */
+  private[graft] val AutoHistLadderUs: Seq[Long] = Seq(
+    1L, 5L, 10L, 30L,                           // seconds
+    60L, 300L, 600L, 1800L,                     // minutes
+    3600L, 3L * 3600L, 12L * 3600L,             // hours
+    86400L, 7L * 86400L, 30L * 86400L,          // day, week, month
+    90L * 86400L, 365L * 86400L                 // quarter, year
+  ).map(_ * 1000000L)
+
+  /** The interval pick as a SQL CASE over [[AutoHistLadderUs]]: smallest
+    * ladder step whose ceil(span/step) fits the bucket target. `longSfx`
+    * is "L" for Spark expr (ANSI mode would overflow INT literals) and
+    * "" for DuckDB; `divOp` is `div` / `//`.
+    */
+  private def ladderCase(spanExpr: String, target: Int,
+                         longSfx: String, divOp: String): String =
+    AutoHistLadderUs.init.map { s =>
+      s"WHEN (($spanExpr) + $s$longSfx - 1$longSfx) $divOp $s$longSfx <= $target " +
+        s"THEN $s$longSfx"
+    }.mkString("CASE ", " ", s" ELSE ${AutoHistLadderUs.last}$longSfx END")
+
+  /** ES `auto_date_histogram` — the date histogram that picks its own
+    * interval: the smallest ladder step keeping the bucket count at or
+    * under `targetBuckets` (ES semantics; ES rounds to its interval
+    * ladder exactly like this, though it may coalesce further after
+    * shard merges). Fully in-plan: the (min, max) bounds are a 1-row
+    * aggregate broadcast back over the scan, the interval pick is an
+    * integer CASE both engines compile from the ONE ladder list, and
+    * the bucket key is `(ts_us div interval) · interval` — epoch-aligned
+    * floors, empty buckets omitted (min_doc_count 1). All-integer ⇒
+    * hash-exact. Scale: scan + 1-row broadcast + keyed partial agg on
+    * ≤targetBuckets keys.
+    */
+  def autoDateHistogram(spark: SparkSession, dir: String,
+                        targetBuckets: Int = 12): DataFrame = {
+    require(targetBuckets >= 1, "targetBuckets must be positive")
+    val ev = Tables.eventsRaw(spark, dir).select(col("ts").as("ts_us"))
+    val bounds = ev.agg(min("ts_us").as("t0"), max("ts_us").as("t1"))
+      .withColumn("interval_us",
+        expr(ladderCase("t1 - t0", targetBuckets, "L", "div")))
+    ev.crossJoin(broadcast(bounds.select("interval_us")))
+      .groupBy(col("interval_us"),
+        (expr("ts_us div interval_us") * col("interval_us"))
+          .as("bucket_start_us"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket_start_us"), col("interval_us"), col("n"))
+  }
+
   /** Per-user inter-event gap via lag window — sessionization building block.
     * Scale: shuffle on user_id only; within-partition sort on (ts, event_id).
     */
@@ -853,6 +906,17 @@ object EventsOps {
         |  MIN(ts_ms) AS session_start, MAX(ts_ms) AS session_end,
         |  COUNT(*) AS n_events
         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+    "q_auto_date_histogram" ->
+      s"""WITH b AS (
+         |  SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+         |  FROM events),
+         |i AS (
+         |  SELECT ${ladderCase("t1 - t0", 12, "", "//")} AS interval_us
+         |  FROM b)
+         |SELECT (epoch_us(ts) // interval_us) * interval_us
+         |    AS bucket_start_us,
+         |  interval_us, COUNT(*) AS n
+         |FROM events, i GROUP BY 1, 2""".stripMargin,
     "q_watermark_scan" ->
       """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
         |FROM events

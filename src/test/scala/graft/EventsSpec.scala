@@ -365,4 +365,26 @@ class EventsSpec extends SparkSpecBase {
     }
     assert(out.count(_.getLong(1) > 0L) === plain.size, "filled face dropped a non-empty bucket")
   }
+
+  test("autoDateHistogram: ladder picks the smallest fitting interval; buckets partition the events") {
+    import spark.implicits._
+    val dir = "/tmp/graft_auto_hist_events"
+    // 101 events, one per second over a 100 s span: 1 s -> 101 buckets,
+    // 5 s -> 21, 10 s -> 11 <= 12 — the ladder must pick 10 s
+    Seq.tabulate(101)(i =>
+        (i.toLong, i.toLong * 1000000L, 1L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir + "/events.parquet")
+    val rows = EventsOps.autoDateHistogram(spark, dir).collect()
+    assert(rows.forall(_.getLong(1) === 10000000L), "expected the 10 s rung")
+    assert(rows.length === 11 && rows.map(_.getLong(2)).sum === 101L)
+    // fixture: bucket count respects the target and counts reconcile
+    val fx = EventsOps.autoDateHistogram(spark, sf).collect()
+    assert(fx.length <= 12 && fx.nonEmpty)
+    assert(fx.map(_.getLong(2)).sum === Tables.events(spark, sf).count())
+    // a tighter target never picks a smaller interval
+    val tight = EventsOps.autoDateHistogram(spark, sf, targetBuckets = 3).collect()
+    assert(tight.length <= 3)
+    assert(tight.head.getLong(1) >= fx.head.getLong(1))
+  }
 }
