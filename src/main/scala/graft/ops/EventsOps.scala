@@ -85,6 +85,39 @@ object EventsOps {
           .as("n_users"))
   }
 
+  /** The remaining ES PIPELINE aggregations in one face —
+    * `cumulative_sum` (running total over the parent histogram),
+    * `bucket_selector` (the HAVING of ES: drop buckets failing a script
+    * predicate), and `bucket_sort` (order + truncate the surviving
+    * buckets). Evaluation order is ES's: pipeline metrics compute over
+    * the FULL parent histogram first, then the selector prunes, then
+    * the sort truncates — so a pruned bucket still contributes to the
+    * running totals of its successors (`cum` is over ALL days, asserted
+    * in the spec). [[pipelineAgg]] carries the sibling moving_fn /
+    * serial_diff (derivative) members.
+    *
+    * Scale: one keyed partial agg to the daily grain, one keyed window
+    * per event_type (calendar-bounded frame), partial top-k for the
+    * bucket_sort — the same single-exchange shape as pipelineAgg.
+    */
+  def bucketPipeline(spark: SparkSession, dir: String,
+                     minN: Long = 40L, size: Int = 30): DataFrame = {
+    val epoch = to_date(lit("2024-01-01"))
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), epoch).as("day_idx"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+    daily
+      .withColumn("cum", sum(col("n")).over(byType)) // cumulative_sum: pre-prune
+      .filter(col("n") > minN)                       // bucket_selector
+      .orderBy(col("n").desc, col("event_type").asc, // bucket_sort
+        col("day_idx").asc)
+      .limit(size)
+      .select(col("event_type"), col("day_idx").cast("long").as("day_idx"),
+        col("n"), col("cum"))
+  }
+
   /** ES `auto_date_histogram` interval ladder in MICROseconds (ES's own
     * rounding ladder: s/m/h multiples, then days/weeks/months/years as
     * fixed spans — calendar drift is out of scope for the exact face).
@@ -756,6 +789,20 @@ object EventsOps {
       """SELECT event_type, COUNT(*) AS n,
         |  TRUE AS ok25, TRUE AS ok50, TRUE AS ok75, TRUE AS ok95, TRUE AS ok99
         |FROM events WHERE value IS NOT NULL GROUP BY event_type""".stripMargin,
+    "q_bucket_pipeline" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, day_idx, n,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day_idx)
+        |      AS BIGINT) AS cum
+        |  FROM daily)
+        |SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx, n, cum
+        |FROM cum WHERE n > 40
+        |ORDER BY n DESC, event_type ASC, day_idx ASC LIMIT 30""".stripMargin,
     "q_pipeline_agg" ->
       """WITH daily AS (
         |  SELECT event_type,

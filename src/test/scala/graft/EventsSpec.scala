@@ -366,6 +366,28 @@ class EventsSpec extends SparkSpecBase {
     assert(out.count(_.getLong(1) > 0L) === plain.size, "filled face dropped a non-empty bucket")
   }
 
+  test("bucketPipeline: cumulative is pre-prune (ES pipeline order); selector and sort laws hold") {
+    // sf0.001 daily buckets run ~5-10 events; the registered face's 40 is
+    // calibrated to the sf0.01 gate scale — the LAW is threshold-invariant
+    val minN = 5L
+    val rows = EventsOps.bucketPipeline(spark, sf, minN = minN).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 30)
+    assert(rows.forall(_._3 > minN), "bucket_selector: every survivor passes the predicate")
+    // bucket_sort: (n desc, event_type, day_idx) order
+    assert(rows.map(r => (-r._3, r._1, r._2)).toSeq ===
+      rows.map(r => (-r._3, r._1, r._2)).sortBy(identity).toSeq)
+    // cumulative_sum computes over the FULL histogram before pruning: the
+    // survivor's cum equals the sum of ALL daily n at or before its day —
+    // including pruned (n <= 40) days
+    val daily = EventsOps.pipelineAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (t, d, _, cum) =>
+      val want = daily.collect { case ((tt, dd), n) if tt == t && dd <= d => n }.sum
+      assert(cum === want, s"$t@$d cumulative must include pruned buckets")
+    }
+  }
+
   test("autoDateHistogram: ladder picks the smallest fitting interval; buckets partition the events") {
     import spark.implicits._
     val dir = "/tmp/graft_auto_hist_events"
