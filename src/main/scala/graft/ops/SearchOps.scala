@@ -1704,6 +1704,39 @@ object SearchOps {
       .limit(k)
   }
 
+  /** ES `diversified_sampler` aggregation — the sampler with a
+    * DIVERSITY constraint: at most `maxPerValue` sampled documents per
+    * value of a field (`source` here), so one dominant source cannot
+    * monopolize the sample the sub-agg sees. The deterministic analog of
+    * ES's per-shard selection: docs rank inside their source by a salted
+    * [[DedupOps.hash60]] (reproducible, no RNG), the per-value cap is a
+    * keyed rank window, and the overall `shard_size` budget is a partial
+    * top-k on the same hash order. The sub-agg (distinct-token counts,
+    * as in [[samplerTerms]]) re-analyzes only the ≤shard_size sampled
+    * docs — a bounded frame at any corpus scale; everything before it is
+    * one keyed window over a column-pruned scan.
+    */
+  def diversifiedSampler(spark: SparkSession, dir: String,
+                         maxPerValue: Long = 2L, shardSize: Int = 100,
+                         k: Int = 15): DataFrame = {
+    require(maxPerValue >= 1 && shardSize >= 1)
+    val h = DedupOps.hash60(concat(col("doc_id").cast("string"), lit("ds")))
+    val byValue = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h").asc, col("doc_id").asc)
+    val sampled = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"), h.as("h"))
+      .withColumn("rn", row_number().over(byValue))
+      .filter(col("rn") <= maxPerValue) // diversity cap per source value
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .limit(shardSize) // the sampler's overall doc budget
+    sampled
+      .select(explode(array_distinct(analyze(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** ES `rank_feature` query — static-feature relevance boosting (the
     * pagerank/popularity signal folded into the score): ES's default
     * `saturation` function `f / (f + pivot)` over a stored numeric
@@ -2544,6 +2577,22 @@ object SearchOps {
     "q_rank_feature_idx" -> rankFeatureOracle,
     "q_adjacency_matrix" -> adjacencyOracle,
     "q_sampler_terms" -> samplerOracle,
+    "q_diversified_sampler" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source, $duckToks AS toks,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ds'),1,15)
+         |      AS BIGINT) AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY source ORDER BY h, doc_id) AS rn
+         |  FROM h),
+         |s AS (SELECT doc_id, toks FROM r WHERE rn <= 2
+         |      ORDER BY h, doc_id LIMIT 100),
+         |p AS (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM s)
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_count
+         |FROM p GROUP BY token
+         |ORDER BY doc_count DESC, token ASC LIMIT 15""".stripMargin,
     "q_distance_feature" -> distanceFeatureOracle,
     "q_percolate" -> percolateOracle,
     "q_search_complete" ->

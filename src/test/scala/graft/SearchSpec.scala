@@ -148,6 +148,30 @@ class SearchSpec extends SparkSpecBase {
       s"expected the query terms pushed into the postings scan:\n$plan")
   }
 
+  test("diversifiedSampler: per-value cap + budget match an independent recomputation") {
+    import graft.ops.{DedupOps, SearchOps}
+    val (maxPer, budget) = (2L, 100)
+    // independent sample derivation: collect (doc_id, source, h), apply
+    // the cap and budget in plain Scala, recompute the token counts
+    val hcol = DedupOps.hash60(concat(col("doc_id").cast("string"), lit("ds")))
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), hcol.as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ids = rows.groupBy(_._2).values
+      .flatMap(_.sortBy(r => (r._3, r._1)).take(maxPer.toInt))
+      .toSeq.sortBy(r => (r._3, r._1)).take(budget).map(_._1).toSet
+    val want = Tables.documents(spark, sf)
+      .filter(col("doc_id").isInCollection(ids.toSeq))
+      .select(explode(array_distinct(SearchOps.analyze(col("text")))).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }.take(15).toSeq
+    val got = SearchOps.diversifiedSampler(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "vacuous fixture")
+  }
+
   test("termsSetQuery: m-of-n threshold law; sub-threshold docs never surface") {
     import graft.ops.SearchOps
     val dir = "/tmp/graft_terms_set_docs"
