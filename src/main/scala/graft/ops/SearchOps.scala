@@ -150,9 +150,16 @@ object SearchOps {
     * `array_contains` sums.
     */
   private[graft] def presenceHits(spark: SparkSession, dir: String,
-                                  terms: Seq[String]): DataFrame = {
+                                  terms: Seq[String]): DataFrame =
+    presenceHitsOf(servedPostings(spark, dir), terms)
+
+  /** The same probe over an EXPLICIT postings relation — for faces whose
+    * corpus is a derived frame with its own store (the ru panel face).
+    */
+  private[graft] def presenceHitsOf(postings: DataFrame,
+                                    terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "presence probe needs at least one analyzed term")
-    servedPostings(spark, dir)
+    postings
       .filter(col("token").isInCollection(terms))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("hits"))
@@ -778,6 +785,53 @@ object SearchOps {
       .reduce(_ + _)
     d.select(col("doc_id"), col("lang"), score.as("score"))
       .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** The panel-augmented text the ru face queries over — [[matchQueryRu]]
+    * scores `analyze(panel ⧺ text)`, so ITS index must be built from the
+    * same derived corpus (title-truncation lesson: a derived field gets
+    * its own postings, never a reuse of the base store).
+    */
+  private def ruAugmentedDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      concat_ws(" ",
+        element_at(typedLit(RuPanel), (col("doc_id") % RuPanel.size).cast("int") + 1),
+        col("text")).as("text"))
+
+  /** Postings store over the panel-augmented corpus, built through the
+    * same CDC upsert machinery as [[servedPostings]] and version-keyed on
+    * the same source table.
+    */
+  private[graft] def servedRuPostings(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.derivedStorePath(spark, "rupostings", dir, "documents.parquet")
+    servedStores.computeIfAbsent(p, path => {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+        graft.streaming.IncrementalPostings.upsert(spark, path,
+          ruAugmentedDocs(spark, dir))
+      path
+    })
+    graft.streaming.IncrementalPostings.load(spark, p)
+  }
+
+  /** The INDEXED twin of [[matchQueryRu]] — the last >1 s analyzer-band
+    * scan face without a served path (1.02/dec in the r16 sweep, 1.44 s
+    * at sf0.1: the Cyrillic analyzer pass re-paid per query). Same
+    * [[presenceHitsOf]] probe as every match-family twin, against the
+    * panel-corpus postings store; the analyzer (and therefore the
+    * stemmed Cyrillic tokens) is shared with the store build, so the
+    * probe's IN-list is the same three stems the scan face tests.
+    */
+  def matchQueryRuIndexed(spark: SparkSession, dir: String,
+                          k: Int = 20): DataFrame = {
+    val terms = analyzeQuery("поток данных окно").distinct
+    presenceHitsOf(servedRuPostings(spark, dir), terms)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("hits").as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
@@ -2786,21 +2840,9 @@ object SearchOps {
          |  FROM documents)
          |SELECT doc_id, lang, score FROM scored WHERE score > 0
          |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
-    "q_search_match_ru" -> {
-      val panelSql = RuPanel.map(p => s"'$p'").mkString("[", ", ", "]")
-      val ruText = s"concat(list_extract($panelSql, " +
-        s"CAST(doc_id % ${RuPanel.size} AS INT) + 1), ' ', text)"
-      val toks = duckToksOf(ruText)
-      val hits = analyzeQuery("поток данных окно")
-        .map(t => s"CAST(list_contains($toks, '$t') AS INT)")
-        .mkString("\n    + ")
-      s"""WITH scored AS (
-         |  SELECT doc_id, lang,
-         |    $hits AS score
-         |  FROM documents)
-         |SELECT doc_id, lang, score FROM scored WHERE score > 0
-         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
-    },
+    "q_search_match_ru" -> matchRuOracle,
+    // the panel-postings-served face is output-identical by construction
+    "q_search_match_ru_idx" -> matchRuOracle,
     "q_search_nested" ->
       """SELECT c.c_custkey, c.c_name,
         |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
@@ -3175,6 +3217,23 @@ object SearchOps {
        |  $union)
        |SELECT key, doc_count FROM u WHERE doc_count > 0
        |ORDER BY key ASC LIMIT 100""".stripMargin
+  }
+
+  /** Shared by q_search_match_ru and its postings-served twin. */
+  private def matchRuOracle: String = {
+    val panelSql = RuPanel.map(p => s"'$p'").mkString("[", ", ", "]")
+    val ruText = s"concat(list_extract($panelSql, " +
+      s"CAST(doc_id % ${RuPanel.size} AS INT) + 1), ' ', text)"
+    val toks = duckToksOf(ruText)
+    val hits = analyzeQuery("поток данных окно")
+      .map(t => s"CAST(list_contains($toks, '$t') AS INT)")
+      .mkString("\n    + ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    $hits AS score
+       |  FROM documents)
+       |SELECT doc_id, lang, score FROM scored WHERE score > 0
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
   private def samplerOracle: String =

@@ -148,6 +148,20 @@ class SearchSpec extends SparkSpecBase {
       s"expected the query terms pushed into the postings scan:\n$plan")
   }
 
+  test("matchQueryRuIndexed: row-identical to the Cyrillic scan face; stems pushed into the panel store scan") {
+    import graft.ops.SearchOps
+    val scan = SearchOps.matchQueryRu(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    val idx = SearchOps.matchQueryRuIndexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(idx === scan)
+    assert(scan.nonEmpty, "vacuous fixture")
+    val plan = SearchOps.matchQueryRuIndexed(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"expected the Cyrillic stems pushed into the panel-postings scan:\n$plan")
+  }
+
   test("diversifiedSampler: per-value cap + budget match an independent recomputation") {
     import graft.ops.{DedupOps, SearchOps}
     val (maxPer, budget) = (2L, 100)
