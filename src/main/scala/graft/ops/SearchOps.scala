@@ -582,6 +582,124 @@ object SearchOps {
       .limit(k)
   }
 
+  /** ES `intervals` query — `all_of(ordered: true, max_gaps)` over two
+    * match clauses, under Lucene's MINIMAL-interval semantics (an interval
+    * is reported only if no other qualifying interval is strictly contained
+    * in it), which is what separates `intervals` from [[spanNearSearch]]:
+    * span_near counts every (first, second) position pair inside the slop,
+    * intervals counts each tight occurrence once. For two single-term
+    * ordered clauses the minimal set has a closed form — for each end
+    * position keep the LATEST start before it, then for each surviving
+    * start keep the EARLIEST end (ties collapse both ways) — and Lucene's
+    * `max_gaps` filter prunes the minimal set AFTERWARD (a wide minimal
+    * interval is dropped, not widened), which the spec pins. Scored by
+    * interval_freq = qualifying minimal intervals per doc.
+    *
+    * Served from the bucketed positional store: two partition-pruned
+    * clause reads, one doc-keyed join bounded by the rarer clause, two
+    * tiny keyed aggregates over per-doc position pairs. Laws pinned in
+    * SearchSpec: max_gaps=0 on an adjacent bigram ≡ match_phrase, and
+    * interval_freq ≤ span_freq at equal width (minimality only prunes).
+    */
+  def intervalsQuery(spark: SparkSession, dir: String,
+                     first: String = "stream", second: String = "window",
+                     maxGaps: Int = 2, k: Int = 20): DataFrame = {
+    val a1 = analyzeQuery(first)
+    val a2 = analyzeQuery(second)
+    require(a1.nonEmpty, s"intervals clause '$first' analyzed to no terms")
+    require(a2.nonEmpty, s"intervals clause '$second' analyzed to no terms")
+    val (t1, t2) = (a1.head, a2.head)
+    require(t1 != t2, "intervals clauses must be distinct terms")
+    val pp = positionalFor(spark, dir, Seq(t1, t2))
+    val a = pp.filter(col("token") === t1).select(col("doc_id"), col("pos").as("p1"))
+    val b = pp.filter(col("token") === t2).select(col("doc_id"), col("pos").as("p2"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("p1") < col("p2")) // ordered: first strictly precedes
+      .groupBy(col("doc_id"), col("p2"))
+      .agg(max(col("p1")).as("p1")) // tightest start per end
+      .groupBy(col("doc_id"), col("p1"))
+      .agg(min(col("p2")).as("p2")) // tightest end per start → minimal set
+      .filter(col("p2") - col("p1") - 1 <= maxGaps) // max_gaps prunes AFTER
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("interval_freq"))
+      .orderBy(col("interval_freq").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** ES `span_or` + `span_not` composition — the other half of the span
+    * algebra beneath [[spanNearSearch]]: include = span_or(two term
+    * clauses) (a span wherever EITHER term occurs), exclude = spans of a
+    * third term widened by `pre`/`post` positions (span_not's
+    * pre-exclusion/post-exclusion windows). A span survives when no
+    * exclusion occurrence lies in [pos − pre, pos + post]; span_freq =
+    * surviving spans per doc.
+    *
+    * Plan: two partition-pruned positional reads (the include pair rides
+    * ONE IN-list), one doc-keyed LEFT ANTI join with the window test as
+    * the join residual — the exclusion side is ~occurrences(exclude)
+    * rows, so the anti-join is bounded by the clause postings exactly
+    * like the span_near pair test, never the corpus.
+    */
+  def spanOrNot(spark: SparkSession, dir: String,
+                include1: String = "slow", include2: String = "dup",
+                exclude: String = "fast", pre: Int = 1, post: Int = 1,
+                k: Int = 20): DataFrame = {
+    val i1 = analyzeQuery(include1).head
+    val i2 = analyzeQuery(include2).head
+    val ex = analyzeQuery(exclude).head
+    require(Seq(i1, i2, ex).distinct.length == 3,
+      "span_or/span_not clauses must be three distinct terms")
+    val pp = positionalFor(spark, dir, Seq(i1, i2, ex))
+    val inc = pp.filter(col("token").isInCollection(Seq(i1, i2)))
+      .select(col("doc_id"), col("pos"))
+    val exc = pp.filter(col("token") === ex)
+      .select(col("doc_id").as("e_doc"), col("pos").as("q"))
+    inc.join(exc,
+        inc("doc_id") === exc("e_doc") &&
+          col("q") >= col("pos") - pre && col("q") <= col("pos") + post,
+        "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("span_freq"))
+      .orderBy(col("span_freq").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** ES `match_bool_prefix` — the search-as-you-type workhorse: the query
+    * analyzes to terms, every term but the last becomes a bool `should`
+    * term clause, and the LAST becomes a prefix clause (the user is still
+    * typing it). Score = number of matched clauses, the same presence
+    * semantics as [[boolQuery]]'s should tier; the prefix clause counts
+    * ONCE however many dictionary expansions hit (ES scores the prefix as
+    * a single clause, unlike match_phrase_prefix's positional expansion).
+    *
+    * One probe of the postings store with `token IN (full terms) OR
+    * startswith(prefix)` — both sides push into the parquet scan
+    * (In + StringStartsWith, pinned in SearchSpec) — then a distinct on
+    * (doc, clause) so expansion multiplicity cannot inflate the score,
+    * and one doc-keyed count. At 100 TB the probe reads the named terms'
+    * postings plus one dictionary range, never the corpus.
+    */
+  def matchBoolPrefix(spark: SparkSession, dir: String,
+                      q: String = "data stream wind", k: Int = 20): DataFrame = {
+    val terms = analyzeQuery(q)
+    require(terms.length >= 2, s"match_bool_prefix '$q' needs ≥ 2 terms")
+    val full = terms.init.distinct
+    val prefix = terms.last
+    val probed = servedPostings(spark, dir).filter(
+      col("token").isInCollection(full) || col("token").startsWith(prefix))
+    val clause = when(col("token").isInCollection(full), col("token"))
+      .otherwise(lit("__prefix__"))
+    probed.select(col("doc_id"), clause.as("clause"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("score"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** multi_match with fuzziness=auto (ETLTests-2.json:94-131): a query term
     * matches if ANY document token is within its edit-distance budget;
     * score = number of matched query terms.
@@ -2951,6 +3069,55 @@ object SearchOps {
          |  FROM t)
          |SELECT doc_id, span_freq FROM f WHERE span_freq > 0
          |ORDER BY span_freq DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+    "q_intervals" -> {
+      val t1 = analyzeQuery("stream").head
+      val t2 = analyzeQuery("window").head
+      val maxGaps = 2
+      // minimal-interval replay: latest start per end, earliest end per
+      // surviving start, THEN the max_gaps prune — same algebra as the
+      // Spark face, positions 1-based here (only differences enter the gap)
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |a AS (SELECT doc_id, unnest(list_filter(range(1, len(toks) + 1),
+         |        i -> toks[i] = '$t1')) AS p1 FROM t),
+         |b AS (SELECT doc_id, unnest(list_filter(range(1, len(toks) + 1),
+         |        i -> toks[i] = '$t2')) AS p2 FROM t),
+         |m1 AS (SELECT doc_id, p2, max(p1) AS p1 FROM a JOIN b USING (doc_id)
+         |       WHERE p1 < p2 GROUP BY doc_id, p2),
+         |m2 AS (SELECT doc_id, p1, min(p2) AS p2 FROM m1 GROUP BY doc_id, p1),
+         |f AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS interval_freq
+         |      FROM m2 WHERE p2 - p1 - 1 <= $maxGaps GROUP BY doc_id)
+         |SELECT doc_id, interval_freq FROM f
+         |ORDER BY interval_freq DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+    "q_span_or_not" -> {
+      val i1 = analyzeQuery("slow").head
+      val i2 = analyzeQuery("dup").head
+      val ex = analyzeQuery("fast").head
+      val (pre, post) = (1, 1)
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(len(list_filter(range(1, len(toks) + 1),
+         |    p -> (toks[p] = '$i1' OR toks[p] = '$i2')
+         |      AND len(list_filter(range(1, len(toks) + 1),
+         |        q -> toks[q] = '$ex' AND q >= p - $pre AND q <= p + $post)) = 0))
+         |  AS BIGINT) AS span_freq FROM t)
+         |SELECT doc_id, span_freq FROM f WHERE span_freq > 0
+         |ORDER BY span_freq DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+    "q_match_bool_prefix" -> {
+      val terms = analyzeQuery("data stream wind")
+      val full = terms.init.distinct
+      val prefix = terms.last
+      val clauses = (full.map(t =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) > 0 AS INT)") :+
+        s"CAST(len(list_filter(toks, x -> x LIKE '$prefix%')) > 0 AS INT)")
+        .mkString("\n         |  + ")
+      s"""WITH t AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+         |f AS (SELECT doc_id, lang,
+         |  $clauses AS score FROM t)
+         |SELECT doc_id, lang, score FROM f WHERE score > 0
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
     },
     "q_search_phrase_idx" -> {
       val ph = analyzeQuery("data stream")

@@ -310,6 +310,133 @@ class SearchSpec extends SparkSpecBase {
       "span_near(slop=0, in_order) over a bigram must equal match_phrase")
   }
 
+  test("intervalsQuery: minimal-interval algebra matches an independent rescan; laws hold") {
+    import graft.ops.SearchOps
+    val maxGaps = 2
+    // independent recomputation of Lucene's minimal ordered intervals:
+    // latest t1 before each t2, earliest t2 per surviving t1, gap prune last
+    val byDoc = Tables.documents(spark, sf)
+      .select(col("doc_id"), SearchOps.analyze(col("text")).as("toks"))
+      .collect()
+      .map { r =>
+        val toks = r.getSeq[String](1)
+        val p1 = toks.zipWithIndex.collect { case ("stream", i) => i }
+        val p2 = toks.zipWithIndex.collect { case ("window", i) => i }
+        val latest = p2.flatMap(b => p1.filter(_ < b).sorted.lastOption.map(a => (a, b)))
+        val minimal = latest.groupBy(_._1).map { case (a, abs) => (a, abs.map(_._2).min) }
+        val n = minimal.count { case (a, b) => b - a - 1 <= maxGaps }
+        (r.getLong(0), n.toLong)
+      }
+      .filter(_._2 > 0).toSeq
+      .sortBy { case (id, f) => (-f, id) }.take(20)
+    val got = SearchOps.intervalsQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === byDoc)
+    assert(got.nonEmpty, "fixture must produce interval hits or the pin is vacuous")
+    // law 1: max_gaps=0 over an adjacent bigram ≡ match_phrase (each
+    // adjacent pair is its own minimal interval: ends map to distinct starts)
+    val tight = SearchOps.intervalsQuery(spark, sf, "data", "stream", maxGaps = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val phrase = SearchOps.phraseSearchIndexed(spark, sf, "data stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tight === phrase,
+      "intervals(ordered, max_gaps=0) over a bigram must equal match_phrase")
+    // law 2: minimality only prunes — interval_freq ≤ span_freq per doc at
+    // equal width (span_near slop = max_gaps, same clause pair)
+    val spans = SearchOps.spanNearSearch(spark, sf, "stream", "window", slop = maxGaps)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = SearchOps.intervalsQuery(spark, sf, k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    all.foreach { case (id, f) =>
+      spans.get(id).foreach(sf2 => assert(f <= sf2,
+        s"doc $id: interval_freq $f must not exceed span_freq $sf2"))
+    }
+    // hand corpus: 'stream x window window' — one minimal interval (the
+    // second window's interval (1,4) contains (1,3) and is pruned);
+    // span_near at the same width counts BOTH pairs
+    val dir = "/tmp/graft_intervals_docs"
+    Seq((1L, "stream other window window thing"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val hand = SearchOps.intervalsQuery(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hand === Seq((1L, 1L)), "containment must prune the wider interval")
+    val handSpan = SearchOps.spanNearSearch(spark, dir, "stream", "window", slop = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(handSpan === Seq((1L, 2L)), "span_near counts every qualifying pair")
+  }
+
+  test("spanOrNot: survives ↔ no exclusion within [pre, post]; window edges exact") {
+    import graft.ops.SearchOps
+    val (pre, post) = (1, 1)
+    val byDoc = Tables.documents(spark, sf)
+      .select(col("doc_id"), SearchOps.analyze(col("text")).as("toks"))
+      .collect()
+      .map { r =>
+        val toks = r.getSeq[String](1)
+        val exPos = toks.zipWithIndex.collect { case ("fast", i) => i }.toSet
+        val n = toks.zipWithIndex.count { case (t, p) =>
+          (t == "slow" || t == "dup") &&
+            !(p - pre to p + post).exists(exPos.contains)
+        }
+        (r.getLong(0), n.toLong)
+      }
+      .filter(_._2 > 0).toSeq
+      .sortBy { case (id, f) => (-f, id) }.take(20)
+    val got = SearchOps.spanOrNot(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === byDoc)
+    assert(got.nonEmpty, "fixture must produce surviving spans or the pin is vacuous")
+    // hand corpus pins the window arithmetic: exclusion at distance exactly
+    // pre/post kills; distance pre+1 survives
+    val dir = "/tmp/graft_spannot_docs"
+    Seq((1L, "slow fast"),          // fast at +1 = post → killed
+        (2L, "fast slow"),          // fast at −1 = pre → killed
+        (3L, "slow other fast"),    // fast at +2 > post → survives
+        (4L, "dup other other"),    // no exclusion → survives
+        (5L, "fast"))               // no include spans at all
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val rows = SearchOps.spanOrNot(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((3L, 1L), (4L, 1L)))
+  }
+
+  test("matchBoolPrefix: clause algebra + single-clause prefix; pushed In/StartsWith") {
+    import graft.ops.SearchOps
+    // scan-law recomputation: presence per full term + ANY prefix expansion
+    val byDoc = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), SearchOps.analyze(col("text")).as("toks"))
+      .collect()
+      .map { r =>
+        val toks = r.getSeq[String](2)
+        val s = Seq("data", "stream").count(toks.contains) +
+          (if (toks.exists(_.startsWith("wind"))) 1 else 0)
+        (r.getLong(0), r.getString(1), s)
+      }
+      .filter(_._3 > 0).toSeq
+      .sortBy { case (id, _, s) => (-s, id) }.take(20)
+    val got = SearchOps.matchBoolPrefix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got === byDoc)
+    assert(got.nonEmpty, "fixture must produce hits or the pin is vacuous")
+    val plan = SearchOps.matchBoolPrefix(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(token,wind"),
+      s"expected the prefix clause pushed into the postings scan:\n$plan")
+    // expansion multiplicity law: a doc with MANY prefix expansions scores
+    // the prefix clause once (ES: prefix is one bool clause)
+    val dir = "/tmp/graft_mbp_docs"
+    Seq((1L, "en", "window winter wind"), // 2 expansions (winter ≠ wind*), score 1
+        (2L, "en", "data window"),        // full + prefix, score 2
+        (3L, "en", "other thing"))        // no clause
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val rows = SearchOps.matchBoolPrefix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toSeq
+    assert(rows === Seq((2L, 2L), (1L, 1L)))
+  }
+
   test("rankedSearch golden: rare-term doc outranks the higher-raw-tf common-term doc") {
     val dir = "/tmp/graft_ranked_docs"
     Seq((1L, "alpha beta beta"),              // rare 'beta' ×2 + common 'alpha'
