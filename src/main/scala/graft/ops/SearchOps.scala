@@ -700,6 +700,133 @@ object SearchOps {
       .limit(k)
   }
 
+  /** ES `combined_fields` query — BM25F, the principled cross-field
+    * scorer ES added in 7.13 to replace `cross_fields` multi_match: the
+    * fields are treated as ONE synthetic field, with per-field weights
+    * multiplying term frequencies and lengths BEFORE a single BM25 pass
+    * (weighted tf = Σ_f w_f·tf_f, weighted dl = Σ_f w_f·len_f, one df
+    * over the combined presence) — so idf is computed once, unlike
+    * best_fields' per-field max. Fields here: title = the 48-char slice
+    * (weight 2.0, same derivation as [[multiFieldFuzzy]]) + body (1.0).
+    *
+    * Plan: ONE corpus pass (both analyzed arrays explode through one
+    * concat of weight-tagged structs), weighted postings via a keyed
+    * aggregate, then the shared [[bm25ScoredOf]] algebra verbatim — the
+    * weighted tf/dl are exact integers in doubles, so every operand is
+    * hash-deterministic and the oracle replays the identical spelling.
+    */
+  def combinedFieldsSearch(spark: SparkSession, dir: String,
+                           q: String = "data stream window",
+                           k: Int = 20): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val rows = d.select(col("doc_id"), explode(concat(
+        transform(analyze(substring(col("text"), 1, 48)),
+          t => struct(t.as("token"), lit(2.0).as("w"))),
+        transform(analyze(col("text")),
+          t => struct(t.as("token"), lit(1.0).as("w"))))).as("te"))
+      .select(col("doc_id"), col("te.token").as("token"), col("te.w").as("w"))
+    val posts = rows.groupBy("doc_id", "token").agg(sum("w").as("tf"))
+    bm25PostingsSearch(posts, q, k)
+  }
+
+  /** Served stores behind [[combinedFieldsIndexed]]: the weighted BM25F
+    * postings with the per-token df and per-doc weighted dl riding each
+    * row (the Lucene term-dictionary/norms split, same layout law as
+    * [[servedPostingsBucketed]]), plus the 1-row (n_docs, avgdl)
+    * artifact. The store rows are the [[combinedFieldsSearch]] weighted
+    * postings bit-for-bit (sum of exact-integer doubles), so the served
+    * face scores IDENTICALLY to the scan face and the one oracle replays
+    * both.
+    */
+  private[graft] def servedCombinedStores(spark: SparkSession,
+                                          dir: String): (DataFrame, DataFrame) = {
+    val pp = Tables.derivedStorePath(spark, "cfposts", dir, "documents.parquet")
+    val ps = Tables.derivedStorePath(spark, "cfstats", dir, "documents.parquet")
+    servedStores.computeIfAbsent(pp, path => buildIfAbsent(spark, path) {
+      val rows = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(concat(
+          transform(analyze(substring(col("text"), 1, 48)),
+            t => struct(t.as("token"), lit(2.0).as("w"))),
+          transform(analyze(col("text")),
+            t => struct(t.as("token"), lit(1.0).as("w"))))).as("te"))
+        .select(col("doc_id"), col("te.token").as("token"), col("te.w").as("w"))
+      val posts = rows.groupBy("doc_id", "token").agg(sum("w").as("tf"))
+      val lens = posts.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
+      val dfs = posts.groupBy("token").agg(count(lit(1)).as("df"))
+      posts.join(lens, Seq("doc_id")).join(dfs, Seq("token"))
+    })
+    servedStores.computeIfAbsent(ps, path => buildIfAbsent(spark, path) {
+      // reads the FINISHED cfposts parquet (a file read, not a nested
+      // store resolution — the RULE in buildIfAbsent's doc)
+      Tables.parquetCached(spark, pp)
+        .groupBy("doc_id").agg(max("dl").as("dl")) // dl constant per doc
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          (sum("dl") / count(lit(1))).as("avgdl"))
+    })
+    (Tables.parquetCached(spark, pp), Tables.parquetCached(spark, ps))
+  }
+
+  /** [[combinedFieldsSearch]] served from the store — the registered
+    * face: one IN-pushed probe of the weighted postings (df + dl ride the
+    * row, statistics are store-build work), the 1-row stats broadcast,
+    * one doc-keyed aggregate. Score spelling is [[bm25ScoredOf]]'s
+    * verbatim, so the served rows equal the scan face's exactly
+    * (SearchSpec pins it) and the oracle replays both.
+    */
+  def combinedFieldsIndexed(spark: SparkSession, dir: String,
+                            q: String = "data stream window", k: Int = 20,
+                            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (posts, stats) = servedCombinedStores(spark, dir)
+    val terms = analyzeQuery(q).distinct.sorted // FIXED fold order, oracle-shared
+    require(terms.nonEmpty, s"query '$q' analyzed to no terms")
+    val matched = posts.filter(col("token").isInCollection(terms))
+      .crossJoin(broadcast(stats)) // 1 row: n_docs, avgdl
+    val idf = log(lit(1.0) + (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)))
+    val w = (idf * (col("tf").cast("double") * (lit(k1) + lit(1.0)))) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val partials = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, w)).as(s"_s$i")
+    }
+    val total = terms.indices
+      .map(i => coalesce(col(s"_s$i"), lit(0.0)))
+      .reduce(_ + _)
+    matched.groupBy("doc_id")
+      .agg(partials.head, partials.tail: _*)
+      .select(col("doc_id"), round(total, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** ES `terms` query with TERMS LOOKUP — the term set is not in the
+    * request but fetched from another document's field at query time
+    * (`{terms: {tokens: {index, id, path}}}`), the mechanism behind
+    * "docs like my watchlist" filters. ES executes it as a GET of the
+    * lookup document followed by an ordinary terms query; the GET is
+    * the bounded driver-side step here (one doc's distinct tokens —
+    * a keyed fetch at warehouse scale, a pushed point-filter locally).
+    * Distinct from [[moreLikeThis]]: MLT selects top terms by tf-idf
+    * and scores BM25; terms-lookup takes the field's ENTIRE term set
+    * and matches on presence (n_matched = distinct lookup terms in the
+    * doc — the [[presenceHits]] probe, IN-pushed into the postings
+    * store like every term-family face).
+    */
+  def termsLookupQuery(spark: SparkSession, dir: String,
+                       lookupDocId: Long = 42L, k: Int = 20): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .filter(col("doc_id") === lookupDocId)
+      .select(explode(analyze(col("text"))).as("token"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    require(terms.nonEmpty, s"lookup doc $lookupDocId analyzed to no terms")
+    presenceHits(spark, dir, terms)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("hits").as("n_matched"))
+      .orderBy(col("n_matched").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** multi_match with fuzziness=auto (ETLTests-2.json:94-131): a query term
     * matches if ANY document token is within its edit-distance budget;
     * score = number of matched query terms.
@@ -3119,6 +3246,18 @@ object SearchOps {
          |SELECT doc_id, lang, score FROM f WHERE score > 0
          |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
     },
+    "q_combined_fields" -> combinedFieldsOracle,
+    "q_terms_lookup" ->
+      s"""WITH lk AS (SELECT DISTINCT unnest($duckToks) AS token
+         |           FROM documents WHERE doc_id = 42),
+         |ll AS (SELECT list(token ORDER BY token) AS lt FROM lk),
+         |t AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+         |f AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(lt, x -> list_contains(toks, x))) AS INT)
+         |    AS n_matched
+         |  FROM t, ll)
+         |SELECT doc_id, lang, n_matched FROM f WHERE n_matched > 0
+         |ORDER BY n_matched DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_search_phrase_idx" -> {
       val ph = analyzeQuery("data stream")
       val n = ph.length
@@ -3578,6 +3717,45 @@ object SearchOps {
     s"""WITH $bm25Ctes
        |SELECT doc_id, round(s, 6) AS score FROM scored
        |ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  /** BM25F replay for q_combined_fields: [[bm25Ctes]]' statistics and
+    * score spelling verbatim, with the postings CTE swapped for the
+    * weighted union (title w=2.0 over the same substr slice as the
+    * multifield oracle, body w=1.0) — weighted tf/dl stay exact
+    * integers in doubles, so the float chain is hash-deterministic.
+    */
+  private def combinedFieldsOracle: String = {
+    val terms = analyzeQuery("data stream window").distinct.sorted
+    val inList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val w = "idf * (CAST(tf AS DOUBLE) * (1.2 + 1.0)) / " +
+      "(CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+    val fold = terms.map(t =>
+      s"coalesce(sum(CASE WHEN token = '$t' THEN $w END), 0)")
+      .mkString("\n    + ")
+    s"""WITH p AS (
+       |  SELECT doc_id, unnest(${duckToksOf("substr(text, 1, 48)")}) AS token,
+       |         2.0 AS w FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, unnest($duckToks) AS token, 1.0 AS w FROM documents),
+       |pa AS (SELECT doc_id, token, SUM(w) AS tf FROM p GROUP BY doc_id, token),
+       |lens AS (SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS dl FROM pa GROUP BY doc_id),
+       |na AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |              SUM(dl) / COUNT(*) AS avgdl FROM lens),
+       |pp AS (SELECT token, doc_id, tf FROM pa WHERE token IN $inList),
+       |idfs AS (
+       |  SELECT token,
+       |    ln(1.0 + (n_docs - CAST(COUNT(*) AS DOUBLE) + 0.5)
+       |             / (CAST(COUNT(*) AS DOUBLE) + 0.5)) AS idf,
+       |    avgdl
+       |  FROM pp, na GROUP BY token, n_docs, avgdl),
+       |scored AS (
+       |  SELECT doc_id,
+       |    $fold AS s
+       |  FROM pp JOIN idfs USING (token) JOIN lens USING (doc_id)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, round(s, 6) AS score FROM scored
+       |ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
 
   /** Shared by q_search_bool (scan face) and q_search_bool_idx (the
     * postings-served twin): the two faces are output-identical, so one

@@ -437,6 +437,91 @@ class SearchSpec extends SparkSpecBase {
     assert(rows === Seq((2L, 2L), (1L, 1L)))
   }
 
+  test("combinedFieldsSearch: BM25F matches a plain-Scala recompute; title weight ranks") {
+    import graft.ops.SearchOps
+    val (k1, b) = (1.2, 0.75)
+    val terms = Seq("data", "stream", "window").sorted
+    // independent recomputation of the weighted-field BM25 with the same
+    // double spelling: tf = 2·tf_title + tf_body, dl = 2·|title| + |body|
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        SearchOps.analyze(substring(col("text"), 1, 48)).as("tt"),
+        SearchOps.analyze(col("text")).as("bt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[String](2)))
+    val tfs = docs.map { case (id, tt, bt) =>
+      id -> terms.map(t => t -> (2.0 * tt.count(_ == t) + bt.count(_ == t))).toMap
+    }.toMap
+    val dls = docs.map { case (id, tt, bt) => id -> (2.0 * tt.size + bt.size) }.toMap
+    val nDocs = docs.count { case (_, tt, bt) => tt.nonEmpty || bt.nonEmpty }.toDouble
+    val avgdl = dls.values.sum / nDocs
+    val dfs = terms.map(t => t -> tfs.values.count(_(t) > 0).toDouble).toMap
+    val expected = tfs.toSeq
+      .map { case (id, byTerm) =>
+        val s = terms.map { t =>
+          val tf = byTerm(t)
+          if (tf == 0 || dfs(t) == 0) 0.0
+          else {
+            val idf = math.log(1.0 + (nDocs - dfs(t) + 0.5) / (dfs(t) + 0.5))
+            (idf * (tf * (k1 + 1.0))) /
+              (tf + k1 * (1.0 - b + b * dls(id) / avgdl))
+          }
+        }.sum
+        (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .filter(_._2 != 0.0)
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    val got = SearchOps.combinedFieldsSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) === expected.map(_._1))
+    got.zip(expected).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) < 1e-6, s"score $g vs recomputed $e")
+    }
+    assert(got.nonEmpty, "fixture must produce BM25F hits or the pin is vacuous")
+    // title-weight law: identical char structure, 'data' inside vs outside
+    // the 48-char title slice — the title occurrence triples the weighted tf
+    // at equal dl/idf, so doc 1 must outrank doc 2
+    val dir = "/tmp/graft_cf_docs"
+    Seq((1L, "data alpha bravo charli delta tango victor whisky xxxx"),
+        (2L, "xxxx alpha bravo charli delta tango victor whisky data"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val rows = SearchOps.combinedFieldsSearch(spark, dir, "data").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows.map(_._1) === Seq(1L, 2L))
+    assert(rows(0)._2 > rows(1)._2,
+      "a title-slice occurrence must outscore a body-only occurrence")
+    // the registered face serves from the cfposts store — rows must equal
+    // the scan face exactly (identical double spelling over identical
+    // exact-integer operands)
+    val idx = SearchOps.combinedFieldsIndexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(idx === got, "served BM25F face must reproduce the scan face exactly")
+  }
+
+  test("termsLookupQuery: lookup doc's term set drives presence counts") {
+    import graft.ops.SearchOps
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), SearchOps.analyze(col("text")).as("toks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).toSet))
+    val lookup = docs.find(_._1 == 42L).get._3
+    assert(lookup.nonEmpty, "lookup doc 42 must analyze to terms")
+    val expected = docs
+      .map { case (id, lang, toks) => (id, lang, (toks & lookup).size) }
+      .filter(_._3 > 0).toSeq
+      .sortBy { case (id, _, n) => (-n, id) }.take(20)
+    val got = SearchOps.termsLookupQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got === expected)
+    // the lookup doc matches its whole term set — it must sit in the top
+    // band with the maximum possible n_matched
+    val selfRow = got.find(_._1 == 42L)
+    assert(selfRow.exists(_._3 == lookup.size) || got.size == 20 &&
+      got.last._3 >= lookup.size,
+      s"doc 42 should match all ${lookup.size} of its own terms: $selfRow")
+  }
+
   test("rankedSearch golden: rare-term doc outranks the higher-raw-tf common-term doc") {
     val dir = "/tmp/graft_ranked_docs"
     Seq((1L, "alpha beta beta"),              // rare 'beta' ×2 + common 'alpha'
