@@ -171,6 +171,90 @@ object EventsOps {
       .select(col("bucket_start_us"), col("interval_us"), col("n"))
   }
 
+  /** ES `cumulative_cardinality` pipeline aggregation — the running
+    * DISTINCT-user count per day ("total users seen so far", the
+    * incremental-reach metric ES added in 7.4). ES computes it by
+    * merging per-bucket HLL sketches left to right; here it is EXACT
+    * via the first-seen device: a user contributes +1 only on its MIN
+    * day, so cumulative cardinality = running sum of first-seen counts
+    * — one user-keyed aggregate (the only corpus-sized exchange), one
+    * day-keyed count, one prefix sum over the calendar-bounded day
+    * spine (≤ days rows, the documented bounded global-window family).
+    * Days with activity but no NEW users still emit a bucket (the
+    * spine left-join), matching ES's per-parent-bucket emission.
+    */
+  def cumulativeCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("2024-01-01"))
+    val d = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), epoch).as("day_idx"))
+    val firstSeen = d.groupBy(col("user_id"))
+      .agg(min(col("day_idx")).as("day_idx"))
+    val newPerDay = firstSeen.groupBy("day_idx")
+      .agg(count(lit(1)).as("new_users"))
+    val spine = d.select("day_idx").distinct()
+    val byDay = Window.orderBy("day_idx") // calendar-bounded frame
+    spine.join(newPerDay, Seq("day_idx"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("total_users", sum(col("new_users")).over(byDay))
+      .select(col("day_idx").cast("long").as("day_idx"),
+        col("new_users"), col("total_users"))
+  }
+
+  /** ES `moving_fn` + `serial_diff` pipeline aggregations over the daily
+    * histogram: a 7-day trailing MOVING MEDIAN (moving_fn's
+    * MovingFunctions.unweightedStdDev family — median is the outlier-
+    * robust member clients actually script) and the 7-lag serial
+    * difference (the seasonality detrender; [[pipelineAgg]]'s `delta`
+    * is the lag-1 special case). The median is exact: the trailing
+    * RANGE frame collects ≤7 per-day counts (bounded by the window
+    * width, never the data), sorts in-row, and reads the nearest-rank
+    * middle — even cardinality averages the two middles exactly like
+    * DuckDB's `median` over integers (halves are exact in doubles).
+    * Scale: one keyed exchange to the daily grain; both windows ride
+    * the same (event_type, day) frame, calendar-bounded per type.
+    */
+  def movingFn(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("2024-01-01"))
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), epoch).as("day_idx"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+    val win7 = byType.rangeBetween(-6, 0)
+    daily
+      .withColumn("vals", sort_array(collect_list(col("n")).over(win7)))
+      .withColumn("m", size(col("vals")))
+      .withColumn("mov7_median",
+        when(col("m") % 2 === 1,
+          element_at(col("vals"), expr("CAST((m + 1) div 2 AS INT)")).cast("double"))
+        .otherwise((element_at(col("vals"), expr("CAST(m div 2 AS INT)")) +
+          element_at(col("vals"), expr("CAST(m div 2 + 1 AS INT)")))
+          .cast("double") / lit(2.0)))
+      .withColumn("diff7", col("n") - lag(col("n"), 7).over(byType))
+      .select(col("event_type"), col("day_idx").cast("long").as("day_idx"),
+        col("n"), col("mov7_median"), col("diff7"))
+  }
+
+  /** ES `date_range` aggregation — named calendar buckets with ES's
+    * from-INCLUSIVE / to-EXCLUSIVE law (the numeric [[graft.ops
+    * .RelationalOps]] `range` agg's date sibling): per range doc_count +
+    * distinct users. One scan, the range key a map-side CASE, one
+    * ≤3-key exchange (the distinct-user count is the only reason the
+    * exchange carries users; doc_count alone would be a partial sum).
+    */
+  def dateRangeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val d = to_date(col("ts"))
+    val key = when(d < lit("2024-01-10").cast("date"), "r0_until_0110")
+      .when(d < lit("2024-01-20").cast("date"), "r1_0110_0120")
+      .otherwise("r2_from_0120")
+    Tables.events(spark, dir)
+      .groupBy(key.as("range_key"))
+      .agg(count(lit(1)).as("doc_count"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("range_key").asc)
+  }
+
   /** Per-user inter-event gap via lag window — sessionization building block.
     * Scale: shuffle on user_id only; within-partition sort on (ts, event_id).
     */
@@ -814,6 +898,40 @@ object EventsOps {
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov7_sum,
         |  n - lag(n) OVER (PARTITION BY event_type ORDER BY day_idx) AS delta
         |FROM daily""".stripMargin,
+    "q_cumulative_cardinality" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+        |  FROM events),
+        |fs AS (SELECT user_id, min(day_idx) AS day_idx FROM d GROUP BY user_id),
+        |np AS (SELECT day_idx, COUNT(*) AS new_users FROM fs GROUP BY day_idx),
+        |spine AS (SELECT DISTINCT day_idx FROM d)
+        |SELECT CAST(day_idx AS BIGINT) AS day_idx,
+        |  CAST(coalesce(new_users, 0) AS BIGINT) AS new_users,
+        |  CAST(SUM(coalesce(new_users, 0)) OVER (ORDER BY day_idx)
+        |    AS BIGINT) AS total_users
+        |FROM spine LEFT JOIN np USING (day_idx)""".stripMargin,
+    "q_moving_fn" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx, n,
+        |  CAST(median(n) OVER (PARTITION BY event_type ORDER BY day_idx
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS mov7_median,
+        |  n - lag(n, 7) OVER (PARTITION BY event_type ORDER BY day_idx)
+        |    AS diff7
+        |FROM daily""".stripMargin,
+    "q_date_range" ->
+      """SELECT CASE
+        |    WHEN CAST(ts AS DATE) < DATE '2024-01-10' THEN 'r0_until_0110'
+        |    WHEN CAST(ts AS DATE) < DATE '2024-01-20' THEN 'r1_0110_0120'
+        |    ELSE 'r2_from_0120' END AS range_key,
+        |  COUNT(*) AS doc_count,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY range_key ASC""".stripMargin,
     "q_active_users" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id,

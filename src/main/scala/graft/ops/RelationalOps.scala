@@ -397,6 +397,45 @@ object RelationalOps {
         min("n_chars").as("min_chars"),
         max("n_chars").as("max_chars"))
 
+  /** ES `variable_width_histogram` — the histogram that shapes its own
+    * buckets from the data distribution instead of a fixed interval
+    * ([[histogramAgg]]'s adaptive sibling). ES's implementation is an
+    * order-sensitive streaming clusterer (best-effort, shard-merge
+    * dependent); this face is the DETERMINISTIC re-expression: buckets
+    * are seeded by exact nearest-rank equal-count cuts (value-atomic —
+    * a value never splits across buckets, assigned by its first rank:
+    * bucket = (rows-before · B) div n), which yields genuinely variable
+    * widths wherever the distribution is non-uniform. Per bucket:
+    * min/max (the variable bounds), doc_count, and the centroid ES
+    * reports — an exact integer sum over count, ONE division, 6dp round.
+    *
+    * Scale: the rank math runs on the VALUE histogram (groupBy value →
+    * counts → prefix sum over the value-cardinality frame, ≤ |domain|
+    * rows — the documented bounded-window family), never a global sort
+    * of the data; the final exchange carries ≤ B keys.
+    */
+  def variableWidthHistogram(spark: SparkSession, dir: String,
+                             buckets: Int = 6): DataFrame = {
+    require(buckets >= 1, "buckets must be positive")
+    val hist = Tables.documents(spark, dir)
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+    val byValue = Window.orderBy("n_chars") // value-cardinality frame
+    hist
+      .withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(
+          byValue.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(
+        byValue.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .groupBy(expr(s"(cum_before * $buckets) div n").cast("long")
+        .as("bucket"))
+      .agg(min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        sum("cnt").as("doc_count"),
+        round(sum(col("n_chars").cast("long") * col("cnt")).cast("double") /
+          sum("cnt"), 6).as("centroid"))
+      .orderBy(col("bucket").asc)
+  }
+
   /** ES `extended_stats` aggregation over an integer metric: count / min /
     * max / sum / sum-of-squares as EXACT longs, avg and variance as doubles
     * derived from those exact moments with the IDENTICAL operation order on
@@ -754,6 +793,23 @@ object RelationalOps {
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_variable_width_histogram" ->
+      """WITH h AS (
+        |  SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars),
+        |c AS (
+        |  SELECT n_chars, cnt,
+        |    coalesce(SUM(cnt) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before,
+        |    SUM(cnt) OVER () AS n
+        |  FROM h)
+        |SELECT CAST((cum_before * 6) // n AS BIGINT) AS bucket,
+        |  MIN(n_chars) AS min_chars,
+        |  MAX(n_chars) AS max_chars,
+        |  CAST(SUM(cnt) AS BIGINT) AS doc_count,
+        |  round(CAST(SUM(CAST(n_chars AS BIGINT) * cnt) AS DOUBLE)
+        |    / SUM(cnt), 6) AS centroid
+        |FROM c GROUP BY 1 ORDER BY bucket ASC""".stripMargin,
     "q_histogram_agg" ->
       """SELECT CAST((n_chars // 200) * 200 AS BIGINT) AS bucket,
         |  COUNT(*) AS doc_count,

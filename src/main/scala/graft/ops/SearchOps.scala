@@ -582,6 +582,36 @@ object SearchOps {
       .limit(k)
   }
 
+  /** ES `function_score` with `field_value_factor` + seeded
+    * `random_score` — the remaining two function_score members after the
+    * decay family ([[functionScore]]/Gauss/Exp): fvf = sqrt(factor ·
+    * field) (the sqrt MODIFIER, chosen deliberately — IEEE-754 requires
+    * sqrt correctly rounded, so unlike log/ln it is hash-exact
+    * cross-engine with no fixed-point table) and random_score with a
+    * SEED (ES: consistent per doc, hash-based) = the md5-prefix hash60
+    * device reduced mod 2^20 over 2^20 — an exact dyadic rational.
+    * score_mode=sum (fvf + random), boost_mode=multiply (× the match
+    * score); the whole chain is ±×÷√ on exact operands, the
+    * matrix_stats float rule.
+    *
+    * Served like [[matchQueryIndexed]]: the presence probe bounds the
+    * doc set, the dim join fetches n_chars/lang for matched ids only.
+    */
+  def functionScoreFvf(spark: SparkSession, dir: String,
+                       q: String = "data stream window",
+                       k: Int = 20): DataFrame = {
+    val hits = presenceHits(spark, dir, analyzeQuery(q).distinct)
+    val fvf = sqrt(col("n_chars").cast("double") * lit(0.01))
+    val rnd = pmod(graft.ops.DedupOps.hash60(col("doc_id").cast("string")),
+      lit(1048576L)).cast("double") / lit(1048576.0)
+    hits.join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        round(col("hits").cast("double") * (fvf + rnd), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** ES `intervals` query — `all_of(ordered: true, max_gaps)` over two
     * match clauses, under Lucene's MINIMAL-interval semantics (an interval
     * is reported only if no other qualifying interval is strictly contained
@@ -3247,6 +3277,25 @@ object SearchOps {
          |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
     },
     "q_combined_fields" -> combinedFieldsOracle,
+    "q_function_score_fvf" -> {
+      val terms = analyzeQuery("data stream window").distinct
+      val qScore = terms
+        .map(t => s"CAST(list_contains(toks, '$t') AS INT)")
+        .mkString("\n    + ")
+      s"""WITH t AS (SELECT doc_id, lang, n_chars, $duckToks AS toks
+         |           FROM documents),
+         |f AS (SELECT doc_id, lang,
+         |  $qScore AS q_score,
+         |  sqrt(CAST(n_chars AS DOUBLE) * 0.01) +
+         |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)
+         |           AS BIGINT) % 1048576 AS DOUBLE) / 1048576.0 AS fn_score
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |  round(CAST(q_score AS DOUBLE) * fn_score, 6) AS score
+         |FROM f WHERE q_score > 0
+         |ORDER BY round(CAST(q_score AS DOUBLE) * fn_score, 6) DESC,
+         |  doc_id ASC LIMIT 20""".stripMargin
+    },
     "q_terms_lookup" ->
       s"""WITH lk AS (SELECT DISTINCT unnest($duckToks) AS token
          |           FROM documents WHERE doc_id = 42),

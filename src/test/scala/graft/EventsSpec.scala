@@ -409,4 +409,73 @@ class EventsSpec extends SparkSpecBase {
     assert(tight.length <= 3)
     assert(tight.head.getLong(1) >= fx.head.getLong(1))
   }
+
+  test("cumulativeCardinality: first-seen device equals a brute running distinct") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("d"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val days = events.map(_._2).distinct.sorted
+    val expected = days.map { d =>
+      val seen = events.filter(_._2 <= d).map(_._1).distinct.size.toLong
+      val newU = events.groupBy(_._1).count { case (_, evs) =>
+        evs.map(_._2).min == d }.toLong
+      (d.toLong, newU, seen)
+    }
+    val got = EventsOps.cumulativeCardinality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got === expected.toSeq)
+    // monotone + reconciliation laws
+    assert(got.map(_._3) === got.map(_._3).sorted,
+      "cumulative cardinality must be non-decreasing")
+    assert(got.map(_._2).sum === got.last._3,
+      "sum of first-seen counts must equal the final cardinality")
+  }
+
+  test("movingFn: trailing RANGE median + lag-7 serial diff match a brute recompute") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val got = EventsOps.movingFn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(got.nonEmpty)
+    got.foreach { case (t, d, n, med, diff) =>
+      val series = daily.filter(_._1 == t)
+      assert(series.find(x => x._2 == d).map(_._3).contains(n))
+      // RANGE frame: days in [d-6, d] that EXIST (gaps excluded)
+      val window = series.filter(x => x._2 >= d - 6 && x._2 <= d)
+        .map(_._3).sorted
+      val m = window.length
+      val wantMed = if (m % 2 == 1) window(m / 2).toDouble
+        else (window(m / 2 - 1) + window(m / 2)).toDouble / 2.0
+      assert(med === wantMed, s"$t@$d median $med vs $wantMed over $window")
+      // lag-7 is ROW-based: the 7th prior OBSERVED day of the same type
+      val prior = series.filter(_._2 < d).sortBy(_._2)
+      val want7 = if (prior.length >= 7) Some(n - prior(prior.length - 7)._3)
+        else None
+      assert(diff === want7, s"$t@$d diff7 $diff vs $want7")
+    }
+  }
+
+  test("dateRangeAgg: from-inclusive/to-exclusive partition reconciles with the table") {
+    val rows = EventsOps.dateRangeAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_._2).sum === total,
+      "date ranges must partition every event exactly once")
+    // boundary law: an event ON 2024-01-10 lands in the second range
+    val jan10 = Tables.events(spark, sf)
+      .filter(to_date(col("ts")) === lit("2024-01-10").cast("date")).count()
+    if (jan10 > 0) {
+      val mid = Tables.events(spark, sf)
+        .filter(to_date(col("ts")) >= lit("2024-01-10").cast("date") &&
+          to_date(col("ts")) < lit("2024-01-20").cast("date")).count()
+      assert(rows.find(_._1 == "r1_0110_0120").map(_._2).contains(mid))
+    }
+  }
 }

@@ -300,4 +300,50 @@ class RelationalSpec extends SparkSpecBase {
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
       r.getLong(5), r.getLong(6), r.getLong(7)) === ((8L, 1L, 2L, 4L, 6L, 8L, 2L)))
   }
+
+  test("variableWidthHistogram: equal-count seeding, value-atomic buckets, exact centroids") {
+    val B = 6
+    val got = RelationalOps.variableWidthHistogram(spark, sf, B).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty && got.length <= B)
+    // buckets tile the value domain in order, no overlap
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 < b._2,
+        s"bucket ${a._1} max ${a._3} must precede bucket ${b._1} min ${b._2}")
+      case _ =>
+    }
+    // reconciliation + per-bucket laws against a brute recompute
+    val vals = Tables.documents(spark, sf).select(col("n_chars"))
+      .collect().map(_.getLong(0)).sorted
+    assert(got.map(_._4).sum === vals.length.toLong)
+    val n = vals.length.toLong
+    val byVal = vals.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    var cumBefore = 0L
+    val expected = byVal.map { case (v, cnt) =>
+      val b = (cumBefore * B) / n; cumBefore += cnt; (v, cnt, b)
+    }.groupBy(_._3).toSeq.sortBy(_._1).map { case (b, vs) =>
+      val cnt = vs.map(_._2).sum
+      val centroid = BigDecimal(
+        vs.map(x => x._1 * x._2).sum.toDouble / cnt)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (b, vs.map(_._1).min, vs.map(_._1).max, cnt, centroid)
+    }
+    assert(got.toSeq === expected)
+    // hand corpus: skew makes widths genuinely variable — one hot value
+    // occupies several equal-count cuts but stays value-atomic (one bucket)
+    val dir = "/tmp/graft_vwh_docs"
+    import spark.implicits._
+    (Seq.fill(90)(100L) ++ Seq(200L, 300L, 400L, 500L, 600L, 700L, 800L,
+      900L, 1000L, 1100L))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("doc_id", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val hand = RelationalOps.variableWidthHistogram(spark, dir, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 100 rows, B=4 -> rank cuts at 25/50/75; value 100 (ranks 1-90) takes
+    // bucket 0 whole; the 10 tail values (cum_before 90..99) land in bucket 3
+    assert(hand === Array((0L, 100L, 100L, 90L), (3L, 200L, 1100L, 10L)))
+  }
 }

@@ -522,6 +522,42 @@ class SearchSpec extends SparkSpecBase {
       s"doc 42 should match all ${lookup.size} of its own terms: $selfRow")
   }
 
+  test("functionScoreFvf: sqrt fvf + seeded random replayed exactly; seed is per-doc stable") {
+    import graft.ops.SearchOps
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        SearchOps.analyze(col("text")).as("toks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getSeq[String](3).toSet))
+    def rnd(id: Long): Double = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      (java.lang.Long.parseLong(md5, 16) % 1048576L).toDouble / 1048576.0
+    }
+    val expected = docs.map { case (id, lang, nc, toks) =>
+      val q = Seq("data", "stream", "window").count(toks.contains)
+      val s = q.toDouble * (math.sqrt(nc.toDouble * 0.01) + rnd(id))
+      (id, lang, q, BigDecimal(s).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.filter(_._3 > 0)
+      .map { case (id, lang, _, s) => (id, lang, s) }.toSeq
+      .sortBy { case (id, _, s) => (-s, id) }.take(20)
+    val got = SearchOps.functionScoreFvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got.map(_._1) === expected.map(_._1))
+    got.zip(expected).foreach { case ((_, _, g), (_, _, e)) =>
+      assert(math.abs(g - e) < 1e-6, s"score $g vs recomputed $e")
+    }
+    assert(got.nonEmpty, "fixture must produce scored hits or the pin is vacuous")
+    // the seeded random is CONSISTENT: the same call twice returns
+    // identical scores (ES's random_score-with-seed contract)
+    val again = SearchOps.functionScoreFvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(again === got.map(r => (r._1, r._3)))
+  }
+
   test("rankedSearch golden: rare-term doc outranks the higher-raw-tf common-term doc") {
     val dir = "/tmp/graft_ranked_docs"
     Seq((1L, "alpha beta beta"),              // rare 'beta' ×2 + common 'alpha'
