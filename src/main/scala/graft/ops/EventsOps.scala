@@ -236,6 +236,70 @@ object EventsOps {
         col("n"), col("mov7_median"), col("diff7"))
   }
 
+  /** ES `normalize` pipeline aggregation (method `percent_of_sum`) — each
+    * daily bucket's share of its event_type's total, the last pipeline
+    * member after cumulative_sum/_cardinality, derivative (pipelineAgg's
+    * delta), moving_fn, serial_diff, bucket_selector/sort/script. The
+    * share is ONE division of two exact longs, 6dp-rounded — the proven
+    * cross-engine float device; the type total is a keyed window over the
+    * calendar-bounded daily frame.
+    */
+  def normalizeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("2024-01-01"))
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), epoch).as("day_idx"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("total", sum(col("n")).over(byType))
+      .select(col("event_type"), col("day_idx").cast("long").as("day_idx"),
+        col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("pct_of_type"))
+  }
+
+  /** ES `bucket_script` pipeline aggregation — arithmetic across SIBLING
+    * metrics inside each bucket (the canonical example: error rate =
+    * errors/total per day). Both operands are conditional partial sums
+    * from ONE scan (the `filters`-agg trick), the script is one exact
+    * division rounded 6dp; single keyed exchange on the day grain.
+    */
+  def bucketScript(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("2024-01-01"))
+    Tables.events(spark, dir)
+      .groupBy(datediff(to_date(col("ts")), epoch).as("day_idx"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"))
+      .select(col("day_idx").cast("long").as("day_idx"), col("total"),
+        col("errors"),
+        round(col("errors").cast("double") / col("total"), 6).as("error_rate"))
+  }
+
+  /** The SIBLING pipeline aggregations in one face — `avg_bucket`,
+    * `min_bucket`, `max_bucket`, `sum_bucket`, `stats_bucket` over the
+    * daily histogram per event_type (ES emits one value beside the
+    * parent agg; relationally they are a second keyed aggregate over the
+    * bucket rows). Exact longs for min/max/sum/count; avg is the one
+    * division, 6dp.
+    */
+  def siblingStats(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("2024-01-01"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), epoch).as("day_idx"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"),
+        min("n").as("min_bucket"),
+        max("n").as("max_bucket"),
+        sum("n").as("sum_bucket"))
+      .select(col("event_type"), col("n_buckets"), col("min_bucket"),
+        col("max_bucket"), col("sum_bucket"),
+        round(col("sum_bucket").cast("double") / col("n_buckets"), 6)
+          .as("avg_bucket"))
+      .orderBy(col("event_type").asc)
+  }
+
   /** ES `date_range` aggregation — named calendar buckets with ES's
     * from-INCLUSIVE / to-EXCLUSIVE law (the numeric [[graft.ops
     * .RelationalOps]] `range` agg's date sibling): per range doc_count +
@@ -898,6 +962,40 @@ object EventsOps {
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov7_sum,
         |  n - lag(n) OVER (PARTITION BY event_type ORDER BY day_idx) AS delta
         |FROM daily""".stripMargin,
+    "q_normalize_agg" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    SUM(n) OVER (PARTITION BY event_type), 6) AS pct_of_type
+        |FROM daily""".stripMargin,
+    "q_bucket_script" ->
+      """SELECT
+        |  CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |    AS BIGINT) AS day_idx,
+        |  COUNT(*) AS total,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS errors,
+        |  round(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS error_rate
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_sibling_stats" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  COUNT(*) AS n_buckets,
+        |  MIN(n) AS min_bucket,
+        |  MAX(n) AS max_bucket,
+        |  CAST(SUM(n) AS BIGINT) AS sum_bucket,
+        |  round(CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) / COUNT(*), 6)
+        |    AS avg_bucket
+        |FROM daily GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     "q_cumulative_cardinality" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id,

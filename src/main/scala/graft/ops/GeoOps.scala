@@ -233,6 +233,40 @@ object GeoOps {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** ES `geo_line` aggregation — per user, the travel TRACK: points
+    * ordered by the sort field (timestamp; event_id is the tiebreak ES
+    * leaves to shard order but determinism demands here), truncated to
+    * `size` points, with ES's `complete` flag (false when truncation
+    * dropped points). The line ships as "lat:lon" micro-degree strings
+    * over the shared derived coordinates.
+    *
+    * Scale: ONE user-keyed aggregate — the collect is bounded by
+    * events-per-user and the slice caps the wire at `size` points per
+    * group; no window, no global sort (the in-row array_sort is
+    * group-local).
+    */
+  def geoLine(spark: SparkSession, dir: String, size: Int = 10): DataFrame =
+    Tables.eventsRaw(spark, dir).select(
+        col("user_id"),
+        struct(col("ts").as("ts_us"), col("event_id"),
+          concat_ws(":",
+            pmod(DedupOps.hash60(col("event_id").cast("string")),
+              lit(180000001L)) - lit(90000000L),
+            pmod(DedupOps.hash60(concat(col("event_id").cast("string"),
+              lit("x"))), lit(360000001L)) - lit(180000000L)).as("pt"))
+          .as("s"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_points"),
+        slice(array_sort(collect_list(col("s"))), 1, size).as("sorted"))
+      .select(col("user_id"), col("n_points"),
+        (col("n_points") <= size).as("complete"),
+        // the track ships as ONE linestring-style text (the driver
+        // compare hashes scalars; every array face in the suite ships
+        // sorted-concat strings for the same reason)
+        concat_ws("|", transform(col("sorted"), s => s.getField("pt")))
+          .as("line"))
+      .orderBy(col("user_id").asc)
+
   // ---- DuckDB oracles: the same integer laws, spelled identically ----
 
   private val geoCte =
@@ -255,6 +289,21 @@ object GeoOps {
   private def lonBox: Long = lonBoxOf(10000000L)
 
   val oracle: Map[String, String] = Map(
+    "q_geo_line" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),1,15) AS BIGINT)
+        |      % 180000001 - 90000000 AS lat_ud,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'x'),1,15) AS BIGINT)
+        |      % 360000001 - 180000000 AS lon_ud
+        |  FROM events)
+        |SELECT user_id,
+        |  COUNT(*) AS n_points,
+        |  COUNT(*) <= 10 AS complete,
+        |  array_to_string(
+        |    list_slice(list(CAST(lat_ud AS VARCHAR) || ':' || CAST(lon_ud AS VARCHAR)
+        |      ORDER BY ts, event_id), 1, 10), '|') AS line
+        |FROM g GROUP BY user_id ORDER BY user_id ASC""".stripMargin,
     "q_geo_distance" ->
       s"""WITH $geoCte
          |SELECT event_id, lat_ud, lon_ud, dist2 FROM f""".stripMargin,

@@ -397,6 +397,23 @@ object RelationalOps {
         min("n_chars").as("min_chars"),
         max("n_chars").as("max_chars"))
 
+  /** ES `top_metrics` aggregation — per bucket, the metric values read
+    * from the document ranking FIRST on a sort field (sort: doc_id desc
+    * here; ES's "latest value per series" dashboard primitive, the
+    * argmax it added in 7.7 so clients could stop abusing top_hits for
+    * one field). One partial-first hash aggregate: `max_by` carries the
+    * (sort, metric) pair through partial/merge, so no window, no
+    * per-group scan — the exchange is bucket-sized. Determinism: the
+    * sort key is the unique doc_id, so argmax is single-valued.
+    */
+  def topMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(max(col("doc_id")).as("top_doc_id"),
+        max_by(col("n_chars"), col("doc_id")).as("top_n_chars"),
+        max_by(col("source"), col("doc_id")).as("top_source"))
+      .orderBy(col("lang").asc)
+
   /** ES `variable_width_histogram` — the histogram that shapes its own
     * buckets from the data distribution instead of a fixed interval
     * ([[histogramAgg]]'s adaptive sibling). ES's implementation is an
@@ -793,6 +810,12 @@ object RelationalOps {
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_top_metrics" ->
+      """SELECT lang,
+        |  MAX(doc_id) AS top_doc_id,
+        |  arg_max(n_chars, doc_id) AS top_n_chars,
+        |  arg_max(source, doc_id) AS top_source
+        |FROM documents GROUP BY lang ORDER BY lang ASC""".stripMargin,
     "q_variable_width_histogram" ->
       """WITH h AS (
         |  SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars),

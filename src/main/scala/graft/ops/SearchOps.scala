@@ -2589,6 +2589,32 @@ object SearchOps {
       .limit(k)
   }
 
+  /** ES `significant_text` — [[significantTerms]]' free-text sibling
+    * with `filter_duplicate_text: true`, the flag ES documents as the
+    * difference that matters: near-duplicate documents are dropped
+    * BEFORE counting so boilerplate/templates cannot fabricate
+    * significance. Dedup = the normalized fingerprint (lowercased,
+    * whitespace-collapsed md5 — [[graft.ops.TextOps.fingerprint]]'s
+    * device) keeping the MIN doc_id per fingerprint (dedupExact's
+    * keeper rule, min_by carrying the keeper's source); significance =
+    * the shared exact-integer JLH chain, with both foreground and
+    * background statistics computed over the DEDUPED corpus (passing
+    * keepers as the docs frame restricts the postings join and the
+    * totals in one stroke).
+    */
+  def significantText(spark: SparkSession, dir: String,
+                      fgSource: String = "src3", k: Int = 30): DataFrame = {
+    val normalized = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    val keepers = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(normalized.cast("binary")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("source"), col("doc_id")).as("source"))
+      .select("doc_id", "source")
+    significantTermsOn(servedPostings(spark, dir), keepers, fgSource, k)
+  }
+
   /** THE exact-integer JLH chain, shared by every consumer (sig-terms,
     * cluster topics, the PropertySpec BigInt pin): appends `score_fp =
     * sign·(|2^20·(fg_df·bg_n − bg_df·fg_n)·fg_df| div fg_n²·bg_df)` to a
@@ -3080,6 +3106,41 @@ object SearchOps {
          |  FROM p JOIN sel USING (token) WHERE p.doc_id <> 7 GROUP BY p.doc_id)
          |SELECT doc_id, n_shared, round(CAST(s AS DOUBLE) / 1048576.0, 6) AS score
          |FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q_significant_text" ->
+      s"""WITH kd AS (
+         |  SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source
+         |  FROM (SELECT doc_id, source,
+         |          md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+         |            AS fp
+         |        FROM documents)
+         |  GROUP BY fp),
+         |p AS (
+         |  SELECT DISTINCT u.doc_id, token FROM (
+         |    SELECT doc_id, unnest($duckToks) AS token FROM documents) u
+         |  JOIN kd ON u.doc_id = kd.doc_id),
+         |totals AS (
+         |  SELECT SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS fg_n,
+         |         COUNT(*) AS bg_n
+         |  FROM kd),
+         |ts AS (
+         |  SELECT token,
+         |    CAST(SUM(CASE WHEN d.source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS fg_df,
+         |    COUNT(*) AS bg_df
+         |  FROM p JOIN kd d USING (doc_id)
+         |  GROUP BY token HAVING SUM(CASE WHEN d.source = 'src3' THEN 1 ELSE 0 END) > 0),
+         |nd AS (
+         |  SELECT token, fg_df, bg_df,
+         |    (CAST(fg_df AS HUGEINT) * CAST(bg_n AS HUGEINT)
+         |      - CAST(bg_df AS HUGEINT) * CAST(fg_n AS HUGEINT))
+         |      * CAST(fg_df AS HUGEINT) * CAST(1048576 AS HUGEINT) AS num,
+         |    CAST(fg_n AS HUGEINT) * CAST(fg_n AS HUGEINT)
+         |      * CAST(bg_df AS HUGEINT) AS den
+         |  FROM ts, totals)
+         |SELECT token, fg_df, bg_df,
+         |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) * (abs(num) // den)
+         |    AS BIGINT) AS score_fp
+         |FROM nd
+         |ORDER BY score_fp DESC, token ASC LIMIT 30""".stripMargin,
     "q_sig_terms" ->
       s"""WITH p AS (
          |  SELECT DISTINCT doc_id, token FROM (

@@ -461,6 +461,48 @@ class EventsSpec extends SparkSpecBase {
     }
   }
 
+  test("normalizeAgg + bucketScript + siblingStats: shares, rates, and sibling metrics reconcile") {
+    // normalize (percent_of_sum): each type's shares sum to 1 within the
+    // 6dp rounding budget of its bucket count
+    val norm = EventsOps.normalizeAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(norm.nonEmpty)
+    norm.groupBy(_._1).foreach { case (t, rows) =>
+      val total = rows.map(_._3).sum
+      rows.foreach { case (_, _, n, pct) =>
+        val want = BigDecimal(n.toDouble / total)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(pct === want, s"$t share")
+      }
+      assert(math.abs(rows.map(_._4).sum - 1.0) < rows.length * 5e-7)
+    }
+    // bucket_script: errors/total per day against direct counts
+    val bs = EventsOps.bucketScript(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val totalEvents = Tables.events(spark, sf).count()
+    assert(bs.map(_._2).sum === totalEvents)
+    bs.foreach { case (d, total, errors, rate) =>
+      assert(errors <= total)
+      val want = BigDecimal(errors.toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rate === want, s"day $d rate")
+    }
+    // sibling aggs: recompute from the daily histogram
+    val daily = EventsOps.pipelineAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val sib = EventsOps.siblingStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    sib.foreach { case (t, nb, mn, mx, sm, avg) =>
+      val ns = daily.filter(_._1 == t).map(_._2)
+      assert((nb, mn, mx, sm) === ((ns.length.toLong, ns.min, ns.max, ns.sum)))
+      val want = BigDecimal(ns.sum.toDouble / ns.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(avg === want)
+    }
+    assert(sib.map(_._1).toSeq === sib.map(_._1).sorted.toSeq)
+  }
+
   test("dateRangeAgg: from-inclusive/to-exclusive partition reconciles with the table") {
     val rows = EventsOps.dateRangeAgg(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

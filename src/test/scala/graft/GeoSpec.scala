@@ -128,4 +128,35 @@ class GeoSpec extends SparkSpecBase {
     rings.foreach(r =>
       assert(r.getAs[Long]("n_users") <= r.getAs[Long]("doc_count")))
   }
+
+  test("geoLine: per-user track ordered by (ts, event_id), truncated at size, complete flag") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val size = 10
+    val events = Tables.eventsRaw(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = events.groupBy(_._1).map { case (u, evs) =>
+      val line = evs.sortBy(e => (e._2, e._3)).take(size).map { e =>
+        val lat = h60(e._3.toString) % 180000001L - 90000000L
+        val lon = h60(e._3.toString + "x") % 360000001L - 180000000L
+        s"$lat:$lon"
+      }.mkString("|")
+      (u, evs.length.toLong, evs.length <= size, line)
+    }.toSeq.sortBy(_._1)
+    val got = GeoOps.geoLine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getString(3))).toSeq
+    assert(got === expected)
+    assert(got.exists(!_._3),
+      "fixture must contain a truncated (incomplete) track or the cap is unexercised")
+    got.foreach { case (u, n, complete, line) =>
+      assert(line.split('|').length === math.min(n, size.toLong).toInt,
+        s"user $u line length")
+      assert(complete === (n <= size))
+    }
+  }
 }

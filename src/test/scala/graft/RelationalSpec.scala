@@ -301,6 +301,22 @@ class RelationalSpec extends SparkSpecBase {
       r.getLong(5), r.getLong(6), r.getLong(7)) === ((8L, 1L, 2L, 4L, 6L, 8L, 2L)))
   }
 
+  test("topMetrics: argmax on the unique sort key matches a brute recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("source"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = docs.groupBy(_._1).map { case (lang, rows) =>
+      val top = rows.maxBy(_._2)
+      (lang, top._2, top._3, top._4)
+    }.toSeq.sortBy(_._1)
+    val got = RelationalOps.topMetrics(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture must produce per-lang argmax rows")
+  }
+
   test("variableWidthHistogram: equal-count seeding, value-atomic buckets, exact centroids") {
     val B = 6
     val got = RelationalOps.variableWidthHistogram(spark, sf, B).collect()

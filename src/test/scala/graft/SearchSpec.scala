@@ -522,6 +522,38 @@ class SearchSpec extends SparkSpecBase {
       s"doc 42 should match all ${lookup.size} of its own terms: $selfRow")
   }
 
+  test("significantText: filter_duplicate_text kills boilerplate-inflated significance") {
+    import graft.ops.SearchOps
+    // planted corpus: the src3 foreground carries the SAME boilerplate doc
+    // three times; 'alpha' rides only the boilerplate, 'gamma' is a genuine
+    // src3 signal appearing once
+    val dir = "/tmp/graft_sigtext_docs"
+    Seq((1L, "src3", "alpha beta"),
+        (2L, "src3", "alpha beta"),   // exact duplicate of 1
+        (3L, "src3", "ALPHA  beta"),  // near-dup: case folds + the double
+                                      // space collapses -> same fingerprint as 1
+        (4L, "src3", "gamma beta"),
+        (5L, "srcX", "beta delta"),
+        (6L, "srcX", "delta epsilon"),
+        (7L, "srcX", "beta zeta"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val raw = SearchOps.significantTerms(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dedup = SearchOps.significantText(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(raw("alpha") === 3L,
+      "without dedup the boilerplate term counts every copy")
+    assert(dedup("alpha") === 1L,
+      "filter_duplicate_text must count the boilerplate once")
+    assert(dedup("gamma") === 1L, "genuine signal survives dedup")
+    // the big-corpus face stays well-formed (full correctness is the
+    // DuckDB oracle's job)
+    val big = SearchOps.significantText(spark, sf).collect()
+    assert(big.nonEmpty && big.forall(_.getLong(1) > 0),
+      "every emitted term must have foreground support")
+  }
+
   test("functionScoreFvf: sqrt fvf + seeded random replayed exactly; seed is per-doc stable") {
     import graft.ops.SearchOps
     val docs = Tables.documents(spark, sf)
