@@ -107,6 +107,53 @@ object Tables {
     eventsRaw(spark, dir).createOrReplaceTempView("events_raw")
   }
 
+  /** Spread a small-input, compute-heavy scan across the session's cores.
+    *
+    * The local parquet fixtures are single-row-group files, and a row group
+    * is the atomic file-split unit — so the split planner hands the WHOLE
+    * table to one task no matter how `maxPartitionBytes` is set, and a
+    * per-row-expensive face (analyzer, hash family, fuzzy scorer) then
+    * serializes on one core while the other N−1 idle (bench diag: the 1-job
+    * scan faces all showed cpuSec ≈ wall, i.e. single-core execution).
+    * One round-robin exchange of the (tiny) input fixes that: the bytes
+    * move once, the per-row compute fans out N ways (guide §2.4/§8: decide
+    * placement with a cheap move when the compute dominates the bytes).
+    *
+    * Scale-adaptive by construction, not a local[] constant (guide §2):
+    * the exchange is added ONLY when the listed input is too small to fill
+    * the cluster at the session's own split size
+    * (bytes < cores × maxPartitionBytes). At warehouse scale the scan
+    * already yields ≥ cores splits and this is the identity — no shuffle
+    * of a 100 TB corpus sneaks in. Filters/pruning still reach the scan:
+    * Catalyst pushes predicates and column pruning through Repartition
+    * (pinned in PlanSpec for the spread faces).
+    */
+  private[graft] def spreadForCompute(spark: SparkSession, dir: String,
+                                      name: String): DataFrame = {
+    val df = table(spark, dir, name)
+    val cores = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val bytes = listedBytes(spark, s"$dir/$name.parquet")
+    if (bytes >= 0 && bytes < cores.toLong * maxSplit) df.repartition(cores)
+    else df
+  }
+
+  /** Total listed bytes of a parquet file/dir (driver-side, one listing —
+    * same cost class as [[contentVersion]]); −1 when absent.
+    */
+  private def listedBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.listStatus(p).map(_.getLen).sum
+    catch { case _: java.io.FileNotFoundException => -1L }
+  }
+
+  /** [[documents]] with the compute-spread guard — use at scan faces whose
+    * per-row work (analyze / hash / score) dominates the row bytes.
+    */
+  private[graft] def documentsSpread(spark: SparkSession, dir: String): DataFrame =
+    spreadForCompute(spark, dir, "documents")
+
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

@@ -804,6 +804,11 @@ object TextFunctionBuilders {
     BpeCount(exprs.head)
   }
 
+  def evalFence(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 1, "eval_fence(expr)")
+    EvalFence(exprs.head)
+  }
+
   def phraseCount(exprs: Seq[Expression]): Expression = {
     require(exprs.size == 2, "phrase_count(toks, phrase)")
     val ph = exprs(1) match {
@@ -837,7 +842,10 @@ object GraftFunctions {
         registry.functionExists(FunctionIdentifier("bpe_count")) &&
         registry.functionExists(FunctionIdentifier("phrase_count")) &&
         registry.functionExists(FunctionIdentifier("winnow_select")) &&
+        registry.functionExists(FunctionIdentifier("eval_fence")) &&
         registry.functionExists(FunctionIdentifier("distinct_sorted_concat"))) return
+    registry.createOrReplaceTempFunction(
+      "eval_fence", TextFunctionBuilders.evalFence _, "built-in")
     registry.createOrReplaceTempFunction(
       "minhash_slots", TextFunctionBuilders.minhashSlots _, "built-in")
     registry.createOrReplaceTempFunction(

@@ -59,7 +59,7 @@ object DedupOps {
     * oracle replays the composed semantics.
     */
   def minhashSignature(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsSpread(spark, dir)
     d.select(col("doc_id"), expr("md5_minhash(text)").as("sig"))
       .select(col("doc_id"),
         element_at(col("sig"), 1).as("mh1"), element_at(col("sig"), 2).as("mh2"),
@@ -178,7 +178,7 @@ object DedupOps {
     // right side of the self-join) — uncached it is recomputed per consumer
     // (3.9x measured). At warehouse scale this materialization is the
     // persisted signature table. Released via `releasing` before return.
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), hashedShingles(col("text")).as("hashes"))
       // native single-pass expression (bit-identical to fastSignature —
       // FunctionsSpec asserts it): k mins in one codegen'd traversal
@@ -627,7 +627,7 @@ object DedupOps {
     * exact.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsSpread(spark, dir)
     // tokens staged as a column: inlined, the split() would re-run for every
     // element_at inside the gram lambda (3 evals per gram per row)
     val toks = d.select(col("doc_id"),
@@ -1076,7 +1076,7 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     val toks = filter(split(lower(trim(col("text"))), "\\s+"),
       t => length(t) > 0)
-    val base = Tables.documents(spark, dir)
+    val base = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), toks.as("toks"))
     val wins = base
       .select(col("doc_id"),
@@ -1134,7 +1134,7 @@ object DedupOps {
   def containmentPairs(spark: SparkSession, dir: String,
                        minContainment: Double = 0.5, dfCap: Int = 8,
                        k: Int = 50): DataFrame =
-    containmentPairsOn(Tables.documents(spark, dir), minContainment, dfCap,
+    containmentPairsOn(Tables.documentsSpread(spark, dir), minContainment, dfCap,
       k = k)
 
   /** The same detector over any (doc_id, text) frame — the seam DedupSpec

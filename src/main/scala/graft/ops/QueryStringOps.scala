@@ -264,9 +264,9 @@ object QueryStringOps {
     val node = parseQueryString(q)
       .getOrElse(throw new IllegalArgumentException(
         s"query_string '$q' analyzed to no effective clauses"))
-    val staged = Tables.documents(spark, dir)
+    val staged = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("lang"),
-        SearchOps.analyze(col("text")).as("toks"),
+        SearchOps.fence(SearchOps.analyze(col("text"))).as("toks"),
         SearchOps.analyze(substring(col("text"), 1, 48)).as("title_toks"))
     val toksOf = (f: String) => if (f == "title") col("title_toks") else col("toks")
     val (pred, score) = compileSpark(node, toksOf, col("lang"))

@@ -70,6 +70,14 @@ object SearchOps {
     */
   def analyze(text: Column): Column = call_function("ru_en_analyze", text)
 
+  /** Guide-§4.4 optimizer fence for the scan faces' expensive derived
+    * columns (see [[graft.functions.EvalFence]]): keeps the score/hits
+    * projection from being inlined into its filter and pushed below the
+    * compute-spread exchange, where it would re-run the analyzer on the
+    * single scan task the exchange exists to escape.
+    */
+  private[ops] def fence(c: Column): Column = call_function("eval_fence", c)
+
   /** The composed built-ins form — the specification the native expression
     * is equality-tested against (and the shape the DuckDB oracle mirrors).
     */
@@ -101,12 +109,12 @@ object SearchOps {
     */
   def matchQuery(spark: SparkSession, dir: String,
                  q: String = "data stream window", k: Int = 20): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsSpread(spark, dir)
     val toks = analyze(col("text"))
     val score = analyzeQuery(q)
       .map(t => array_contains(toks, t).cast("int"))
       .reduce(_ + _)
-    d.select(col("doc_id"), col("lang"), score.as("score"))
+    d.select(col("doc_id"), col("lang"), fence(score).as("score"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
@@ -185,7 +193,7 @@ object SearchOps {
                 must: String = "data", should: String = "stream window",
                 mustNot: String = "error", filterLang: String = "en",
                 k: Int = 20): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsSpread(spark, dir)
     val toks = analyze(col("text"))
     def hits(q: String) =
       analyzeQuery(q).map(t => array_contains(toks, t).cast("int")).reduce(_ + _)
@@ -195,7 +203,7 @@ object SearchOps {
       .map(t => !array_contains(toks, t)).reduce(_ && _)
     d.filter(col("lang") === filterLang) // filter context: required, no score
       .select(col("doc_id"), col("lang"),
-        (hits(must) + hits(should)).as("score"), mustOk.as("m"), notOk.as("n"))
+        fence(hits(must) + hits(should)).as("score"), mustOk.as("m"), notOk.as("n"))
       .filter(col("m") && col("n"))
       .select(col("doc_id"), col("lang"), col("score").cast("long").as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -863,7 +871,7 @@ object SearchOps {
     */
   def fuzzyQuery(spark: SparkSession, dir: String,
                  q: String = "streem qery", k: Int = 20): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsSpread(spark, dir)
     val toks = analyze(col("text"))
     val score = analyzeQuery(q).map { t =>
       val f = autoFuzz(t)
@@ -873,7 +881,7 @@ object SearchOps {
         abs(length(tok) - lit(t.length)) <= f &&
         levenshtein(tok, lit(t), f).between(0, f)).cast("int")
     }.reduce(_ + _)
-    d.select(col("doc_id"), col("lang"), score.as("score"))
+    d.select(col("doc_id"), col("lang"), fence(score).as("score"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
@@ -892,7 +900,7 @@ object SearchOps {
     */
   def multiFieldFuzzy(spark: SparkSession, dir: String,
                       q: String = "custommer streem windoe", k: Int = 20): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsSpread(spark, dir)
     val names = Tables.customer(spark, dir)
       .groupBy(floor((col("c_custkey") - 1) / 3).cast("long").as("doc_id"))
       .agg(concat_ws(" ", sort_array(collect_set(col("c_name")))).as("names_text"))
@@ -920,7 +928,7 @@ object SearchOps {
         (col("lang") === t).cast("int") * lit(1.0))
     }.reduce(_ + _)
 
-    joined.select(col("doc_id"), col("lang"), score.as("score"))
+    joined.select(col("doc_id"), col("lang"), fence(score).as("score"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
@@ -1049,7 +1057,7 @@ object SearchOps {
     * derivations (the round-3 verdict's one open analyzer item).
     */
   def matchQueryRu(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsSpread(spark, dir)
     val phrase = element_at(typedLit(RuPanel),
       (col("doc_id") % RuPanel.size).cast("int") + 1)
     val toks = analyze(concat_ws(" ", phrase, col("text")))
@@ -1058,7 +1066,7 @@ object SearchOps {
     val score = analyzeQuery("поток данных окно")
       .map(t => array_contains(toks, t).cast("int"))
       .reduce(_ + _)
-    d.select(col("doc_id"), col("lang"), score.as("score"))
+    d.select(col("doc_id"), col("lang"), fence(score).as("score"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
@@ -1439,7 +1447,7 @@ object SearchOps {
     */
   def phraseSearch(spark: SparkSession, dir: String,
                    phrase: String = "data stream", k: Int = 20): DataFrame =
-    phraseSearchOn(Tables.documents(spark, dir), phrase, k)
+    phraseSearchOn(Tables.documentsSpread(spark, dir), phrase, k)
 
   /** The same query over any (doc_id, lang, text) frame — the SearchSpec
     * seam (adjacency vs mere co-occurrence, stopword-bridged phrases,
@@ -1453,8 +1461,8 @@ object SearchOps {
     val ph = analyzeQuery(phrase)
     require(ph.length >= 2, s"phrase '$phrase' analyzed to < 2 terms")
     docs.select(col("doc_id"), col("lang"),
-        call_function("phrase_count",
-          analyze(col("text")), typedlit(ph)).as("phrase_freq"))
+        fence(call_function("phrase_count",
+          analyze(col("text")), typedlit(ph))).as("phrase_freq"))
       .filter(col("phrase_freq") > 0)
       .orderBy(col("phrase_freq").desc, col("doc_id").asc)
       .limit(k)
@@ -2087,8 +2095,8 @@ object SearchOps {
     val toks = analyze(col("text"))
     val hits = terms
       .map(t => array_contains(toks, t).cast("int")).reduce(_ + _)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), hits.as("hits"),
+    Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), fence(hits).as("hits"),
         expr(s"(n_chars * 1048576) div (n_chars + $pivot)").as("feat_fp"))
       .filter(col("hits") > 0)
       .select(col("doc_id"), col("hits"),
@@ -2208,8 +2216,8 @@ object SearchOps {
       .map(t => array_contains(toks, t).cast("int")).reduce(_ + _)
     val negMatch = analyzeQuery(negative)
       .map(t => array_contains(toks, t)).reduce(_ || _)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), posHits.as("hits"), negMatch.as("neg"))
+    Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), col("lang"), fence(posHits).as("hits"), negMatch.as("neg"))
       .filter(col("hits") > 0)
       .select(col("doc_id"), col("lang"),
         (col("hits").cast("long") *

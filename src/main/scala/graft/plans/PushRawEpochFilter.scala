@@ -219,6 +219,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.WinnowSelect].getName, "winnow_select"),
       { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.winnowSelect(exprs) }))
     ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("eval_fence"),
+      new ExpressionInfo(classOf[graft.functions.EvalFence].getName, "eval_fence"),
+      { exprs: Seq[Expression] => graft.functions.TextFunctionBuilders.evalFence(exprs) }))
+    ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("distinct_sorted_concat"),
       new ExpressionInfo(classOf[graft.functions.DistinctSortedConcat].getName,
         "distinct_sorted_concat"),

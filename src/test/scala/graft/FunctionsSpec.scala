@@ -864,4 +864,40 @@ class FunctionsSpec extends SparkSpecBase {
         .executedPlan
     }
   }
+
+  test("eval_fence: identity values; filter stays ABOVE the spread exchange") {
+    GraftFunctions.register(spark)
+    val df = (1 to 100).map(i => (i.toLong, "w" * (i % 7 + 1))).toDF("id", "text")
+    val fenced = df.repartition(4)
+      .select(col("id"), expr("eval_fence(length(text) * 2)").as("score"))
+      .filter(col("score") > 4)
+    val plain = df
+      .select(col("id"), (length(col("text")) * 2).as("score"))
+      .filter(col("score") > 4)
+    assert(fenced.collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq ===
+           plain.collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq,
+      "eval_fence must be a value-identity wrapper")
+    // Plan law (the reason the fence exists, guide §4.4): the filter must
+    // NOT be inlined through the fenced projection and pushed below the
+    // exchange — tree prints root-first, so 'Filter' above 'Exchange'
+    // means a smaller string index.
+    val p = fenced.queryExecution.executedPlan.toString
+    assert(p.contains("Filter") && p.contains("Exchange"), p)
+    assert(p.indexOf("Filter") < p.indexOf("Exchange"),
+      s"filter was pushed below the spread exchange:\n$p")
+    // and WITHOUT the fence the same shape IS pushed below (the hazard is
+    // real, not hypothetical — if Catalyst ever stops pushing there, the
+    // fence can be retired)
+    val unfenced = graft.Tables.documents(spark, sf).repartition(4)
+      .select(col("doc_id"), (length(col("text")) * 2).as("score"))
+      .filter(col("score") > 4)
+    val up = unfenced.queryExecution.executedPlan.toString
+    assert(up.indexOf("Exchange") < up.indexOf("Filter"),
+      s"expected the unfenced filter to sink below the exchange:\n$up")
+    // the spread scan face itself carries the law end-to-end
+    val mp = graft.ops.SearchOps.matchQuery(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(mp.indexOf("Filter") < mp.indexOf("Exchange"),
+      s"q_search_match: analyzer filter sank below the spread exchange:\n$mp")
+  }
 }

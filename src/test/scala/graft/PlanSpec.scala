@@ -537,12 +537,23 @@ class PlanSpec extends SparkSpecBase {
       s"expected exactly one corpus scan in the scoring plan, got $corpusScans:\n$p")
   }
 
-  test("phraseSearch: map-only — zero exchanges, the top-k is TakeOrderedAndProject") {
+  test("phraseSearch: no keyed shuffle — only the compute-spread exchange, top-k partial") {
     val p = plan(SearchOps.phraseSearch(spark, sf))
-    // the occurrence count is a projection (HOF over window starts): the
-    // plan must hold ONE corpus scan, no join, no shuffle; the k-cut is
-    // the partial top-k operator, never a global sort
-    assert(!p.contains("Exchange"), s"phrase scan must not shuffle:\n$p")
+    // the occurrence count is a projection (native rolling scan): the plan
+    // must hold ONE corpus scan, no join, no KEYED shuffle; the k-cut is
+    // the partial top-k operator, never a global sort. r16: the scan is
+    // allowed exactly ONE RoundRobin exchange — the size-guarded compute
+    // spread (Tables.spreadForCompute; identity at scale) that fans the
+    // per-row phrase scan across cores — and the fenced scoring projection
+    // must sit ABOVE it (root-first print: Project before Exchange).
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"phrase scan must not shuffle by key:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"expected at most the one spread exchange:\n$p")
+    val (prj, exch) = (p.indexOf("phrase_count"), p.indexOf("Exchange"))
+    if (exch >= 0)
+      assert(prj >= 0 && prj < exch,
+        s"phrase scoring must run above the spread exchange:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k in:\n$p")
   }
 
