@@ -154,6 +154,13 @@ object Tables {
   private[graft] def documentsSpread(spark: SparkSession, dir: String): DataFrame =
     spreadForCompute(spark, dir, "documents")
 
+  // NOTE (r16, measured): the spread is ONLY for faces whose per-row
+  // compute dominates the row bytes. Applying it to shuffle-bound
+  // aggregate faces (pricing_summary, denorm_docs, approx_distinct,
+  // events_hourly) REGRESSED them 1.2–3.4× at sf0.1 — the extra
+  // round-robin pass of the full fact costs more than the serialized
+  // partial aggregation saves. Those faces keep their bare scans.
+
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

@@ -33,6 +33,10 @@ object CurationOps {
     * filtered token lists — the decontamination tier's proven portable
     * hash60.
     */
+  // NO documentsSpread here (r16, measured): the gram pass feeds
+  // shuffle-heavy consumers (sourceOverlap's distinct regressed 0.36 →
+  // 0.68 s with the spread exchange; dsir/classifier were flat) — the
+  // spread only pays where single-task per-row compute dominates the wall.
   private def gramFrame(spark: SparkSession, dir: String, m: Long): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),

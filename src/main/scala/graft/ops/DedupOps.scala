@@ -165,6 +165,16 @@ object DedupOps {
       .limit(50))
   }
 
+  /** Spread policy in this family (r16, measured at sf0.1): the spread
+    * exchange pays off ONLY where the single-task compute dominates the
+    * wall — minhashSignature (2.01 → 0.28 s) and this generator's
+    * signature stage (1.93 → ~1.2 s). For ngramJaccard / dedupSpans /
+    * containmentPairs the wall is shuffle-barrier/dispatch-bound (cpu ≪
+    * wall), and the spread left walls flat while multiplying summed task
+    * CPU ~10–20× (32-task stages over a pinned 32-partition cache) — those
+    * faces keep the bare scan.
+    */
+
   /** The banded candidate generator shared by [[minhashPairs]] (top-k face)
     * and [[dupClusters]] (graph face). Returns (cached signature frame to
     * release, unbounded candidate pairs with estimates).
@@ -627,7 +637,7 @@ object DedupOps {
     * exact.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documentsSpread(spark, dir)
+    val d = Tables.documents(spark, dir)
     // tokens staged as a column: inlined, the split() would re-run for every
     // element_at inside the gram lambda (3 evals per gram per row)
     val toks = d.select(col("doc_id"),
@@ -1076,7 +1086,7 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     val toks = filter(split(lower(trim(col("text"))), "\\s+"),
       t => length(t) > 0)
-    val base = Tables.documentsSpread(spark, dir)
+    val base = Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("toks"))
     val wins = base
       .select(col("doc_id"),
@@ -1134,7 +1144,7 @@ object DedupOps {
   def containmentPairs(spark: SparkSession, dir: String,
                        minContainment: Double = 0.5, dfCap: Int = 8,
                        k: Int = 50): DataFrame =
-    containmentPairsOn(Tables.documentsSpread(spark, dir), minContainment, dfCap,
+    containmentPairsOn(Tables.documents(spark, dir), minContainment, dfCap,
       k = k)
 
   /** The same detector over any (doc_id, text) frame — the seam DedupSpec

@@ -65,7 +65,7 @@ object TextOps {
     * fixture, which a statically-authored oracle can inline.
     */
   def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    Tables.documentsSpread(spark, dir).select(
       col("doc_id"),
       size(regexp_extract_all(col("text"),
         lit(graft.functions.BpeModel.PreTokPattern), lit(0)))
@@ -779,7 +779,7 @@ object TextOps {
     */
   def packChunksBpe(spark: SparkSession, dir: String, nShards: Int = 8,
                     ctxTokens: Int = 2048): DataFrame =
-    packOn(Tables.documents(spark, dir),
+    packOn(Tables.documentsSpread(spark, dir),
       call_function("bpe_count", col("text")), nShards, ctxTokens)
 
   /** Curriculum-ordered packing — [[packChunks]] composed WITH the CCNet
@@ -1500,7 +1500,7 @@ object TextOps {
     * RE2-portable verbatim; per-row codegen, no shuffle.
     */
   def piiScrub(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsSpread(spark, dir)
     val emailP = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ipP = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
     val cardP = "[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}"
