@@ -1158,13 +1158,21 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     val toks = d.select(col("doc_id"),
       split(lower(trim(col("text"))), "\\s+").as("toks"))
-    val grams = transform(sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
-      i => concat_ws(" ", try_element_at(col("toks"), i), try_element_at(col("toks"), i + 1),
-                          try_element_at(col("toks"), i + 2)))
+    // r16: the per-doc distinct gram set is staged directly as 60-bit gram
+    // HASHES via the native one-pass `gram_hash60` (bit-identical to
+    // hash60 over the concat_ws gram strings, distinct + short-doc
+    // clipping laws included — FunctionsSpec). The composed form built a
+    // concat string + md5-hex + base-16 parse PER GRAM OCCURRENCE and was
+    // this query's whole CPU bill (isolated sf0.1 cpuSec 5.7 → see
+    // OPTIMIZATION_r16.md); downstream the containment intersections now
+    // compare 8-byte longs instead of ~30-byte strings. The oracle
+    // intersects the gram STRINGS — equality of the outputs holds modulo
+    // md5-prefix collisions (≈ n²/2^60; the hash gate would catch one).
     // base is read THREE times (both self-join sides derive from it, and
     // both array join-backs) — persist it, or each consumer re-runs the
     // whole gram construction over the corpus
-    val base = toks.select(col("doc_id"), array_distinct(grams).as("grams"))
+    val base = toks.select(col("doc_id"),
+        call_function("gram_hash60", col("toks"), lit(3)).as("grams"))
       .persist()
     // join/shuffle key = the 60-bit md5-prefix gram hash, not the ~30-byte
     // gram STRING: the df window and the self-join move 8-byte longs
@@ -1174,8 +1182,7 @@ object DedupOps {
     // it feeds both sides of the self-join, and uncached each side would
     // re-run the explode + window pipeline.
     val gramRows = base.select(col("doc_id"),
-        explode(col("grams")).as("g"))
-      .select(col("doc_id"), hash60(col("g")).as("gk"))
+        explode(col("grams")).as("gk"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("gk")))
       .filter(col("df") >= 2 && col("df") <= dfCap)
       .select(col("gk"), col("doc_id"))
