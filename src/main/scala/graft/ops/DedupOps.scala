@@ -205,11 +205,16 @@ object DedupOps {
                       element_at(col("sig"), b * 2 + 2).as("h2")))))
       .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_key"))
 
-    // skew guard: keep only buckets that can produce pairs and are not hot
-    val useful = bands.groupBy("band_id", "band_key").count()
-      .filter(col("count") >= 2 && col("count") <= maxBucket)
-      .select("band_id", "band_key")
-    val b = bands.join(useful, Seq("band_id", "band_key"))
+    // skew guard: keep only buckets that can produce pairs and are not hot.
+    // r16: the census is a WINDOW count over the same key instead of a
+    // groupBy + join-back — identical row set, but one keyed exchange
+    // (whose hash partitioning the self-join below then reuses on both
+    // sides) replaces the aggregate exchange + broadcast-build of `useful`.
+    val b = bands
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band_id", "band_key")))
+      .filter(col("bsz") >= 2 && col("bsz") <= maxBucket)
+      .drop("bsz")
 
     val l = b.select(col("band_id"), col("band_key"),
       col("doc_id").as("left_id"), col("sig").as("left_sig"))
