@@ -666,7 +666,12 @@ object DedupOps {
                       element_at(col("sig"), b * 4 + 4).as("h4")))))
       .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_key"))
     // same skew guard as minhashPairs: only pair-capable, non-hot buckets
-    // join (without it, template-heavy corpora go quadratic in the join)
+    // join (without it, template-heavy corpora go quadratic in the join).
+    // NOTE (r16, measured): unlike minhashPairs, this census stays the
+    // narrow groupBy + join-back — the window-count fusion regressed here
+    // (0.84 → 1.01 s isolated) because the window's sort drags the wide
+    // per-doc gram ARRAYS through the exchange, while the groupBy census
+    // shuffles only (band_id, band_key). Payload width picks the shape.
     val useful = bands.groupBy("band_id", "band_key").count()
       .filter(col("count") >= 2 && col("count") <= 64)
       .select("band_id", "band_key")
