@@ -99,20 +99,52 @@ object RuEnAnalyze {
     s
   }
 
-  /** Hot loop shared by interpreted eval and codegen. */
+  /** Hot loop shared by interpreted eval and codegen.
+    *
+    * r16 allocation diet (bit-identical by construction; FunctionsSpec's
+    * native≡composed equality is the gate): one Matcher per PATTERN per
+    * call, `reset(token)` per token instead of four fresh Matcher
+    * allocations per token, and each rule runs only when its regex could
+    * possibly match — `^'+|'+$` needs an edge apostrophe, `'s$` needs an
+    * apostrophe at length−2, the plural rule needs a trailing 's', and the
+    * Russian stemmer's `^([а-яё]{2,}?)(suffix)$` needs ≥3 chars starting
+    * with two Cyrillic letters. Each gate is the regex's own NECESSARY
+    * condition, so skipping is exactly "the regex would not have matched"
+    * (the replaceAll would have returned the input unchanged).
+    */
   def compute(text: UTF8String): ArrayData = {
     // same lowercase as Spark's Lower expression (UTF8String.toLowerCase)
     val lowered = text.toLowerCase.toString
     // same split semantics as Spark's StringSplit (Java regex, limit -1)
     val raw = SplitP.split(lowered, -1)
     val out = new java.util.ArrayList[Any](raw.length)
+    val quoteM = QuoteP.matcher("")
+    val possM = PossP.matcher("")
+    val pluralM = PluralP.matcher("")
+    val ruM = RuStemP.matcher("")
+    @inline def isCyr(c: Char): Boolean = (c >= 'а' && c <= 'я') || c == 'ё'
     var i = 0
     while (i < raw.length) {
-      val stripped = QuoteP.matcher(raw(i)).replaceAll("")
-      val t = stripped.replace('ё', 'е')
+      val r = raw(i)
+      val stripped =
+        if (r.nonEmpty && (r.charAt(0) == '\'' || r.charAt(r.length - 1) == '\''))
+          quoteM.reset(r).replaceAll("")
+        else r
+      val t = stripped.replace('ё', 'е') // returns `stripped` itself when no ё
       if (t.nonEmpty && !Stops.contains(t)) {
-        val en = PluralP.matcher(PossP.matcher(t).replaceAll("")).replaceAll("$1")
-        val stemmed = RuStemP.matcher(en).replaceAll("$1")
+        val n = t.length
+        val noPoss =
+          if (n >= 2 && t.charAt(n - 1) == 's' && t.charAt(n - 2) == '\'')
+            possM.reset(t).replaceAll("")
+          else t
+        val en =
+          if (noPoss.nonEmpty && noPoss.charAt(noPoss.length - 1) == 's')
+            pluralM.reset(noPoss).replaceAll("$1")
+          else noPoss
+        val stemmed =
+          if (en.length >= 3 && isCyr(en.charAt(0)) && isCyr(en.charAt(1)))
+            ruM.reset(en).replaceAll("$1")
+          else en
         out.add(UTF8String.fromString(stemmed))
       }
       i += 1
